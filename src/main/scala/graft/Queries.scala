@@ -1,0 +1,451 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.ops.{Ann, Dedup, Knn, Multimodal, Quantizer, TextAnalysis}
+
+/** The operator inventory wired to the driver's correctness gate: every
+  * entry has a Spark implementation and (where SQL-expressible) an ANSI
+  * restatement the DuckDB oracle runs on the same parquet tables.
+  *
+  * Determinism rules that make hash-matching possible:
+  *  - distance math: double precision, strictly sequential accumulation on
+  *    both sides (list_sum in DuckDB is sequential);
+  *  - probe literal uses only values exact in decimal AND binary (k/4);
+  *  - cross-row sums go through DECIMAL (exact) and cast to double at the
+  *    end; counts are BIGINT on both sides;
+  *  - top-k ties break on id; distances rounded to 6 dp before output.
+  */
+object Queries {
+
+  val Dim = 64
+  val K = 10
+
+  /** Probe vector: values in {-0.75..0.75}, exactly representable in both
+    * decimal and binary floating point.
+    */
+  val probe: Array[Float] = Array.tabulate(Dim)(i => ((i % 7) - 3) / 4.0f)
+
+  private def probeSqlList: String =
+    probe.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
+
+  def emb(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+  def docs(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------- SQL fragments (DuckDB dialect) ----------------
+
+  /** Per-row distance over `embedding` vs the probe list `pv`, sequential
+    * double accumulation — mirrors VectorDistance's codegen loop exactly.
+    */
+  private def distSql(metric: String): String = {
+    def lsum(term: String) =
+      s"list_sum(list_transform(generate_series(1,$Dim), i -> $term))"
+    val sq = lsum("(CAST(embedding[i] AS DOUBLE) - pv[i]) * (CAST(embedding[i] AS DOUBLE) - pv[i])")
+    val dot = lsum("CAST(embedding[i] AS DOUBLE) * pv[i]")
+    val na = lsum("CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)")
+    val nb = lsum("pv[i] * pv[i]")
+    metric match {
+      case "l2" => s"sqrt($sq)"
+      case "sq_l2" => sq
+      case "l1" => lsum("abs(CAST(embedding[i] AS DOUBLE) - pv[i])")
+      case "dot" => s"-($dot)"
+      case "cosine" =>
+        s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 1.0 " +
+        s"ELSE 1.0 - greatest(-1.0, least(1.0, $dot / (sqrt($na) * sqrt($nb)))) END)"
+    }
+  }
+
+  private def knnSql(metric: String): String =
+    s"""WITH p AS (SELECT $probeSqlList AS pv),
+       |d AS (SELECT vec_id, ${distSql(metric)} AS distance FROM embeddings, p WHERE embedding IS NOT NULL)
+       |SELECT vec_id, round(distance, 6) AS distance FROM d ORDER BY round(distance, 6), vec_id LIMIT $K""".stripMargin
+
+  /** Quant params CTE: AUTO qtype resolution + scale/offset + clamp bounds
+    * (sqlite-vector.c:1258-1272).
+    */
+  private val paramsCte =
+    s"""mm AS (SELECT CAST(min(u.x) AS DOUBLE) AS mn, CAST(max(u.x) AS DOUBLE) AS mx
+       |  FROM embeddings, UNNEST(embedding) AS u(x)),
+       |par AS (SELECT
+       |  CASE WHEN mn < 0 THEN 'INT8' ELSE 'UINT8' END AS qtype,
+       |  CASE WHEN mn < 0 THEN (CASE WHEN greatest(abs(mn),abs(mx)) = 0 THEN 1.0 ELSE 127.0/greatest(abs(mn),abs(mx)) END)
+       |       ELSE (CASE WHEN mx - mn = 0 THEN 1.0 ELSE 255.0/(mx - mn) END) END AS q_scale,
+       |  CASE WHEN mn < 0 THEN 0.0 ELSE mn END AS q_offset,
+       |  CASE WHEN mn < 0 THEN -128 ELSE 0 END AS lo,
+       |  CASE WHEN mn < 0 THEN 127 ELSE 255 END AS hi
+       |  FROM mm)""".stripMargin
+
+  private val codeSqlExpr =
+    "CAST(greatest(lo, least(hi, round((CAST(x AS DOUBLE) - q_offset) * q_scale))) AS BIGINT)"
+
+  private def quantKnnSql: String =
+    s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
+       |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par),
+       |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p)
+       |SELECT vec_id,
+       |  CAST(list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i]))) AS BIGINT) AS dist_sq
+       |FROM qc, qp ORDER BY dist_sq, vec_id LIMIT $K""".stripMargin
+
+  // ---------------- vector query implementations ----------------
+
+  private def knnQuery(metric: String)(s: SparkSession, dir: String): DataFrame = {
+    val scored = Knn.distanceStream(emb(s, dir), "vec_id", "embedding", probe, metric)
+      .withColumn("distance", round(col("distance"), 6))
+    Knn.topK(scored, col("distance"), col("vec_id"), K)
+  }
+
+  private def quantCodesDf(s: SparkSession, dir: String): (DataFrame, QuantParams) = {
+    val e = emb(s, dir)
+    val p = Quantizer.computeParams(e, "embedding")
+    (Quantizer.quantizeCodes(e, "vec_id", "embedding", p), p)
+  }
+
+  private def quantKnn(s: SparkSession, dir: String): DataFrame = {
+    val (codes, p) = quantCodesDf(s, dir)
+    Knn.topK(
+      codes.select(col("id").as("vec_id"),
+        code_distance(col("code"), lit(Quantizer.quantizeProbe(probe, p)), "sq_l2", p.qType).as("dist_sq")),
+      col("dist_sq"), col("vec_id"), K)
+  }
+
+  // ---------------- the inventory ----------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K1: exact brute-force k-NN, all 5 metrics (vector_full_scan)
+    "knn_l2" -> knnQuery("l2") _,
+    "knn_sq_l2" -> knnQuery("sq_l2") _,
+    "knn_cosine" -> knnQuery("cosine") _,
+    "knn_dot" -> knnQuery("dot") _,
+    "knn_l1" -> knnQuery("l1") _,
+
+    // K3: streaming distance annotation (vector_full_scan_stream)
+    "dist_stream_l2" -> ((s, dir) =>
+      Knn.distanceStream(emb(s, dir), "vec_id", "embedding", probe, "l2")
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))),
+
+    // K1 + join-back idiom (reference README.md:96-99): k-NN ids → documents
+    "knn_join_docs" -> ((s, dir) => {
+      val knn = knnQuery("cosine")(s, dir)
+      Knn.joinBack(knn, docs(s, dir), "vec_id", "doc_id")
+        .select(col("doc_id"), col("distance"), col("source"))
+    }),
+
+    // Q1 pass 1: global quantization parameters (AUTO qtype resolution)
+    "quantize_params" -> ((s, dir) => {
+      val p = Quantizer.computeParams(emb(s, dir), "embedding")
+      s.range(1).select(
+        lit(p.qType.name).as("qtype"), lit(p.scale).as("q_scale"),
+        lit(p.offset).as("q_offset"), lit(p.rows).as("n_rows"))
+    }),
+
+    // Q1 pass 2: per-row quantized codes, verified via exact integer sums
+    "quantize_sums" -> ((s, dir) => {
+      val (codes, p) = quantCodesDf(s, dir)
+      codes.select(col("id").as("vec_id"), code_sum(col("code"), p.qType).as("code_sum"))
+    }),
+
+    // K2: approximate k-NN over codes (vector_quantize_scan), integer space
+    "quant_knn_l2" -> quantKnn _,
+
+    // QUANTIZATION.md:46-72 recall harness: |approx ∩ exact| / k
+    "recall_l2" -> ((s, dir) => {
+      val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
+      val approx = quantKnn(s, dir).select(col("vec_id"))
+      val inter = exact.join(approx, "vec_id").count()
+      s.range(1).select(lit(K).cast("long").as("k"), lit(inter.toDouble / K).as("recall"))
+    }),
+
+    // F1: vector_version
+    "vector_version" -> ((s, _) => s.range(1).select(vector_version().as("version"))),
+
+    // F4: vector_as_f32 JSON parse round-trip (values survive exactly)
+    "as_f32_json" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+          vector_as_f32(concat(lit("["),
+            concat_ws(",", transform(col("embedding"), x => x.cast("string"))), lit("]")), Dim).as("v"))
+        .select(col("vec_id"),
+          round(aggregate(col("v"), lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("vec_sum"))),
+
+    // ---- relational surface the reference delegates to SQLite ----
+    "q1_pricing" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    "q3_revenue" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "join_region_customers" -> ((s, dir) => {
+      val region = tbl(s, dir, "region"); val nation = tbl(s, dir, "nation")
+      val cust = tbl(s, dir, "customer")
+      cust.join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("num_customers"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_acctbal"))
+    }),
+
+    "window_top_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
+    }),
+
+    "semi_join_orders" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val rich = tbl(s, dir, "customer").where(col("c_acctbal") > 5000).select(col("c_custkey"))
+      orders.join(rich, orders("o_custkey") === rich("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    "events_by_type" -> ((s, dir) =>
+      tbl(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))),
+
+    // ---- text analysis (documents) ----
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+        length(col("text")).cast("long").as("n_chars_m"))),
+
+    "quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))),
+
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- dedup family ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", Seq("lang", "source"))),
+
+    "ngram_jaccard_top" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", "source", 3)
+        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)),
+
+    "cosine_top_pairs" -> ((s, dir) =>
+      Dedup.cosineNearDup(emb(s, dir), "vec_id", "embedding", lit(1), -2.0)
+        .orderBy(col("cosine_sim").desc, col("a"), col("b")).limit(50)),
+
+    // rows-only checks (hash functions not restatable in ANSI SQL)
+    "minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text", 64, 16, 3, 0.8)
+        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(100)),
+
+    "simhash_docs" -> ((s, dir) => {
+      val shUdf = udf(Dedup.simhash64)
+      docs(s, dir).select(col("doc_id"),
+        shUdf(TextAnalysis.tokens(col("text"))).as("simhash"))
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) =>
+      Ann.lshTopK(emb(s, dir), "vec_id", "embedding", probe, K, "cosine", 8)
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))),
+
+    // ---- multimodal plumbing (payload = utf8 bytes as a stand-in blob) ----
+    "multimodal_meta" -> ((s, dir) => {
+      val withPayload = docs(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("media_type", lit("image"))
+      Multimodal.withMetadata(withPayload, "payload", "media_type")
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+          col("meta.byte_len").as("byte_len"))
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      val withPayload = docs(s, dir).withColumn("payload", col("text").cast("binary"))
+      Multimodal.withFeatures(withPayload, "payload", 16)
+        .select(col("doc_id"),
+          round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+    })
+  )
+
+  // ---------------- the oracle SQL ----------------
+
+  private val tokensSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private val enStopSql = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  private def langHitsSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ($list)))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "knn_l2" -> knnSql("l2"),
+    "knn_sq_l2" -> knnSql("sq_l2"),
+    "knn_cosine" -> knnSql("cosine"),
+    "knn_dot" -> knnSql("dot"),
+    "knn_l1" -> knnSql("l1"),
+
+    "dist_stream_l2" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv)
+         |SELECT vec_id, round(${distSql("l2")}, 6) AS distance FROM embeddings, p WHERE embedding IS NOT NULL""".stripMargin,
+
+    "knn_join_docs" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id, ${distSql("cosine")} AS distance FROM embeddings, p WHERE embedding IS NOT NULL),
+         |k AS (SELECT vec_id, round(distance, 6) AS distance FROM d ORDER BY round(distance, 6), vec_id LIMIT $K)
+         |SELECT doc_id, k.distance, source FROM documents JOIN k ON doc_id = k.vec_id""".stripMargin,
+
+    "quantize_params" ->
+      s"""WITH $paramsCte
+         |SELECT qtype, q_scale, q_offset,
+         |  (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_rows FROM par""".stripMargin,
+
+    "quantize_sums" ->
+      s"""WITH $paramsCte
+         |SELECT vec_id, CAST(list_sum(list_transform(embedding, x -> $codeSqlExpr)) AS BIGINT) AS code_sum
+         |FROM embeddings, par WHERE embedding IS NOT NULL""".stripMargin,
+
+    "quant_knn_l2" -> quantKnnSql,
+
+    "recall_l2" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
+         |ex AS (SELECT vec_id FROM (SELECT vec_id, round(${distSql("l2")}, 6) AS distance
+         |       FROM embeddings, p WHERE embedding IS NOT NULL ORDER BY distance, vec_id LIMIT $K) ext),
+         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par),
+         |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p),
+         |ap AS (SELECT vec_id FROM (SELECT vec_id,
+         |       list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i]-qp.c[i])*(qc.c[i]-qp.c[i]))) AS dist_sq
+         |       FROM qc, qp ORDER BY dist_sq, vec_id LIMIT $K) apt)
+         |SELECT CAST($K AS BIGINT) AS k,
+         |  CAST((SELECT count(*) FROM ex JOIN ap ON ex.vec_id = ap.vec_id) AS DOUBLE) / $K AS recall""".stripMargin,
+
+    "vector_version" -> s"SELECT '${graft.functions.Version}' AS version",
+
+    "as_f32_json" ->
+      s"""SELECT vec_id,
+         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum
+         |FROM embeddings""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "join_region_customers" ->
+      """SELECT r_name, COUNT(*) AS num_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t WHERE rn <= 2""".stripMargin,
+
+    "semi_join_orders" ->
+      """SELECT COUNT(*) AS n_orders FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin,
+
+    "events_by_type" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  len($tokensSql) AS n_tokens,
+         |  len(list_distinct($tokensSql)) AS n_distinct,
+         |  len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS n_stop,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m
+         |FROM documents""".stripMargin,
+
+    "quality_score" ->
+      s"""SELECT doc_id, round(
+         |  least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25 +
+         |  (CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25 +
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25 +
+         |  least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+         |  6) AS score
+         |FROM documents""".stripMargin,
+
+    "lang_id" -> {
+      val hits = TextAnalysis.LangMarkers.map { case (l, ws) => l -> langHitsSql(ws) }
+      val best = hits.map(_._2).mkString("greatest(", ", ", ")")
+      val cases = hits.map { case (l, h) => s"WHEN $best > 0 AND $h = $best THEN '$l'" }.mkString(" ")
+      s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM documents"
+    },
+
+    "fingerprint" ->
+      """SELECT doc_id, CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) END AS fp
+        |FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "ngram_jaccard_top" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  CASE WHEN length(t) < 3 THEN [t]
+        |       ELSE list_distinct(list_transform(generate_series(1, length(t) - 2), i -> t[i:i+2])) END AS sh
+        |  FROM (SELECT doc_id, source, lower(regexp_replace(text, '[^ -~]', '', 'g')) AS t FROM documents)),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |  CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS un
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT a, b, round(inter / greatest(un, 1.0), 6) AS jaccard FROM pr
+        |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin,
+
+    "cosine_top_pairs" -> {
+      def lsum(va: String, vb: String) =
+        s"list_sum(list_transform(generate_series(1,$Dim), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))"
+      s"""WITH pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |  ${lsum("a.embedding", "b.embedding")} AS dot,
+         |  ${lsum("a.embedding", "a.embedding")} AS na,
+         |  ${lsum("b.embedding", "b.embedding")} AS nb
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT a, b, round(1.0 - (CASE WHEN na = 0.0 OR nb = 0.0 THEN 1.0
+         |  ELSE 1.0 - greatest(-1.0, least(1.0, dot / (sqrt(na) * sqrt(nb)))) END), 6) AS cosine_sim
+         |FROM pr ORDER BY cosine_sim DESC, a, b LIMIT 50""".stripMargin
+    },
+
+    "multimodal_meta" ->
+      """SELECT doc_id, 'image' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents""".stripMargin
+  )
+}

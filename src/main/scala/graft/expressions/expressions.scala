@@ -1,0 +1,332 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.{ElemType, Metric}
+import graft.codec.VectorCodec
+import graft.kernels.{Distances, Quantize}
+
+/** `vector_distance(a, b)` over canonical `array<float>` columns.
+  *
+  * Computes in double precision with strictly sequential accumulation —
+  * deterministic, partition-order independent, and exactly reproducible by
+  * an ANSI-SQL restatement evaluated in double (the correctness oracle).
+  *
+  * Replicates the reference's metric semantics (distance-cpu.c): negated
+  * dot (:112-136), cosine zero-norm → 1.0 (:105-107) with clamp to [-1,1],
+  * L2 = sqrt of squared sum (:39-68). Fully whole-stage-codegen'd: the
+  * generated loop is a tight primitive `for` the JIT auto-vectorizes —
+  * the Spark-era replacement for the reference's hand-written SIMD kernels
+  * (distance-avx2.c etc).
+  */
+case class VectorDistance(left: Expression, right: Expression, metric: Metric)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    Distances.onDouble(metric)(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val body = metric match {
+        case Metric.L2 | Metric.SquaredL2 =>
+          val acc = ctx.freshName("acc")
+          val fin = if (metric == Metric.L2) s"java.lang.Math.sqrt($acc)" else acc
+          s"""
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+             |  $acc += d * d;
+             |}
+             |${ev.value} = $fin;
+           """.stripMargin
+        case Metric.L1 =>
+          val acc = ctx.freshName("acc")
+          s"""
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += java.lang.Math.abs((double) $a.getFloat($i) - (double) $b.getFloat($i));
+             |}
+             |${ev.value} = $acc;
+           """.stripMargin
+        case Metric.Dot =>
+          val acc = ctx.freshName("acc")
+          s"""
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+             |}
+             |${ev.value} = -$acc;
+           """.stripMargin
+        case Metric.Cosine =>
+          val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+          val c = ctx.freshName("c")
+          s"""
+             |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double x = (double) $a.getFloat($i);
+             |  double y = (double) $b.getFloat($i);
+             |  $dot += x * y; $na += x * x; $nb += y * y;
+             |}
+             |if ($na == 0.0 || $nb == 0.0) { ${ev.value} = 1.0; } else {
+             |  double $c = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+             |  if (Double.isNaN($c) || Double.isInfinite($c)) { ${ev.value} = 1.0; }
+             |  else { ${ev.value} = 1.0 - java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $c)); }
+             |}
+           """.stripMargin
+      }
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |$body
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Reference-fidelity distance over packed BLOB vectors (BinaryType),
+  * dispatching the full 25-entry (metric × element-type) kernel table
+  * (distance-cpu.c:21) including f16/bf16/i8/u8 and the caller-side
+  * 8·FLT_EPSILON zero clamp (sqlite-vector.c:994-996). Returns FloatType —
+  * the reference's return width.
+  */
+case class PackedVectorDistance(left: Expression, right: Expression, metric: Metric, elemType: ElemType)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "vector_distance_packed"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val d = Distances.onPacked(metric, elemType)(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    Distances.zeroClamp(d)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `quantize_codes(vec)` — array<float> → packed i8/u8 codes (BinaryType),
+  * the per-row half of the reference's quantization pass 2
+  * (sqlite-vector.c:1278-1327): code = round_half_away((x − offset) × scale)
+  * saturated, NaN→0 (:495-515).
+  */
+case class QuantizeCodes(child: Expression, scale: Double, offset: Double, isU8: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "quantize_codes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toFloatArray()
+    val out = new Array[Byte](x.length)
+    var i = 0
+    while (i < x.length) {
+      val q = (x(i).toDouble - offset) * scale
+      out(i) = (if (isU8) Quantize.roundU8(q) else Quantize.roundI8(q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val round = if (isU8) "graft.kernels.Quantize.roundU8" else "graft.kernels.Quantize.roundI8"
+      s"""
+         |int $n = $c.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) $round(((double) $c.getFloat($i) - $offset) * $scale);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Integer squared-L2 (or dot/L1/cosine) between packed i8/u8 code vectors —
+  * the quantized-scan distance computed in code space, NOT dequantized
+  * (sqlite-vector.c:2198-2200). Exact integer accumulation (LongType out
+  * for L2²/L1/dot) makes results bit-exact and order-independent.
+  */
+case class CodeDistance(left: Expression, right: Expression, metric: Metric, signed: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = metric match {
+    case Metric.Cosine | Metric.L2 => DoubleType
+    case _                         => LongType
+  }
+  override def prettyName: String = "code_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+    @inline def at(arr: Array[Byte], i: Int): Int = if (signed) arr(i).toInt else arr(i) & 0xff
+    val n = math.min(x.length, y.length)
+    metric match {
+      case Metric.SquaredL2 | Metric.L2 =>
+        var acc = 0L; var i = 0
+        while (i < n) { val d = at(x, i) - at(y, i); acc += d.toLong * d; i += 1 }
+        if (metric == Metric.L2) math.sqrt(acc.toDouble) else acc
+      case Metric.L1 =>
+        var acc = 0L; var i = 0
+        while (i < n) { acc += math.abs(at(x, i) - at(y, i)); i += 1 }
+        acc
+      case Metric.Dot =>
+        var acc = 0L; var i = 0
+        while (i < n) { acc += at(x, i).toLong * at(y, i); i += 1 }
+        -acc
+      case Metric.Cosine =>
+        var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+        while (i < n) {
+          val p = at(x, i); val q = at(y, i)
+          dot += p.toLong * q; na += p.toLong * p; nb += q.toLong * q; i += 1
+        }
+        if (na == 0L || nb == 0L) 1.0
+        else {
+          val c = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+          1.0 - math.max(-1.0, math.min(1.0, c))
+        }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val rd = (arr: String) => if (signed) s"(int) $arr[$i]" else s"($arr[$i] & 0xff)"
+      val body = metric match {
+        case Metric.SquaredL2 | Metric.L2 =>
+          val acc = ctx.freshName("acc")
+          val fin = if (metric == Metric.L2) s"java.lang.Math.sqrt((double) $acc)" else acc
+          s"""
+             |long $acc = 0L;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  int d = ${rd(a)} - ${rd(b)};
+             |  $acc += (long) d * d;
+             |}
+             |${ev.value} = $fin;
+           """.stripMargin
+        case Metric.L1 =>
+          val acc = ctx.freshName("acc")
+          s"""
+             |long $acc = 0L;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += java.lang.Math.abs(${rd(a)} - ${rd(b)});
+             |}
+             |${ev.value} = $acc;
+           """.stripMargin
+        case Metric.Dot =>
+          val acc = ctx.freshName("acc")
+          s"""
+             |long $acc = 0L;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += (long) (${rd(a)}) * (${rd(b)});
+             |}
+             |${ev.value} = -$acc;
+           """.stripMargin
+        case Metric.Cosine =>
+          val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+          val c = ctx.freshName("c")
+          s"""
+             |long $dot = 0L, $na = 0L, $nb = 0L;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  int p = ${rd(a)}; int q = ${rd(b)};
+             |  $dot += (long) p * q; $na += (long) p * p; $nb += (long) q * q;
+             |}
+             |if ($na == 0L || $nb == 0L) { ${ev.value} = 1.0; } else {
+             |  double $c = (double) $dot / (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+             |  ${ev.value} = 1.0 - java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $c));
+             |}
+           """.stripMargin
+      }
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |$body
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sum of a packed i8/u8 code vector as a Long — exact integer arithmetic
+  * for verifying quantization output against an independent oracle.
+  */
+case class CodeSum(child: Expression, signed: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "code_sum"
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    var acc = 0L; var i = 0
+    while (i < b.length) { acc += (if (signed) b(i).toInt else b(i) & 0xff); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val rd = if (signed) s"(int) $c[$i]" else s"($c[$i] & 0xff)"
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $c.length; $i++) { $acc += $rd; }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The `vector_as_f32` family (sqlite-vector.c:1655-1719): accepts a JSON
+  * text array (tolerant parser, trailing comma OK — :1528-1653) or a packed
+  * BLOB (size-checked pass-through — :1663-1675) and yields the canonical
+  * `array<float>`. `target` selects the i8/u8 range checks (:1601-1615) and
+  * the round-trip precision (f16/bf16 values pass through their 16-bit
+  * representation like the reference's packing does).
+  */
+case class ToVector(child: Expression, target: ElemType, expectDim: Int = -1)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = s"vector_as_${target.name.toLowerCase}"
+
+  override def nullSafeEval(v: Any): Any = {
+    val floats: Array[Float] = v match {
+      case s: UTF8String =>
+        val parsed = VectorCodec.parseJson(s.toString, expectDim)
+        VectorCodec.checkRange(parsed, target)
+        // round-trip through the target representation, like packing does
+        VectorCodec.unpack(VectorCodec.pack(parsed, target), target)
+      case b: Array[Byte] =>
+        VectorCodec.checkBlob(b, target, expectDim)
+        VectorCodec.unpack(b, target)
+      case other =>
+        throw new IllegalArgumentException(s"vector_as_*: unsupported input ${other.getClass}")
+    }
+    new GenericArrayData(floats)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

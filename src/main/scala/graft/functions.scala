@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.functions.{lit, typedlit}
+
+import graft.expressions._
+
+/** Column-level API + SQL registration — the engine's equivalent of the
+  * reference's scalar-function surface (vector_version/backend/as_*,
+  * sqlite-vector.c:2545-2597).
+  */
+object functions {
+
+  val Version = "0.9.23-spark" // tracks the reference version (sqlite-vector.h:27)
+
+  private def col(e: Expression): Column = GraftColumnShim.column(e)
+  private def expr(c: Column): Expression = GraftColumnShim.expression(c)
+
+  /** Probe vector as an `array<float>` literal column. */
+  def vectorLit(v: Array[Float]): Column = typedlit(v.toSeq)
+
+  def vector_distance(a: Column, b: Column, metric: String): Column =
+    col(VectorDistance(expr(a), expr(b), Metric.parse(metric)))
+
+  def vector_distance_packed(a: Column, b: Column, metric: String, elemType: String): Column =
+    col(PackedVectorDistance(expr(a), expr(b), Metric.parse(metric), ElemType.parse(elemType)))
+
+  def quantize_codes(v: Column, p: QuantParams): Column =
+    col(QuantizeCodes(expr(v), p.scale, p.offset, p.qType == QType.U8))
+
+  def code_distance(a: Column, b: Column, metric: String, qType: QType): Column =
+    col(CodeDistance(expr(a), expr(b), Metric.parse(metric), signed = qType == QType.I8))
+
+  def code_sum(c: Column, qType: QType): Column =
+    col(CodeSum(expr(c), signed = qType == QType.I8))
+
+  def vector_as_f32(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F32, dim))
+  def vector_as_f16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F16, dim))
+  def vector_as_bf16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.BF16, dim))
+  def vector_as_i8(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.I8, dim))
+  def vector_as_u8(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.U8, dim))
+
+  def vector_version(): Column = lit(Version)
+  def vector_backend(): Column = lit(kernels.Distances.backend())
+
+  /** Register the SQL surface so `spark.sql("... vector_distance(a, b, 'l2') ...")`
+    * works — parity with the reference's CREATE FUNCTION registrations
+    * (sqlite-vector.c:2581-2597).
+    */
+  def registerSql(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def strArg(e: Expression, what: String): String = e match {
+      case Literal(s, _) if s != null => s.toString
+      case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("vector_version",
+      _ => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(Version)), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_backend",
+      _ => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(kernels.Distances.backend())), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_distance", {
+      case Seq(a, b) => VectorDistance(a, b, Metric.L2)
+      case Seq(a, b, m) => VectorDistance(a, b, Metric.parse(strArg(m, "metric")))
+      case args => throw new IllegalArgumentException(s"vector_distance expects 2-3 args, got ${args.size}")
+    }, "scala_udf")
+    def asFn(et: ElemType): Seq[Expression] => Expression = {
+      case Seq(v) => ToVector(v, et)
+      case Seq(v, Literal(d, _)) => ToVector(v, et, d.toString.toInt)
+      case args => throw new IllegalArgumentException(s"vector_as_* expects 1-2 args, got ${args.size}")
+    }
+    reg.createOrReplaceTempFunction("vector_as_f32", asFn(ElemType.F32), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_as_f16", asFn(ElemType.F16), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_as_bf16", asFn(ElemType.BF16), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_as_i8", asFn(ElemType.I8), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_as_u8", asFn(ElemType.U8), "scala_udf")
+  }
+}

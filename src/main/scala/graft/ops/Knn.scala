@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{vectorLit, vector_distance}
+
+/** Exact brute-force k-NN and streaming distance annotation — the Spark
+  * re-expression of the reference's four table-valued scan modules
+  * (vector_full_scan / _stream, sqlite-vector.c:2377-2459).
+  *
+  * Physical shape (the point at 100 TB): `orderBy(distance).limit(k)` is
+  * planned as `TakeOrderedAndProject` — a bounded priority queue per
+  * partition followed by a k-row driver merge. That is the distributed
+  * analogue of the reference's k-slot array + argmax replacement loop
+  * (:2022-2113): each executor holds O(k) state, nothing shuffles except
+  * the per-partition winners, and the scan itself is a full
+  * whole-stage-codegen'd pass over the Parquet column. No index, no
+  * collect, no cross join.
+  */
+object Knn {
+
+  /** K1 `vector_full_scan`: exact k-NN. Rows with NULL vectors are skipped
+    * (sqlite-vector.c:2093); k=0 → empty (:1796). Ties broken by id for
+    * deterministic output (the reference leaves tie order unspecified —
+    * strict `<` at :2102).
+    */
+  def fullScan(df: DataFrame, idCol: String, vecCol: String,
+               probe: Array[Float], k: Int, metric: String): DataFrame =
+    topK(df.where(col(vecCol).isNotNull)
+           .select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
+         col("distance"), col(idCol), k)
+
+  /** K3 `vector_full_scan_stream`: distance annotation with no sort/limit —
+    * composes with arbitrary downstream filters/aggregates.
+    */
+  def distanceStream(df: DataFrame, idCol: String, vecCol: String,
+                     probe: Array[Float], metric: String): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance"))
+
+  /** The documented join-back idiom (reference README.md:97-99): k-NN ids
+    * joined to the base table. The k-row side is always broadcast — a
+    * BroadcastHashJoin, never a shuffle of the (huge) base table.
+    */
+  def joinBack(knn: DataFrame, base: DataFrame, knnId: String, baseId: String): DataFrame =
+    base.join(broadcast(knn), base(baseId) === knn(knnId))
+
+  def topK(scored: DataFrame, dist: Column, id: Column, k: Int): DataFrame =
+    scored.orderBy(dist.asc, id.asc).limit(math.max(k, 0))
+}

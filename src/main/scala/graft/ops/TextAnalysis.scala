@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * All built from codegen'd Spark SQL built-ins (no UDFs) so they run
+  * inside WholeStageCodegen and are restatable in ANSI SQL for the oracle.
+  * Deterministic integer/ratio math only — no floating accumulation across
+  * rows, so results are partition-order independent at any scale.
+  */
+object TextAnalysis {
+
+  /** Strip non-printable-ASCII so char-level ops (fingerprint, shingles)
+    * are byte/codepoint-agnostic across engines.
+    */
+  def asciiOnly(text: Column): Column = regexp_replace(text, "[^ -~]", "")
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text))).cast("long")
+
+  /** Number of tokens that are English stopwords (fixed small list). */
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column, words: Seq[String] = EnStopwords): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Quality score in [0,1]: length saturation, lexical diversity,
+    * stopword presence — the classic cheap pre-filter for LLM corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nDis = distinctTokenCount(text).cast("double")
+    val nChr = length(text).cast("double")
+    val nStop = stopwordCount(text).cast("double")
+    round(
+      least(nTok / 100.0, lit(1.0)) * 0.25 +
+      (nDis / greatest(nTok, lit(1.0))) * 0.25 +
+      least(nChr / 500.0, lit(1.0)) * 0.25 +
+      least(nStop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.25,
+      6)
+  }
+
+  /** N-gram-free language ID: stopword-hit voting over a per-language
+    * marker list; deterministic argmax with fixed priority order.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "por", "que", "no")
+  )
+
+  def langHits(text: Column, lang: String): Column = {
+    val words = LangMarkers.toMap.apply(lang)
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Predicted language: argmax of marker hits; 'und' (undetermined) when
+    * all counts are zero; ties resolve in LangMarkers order.
+    */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (l, _) => (l, langHits(text, l)) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((l, h), elseCol) =>
+      when(best > 0 && h === best, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Rolling polynomial hash (mod 1e9+7, base 31) over the printable-ASCII
+    * codepoints — a deterministic document fingerprint computable in pure
+    * SQL on any engine. All arithmetic stays within Long range.
+    */
+  def fingerprint(text: Column): Column = {
+    val clean = asciiOnly(text)
+    // NB: guard the empty case — Spark's sequence(1, 0) yields a DESCENDING
+    // [1, 0], not an empty list.
+    when(length(clean) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(clean)), i => ascii(substring(clean, i, lit(1)))),
+        lit(0L),
+        (acc, c) => (acc * 31L + c.cast("long")) % 1000000007L
+      ))
+  }
+}
