@@ -23,10 +23,11 @@ object Queries {
   val Dim = 64
   val K = 10
 
-  /** Probe vector: values in {-0.75..0.75}, exactly representable in both
-    * decimal and binary floating point.
+  /** Probe vector: values in {-0.375..0.375} — exactly representable in
+    * both decimal and binary floating point, and inside the embedding
+    * value range so the quantized probe doesn't saturate.
     */
-  val probe: Array[Float] = Array.tabulate(Dim)(i => ((i % 7) - 3) / 4.0f)
+  val probe: Array[Float] = Array.tabulate(Dim)(i => ((i % 7) - 3) / 8.0f)
 
   private def probeSqlList: String =
     probe.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"

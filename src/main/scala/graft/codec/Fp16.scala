@@ -20,12 +20,12 @@ object Fp16 {
     } else if (exp == 0) {
       if (mant == 0) java.lang.Float.intBitsToFloat(sign) // ±0
       else {
-        // subnormal: normalize
+        // subnormal: v = mant × 2^-24; normalize with k shifts -> exp 113-k
         var m = mant
-        var e = -1
-        while ((m & 0x400) == 0) { m <<= 1; e -= 1 }
+        var k = 0
+        while ((m & 0x400) == 0) { m <<= 1; k += 1 }
         m &= 0x3ff
-        val fexp = e + 1 + (127 - 15)
+        val fexp = 113 - k
         java.lang.Float.intBitsToFloat(sign | (fexp << 23) | (m << 13))
       }
     } else {
@@ -44,13 +44,13 @@ object Fp16 {
     }
     if (v >= 0x477ff000) return (sign | 0x7c00).toShort // overflow → Inf
     if (v < 0x38800000) {
-      // subnormal half or zero
+      // subnormal half or zero: code = round(m / 2^(126-e)) with RNE
       if (v < 0x33000000) return sign.toShort // underflow → ±0
-      val shift = 126 - (v >>> 23)
+      val s = 126 - (v >>> 23) // in [14, 24] given the guards above
       val m = (v & 0x7fffff) | 0x800000
-      val shifted = m >>> (shift + 13)
-      val rem = m & ((1 << (shift + 13)) - 1)
-      val half = 1 << (shift + 12)
+      val shifted = m >>> s
+      val rem = m & ((1 << s) - 1)
+      val half = 1 << (s - 1)
       var r = shifted
       if (rem > half || (rem == half && (shifted & 1) == 1)) r += 1
       return (sign | r).toShort

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.{Fp16, VectorCodec}
+import graft.kernels.Distances
+
+/** Kernel edge-semantics tests — the fixture table from FIXTURES.md §B,
+  * derived from the reference's distance-cpu.c.
+  */
+class KernelSpec extends AnyFunSuite {
+
+  private val dims = Seq(1, 2, 3, 4, 5, 7, 8, 9, 63, 64, 65) // unroll boundaries
+
+  test("negated dot: DOT([1,2],[3,4]) = -11 (distance-cpu.c:112-136)") {
+    assert(Distances.dotF32(Array(1f, 2f), Array(3f, 4f)) == -11f)
+    assert(Distances.dotDouble(Array(1f, 2f), Array(3f, 4f)) == -11.0)
+  }
+
+  test("cosine zero-norm -> 1.0 (distance-cpu.c:105-107)") {
+    val z = Array(0f, 0f, 0f)
+    val v = Array(1f, 2f, 3f)
+    assert(Distances.cosineF32(z, v) == 1.0f)
+    assert(Distances.cosineF32(v, z) == 1.0f)
+    assert(Distances.cosineDouble(z, z) == 1.0)
+  }
+
+  test("identity distance is 0 after zero clamp (sqlite-vector.c:994-996)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(65)
+      val seed = rnd.nextFloat() * 20f - 10f
+      val v = Array.tabulate(n)(i => seed + i * 0.25f)
+      assert(Distances.zeroClamp(Distances.l2F32(v, v)) == 0f)
+      assert(Distances.zeroClamp(Distances.cosineF32(v, v)) == 0f)
+      assert(Distances.zeroClamp(Distances.l1F32(v, v)) == 0f)
+    }
+  }
+
+  test("L2/L1/sqL2 known values") {
+    val a = Array(1f, 2f, 3f); val b = Array(4f, 6f, 3f)
+    assert(Distances.sqL2F32(a, b) == 25f)
+    assert(Distances.l2F32(a, b) == 5f)
+    assert(Distances.l1F32(a, b) == 7f)
+  }
+
+  test("u8/i8 integer kernels: exact accumulation (distance-cpu.c:470-693)") {
+    val a = Array[Byte](0, 127, -128, 50)
+    val b = Array[Byte](1, -128, 127, 50)
+    // i8: diffs 1, 255, -255, 0 -> sq = 1 + 65025 + 65025 = 130051
+    assert(Distances.onPacked(Metric.SquaredL2, ElemType.I8)(a, b) == 130051f)
+    assert(Distances.onPacked(Metric.L1, ElemType.I8)(a, b) == 511f)
+    // u8 view: 0,127,128,50 vs 1,128,127,50
+    assert(Distances.onPacked(Metric.SquaredL2, ElemType.U8)(a, b) == 3f)
+    assert(Distances.onPacked(Metric.Dot, ElemType.U8)(a, b) ==
+      -(0f * 1 + 127f * 128 + 128f * 127 + 50f * 50))
+  }
+
+  test("f16 NaN lanes contribute 0; mismatched Inf -> +Inf (distance-cpu.c:164-197)") {
+    def packF16(v: Array[Float]): Array[Byte] = VectorCodec.pack(v, ElemType.F16)
+    val withNaN = packF16(Array(1f, Float.NaN, 3f))
+    val plain = packF16(Array(1f, 99f, 3f))
+    // NaN lane skipped -> only lanes 0,2 count -> d = 0
+    assert(Distances.onPacked(Metric.SquaredL2, ElemType.F16)(withNaN, packF16(Array(1f, 0f, 3f))) == 0f)
+    val inf = packF16(Array(Float.PositiveInfinity, 1f))
+    val fin = packF16(Array(1f, 1f))
+    assert(Distances.onPacked(Metric.L2, ElemType.F16)(inf, fin) == Float.PositiveInfinity)
+    assert(Distances.onPacked(Metric.L1, ElemType.F16)(inf, fin) == Float.PositiveInfinity)
+    // dot with Inf product short-circuits
+    assert(Distances.onPacked(Metric.Dot, ElemType.F16)(inf, fin).isInfinite)
+    // cosine with NaN lanes: skipped, still finite
+    assert(!Distances.onPacked(Metric.Cosine, ElemType.F16)(withNaN, plain).isNaN)
+  }
+
+  test("bf16 matches f32 within bf16 precision on all metrics") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val v = Array.fill(16)(rnd.nextFloat() * 8f - 4f)
+      val w = v.map(x => x * 0.5f + 0.125f)
+      val pb = VectorCodec.pack(v, ElemType.BF16); val qb = VectorCodec.pack(w, ElemType.BF16)
+      val exact = Distances.l2F32(VectorCodec.unpack(pb, ElemType.BF16), VectorCodec.unpack(qb, ElemType.BF16))
+      val viaKernel = Distances.onPacked(Metric.L2, ElemType.BF16)(pb, qb)
+      assert(math.abs(exact - viaKernel) <= math.max(1e-3f, exact * 1e-3f))
+    }
+  }
+
+  test("double kernels match float kernels within float precision") {
+    for (n <- dims) {
+      val a = Array.tabulate(n)(i => (i % 7 - 3) / 4.0f)
+      val b = Array.tabulate(n)(i => (i % 5 - 2) / 8.0f)
+      for (m <- Metric.all) {
+        val d = Distances.onDouble(m)(a, b)
+        val f = m match {
+          case Metric.L2        => Distances.l2F32(a, b)
+          case Metric.SquaredL2 => Distances.sqL2F32(a, b)
+          case Metric.Cosine    => Distances.cosineF32(a, b)
+          case Metric.Dot       => Distances.dotF32(a, b)
+          case Metric.L1        => Distances.l1F32(a, b)
+        }
+        assert(math.abs(d - f) <= 1e-4, s"metric $m n $n: $d vs $f")
+      }
+    }
+  }
+
+  test("unroll-boundary dims agree with naive reference loop") {
+    for (n <- dims) {
+      val a = Array.tabulate(n)(i => i * 0.25f - 2f)
+      val b = Array.tabulate(n)(i => 1f - i * 0.125f)
+      var sq = 0.0; var i = 0
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; sq += d * d; i += 1 }
+      assert(Distances.sqL2Double(a, b) == sq)
+    }
+  }
+}

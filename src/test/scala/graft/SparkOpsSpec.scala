@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  def emb: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  val probe: Array[Float] = Queries.probe
+
+  // ---------- K1: exact k-NN vs an in-driver brute-force oracle ----------
+
+  test("fullScan k-NN matches in-driver brute force on every metric") {
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    for (metric <- Seq("l2", "sq_l2", "cosine", "dot", "l1")) {
+      val oracle = rows
+        .map { case (id, v) => (id, kernels.Distances.onDouble(Metric.parse(metric))(v, probe)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      val got = Knn.fullScan(emb, "vec_id", "embedding", probe, 10, metric)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == oracle, s"metric $metric")
+    }
+  }
+
+  test("k=0 returns empty; null vectors are skipped (sqlite-vector.c:1796,2093)") {
+    assert(Knn.fullScan(emb, "vec_id", "embedding", probe, 0, "l2").count() == 0)
+    val withNulls = emb.withColumn("embedding",
+      when(col("vec_id") % 2 === 0, col("embedding")))
+    val n = Knn.distanceStream(withNulls, "vec_id", "embedding", probe, "l2").count()
+    assert(n == emb.count() / 2)
+  }
+
+  // ---------- Q1/K2: quantization pipeline + recall harness ----------
+
+  test("quantize pipeline: params, store, sidecar round-trip, recall > 0.95") {
+    val dir = java.nio.file.Files.createTempDirectory("quant").toString
+    val (p, n) = Quantizer.quantize(emb, "vec_id", "embedding", s"$dir/q", QType.Auto, "embeddings", "embedding")
+    assert(n == emb.count())
+    assert(p.qType == QType.I8) // data has negatives -> AUTO resolves INT8
+    assert(p.offset == 0.0)
+
+    // sidecar round-trip (the _sqliteai_vector equivalent)
+    val back = catalog.VectorCatalog.readSidecar(s"$dir/q/_vector_meta.json")
+    assert(back == p)
+
+    val quantDF = spark.read.parquet(s"$dir/q")
+    assert(quantDF.schema.fieldNames.toSeq == Seq("id", "code"))
+    // record width: dim bytes of codes (+8-byte id column) — the 4x
+    // compression the reference documents (8 + dim bytes/vector)
+    assert(quantDF.select(length(col("code"))).head().getInt(0) == Queries.Dim)
+
+    // QUANTIZATION.md recall harness: > 0.95 at k=10
+    val exact = Knn.fullScan(emb, "vec_id", "embedding", probe, 10, "sq_l2")
+      .withColumnRenamed("vec_id", "id")
+    val approx = Quantizer.quantScan(quantDF, probe, p, 10, "sq_l2")
+    assert(Quantizer.recall(exact, approx) > 0.95)
+
+    // Q2: preload memory accounting = sum(8 + len(code))
+    assert(Quantizer.memoryBytes(quantDF) == n * (8 + Queries.Dim))
+  }
+
+  test("quantized codes match driver-side Quantize.codes exactly") {
+    val p = Quantizer.computeParams(emb, "embedding")
+    val fromSpark = Quantizer.quantizeCodes(emb, "vec_id", "embedding", p)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    emb.select("vec_id", "embedding").collect().foreach { r =>
+      val expected = kernels.Quantize.codes(r.getSeq[Float](1).toArray, p)
+      assert(fromSpark(r.getLong(0)).sameElements(expected))
+    }
+  }
+
+  // ---------- catalog ----------
+
+  test("vector_init validation: idempotent re-init must match (sqlite-vector.c:2518-2540)") {
+    catalog.VectorCatalog.clear()
+    val cfg = VectorConfig(64, ElemType.F32, Metric.Cosine)
+    catalog.VectorCatalog.init("t", "c", cfg, Some(emb.withColumnRenamed("embedding", "c")))
+    catalog.VectorCatalog.init("t", "c", cfg) // same -> ok
+    assertThrows[IllegalArgumentException](
+      catalog.VectorCatalog.init("t", "c", cfg.copy(dim = 32)))
+    assertThrows[IllegalArgumentException](
+      catalog.VectorCatalog.init("t", "x", cfg, Some(emb))) // column missing
+    assertThrows[IllegalArgumentException](
+      catalog.VectorCatalog.init("t", "lang", cfg,
+        Some(spark.read.parquet(s"$sfDir/documents.parquet")))) // wrong type
+  }
+
+  // ---------- dedup family on synthetic near-dups ----------
+
+  val nearDupDocs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again!", "a"), // near-dup of 1
+    (3L, "completely different content about spark vector engines at scale", "a"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again", "b")  // exact dup of 1
+  ).toDF("id", "text", "src")
+
+  test("minhash LSH finds the near-duplicate pair") {
+    val pairs = Dedup.minhashLsh(nearDupDocs, "id", "text", 64, 16, 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup -> jaccard 1.0
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash pairs finds near-dups within hamming radius") {
+    val pairs = Dedup.simhashPairs(nearDupDocs, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical text -> hamming 0
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("exact dedup groups identical keys") {
+    val d = Dedup.exact(nearDupDocs, "id", Seq("text")).collect()
+    val dupGroup = d.find(_.getLong(1) == 1L).get // keep_id = 1
+    assert(dupGroup.getLong(2) == 2L) // ids 1 and 4
+  }
+
+  test("ngram jaccard: identical texts -> 1.0, disjoint -> low") {
+    val j = Dedup.ngramJaccard(nearDupDocs, "id", "text", "src", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) > 0.9)
+    assert(j((1L, 3L)) < 0.3)
+  }
+
+  test("cosine near-dup finds identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 1f)), (2L, Array(1f, 0f, 0f, 1f)),
+      (3L, Array(-1f, 2f, 0f, -1f))).toDF("id", "v")
+    val pairs = Dedup.cosineNearDup(vecs, "id", "v", lit(1), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---------- ANN ----------
+
+  test("LSH ANN returns a subset ranked like brute force on surviving buckets") {
+    val res = Ann.lshTopK(emb, "vec_id", "embedding", probe, 10, "cosine", 8)
+    val got = res.collect().map(_.getLong(0))
+    assert(got.length == 10)
+    val exact = Knn.fullScan(emb, "vec_id", "embedding", probe, 50, "cosine")
+      .collect().map(_.getLong(0)).toSet
+    // multi-probe over hamming-1 buckets should keep decent recall vs top-50
+    assert(got.count(exact.contains) >= 5)
+  }
+
+  // ---------- text analysis ----------
+
+  test("language id picks marker language") {
+    val d = Seq(
+      (1L, "the cat and the dog went to the park and it is nice"),
+      (2L, "der Hund und die Katze sind nicht auf der Strasse"),
+      (3L, "le chat et la grenouille dans une maison pour les amis"),
+      (4L, "el perro y el gato en una casa por la noche"),
+      (5L, "zzz qqq xxx")).toDF("id", "text")
+    val got = d.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("token stats and fingerprint are deterministic") {
+    val d = Seq((1L, "hello world  hello"), (2L, "")).toDF("id", "text")
+    val r = d.select(col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.distinctTokenCount(col("text")).as("nd"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L)._1 == 3 && r(1L)._2 == 2)
+    assert(r(2L)._3 == 0L)
+    // fp("hello world  hello") — stable rolling hash
+    val expected = "hello world  hello".foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    assert(r(1L)._3 == expected)
+  }
+
+  // ---------- multimodal plumbing ----------
+
+  test("multimodal metadata + features have the contracted schema") {
+    val d = Seq((1L, "some payload text", "image"), (2L, null.asInstanceOf[String], "video"))
+      .toDF("id", "text", "mt")
+      .withColumn("payload", col("text").cast("binary"))
+    val meta = Multimodal.withMetadata(d, "payload", "mt")
+    val m = meta.where(col("id") === 1).select("meta.byte_len", "meta.media_type").head()
+    assert(m.getLong(0) == "some payload text".getBytes.length)
+    assert(m.getString(1) == "image")
+    assert(meta.where(col("id") === 2).select("meta").head().isNullAt(0)) // null payload -> null meta
+
+    val feats = Multimodal.withFeatures(d, "payload", 16)
+      .where(col("id") === 1).select("features").head().getSeq[Float](0)
+    assert(feats.length == 16)
+  }
+
+  // ---------- SQL surface ----------
+
+  test("SQL registration: vector_distance / vector_as_* / version") {
+    graft.functions.registerSql(spark)
+    val r = spark.sql(
+      "SELECT vector_distance(vector_as_f32('[1,2,3,]'), vector_as_f32('[1,2,4]'), 'l2') AS d").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(spark.sql("SELECT vector_version() AS v").head().getString(0) == graft.functions.Version)
+    // f16 round-trip through SQL surface
+    val h = spark.sql("SELECT vector_distance(vector_as_f16('[1.5, -2.25]'), vector_as_f16('[1.5, -2.25]'), 'l2') AS d").head()
+    assert(h.getDouble(0) == 0.0)
+  }
+
+  // ---------- packed-vector reference-fidelity path ----------
+
+  test("packed distance expression dispatches all 25 kernel combos") {
+    val a = Array(1.5f, -2f, 0.25f, 3f)
+    val b = Array(0.5f, 1f, 0.25f, -1f)
+    for (et <- Seq(ElemType.F32, ElemType.F16, ElemType.BF16)) {
+      val pa = codec.VectorCodec.pack(a, et); val pb = codec.VectorCodec.pack(b, et)
+      val df = Seq((pa, pb)).toDF("a", "b")
+      for (m <- Metric.all) {
+        val got = df.select(graft.functions.vector_distance_packed(col("a"), col("b"), m.name, et.name)).head().getFloat(0)
+        val want = kernels.Distances.zeroClamp(kernels.Distances.onPacked(m, et)(pa, pb))
+        assert(got == want, s"$m $et")
+      }
+    }
+  }
+}
