@@ -151,6 +151,22 @@ object Queries {
     // K2: approximate k-NN over codes (vector_quantize_scan), integer space
     "quant_knn_l2" -> quantKnn _,
 
+    // K4: streaming code-space distances, no sort/limit (vector_quantize_scan_stream)
+    "quant_stream_sq_l2" -> ((s, dir) => {
+      val (codes, p) = quantCodesDf(s, dir)
+      Quantizer.quantStream(codes, probe, p, "sq_l2")
+        .select(col("id").as("vec_id"), col("distance").as("dist_sq"))
+    }),
+
+    // Q2: vector_quantize_memory = Σ(8 + len(code)) (sqlite-vector.c:1160-1161)
+    "quant_memory" -> ((s, dir) => {
+      val (codes, _) = quantCodesDf(s, dir)
+      s.range(1).select(lit(Quantizer.memoryBytes(codes)).as("bytes"))
+    }),
+
+    // F2: vector_backend
+    "vector_backend" -> ((s, _) => s.range(1).select(vector_backend().as("backend"))),
+
     // QUANTIZATION.md:46-72 recall harness: |approx ∩ exact| / k
     "recall_l2" -> ((s, dir) => {
       val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
@@ -326,6 +342,19 @@ object Queries {
          |FROM embeddings, par WHERE embedding IS NOT NULL""".stripMargin,
 
     "quant_knn_l2" -> quantKnnSql,
+
+    "quant_stream_sq_l2" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
+         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
+         |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i]))) AS BIGINT) AS dist_sq
+         |FROM qc, qp""".stripMargin,
+
+    "quant_memory" ->
+      "SELECT CAST(sum(8 + len(embedding)) AS BIGINT) AS bytes FROM embeddings WHERE embedding IS NOT NULL",
+
+    "vector_backend" -> s"SELECT '${graft.kernels.Distances.backend()}' AS backend",
 
     "recall_l2" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,

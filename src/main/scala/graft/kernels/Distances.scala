@@ -53,6 +53,12 @@ object Distances {
     acc
   }
 
+  /** NB: the clamp to [-1,1] + non-finite→1.0 below is an intentional
+    * hardening over the reference's f32 cosine (distance-cpu.c:74-110 does
+    * neither; only its f16/bf16 variants clamp, :431-466). It bounds the
+    * result to the metric's mathematical range at a worst cost of ~1 ulp
+    * vs the reference on degenerate inputs.
+    */
   def cosineF32(a: Array[Float], b: Array[Float]): Float = {
     var dot = 0f; var na = 0f; var nb = 0f; var i = 0
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -169,29 +175,37 @@ object Distances {
   // across partitions/engines (matches an ANSI-SQL re-statement evaluated
   // in double precision, which is what the correctness oracle runs).
 
+  // NB: all double kernels iterate min(a.length, b.length) so the
+  // interpreted path agrees with VectorDistance's codegen (which also
+  // truncates to the shorter array) on mismatched-dimension inputs.
+
   def l2Double(a: Array[Float], b: Array[Float]): Double = math.sqrt(sqL2Double(a, b))
 
   def sqL2Double(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
     var acc = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
     acc
   }
 
   def dotDouble(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
     var acc = 0.0; var i = 0
-    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     -acc
   }
 
   def l1Double(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
     var acc = 0.0; var i = 0
-    while (i < a.length) { acc += math.abs(a(i).toDouble - b(i).toDouble); i += 1 }
+    while (i < n) { acc += math.abs(a(i).toDouble - b(i).toDouble); i += 1 }
     acc
   }
 
   def cosineDouble(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) {
+    while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }

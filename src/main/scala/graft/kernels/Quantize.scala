@@ -26,6 +26,11 @@ object Quantize {
     val resolved = resolveQType(qt, hasNegative)
     resolved match {
       case QType.U8 =>
+        // Deliberate divergence: for max==min the reference computes
+        // 255/(max-min) = +Inf (no guard at sqlite-vector.c:1266), which
+        // makes every constant-valued dataset quantize to garbage. We
+        // substitute scale=1 (codes all 0 after offsetting); the DuckDB
+        // oracle CTE guards identically, so the two stay consistent.
         val range = max - min
         QuantParams(QType.U8, if (range == 0.0) 1.0 else 255.0 / range, min, rows)
       case QType.I8 =>

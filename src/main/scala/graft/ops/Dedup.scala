@@ -154,6 +154,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // maxHamming=0 would give bitsPer=64 and (1L<<64)-1 == 0 (Java shifts
+    // mod 64), silently collapsing all rows into one bucket; require >= 1
+    // (exact duplicates are a plain groupBy on the full hash, not blocking).
+    require(maxHamming >= 1 && maxHamming <= 15, s"maxHamming must be in [1,15], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val shUdf = udf(simhash64)

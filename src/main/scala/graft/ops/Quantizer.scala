@@ -34,13 +34,18 @@ object Quantizer {
     */
   def computeParams(df: DataFrame, vecCol: String, qType: QType = QType.Auto): QuantParams = {
     val nonNull = df.where(col(vecCol).isNotNull)
+    // NaN lanes are skipped like the reference's min/max loop (ordinary
+    // comparisons never select NaN, sqlite-vector.c:1250-1255); without the
+    // filter Spark's array_max treats NaN as greater than any float and a
+    // single NaN element would poison scale.
+    val clean = filter(col(vecCol), x => !isnan(x))
     val row = nonNull.agg(
-      min(array_min(col(vecCol))).cast("double").as("mn"),
-      max(array_max(col(vecCol))).cast("double").as("mx"),
+      min(array_min(clean)).cast("double").as("mn"),
+      max(array_max(clean)).cast("double").as("mx"),
       count(lit(1)).as("rows")
     ).head()
     val rows = row.getLong(2)
-    if (rows == 0) Quantize.params(qType, 0.0, 0.0, hasNegative = false, 0L)
+    if (rows == 0 || row.isNullAt(0)) Quantize.params(qType, 0.0, 0.0, hasNegative = false, rows max 0L)
     else {
       val mn = row.getDouble(0); val mx = row.getDouble(1)
       Quantize.params(qType, mn, mx, hasNegative = mn < 0.0, rows)

@@ -1,64 +1,90 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate: run oracle_sql.json in
-DuckDB over the same parquet tables, compare against the Spark dumps in
-outDir (columns sorted by name, rows sorted, exact value equality)."""
-import json, sys, glob
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py <outDir> <sfDir> [query ...]
+
+Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run
+first (it writes one parquet dir per query plus oracle_sql.json). Runs
+each oracle SQL in DuckDB over the same parquet tables and compares
+rows / schema-ish / values (columns sorted by name, rows sorted).
+"""
+import json, sys, glob, os
 import duckdb
 import pandas as pd
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize float32 -> float64 via repr-preserving conversion
+    for c in df.columns:
+        if str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sf_dir: str, out_dir: str):
+def main():
+    a, b = sys.argv[1], sys.argv[2]
+    # accept either (outDir, sfDir) or the skill-documented (sfDir, outDir)
+    if os.path.exists(os.path.join(a, "oracle_sql.json")):
+        out_dir, sf_dir = a, b
+    else:
+        out_dir, sf_dir = b, a
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    results = {}
-    for name in sorted(glob.glob(f"{out_dir}/*/")):
-        qname = name.rstrip("/").split("/")[-1]
-        spark_df = duckdb.sql(f"SELECT * FROM '{name}*.parquet'").df()
-        if qname not in oracle:
-            results[qname] = f"ROWS_ONLY rows={len(spark_df)}"
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = n_noor = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(qdir)
+        if not os.path.isdir(qdir):
+            continue
+        if only and name not in only:
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in
+                              sorted(glob.glob(os.path.join(qdir, "*.parquet")))],
+                             ignore_index=True)
+        if name not in oracle:
+            n_noor += 1
+            print(f"  {name}: NO_ORACLE ({len(spark_df)} rows)")
             continue
         try:
-            duck_df = con.sql(oracle[qname]).df()
+            odf = con.execute(oracle[name]).df()
         except Exception as e:
-            results[qname] = f"ORACLE_SQL_ERROR: {e}"
+            n_fail += 1
+            print(f"✗ {name}: oracle SQL error: {e}")
             continue
-        s, d = canon(spark_df), canon(duck_df)
-        if list(s.columns) != list(d.columns):
-            results[qname] = f"SCHEMA_MISMATCH spark={list(s.columns)} duck={list(d.columns)}"
+        s, o = canon(spark_df), canon(odf)
+        if list(s.columns) != list(o.columns):
+            n_fail += 1
+            print(f"✗ {name}: column mismatch spark={list(s.columns)} oracle={list(o.columns)}")
             continue
-        if len(s) != len(d):
-            results[qname] = f"ROWCOUNT_MISMATCH spark={len(s)} duck={len(d)}"
+        if len(s) != len(o):
+            n_fail += 1
+            print(f"✗ {name}: row count spark={len(s)} oracle={len(o)}")
             continue
-        dtype_note = ""
-        for c in s.columns:
-            if str(s[c].dtype) != str(d[c].dtype):
-                dtype_note += f" dtype[{c}]: spark={s[c].dtype} duck={d[c].dtype}"
         mismatch = None
         for c in s.columns:
-            sv, dv = s[c], d[c]
-            try:
-                eq = (sv == dv) | (sv.isna() & dv.isna())
-            except Exception:
-                eq = sv.astype(str) == dv.astype(str)
-            if not eq.all():
-                idx = (~eq).idxmax()
-                mismatch = f"VALUE_MISMATCH col={c} row={idx} spark={sv[idx]!r} duck={dv[idx]!r}"
+            sv, ov = s[c].tolist(), o[c].tolist()
+            for i, (a, b) in enumerate(zip(sv, ov)):
+                if repr(a) != repr(b) and a != b:
+                    mismatch = (c, i, a, b)
+                    break
+            if mismatch:
                 break
-        results[qname] = (mismatch or f"OK rows={len(s)}") + dtype_note
-    ok = sum(1 for v in results.values() if v.startswith("OK"))
-    ro = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
-    for k, v in sorted(results.items()):
-        print(f"{k:24s} {v}")
-    print(f"\n== {ok} OK, {ro} rows-only, {len(results)-ok-ro} FAILING of {len(results)}")
+        if mismatch:
+            n_fail += 1
+            c, i, a, b = mismatch
+            print(f"✗ {name}: value mismatch col={c} row={i}: spark={a!r} oracle={b!r}")
+        else:
+            n_pass += 1
+            print(f"✓ {name} ({len(s)} rows)")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noor} no_oracle")
+    sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-         sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    main()
