@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -90,6 +90,34 @@ object Queries {
        |  CAST(list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i]))) AS BIGINT) AS dist_sq
        |FROM qc, qp ORDER BY dist_sq, vec_id LIMIT $K""".stripMargin
 
+  // ---------------- packed-vector helpers ----------------
+
+  /** Grid-quantize to m/256 via floor — every value exactly representable
+    * in f16, bf16, f32 AND double, so the oracle restates them bit-for-bit
+    * (floor has no rounding-mode ambiguity across engines).
+    */
+  private def grid256(c: Column): Column =
+    transform(c, x => (floor(x.cast("double") * 256d) / 256d).cast("float"))
+
+  private val gridSql = "floor(CAST(embedding[i] AS DOUBLE) * 256) / 256"
+
+  /** Mirror of Distances.zeroClamp on a double-typed SQL value v. */
+  private def clampSql(v: String): String =
+    s"CASE WHEN abs($v) <= 9.5367431640625e-07 THEN 0.0 ELSE $v END"
+
+  /** float32 narrowing in SQL: CAST .. AS REAL loses the same bits the
+    * kernel's .toFloat does (both IEEE round-to-nearest-even).
+    */
+  private def asF32Sql(v: String): String = s"CAST(CAST($v AS REAL) AS DOUBLE)"
+
+  /** u8-forced params CTE (qtype=UINT8 bypasses AUTO resolution). */
+  private val paramsU8Cte =
+    s"""mm AS (SELECT CAST(min(u.x) AS DOUBLE) AS mn, CAST(max(u.x) AS DOUBLE) AS mx
+       |  FROM embeddings, UNNEST(embedding) AS u(x)),
+       |par AS (SELECT 'UINT8' AS qtype,
+       |  CASE WHEN mx - mn = 0 THEN 1.0 ELSE 255.0/(mx - mn) END AS q_scale,
+       |  mn AS q_offset, 0 AS lo, 255 AS hi FROM mm)""".stripMargin
+
   // ---------------- vector query implementations ----------------
 
   private def knnQuery(metric: String)(s: SparkSession, dir: String): DataFrame = {
@@ -166,6 +194,84 @@ object Queries {
 
     // F2: vector_backend
     "vector_backend" -> ((s, _) => s.range(1).select(vector_backend().as("backend"))),
+
+    // ---- packed BLOB columns: the reference's core storage form, all 5
+    // element types exercised through PackedVectorDistance (the 25-kernel
+    // dispatch, distance-cpu.c:21) with integer/grid-exact oracles ----
+
+    // i8 codes (AUTO→INT8: data has negatives), squared-L2 k-NN in code space
+    "packed_knn_i8" -> ((s, dir) => {
+      val (codes, p) = quantCodesDf(s, dir)
+      val qp = lit(Quantizer.quantizeProbe(probe, p))
+      Knn.topK(
+        codes.select(col("id").as("vec_id"),
+          vector_distance_packed(col("code"), qp, "sq_l2", "i8").cast("long").as("dist_sq")),
+        col("dist_sq"), col("vec_id"), K)
+    }),
+
+    // u8 codes (forced UINT8 asymmetric), squared-L2 k-NN
+    "packed_knn_u8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = Quantizer.computeParams(e, "embedding", QType.U8)
+      val codes = Quantizer.quantizeCodes(e, "vec_id", "embedding", p)
+      val qp = lit(Quantizer.quantizeProbe(probe, p))
+      Knn.topK(
+        codes.select(col("id").as("vec_id"),
+          vector_distance_packed(col("code"), qp, "sq_l2", "u8").cast("long").as("dist_sq")),
+        col("dist_sq"), col("vec_id"), K)
+    }),
+
+    // i8 negated-dot kernel over every row (exact integer accumulation)
+    "packed_dot_i8" -> ((s, dir) => {
+      val (codes, p) = quantCodesDf(s, dir)
+      val qp = lit(Quantizer.quantizeProbe(probe, p))
+      codes.select(col("id").as("vec_id"),
+        vector_distance_packed(col("code"), qp, "dot", "i8").cast("long").as("neg_dot"))
+    }),
+
+    // u8 L1 kernel over every row
+    "packed_l1_u8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = Quantizer.computeParams(e, "embedding", QType.U8)
+      val codes = Quantizer.quantizeCodes(e, "vec_id", "embedding", p)
+      val qp = lit(Quantizer.quantizeProbe(probe, p))
+      codes.select(col("id").as("vec_id"),
+        vector_distance_packed(col("code"), qp, "l1", "u8").cast("long").as("l1_dist"))
+    }),
+
+    // i8 cosine kernel: integer sums → double → float, bit-exact restated
+    "packed_cosine_i8" -> ((s, dir) => {
+      val (codes, p) = quantCodesDf(s, dir)
+      val qp = lit(Quantizer.quantizeProbe(probe, p))
+      codes.select(col("id").as("vec_id"),
+        vector_distance_packed(col("code"), qp, "cosine", "i8").cast("double").as("cos_dist"))
+    }),
+
+    // f16: grid-quantize → pack binary16 → L2 kernel (double accumulation,
+    // distance-cpu.c:164-197) — float-fidelity path, no rounding in output
+    "packed_f16_l2" -> ((s, dir) => {
+      val pl = lit(graft.codec.VectorCodec.pack(probe, ElemType.F16))
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          vector_distance_packed(pack_vector(grid256(col("embedding")), "f16"), pl, "l2", "f16")
+            .cast("double").as("distance"))
+    }),
+
+    // bf16: same through the bfloat16 codec + kernels (distance-cpu.c:318-466)
+    "packed_bf16_l2" -> ((s, dir) => {
+      val pl = lit(graft.codec.VectorCodec.pack(probe, ElemType.BF16))
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          vector_distance_packed(pack_vector(grid256(col("embedding")), "bf16"), pl, "l2", "bf16")
+            .cast("double").as("distance"))
+    }),
+
+    // F5 vector_as_f16 on a packed BLOB: pack → decode → exact grid sums
+    "as_f16_blob" -> ((s, dir) =>
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          round(aggregate(vector_as_f16(pack_vector(grid256(col("embedding")), "f16")),
+            lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("vec_sum"))),
 
     // QUANTIZATION.md:46-72 recall harness: |approx ∩ exact| / k
     "recall_l2" -> ((s, dir) => {
@@ -355,6 +461,66 @@ object Queries {
       "SELECT CAST(sum(8 + len(embedding)) AS BIGINT) AS bytes FROM embeddings WHERE embedding IS NOT NULL",
 
     "vector_backend" -> s"SELECT '${graft.kernels.Distances.backend()}' AS backend",
+
+    "packed_knn_i8" -> quantKnnSql,
+
+    "packed_knn_u8" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsU8Cte,
+         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
+         |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i]))) AS BIGINT) AS dist_sq
+         |FROM qc, qp ORDER BY dist_sq, vec_id LIMIT $K""".stripMargin,
+
+    "packed_dot_i8" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
+         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
+         |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p)
+         |SELECT vec_id,
+         |  CAST(-list_sum(list_transform(generate_series(1,$Dim), i -> qc.c[i] * qp.c[i])) AS BIGINT) AS neg_dot
+         |FROM qc, qp""".stripMargin,
+
+    "packed_l1_u8" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsU8Cte,
+         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
+         |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1,$Dim), i -> abs(qc.c[i] - qp.c[i]))) AS BIGINT) AS l1_dist
+         |FROM qc, qp""".stripMargin,
+
+    "packed_cosine_i8" -> {
+      val dot = s"list_sum(list_transform(generate_series(1,$Dim), i -> qc.c[i] * qp.c[i]))"
+      val na = s"list_sum(list_transform(generate_series(1,$Dim), i -> qc.c[i] * qc.c[i]))"
+      val nb = s"list_sum(list_transform(generate_series(1,$Dim), i -> qp.c[i] * qp.c[i]))"
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
+         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
+         |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p),
+         |cv AS (SELECT vec_id,
+         |  CASE WHEN $na = 0 OR $nb = 0 THEN 1.0
+         |       ELSE 1.0 - greatest(-1.0, least(1.0,
+         |         CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))))) END AS v
+         |  FROM qc, qp)
+         |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS cos_dist FROM cv""".stripMargin
+    },
+
+    "packed_f16_l2" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id,
+         |  sqrt(list_sum(list_transform(generate_series(1,$Dim), i -> ($gridSql - pv[i]) * ($gridSql - pv[i])))) AS v
+         |  FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS distance FROM d""".stripMargin,
+
+    "packed_bf16_l2" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id,
+         |  sqrt(list_sum(list_transform(generate_series(1,$Dim), i -> ($gridSql - pv[i]) * ($gridSql - pv[i])))) AS v
+         |  FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS distance FROM d""".stripMargin,
+
+    "as_f16_blob" ->
+      s"""SELECT vec_id,
+         |  round(list_sum(list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 256) / 256)), 6) AS vec_sum
+         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
 
     "recall_l2" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,

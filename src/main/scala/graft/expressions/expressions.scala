@@ -105,7 +105,7 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric)
   * the reference's return width.
   */
 case class PackedVectorDistance(left: Expression, right: Expression, metric: Metric, elemType: ElemType)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = FloatType
   override def prettyName: String = "vector_distance_packed"
@@ -115,8 +115,43 @@ case class PackedVectorDistance(left: Expression, right: Expression, metric: Met
     Distances.zeroClamp(d)
   }
 
+  /** Whole-stage codegen: a constant-argument static call the JIT inlines
+    * down to the single (metric, type) kernel loop — no boxing, no virtual
+    * dispatch, stays inside the WholeStageCodegen span.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mId = Distances.metricId(metric)
+    val tId = Distances.typeId(elemType)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.kernels.Distances.zeroClamp(graft.kernels.Distances.packedJ($a, $b, $mId, $tId));")
+  }
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `pack_vector(v)` — canonical `array<float>` → packed little-endian BLOB
+  * of the target element type (the reference's storage form,
+  * sqlite-vector.c:1663-1675; f16/bf16 conversion distance-cpu.h:100-128).
+  * Codegen'd via a static helper taking the ArrayData directly.
+  */
+case class PackVector(child: Expression, target: ElemType)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = s"pack_vector_${target.name.toLowerCase}"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorCodec.packArrayData(v.asInstanceOf[ArrayData], Distances.typeId(target))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tId = Distances.typeId(target)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.codec.VectorCodec.packArrayData($c, $tId);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `quantize_codes(vec)` — array<float> → packed i8/u8 codes (BinaryType),

@@ -36,6 +36,9 @@ object functions {
   def code_sum(c: Column, qType: QType): Column =
     col(CodeSum(expr(c), signed = qType == QType.I8))
 
+  def pack_vector(v: Column, elemType: String): Column =
+    col(PackVector(expr(v), ElemType.parse(elemType)))
+
   def vector_as_f32(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F32, dim))
   def vector_as_f16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F16, dim))
   def vector_as_bf16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.BF16, dim))

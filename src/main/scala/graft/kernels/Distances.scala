@@ -150,6 +150,25 @@ object Distances {
     }
   }
 
+  // Stable integer ids so generated Java code can bake the dispatch into a
+  // constant-argument static call (branch-predicted to one kernel by JIT).
+  def metricId(m: Metric): Int = m match {
+    case Metric.L2 => 0; case Metric.SquaredL2 => 1; case Metric.Cosine => 2
+    case Metric.Dot => 3; case Metric.L1 => 4
+  }
+  def typeId(et: ElemType): Int = et match {
+    case ElemType.F32 => 0; case ElemType.F16 => 1; case ElemType.BF16 => 2
+    case ElemType.I8 => 3; case ElemType.U8 => 4
+  }
+  private val metricsById = Array[Metric](Metric.L2, Metric.SquaredL2, Metric.Cosine, Metric.Dot, Metric.L1)
+  private val typesById = Array[ElemType](ElemType.F32, ElemType.F16, ElemType.BF16, ElemType.I8, ElemType.U8)
+
+  /** Static entry point for generated code (PackedVectorDistance.doGenCode):
+    * same 25-entry dispatch, constant ids baked in at codegen time.
+    */
+  def packedJ(a: Array[Byte], b: Array[Byte], mId: Int, tId: Int): Float =
+    onPacked(metricsById(mId), typesById(tId))(a, b)
+
   /** The 25-entry dispatch (distance-cpu.c:21 `dispatch_distance_table`):
     * packed-bytes in, float out.
     */

@@ -230,8 +230,13 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("packed distance expression dispatches all 25 kernel combos") {
     val a = Array(1.5f, -2f, 0.25f, 3f)
     val b = Array(0.5f, 1f, 0.25f, -1f)
-    for (et <- Seq(ElemType.F32, ElemType.F16, ElemType.BF16)) {
-      val pa = codec.VectorCodec.pack(a, et); val pb = codec.VectorCodec.pack(b, et)
+    for (et <- ElemType.all) {
+      val (fa, fb) = et match {
+        case ElemType.U8 => (Array(3f, 0f, 255f, 17f), Array(9f, 255f, 1f, 17f))
+        case ElemType.I8 => (Array(3f, -12f, 127f, -128f), Array(9f, 5f, -1f, 17f))
+        case _           => (a, b)
+      }
+      val pa = codec.VectorCodec.pack(fa, et); val pb = codec.VectorCodec.pack(fb, et)
       val df = Seq((pa, pb)).toDF("a", "b")
       for (m <- Metric.all) {
         val got = df.select(graft.functions.vector_distance_packed(col("a"), col("b"), m.name, et.name)).head().getFloat(0)
@@ -239,5 +244,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(got == want, s"$m $et")
       }
     }
+  }
+
+  test("pack_vector round-trips every element type and stays in codegen") {
+    val v = Array(1.5f, -2.25f, 0.125f, 3f)
+    for (et <- Seq(ElemType.F32, ElemType.F16, ElemType.BF16)) {
+      val df = Seq(Tuple1(v)).toDF("v")
+        .select(graft.functions.pack_vector(col("v"), et.name).as("p"))
+      val packed = df.head().getAs[Array[Byte]](0)
+      assert(packed.sameElements(codec.VectorCodec.pack(v, et)), et.name)
+      assert(codec.VectorCodec.unpack(packed, et).sameElements(v), et.name)
+    }
+    // i8/u8 take integral-valued floats (codes), truncating like the codec
+    val iv = Array(-5f, 7f, 127f, -128f)
+    val pi = Seq(Tuple1(iv)).toDF("v")
+      .select(graft.functions.pack_vector(col("v"), "i8")).head().getAs[Array[Byte]](0)
+    assert(pi.sameElements(codec.VectorCodec.pack(iv, ElemType.I8)))
+
+    // the packed pipeline must be whole-stage-codegen'd (no CodegenFallback)
+    val plan = Seq((codec.VectorCodec.pack(v, ElemType.F16), v)).toDF("p", "v")
+      .select(graft.functions.vector_distance_packed(
+        graft.functions.pack_vector(col("v"), "f16"), col("p"), "l2", "f16"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), plan)
   }
 }
