@@ -69,7 +69,7 @@ object Queries {
     */
   private val paramsCte =
     s"""mm AS (SELECT CAST(min(u.x) AS DOUBLE) AS mn, CAST(max(u.x) AS DOUBLE) AS mx
-       |  FROM embeddings, UNNEST(embedding) AS u(x)),
+       |  FROM embeddings, UNNEST(embedding) AS u(x) WHERE NOT isnan(CAST(u.x AS DOUBLE))),
        |par AS (SELECT
        |  CASE WHEN mn < 0 THEN 'INT8' ELSE 'UINT8' END AS qtype,
        |  CASE WHEN mn < 0 THEN (CASE WHEN greatest(abs(mn),abs(mx)) = 0 THEN 1.0 ELSE 127.0/greatest(abs(mn),abs(mx)) END)
@@ -79,12 +79,14 @@ object Queries {
        |  CASE WHEN mn < 0 THEN 127 ELSE 255 END AS hi
        |  FROM mm)""".stripMargin
 
+  // NaN lanes code to 0 like Quantize.roundU8/roundI8 (sqlite-vector.c:495-515)
   private val codeSqlExpr =
-    "CAST(greatest(lo, least(hi, round((CAST(x AS DOUBLE) - q_offset) * q_scale))) AS BIGINT)"
+    "CAST(CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 0 " +
+    "ELSE greatest(lo, least(hi, round((CAST(x AS DOUBLE) - q_offset) * q_scale))) END AS BIGINT)"
 
   private def quantKnnSql: String =
     s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
-       |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par),
+       |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
        |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p)
        |SELECT vec_id,
        |  CAST(list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i]))) AS BIGINT) AS dist_sq
@@ -95,11 +97,20 @@ object Queries {
   /** Grid-quantize to m/256 via floor — every value exactly representable
     * in f16, bf16, f32 AND double, so the oracle restates them bit-for-bit
     * (floor has no rounding-mode ambiguity across engines).
+    *
+    * Data-dependent precondition: exactness in f16 needs |x| < 8 (11-bit
+    * mantissa) and in bf16 |x| < 1 (8-bit mantissa); current embeddings are
+    * within (-0.58, 0.52). Values are clamped to ±255/256 so a future
+    * dataset with |x| >= 1 degrades to saturation, not silent inexactness
+    * (the oracle's gridSql applies the same clamp).
     */
   private def grid256(c: Column): Column =
-    transform(c, x => (floor(x.cast("double") * 256d) / 256d).cast("float"))
+    transform(c, x =>
+      greatest(lit(-255d / 256d), least(lit(255d / 256d),
+        floor(x.cast("double") * 256d) / 256d)).cast("float"))
 
-  private val gridSql = "floor(CAST(embedding[i] AS DOUBLE) * 256) / 256"
+  private val gridSql =
+    "greatest(-255.0/256, least(255.0/256, floor(CAST(embedding[i] AS DOUBLE) * 256) / 256))"
 
   /** Mirror of Distances.zeroClamp on a double-typed SQL value v. */
   private def clampSql(v: String): String =
@@ -113,7 +124,7 @@ object Queries {
   /** u8-forced params CTE (qtype=UINT8 bypasses AUTO resolution). */
   private val paramsU8Cte =
     s"""mm AS (SELECT CAST(min(u.x) AS DOUBLE) AS mn, CAST(max(u.x) AS DOUBLE) AS mx
-       |  FROM embeddings, UNNEST(embedding) AS u(x)),
+       |  FROM embeddings, UNNEST(embedding) AS u(x) WHERE NOT isnan(CAST(u.x AS DOUBLE))),
        |par AS (SELECT 'UINT8' AS qtype,
        |  CASE WHEN mx - mn = 0 THEN 1.0 ELSE 255.0/(mx - mn) END AS q_scale,
        |  mn AS q_offset, 0 AS lo, 255 AS hi FROM mm)""".stripMargin
@@ -519,14 +530,14 @@ object Queries {
 
     "as_f16_blob" ->
       s"""SELECT vec_id,
-         |  round(list_sum(list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 256) / 256)), 6) AS vec_sum
+         |  round(list_sum(list_transform(embedding, x -> greatest(-255.0/256, least(255.0/256, floor(CAST(x AS DOUBLE) * 256) / 256)))), 6) AS vec_sum
          |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
 
     "recall_l2" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
          |ex AS (SELECT vec_id FROM (SELECT vec_id, round(${distSql("l2")}, 6) AS distance
          |       FROM embeddings, p WHERE embedding IS NOT NULL ORDER BY distance, vec_id LIMIT $K) ext),
-         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par),
+         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
          |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p),
          |ap AS (SELECT vec_id FROM (SELECT vec_id,
          |       list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i]-qp.c[i])*(qc.c[i]-qp.c[i]))) AS dist_sq

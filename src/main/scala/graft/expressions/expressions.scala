@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -136,9 +136,12 @@ case class PackedVectorDistance(left: Expression, right: Expression, metric: Met
   * Codegen'd via a static helper taking the ArrayData directly.
   */
 case class PackVector(child: Expression, target: ElemType)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = BinaryType
+  // array<float> only: ArrayData.getFloat on an array<double> would silently
+  // read wrong 4-byte words; make that an analysis error instead.
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def prettyName: String = s"pack_vector_${target.name.toLowerCase}"
 
   override def nullSafeEval(v: Any): Any =

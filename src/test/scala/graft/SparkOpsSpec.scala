@@ -261,11 +261,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(graft.functions.pack_vector(col("v"), "i8")).head().getAs[Array[Byte]](0)
     assert(pi.sameElements(codec.VectorCodec.pack(iv, ElemType.I8)))
 
-    // the packed pipeline must be whole-stage-codegen'd (no CodegenFallback)
-    val plan = Seq((codec.VectorCodec.pack(v, ElemType.F16), v)).toDF("p", "v")
+    // the packed pipeline must be whole-stage-codegen'd (no CodegenFallback).
+    // Drive the plan from the parquet table — a one-row local DataFrame is
+    // folded into a LocalTableScan by ConvertToLocalRelation before any
+    // WholeStageCodegen node can appear, regardless of the expressions —
+    // and assert structurally (the compact plan string only shows `*(n)`).
+    val pl = lit(codec.VectorCodec.pack(probe, ElemType.F16))
+    val exec = emb
       .select(graft.functions.vector_distance_packed(
-        graft.functions.pack_vector(col("v"), "f16"), col("p"), "l2", "f16"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), plan)
+        graft.functions.pack_vector(col("embedding"), "f16"), pl, "l2", "f16"))
+      .queryExecution.executedPlan
+    val codegenSpans = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    }
+    assert(codegenSpans.exists(_.contains("vector_distance_packed")), exec.toString)
   }
 }

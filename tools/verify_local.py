@@ -70,16 +70,22 @@ def main():
         mismatch = None
         for c in s.columns:
             sv, ov = s[c].tolist(), o[c].tolist()
-            for i, (a, b) in enumerate(zip(sv, ov)):
-                if repr(a) != repr(b) and a != b:
-                    mismatch = (c, i, a, b)
+            for i, (x, y) in enumerate(zip(sv, ov)):
+                if repr(x) != repr(y):
+                    # arrays/lists raise on `!=` truth-testing; fall back to repr
+                    try:
+                        if x == y:
+                            continue
+                    except Exception:
+                        pass
+                    mismatch = (c, i, x, y)
                     break
             if mismatch:
                 break
         if mismatch:
             n_fail += 1
-            c, i, a, b = mismatch
-            print(f"✗ {name}: value mismatch col={c} row={i}: spark={a!r} oracle={b!r}")
+            c, i, x, y = mismatch
+            print(f"✗ {name}: value mismatch col={c} row={i}: spark={x!r} oracle={y!r}")
         else:
             n_pass += 1
             print(f"✓ {name} ({len(s)} rows)")
