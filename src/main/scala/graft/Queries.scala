@@ -22,6 +22,8 @@ object Queries {
 
   val Dim = 64
   val K = 10
+  val AnnBits = 8  // hyperplane bits for the ANN bucket store
+  val CosBits = 8  // hyperplane bits for cosine near-dup blocking
 
   /** Probe vector: values in {-0.375..0.375} — exactly representable in
     * both decimal and binary floating point, and inside the embedding
@@ -128,6 +130,58 @@ object Queries {
        |par AS (SELECT 'UINT8' AS qtype,
        |  CASE WHEN mx - mn = 0 THEN 1.0 ELSE 255.0/(mx - mn) END AS q_scale,
        |  mn AS q_offset, 0 AS lo, 255 AS hi FROM mm)""".stripMargin
+
+  // ---------------- dedup SQL restatement ----------------
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold — the oracle restatement of
+    * the LSH-prefiltered pipelines. O(n²) is fine at oracle SF; the Spark
+    * side must reach the same rows through banded candidates only.
+    */
+  private def jaccardAllPairsSql(n: Int, threshold: Double, limit: Int): String = {
+    val span = n - 1
+    s"""WITH s AS (SELECT doc_id,
+       |  CASE WHEN length(t) < $n THEN [t]
+       |       ELSE list_distinct(list_transform(generate_series(1, length(t) - $span), i -> t[i:i+$span])) END AS sh
+       |  FROM (SELECT doc_id, lower(regexp_replace(text, '[^ -~]', '', 'g')) AS t FROM documents)),
+       |pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        greatest(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE), 1.0), 6) AS jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT a, b, jaccard FROM pr WHERE jaccard >= $threshold
+       |ORDER BY jaccard DESC, a, b LIMIT $limit""".stripMargin
+  }
+
+  // ---------------- hyperplane-LSH SQL restatement ----------------
+
+  /** The plane matrix as a SQL literal VALUES table `(b, plv)` — planes are
+    * deterministic from (nBits, dim, seed) and Double.toString round-trips,
+    * so the oracle recomputes the exact same signatures independently.
+    */
+  private def planesCte(nBits: Int): String = {
+    val ps = graft.kernels.Sketches.planes(nBits, Dim, 42L)
+    val rows = ps.zipWithIndex.map { case (row, b) =>
+      s"($b, ${row.map(_.toString).mkString("[", ",", "]")}::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"pl AS (SELECT * FROM (VALUES\n    $rows) AS t(b, plv))"
+  }
+
+  /** Per-row bucket: bit b set iff sequential-double dot(embedding, plane_b)
+    * > 0 — mirrors HyperplaneSignature's accumulation order exactly.
+    */
+  private val bucketSigCte =
+    s"""sg AS (SELECT vec_id, embedding,
+       |  CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1,$Dim),
+       |    i -> CAST(embedding[i] AS DOUBLE) * plv[i])) > 0
+       |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings, pl WHERE embedding IS NOT NULL GROUP BY vec_id, embedding)""".stripMargin
+
+  /** Probe signature + multi-probe hamming-1 bucket list. */
+  private val probeBucketsCte =
+    s"""psig AS (SELECT CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1,$Dim),
+       |  i -> pv[i] * plv[i])) > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sg0
+       |  FROM pl, p),
+       |pb AS (SELECT sg0 AS bkt FROM psig
+       |       UNION ALL SELECT xor(sg0, CAST(1 AS BIGINT) << b) FROM psig, pl)""".stripMargin
 
   // ---------------- vector query implementations ----------------
 
@@ -380,28 +434,41 @@ object Queries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", Seq("lang", "source"))),
 
+    // Exact 4-gram Jaccard ≥ 0.8 via MinHash-LSH candidates → exact verify
+    // (no all-pairs join anywhere in the plan)
     "ngram_jaccard_top" -> ((s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", "source", 3)
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", 4, 0.8)
         .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)),
 
+    // Bucketed-exact cosine pairs: hyperplane LSH bucket join, never cartesian
     "cosine_top_pairs" -> ((s, dir) =>
-      Dedup.cosineNearDup(emb(s, dir), "vec_id", "embedding", lit(1), -2.0)
+      Dedup.cosineNearDup(emb(s, dir), "vec_id", "embedding",
+          hyperplane_signature(col("embedding"), CosBits, Dim), 0.0)
         .orderBy(col("cosine_sim").desc, col("a"), col("b")).limit(50)),
 
-    // rows-only checks (hash functions not restatable in ANSI SQL)
+    // Exact 3-gram Jaccard ≥ 0.8 through the banded MinHash pipeline; the
+    // oracle restates the full all-pairs exact Jaccard (fine at oracle SF)
     "minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.minhashLsh(docs(s, dir), "doc_id", "text", 64, 16, 3, 0.8)
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text", 128, 16, 3, 0.8)
         .orderBy(col("jaccard").desc, col("a"), col("b")).limit(100)),
 
+    // SimHash from SQL-restatable polynomial token hashes → full oracle
     "simhash_docs" -> ((s, dir) => {
       val shUdf = udf(Dedup.simhash64)
       docs(s, dir).select(col("doc_id"),
-        shUdf(TextAnalysis.tokens(col("text"))).as("simhash"))
+        shUdf(Dedup.simhashTokens(col("text"))).as("simhash"))
     }),
 
-    "ann_lsh_topk" -> ((s, dir) =>
-      Ann.lshTopK(emb(s, dir), "vec_id", "embedding", probe, K, "cosine", 8)
-        .select(col("vec_id"), round(col("distance"), 6).as("distance"))),
+    // ANN over a bucket-PARTITIONED parquet store: the probe's multi-probe
+    // IN-list prunes partition directories before any row is read — the
+    // 100 TB path (only (nBits+1)/2^nBits of the store is scanned)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/store"
+      Ann.writeBucketed(emb(s, dir).where(col("embedding").isNotNull),
+        "embedding", path, AnnBits, Dim)
+      Ann.lshTopKPruned(s, path, "vec_id", "embedding", probe, K, "cosine", AnnBits)
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
 
     // ---- multimodal plumbing (payload = utf8 bytes as a stand-in blob) ----
     "multimodal_meta" -> ((s, dir) => {
@@ -625,29 +692,46 @@ object Queries {
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY lang, source""".stripMargin,
 
-    "ngram_jaccard_top" ->
-      """WITH s AS (SELECT doc_id, source,
-        |  CASE WHEN length(t) < 3 THEN [t]
-        |       ELSE list_distinct(list_transform(generate_series(1, length(t) - 2), i -> t[i:i+2])) END AS sh
-        |  FROM (SELECT doc_id, source, lower(regexp_replace(text, '[^ -~]', '', 'g')) AS t FROM documents)),
-        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |  CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS un
-        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT a, b, round(inter / greatest(un, 1.0), 6) AS jaccard FROM pr
-        |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin,
+    "ngram_jaccard_top" -> jaccardAllPairsSql(4, 0.8, 50),
+
+    "minhash_lsh_pairs" -> jaccardAllPairsSql(3, 0.8, 100),
 
     "cosine_top_pairs" -> {
       def lsum(va: String, vb: String) =
         s"list_sum(list_transform(generate_series(1,$Dim), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))"
-      s"""WITH pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
+      s"""WITH ${planesCte(CosBits)}, $bucketSigCte,
+         |pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
          |  ${lsum("a.embedding", "b.embedding")} AS dot,
          |  ${lsum("a.embedding", "a.embedding")} AS na,
          |  ${lsum("b.embedding", "b.embedding")} AS nb
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         |SELECT a, b, round(1.0 - (CASE WHEN na = 0.0 OR nb = 0.0 THEN 1.0
-         |  ELSE 1.0 - greatest(-1.0, least(1.0, dot / (sqrt(na) * sqrt(nb)))) END), 6) AS cosine_sim
-         |FROM pr ORDER BY cosine_sim DESC, a, b LIMIT 50""".stripMargin
+         |  FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a, b, cosine_sim FROM (
+         |  SELECT a, b, round(1.0 - (CASE WHEN na = 0.0 OR nb = 0.0 THEN 1.0
+         |    ELSE 1.0 - greatest(-1.0, least(1.0, dot / (sqrt(na) * sqrt(nb)))) END), 6) AS cosine_sim
+         |  FROM pr) WHERE cosine_sim >= 0.0
+         |ORDER BY cosine_sim DESC, a, b LIMIT 50""".stripMargin
+    },
+
+    "ann_lsh_topk" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), ${planesCte(AnnBits)}, $bucketSigCte, $probeBucketsCte,
+         |d AS (SELECT vec_id, ${distSql("cosine")} AS distance
+         |      FROM sg, p WHERE bucket IN (SELECT bkt FROM pb))
+         |SELECT vec_id, round(distance, 6) AS distance FROM d
+         |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
+
+    "simhash_docs" -> {
+      val chars = "list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))"
+      def poly(base: Int, mod: Long) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $chars), (acc, c) -> (acc * $base + c) % $mod)"
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(regexp_replace(text, '[^ -~]', '', 'g')), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |hs AS (SELECT doc_id, list_transform(toks, t ->
+         |  (${poly(31, 1000000007L)} * 2147483648) + ${poly(131, 2147483647L)}) AS hl FROM tk)
+         |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63), b ->
+         |  CASE WHEN 2 * len(list_filter(hl, h -> ((h >> b) & 1) = 1)) - len(hl) > 0
+         |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM hs""".stripMargin
     },
 
     "multimodal_meta" ->

@@ -9,7 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.{ElemType, Metric}
 import graft.codec.VectorCodec
-import graft.kernels.{Distances, Quantize}
+import graft.kernels.{Distances, Quantize, Sketches}
 
 /** `vector_distance(a, b)` over canonical `array<float>` columns.
   *
@@ -328,6 +328,189 @@ case class CodeSum(child: Expression, signed: Boolean)
          |long $acc = 0L;
          |for (int $i = 0; $i < $c.length; $i++) { $acc += $rd; }
          |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct hashed n-gram shingles of a text column (`string` →
+  * `array<long>`): ascii-strip + lowercase + n-gram windows + 64-bit hash
+  * in one codegen'd pass over the UTF-8 bytes. Replaces a
+  * sequence/substring/array_distinct chain whose per-char substring made
+  * shingling O(len²) per document and ran interpreted (higher-order
+  * functions are CodegenFallback).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n > 0, s"shingle width must be > 0, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.shingleHashes(v.asInstanceOf[UTF8String].getBytes, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.shingleHashes($c.getBytes(), $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intersection size of two sorted `array<long>` columns: a codegen'd
+  * merge scan — the exact-verification kernel of the dedup pipelines
+  * (ShingleHashes emits sorted arrays). No per-row hash sets.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.kernels.Sketches.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Position-wise agreement count of two `array<long>` MinHash signatures —
+  * the codegen'd Jaccard estimator (agreement/numHashes is an unbiased
+  * estimate of the true Jaccard).
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def prettyName: String = "sig_match_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.matchCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.kernels.Sketches.matchCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over pre-hashed shingles (`array<long>` → `array<long>`
+  * of `numHashes` minima). The row-local half of MinHash-LSH dedup: computed
+  * in one codegen'd pass, no explode, no shuffle — only the compact
+  * signature ever moves.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0, s"numHashes must be > 0, got $numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.minhash(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.minhash($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature of an `array<float>` vector: bit b set
+  * iff dot(v, plane_b) > 0, all `nBits` bits in ONE traversal of the
+  * vector. Planes derive deterministically from (nBits, dim, seed) — plain
+  * case-class fields, so expression equality/canonicalization stay sound
+  * and the plane matrix is rebuilt (not shipped) on executors. Per-plane
+  * dots accumulate sequentially in double, exactly restatable in SQL.
+  */
+case class HyperplaneSignature(child: Expression, nBits: Int, dim: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(nBits > 0 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "hyperplane_signature"
+
+  @transient private lazy val planes: Array[Array[Double]] = Sketches.planes(nBits, dim, seed)
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.hyperplaneSig(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.hyperplaneSig($c, $planesRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Single-traversal (min, max) over an `array<float>` with NaN lanes
+  * skipped — the per-row half of quantization pass 1
+  * (sqlite-vector.c:1199-1255; its min/max comparisons never select NaN,
+  * :1250-1255). One pass replaces the filter + array_min + array_max
+  * chain that traversed every array twice. NULL when no valid lane.
+  */
+case class ArrayMinMax(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("mn", DoubleType, nullable = false),
+    StructField("mx", DoubleType, nullable = false)))
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_min_max"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    var any = false
+    var i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      if (!x.isNaN) { if (x < mn) mn = x; if (x > mx) mx = x; any = true }
+      i += 1
+    }
+    if (!any) null else InternalRow(mn, mx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val mn = ctx.freshName("mn"); val mx = ctx.freshName("mx")
+      val any = ctx.freshName("any"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $c.numElements();
+         |double $mn = Double.POSITIVE_INFINITY, $mx = Double.NEGATIVE_INFINITY;
+         |boolean $any = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $c.getFloat($i);
+         |  if (!Double.isNaN($x)) {
+         |    if ($x < $mn) $mn = $x;
+         |    if ($x > $mx) $mx = $x;
+         |    $any = true;
+         |  }
+         |}
+         |if (!$any) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$mn, $mx});
+         |}
        """.stripMargin
     })
   }

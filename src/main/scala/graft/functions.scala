@@ -39,6 +39,22 @@ object functions {
   def pack_vector(v: Column, elemType: String): Column =
     col(PackVector(expr(v), ElemType.parse(elemType)))
 
+  def array_min_max(v: Column): Column = col(ArrayMinMax(expr(v)))
+
+  def shingle_hashes(text: Column, n: Int): Column = col(ShingleHashes(expr(text), n))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    col(SortedIntersectCount(expr(a), expr(b)))
+
+  def sig_match_count(a: Column, b: Column): Column =
+    col(SigMatchCount(expr(a), expr(b)))
+
+  def minhash_signature(shingleHashes: Column, numHashes: Int): Column =
+    col(MinHashSignature(expr(shingleHashes), numHashes))
+
+  def hyperplane_signature(v: Column, nBits: Int, dim: Int, seed: Long = 42L): Column =
+    col(HyperplaneSignature(expr(v), nBits, dim, seed))
+
   def vector_as_f32(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F32, dim))
   def vector_as_f16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F16, dim))
   def vector_as_bf16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.BF16, dim))

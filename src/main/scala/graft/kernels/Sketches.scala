@@ -1,0 +1,165 @@
+package graft.kernels
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Sketch kernels for the dedup / ANN operators: one-permutation-style
+  * MinHash signatures and random-hyperplane LSH signatures. Both are pure
+  * primitive loops invoked from codegen'd Catalyst expressions
+  * (MinHashSignature / HyperplaneSignature) — no UDF boxing, one traversal
+  * of the input array per row.
+  */
+object Sketches {
+
+  /** SplitMix64 finalizer — derives a family of cheap independent hash
+    * functions from one strong per-shingle hash (standard one-hash MinHash).
+    */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over pre-hashed shingles (array<long> in): minima of
+    * `numHashes` derived hash functions. Static entry point for generated
+    * code.
+    */
+  def minhash(sh: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      val base = sh.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(base ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Distinct hashed character n-gram shingles of lowercased
+    * printable-ASCII text, in ONE pass over the UTF-8 bytes. Static entry
+    * point for generated code (ShingleHashes expression).
+    *
+    * Semantics match `lower(strip non-printable-ASCII)` + distinct n-grams:
+    * bytes outside [0x20,0x7e] (including every byte of a multi-byte UTF-8
+    * sequence) are dropped, A-Z lowered, then each n-byte window hashed
+    * (FNV-1a + SplitMix64 finalizer). Only 8-byte hashes ever leave the
+    * row; set semantics make output order irrelevant, but the array is
+    * sorted for determinism.
+    */
+  def shingleHashes(bytes: Array[Byte], n: Int): ArrayData = {
+    val clean = new Array[Byte](bytes.length)
+    var m = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0x20 && b <= 0x7e) {
+        clean(m) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        m += 1
+      }
+      i += 1
+    }
+    @inline def hashRange(off: Int, len: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var j = off
+      while (j < off + len) { h ^= clean(j); h *= 0x100000001b3L; j += 1 }
+      mix64(h)
+    }
+    val set = new java.util.HashSet[java.lang.Long]()
+    if (m < n) set.add(hashRange(0, m))
+    else {
+      var j = 0
+      while (j + n <= m) { set.add(hashRange(j, n)); j += 1 }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** Intersection size of two SORTED long arrays — one merge scan, no
+    * hashing, no allocation. Static entry point for generated code.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  /** Position-wise equality count of two long arrays (MinHash signature
+    * agreement). Static entry point for generated code.
+    */
+  def matchCount(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0L
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH, in double precision so
+    * the per-plane dot products are exactly restatable in ANSI SQL
+    * (sequential double accumulation, plane values printed exactly).
+    * java.util.Random/nextGaussian is spec-fixed, so the planes are
+    * identical on every JVM and can be re-materialized from (nBits, dim,
+    * seed) alone — executors never ship the matrix.
+    */
+  def planes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Hyperplane signature: bit b set iff dot(v, plane_b) > 0. ONE traversal
+    * of the vector; per-plane accumulation is sequential in element order
+    * (the same order an SQL list_sum restatement uses). Static entry point
+    * for generated code.
+    */
+  def hyperplaneSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val nb = planes.length
+    val acc = new Array[Double](nb)
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      var b = 0
+      while (b < nb) {
+        val p = planes(b)
+        if (i < p.length) acc(b) += x * p(i)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nb) { if (acc(b) > 0.0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  /** Driver-side signature of a probe vector. */
+  def hyperplaneSig(v: Array[Float], planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(v.length, p.length)
+      while (i < n) { acc += v(i).toDouble * p(i); i += 1 }
+      if (acc > 0.0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}

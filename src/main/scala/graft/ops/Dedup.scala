@@ -2,16 +2,20 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.minhash_signature
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
-  * Scale design: every variant avoids the O(n²) cross join. Exact dedup is
-  * a hash groupBy (one shuffle on the key). MinHash-LSH and SimHash shuffle
-  * on small bucket keys (band hashes / hamming chunks) so candidate pairs
-  * are generated per-bucket, then verified. N-gram Jaccard uses a blocking
-  * key to bound the pair space. At 100 TB the only shuffles are on compact
-  * signatures — never on document text.
+  * Scale design: NO variant materializes an unblocked O(n²) pair space.
+  * Exact dedup is a hash groupBy (one shuffle on the key). MinHash-LSH,
+  * n-gram Jaccard (which rides the same candidate machinery) and SimHash
+  * shuffle on small bucket keys (band hashes / hamming chunks) so candidate
+  * pairs are generated per-bucket, cheaply estimated from signatures, and
+  * only then exactly verified. Shingle sets are hashed to 8-byte longs
+  * before anything shuffles — at 100 TB the shuffled payloads are ids,
+  * band keys and fixed-width signatures, never document text.
   */
 object Dedup {
 
@@ -33,69 +37,47 @@ object Dedup {
           i => substring(clean, i, lit(n)))))
   }
 
-  /** Deterministic 64-bit hash of a string under a seed (MurmurHash3-based,
-    * pure JVM, stable across runs/partitions).
+  /** Shingle set hashed to distinct longs in one codegen'd pass
+    * ([[graft.expressions.ShingleHashes]]) — the only shingle
+    * representation that ever leaves the row: 8 bytes per shingle instead
+    * of the string, and exact-verification set ops run on longs.
     */
-  def hash64(s: String, seed: Int): Long = {
-    val h1 = MurmurHash3.stringHash(s, seed)
-    val h2 = MurmurHash3.stringHash(s, h1 ^ 0x9e3779b9)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-  }
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.shingle_hashes(text, n)
 
-  // ---------- MinHash + LSH ----------
-
-  /** SplitMix64 finalizer — derives a family of cheap independent hash
-    * functions from one strong per-shingle hash (standard one-hash MinHash).
-    */
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  /** Per-row MinHash signature: minima of `numHashes` derived hash
-    * functions over the shingle set. One string hash per shingle + cheap
-    * mixing per function; computed in-row (no explode, no shuffle).
-    */
-  def minhashSignature(numHashes: Int): Seq[String] => Array[Long] = { sh =>
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    sh.foreach { s =>
-      val base = hash64(s, 0)
-      var i = 0
-      while (i < numHashes) {
-        val h = mix64(base ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-    }
-    sig
-  }
+  // ---------- MinHash + LSH candidates → exact verification ----------
 
   /** MinHash-LSH near-dup pairs, the 100 TB-shaped pipeline:
     *
-    *  1. per-row signature (`numHashes` longs) — map-only;
+    *  1. per-row hashed shingle set + MinHash signature (`numHashes` longs,
+    *     one codegen'd pass) — map-only, cached once;
     *  2. band → bucket-join on (band index, band hash) → distinct (a, b)
-    *     candidates with a < b — the only shuffles carry signatures and
-    *     8-byte ids, never text or shingle sets;
-    *  3. cheap verification: estimated Jaccard = matching signature
-    *     fraction, filtered with a 4σ margin below `threshold`;
-    *  4. exact shingle Jaccard only for the survivors (a small join back
-    *     to the shingle sets).
+    *     candidates with a < b — the only wide shuffles carry band keys and
+    *     8-byte ids;
+    *  3. cheap estimate: matching-signature fraction, filtered with a 4σ
+    *     margin below `threshold` (never drops a true ≥threshold pair);
+    *  4. exact Jaccard on hashed shingle sets for the survivors only.
+    *
+    * Band geometry: rows-per-band = numHashes/bands controls the candidate
+    * flood. Default 128 hashes × 16 bands = 8 rows/band: catch probability
+    * at j=0.9 is 1-(1-0.9^8)^16 ≈ 1-2e-6, while the j≈0.6 background only
+    * band-collides with p≈0.25 — the flood stays linear in the true-pair
+    * count, not quadratic in n.
     *
     * Columns out: (a, b, jaccard) with exact jaccard ≥ threshold.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 64, bands: Int = 16,
-                 shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+                 numHashes: Int = 128, bands: Int = 16,
+                 shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sigUdf = udf(minhashSignature(numHashes))
 
-    val base = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    val sigs = base.select(col("id"), sigUdf(col("sh")).as("sig"))
+    val base = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = base.select(col("id"), minhash_signature(col("sh"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
@@ -105,35 +87,86 @@ object Dedup {
     val pairs = l.join(r, Seq("band", "bandHash")).where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
 
-    // cheap estimate from signatures; 4σ ≈ 4·sqrt(t(1-t)/H) margin
+    // cheap estimate from signatures (codegen'd agreement count); 4σ ≈
+    // 4·sqrt(t(1-t)/H) margin below the threshold keeps every true
+    // ≥threshold pair
     val margin = 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val withSigs = pairs
+    val candidates = pairs
       .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
       .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
-      .withColumn("est",
-        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), p => p))
-          .cast("double") / numHashes)
-      .where(col("est") >= threshold - margin)
+      .where(graft.functions.sig_match_count(col("siga"), col("sigb")).cast("double") / numHashes
+        >= threshold - margin)
       .select(col("a"), col("b"))
 
-    // exact verification only for estimate survivors
-    withSigs
+    // exact verification only for survivors: shingle arrays are sorted, so
+    // intersection is a codegen'd merge scan (no per-row hash sets)
+    candidates
       .join(base.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(base.select(col("id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("inter", graft.functions.sorted_intersect_count(col("sha"), col("shb")).cast("double"))
       .withColumn("union", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
       .withColumn("jaccard", round(col("inter") / greatest(col("union"), lit(1.0)), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // ---------- N-gram Jaccard (exact, LSH-prefiltered) ----------
+
+  /** Exact n-gram Jaccard near-dup pairs at scale: MinHash-LSH candidate
+    * generation followed by exact verification — the same pipeline as
+    * [[minhashLsh]] parameterized by shingle width. Replaces the former
+    * blocked all-pairs form, whose O(n²/blocks) pair space was quadratic at
+    * any fixed block cardinality.
+    * Columns out: (a, b, jaccard) with exact jaccard ≥ threshold.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 4, threshold: Double = 0.8): DataFrame =
+    minhashLsh(df, idCol, textCol, numHashes = 128, bands = 16,
+      shingleN = n, threshold = threshold)
+
+  /** Blocked exact all-pairs Jaccard — only safe when every block is known
+    * to be small (e.g. pre-grouped micro-batches); kept for completeness,
+    * NOT the scale path ([[ngramJaccard]] is).
+    */
+  def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, n: Int = 3): DataFrame = {
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("sh"))
+    val l = base.select(col("blk"), col("id").as("a"), col("sh").as("sha"))
+    val r = base.select(col("blk"), col("id").as("b"), col("sh").as("shb"))
+    l.join(r, Seq("blk")).where(col("a") < col("b"))
+      .withColumn("inter", graft.functions.sorted_intersect_count(col("sha"), col("shb")).cast("double"))
+      .withColumn("union", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
+      .select(col("a"), col("b"),
+        round(col("inter") / greatest(col("union"), lit(1.0)), 6).as("jaccard"))
+  }
+
   // ---------- SimHash ----------
 
-  /** Per-row 64-bit SimHash over whitespace tokens (in-row, no shuffle). */
+  /** 61-bit token hash from two polynomial rolling hashes (bases 31/131,
+    * moduli 1e9+7 and 2^31−1): h1·2³¹ | h2. Every step is exact BIGINT
+    * arithmetic, so the whole SimHash below is restatable in ANSI SQL —
+    * the correctness oracle recomputes it independently.
+    */
+  def tokenHash61(t: String): Long = {
+    var h1 = 0L; var h2 = 0L; var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i).toInt
+      h1 = (h1 * 31 + c) % 1000000007L
+      h2 = (h2 * 131 + c) % 2147483647L
+      i += 1
+    }
+    (h1 << 31) | h2
+  }
+
+  /** Per-row SimHash over whitespace tokens (duplicates weighted, in-row,
+    * no shuffle): bit b of the output is set iff more token hashes have bit
+    * b set than clear.
+    */
   val simhash64: Seq[String] => Long = { toks =>
     val acc = new Array[Int](64)
     toks.foreach { t =>
-      val h = hash64(t, 0x5151)
+      val h = tokenHash61(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -145,6 +178,12 @@ object Dedup {
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** ASCII-only, empty-filtered whitespace tokens — the canonical SimHash
+    * token stream, identical to the SQL restatement's.
+    */
+  def simhashTokens(text: Column): Column =
+    filter(TextAnalysis.tokens(TextAnalysis.asciiOnly(text)), t => t =!= "")
 
   /** SimHash near-dup candidate pairs: hamming distance ≤ maxHamming.
     * Blocking: split the 64-bit hash into (maxHamming+1) chunks — by
@@ -162,7 +201,7 @@ object Dedup {
     val bitsPer = 64 / chunks
     val shUdf = udf(simhash64)
     val hashed = df.select(col(idCol).as("id"),
-      shUdf(TextAnalysis.tokens(col(textCol))).as("sh"))
+      shUdf(simhashTokens(col(textCol))).as("sh"))
 
     val banded = hashed.select(col("id"), col("sh"),
         posexplode(array((0 until chunks).map(c =>
@@ -177,30 +216,13 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  // ---------- N-gram Jaccard (blocked exact) ----------
-
-  /** Exact n-gram Jaccard similarity for all pairs within a blocking key
-    * (e.g. `source`), built entirely from codegen'd array built-ins.
-    * Columns out: (a, b, jaccard).
-    */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, n: Int = 3): DataFrame = {
-    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-    val l = base.select(col("blk"), col("id").as("a"), col("sh").as("sha"))
-    val r = base.select(col("blk"), col("id").as("b"), col("sh").as("shb"))
-    l.join(r, Seq("blk")).where(col("a") < col("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("union", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
-      .select(col("a"), col("b"),
-        round(col("inter") / greatest(col("union"), lit(1.0)), 6).as("jaccard"))
-  }
-
   // ---------- Embedding cosine near-dup ----------
 
-  /** Near-duplicate detection on an embedding column via cosine similarity.
-    * Exact within LSH buckets (see [[Ann.hyperplaneBuckets]]) at scale; this
-    * entry point is the blocked-exact form over a bucket column.
+  /** Near-duplicate detection on an embedding column via cosine similarity,
+    * exact within LSH buckets: candidate pairs share a `bucketCol` value
+    * (use [[graft.functions.hyperplane_signature]] — at scale the table is
+    * written `partitionBy(bucket)` so the join never leaves a partition),
+    * then exact cosine ≥ minSim.
     * Columns out: (a, b, cosine_sim).
     */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,

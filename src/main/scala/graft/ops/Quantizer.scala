@@ -35,15 +35,16 @@ object Quantizer {
   def computeParams(df: DataFrame, vecCol: String, qType: QType = QType.Auto): QuantParams = {
     val nonNull = df.where(col(vecCol).isNotNull)
     // NaN lanes are skipped like the reference's min/max loop (ordinary
-    // comparisons never select NaN, sqlite-vector.c:1250-1255); without the
-    // filter Spark's array_max treats NaN as greater than any float and a
-    // single NaN element would poison scale.
-    val clean = filter(col(vecCol), x => !isnan(x))
-    val row = nonNull.agg(
-      min(array_min(clean)).cast("double").as("mn"),
-      max(array_max(clean)).cast("double").as("mx"),
-      count(lit(1)).as("rows")
-    ).head()
+    // comparisons never select NaN, sqlite-vector.c:1250-1255). ArrayMinMax
+    // does the skip and both extrema in ONE codegen'd traversal — Spark's
+    // array_min/array_max would need a NaN pre-filter pass and a second
+    // traversal per extremum.
+    val row = nonNull.select(graft.functions.array_min_max(col(vecCol)).as("mm"))
+      .agg(
+        min(col("mm.mn")).as("mn"),
+        max(col("mm.mx")).as("mx"),
+        count(lit(1)).as("rows")
+      ).head()
     val rows = row.getLong(2)
     if (rows == 0 || row.isNullAt(0)) Quantize.params(qType, 0.0, 0.0, hasNegative = false, rows max 0L)
     else {

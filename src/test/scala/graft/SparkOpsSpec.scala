@@ -93,6 +93,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("array_min_max: one-pass extrema, NaN lanes skipped, all-NaN -> null") {
+    val d = Seq(
+      (1L, Array(3f, Float.NaN, -2f, 0.5f)),
+      (2L, Array(Float.NaN, Float.NaN)),
+      (3L, Array(7f))
+    ).toDF("id", "v")
+    val r = d.select(col("id"), graft.functions.array_min_max(col("v")).as("mm"))
+      .collect().map(x => x.getLong(0) -> Option(x.getStruct(1)).map(s => (s.getDouble(0), s.getDouble(1)))).toMap
+    assert(r(1L).contains((-2.0, 3.0)))
+    assert(r(2L).isEmpty)
+    assert(r(3L).contains((7.0, 7.0)))
+    // params through the new path agree with the brute-force definition
+    val p = Quantizer.computeParams(emb, "embedding")
+    val flat = emb.collect().flatMap(_.getSeq[Float](1)).filter(x => !x.isNaN).map(_.toDouble)
+    val expect = kernels.Quantize.params(QType.Auto, flat.min, flat.max, flat.min < 0, emb.count())
+    assert(p == expect)
+  }
+
   // ---------- catalog ----------
 
   test("vector_init validation: idempotent re-init must match (sqlite-vector.c:2518-2540)") {
@@ -139,11 +157,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dupGroup.getLong(2) == 2L) // ids 1 and 4
   }
 
-  test("ngram jaccard: identical texts -> 1.0, disjoint -> low") {
-    val j = Dedup.ngramJaccard(nearDupDocs, "id", "text", "src", 3)
+  test("ngram jaccard: LSH-prefiltered exact pairs; blocked variant agrees") {
+    val j = Dedup.ngramJaccard(nearDupDocs, "id", "text", 3, 0.7)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(j((1L, 2L)) > 0.9)
-    assert(j((1L, 3L)) < 0.3)
+    assert(j((1L, 4L)) == 1.0)
+    assert(!j.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // the blocked-exact form computes the same values where blocks allow
+    val jb = Dedup.ngramJaccardBlocked(nearDupDocs, "id", "text", "src", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jb((1L, 2L)) == j((1L, 2L)))
+    assert(jb((1L, 3L)) < 0.3)
   }
 
   test("cosine near-dup finds identical vectors") {
@@ -165,6 +189,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     // multi-probe over hamming-1 buckets should keep decent recall vs top-50
     assert(got.count(exact.contains) >= 5)
+  }
+
+  test("bucketed ANN store prunes partitions: only probed buckets are read") {
+    val dir = java.nio.file.Files.createTempDirectory("annstore").toString + "/store"
+    Ann.writeBucketed(emb.where(col("embedding").isNotNull), "embedding", dir, 8, 64)
+    val totalBuckets = new java.io.File(dir).listFiles().count(_.getName.startsWith("bucket="))
+    val q = Ann.lshTopKPruned(spark, dir, "vec_id", "embedding", probe, 10, "cosine", 8)
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(got.length == 10)
+    // partition-pruning evidence: the scan lists at most nBits+1 = 9 of the
+    // bucket directories (InputMetrics-grade, not just plan text)
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles <= 9 && numFiles < totalBuckets, s"numFiles=$numFiles totalBuckets=$totalBuckets")
+    // pruned result == brute force restricted to the same buckets
+    val bucketed = Ann.withBuckets(emb.where(col("embedding").isNotNull), "embedding", 8, 64)
+    val expected = Knn.topK(
+      bucketed.where(col("bucket").isin(Ann.probeBuckets(probe, 8): _*))
+        .select(col("vec_id"),
+          graft.functions.vector_distance(col("embedding"), graft.functions.vectorLit(probe), "cosine").as("distance")),
+      col("distance"), col("vec_id"), 10).collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
   }
 
   // ---------- text analysis ----------
