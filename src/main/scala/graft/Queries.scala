@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.ops.{Ann, Dedup, Knn, Multimodal, Quantizer, TextAnalysis}
+import graft.ops.{Ann, Dedup, Knn, MediaCodec, Multimodal, Quantizer, TextAnalysis}
 
 /** The operator inventory wired to the driver's correctness gate: every
   * entry has a Spark implementation and (where SQL-expressible) an ANSI
@@ -470,21 +470,39 @@ object Queries {
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))
     }),
 
-    // ---- multimodal plumbing (payload = utf8 bytes as a stand-in blob) ----
+    // ---- multimodal: REAL container fixtures (valid PNG/JPEG/WAV bytes
+    // built per doc_id) parsed by the real header codec; the oracle checks
+    // the dimension formulas, so a parser reading the wrong offsets fails ----
     "multimodal_meta" -> ((s, dir) => {
+      val fixtureUdf = udf((id: Long) => ((id % 3).toInt: @unchecked) match {
+        case 0 => MediaCodec.pngFixture((1 + id % 640).toInt, (1 + id % 480).toInt)
+        case 1 => MediaCodec.jpegFixture((1 + id % 640).toInt, (1 + id % 480).toInt)
+        case 2 => MediaCodec.wavFixture((8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt, (id % 100).toInt)
+      })
       val withPayload = docs(s, dir)
-        .withColumn("payload", col("text").cast("binary"))
-        .withColumn("media_type", lit("image"))
+        .withColumn("payload", fixtureUdf(col("doc_id")))
+        .withColumn("media_type", lit("unknown"))
       Multimodal.withMetadata(withPayload, "payload", "media_type")
-        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+        .select(col("doc_id"),
+          col("meta.media_type").as("media_type"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.n_frames").cast("long").as("n_frames"),
           col("meta.byte_len").as("byte_len"))
     }),
 
+    // Byte-feature extraction over the (printable-ASCII) text bytes: 1/256
+    // scaling keeps all lane arithmetic exact, so sums and the
+    // lane-weighted checksum are restated bit-for-bit by the oracle
     "multimodal_features" -> ((s, dir) => {
-      val withPayload = docs(s, dir).withColumn("payload", col("text").cast("binary"))
+      val withPayload = docs(s, dir)
+        .withColumn("payload", TextAnalysis.asciiOnly(col("text")).cast("binary"))
       Multimodal.withFeatures(withPayload, "payload", 16)
         .select(col("doc_id"),
-          round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+          aggregate(col("features"), lit(0.0), (acc, x) => acc + x.cast("double")).as("feat_sum"),
+          aggregate(zip_with(col("features"), sequence(lit(1), lit(16)),
+            (f, w) => f.cast("double") * w.cast("double")),
+            lit(0.0), (acc, x) => acc + x).as("feat_wsum"))
     })
   )
 
@@ -734,9 +752,27 @@ object Queries {
          |FROM hs""".stripMargin
     },
 
-    "multimodal_meta" ->
-      """SELECT doc_id, 'image' AS media_type,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-        |FROM documents""".stripMargin
+    "multimodal_meta" -> {
+      val pngLen = MediaCodec.pngFixture(1, 1).length
+      val jpegLen = MediaCodec.jpegFixture(1, 1).length
+      val wavLen = MediaCodec.wavFixture(8000, 1, 0).length
+      s"""SELECT doc_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS media_type,
+         |  CAST(CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 8) * 1000 ELSE 1 + doc_id % 640 END AS BIGINT) AS width,
+         |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 ELSE 1 + doc_id % 480 END AS BIGINT) AS height,
+         |  CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 100 ELSE 1 END AS BIGINT) AS n_frames,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN $pngLen WHEN 1 THEN $jpegLen ELSE $wavLen END AS BIGINT) AS byte_len
+         |FROM documents""".stripMargin
+    },
+
+    "multimodal_features" ->
+      """WITH ch AS (SELECT doc_id,
+        |  list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT)) AS cs
+        |  FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents))
+        |SELECT doc_id,
+        |  CAST(coalesce(list_sum(cs), 0) AS DOUBLE) / 256 AS feat_sum,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, len(cs)),
+        |    i -> ((i - 1) % 16 + 1) * cs[i])), 0) AS DOUBLE) / 256 AS feat_wsum
+        |FROM ch""".stripMargin
   )
 }

@@ -1,88 +1,56 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+
+import graft.ops.MediaCodec.MediaMeta
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
-  * `binary` columns with a typed metadata struct; decode / feature-extract /
-  * frame-sample run as `mapPartitions` stages over Arrow-sized batches.
+  * `binary` columns with a typed metadata struct.
   *
-  * The container has no image/audio codecs, so `FakeCodec` below is a
-  * clearly-marked deterministic stand-in for the decode step — the
-  * Spark-side contract (schema, partitioning, batch shape, null handling)
-  * is real and tested; swapping in a true codec changes only the two
-  * functions inside `FakeCodec`.
+  * Metadata extraction parses the real container headers (PNG/JPEG/GIF/WAV
+  * — [[MediaCodec]]); only pixel/sample decode is out of scope (no codec
+  * libraries in the runtime), so feature extraction operates on the payload
+  * bytes themselves. Both stages are narrow per-row projections over just
+  * the payload column — no Row-level serialization, no shuffle, and every
+  * other column stays in the columnar batch untouched.
   */
 object Multimodal {
 
-  val MediaMetaType: StructType = StructType(Seq(
-    StructField("media_type", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("byte_len", LongType, nullable = false)
-  ))
-
-  /** STUB decode: a real implementation would parse the container header
-    * (JPEG/PNG/WAV/MP4). This deterministic fake derives plausible metadata
-    * purely from the payload bytes so tests are reproducible.
-    */
-  object FakeCodec {
-    def probe(payload: Array[Byte], mediaType: String): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val w = 64 + (math.abs(h) % 193)          // fake width
-      val ht = 64 + (math.abs(h >> 8) % 129)    // fake height
-      val frames = if (mediaType == "video") 1 + math.abs(h >> 16) % 32 else 1
-      (w, ht, frames)
-    }
-
-    /** STUB feature extraction: a real one would decode pixels/samples.
-      * Returns a fixed-width feature vector from byte statistics.
-      */
-    def features(payload: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
-      var i = 0
-      while (i < payload.length) {
-        out(i % dim) += (payload(i) & 0xff) / 255.0f
-        i += 1
-      }
-      out
-    }
-  }
-
-  /** Attach decoded metadata: binary + media_type → MediaMeta struct.
-    * One mapPartitions pass; partition-local, no shuffle.
+  /** Attach parsed metadata: binary + declared media_type → meta struct
+    * (media_type, width, height, n_frames, byte_len). A narrow UDF over
+    * exactly two columns; null payload → null meta.
     */
   def withMetadata(df: DataFrame, payloadCol: String, mediaTypeCol: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("meta", MediaMetaType, nullable = true))
-    val pIdx = df.schema.fieldIndex(payloadCol)
-    val tIdx = df.schema.fieldIndex(mediaTypeCol)
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        if (r.isNullAt(pIdx)) Row.fromSeq(r.toSeq :+ null)
-        else {
-          val payload = r.getAs[Array[Byte]](pIdx)
-          val mt = if (r.isNullAt(tIdx)) "unknown" else r.getString(tIdx)
-          val (w, h, f) = FakeCodec.probe(payload, mt)
-          Row.fromSeq(r.toSeq :+ Row(mt, w, h, f, payload.length.toLong))
-        }
-      }
-    }(enc)
+    val probeUdf = udf((payload: Array[Byte], declared: String) =>
+      Option(payload).map(p => MediaCodec.probe(p, Option(declared).getOrElse("unknown"))))
+    df.withColumn("meta", probeUdf(col(payloadCol), col(mediaTypeCol)))
   }
 
-  /** Feature extraction: binary payload → array<float> embedding column.
-    * Batch shape mirrors a real vectorized decode (per-partition iterator).
+  /** Byte-histogram feature extraction: payload → fixed-width
+    * `array<float>` with out[i % dim] += byte/256. The 1/256 scaling keeps
+    * every lane an exact binary fraction (exact in float while a lane sum
+    * stays < 2^16), so results are bit-reproducible and restatable in SQL.
+    * A pixel-level featurizer would decode first; byte statistics are the
+    * container-agnostic stand-in with the same schema/partitioning shape.
     */
   def withFeatures(df: DataFrame, payloadCol: String, dim: Int = 16): DataFrame = {
-    val featUdf = udf((b: Array[Byte]) => if (b == null) null else FakeCodec.features(b, dim))
+    val featUdf = udf((b: Array[Byte]) =>
+      Option(b).map { p =>
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < p.length) {
+          out(i % dim) += (p(i) & 0xff) / 256.0f
+          i += 1
+        }
+        out
+      })
     df.withColumn("features", featUdf(col(payloadCol)))
   }
 
-  /** Frame sampling plan for video payloads: every `stride`-th frame index
-    * up to n_frames — the Spark-side plumbing of a frame-sample stage
-    * (real decoder would emit one row per sampled frame).
+  /** Frame sampling plan for audio/video payloads: every `stride`-th frame
+    * index up to n_frames — one row per sampled frame (a real decoder
+    * slots into the per-frame rows this stage emits).
     */
   def sampleFrames(df: DataFrame, metaCol: String, stride: Int): DataFrame =
     df.withColumn("frame_idx",

@@ -246,19 +246,39 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------- multimodal plumbing ----------
 
+  test("media codec parses real PNG/JPEG/GIF/WAV headers") {
+    import ops.MediaCodec
+    val png = MediaCodec.probe(MediaCodec.pngFixture(640, 360), "x")
+    assert(png == MediaCodec.MediaMeta("png", 640, 360, 1, 45L))
+    val jpg = MediaCodec.probe(MediaCodec.jpegFixture(1024, 768), "x")
+    assert(jpg.media_type == "jpeg" && jpg.width == 1024 && jpg.height == 768)
+    val wav = MediaCodec.probe(MediaCodec.wavFixture(16000, 2, 1234), "x")
+    assert(wav == MediaCodec.MediaMeta("wav", 16000, 2, 1234, 44L))
+    // GIF89a header, 320x200 LE16
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0, 0)
+    assert(MediaCodec.probe(gif, "x") == MediaCodec.MediaMeta("gif", 320, 200, 1, 12L))
+    // unknown container falls back to declared type + real byte_len
+    val unk = MediaCodec.probe("just text".getBytes, "image")
+    assert(unk == MediaCodec.MediaMeta("image", 0, 0, 1, 9L))
+  }
+
   test("multimodal metadata + features have the contracted schema") {
-    val d = Seq((1L, "some payload text", "image"), (2L, null.asInstanceOf[String], "video"))
+    val d = Seq((1L, "x", "image"), (2L, null.asInstanceOf[String], "video"))
       .toDF("id", "text", "mt")
-      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("payload",
+        when(col("id") === 1, lit(ops.MediaCodec.pngFixture(320, 240))))
     val meta = Multimodal.withMetadata(d, "payload", "mt")
-    val m = meta.where(col("id") === 1).select("meta.byte_len", "meta.media_type").head()
-    assert(m.getLong(0) == "some payload text".getBytes.length)
-    assert(m.getString(1) == "image")
+    val m = meta.where(col("id") === 1)
+      .select("meta.media_type", "meta.width", "meta.height", "meta.byte_len").head()
+    assert(m.getString(0) == "png" && m.getInt(1) == 320 && m.getInt(2) == 240 && m.getLong(3) == 45L)
     assert(meta.where(col("id") === 2).select("meta").head().isNullAt(0)) // null payload -> null meta
 
     val feats = Multimodal.withFeatures(d, "payload", 16)
       .where(col("id") === 1).select("features").head().getSeq[Float](0)
     assert(feats.length == 16)
+    // exact /256 arithmetic: sum of features == sum of payload bytes / 256
+    val byteSum = ops.MediaCodec.pngFixture(320, 240).map(_ & 0xff).sum
+    assert(feats.map(_.toDouble).sum == byteSum / 256.0)
   }
 
   // ---------- SQL surface ----------
