@@ -251,10 +251,50 @@ object Queries {
         .select(col("id").as("vec_id"), col("distance").as("dist_sq"))
     }),
 
+    // Q1+S3+S4+S2 full disk lifecycle: quantize → persisted parquet store +
+    // sidecar (txn-committed dir) → read params and codes BACK FROM DISK →
+    // quantized scan. Mirrors vector_quantize → _sqliteai_vector →
+    // vector_quantize_scan (sqlite-vector.c:1406-1459, :451-491).
+    "quant_lifecycle" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_quant").toString
+      val storePath = s"$tmp/vector0_embeddings_embedding"
+      val cfg = graft.VectorConfig.fromOptions(s"dimension=$Dim,type=FLOAT32,max_memory=30MB")
+      Quantizer.quantize(emb(s, dir), "vec_id", "embedding", storePath, cfg, "embeddings", "embedding")
+      val p = graft.catalog.VectorCatalog.readSidecar(s"$storePath/_vector_meta.json")
+      val store = s.read.parquet(storePath)
+      Quantizer.quantScan(store, probe, p, K, "sq_l2")
+        .select(col("id").as("vec_id"), col("distance").as("dist_sq"))
+    }),
+
     // Q2: vector_quantize_memory = Σ(8 + len(code)) (sqlite-vector.c:1160-1161)
     "quant_memory" -> ((s, dir) => {
       val (codes, _) = quantCodesDf(s, dir)
       s.range(1).select(lit(Quantizer.memoryBytes(codes)).as("bytes"))
+    }),
+
+    // The reference's primary SQL interface: eponymous table functions
+    // (API.md:212-261), here as Catalyst TVFs — the whole query is a SQL
+    // string, expanded to Project→Sort→Limit and planned as
+    // TakeOrderedAndProject like the DataFrame path
+    "sql_tvf_knn" -> ((s, dir) => {
+      emb(s, dir).createOrReplaceTempView("embeddings")
+      graft.catalog.VectorCatalog.init("embeddings", "embedding",
+        VectorConfig(Dim, idCol = "vec_id"))
+      graft.sql.GraftTableFunctions.register(s)
+      val probeJson = probe.mkString("[", ",", "]")
+      s.sql(s"SELECT id, distance FROM vector_full_scan('embeddings', 'embedding', '$probeJson', $K)")
+    }),
+
+    "sql_tvf_quant_knn" -> ((s, dir) => {
+      emb(s, dir).createOrReplaceTempView("embeddings")
+      graft.catalog.VectorCatalog.init("embeddings", "embedding",
+        VectorConfig(Dim, idCol = "vec_id"))
+      graft.sql.GraftTableFunctions.register(s)
+      val (codes, p) = quantCodesDf(s, dir)
+      codes.createOrReplaceTempView("vector0_embeddings_embedding")
+      graft.catalog.VectorCatalog.putQuantParams("embeddings", "embedding", p)
+      val probeJson = probe.mkString("[", ",", "]")
+      s.sql(s"SELECT id, distance FROM vector_quantize_scan('embeddings', 'embedding', '$probeJson', $K)")
     }),
 
     // F2: vector_backend
@@ -310,6 +350,35 @@ object Queries {
       val qp = lit(Quantizer.quantizeProbe(probe, p))
       codes.select(col("id").as("vec_id"),
         vector_distance_packed(col("code"), qp, "cosine", "i8").cast("double").as("cos_dist"))
+    }),
+
+    // ---- packed FLOAT32: the reference's DEFAULT storage type
+    // (sqlite-vector.c:1102), float-accumulation kernels
+    // (distance-cpu.c:39-159). Over grid256 data every float partial sum is
+    // exactly representable (granularity 2^-16, magnitude < 2^8 → ≤ 24-bit
+    // mantissa), so float accumulation == the oracle's double restatement ----
+    "packed_f32_sq_l2" -> ((s, dir) => {
+      val pl = lit(graft.codec.VectorCodec.pack(probe, ElemType.F32))
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          vector_distance_packed(pack_vector(grid256(col("embedding")), "f32"), pl, "sq_l2", "f32")
+            .cast("double").as("dist_sq"))
+    }),
+
+    "packed_f32_l2" -> ((s, dir) => {
+      val pl = lit(graft.codec.VectorCodec.pack(probe, ElemType.F32))
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          vector_distance_packed(pack_vector(grid256(col("embedding")), "f32"), pl, "l2", "f32")
+            .cast("double").as("distance"))
+    }),
+
+    "packed_f32_dot" -> ((s, dir) => {
+      val pl = lit(graft.codec.VectorCodec.pack(probe, ElemType.F32))
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          vector_distance_packed(pack_vector(grid256(col("embedding")), "f32"), pl, "dot", "f32")
+            .cast("double").as("neg_dot"))
     }),
 
     // f16: grid-quantize → pack binary16 → L2 kernel (double accumulation,
@@ -545,6 +614,21 @@ object Queries {
 
     "quant_knn_l2" -> quantKnnSql,
 
+    "quant_lifecycle" -> quantKnnSql,
+
+    "sql_tvf_knn" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id AS id, ${distSql("l2")} AS distance FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT id, distance FROM d ORDER BY distance, id LIMIT $K""".stripMargin,
+
+    "sql_tvf_quant_knn" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
+         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
+         |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p)
+         |SELECT vec_id AS id,
+         |  sqrt(CAST(list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i]))) AS DOUBLE)) AS distance
+         |FROM qc, qp ORDER BY distance, id LIMIT $K""".stripMargin,
+
     "quant_stream_sq_l2" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
          |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
@@ -598,6 +682,27 @@ object Queries {
          |  FROM qc, qp)
          |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS cos_dist FROM cv""".stripMargin
     },
+
+    "packed_f32_sq_l2" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id,
+         |  list_sum(list_transform(generate_series(1,$Dim), i -> ($gridSql - pv[i]) * ($gridSql - pv[i]))) AS v
+         |  FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS dist_sq FROM d""".stripMargin,
+
+    "packed_f32_l2" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id,
+         |  sqrt(list_sum(list_transform(generate_series(1,$Dim), i -> ($gridSql - pv[i]) * ($gridSql - pv[i])))) AS v
+         |  FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS distance FROM d""".stripMargin,
+
+    "packed_f32_dot" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id,
+         |  -(list_sum(list_transform(generate_series(1,$Dim), i -> $gridSql * pv[i]))) AS v
+         |  FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS neg_dot FROM d""".stripMargin,
 
     "packed_f16_l2" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),

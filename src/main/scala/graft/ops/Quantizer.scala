@@ -60,15 +60,34 @@ object Quantizer {
 
   /** Q1 `vector_quantize`: full rebuild of the quant store + sidecar.
     * Returns the quantized row count like the reference (:1456).
+    *
+    * `maxMemory`/`dim` reproduce the reference's batch sizing
+    * (`max_vectors = max_memory / (8 + dim)`, sqlite-vector.c:1160-1186):
+    * each output file holds at most one "batch" of records, so a scan can
+    * bound its memory per split exactly like the chunked shadow-table read.
+    * Parquet's write-then-rename directory commit stands in for the
+    * BEGIN/COMMIT + DROP/CREATE transaction (:1418-1437).
     */
   def quantize(df: DataFrame, idCol: String, vecCol: String, quantPath: String,
-               qType: QType = QType.Auto, table: String = "", column: String = ""): (QuantParams, Long) = {
+               qType: QType = QType.Auto, table: String = "", column: String = "",
+               maxMemory: Long = 30L * 1024 * 1024, dim: Int = -1): (QuantParams, Long) = {
     val p = computeParams(df, vecCol, qType)
-    quantizeCodes(df, idCol, vecCol, p).write.mode(SaveMode.Overwrite).parquet(quantPath)
+    val writer = quantizeCodes(df, idCol, vecCol, p).write.mode(SaveMode.Overwrite)
+    val sized = if (dim > 0) writer.option("maxRecordsPerFile", math.max(1L, maxMemory / (8L + dim)))
+                else writer
+    sized.parquet(quantPath)
     VectorCatalog.writeSidecar(s"$quantPath/_vector_meta.json", p)
     if (table.nonEmpty) VectorCatalog.putQuantParams(table, column, p)
     (p, p.rows)
   }
+
+  /** Config-driven form: a registered VectorConfig supplies qtype, the
+    * memory budget and the dimension (the `vector_quantize(t, c, opts)`
+    * surface).
+    */
+  def quantize(df: DataFrame, idCol: String, vecCol: String, quantPath: String,
+               cfg: graft.VectorConfig, table: String, column: String): (QuantParams, Long) =
+    quantize(df, idCol, vecCol, quantPath, cfg.qType, table, column, cfg.maxMemory, cfg.dim)
 
   /** Q3: quantize the probe vector with the stored params
     * (sqlite-vector.c:2159-2177).

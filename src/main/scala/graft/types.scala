@@ -72,7 +72,8 @@ final case class VectorConfig(
     metric: Metric = Metric.L2,
     normalized: Boolean = false,
     qType: QType = QType.Auto,
-    maxMemory: Long = 30L * 1024 * 1024
+    maxMemory: Long = 30L * 1024 * 1024,
+    idCol: String = "id"
 ) {
   require(dim > 0, s"dimension must be > 0, got $dim")
 }
@@ -91,6 +92,7 @@ object VectorConfig {
     var normalized = false
     var qt: QType = QType.Auto
     var maxMem = 30L * 1024 * 1024
+    var idCol = "id"
     opts.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
       val i = kv.indexOf('=')
       if (i > 0) {
@@ -103,12 +105,15 @@ object VectorConfig {
           case "normalized"        => normalized = v == "1" || v.equalsIgnoreCase("true")
           case "qtype"             => qt = QType.parse(v)
           case "max_memory"        => maxMem = humanToNumber(v)
+          // our explicit analogue of the reference's rowid/pk resolution
+          // (sqlite-vector.c:1079-1088): Spark tables have no implicit rowid
+          case "id_column"         => idCol = v
           case _                   => // unknown keys ignored (reference behavior)
         }
       }
     }
     require(dim > 0, "dimension is mandatory (sqlite-vector.c:2508-2516)")
-    VectorConfig(dim, et, metric, normalized, qt, maxMem)
+    VectorConfig(dim, et, metric, normalized, qt, maxMem, idCol)
   }
 
   /** sqlite-vector.c:916-933 */

@@ -81,6 +81,15 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // Q2: preload memory accounting = sum(8 + len(code))
     assert(Quantizer.memoryBytes(quantDF) == n * (8 + Queries.Dim))
+
+    // max_memory bounds records per output file like the reference's batch
+    // sizing (max_vectors = max_memory / (8 + dim), sqlite-vector.c:1160-1186)
+    val dir2 = java.nio.file.Files.createTempDirectory("quantb").toString
+    Quantizer.quantize(emb, "vec_id", "embedding", s"$dir2/q", QType.Auto,
+      maxMemory = (8L + Queries.Dim) * 10, dim = Queries.Dim)
+    val batched = spark.read.parquet(s"$dir2/q")
+    assert(batched.inputFiles.length > quantDF.inputFiles.length)
+    assert(batched.count() == n)
   }
 
   test("quantized codes match driver-side Quantize.codes exactly") {
@@ -292,6 +301,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // f16 round-trip through SQL surface
     val h = spark.sql("SELECT vector_distance(vector_as_f16('[1.5, -2.25]'), vector_as_f16('[1.5, -2.25]'), 'l2') AS d").head()
     assert(h.getDouble(0) == 0.0)
+  }
+
+  test("SQL TVF surface: vector_full_scan / vector_quantize_scan in pure SQL") {
+    emb.createOrReplaceTempView("emb_tvf")
+    catalog.VectorCatalog.init("emb_tvf", "embedding", VectorConfig(64, idCol = "vec_id"))
+    graft.sql.GraftTableFunctions.register(spark)
+    val probeJson = probe.mkString("[", ",", "]")
+    val got = spark.sql(
+      s"SELECT id, distance FROM vector_full_scan('emb_tvf', 'embedding', '$probeJson', 5)")
+      .collect().map(_.getLong(0)).toSeq
+    val want = Knn.fullScan(emb, "vec_id", "embedding", probe, 5, "l2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    // quantized TVF over the shadow view (reference naming vector0_<t>_<c>)
+    val p = Quantizer.computeParams(emb, "embedding")
+    Quantizer.quantizeCodes(emb, "vec_id", "embedding", p)
+      .createOrReplaceTempView("vector0_emb_tvf_embedding")
+    catalog.VectorCatalog.putQuantParams("emb_tvf", "embedding", p)
+    val gotQ = spark.sql(
+      s"SELECT id, distance FROM vector_quantize_scan('emb_tvf', 'embedding', '$probeJson', 5)")
+      .collect().map(_.getLong(0)).toSeq
+    val codes = Quantizer.quantizeCodes(emb, "vec_id", "embedding", p)
+    val wantQ = Quantizer.quantScan(codes, probe, p, 5, "l2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotQ == wantQ)
+    // scanning an unregistered (table, column) errors like the reference
+    assertThrows[IllegalArgumentException](
+      spark.sql("SELECT * FROM vector_full_scan('nope', 'c', '[1]', 3)"))
   }
 
   // ---------- packed-vector reference-fidelity path ----------
