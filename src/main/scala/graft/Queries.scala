@@ -381,6 +381,14 @@ object Queries {
             .cast("double").as("neg_dot"))
     }),
 
+    // K1 over a packed f32 BLOB column (the reference's base-table shape)
+    "packed_knn_f32" -> ((s, dir) => {
+      val packed = emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"), pack_vector(grid256(col("embedding")), "f32").as("blob"))
+      Knn.fullScanPacked(packed, "vec_id", "blob", probe, K, "sq_l2", "f32")
+        .select(col("vec_id"), col("distance").cast("double").as("dist_sq"))
+    }),
+
     // f16: grid-quantize → pack binary16 → L2 kernel (double accumulation,
     // distance-cpu.c:164-197) — float-fidelity path, no rounding in output
     "packed_f16_l2" -> ((s, dir) => {
@@ -703,6 +711,14 @@ object Queries {
          |  -(list_sum(list_transform(generate_series(1,$Dim), i -> $gridSql * pv[i]))) AS v
          |  FROM embeddings, p WHERE embedding IS NOT NULL)
          |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS neg_dot FROM d""".stripMargin,
+
+    "packed_knn_f32" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id,
+         |  list_sum(list_transform(generate_series(1,$Dim), i -> ($gridSql - pv[i]) * ($gridSql - pv[i]))) AS v
+         |  FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT vec_id, dist_sq FROM (SELECT vec_id, ${clampSql(asF32Sql("v"))} AS dist_sq FROM d)
+         |ORDER BY dist_sq, vec_id LIMIT $K""".stripMargin,
 
     "packed_f16_l2" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),

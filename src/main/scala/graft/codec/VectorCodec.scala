@@ -106,6 +106,31 @@ object VectorCodec {
     out
   }
 
+  private val typesById: Array[ElemType] =
+    Array(ElemType.F32, ElemType.F16, ElemType.BF16, ElemType.I8, ElemType.U8)
+
+  /** The vector_as_* evaluation (shared by ToVector's interpreted eval and
+    * its generated code): JSON text → parse + range-check + round-trip
+    * through the target representation; packed blob → size-check + unpack.
+    * Type id per Distances.typeId.
+    */
+  def toVectorJ(v: Object, typeId: Int, expectDim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val et = typesById(typeId)
+    val floats: Array[Float] = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val parsed = parseJson(s.toString, expectDim)
+        checkRange(parsed, et)
+        // round-trip through the target representation, like packing does
+        unpack(pack(parsed, et), et)
+      case b: Array[Byte] =>
+        checkBlob(b, et, expectDim)
+        unpack(b, et)
+      case other =>
+        throw new IllegalArgumentException(s"vector_as_*: unsupported input ${other.getClass}")
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(floats)
+  }
+
   /** i8/u8 range checks per sqlite-vector.c:1601-1615. */
   def checkRange(v: Array[Float], et: ElemType): Unit = et match {
     case ElemType.I8 =>

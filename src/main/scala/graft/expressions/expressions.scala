@@ -527,25 +527,18 @@ case class ArrayMinMax(child: Expression)
   * representation like the reference's packing does).
   */
 case class ToVector(child: Expression, target: ElemType, expectDim: Int = -1)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = s"vector_as_${target.name.toLowerCase}"
 
-  override def nullSafeEval(v: Any): Any = {
-    val floats: Array[Float] = v match {
-      case s: UTF8String =>
-        val parsed = VectorCodec.parseJson(s.toString, expectDim)
-        VectorCodec.checkRange(parsed, target)
-        // round-trip through the target representation, like packing does
-        VectorCodec.unpack(VectorCodec.pack(parsed, target), target)
-      case b: Array[Byte] =>
-        VectorCodec.checkBlob(b, target, expectDim)
-        VectorCodec.unpack(b, target)
-      case other =>
-        throw new IllegalArgumentException(s"vector_as_*: unsupported input ${other.getClass}")
-    }
-    new GenericArrayData(floats)
+  override def nullSafeEval(v: Any): Any =
+    VectorCodec.toVectorJ(v.asInstanceOf[AnyRef], Distances.typeId(target), expectDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tId = Distances.typeId(target)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.codec.VectorCodec.toVectorJ($c, $tId, $expectDim);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

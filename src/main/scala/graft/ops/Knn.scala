@@ -31,6 +31,20 @@ object Knn {
            .select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
          col("distance"), col(idCol), k)
 
+  /** K1 over the reference's native storage form: a packed BLOB column,
+    * ranked by the (metric × element-type) kernel dispatch — same
+    * TakeOrderedAndProject shape, distance computed straight off the bytes.
+    */
+  def fullScanPacked(df: DataFrame, idCol: String, blobCol: String,
+                     probe: Array[Float], k: Int, metric: String, elemType: String): DataFrame = {
+    val et = graft.ElemType.parse(elemType)
+    val pl = lit(graft.codec.VectorCodec.pack(probe, et))
+    topK(df.where(col(blobCol).isNotNull)
+           .select(col(idCol),
+             graft.functions.vector_distance_packed(col(blobCol), pl, metric, elemType).as("distance")),
+         col("distance"), col(idCol), k)
+  }
+
   /** K3 `vector_full_scan_stream`: distance annotation with no sort/limit —
     * composes with arbitrary downstream filters/aggregates.
     */
