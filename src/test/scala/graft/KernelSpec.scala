@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.codec.{Fp16, VectorCodec}
-import graft.kernels.Distances
+import graft.kernels.{Distances, Sketches}
 
 /** Kernel edge-semantics tests — the fixture table from FIXTURES.md §B,
   * derived from the reference's distance-cpu.c.
@@ -109,6 +109,73 @@ class KernelSpec extends AnyFunSuite {
       var sq = 0.0; var i = 0
       while (i < n) { val d = a(i).toDouble - b(i).toDouble; sq += d * d; i += 1 }
       assert(Distances.sqL2Double(a, b) == sq)
+    }
+  }
+
+  // ---------- sketch kernels ----------
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  test("shingleHashes: ascii-strip + lowercase + distinct n-gram semantics") {
+    def hashes(s: String, n: Int): Set[Long] = {
+      val ad = Sketches.shingleHashes(s.getBytes("UTF-8"), n)
+      (0 until ad.numElements()).map(ad.getLong).toSet
+    }
+    // case-insensitive, non-ASCII stripped, duplicates collapsed
+    assert(hashes("ABCabc", 3) == hashes("abcabc", 3))
+    assert(hashes("abécd", 3) == hashes("abcd", 3))
+    assert(hashes("aaaa", 3) == hashes("aaa", 3)) // only shingle "aaa"
+    // distinct-count parity with the string-set definition
+    val text = "the quick brown fox jumps over the lazy dog"
+    val strSet = text.toLowerCase.sliding(3).toSet
+    assert(hashes(text, 3).size == strSet.size)
+    // short text -> single whole-string shingle
+    assert(hashes("ab", 3).size == 1)
+    // output is sorted
+    val ad = Sketches.shingleHashes(text.getBytes("UTF-8"), 3)
+    val arr = (0 until ad.numElements()).map(ad.getLong)
+    assert(arr == arr.sorted)
+  }
+
+  test("sortedIntersectCount == set intersection; matchCount is positional") {
+    val a = Array(1L, 3L, 5L, 7L, 9L)
+    val b = Array(2L, 3L, 4L, 7L, 10L, 11L)
+    assert(Sketches.sortedIntersectCount(new GenericArrayData(a), new GenericArrayData(b)) == 2L)
+    assert(Sketches.matchCount(new GenericArrayData(a), new GenericArrayData(Array(1L, 4L, 5L))) == 2L)
+  }
+
+  test("minhash signature estimates jaccard within sampling error") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(300)(rnd.nextLong())
+    val overlap = base.take(210) ++ Array.fill(90)(rnd.nextLong()) // true j = 210/390 ≈ 0.538
+    val sa = Sketches.minhash(new GenericArrayData(base), 256)
+    val sb = Sketches.minhash(new GenericArrayData(overlap), 256)
+    val est = Sketches.matchCount(sa, sb).toDouble / 256
+    assert(math.abs(est - 210.0 / 390.0) < 0.12, s"est $est")
+    // identical sets -> identical signatures
+    assert(Sketches.matchCount(sa, Sketches.minhash(new GenericArrayData(base.reverse), 256)) == 256L)
+  }
+
+  test("hyperplane signature: deterministic planes, ArrayData and probe paths agree") {
+    val planes = Sketches.planes(8, 16, 42L)
+    assert(Sketches.planes(8, 16, 42L).flatten.toSeq == planes.flatten.toSeq) // spec-fixed PRNG
+    val v = Array.tabulate(16)(i => (i - 8) / 4.0f)
+    val fromArray = Sketches.hyperplaneSig(new GenericArrayData(v), planes)
+    assert(fromArray == Sketches.hyperplaneSig(v, planes))
+    // negating the vector flips every decided bit
+    val neg = Sketches.hyperplaneSig(v.map(-_), planes)
+    assert((fromArray & neg) == 0L)
+  }
+
+  test("tokenHash61 stays in [0, 2^61) and is restatable integer math") {
+    val toks = Seq("", "a", "hello", "x" * 500)
+    toks.foreach { t =>
+      val h = graft.ops.Dedup.tokenHash61(t)
+      assert(h >= 0L && h < (1L << 61), s"'$t' -> $h")
+      // restate: h = (poly31 mod 1e9+7) * 2^31 + (poly131 mod 2^31-1)
+      val h1 = t.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+      val h2 = t.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % 2147483647L)
+      assert(h == h1 * 2147483648L + h2)
     }
   }
 }

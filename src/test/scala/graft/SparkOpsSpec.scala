@@ -54,6 +54,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == emb.count() / 2)
   }
 
+  test("flagship plan shapes: TakeOrderedAndProject, broadcast join-back, column pruning") {
+    val knn = Knn.fullScan(emb, "vec_id", "embedding", probe, 10, "l2")
+    val plan = knn.queryExecution.executedPlan.toString
+    // top-k must fuse to per-partition bounded heaps + driver merge, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // join-back of k rows must broadcast, never shuffle the base table
+    val joined = Knn.joinBack(knn, spark.read.parquet(s"$sfDir/documents.parquet"), "vec_id", "doc_id")
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // column pruning reaches the scan: only (vec_id, embedding) read
+    val scan = knn.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("vec_id", "embedding"))
+  }
+
   // ---------- Q1/K2: quantization pipeline + recall harness ----------
 
   test("quantize pipeline: params, store, sidecar round-trip, recall > 0.95") {
@@ -308,9 +323,11 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     catalog.VectorCatalog.init("emb_tvf", "embedding", VectorConfig(64, idCol = "vec_id"))
     graft.sql.GraftTableFunctions.register(spark)
     val probeJson = probe.mkString("[", ",", "]")
-    val got = spark.sql(
+    val tvfDf = spark.sql(
       s"SELECT id, distance FROM vector_full_scan('emb_tvf', 'embedding', '$probeJson', 5)")
-      .collect().map(_.getLong(0)).toSeq
+    // the TVF expands to the same fused top-k physical plan as the DataFrame API
+    assert(tvfDf.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val got = tvfDf.collect().map(_.getLong(0)).toSeq
     val want = Knn.fullScan(emb, "vec_id", "embedding", probe, 5, "l2")
       .collect().map(_.getLong(0)).toSeq
     assert(got == want)
