@@ -22,8 +22,10 @@ object Queries {
 
   val Dim = 64
   val K = 10
-  val AnnBits = 8  // hyperplane bits for the ANN bucket store
-  val CosBits = 8  // hyperplane bits for cosine near-dup blocking
+  val AnnBits = 8   // hyperplane bits for the ANN bucket store
+  val CosBits = 8   // hyperplane bits for cosine near-dup blocking
+  val IvfCells = 16 // IVF coarse-quantizer cells
+  val IvfProbes = 4 // IVF cells scanned per probe
 
   /** Probe vector: values in {-0.375..0.375} — exactly representable in
     * both decimal and binary floating point, and inside the embedding
@@ -547,6 +549,18 @@ object Queries {
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))
     }),
 
+    // IVF ANN: deterministic sampled centroids → codegen'd nearest-centroid
+    // assignment → cluster-PARTITIONED store → probe scans only the nprobe
+    // nearest cells (partition pruning). The second scale path next to LSH.
+    "ivf_knn" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val cents = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      Ann.writeIvf(e, "embedding", path, cents)
+      Ann.ivfTopK(s, path, "vec_id", "embedding", probe, K, "l2", cents, IvfProbes)
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
     // ---- multimodal: REAL container fixtures (valid PNG/JPEG/WAV bytes
     // built per doc_id) parsed by the real header codec; the oracle checks
     // the dimension formulas, so a parser reading the wrong offsets fails ----
@@ -857,6 +871,25 @@ object Queries {
          |      FROM sg, p WHERE bucket IN (SELECT bkt FROM pb))
          |SELECT vec_id, round(distance, 6) AS distance FROM d
          |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
+
+    "ivf_knn" -> {
+      def cdist(v: String) =
+        s"list_sum(list_transform(generate_series(1,$Dim), i -> ($v - CAST(ct.cv[i] AS DOUBLE)) * ($v - CAST(ct.cv[i] AS DOUBLE))))"
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |ctv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $IvfCells),
+         |ct AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv FROM ctv),
+         |ad AS (SELECT e.vec_id, e.embedding, ct.cid,
+         |  ${cdist("CAST(e.embedding[i] AS DOUBLE)")} AS d
+         |  FROM embeddings e, ct WHERE e.embedding IS NOT NULL),
+         |asg AS (SELECT vec_id, embedding, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+         |pd AS (SELECT ct.cid, ${cdist("pv[i]")} AS d FROM ct, p),
+         |pc AS (SELECT cid FROM pd ORDER BY d, cid LIMIT $IvfProbes),
+         |d2 AS (SELECT vec_id, ${distSql("l2")} AS distance
+         |       FROM asg AS embeddings, p WHERE cid IN (SELECT cid FROM pc))
+         |SELECT vec_id, round(distance, 6) AS distance FROM d2
+         |ORDER BY distance, vec_id LIMIT $K""".stripMargin
+    },
 
     "simhash_docs" -> {
       val chars = "list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))"

@@ -460,6 +460,35 @@ case class HyperplaneSignature(child: Expression, nBits: Int, dim: Int, seed: Lo
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment for IVF-style coarse quantization:
+  * `array<float>` → the index of the closest centroid (squared-L2,
+  * sequential double accumulation, ties to the lowest index — all exactly
+  * restatable in SQL with the centroid matrix as literals). Centroids are
+  * a value-equal Seq field, so expression equality stays sound.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "at least one centroid required")
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val mat: Array[Array[Float]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.nearestCentroid(v.asInstanceOf[ArrayData], mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", mat, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.nearestCentroid($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Single-traversal (min, max) over an `array<float>` with NaN lanes
   * skipped — the per-row half of quantization pass 1
   * (sqlite-vector.c:1199-1255; its min/max comparisons never select NaN,

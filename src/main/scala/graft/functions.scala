@@ -55,6 +55,9 @@ object functions {
   def hyperplane_signature(v: Column, nBits: Int, dim: Int, seed: Long = 42L): Column =
     col(HyperplaneSignature(expr(v), nBits, dim, seed))
 
+  def nearest_centroid(v: Column, centroids: Seq[Seq[Float]]): Column =
+    col(NearestCentroid(expr(v), centroids))
+
   def vector_as_f32(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F32, dim))
   def vector_as_f16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F16, dim))
   def vector_as_bf16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.BF16, dim))

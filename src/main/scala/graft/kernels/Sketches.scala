@@ -147,6 +147,45 @@ object Sketches {
     sig
   }
 
+  /** Nearest centroid by squared L2 (sequential double accumulation, ties
+    * to the lowest index). Static entry point for generated code.
+    */
+  def nearestCentroid(v: ArrayData, centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      val n = math.min(v.numElements(), ct.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v.getFloat(i).toDouble - ct(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Driver-side variant for the probe vector: squared-L2 to every
+    * centroid, same arithmetic as the expression path.
+    */
+  def centroidDistances(v: Array[Float], centroids: Array[Array[Float]]): Array[Double] =
+    centroids.map { ct =>
+      val n = math.min(v.length, ct.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v(i).toDouble - ct(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
   /** Driver-side signature of a probe vector. */
   def hyperplaneSig(v: Array[Float], planes: Array[Array[Double]]): Long = {
     var sig = 0L

@@ -70,4 +70,50 @@ object Ann {
       store.select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
       col("distance"), col(idCol), k)
   }
+
+  // ---------- IVF (inverted-file) coarse quantization ----------
+
+  /** Deterministic sampled centroids: the `c` vectors with the smallest
+    * ids (TakeOrdered — a c-row driver merge, cheap at any scale). A
+    * k-means refinement would tighten cells but break the independent SQL
+    * restatement; deterministic data-sampled seeds are the standard
+    * verifiable coarse quantizer.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, c: Int): Seq[Seq[Float]] =
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(c)
+      .collect()
+      .map(_.getSeq[Float](1).toSeq)
+      .toSeq
+
+  /** Assign each vector to its nearest centroid (codegen'd argmin). */
+  def withClusters(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]]): DataFrame =
+    df.withColumn("cluster", graft.functions.nearest_centroid(col(vecCol), centroids))
+
+  /** Materialize the IVF store partitioned by cluster. */
+  def writeIvf(df: DataFrame, vecCol: String, path: String, centroids: Seq[Seq[Float]]): Unit =
+    withClusters(df, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** The probe's `nprobe` nearest cells (ties to the lower index —
+    * identical arithmetic to the assignment expression).
+    */
+  def probeClusters(probe: Array[Float], centroids: Seq[Seq[Float]], nprobe: Int): Seq[Int] =
+    Sketches.centroidDistances(probe, centroids.map(_.toArray).toArray)
+      .zipWithIndex.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2).toSeq
+
+  /** IVF ANN top-k: scan only the `nprobe` nearest cells (partition-pruned
+    * like the LSH store), exact-rank the survivors.
+    */
+  def ivfTopK(spark: SparkSession, path: String, idCol: String, vecCol: String,
+              probe: Array[Float], k: Int, metric: String,
+              centroids: Seq[Seq[Float]], nprobe: Int): DataFrame = {
+    val store = spark.read.parquet(path)
+      .where(col("cluster").isin(probeClusters(probe, centroids, nprobe): _*))
+    Knn.topK(
+      store.select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
+      col("distance"), col(idCol), k)
+  }
 }

@@ -240,6 +240,57 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("IVF store prunes to nprobe cells and ranks exactly within them") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfstore").toString + "/store"
+    val e = emb.where(col("embedding").isNotNull)
+    val cents = Ann.ivfCentroids(e, "vec_id", "embedding", 16)
+    assert(cents.length == 16 && cents.forall(_.length == 64))
+    Ann.writeIvf(e, "embedding", dir, cents)
+    val q = Ann.ivfTopK(spark, dir, "vec_id", "embedding", probe, 10, "l2", cents, 4)
+    val got = q.collect().map(_.getLong(0)).toSeq
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.metrics("numFiles").value <= 4)
+    // equals brute force restricted to the probed cells
+    val probed = Ann.probeClusters(probe, cents, 4)
+    val assigned = Ann.withClusters(e, "embedding", cents).where(col("cluster").isin(probed: _*))
+    val expected = Knn.fullScan(assigned, "vec_id", "embedding", probe, 10, "l2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("distance annotation composes with Structured Streaming (stateless projection)") {
+    // K3/K4 are pull-based lazy scans in the reference (SURVEY §2.6); as
+    // stateless projections they run unchanged under readStream/writeStream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val sdf = ms.toDF().toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+    val annotated = Knn.distanceStream(sdf, "id", "vec", Array(1f, 0f), "sq_l2")
+    val q = annotated.writeStream.format("memory")
+      .queryName("dist_stream_test").outputMode("append").start()
+    try {
+      ms.addData((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM dist_stream_test").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows == Map(1L -> 0.0, 2L -> 2.0))
+    } finally q.stop()
+  }
+
+  test("no gated query plans a cartesian product or nested-loop join") {
+    // The r1/r2 scale-killers were cartesian self-joins hiding behind
+    // degenerate bucket keys; pin every gated plan against the whole class.
+    val banned = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+    Queries.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      banned.foreach(b => assert(!plan.contains(b), s"$name plans $b:\n$plan"))
+    }
+  }
+
   // ---------- text analysis ----------
 
   test("language id picks marker language") {
