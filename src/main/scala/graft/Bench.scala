@@ -83,7 +83,18 @@ object Bench {
       ops.Quantizer.quantScan(preloaded, probe, params, 10, "sq_l2").count())
     ops.Quantizer.cleanup(preloaded)
 
-    // 4. relational + text + dedup representatives from the inventory
+    // 4. partition-pruned ANN probes (the 100 TB scale path): index build
+    // untimed (a once-per-corpus batch job), probe timed — only ~9/256
+    // bucket dirs / 8/64 IVF cells are listed and read
+    ops.Ann.writeBucketed(vecs, "vec", s"$benchDir/ann", 8, Dim)
+    results("ann_lsh_probe_600k") = time(
+      ops.Ann.lshTopKPruned(spark, s"$benchDir/ann", "id", "vec", probe, 10, "cosine", 8).count())
+    val cents = ops.Ann.ivfCentroids(vecs, "id", "vec", 64)
+    ops.Ann.writeIvf(vecs, "vec", s"$benchDir/ivf", cents)
+    results("ivf_probe_600k") = time(
+      ops.Ann.ivfTopK(spark, s"$benchDir/ivf", "id", "vec", probe, 10, "l2", cents, 8).count())
+
+    // 5. relational + text + dedup representatives from the inventory
     val fromQueries = Seq("q1_pricing", "q3_revenue", "window_top_orders",
       "text_stats", "fingerprint", "ngram_jaccard_top", "minhash_lsh_pairs",
       "quantize_sums", "quant_knn_l2")

@@ -50,11 +50,15 @@ object Ann {
   }
 
   /** Materialize the bucketed table partitioned by bucket — the on-disk
-    * layout that makes probe scans read only probed partitions.
+    * layout that makes probe scans read only probed partitions. Rows are
+    * clustered by bucket before the write, so each bucket directory gets
+    * O(1) files instead of one per (task × bucket) — at scale the
+    * partitionBy write would otherwise explode into tasks×2^nBits files.
     */
   def writeBucketed(df: DataFrame, vecCol: String, path: String,
                     nBits: Int, dim: Int, seed: Long = 42L): Unit =
     withBuckets(df, vecCol, nBits, dim, seed)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** ANN top-k over a bucket-partitioned store: the IN-list on the
@@ -92,9 +96,12 @@ object Ann {
   def withClusters(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]]): DataFrame =
     df.withColumn("cluster", graft.functions.nearest_centroid(col(vecCol), centroids))
 
-  /** Materialize the IVF store partitioned by cluster. */
+  /** Materialize the IVF store partitioned by cluster (clustered before
+    * the write — see [[writeBucketed]] on the small-files explosion).
+    */
   def writeIvf(df: DataFrame, vecCol: String, path: String, centroids: Seq[Seq[Float]]): Unit =
     withClusters(df, vecCol, centroids)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** The probe's `nprobe` nearest cells (ties to the lower index —
