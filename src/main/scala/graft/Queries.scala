@@ -153,6 +153,24 @@ object Queries {
        |ORDER BY jaccard DESC, a, b LIMIT $limit""".stripMargin
   }
 
+  /** Per-doc SimHash restatement: polynomial token hashes (bases 31/131,
+    * exact BIGINT arithmetic — Dedup.tokenHash61) → per-bit majority vote.
+    */
+  private val simhashSelect: String = {
+    val chars = "list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))"
+    def poly(base: Int, mod: Long) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $chars), (acc, c) -> (acc * $base + c) % $mod)"
+    s"""tk AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(trim(regexp_replace(text, '[^ -~]', '', 'g')), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |hs AS (SELECT doc_id, list_transform(toks, t ->
+       |  (${poly(31, 1000000007L)} * 2147483648) + ${poly(131, 2147483647L)}) AS hl FROM tk),
+       |sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63), b ->
+       |  CASE WHEN 2 * len(list_filter(hl, h -> ((h >> b) & 1) = 1)) - len(hl) > 0
+       |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+       |FROM hs)""".stripMargin
+  }
+
   // ---------------- hyperplane-LSH SQL restatement ----------------
 
   /** The plane matrix as a SQL literal VALUES table `(b, plv)` — planes are
@@ -538,6 +556,13 @@ object Queries {
         shUdf(Dedup.simhashTokens(col("text"))).as("simhash"))
     }),
 
+    // SimHash near-dup pairs via pigeonhole chunk blocking — the blocking
+    // is EXACT (any pair within hamming k shares one of k+1 chunks), so
+    // the all-pairs oracle must agree row for row
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3)
+        .orderBy(col("a"), col("b"))),
+
     // ANN over a bucket-PARTITIONED parquet store: the probe's multi-probe
     // IN-list prunes partition directories before any row is read — the
     // 100 TB path (only (nBits+1)/2^nBits of the store is scanned)
@@ -891,20 +916,17 @@ object Queries {
          |ORDER BY distance, vec_id LIMIT $K""".stripMargin
     },
 
-    "simhash_docs" -> {
-      val chars = "list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))"
-      def poly(base: Int, mod: Long) =
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $chars), (acc, c) -> (acc * $base + c) % $mod)"
-      s"""WITH tk AS (SELECT doc_id,
-         |  list_filter(regexp_split_to_array(trim(regexp_replace(text, '[^ -~]', '', 'g')), '\\s+'), t -> t <> '') AS toks
-         |  FROM documents),
-         |hs AS (SELECT doc_id, list_transform(toks, t ->
-         |  (${poly(31, 1000000007L)} * 2147483648) + ${poly(131, 2147483647L)}) AS hl FROM tk)
-         |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63), b ->
-         |  CASE WHEN 2 * len(list_filter(hl, h -> ((h >> b) & 1) = 1)) - len(hl) > 0
-         |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-         |FROM hs""".stripMargin
-    },
+    "simhash_docs" ->
+      s"""WITH $simhashSelect
+         |SELECT doc_id, simhash FROM sh""".stripMargin,
+
+    "simhash_pairs" ->
+      s"""WITH $simhashSelect
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
 
     "multimodal_meta" -> {
       val pngLen = MediaCodec.pngFixture(1, 1).length

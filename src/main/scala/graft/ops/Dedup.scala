@@ -188,8 +188,14 @@ object Dedup {
   /** SimHash near-dup candidate pairs: hamming distance ≤ maxHamming.
     * Blocking: split the 64-bit hash into (maxHamming+1) chunks — by
     * pigeonhole, any pair within distance maxHamming shares at least one
-    * exact chunk — bucket-join on (chunk index, chunk value).
-    * Columns out: (a, b, hamming).
+    * exact chunk — bucket-join on (chunk index, chunk value). The blocking
+    * is exact (zero false negatives), unlike MinHash banding.
+    *
+    * Scale envelope: with maxHamming=3 the chunk space is 2^16 per chunk
+    * index; expected bucket occupancy is n/65536, so the per-bucket join
+    * stays linear-ish up to n ≈ 10^8-10^9 docs. Beyond that, lower
+    * maxHamming (wider chunks) or recurse the pigeonhole (split each chunk
+    * again and require two matches) to keep buckets bounded.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
@@ -223,6 +229,11 @@ object Dedup {
     * (use [[graft.functions.hyperplane_signature]] — at scale the table is
     * written `partitionBy(bucket)` so the join never leaves a partition),
     * then exact cosine ≥ minSim.
+    *
+    * Size nBits to the corpus: expected occupancy is n/2^nBits and the
+    * per-bucket join is quadratic in occupancy, so pick
+    * nBits ≈ log2(n) − 10..14 (e.g. 24-30 bits for 10^9-10^10 rows; more
+    * bits trade recall for speed like any sign-LSH).
     * Columns out: (a, b, cosine_sim).
     */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
