@@ -133,6 +133,95 @@ object Queries {
        |  CASE WHEN mx - mn = 0 THEN 1.0 ELSE 255.0/(mx - mn) END AS q_scale,
        |  mn AS q_offset, 0 AS lo, 255 AS hi FROM mm)""".stripMargin
 
+  // ---------------- packed grid-data kernel gating ----------------
+
+  /** Gated query through one packed (metric × element-type) kernel over
+    * grid256 data: every arithmetic step is exact (see grid256), so the
+    * float/double kernel result is restated bit-for-bit by
+    * [[packedGridSql]]. Covers the f32/f16/bf16 rows of the 25-kernel
+    * dispatch table (distance-cpu.c:21).
+    */
+  private def packedGridQuery(metric: String, et: String, outCol: String)
+                             (s: SparkSession, dir: String): DataFrame = {
+    val pl = lit(graft.codec.VectorCodec.pack(probe, ElemType.parse(et)))
+    emb(s, dir).where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        vector_distance_packed(pack_vector(grid256(col("embedding")), et), pl, metric, et)
+          .cast("double").as(outCol))
+  }
+
+  private def packedGridSql(metric: String, outCol: String): String = {
+    def lsum(term: String) =
+      s"list_sum(list_transform(generate_series(1,$Dim), i -> $term))"
+    val v = metric match {
+      case "sq_l2" => lsum(s"($gridSql - pv[i]) * ($gridSql - pv[i])")
+      case "l2"    => s"sqrt(${lsum(s"($gridSql - pv[i]) * ($gridSql - pv[i])")})"
+      case "l1"    => lsum(s"abs($gridSql - pv[i])")
+      case "dot"   => s"-(${lsum(s"$gridSql * pv[i]")})"
+      case "cosine" =>
+        val dot = lsum(s"$gridSql * pv[i]")
+        val na = lsum(s"$gridSql * $gridSql")
+        val nb = lsum("pv[i] * pv[i]")
+        s"""(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 1.0
+           | ELSE 1.0 - greatest(-1.0, least(1.0, ($dot) / (sqrt($na) * sqrt($nb)))) END)""".stripMargin
+    }
+    s"""WITH p AS (SELECT $probeSqlList AS pv),
+       |d AS (SELECT vec_id, $v AS v FROM embeddings, p WHERE embedding IS NOT NULL)
+       |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS $outCol FROM d""".stripMargin
+  }
+
+  /** Gated query through one packed integer-code kernel (i8/u8 rows of the
+    * dispatch table): exact integer accumulation, restated by
+    * [[packedCodeSql]].
+    */
+  private def packedCodeQuery(metric: String, qt: QType, outCol: String)
+                             (s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val p = Quantizer.computeParams(e, "embedding", qt)
+    val codes = Quantizer.quantizeCodes(e, "vec_id", "embedding", p)
+    val qp = lit(Quantizer.quantizeProbe(probe, p))
+    val et = if (p.qType == QType.I8) "i8" else "u8"
+    codes.select(col("id").as("vec_id"),
+      vector_distance_packed(col("code"), qp, metric, et).cast("double").as(outCol))
+  }
+
+  private def packedCodeSql(metric: String, qt: QType, outCol: String): String = {
+    val cte = if (qt == QType.U8) paramsU8Cte else paramsCte
+    def lsum(term: String) =
+      s"list_sum(list_transform(generate_series(1,$Dim), i -> $term))"
+    val v = metric match {
+      case "sq_l2" => s"CAST(${lsum("(qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i])")} AS DOUBLE)"
+      case "l2"    => s"sqrt(CAST(${lsum("(qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i])")} AS DOUBLE))"
+      case "l1"    => s"CAST(${lsum("abs(qc.c[i] - qp.c[i])")} AS DOUBLE)"
+      case "dot"   => s"CAST(-(${lsum("qc.c[i] * qp.c[i]")}) AS DOUBLE)"
+      case "cosine" =>
+        val dot = lsum("qc.c[i] * qp.c[i]")
+        val na = lsum("qc.c[i] * qc.c[i]")
+        val nb = lsum("qp.c[i] * qp.c[i]")
+        s"""(CASE WHEN $na = 0 OR $nb = 0 THEN 1.0
+           | ELSE 1.0 - greatest(-1.0, least(1.0,
+           |   CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))))) END)""".stripMargin
+    }
+    s"""WITH p AS (SELECT $probeSqlList AS pv), $cte,
+       |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
+       |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p),
+       |d AS (SELECT vec_id, $v AS v FROM qc, qp)
+       |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS $outCol FROM d""".stripMargin
+  }
+
+  /** The remaining un-gated (metric, type) combos of the 25-kernel table —
+    * everything except f32-cosine, whose float-division rounding is not
+    * portably restatable (the array-path knn_cosine gates those semantics
+    * in double).
+    */
+  private val packedGridCombos: Seq[(String, String)] = Seq(
+    "sq_l2" -> "f16", "dot" -> "f16", "l1" -> "f16", "cosine" -> "f16",
+    "sq_l2" -> "bf16", "dot" -> "bf16", "l1" -> "bf16", "cosine" -> "bf16",
+    "l1" -> "f32")
+  private val packedCodeCombos: Seq[(String, QType)] = Seq(
+    "l1" -> QType.I8, "l2" -> QType.I8,
+    "dot" -> QType.U8, "cosine" -> QType.U8, "l2" -> QType.U8)
+
   // ---------------- dedup SQL restatement ----------------
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold — the oracle restatement of
@@ -227,7 +316,17 @@ object Queries {
 
   // ---------------- the inventory ----------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++
+      packedGridCombos.map { case (m, et) =>
+        s"packed_${et}_$m" -> (packedGridQuery(m, et, "dist") _)
+      }.toMap ++
+      packedCodeCombos.map { case (m, qt) =>
+        val n = if (qt == QType.I8) "i8" else "u8"
+        s"packed_${n}_$m" -> (packedCodeQuery(m, qt, "dist") _)
+      }.toMap
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // K1: exact brute-force k-NN, all 5 metrics (vector_full_scan)
     "knn_l2" -> knnQuery("l2") _,
     "knn_sq_l2" -> knnQuery("sq_l2") _,
@@ -950,5 +1049,12 @@ object Queries {
         |  CAST(coalesce(list_sum(list_transform(generate_series(1, len(cs)),
         |    i -> ((i - 1) % 16 + 1) * cs[i])), 0) AS DOUBLE) / 256 AS feat_wsum
         |FROM ch""".stripMargin
-  )
+  ) ++
+    packedGridCombos.map { case (m, et) =>
+      s"packed_${et}_$m" -> packedGridSql(m, "dist")
+    }.toMap ++
+    packedCodeCombos.map { case (m, qt) =>
+      val n = if (qt == QType.I8) "i8" else "u8"
+      s"packed_${n}_$m" -> packedCodeSql(m, qt, "dist")
+    }.toMap
 }
