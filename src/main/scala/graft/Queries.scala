@@ -385,6 +385,18 @@ object Queries {
         .select(col("id").as("vec_id"), col("distance").as("dist_sq"))
     }),
 
+    // S5 vector_quantize_preload: pin the code table in executor memory and
+    // scan the cached copy — results must equal the uncached scan
+    // (sqlite-vector.c:1338-1404; preload changes locality, never values)
+    "quant_preload" -> ((s, dir) => {
+      val (codes, p) = quantCodesDf(s, dir)
+      val preloaded = Quantizer.preload(codes)
+      Knn.topK(
+        preloaded.select(col("id").as("vec_id"),
+          code_distance(col("code"), lit(Quantizer.quantizeProbe(probe, p)), "sq_l2", p.qType).as("dist_sq")),
+        col("dist_sq"), col("vec_id"), K)
+    }),
+
     // Q2: vector_quantize_memory = Σ(8 + len(code)) (sqlite-vector.c:1160-1161)
     "quant_memory" -> ((s, dir) => {
       val (codes, _) = quantCodesDf(s, dir)
@@ -761,6 +773,8 @@ object Queries {
     "quant_knn_l2" -> quantKnnSql,
 
     "quant_lifecycle" -> quantKnnSql,
+
+    "quant_preload" -> quantKnnSql,
 
     "sql_tvf_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),
