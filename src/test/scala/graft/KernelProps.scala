@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.codec.VectorCodec
+import graft.kernels.{Distances, Quantize, Sketches}
+
+/** Property-based invariants for the pure kernel layer (no Spark session).
+  */
+object KernelProps extends Properties("kernels") {
+
+  private val finiteFloat: Gen[Float] =
+    Gen.chooseNum(-1e4f, 1e4f).map(f => if (f.isNaN) 0f else f)
+  private val vec: Gen[Array[Float]] =
+    Gen.chooseNum(1, 96).flatMap(n => Gen.containerOfN[Array, Float](n, finiteFloat))
+
+  property("sortedIntersectCount == set intersection size") =
+    forAll { (a0: List[Long], b0: List[Long]) =>
+      val a = a0.distinct.sorted.toArray
+      val b = b0.distinct.sorted.toArray
+      Sketches.sortedIntersectCount(new GenericArrayData(a), new GenericArrayData(b)) ==
+        a.toSet.intersect(b.toSet).size.toLong
+    }
+
+  property("minhash signature is set-order invariant") =
+    forAll { (xs: List[Long], seed: Long) =>
+      val distinct = xs.distinct
+      val shuffled = new scala.util.Random(seed).shuffle(distinct)
+      val s1 = Sketches.minhash(new GenericArrayData(distinct.toArray), 64)
+      val s2 = Sketches.minhash(new GenericArrayData(shuffled.toArray), 64)
+      (0 until 64).forall(i => s1.getLong(i) == s2.getLong(i))
+    }
+
+  property("quantize round-trip error <= half a step inside the range") =
+    forAll(Gen.nonEmptyListOf(finiteFloat)) { xs =>
+      val mn = xs.min.toDouble; val mx = xs.max.toDouble
+      val p = Quantize.params(QType.Auto, mn, mx, hasNegative = mn < 0, rows = xs.length.toLong)
+      Prop.all(xs.map { x =>
+        val code = Quantize.code(x.toDouble, p)
+        val decoded = code.toDouble / p.scale + p.offset
+        Prop(math.abs(decoded - x.toDouble) <= 0.5 / p.scale + 1e-9) :|
+          s"x=$x code=$code decoded=$decoded scale=${p.scale} offset=${p.offset}"
+      }: _*)
+    }
+
+  property("JSON parse of rendered float array is the identity") =
+    forAll(vec) { v =>
+      VectorCodec.parseJson(v.mkString("[", ",", "]")).sameElements(v)
+    }
+
+  property("pack/unpack identity for f32; width contract for all types") =
+    forAll(vec) { v =>
+      val f32 = VectorCodec.unpack(VectorCodec.pack(v, ElemType.F32), ElemType.F32).sameElements(v)
+      val widths = ElemType.all.forall(et =>
+        VectorCodec.pack(v, et).length == v.length * et.bytesPerElem)
+      f32 && widths
+    }
+
+  property("packed distance is symmetric for symmetric metrics (all types)") =
+    forAll(vec, vec) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      // keep i8/u8 in their integral domains
+      def shrink(v: Array[Float], signed: Boolean): Array[Float] =
+        v.map(x => if (signed) (x % 127).toInt.toFloat else math.abs(x % 255).toInt.toFloat)
+      Prop.all(
+        (for {
+          et <- ElemType.all
+          m <- Seq(Metric.L2, Metric.SquaredL2, Metric.L1, Metric.Dot, Metric.Cosine)
+        } yield {
+          val (fa, fb) = et match {
+            case ElemType.I8 => (shrink(a, signed = true), shrink(b, signed = true))
+            case ElemType.U8 => (shrink(a, signed = false), shrink(b, signed = false))
+            case _           => (a, b)
+          }
+          val pa = VectorCodec.pack(fa, et); val pb = VectorCodec.pack(fb, et)
+          val d1 = Distances.onPacked(m, et)(pa, pb)
+          val d2 = Distances.onPacked(m, et)(pb, pa)
+          Prop(d1 == d2 || (d1.isNaN && d2.isNaN)) :| s"$m $et: $d1 vs $d2"
+        }): _*)
+    }
+
+  property("double kernels: zero self-distance and triangle-direction sanity") =
+    forAll(vec) { v =>
+      Distances.sqL2Double(v, v) == 0.0 &&
+        Distances.l1Double(v, v) == 0.0 &&
+        (v.forall(_ == 0f) || Distances.cosineDouble(v, v) < 1e-9)
+    }
+
+  property("hyperplane signature flips all decided bits under negation") =
+    forAll(vec, Gen.chooseNum(1, 16)) { (v, nBits) =>
+      val planes = Sketches.planes(nBits, v.length, 42L)
+      val s = Sketches.hyperplaneSig(v, planes)
+      val sn = Sketches.hyperplaneSig(v.map(x => -x), planes)
+      (s & sn) == 0L
+    }
+}
