@@ -133,6 +133,17 @@ object Queries {
        |  CASE WHEN mx - mn = 0 THEN 1.0 ELSE 255.0/(mx - mn) END AS q_scale,
        |  mn AS q_offset, 0 AS lo, 255 AS hi FROM mm)""".stripMargin
 
+  /** i8-forced params CTE — symmetric scale regardless of data sign,
+    * mirroring computeParams(_, _, QType.I8) (AUTO's sign test must NOT
+    * apply when the caller forces INT8).
+    */
+  private val paramsI8Cte =
+    s"""mm AS (SELECT CAST(min(u.x) AS DOUBLE) AS mn, CAST(max(u.x) AS DOUBLE) AS mx
+       |  FROM embeddings, UNNEST(embedding) AS u(x) WHERE NOT isnan(CAST(u.x AS DOUBLE))),
+       |par AS (SELECT 'INT8' AS qtype,
+       |  CASE WHEN greatest(abs(mn), abs(mx)) = 0 THEN 1.0 ELSE 127.0/greatest(abs(mn), abs(mx)) END AS q_scale,
+       |  0.0 AS q_offset, -128 AS lo, 127 AS hi FROM mm)""".stripMargin
+
   // ---------------- packed grid-data kernel gating ----------------
 
   /** Gated query through one packed (metric × element-type) kernel over
@@ -186,7 +197,9 @@ object Queries {
   }
 
   private def packedCodeSql(metric: String, qt: QType, outCol: String): String = {
-    val cte = if (qt == QType.U8) paramsU8Cte else paramsCte
+    // the Spark side forces the qtype, so the oracle must too — AUTO's
+    // sign-resolution CTE would diverge on all-non-negative datasets
+    val cte = if (qt == QType.U8) paramsU8Cte else paramsI8Cte
     def lsum(term: String) =
       s"list_sum(list_transform(generate_series(1,$Dim), i -> $term))"
     val v = metric match {
@@ -277,18 +290,21 @@ object Queries {
   /** Per-row bucket: bit b set iff sequential-double dot(embedding, plane_b)
     * > 0 — mirrors HyperplaneSignature's accumulation order exactly.
     */
+  // NB: NaN dots must NOT set the bit — the JVM's `acc > 0.0` is false for
+  // NaN while DuckDB evaluates NaN > 0 as TRUE, so guard with isnan.
   private val bucketSigCte =
     s"""sg AS (SELECT vec_id, embedding,
-       |  CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1,$Dim),
-       |    i -> CAST(embedding[i] AS DOUBLE) * plv[i])) > 0
-       |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM embeddings, pl WHERE embedding IS NOT NULL GROUP BY vec_id, embedding)""".stripMargin
+       |  CAST(sum(CASE WHEN dt > 0 AND NOT isnan(dt) THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (SELECT vec_id, embedding, b, list_sum(list_transform(generate_series(1,$Dim),
+       |    i -> CAST(embedding[i] AS DOUBLE) * plv[i])) AS dt
+       |    FROM embeddings, pl WHERE embedding IS NOT NULL)
+       |  GROUP BY vec_id, embedding)""".stripMargin
 
   /** Probe signature + multi-probe hamming-1 bucket list. */
   private val probeBucketsCte =
-    s"""psig AS (SELECT CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1,$Dim),
-       |  i -> pv[i] * plv[i])) > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sg0
-       |  FROM pl, p),
+    s"""psig AS (SELECT CAST(sum(CASE WHEN dt > 0 AND NOT isnan(dt) THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sg0
+       |  FROM (SELECT b, list_sum(list_transform(generate_series(1,$Dim),
+       |    i -> pv[i] * plv[i])) AS dt FROM pl, p)),
        |pb AS (SELECT sg0 AS bkt FROM psig
        |       UNION ALL SELECT xor(sg0, CAST(1 AS BIGINT) << b) FROM psig, pl)""".stripMargin
 
@@ -1055,13 +1071,15 @@ object Queries {
     },
 
     "multimodal_features" ->
-      """WITH ch AS (SELECT doc_id,
+      """WITH ch AS (SELECT doc_id, t,
         |  list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT)) AS cs
         |  FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents))
         |SELECT doc_id,
-        |  CAST(coalesce(list_sum(cs), 0) AS DOUBLE) / 256 AS feat_sum,
-        |  CAST(coalesce(list_sum(list_transform(generate_series(1, len(cs)),
-        |    i -> ((i - 1) % 16 + 1) * cs[i])), 0) AS DOUBLE) / 256 AS feat_wsum
+        |  CASE WHEN t IS NULL THEN NULL
+        |       ELSE CAST(coalesce(list_sum(cs), 0) AS DOUBLE) / 256 END AS feat_sum,
+        |  CASE WHEN t IS NULL THEN NULL
+        |       ELSE CAST(coalesce(list_sum(list_transform(generate_series(1, len(cs)),
+        |    i -> ((i - 1) % 16 + 1) * cs[i])), 0) AS DOUBLE) / 256 END AS feat_wsum
         |FROM ch""".stripMargin
   ) ++
     packedGridCombos.map { case (m, et) =>

@@ -106,16 +106,13 @@ object VectorCodec {
     out
   }
 
-  private val typesById: Array[ElemType] =
-    Array(ElemType.F32, ElemType.F16, ElemType.BF16, ElemType.I8, ElemType.U8)
-
   /** The vector_as_* evaluation (shared by ToVector's interpreted eval and
-    * its generated code): JSON text → parse + range-check + round-trip
-    * through the target representation; packed blob → size-check + unpack.
-    * Type id per Distances.typeId.
+    * its generated code, which receives the ElemType case object via a
+    * codegen reference — no parallel id registry to drift).
+    * JSON text → parse + range-check + round-trip through the target
+    * representation; packed blob → size-check + unpack.
     */
-  def toVectorJ(v: Object, typeId: Int, expectDim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val et = typesById(typeId)
+  def toVectorJ(v: Object, et: ElemType, expectDim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val floats: Array[Float] = v match {
       case s: org.apache.spark.unsafe.types.UTF8String =>
         val parsed = parseJson(s.toString, expectDim)

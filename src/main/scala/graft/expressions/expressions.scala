@@ -562,12 +562,12 @@ case class ToVector(child: Expression, target: ElemType, expectDim: Int = -1)
   override def prettyName: String = s"vector_as_${target.name.toLowerCase}"
 
   override def nullSafeEval(v: Any): Any =
-    VectorCodec.toVectorJ(v.asInstanceOf[AnyRef], Distances.typeId(target), expectDim)
+    VectorCodec.toVectorJ(v.asInstanceOf[AnyRef], target, expectDim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val tId = Distances.typeId(target)
+    val etRef = ctx.addReferenceObj("elemType", target, classOf[ElemType].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.codec.VectorCodec.toVectorJ($c, $tId, $expectDim);")
+      s"${ev.value} = graft.codec.VectorCodec.toVectorJ($c, $etRef, $expectDim);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -127,6 +127,8 @@ object Sketches {
     * for generated code.
     */
   def hyperplaneSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    require(v.numElements() == planes(0).length,
+      s"vector dim ${v.numElements()} != plane dim ${planes(0).length}")
     val nb = planes.length
     val acc = new Array[Double](nb)
     val n = v.numElements()
@@ -135,8 +137,7 @@ object Sketches {
       val x = v.getFloat(i).toDouble
       var b = 0
       while (b < nb) {
-        val p = planes(b)
-        if (i < p.length) acc(b) += x * p(i)
+        acc(b) += x * planes(b)(i)
         b += 1
       }
       i += 1
@@ -151,15 +152,18 @@ object Sketches {
     * to the lowest index). Static entry point for generated code.
     */
   def nearestCentroid(v: ArrayData, centroids: Array[Array[Float]]): Int = {
+    // fail fast on dimension drift — a truncated comparison would assign a
+    // confidently wrong cell and silently pollute the IVF store
+    require(v.numElements() == centroids(0).length,
+      s"vector dim ${v.numElements()} != centroid dim ${centroids(0).length}")
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
     while (c < centroids.length) {
       val ct = centroids(c)
-      val n = math.min(v.numElements(), ct.length)
       var acc = 0.0
       var i = 0
-      while (i < n) {
+      while (i < ct.length) {
         val d = v.getFloat(i).toDouble - ct(i).toDouble
         acc += d * d
         i += 1
@@ -173,29 +177,32 @@ object Sketches {
   /** Driver-side variant for the probe vector: squared-L2 to every
     * centroid, same arithmetic as the expression path.
     */
-  def centroidDistances(v: Array[Float], centroids: Array[Array[Float]]): Array[Double] =
+  def centroidDistances(v: Array[Float], centroids: Array[Array[Float]]): Array[Double] = {
+    require(v.length == centroids(0).length,
+      s"probe dim ${v.length} != centroid dim ${centroids(0).length}")
     centroids.map { ct =>
-      val n = math.min(v.length, ct.length)
       var acc = 0.0
       var i = 0
-      while (i < n) {
+      while (i < ct.length) {
         val d = v(i).toDouble - ct(i).toDouble
         acc += d * d
         i += 1
       }
       acc
     }
+  }
 
   /** Driver-side signature of a probe vector. */
   def hyperplaneSig(v: Array[Float], planes: Array[Array[Double]]): Long = {
+    require(v.length == planes(0).length,
+      s"probe dim ${v.length} != plane dim ${planes(0).length}")
     var sig = 0L
     var b = 0
     while (b < planes.length) {
       val p = planes(b)
       var acc = 0.0
       var i = 0
-      val n = math.min(v.length, p.length)
-      while (i < n) { acc += v(i).toDouble * p(i); i += 1 }
+      while (i < p.length) { acc += v(i).toDouble * p(i); i += 1 }
       if (acc > 0.0) sig |= 1L << b
       b += 1
     }

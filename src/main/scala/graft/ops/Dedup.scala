@@ -28,15 +28,6 @@ object Dedup {
 
   // ---------- shared text prep ----------
 
-  /** Character n-gram shingles of lowercased printable-ASCII text, distinct. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val clean = lower(TextAnalysis.asciiOnly(text))
-    array_distinct(
-      when(length(clean) < n, array(clean)).otherwise(
-        transform(sequence(lit(1), length(clean) - (n - 1)),
-          i => substring(clean, i, lit(n)))))
-  }
-
   /** Shingle set hashed to distinct longs in one codegen'd pass
     * ([[graft.expressions.ShingleHashes]]) — the only shingle
     * representation that ever leaves the row: 8 bytes per shingle instead
@@ -55,14 +46,23 @@ object Dedup {
     *     candidates with a < b — the only wide shuffles carry band keys and
     *     8-byte ids;
     *  3. cheap estimate: matching-signature fraction, filtered with a 4σ
-    *     margin below `threshold` (never drops a true ≥threshold pair);
+    *     margin below `threshold` (the margin makes THIS step lossless for
+    *     true ≥threshold pairs; overall recall is bounded by step 2);
     *  4. exact Jaccard on hashed shingle sets for the survivors only.
     *
-    * Band geometry: rows-per-band = numHashes/bands controls the candidate
-    * flood. Default 128 hashes × 16 bands = 8 rows/band: catch probability
-    * at j=0.9 is 1-(1-0.9^8)^16 ≈ 1-2e-6, while the j≈0.6 background only
-    * band-collides with p≈0.25 — the flood stays linear in the true-pair
-    * count, not quadratic in n.
+    * Recall is probabilistic, as with any LSH banding: a pair with true
+    * jaccard j is generated as a candidate with probability
+    * 1−(1−j^r)^bands (r = numHashes/bands). At the default 16×8 geometry
+    * that is ≈ 0.947 at j = 0.80 (pairs exactly at the threshold can be
+    * missed ~5% of the time), ≈ 1−2e-6 at j = 0.90, and ≈ 1−1e-11 at
+    * j = 0.95 — tune bands up (shorter rows) if near-threshold recall
+    * matters more than candidate volume. Emitted values are always exact.
+    *
+    * Caching: the shingle-set and signature projections are persisted
+    * (MEMORY_AND_DISK) because three later stages reuse them; Spark ties
+    * the cache to this query's plan, so long-lived sessions issuing many
+    * dedup queries should `spark.catalog.clearCache()` (or unpersist via
+    * the returned plan's lineage) between corpora.
     *
     * Columns out: (a, b, jaccard) with exact jaccard ≥ threshold.
     */
@@ -112,11 +112,13 @@ object Dedup {
 
   // ---------- N-gram Jaccard (exact, LSH-prefiltered) ----------
 
-  /** Exact n-gram Jaccard near-dup pairs at scale: MinHash-LSH candidate
+  /** N-gram Jaccard near-dup pairs at scale: MinHash-LSH candidate
     * generation followed by exact verification — the same pipeline as
-    * [[minhashLsh]] parameterized by shingle width. Replaces the former
-    * blocked all-pairs form, whose O(n²/blocks) pair space was quadratic at
-    * any fixed block cardinality.
+    * [[minhashLsh]] parameterized by shingle width (including its banding
+    * recall bound; emitted jaccard values are exact, candidate recall near
+    * the threshold is probabilistic). Replaces the former blocked all-pairs
+    * form, whose O(n²/blocks) pair space was quadratic at any fixed block
+    * cardinality.
     * Columns out: (a, b, jaccard) with exact jaccard ≥ threshold.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,

@@ -82,6 +82,9 @@ object MediaCodec {
     while (p + 8 <= b.length) {
       val id = ascii4(b, p)
       val size = le32(b, p + 4)
+      // a corrupt/crafted size with the top bit set decodes negative and
+      // would stall or reverse the chunk walk — reject the container
+      if (size < 0) return None
       if (id == "fmt " && p + 8 + 14 <= b.length) {
         channels = le16(b, p + 10)
         sampleRate = le32(b, p + 12)
