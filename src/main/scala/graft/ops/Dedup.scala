@@ -58,8 +58,8 @@ object Dedup {
     * j = 0.95 — tune bands up (shorter rows) if near-threshold recall
     * matters more than candidate volume. Emitted values are always exact.
     *
-    * Caching: the shingle-set and signature projections are persisted
-    * (MEMORY_AND_DISK) because three later stages reuse them; Spark ties
+    * Caching: the shingle-set + signature projection is persisted
+    * (MEMORY_AND_DISK) because three later stages reuse it; Spark ties
     * the cache to this query's plan, so long-lived sessions issuing many
     * dedup queries should `spark.catalog.clearCache()` (or unpersist via
     * the returned plan's lineage) between corpora.
@@ -72,12 +72,14 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
-    val base = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = base.select(col("id"), minhash_signature(col("sh"), numHashes).as("sig"))
+    // one cached projection carries both the shingle set and the signature,
+    // so each candidate pair needs exactly two enrichment joins (one per
+    // side) instead of four
+    val rows = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhash_signature(col("sh"), numHashes))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select(col("id"),
+    val banded = rows.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
@@ -87,22 +89,16 @@ object Dedup {
     val pairs = l.join(r, Seq("band", "bandHash")).where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
 
-    // cheap estimate from signatures (codegen'd agreement count); 4σ ≈
-    // 4·sqrt(t(1-t)/H) margin below the threshold keeps every true
-    // ≥threshold pair
+    // cheap estimate first (codegen'd agreement count; the 4σ margin below
+    // the threshold makes this step lossless for true ≥threshold pairs),
+    // then exact verification: shingle arrays are sorted, so intersection
+    // is a codegen'd merge scan (no per-row hash sets)
     val margin = 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val candidates = pairs
-      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
-      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
+    pairs
+      .join(rows.select(col("id").as("a"), col("sh").as("sha"), col("sig").as("siga")), "a")
+      .join(rows.select(col("id").as("b"), col("sh").as("shb"), col("sig").as("sigb")), "b")
       .where(graft.functions.sig_match_count(col("siga"), col("sigb")).cast("double") / numHashes
         >= threshold - margin)
-      .select(col("a"), col("b"))
-
-    // exact verification only for survivors: shingle arrays are sorted, so
-    // intersection is a codegen'd merge scan (no per-row hash sets)
-    candidates
-      .join(base.select(col("id").as("a"), col("sh").as("sha")), "a")
-      .join(base.select(col("id").as("b"), col("sh").as("shb")), "b")
       .withColumn("inter", graft.functions.sorted_intersect_count(col("sha"), col("shb")).cast("double"))
       .withColumn("union", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
       .withColumn("jaccard", round(col("inter") / greatest(col("union"), lit(1.0)), 6))
