@@ -562,6 +562,30 @@ object Queries {
           round(aggregate(vector_as_f16(pack_vector(grid256(col("embedding")), "f16")),
             lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("vec_sum"))),
 
+    // F6 vector_as_bf16: pack → decode → exact grid sums (grid values are
+    // exact in bf16 since |x| < 1 — see grid256)
+    "as_bf16_blob" -> ((s, dir) =>
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          round(aggregate(vector_as_bf16(pack_vector(grid256(col("embedding")), "bf16")),
+            lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("vec_sum"))),
+
+    // F7 vector_as_i8 on a packed code BLOB: decode-to-float then exact sum
+    "as_i8_blob" -> ((s, dir) => {
+      val (codes, _) = quantCodesDf(s, dir)
+      codes.select(col("id").as("vec_id"),
+        aggregate(vector_as_i8(col("code")), lit(0L), (acc, x) => acc + x.cast("long")).as("code_sum"))
+    }),
+
+    // F8 vector_as_u8 (forced-UINT8 codes, & 0xff decode)
+    "as_u8_blob" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = Quantizer.computeParams(e, "embedding", QType.U8)
+      Quantizer.quantizeCodes(e, "vec_id", "embedding", p)
+        .select(col("id").as("vec_id"),
+          aggregate(vector_as_u8(col("code")), lit(0L), (acc, x) => acc + x.cast("long")).as("code_sum"))
+    }),
+
     // QUANTIZATION.md:46-72 recall harness: |approx ∩ exact| / k
     "recall_l2" -> ((s, dir) => {
       val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
@@ -906,6 +930,21 @@ object Queries {
       s"""SELECT vec_id,
          |  round(list_sum(list_transform(embedding, x -> greatest(-255.0/256, least(255.0/256, floor(CAST(x AS DOUBLE) * 256) / 256)))), 6) AS vec_sum
          |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+
+    "as_bf16_blob" ->
+      s"""SELECT vec_id,
+         |  round(list_sum(list_transform(embedding, x -> greatest(-255.0/256, least(255.0/256, floor(CAST(x AS DOUBLE) * 256) / 256)))), 6) AS vec_sum
+         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+
+    "as_i8_blob" ->
+      s"""WITH $paramsCte
+         |SELECT vec_id, CAST(list_sum(list_transform(embedding, x -> $codeSqlExpr)) AS BIGINT) AS code_sum
+         |FROM embeddings, par WHERE embedding IS NOT NULL""".stripMargin,
+
+    "as_u8_blob" ->
+      s"""WITH $paramsU8Cte
+         |SELECT vec_id, CAST(list_sum(list_transform(embedding, x -> $codeSqlExpr)) AS BIGINT) AS code_sum
+         |FROM embeddings, par WHERE embedding IS NOT NULL""".stripMargin,
 
     "recall_l2" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
