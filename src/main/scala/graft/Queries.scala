@@ -620,10 +620,15 @@ object Queries {
     "q3_revenue" -> ((s, dir) => {
       val orders = tbl(s, dir, "orders")
       val li = tbl(s, dir, "lineitem")
-      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-        .groupBy(col("l_orderkey"))
+      // aggregate BEFORE the join: grouping and join key coincide, so
+      // summing first is semantically identical (per-key filter-then-sum ==
+      // sum-then-filter) and the join touches one row per order instead of
+      // every line item — and the groupBy's partitioning is reused by the
+      // join, so the rewrite adds no shuffle
+      val rev = li.groupBy(col("l_orderkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))).cast("double").as("revenue"))
+      rev.join(orders.select(col("o_orderkey")), rev("l_orderkey") === col("o_orderkey"), "left_semi")
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
