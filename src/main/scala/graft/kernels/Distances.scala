@@ -70,6 +70,48 @@ object Distances {
     }
   }
 
+  // ---------- f32 kernels on packed bytes (no per-row unpack allocation) ----------
+
+  @inline private def f32At(a: Array[Byte], i: Int): Float = {
+    val o = i << 2
+    java.lang.Float.intBitsToFloat(
+      (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) | ((a(o + 2) & 0xff) << 16) | ((a(o + 3) & 0xff) << 24))
+  }
+
+  /** Same float arithmetic as the Array[Float] kernels above, reading the
+    * little-endian packed form in place — the hot path of packed f32 scans
+    * (the reference's default storage type) allocates nothing per row.
+    */
+  private def f32Packed(a: Array[Byte], b: Array[Byte], metric: Metric): Float = {
+    val n = math.min(a.length, b.length) / 4
+    metric match {
+      case Metric.L2 | Metric.SquaredL2 =>
+        var acc = 0f; var i = 0
+        while (i < n) { val d = f32At(a, i) - f32At(b, i); acc += d * d; i += 1 }
+        if (metric == Metric.L2) math.sqrt(acc.toDouble).toFloat else acc
+      case Metric.L1 =>
+        var acc = 0f; var i = 0
+        while (i < n) { acc += math.abs(f32At(a, i) - f32At(b, i)); i += 1 }
+        acc
+      case Metric.Dot =>
+        var acc = 0f; var i = 0
+        while (i < n) { acc += f32At(a, i) * f32At(b, i); i += 1 }
+        -acc
+      case Metric.Cosine =>
+        var dot = 0f; var na = 0f; var nb = 0f; var i = 0
+        while (i < n) {
+          val x = f32At(a, i); val y = f32At(b, i)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0f || nb == 0f) 1.0f
+        else {
+          val c = dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)).toFloat
+          if (c.isNaN || c.isInfinite) 1.0f
+          else 1.0f - math.max(-1.0f, math.min(1.0f, c))
+        }
+    }
+  }
+
   // ---------- f16/bf16 kernels: double accumulation, NaN lanes skipped ----------
   // (distance-cpu.c:164-466; LASSQ-style overflow safety approximated by
   // double accumulation, which cannot overflow for 16-bit inputs.)
@@ -173,15 +215,7 @@ object Distances {
     * packed-bytes in, float out.
     */
   def onPacked(metric: Metric, et: ElemType)(a: Array[Byte], b: Array[Byte]): Float = et match {
-    case ElemType.F32 =>
-      val fa = graft.codec.VectorCodec.unpack(a, et); val fb = graft.codec.VectorCodec.unpack(b, et)
-      metric match {
-        case Metric.L2        => l2F32(fa, fb)
-        case Metric.SquaredL2 => sqL2F32(fa, fb)
-        case Metric.Cosine    => cosineF32(fa, fb)
-        case Metric.Dot       => dotF32(fa, fb)
-        case Metric.L1        => l1F32(fa, fb)
-      }
+    case ElemType.F32  => f32Packed(a, b, metric)
     case ElemType.F16  => withHalf(Fp16.f16ToFloat)(a, b, metric)
     case ElemType.BF16 => withHalf(Fp16.bf16ToFloat)(a, b, metric)
     case ElemType.I8   => intKernel(signed = true)(a, b, metric)

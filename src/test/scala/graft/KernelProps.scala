@@ -82,6 +82,19 @@ object KernelProps extends Properties("kernels") {
         }): _*)
     }
 
+  property("packed f32 kernels equal the Array[Float] kernels bit-for-bit") =
+    forAll(vec, vec) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      val pa = VectorCodec.pack(a, ElemType.F32)
+      val pb = VectorCodec.pack(b, ElemType.F32)
+      Distances.onPacked(Metric.SquaredL2, ElemType.F32)(pa, pb) == Distances.sqL2F32(a, b) &&
+      Distances.onPacked(Metric.Dot, ElemType.F32)(pa, pb) == Distances.dotF32(a, b) &&
+      Distances.onPacked(Metric.L1, ElemType.F32)(pa, pb) == Distances.l1F32(a, b) &&
+      Distances.onPacked(Metric.L2, ElemType.F32)(pa, pb) == Distances.l2F32(a, b) &&
+      Distances.onPacked(Metric.Cosine, ElemType.F32)(pa, pb) == Distances.cosineF32(a, b)
+    }
+
   property("double kernels: zero self-distance and triangle-direction sanity") =
     forAll(vec) { v =>
       Distances.sqL2Double(v, v) == 0.0 &&
