@@ -597,6 +597,24 @@ object Queries {
     // F1: vector_version
     "vector_version" -> ((s, _) => s.range(1).select(vector_version().as("version"))),
 
+    // Text-format ingest end-to-end: embeddings exported to CSV with
+    // JSON-array vector cells, re-read via the CSV source + vector_as_f32
+    // (the reference's JSON ingest path), then exact k-NN. Float values
+    // survive toString/parse exactly, so the plain k-NN oracle applies.
+    "csv_ingest_knn" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/emb"
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          concat(lit("["), concat_ws(",", transform(col("embedding"), x => x.cast("string"))), lit("]")).as("vec_json"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val csv = s.read.option("header", "true")
+        .schema("vec_id LONG, vec_json STRING").csv(tmp)
+        .select(col("vec_id"), vector_as_f32(col("vec_json"), Dim).as("embedding"))
+      val scored = Knn.distanceStream(csv, "vec_id", "embedding", probe, "l2")
+        .withColumn("distance", round(col("distance"), 6))
+      Knn.topK(scored, col("distance"), col("vec_id"), K)
+    }),
+
     // F4: vector_as_f32 JSON parse round-trip (values survive exactly)
     "as_f32_json" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
@@ -790,6 +808,8 @@ object Queries {
 
   def oracleSql: Map[String, String] = Map(
     "knn_l2" -> knnSql("l2"),
+
+    "csv_ingest_knn" -> knnSql("l2"),
     "knn_sq_l2" -> knnSql("sq_l2"),
     "knn_cosine" -> knnSql("cosine"),
     "knn_dot" -> knnSql("dot"),
