@@ -26,6 +26,7 @@ object Queries {
   val CosBits = 8   // hyperplane bits for cosine near-dup blocking
   val IvfCells = 16 // IVF coarse-quantizer cells
   val IvfProbes = 4 // IVF cells scanned per probe
+  val DupCluster = 1000 // identical-doc cluster size for the dedup skew gate
 
   /** Probe vector: values in {-0.375..0.375} — exactly representable in
     * both decimal and binary floating point, and inside the embedding
@@ -237,9 +238,28 @@ object Queries {
 
   // ---------------- dedup SQL restatement ----------------
 
+  /** Materialize a small final LSH result (post-limit) and release the
+    * pipeline's cache deterministically — the gate-side pattern for
+    * [[Dedup.minhashLshRun]]'s handle: collect ≤`limit` rows (the driver
+    * writes them anyway), unpersist, hand back a local relation.
+    */
+  private def materializedLsh(s: SparkSession, run: graft.ops.Dedup.LshRun)
+                             (finish: DataFrame => DataFrame): DataFrame = {
+    val out = finish(run.pairs)
+    val rows = out.collect()
+    run.release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold — the oracle restatement of
     * the LSH-prefiltered pipelines. O(n²) is fine at oracle SF; the Spark
     * side must reach the same rows through banded candidates only.
+    *
+    * The gates compare at `threshold` = 0.9 while the Spark pipelines run
+    * at 0.8: banding recall at the 16×8 default is ~0.95 for pairs exactly
+    * at 0.80 (a miss there would be a legitimate LSH outcome, not a bug,
+    * but would still fail a row-for-row gate on an unlucky corpus), vs
+    * ≥ 1−1e-4 at 0.90 — the guard band makes the gate corpus-independent.
     */
   private def jaccardAllPairsSql(n: Int, threshold: Double, limit: Int): String = {
     val span = n - 1
@@ -252,6 +272,43 @@ object Queries {
        |        greatest(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE), 1.0), 6) AS jaccard
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
        |SELECT a, b, jaccard FROM pr WHERE jaccard >= $threshold
+       |ORDER BY jaccard DESC, a, b LIMIT $limit""".stripMargin
+  }
+
+  /** Oracle for the duplicate-cluster gate: the documents table plus
+    * `cluster` byte-identical clones of the lowest-id document. The oracle
+    * groups identical shingle SETS first (a DuckDB `GROUP BY list_sort(sh)`
+    * — independent machinery from the Spark side's hashed-set groupBy),
+    * computes exact all-pairs Jaccard over distinct contents, and expands
+    * member pairs — exact because Jaccard between identical sets is every
+    * member pair's Jaccard, and within a group it is 1.0 by definition.
+    */
+  private def dupClusterSql(n: Int, threshold: Double, cluster: Int, limit: Int): String = {
+    val span = n - 1
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT 1000000 + i AS doc_id,
+       |         (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+       |  FROM generate_series(0, ${cluster - 1}) AS g(i)),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN length(t) < $n THEN [t]
+       |       ELSE list_distinct(list_transform(generate_series(1, length(t) - $span), i -> t[i:i+$span])) END AS sh
+       |  FROM (SELECT doc_id, lower(regexp_replace(text, '[^ -~]', '', 'g')) AS t FROM corpus)),
+       |g AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members
+       |      FROM s GROUP BY list_sort(sh)),
+       |gs AS (SELECT g.rep, g.members, s.sh FROM g JOIN s ON g.rep = s.doc_id),
+       |rp AS (SELECT a.members AS ma, b.members AS mb,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        greatest(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE), 1.0), 6) AS jaccard
+       |  FROM gs a JOIN gs b ON a.rep < b.rep),
+       |ca AS (SELECT jaccard, mb, unnest(ma) AS a0 FROM rp WHERE jaccard >= $threshold),
+       |cb AS (SELECT jaccard, a0, unnest(mb) AS b0 FROM ca),
+       |cross_pairs AS (SELECT least(a0, b0) AS a, greatest(a0, b0) AS b, jaccard FROM cb),
+       |wa AS (SELECT members, unnest(members) AS a FROM g WHERE len(members) > 1),
+       |wb AS (SELECT a, unnest(members) AS b FROM wa),
+       |within_pairs AS (SELECT a, b, 1.0 AS jaccard FROM wb WHERE a < b)
+       |SELECT a, b, jaccard FROM (SELECT * FROM within_pairs UNION ALL SELECT * FROM cross_pairs)
        |ORDER BY jaccard DESC, a, b LIMIT $limit""".stripMargin
   }
 
@@ -299,6 +356,26 @@ object Queries {
        |    i -> CAST(embedding[i] AS DOUBLE) * plv[i])) AS dt
        |    FROM embeddings, pl WHERE embedding IS NOT NULL)
        |  GROUP BY vec_id, embedding)""".stripMargin
+
+  /** IVF restatement shared by ivf_knn / ivf_recall: hash-ordered sampled
+    * centroids (exactly [[graft.ops.Ann.ivfCentroids]]' BIGINT arithmetic),
+    * nearest-centroid assignment (ties to lower cid), probe cells.
+    */
+  private val ivfCte: String = {
+    def cdist(v: String) =
+      s"list_sum(list_transform(generate_series(1,$Dim), i -> ($v - CAST(ct.cv[i] AS DOUBLE)) * ($v - CAST(ct.cv[i] AS DOUBLE))))"
+    val hashOrder = "(vec_id % 1000003) * 2654435761 % 1000000007"
+    s"""ctv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+       |        ORDER BY $hashOrder, vec_id LIMIT $IvfCells),
+       |ct AS (SELECT row_number() OVER (ORDER BY $hashOrder, vec_id) - 1 AS cid, embedding AS cv FROM ctv),
+       |ad AS (SELECT e.vec_id, e.embedding, ct.cid,
+       |  ${cdist("CAST(e.embedding[i] AS DOUBLE)")} AS d
+       |  FROM embeddings e, ct WHERE e.embedding IS NOT NULL),
+       |asg AS (SELECT vec_id, embedding, cid FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+       |pd AS (SELECT ct.cid, ${cdist("pv[i]")} AS d FROM ct, p),
+       |pc AS (SELECT cid FROM pd ORDER BY d, cid LIMIT $IvfProbes)""".stripMargin
+  }
 
   /** Probe signature + multi-probe hamming-1 bucket list. */
   private val probeBucketsCte =
@@ -705,11 +782,15 @@ object Queries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", Seq("lang", "source"))),
 
-    // Exact 4-gram Jaccard ≥ 0.8 via MinHash-LSH candidates → exact verify
-    // (no all-pairs join anywhere in the plan)
+    // Exact 4-gram Jaccard via MinHash-LSH candidates → exact verify (no
+    // all-pairs join anywhere in the plan); pipeline at 0.8, gate at the
+    // 0.9 guard band (see jaccardAllPairsSql), cache released after the
+    // limit materializes
     "ngram_jaccard_top" -> ((s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", 4, 0.8)
-        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)),
+      materializedLsh(s, Dedup.minhashLshRun(docs(s, dir), "doc_id", "text",
+        numHashes = 128, bands = 16, shingleN = 4, threshold = 0.8))(
+        _.where(col("jaccard") >= 0.9)
+          .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50))),
 
     // Bucketed-exact cosine pairs: hyperplane LSH bucket join, never cartesian
     "cosine_top_pairs" -> ((s, dir) =>
@@ -717,11 +798,29 @@ object Queries {
           hyperplane_signature(col("embedding"), CosBits, Dim), 0.0)
         .orderBy(col("cosine_sim").desc, col("a"), col("b")).limit(50)),
 
-    // Exact 3-gram Jaccard ≥ 0.8 through the banded MinHash pipeline; the
-    // oracle restates the full all-pairs exact Jaccard (fine at oracle SF)
+    // Exact 3-gram Jaccard through the banded MinHash pipeline; the oracle
+    // restates the full all-pairs exact Jaccard (fine at oracle SF);
+    // pipeline at 0.8, gate at the 0.9 guard band
     "minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.minhashLsh(docs(s, dir), "doc_id", "text", 128, 16, 3, 0.8)
-        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(100)),
+      materializedLsh(s, Dedup.minhashLshRun(docs(s, dir), "doc_id", "text",
+        numHashes = 128, bands = 16, shingleN = 3, threshold = 0.8))(
+        _.where(col("jaccard") >= 0.9)
+          .orderBy(col("jaccard").desc, col("a"), col("b")).limit(100))),
+
+    // Degenerate-duplicate hardening, gated: the corpus plus a
+    // 1000-identical-doc cluster must still hash-match the exact oracle —
+    // identical contents are routed through the content groupBy (ONE LSH
+    // row for the whole cluster, jaccard-1.0 pairs expanded at the end),
+    // so no band bucket ever sees the cluster's quadratic pair space
+    "minhash_dup_cluster" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = d.orderBy(col("doc_id")).limit(1).select(col("text"))
+      val clones = s.range(DupCluster).crossJoin(broadcast(base))
+        .select((col("id") + lit(1000000L)).as("doc_id"), col("text"))
+      materializedLsh(s, Dedup.minhashLshRun(d.unionByName(clones), "doc_id", "text",
+        numHashes = 128, bands = 16, shingleN = 3, threshold = 0.8))(
+        _.orderBy(col("jaccard").desc, col("a"), col("b")).limit(150))
+    }),
 
     // SimHash from SQL-restatable polynomial token hashes → full oracle
     "simhash_docs" -> ((s, dir) => {
@@ -758,6 +857,20 @@ object Queries {
       Ann.writeIvf(e, "embedding", path, cents)
       Ann.ivfTopK(s, path, "vec_id", "embedding", probe, K, "l2", cents, IvfProbes)
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
+    // IVF recall harness (same shape as recall_l2): |ivf ∩ exact| / k —
+    // gates the hash-ordered centroid sample's quality, not just its plan
+    "ivf_recall" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfr").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val cents = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      Ann.writeIvf(e, "embedding", path, cents)
+      val approx = Ann.ivfTopK(s, path, "vec_id", "embedding", probe, K, "l2", cents, IvfProbes)
+        .select(col("vec_id"))
+      val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
+      val inter = exact.join(approx, "vec_id").count()
+      s.range(1).select(lit(K).cast("long").as("k"), lit(inter.toDouble / K).as("recall"))
     }),
 
     // ---- multimodal: REAL container fixtures (valid PNG/JPEG/WAV bytes
@@ -1063,9 +1176,11 @@ object Queries {
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY lang, source""".stripMargin,
 
-    "ngram_jaccard_top" -> jaccardAllPairsSql(4, 0.8, 50),
+    "ngram_jaccard_top" -> jaccardAllPairsSql(4, 0.9, 50),
 
-    "minhash_lsh_pairs" -> jaccardAllPairsSql(3, 0.8, 100),
+    "minhash_lsh_pairs" -> jaccardAllPairsSql(3, 0.9, 100),
+
+    "minhash_dup_cluster" -> dupClusterSql(3, 0.8, DupCluster, 150),
 
     "cosine_top_pairs" -> {
       def lsum(va: String, vb: String) =
@@ -1090,24 +1205,25 @@ object Queries {
          |SELECT vec_id, round(distance, 6) AS distance FROM d
          |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
 
-    "ivf_knn" -> {
-      def cdist(v: String) =
-        s"list_sum(list_transform(generate_series(1,$Dim), i -> ($v - CAST(ct.cv[i] AS DOUBLE)) * ($v - CAST(ct.cv[i] AS DOUBLE))))"
-      s"""WITH p AS (SELECT $probeSqlList AS pv),
-         |ctv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $IvfCells),
-         |ct AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv FROM ctv),
-         |ad AS (SELECT e.vec_id, e.embedding, ct.cid,
-         |  ${cdist("CAST(e.embedding[i] AS DOUBLE)")} AS d
-         |  FROM embeddings e, ct WHERE e.embedding IS NOT NULL),
-         |asg AS (SELECT vec_id, embedding, cid FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
-         |pd AS (SELECT ct.cid, ${cdist("pv[i]")} AS d FROM ct, p),
-         |pc AS (SELECT cid FROM pd ORDER BY d, cid LIMIT $IvfProbes),
+    "ivf_knn" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCte,
          |d2 AS (SELECT vec_id, ${distSql("l2")} AS distance
          |       FROM asg AS embeddings, p WHERE cid IN (SELECT cid FROM pc))
          |SELECT vec_id, round(distance, 6) AS distance FROM d2
-         |ORDER BY distance, vec_id LIMIT $K""".stripMargin
-    },
+         |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
+
+    "ivf_recall" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCte,
+         |iv AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM asg AS embeddings, p WHERE cid IN (SELECT cid FROM pc)
+         |  ORDER BY round(distance, 6), vec_id LIMIT $K) ivt),
+         |ex AS (SELECT vec_id FROM (
+         |  SELECT vec_id, round(${distSql("l2")}, 6) AS distance
+         |  FROM embeddings, p WHERE embedding IS NOT NULL
+         |  ORDER BY distance, vec_id LIMIT $K) ext)
+         |SELECT CAST($K AS BIGINT) AS k,
+         |  CAST((SELECT count(*) FROM ex JOIN iv ON ex.vec_id = iv.vec_id) AS DOUBLE) / $K AS recall""".stripMargin,
 
     "simhash_docs" ->
       s"""WITH $simhashSelect

@@ -77,16 +77,26 @@ object Ann {
 
   // ---------- IVF (inverted-file) coarse quantization ----------
 
-  /** Deterministic sampled centroids: the `c` vectors with the smallest
-    * ids (TakeOrdered — a c-row driver merge, cheap at any scale). A
-    * k-means refinement would tighten cells but break the independent SQL
-    * restatement; deterministic data-sampled seeds are the standard
-    * verifiable coarse quantizer.
+  /** Deterministic hash-ordered sampled centroids: order by a
+    * multiplicative hash of the id — (id mod 1000003)·2654435761 mod
+    * 1000000007, exact BIGINT arithmetic with no overflow for |id| < 3.4e9,
+    * restatable verbatim in ANSI SQL — and take the first `c` (TakeOrdered,
+    * a c-row driver merge, cheap at any scale).
+    *
+    * Hash order decorrelates the sample from ingestion order: the earlier
+    * first-c-by-id form picked mutually-close centroids on time- or
+    * source-clustered corpora, collapsing probes into few hot cells. A
+    * k-means refinement would tighten cells further but break the
+    * independent SQL restatement; a deterministic pseudo-random sample is
+    * the standard verifiable coarse quantizer (quality gated by the
+    * ivf_recall correctness row).
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, c: Int): Seq[Seq[Float]] =
     df.where(col(vecCol).isNotNull)
-      .select(col(idCol), col(vecCol))
-      .orderBy(col(idCol))
+      .select(col(idCol).as("_ivf_id"), col(vecCol).as("_ivf_v"))
+      .withColumn("_ivf_h",
+        col("_ivf_id").cast("long") % lit(1000003L) * lit(2654435761L) % lit(1000000007L))
+      .orderBy(col("_ivf_h"), col("_ivf_id"))
       .limit(c)
       .collect()
       .map(_.getSeq[Float](1).toSeq)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -16,8 +17,28 @@ import graft.functions.minhash_signature
   * only then exactly verified. Shingle sets are hashed to 8-byte longs
   * before anything shuffles — at 100 TB the shuffled payloads are ids,
   * band keys and fixed-width signatures, never document text.
+  *
+  * Degenerate-duplicate hardening: byte-identical boilerplate is the
+  * COMMON case in web-scale dedup, and naive LSH re-quadratizes on it
+  * (10⁵ identical docs land in the same bucket in every band). The
+  * MinHash pipeline therefore groups identical shingle sets FIRST
+  * (one `groupBy` on the content key), runs all pairwise machinery over
+  * distinct contents only, and expands group pairs at the end — within a
+  * content group every pair has Jaccard exactly 1.0, and across groups the
+  * representatives' Jaccard is every member pair's Jaccard (identical
+  * sets), so the expansion is exact and its cost is proportional to the
+  * emitted pair set, which is the output's inherent size.
   */
 object Dedup {
+
+  /** A materializable LSH dedup result plus deterministic cache release.
+    * `pairs` is lazy like any DataFrame; call `release()` after the
+    * consuming action so repeated dedup runs in a long-lived session don't
+    * accrete cached projections. `overCapBuckets()` reports how many
+    * band buckets the size cap excluded from candidate generation (an
+    * eager action — run it on demand, not in the hot path).
+    */
+  final case class LshRun(pairs: DataFrame, release: () => Unit, overCapBuckets: () => Long)
 
   /** Exact dedup: one row per distinct key, keeping the smallest id —
     * `groupBy(key).agg(min(id), count)`.
@@ -40,53 +61,76 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs, the 100 TB-shaped pipeline:
     *
-    *  1. per-row hashed shingle set + MinHash signature (`numHashes` longs,
-    *     one codegen'd pass) — map-only, cached once;
-    *  2. band → bucket-join on (band index, band hash) → distinct (a, b)
+    *  1. per-row hashed shingle set, then ONE `groupBy` on the content key
+    *     (the full hashed shingle set): identical documents collapse to a
+    *     representative + member list before any pairwise machinery — a
+    *     10⁵-identical-doc cluster contributes ONE row to LSH instead of
+    *     quadratizing a bucket;
+    *  2. MinHash signature per distinct content (`numHashes` longs, one
+    *     codegen'd pass) — cached once;
+    *  3. band → bucket-join on (band index, band hash) → distinct (a, b)
     *     candidates with a < b — the only wide shuffles carry band keys and
-    *     8-byte ids;
-    *  3. cheap estimate: matching-signature fraction, filtered with a 4σ
+    *     8-byte ids. Buckets larger than `maxBucket` are excluded from
+    *     candidate generation (see below);
+    *  4. cheap estimate: matching-signature fraction, filtered with a 4σ
     *     margin below `threshold` (the margin makes THIS step lossless for
-    *     true ≥threshold pairs; overall recall is bounded by step 2);
-    *  4. exact Jaccard on hashed shingle sets for the survivors only.
+    *     true ≥threshold pairs; overall recall is bounded by step 3);
+    *  5. exact Jaccard on hashed shingle sets for the survivors only;
+    *  6. expansion: within-group pairs (jaccard exactly 1.0) plus
+    *     representative pairs mapped onto their members (identical sets ⇒
+    *     identical jaccard) — output-proportional, streamed via explode.
     *
     * Recall is probabilistic, as with any LSH banding: a pair with true
     * jaccard j is generated as a candidate with probability
     * 1−(1−j^r)^bands (r = numHashes/bands). At the default 16×8 geometry
     * that is ≈ 0.947 at j = 0.80 (pairs exactly at the threshold can be
-    * missed ~5% of the time), ≈ 1−2e-6 at j = 0.90, and ≈ 1−1e-11 at
+    * missed ~5% of the time), ≈ 1−1e-4 at j = 0.90, and ≈ 1−1e-11 at
     * j = 0.95 — tune bands up (shorter rows) if near-threshold recall
-    * matters more than candidate volume. Emitted values are always exact.
+    * matters more than candidate volume. Identical-content pairs
+    * (jaccard = 1.0) are exempt: the content grouping finds them
+    * deterministically. Emitted values are always exact.
     *
-    * Caching: the shingle-set + signature projection is persisted
-    * (MEMORY_AND_DISK) because three later stages reuse it; Spark ties
-    * the cache to this query's plan, so long-lived sessions issuing many
-    * dedup queries should `spark.catalog.clearCache()` (or unpersist via
-    * the returned plan's lineage) between corpora.
+    * `maxBucket` bounds every bucket-join input: a band bucket holding
+    * more than `maxBucket` DISTINCT contents (near-identical but unequal
+    * boilerplate — identical content never reaches LSH) is dropped from
+    * candidate generation. Pairs in a dropped bucket usually survive via
+    * their other bands; `LshRun.overCapBuckets()` reports what was capped
+    * so the caller can widen the cap or shorten bands deliberately rather
+    * than discover a quadratic stage at runtime.
     *
     * Columns out: (a, b, jaccard) with exact jaccard ≥ threshold.
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 128, bands: Int = 16,
-                 shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+  def minhashLshRun(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 128, bands: Int = 16,
+                    shingleN: Int = 3, threshold: Double = 0.8,
+                    maxBucket: Int = 1 << 16): LshRun = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
     val rowsPerBand = numHashes / bands
 
-    // one cached projection carries both the shingle set and the signature,
-    // so each candidate pair needs exactly two enrichment joins (one per
-    // side) instead of four
-    val rows = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+    // one cached projection per distinct content carries the content key
+    // (sh), the representative id, the member list and the signature — all
+    // four later stages (banding, two enrichment joins, expansion) reuse it
+    val grouped = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .groupBy(col("sh"))
+      .agg(min(col("id")).as("rep"), sort_array(collect_list(col("id"))).as("members"))
       .withColumn("sig", minhash_signature(col("sh"), numHashes))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val banded = rows.select(col("id"),
+    val banded = grouped.select(col("rep").as("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
 
-    val l = banded.select(col("band"), col("bandHash"), col("id").as("a"))
-    val r = banded.select(col("band"), col("bandHash"), col("id").as("b"))
-    val pairs = l.join(r, Seq("band", "bandHash")).where(col("a") < col("b"))
+    // bucket-size cap: one window count over the bucket key (the shuffle is
+    // reused by the bucket join below, which partitions on the same key)
+    val bucketW = Window.partitionBy(col("band"), col("bandHash"))
+    val withN = banded.withColumn("bucket_n", count(lit(1)).over(bucketW))
+    val capped = withN.where(col("bucket_n") <= maxBucket).drop("bucket_n")
+
+    val l = capped.select(col("band"), col("bandHash"), col("id").as("a"))
+    val r = capped.select(col("band"), col("bandHash"), col("id").as("b"))
+    val candidates = l.join(r, Seq("band", "bandHash")).where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
 
     // cheap estimate first (codegen'd agreement count; the 4σ margin below
@@ -94,17 +138,53 @@ object Dedup {
     // then exact verification: shingle arrays are sorted, so intersection
     // is a codegen'd merge scan (no per-row hash sets)
     val margin = 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    pairs
-      .join(rows.select(col("id").as("a"), col("sh").as("sha"), col("sig").as("siga")), "a")
-      .join(rows.select(col("id").as("b"), col("sh").as("shb"), col("sig").as("sigb")), "b")
+    val repPairs = candidates
+      .join(grouped.select(col("rep").as("a"), col("sh").as("sha"), col("sig").as("siga")), "a")
+      .join(grouped.select(col("rep").as("b"), col("sh").as("shb"), col("sig").as("sigb")), "b")
       .where(graft.functions.sig_match_count(col("siga"), col("sigb")).cast("double") / numHashes
         >= threshold - margin)
       .withColumn("inter", graft.functions.sorted_intersect_count(col("sha"), col("shb")).cast("double"))
       .withColumn("union", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
       .withColumn("jaccard", round(col("inter") / greatest(col("union"), lit(1.0)), 6))
       .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+      .select(col("a").as("ra"), col("b").as("rb"), col("jaccard"))
+
+    // expansion. Within-group: every member pair of an identical-content
+    // group, jaccard exactly 1.0 — posexplode + slice streams each member's
+    // partners instead of materializing the whole pair array in one row.
+    val within = grouped.where(size(col("members")) >= 2)
+      .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
+      .select(col("a"),
+        explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("b"))
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+
+    // Cross-group: a representative pair's jaccard is every member pair's
+    // jaccard (identical shingle sets); groups are disjoint so least/
+    // greatest restores a < b.
+    val cross = repPairs
+      .join(grouped.select(col("rep").as("ra"), col("members").as("ma")), "ra")
+      .join(grouped.select(col("rep").as("rb"), col("members").as("mb")), "rb")
+      .select(explode(col("ma")).as("a0"), col("mb"), col("jaccard"))
+      .select(col("a0"), explode(col("mb")).as("b0"), col("jaccard"))
+      .select(least(col("a0"), col("b0")).as("a"), greatest(col("a0"), col("b0")).as("b"),
+        col("jaccard"))
+
+    LshRun(
+      pairs = within.unionByName(cross),
+      release = () => { grouped.unpersist(); () },
+      overCapBuckets = () =>
+        withN.where(col("bucket_n") > maxBucket)
+          .select(col("band"), col("bandHash")).distinct().count())
   }
+
+  /** [[minhashLshRun]] without the release handle — callers that run one
+    * dedup per session (or clear the cache themselves) can keep the plain
+    * DataFrame shape.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 128, bands: Int = 16,
+                 shingleN: Int = 3, threshold: Double = 0.8): DataFrame =
+    minhashLshRun(df, idCol, textCol, numHashes, bands, shingleN, threshold).pairs
 
   // ---------- N-gram Jaccard (exact, LSH-prefiltered) ----------
 

@@ -168,6 +168,47 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhash LSH routes identical content through the groupBy and caps band buckets") {
+    // 200 clones of doc 1's text: with ids 1 and 4 that's a 202-member
+    // identical-content cluster — the common degenerate case in web dedup
+    val cluster = (0 until 200)
+      .map(i => (1000L + i, "the quick brown fox jumps over the lazy dog again and again", "c"))
+    val corpus = nearDupDocs.unionByName(cluster.toDF("id", "text", "src"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val run = Dedup.minhashLshRun(corpus, "id", "text", 64, 16, 3, 0.7, maxBucket = 8)
+    // the heavy plan must stay cartesian-free
+    val plan = run.pairs.queryExecution.executedPlan.toString
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+      .foreach(b => assert(!plan.contains(b), s"LSH pairs plan contains $b"))
+    // identical content collapses to ONE distinct-content row before
+    // banding, so no band bucket exceeds 8 despite the 202-doc cluster
+    assert(run.overCapBuckets() == 0L)
+    val pairs = run.pairs.collect()
+    // every within-cluster pair emitted at jaccard exactly 1.0
+    assert(pairs.count(_.getDouble(2) == 1.0) == 202 * 201 / 2)
+    // the genuinely-near (not identical) pair still arrives via LSH
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // cross-group expansion: the near-dup doc 2 pairs with EVERY cluster
+    // member at the representatives' jaccard
+    val doc2cluster = pairs.filter(r => r.getLong(0) == 2L && r.getLong(1) >= 1000L)
+    assert(doc2cluster.length == 200)
+    assert(doc2cluster.map(_.getDouble(2)).distinct.length == 1)
+    run.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before, "cache not released")
+  }
+
+  test("minhash LSH bucket cap bites on near-identical DISTINCT contents and is reported") {
+    // 12 distinct near-identical docs: most signature bands agree, so band
+    // buckets of size 12 form; cap 5 must drop them from the join input
+    val docs = (0 until 12).map(i =>
+      (i.toLong, s"a very long common boilerplate sentence shared by every document copy $i", "x"))
+      .toDF("id", "text", "src")
+    val run = Dedup.minhashLshRun(docs, "id", "text", 64, 16, 3, 0.5, maxBucket = 5)
+    assert(run.overCapBuckets() > 0L, "expected at least one over-cap bucket")
+    run.pairs.collect() // the capped pipeline still executes end to end
+    run.release()
+  }
+
   test("simhash pairs finds near-dups within hamming radius") {
     val pairs = Dedup.simhashPairs(nearDupDocs, "id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -259,6 +300,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = Knn.fullScan(assigned, "vec_id", "embedding", probe, 10, "l2")
       .collect().map(_.getLong(0)).toSeq
     assert(got == expected)
+  }
+
+  test("IVF hash-ordered centroids give non-degenerate cells") {
+    val e = emb.where(col("embedding").isNotNull)
+    val cents = Ann.ivfCentroids(e, "vec_id", "embedding", 16)
+    assert(cents.length == 16)
+    val counts = Ann.withClusters(e, "embedding", cents)
+      .groupBy("cluster").count().collect().map(_.getLong(1))
+    val total = counts.sum
+    // the first-c-by-id sample risked near-coincident centroids (hot
+    // cells); the hash-ordered sample must spread assignment
+    assert(counts.max < total / 2, s"degenerate cells: ${counts.mkString(",")}")
+    assert(counts.length >= 8, s"only ${counts.length} non-empty cells")
   }
 
   test("distance annotation composes with Structured Streaming (stateless projection)") {
