@@ -58,8 +58,13 @@ object Bench {
       .write.mode("overwrite").parquet(s"$benchDir/packed")
     val packed = spark.read.parquet(s"$benchDir/packed")
 
-    // warm: trigger codegen + JIT once on a tiny slice
+    // warm: trigger codegen + JIT once on a tiny slice — both the k-NN
+    // distance kernels and the dedup kernels (shingling, minhash,
+    // signature/intersection), so the timed runs measure steady-state
+    // throughput rather than first-call JIT compilation
     ops.Knn.fullScan(vecs.limit(1000), "id", "vec", probe, 5, "l2").count()
+    val docsWarm = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+    ops.Dedup.minhashLsh(docsWarm, "doc_id", "text", threshold = 0.8).count()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 

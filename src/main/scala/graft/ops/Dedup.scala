@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -31,12 +30,14 @@ import graft.functions.minhash_signature
   */
 object Dedup {
 
-  /** A materializable LSH dedup result plus deterministic cache release.
-    * `pairs` is lazy like any DataFrame; call `release()` after the
-    * consuming action so repeated dedup runs in a long-lived session don't
-    * accrete cached projections. `overCapBuckets()` reports how many
-    * band buckets the size cap excluded from candidate generation (an
-    * eager action — run it on demand, not in the hot path).
+  /** A materializable LSH dedup result. `pairs` is lazy like any DataFrame.
+    * `release()` frees the run's materialized per-content projection (the
+    * checkpoint blocks — see [[minhashLshRun]] step 2); safe to call after
+    * the consuming action, and also safe to skip: unreferenced blocks are
+    * reclaimed by Spark's context cleaner once the run is garbage-collected.
+    * `overCapBuckets()` reports how many band buckets the size cap excluded
+    * from candidate generation (an eager action — run it on demand, not in
+    * the hot path).
     */
   final case class LshRun(pairs: DataFrame, release: () => Unit, overCapBuckets: () => Long)
 
@@ -61,17 +62,38 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs, the 100 TB-shaped pipeline:
     *
-    *  1. per-row hashed shingle set, then ONE `groupBy` on the content key
-    *     (the full hashed shingle set): identical documents collapse to a
+    *  1. per-row hashed shingle set, then ONE `groupBy` on a narrow 128-bit
+    *     content fingerprint (two independently-seeded xxhash64 lanes over
+    *     the hashed shingle set): identical documents collapse to a
     *     representative + member list before any pairwise machinery — a
     *     10⁵-identical-doc cluster contributes ONE row to LSH instead of
-    *     quadratizing a bucket;
+    *     quadratizing a bucket. The grouping shuffle carries 16-byte keys
+    *     and 8-byte ids; the shingle set itself rides as a `first()`
+    *     aggregate, which partial aggregation truncates to one copy per
+    *     (group × input partition) — so duplicate-heavy corpora ship each
+    *     distinct content once, never per-document. Two contents colliding
+    *     on all 128 fingerprint bits would be merged as identical; at 10¹²
+    *     documents the birthday bound puts that at ~10⁻¹⁵;
     *  2. MinHash signature per distinct content (`numHashes` longs, one
-    *     codegen'd pass) — cached once;
-    *  3. band → bucket-join on (band index, band hash) → distinct (a, b)
-    *     candidates with a < b — the only wide shuffles carry band keys and
-    *     8-byte ids. Buckets larger than `maxBucket` are excluded from
-    *     candidate generation (see below);
+    *     codegen'd pass). The per-content projection is materialized ONCE
+    *     as raw rows (`localCheckpoint`) before fan-out: six consumers read
+    *     it (banding, the over-cap count, two verification joins, two
+    *     expansion joins), and without a barrier each one re-scans and
+    *     re-shingles the corpus — column pruning specializes each branch's
+    *     plan, so exchange reuse never deduplicates them. `persist()` is
+    *     NOT the right barrier here: the columnar cache format pays a
+    *     per-scan encode/decode on the wide array columns (sh, sig,
+    *     members) that measured ~5× the cost of the raw-row scan.
+    *     On a multi-executor cluster, prefer a reliable barrier for this
+    *     step — `checkpoint()` onto the cluster store, or staging the
+    *     projection to parquet — since `localCheckpoint` truncates lineage
+    *     and an executor loss then fails the job instead of recomputing;
+    *  3. band → bucket on (band index, band hash): per-bucket id lists are
+    *     collected once (bounded ≤ `maxBucket` by a prior count + anti-join
+    *     against the few over-cap keys, so no aggregation buffer can
+    *     quadratize) and candidate (a, b) pairs with a < b are generated by
+    *     in-row explode — no bucket self-join, no window sort; the only
+    *     wide shuffles carry band keys and 8-byte ids;
     *  4. cheap estimate: matching-signature fraction, filtered with a 4σ
     *     margin below `threshold` (the margin makes THIS step lossless for
     *     true ≥threshold pairs; overall recall is bounded by step 3);
@@ -108,30 +130,50 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
     val rowsPerBand = numHashes / bands
 
-    // one cached projection per distinct content carries the content key
-    // (sh), the representative id, the member list and the signature — all
-    // four later stages (banding, two enrichment joins, expansion) reuse it
+    // one projection per distinct content carries the representative id,
+    // the member list, the hashed shingle set and the signature — all later
+    // stages (banding, two enrichment joins, expansion) consume it, so it
+    // is materialized ONCE as raw rows before the fan-out (see the scaladoc
+    // step-2 note on why localCheckpoint and not persist or re-execution).
+    // The grouping key is a 128-bit fingerprint (ck2's seed literal comes
+    // FIRST so its hash chain starts from a different state than ck1's —
+    // appending the literal would make ck2 a function of ck1); `first(sh)`
+    // is safe because every row in a group has the identical array.
     val grouped = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
-      .groupBy(col("sh"))
-      .agg(min(col("id")).as("rep"), sort_array(collect_list(col("id"))).as("members"))
+      .withColumn("ck1", xxhash64(col("sh")))
+      .withColumn("ck2", xxhash64(lit(0x9E3779B97F4A7C15L), col("sh")))
+      .groupBy(col("ck1"), col("ck2"))
+      .agg(min(col("id")).as("rep"), sort_array(collect_list(col("id"))).as("members"),
+        first(col("sh")).as("sh"))
+      .drop("ck1", "ck2")
       .withColumn("sig", minhash_signature(col("sh"), numHashes))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val banded = grouped.select(col("rep").as("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
 
-    // bucket-size cap: one window count over the bucket key (the shuffle is
-    // reused by the bucket join below, which partitions on the same key)
-    val bucketW = Window.partitionBy(col("band"), col("bandHash"))
-    val withN = banded.withColumn("bucket_n", count(lit(1)).over(bucketW))
-    val capped = withN.where(col("bucket_n") <= maxBucket).drop("bucket_n")
+    // bucket-size cap: the per-key count partially aggregates map-side, so
+    // its shuffle is (key, count) rows only; over-cap keys are FEW by
+    // construction (at most n/maxBucket can exist), so the anti-join
+    // broadcasts under AQE and `banded` is never re-shuffled for the cap
+    val overCap = banded.groupBy(col("band"), col("bandHash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+    val capped = banded.join(overCap.select(col("band"), col("bandHash")),
+      Seq("band", "bandHash"), "left_anti")
 
-    val l = capped.select(col("band"), col("bandHash"), col("id").as("a"))
-    val r = capped.select(col("band"), col("bandHash"), col("id").as("b"))
-    val candidates = l.join(r, Seq("band", "bandHash")).where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    // candidate generation WITHOUT a bucket self-join: collect each bucket's
+    // id list (bounded ≤ maxBucket by the cap above, so the aggregation
+    // buffer is bounded) and stream its pairs out via posexplode + slice
+    val candidates = capped.groupBy(col("band"), col("bandHash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "a0")), col("ids"))
+      .select(col("a0"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b0"))
+      .select(least(col("a0"), col("b0")).as("a"), greatest(col("a0"), col("b0")).as("b"))
+      .distinct()
 
     // cheap estimate first (codegen'd agreement count; the 4σ margin below
     // the threshold makes this step lossless for true ≥threshold pairs),
@@ -169,12 +211,20 @@ object Dedup {
       .select(least(col("a0"), col("b0")).as("a"), greatest(col("a0"), col("b0")).as("b"),
         col("jaccard"))
 
+    // the checkpoint's persisted RDD sits a couple of deserialization hops
+    // below grouped.rdd — walk down to it so release() can free its blocks
+    @annotation.tailrec
+    def persistedAncestor(rdd: org.apache.spark.rdd.RDD[_]): Option[org.apache.spark.rdd.RDD[_]] =
+      if (rdd.getStorageLevel != StorageLevel.NONE) Some(rdd)
+      else rdd.dependencies.headOption match {
+        case Some(d) => persistedAncestor(d.rdd)
+        case None => None
+      }
+
     LshRun(
       pairs = within.unionByName(cross),
-      release = () => { grouped.unpersist(); () },
-      overCapBuckets = () =>
-        withN.where(col("bucket_n") > maxBucket)
-          .select(col("band"), col("bandHash")).distinct().count())
+      release = () => { persistedAncestor(grouped.rdd).foreach(_.unpersist(blocking = false)); () },
+      overCapBuckets = () => overCap.count())
   }
 
   /** [[minhashLshRun]] without the release handle — callers that run one
@@ -225,6 +275,17 @@ object Dedup {
     * moduli 1e9+7 and 2^31−1): h1·2³¹ | h2. Every step is exact BIGINT
     * arithmetic, so the whole SimHash below is restatable in ANSI SQL —
     * the correctness oracle recomputes it independently.
+    *
+    * Entropy note: h1 < 2³⁰, so bits 61–63 of the output are always zero
+    * and SimHash bits 61–63 are majority-of-zeros (clear for any nonempty
+    * token stream). Exactness is unaffected — Spark and the oracle agree
+    * bit for bit — but [[simhashPairs]]' TOP pigeonhole chunk has 2³
+    * fewer effective values than the others (e.g. 2¹³ instead of 2¹⁶ at
+    * maxHamming=3), so its buckets run ~8× denser: derate the scale
+    * envelope there by one order of magnitude, or lower maxHamming one
+    * notch at the extreme corpus sizes. Widening would require 64-bit
+    * arithmetic that overflows signed BIGINT in the SQL restatement, so
+    * the reduced-entropy chunk is the deliberate trade.
     */
   def tokenHash61(t: String): Long = {
     var h1 = 0L; var h2 = 0L; var i = 0

@@ -174,8 +174,13 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cluster = (0 until 200)
       .map(i => (1000L + i, "the quick brown fox jumps over the lazy dog again and again", "c"))
     val corpus = nearDupDocs.unionByName(cluster.toDF("id", "text", "src"))
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val run = Dedup.minhashLshRun(corpus, "id", "text", 64, 16, 3, 0.7, maxBucket = 8)
+    // the run materializes its per-content projection eagerly (raw-row
+    // checkpoint); track the block ids IT added — other suites share this
+    // SparkContext, so global counts are not stable to assert on
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "expected the run to materialize its per-content projection")
     // the heavy plan must stay cartesian-free
     val plan = run.pairs.queryExecution.executedPlan.toString
     Seq("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -194,7 +199,8 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doc2cluster.length == 200)
     assert(doc2cluster.map(_.getDouble(2)).distinct.length == 1)
     run.release()
-    assert(spark.sparkContext.getPersistentRDDs.size == before, "cache not released")
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
+      "materialized projection not released")
   }
 
   test("minhash LSH bucket cap bites on near-identical DISTINCT contents and is reported") {
