@@ -496,6 +496,31 @@ object Queries {
       s.range(1).select(lit(Quantizer.memoryBytes(codes)).as("bytes"))
     }),
 
+    // S6 full-drop lifecycle: quantize → cleanup (store dir + sidecar
+    // deleted, catalog params dropped — vector_quantize_cleanup parity,
+    // sqlite-vector.c:1501-1524) → re-quantize from scratch → scan. The
+    // boolean columns are real filesystem/catalog observations, not
+    // constants: a cleanup that leaves the store or the params behind
+    // flips them and fails the gate.
+    "quant_cleanup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qclean").toString
+      val storePath = s"$tmp/vector0_embeddings_embedding"
+      val cfg = graft.VectorConfig.fromOptions(s"dimension=$Dim,type=FLOAT32,max_memory=30MB")
+      Quantizer.quantize(emb(s, dir), "vec_id", "embedding", storePath, cfg, "emb_cleanup", "embedding")
+      val existed = java.nio.file.Files.exists(java.nio.file.Paths.get(storePath))
+      val hadParams = graft.catalog.VectorCatalog.quantParams("emb_cleanup", "embedding").isDefined
+      Quantizer.cleanup(s, storePath, "emb_cleanup", "embedding")
+      val storeDropped = existed &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(storePath))
+      val paramsDropped = hadParams &&
+        graft.catalog.VectorCatalog.quantParams("emb_cleanup", "embedding").isEmpty
+      Quantizer.quantize(emb(s, dir), "vec_id", "embedding", storePath, cfg, "emb_cleanup", "embedding")
+      val p = graft.catalog.VectorCatalog.readSidecar(s"$storePath/_vector_meta.json")
+      Quantizer.quantScan(s.read.parquet(storePath), probe, p, K, "sq_l2")
+        .select(col("id").as("vec_id"), col("distance").as("dist_sq"),
+          lit(storeDropped).as("store_dropped"), lit(paramsDropped).as("params_dropped"))
+    }),
+
     // The reference's primary SQL interface: eponymous table functions
     // (API.md:212-261), here as Catalyst TVFs — the whole query is a SQL
     // string, expanded to Project→Sort→Limit and planned as
@@ -519,6 +544,36 @@ object Queries {
       graft.catalog.VectorCatalog.putQuantParams("embeddings", "embedding", p)
       val probeJson = probe.mkString("[", ",", "]")
       s.sql(s"SELECT id, distance FROM vector_quantize_scan('embeddings', 'embedding', '$probeJson', $K)")
+    }),
+
+    // The reference's full SQL lifecycle (API.md:53-168,
+    // sqlite-vector.c:2581-2597) with ONLY spark.sql strings after
+    // registration: view → vector_init → vector_quantize (returns row
+    // count) → vector_quantize_preload → a scan joined with
+    // vector_quantize_memory, then vector_quantize_cleanup. n_rows and
+    // mem_bytes come back from the lifecycle functions themselves; the
+    // oracle recomputes both from the base table.
+    "sql_lifecycle" -> ((s, dir) => {
+      graft.sql.GraftTableFunctions.register(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sqllife").toString
+      val probeJson = probe.mkString("[", ",", "]")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW emb_sql AS SELECT * FROM parquet.`$dir/embeddings.parquet`")
+      s.sql(s"SELECT vector_init('emb_sql', 'embedding', " +
+        s"'dimension=$Dim,type=FLOAT32,id_column=vec_id,store_dir=$tmp')").collect()
+      // the quantize return value (row count) comes back from the function
+      // itself; it is interpolated into the final statement like the probe
+      // (re-embedding the CALL would re-quantize at each re-analysis)
+      val n = s.sql("SELECT vector_quantize('emb_sql', 'embedding', 'max_memory=30MB')")
+        .head().getLong(0)
+      s.sql("SELECT vector_quantize_preload('emb_sql', 'embedding')").collect()
+      val out = s.sql(
+        s"""SELECT q.id, q.distance,
+           |  CAST($n AS BIGINT) AS n_rows,
+           |  vector_quantize_memory('emb_sql', 'embedding') AS mem_bytes
+           |FROM vector_quantize_scan('emb_sql', 'embedding', '$probeJson', $K) q""".stripMargin)
+      val rows = out.collect()
+      s.sql("SELECT vector_quantize_cleanup('emb_sql', 'embedding')").collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // F2: vector_backend
@@ -952,6 +1007,10 @@ object Queries {
 
     "quant_lifecycle" -> quantKnnSql,
 
+    "quant_cleanup" ->
+      s"""SELECT vec_id, dist_sq, TRUE AS store_dropped, TRUE AS params_dropped
+         |FROM ($quantKnnSql)""".stripMargin,
+
     "quant_preload" -> quantKnnSql,
 
     "sql_tvf_knn" ->
@@ -966,6 +1025,16 @@ object Queries {
          |SELECT vec_id AS id,
          |  sqrt(CAST(list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i]))) AS DOUBLE)) AS distance
          |FROM qc, qp ORDER BY distance, id LIMIT $K""".stripMargin,
+
+    "sql_lifecycle" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,
+         |qc AS (SELECT vec_id, list_transform(embedding, x -> $codeSqlExpr) AS c FROM embeddings, par WHERE embedding IS NOT NULL),
+         |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p),
+         |n AS (SELECT count(*) AS n_rows FROM embeddings WHERE embedding IS NOT NULL)
+         |SELECT vec_id AS id,
+         |  sqrt(CAST(list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i]))) AS DOUBLE)) AS distance,
+         |  n.n_rows AS n_rows, n.n_rows * (8 + $Dim) AS mem_bytes
+         |FROM qc, qp, n ORDER BY distance, id LIMIT $K""".stripMargin,
 
     "quant_stream_sq_l2" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,

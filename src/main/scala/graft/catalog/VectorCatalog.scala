@@ -54,6 +54,14 @@ object VectorCatalog {
 
   def quantParams(table: String, column: String): Option[QuantParams] = quants.get((table, column))
 
+  /** Drop a column's quant params — the catalog half of
+    * `vector_quantize_cleanup` (sqlite-vector.c:1501-1524 deletes the
+    * `_sqliteai_vector` row; the vector_init registration itself survives
+    * cleanup there too). Returns whether params were present.
+    */
+  def dropQuantParams(table: String, column: String): Boolean =
+    quants.remove((table, column)).isDefined
+
   def clear(): Unit = { configs.clear(); quants.clear() }
 
   // ---------- sidecar IO (S4: the _sqliteai_vector equivalent) ----------

@@ -122,8 +122,30 @@ object Quantizer {
     cached
   }
 
-  /** S6 `vector_quantize_cleanup` (:1501-1524). */
+  /** S6 `vector_quantize_cleanup`, preload-release half only: unpin a
+    * [[preload]]ed copy from executor memory. The full drop (store +
+    * sidecar + catalog params) is the path-taking overload below.
+    */
   def cleanup(quantDF: DataFrame): Unit = { quantDF.unpersist() }
+
+  /** S6 `vector_quantize_cleanup` (sqlite-vector.c:1501-1524), the full
+    * drop: release any preloaded copy, delete the on-disk quant store —
+    * code files AND the `_vector_meta.json` sidecar, via the store path's
+    * own filesystem so HDFS/S3A/local all work — and drop the catalog's
+    * quant params. Parity with the reference's DROP TABLE of the shadow
+    * table + `_sqliteai_vector` row delete + context removal; like there,
+    * the `vector_init` registration survives and a fresh
+    * [[quantize]] afterwards rebuilds the store from scratch.
+    */
+  def cleanup(spark: org.apache.spark.sql.SparkSession, quantPath: String,
+              table: String = "", column: String = "",
+              preloaded: Option[DataFrame] = None): Unit = {
+    preloaded.foreach(_.unpersist())
+    val p = new org.apache.hadoop.fs.Path(quantPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    if (table.nonEmpty) VectorCatalog.dropQuantParams(table, column)
+  }
 
   /** Q2 `vector_quantize_memory`: bytes needed to preload =
     * Σ(8 + len(code)) — the reference's record layout (:1160-1161).

@@ -104,9 +104,143 @@ object GraftTableFunctions {
           SortOrder(UnresolvedAttribute("id"), Ascending)),
       global = true, proj))
 
+  // ---------- lifecycle scalar functions (API.md:53-168) ----------
+  //
+  // The reference registers vector_init / vector_quantize /
+  // vector_quantize_memory / vector_quantize_preload /
+  // vector_quantize_cleanup as SQL scalar functions next to the scan vtabs
+  // (sqlite-vector.c:2581-2597). Spark has no SQL procedures, so these are
+  // function builders whose side effect runs at analysis time — the same
+  // eager-at-`spark.sql(...)` semantics a SELECT of a side-effecting
+  // scalar has in the reference — and whose resolved expression is the
+  // reference's return value (NULL, or the quantized row count / byte
+  // size) as a literal.
+
+  /** Shadow-store naming: `vector0_<table>_<column>`
+    * (sqlite-vector.c:1000-1002) — both the parquet directory under the
+    * store root and the temp view the quantized scan reads.
+    */
+  private def shadowName(table: String, column: String) = s"vector0_${table}_$column"
+
+  private def storePath(spark: SparkSession, cfg: graft.VectorConfig,
+                        table: String, column: String): String = {
+    val root =
+      if (cfg.storeDir.nonEmpty) cfg.storeDir
+      else spark.conf.get("spark.sql.warehouse.dir") + "/graft_vector_stores"
+    s"$root/${shadowName(table, column)}"
+  }
+
+  /** `vector_init(tbl, col, options)` → NULL. Registers + validates the
+    * vector column (API.md:53-88); idempotent re-init must match.
+    */
+  def initBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(t, c, o) =>
+      val spark = SparkSession.active
+      val table = strArg(t, "table name")
+      val column = strArg(c, "column name")
+      val cfg = graft.VectorConfig.fromOptions(strArg(o, "options"))
+      VectorCatalog.init(table, column, cfg, Some(spark.table(table)))
+      Literal.create(null, StringType)
+    case other =>
+      throw new IllegalArgumentException(s"vector_init expects (table, column, options), got ${other.size} args")
+  }
+
+  /** `vector_quantize(tbl, col[, options])` → quantized row count
+    * (API.md:93-118). Rebuilds the shadow store, refreshes the shadow view
+    * (dropping any preloaded copy first — the reference's auto-reload on
+    * re-quantize), and records params in the catalog + sidecar.
+    */
+  def quantizeBuilder(args: Seq[Expression]): Expression = {
+    val (t, c, opts) = args match {
+      case Seq(t0, c0)     => (t0, c0, "")
+      case Seq(t0, c0, o0) => (t0, c0, strArg(o0, "options"))
+      case other =>
+        throw new IllegalArgumentException(s"vector_quantize expects (table, column[, options]), got ${other.size} args")
+    }
+    val spark = SparkSession.active
+    val table = strArg(t, "table name")
+    val column = strArg(c, "column name")
+    val cfg = config(table, column)
+    // the only documented quantize option is max_memory (API.md:110-114)
+    val maxMem = opts.split(",").map(_.trim).collectFirst {
+      case kv if kv.toLowerCase.startsWith("max_memory=") =>
+        graft.VectorConfig.humanToNumber(kv.substring(kv.indexOf('=') + 1))
+    }.getOrElse(cfg.maxMemory)
+    val shadow = shadowName(table, column)
+    if (spark.catalog.tableExists(shadow)) spark.table(shadow).unpersist()
+    val (_, rows) = Quantizer.quantize(spark.table(table), cfg.idCol, column,
+      storePath(spark, cfg, table, column), cfg.qType, table, column, maxMem, cfg.dim)
+    spark.read.parquet(storePath(spark, cfg, table, column)).createOrReplaceTempView(shadow)
+    Literal(rows)
+  }
+
+  private def shadowTable(spark: SparkSession, table: String, column: String) = {
+    VectorCatalog.quantParams(table, column).getOrElse(throw new IllegalArgumentException(
+      s"vector_quantize('$table','$column') must run first (sqlite-vector.c:1780-1787)"))
+    spark.table(shadowName(table, column))
+  }
+
+  /** `vector_quantize_memory(tbl, col)` → preload bytes = Σ(8 + len(code))
+    * (API.md:123-133).
+    */
+  def memoryBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(t, c) =>
+      val spark = SparkSession.active
+      val table = strArg(t, "table name")
+      val column = strArg(c, "column name")
+      Literal(Quantizer.memoryBytes(shadowTable(spark, table, column)))
+    case other =>
+      throw new IllegalArgumentException(s"vector_quantize_memory expects (table, column), got ${other.size} args")
+  }
+
+  /** `vector_quantize_preload(tbl, col)` → NULL. Pins the shadow store in
+    * executor memory and rebinds the shadow view to the pinned copy, so
+    * subsequent `vector_quantize_scan` calls read RAM (API.md:139-150).
+    */
+  def preloadBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(t, c) =>
+      val spark = SparkSession.active
+      val table = strArg(t, "table name")
+      val column = strArg(c, "column name")
+      Quantizer.preload(shadowTable(spark, table, column))
+        .createOrReplaceTempView(shadowName(table, column))
+      Literal.create(null, StringType)
+    case other =>
+      throw new IllegalArgumentException(s"vector_quantize_preload expects (table, column), got ${other.size} args")
+  }
+
+  /** `vector_quantize_cleanup(tbl, col)` → NULL. Releases the preloaded
+    * copy, drops the shadow view, deletes the store (codes + sidecar) and
+    * removes the catalog's quant params (API.md:155-168,
+    * sqlite-vector.c:1501-1524). The vector_init registration survives.
+    */
+  def cleanupBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(t, c) =>
+      val spark = SparkSession.active
+      val table = strArg(t, "table name")
+      val column = strArg(c, "column name")
+      val cfg = config(table, column)
+      val shadow = shadowName(table, column)
+      if (spark.catalog.tableExists(shadow)) {
+        spark.table(shadow).unpersist()
+        spark.catalog.dropTempView(shadow)
+      }
+      Quantizer.cleanup(spark, storePath(spark, cfg, table, column), table, column)
+      Literal.create(null, StringType)
+    case other =>
+      throw new IllegalArgumentException(s"vector_quantize_cleanup expects (table, column), got ${other.size} args")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "vector_full_scan" -> (fullScanBuilder _),
     "vector_quantize_scan" -> (quantScanBuilder _))
+
+  private val scalarBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vector_init" -> (initBuilder _),
+    "vector_quantize" -> (quantizeBuilder _),
+    "vector_quantize_memory" -> (memoryBuilder _),
+    "vector_quantize_preload" -> (preloadBuilder _),
+    "vector_quantize_cleanup" -> (cleanupBuilder _))
 
   /** Runtime registration on a live session (the `CREATE FUNCTION` path). */
   def register(spark: SparkSession): Unit = {
@@ -114,16 +248,25 @@ object GraftTableFunctions {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
+    val sreg = spark.sessionState.functionRegistry
+    scalarBuilders.foreach { case (name, b) =>
+      sreg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 
   /** `SparkSessionExtensions` injection — enable with
     * `spark.sql.extensions=graft.sql.GraftExtensions`.
     */
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, b) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftTableFunctions.getClass.getCanonicalName, name), b))
     }
+    scalarBuilders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(GraftTableFunctions.getClass.getCanonicalName, name), b))
+    }
+  }
 }
 
 /** Session extension entry point: registers the vector table functions at

@@ -73,7 +73,11 @@ final case class VectorConfig(
     normalized: Boolean = false,
     qType: QType = QType.Auto,
     maxMemory: Long = 30L * 1024 * 1024,
-    idCol: String = "id"
+    idCol: String = "id",
+    // where SQL-driven `vector_quantize` writes the shadow store; empty →
+    // <spark.sql.warehouse.dir>/graft_vector_stores (the Spark analogue of
+    // the reference's shadow table living inside the database file)
+    storeDir: String = ""
 ) {
   require(dim > 0, s"dimension must be > 0, got $dim")
 }
@@ -93,6 +97,7 @@ object VectorConfig {
     var qt: QType = QType.Auto
     var maxMem = 30L * 1024 * 1024
     var idCol = "id"
+    var storeDir = ""
     opts.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
       val i = kv.indexOf('=')
       if (i > 0) {
@@ -108,12 +113,13 @@ object VectorConfig {
           // our explicit analogue of the reference's rowid/pk resolution
           // (sqlite-vector.c:1079-1088): Spark tables have no implicit rowid
           case "id_column"         => idCol = v
+          case "store_dir"         => storeDir = v
           case _                   => // unknown keys ignored (reference behavior)
         }
       }
     }
     require(dim > 0, "dimension is mandatory (sqlite-vector.c:2508-2516)")
-    VectorConfig(dim, et, metric, normalized, qt, maxMem, idCol)
+    VectorConfig(dim, et, metric, normalized, qt, maxMem, idCol, storeDir)
   }
 
   /** sqlite-vector.c:916-933 */

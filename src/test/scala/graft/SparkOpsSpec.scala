@@ -107,6 +107,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batched.count() == n)
   }
 
+  test("cleanup drops the store dir, sidecar and catalog params; re-quantize rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("qclean").toString
+    val store = s"$dir/q"
+    Quantizer.quantize(emb, "vec_id", "embedding", store, QType.Auto, "t_clean", "embedding")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+    assert(catalog.VectorCatalog.quantParams("t_clean", "embedding").isDefined)
+
+    val preloaded = Quantizer.preload(spark.read.parquet(store))
+    Quantizer.cleanup(spark, store, "t_clean", "embedding", Some(preloaded))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store)), "store dir not deleted")
+    assert(catalog.VectorCatalog.quantParams("t_clean", "embedding").isEmpty, "params not dropped")
+
+    // idempotent on an already-clean store; then the lifecycle restarts
+    Quantizer.cleanup(spark, store, "t_clean", "embedding")
+    val (p2, n2) = Quantizer.quantize(emb, "vec_id", "embedding", store, QType.Auto, "t_clean", "embedding")
+    assert(n2 == emb.count())
+    assert(catalog.VectorCatalog.readSidecar(s"$store/_vector_meta.json") == p2)
+  }
+
   test("quantized codes match driver-side Quantize.codes exactly") {
     val p = Quantizer.computeParams(emb, "embedding")
     val fromSpark = Quantizer.quantizeCodes(emb, "vec_id", "embedding", p)
@@ -457,6 +476,50 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scanning an unregistered (table, column) errors like the reference
     assertThrows[IllegalArgumentException](
       spark.sql("SELECT * FROM vector_full_scan('nope', 'c', '[1]', 3)"))
+  }
+
+  test("SQL lifecycle functions: init -> quantize -> memory -> preload -> scan -> cleanup") {
+    emb.createOrReplaceTempView("emb_life")
+    graft.sql.GraftTableFunctions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("sqllife").toString
+    val store = s"$tmp/vector0_emb_life_embedding"
+
+    // init returns NULL (API.md:55) and registers the column
+    assert(spark.sql("SELECT vector_init('emb_life', 'embedding', " +
+      s"'dimension=64,type=FLOAT32,id_column=vec_id,store_dir=$tmp')").head().isNullAt(0))
+    assert(catalog.VectorCatalog.get("emb_life", "embedding").isDefined)
+
+    // quantize returns the row count and writes store + sidecar + view
+    val n = spark.sql("SELECT vector_quantize('emb_life', 'embedding')").head().getLong(0)
+    assert(n == emb.count())
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store/_vector_meta.json")))
+    assert(spark.catalog.tableExists("vector0_emb_life_embedding"))
+
+    // memory = n * (8 + dim) (API.md:123-133)
+    assert(spark.sql("SELECT vector_quantize_memory('emb_life', 'embedding')")
+      .head().getLong(0) == n * (8 + 64))
+
+    // preload pins the shadow view; the scan after it matches the direct path
+    assert(spark.sql("SELECT vector_quantize_preload('emb_life', 'embedding')").head().isNullAt(0))
+    val probeJson = probe.mkString("[", ",", "]")
+    val got = spark.sql(
+      s"SELECT id, distance FROM vector_quantize_scan('emb_life', 'embedding', '$probeJson', 5)")
+      .collect().map(_.getLong(0)).toSeq
+    val p = catalog.VectorCatalog.quantParams("emb_life", "embedding").get
+    val want = Quantizer.quantScan(Quantizer.quantizeCodes(emb, "vec_id", "embedding", p),
+      probe, p, 5, "l2").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+
+    // cleanup: store gone, params gone, view gone; init registration stays
+    spark.sql("SELECT vector_quantize_cleanup('emb_life', 'embedding')").collect()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store)), "store not deleted")
+    assert(catalog.VectorCatalog.quantParams("emb_life", "embedding").isEmpty)
+    assert(!spark.catalog.tableExists("vector0_emb_life_embedding"))
+    assert(catalog.VectorCatalog.get("emb_life", "embedding").isDefined)
+
+    // memory after cleanup errors like an unquantized scan
+    assertThrows[IllegalArgumentException](
+      spark.sql("SELECT vector_quantize_memory('emb_life', 'embedding')"))
   }
 
   // ---------- packed-vector reference-fidelity path ----------
