@@ -223,10 +223,11 @@ object Queries {
        |SELECT vec_id, ${clampSql(asF32Sql("v"))} AS $outCol FROM d""".stripMargin
   }
 
-  /** The remaining un-gated (metric, type) combos of the 25-kernel table —
-    * everything except f32-cosine, whose float-division rounding is not
-    * portably restatable (the array-path knn_cosine gates those semantics
-    * in double).
+  /** The remaining grid-gated (metric, type) combos of the 25-kernel
+    * table. f32-cosine is gated separately by top-k ids
+    * (packed_knn_f32_cosine): its float-division rounding is not portably
+    * restatable value-for-value, but the induced ranking is — with that,
+    * all 25 dispatch entries sit behind a green CORRECTNESS row.
     */
   private val packedGridCombos: Seq[(String, String)] = Seq(
     "sq_l2" -> "f16", "dot" -> "f16", "l1" -> "f16", "cosine" -> "f16",
@@ -668,6 +669,18 @@ object Queries {
         .select(col("vec_id"), col("distance").cast("double").as("dist_sq"))
     }),
 
+    // The 25th kernel-dispatch combo (f32 × cosine), gated by top-k IDS:
+    // the f32 division's last-bit rounding is not portably restatable in
+    // SQL (knn_cosine gates the cosine semantics in double), but the
+    // RANKING it induces is — the oracle recomputes cosine in double over
+    // the same grid values and must select the same k ids
+    "packed_knn_f32_cosine" -> ((s, dir) => {
+      val packed = emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"), pack_vector(grid256(col("embedding")), "f32").as("blob"))
+      Knn.fullScanPacked(packed, "vec_id", "blob", probe, K, "cosine", "f32")
+        .select(col("vec_id"))
+    }),
+
     // f16: grid-quantize → pack binary16 → L2 kernel (double accumulation,
     // distance-cpu.c:164-197) — float-fidelity path, no rounding in output
     "packed_f16_l2" -> ((s, dir) => {
@@ -932,10 +945,11 @@ object Queries {
     // built per doc_id) parsed by the real header codec; the oracle checks
     // the dimension formulas, so a parser reading the wrong offsets fails ----
     "multimodal_meta" -> ((s, dir) => {
-      val fixtureUdf = udf((id: Long) => ((id % 3).toInt: @unchecked) match {
+      val fixtureUdf = udf((id: Long) => ((id % 4).toInt: @unchecked) match {
         case 0 => MediaCodec.pngFixture((1 + id % 640).toInt, (1 + id % 480).toInt)
         case 1 => MediaCodec.jpegFixture((1 + id % 640).toInt, (1 + id % 480).toInt)
         case 2 => MediaCodec.wavFixture((8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt, (id % 100).toInt)
+        case 3 => MediaCodec.gifFixture((1 + id % 640).toInt, (1 + id % 480).toInt)
       })
       val withPayload = docs(s, dir)
         .withColumn("payload", fixtureUdf(col("doc_id")))
@@ -1118,6 +1132,19 @@ object Queries {
          |  FROM embeddings, p WHERE embedding IS NOT NULL)
          |SELECT vec_id, dist_sq FROM (SELECT vec_id, ${clampSql(asF32Sql("v"))} AS dist_sq FROM d)
          |ORDER BY dist_sq, vec_id LIMIT $K""".stripMargin,
+
+    "packed_knn_f32_cosine" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id,
+         |  list_sum(list_transform(generate_series(1,$Dim), i -> $gridSql * pv[i])) AS dp,
+         |  sqrt(list_sum(list_transform(generate_series(1,$Dim), i -> $gridSql * $gridSql))) AS na,
+         |  sqrt(list_sum(list_transform(generate_series(1,$Dim), i -> pv[i] * pv[i]))) AS nb
+         |  FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT vec_id FROM (
+         |  SELECT vec_id,
+         |    CASE WHEN na * nb = 0 THEN 1.0 ELSE 1.0 - dp / (na * nb) END AS distance
+         |  FROM d)
+         |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
 
     "packed_f16_l2" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),
@@ -1310,12 +1337,13 @@ object Queries {
       val pngLen = MediaCodec.pngFixture(1, 1).length
       val jpegLen = MediaCodec.jpegFixture(1, 1).length
       val wavLen = MediaCodec.wavFixture(8000, 1, 0).length
+      val gifLen = MediaCodec.gifFixture(1, 1).length
       s"""SELECT doc_id,
-         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS media_type,
-         |  CAST(CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 8) * 1000 ELSE 1 + doc_id % 640 END AS BIGINT) AS width,
-         |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 ELSE 1 + doc_id % 480 END AS BIGINT) AS height,
-         |  CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 100 ELSE 1 END AS BIGINT) AS n_frames,
-         |  CAST(CASE doc_id % 3 WHEN 0 THEN $pngLen WHEN 1 THEN $jpegLen ELSE $wavLen END AS BIGINT) AS byte_len
+         |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' ELSE 'gif' END AS media_type,
+         |  CAST(CASE doc_id % 4 WHEN 2 THEN 8000 + (doc_id % 8) * 1000 ELSE 1 + doc_id % 640 END AS BIGINT) AS width,
+         |  CAST(CASE doc_id % 4 WHEN 2 THEN 1 + doc_id % 2 ELSE 1 + doc_id % 480 END AS BIGINT) AS height,
+         |  CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 100 ELSE 1 END AS BIGINT) AS n_frames,
+         |  CAST(CASE doc_id % 4 WHEN 0 THEN $pngLen WHEN 1 THEN $jpegLen WHEN 2 THEN $wavLen ELSE $gifLen END AS BIGINT) AS byte_len
          |FROM documents""".stripMargin
     },
 

@@ -430,6 +430,31 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Byte-histogram featurizer for binary payloads: fixed-width
+  * `array<float>` with out[i % dim] += byte/256 (see
+  * [[graft.kernels.Sketches.byteHistogram]] for the exactness argument).
+  * A native expression, not a UDF, so the featurizer stays inside
+  * WholeStageCodegen with the rest of the multimodal projection.
+  */
+case class ByteHistogram(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(dim > 0, s"dim must be > 0, got $dim")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "byte_histogram"
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.byteHistogram(v.asInstanceOf[Array[Byte]], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.byteHistogram($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signature of an `array<float>` vector: bit b set
   * iff dot(v, plane_b) > 0, all `nBits` bits in ONE traversal of the
   * vector. Planes derive deterministically from (nBits, dim, seed) — plain
@@ -512,6 +537,10 @@ case class ArrayMinMax(child: Expression)
     var any = false
     var i = 0
     while (i < n) {
+      // fail fast: a NULL lane would silently read as 0.0 through getFloat
+      // and corrupt the global quantization extrema
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"array_min_max: NULL lane at index $i (vectors must be dense)")
       val x = arr.getFloat(i).toDouble
       if (!x.isNaN) { if (x < mn) mn = x; if (x > mx) mx = x; any = true }
       i += 1
@@ -529,6 +558,8 @@ case class ArrayMinMax(child: Expression)
          |double $mn = Double.POSITIVE_INFINITY, $mx = Double.NEGATIVE_INFINITY;
          |boolean $any = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) throw new IllegalArgumentException(
+         |    "array_min_max: NULL lane at index " + $i + " (vectors must be dense)");
          |  double $x = (double) $c.getFloat($i);
          |  if (!Double.isNaN($x)) {
          |    if ($x < $mn) $mn = $x;

@@ -43,6 +43,8 @@ object functions {
 
   def shingle_hashes(text: Column, n: Int): Column = col(ShingleHashes(expr(text), n))
 
+  def byte_histogram(payload: Column, dim: Int): Column = col(ByteHistogram(expr(payload), dim))
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
 

@@ -20,6 +20,21 @@ object Sketches {
     z ^ (z >>> 31)
   }
 
+  /** Byte-histogram features over a binary payload: out[i % dim] +=
+    * byte/256 — every lane an exact binary fraction (exact in float while a
+    * lane sum stays < 2^16), so results are bit-reproducible and restatable
+    * in SQL. Static entry point for generated code.
+    */
+  def byteHistogram(b: Array[Byte], dim: Int): ArrayData = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < b.length) {
+      out(i % dim) += (b(i) & 0xff) / 256.0f
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over pre-hashed shingles (array<long> in): minima of
     * `numHashes` derived hash functions. Static entry point for generated
     * code.
@@ -134,6 +149,10 @@ object Sketches {
     val n = v.numElements()
     var i = 0
     while (i < n) {
+      // fail fast: a NULL lane would silently read as 0.0 through getFloat
+      // and diverge from any SQL restatement's NULL propagation
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"hyperplane_signature: NULL lane at index $i (vectors must be dense)")
       val x = v.getFloat(i).toDouble
       var b = 0
       while (b < nb) {
@@ -156,6 +175,14 @@ object Sketches {
     // confidently wrong cell and silently pollute the IVF store
     require(v.numElements() == centroids(0).length,
       s"vector dim ${v.numElements()} != centroid dim ${centroids(0).length}")
+    var j = 0
+    while (j < v.numElements()) {
+      // fail fast: a NULL lane would silently read as 0.0 through getFloat
+      // and assign a confidently wrong cell
+      if (v.isNullAt(j)) throw new IllegalArgumentException(
+        s"nearest_centroid: NULL lane at index $j (vectors must be dense)")
+      j += 1
+    }
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0

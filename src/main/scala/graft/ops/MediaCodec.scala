@@ -38,13 +38,17 @@ object MediaCodec {
   /** JPEG: SOI marker then a sequence of FF-marker segments; the first SOF
     * (start-of-frame, 0xC0-0xCF except C4/C8/CC) segment carries height
     * (BE16 at data offset +3) and width (+5). Non-SOF segments are skipped
-    * via their BE16 length field.
+    * via their BE16 length field. Encoders may pad between segments with
+    * runs of 0xFF fill bytes (ITU T.81 §B.1.1.2: any marker may be
+    * preceded by fill) — the walk skips them rather than misreading the
+    * fill byte as a marker with a bogus length.
     */
   def probeJpeg(b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
     var p = 2
     while (p + 3 < b.length) {
       if (u8(b, p) != 0xff) return None
+      while (p + 3 < b.length && u8(b, p + 1) == 0xff) p += 1 // fill bytes
       val m = u8(b, p + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) p += 2 // standalone markers
       else if (m == 0xd9) return None // EOI before any SOF
@@ -121,18 +125,34 @@ object MediaCodec {
     out.array()
   }
 
-  /** Minimal JPEG: SOI + APP0 (so parsers must skip a segment) + SOF0 + EOI. */
+  /** Minimal JPEG: SOI + APP0 (so parsers must skip a segment) + two 0xFF
+    * fill bytes before SOF0 (so parsers must handle inter-segment padding,
+    * T.81 §B.1.1.2) + SOF0 + EOI.
+    */
   def jpegFixture(w: Int, h: Int): Array[Byte] = {
-    val out = java.nio.ByteBuffer.allocate(2 + 18 + 13 + 2)
+    val out = java.nio.ByteBuffer.allocate(2 + 18 + 2 + 13 + 2)
     out.put(0xff.toByte).put(0xd8.toByte)                      // SOI
     out.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort) // APP0, len 16
       .put("JFIF".getBytes).put(0.toByte)
       .putShort(0x0101.toShort).put(0.toByte).putShort(1.toShort).putShort(1.toShort)
       .put(0.toByte).put(0.toByte)
+    out.put(0xff.toByte).put(0xff.toByte)                      // fill bytes
     out.put(0xff.toByte).put(0xc0.toByte).putShort(11.toShort) // SOF0, len 11
       .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(1.toByte)
       .put(1.toByte).put(0x11.toByte).put(0.toByte)
     out.put(0xff.toByte).put(0xd9.toByte)                      // EOI
+    out.array()
+  }
+
+  /** Minimal GIF89a: 6-byte header, LE16 logical screen width/height,
+    * packed/background/aspect bytes, trailer. 14 bytes.
+    */
+  def gifFixture(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(14).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes)
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // packed, bg index, aspect
+    out.put(0x3b.toByte)                          // trailer
     out.array()
   }
 

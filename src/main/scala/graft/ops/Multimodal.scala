@@ -33,20 +33,12 @@ object Multimodal {
     * stays < 2^16), so results are bit-reproducible and restatable in SQL.
     * A pixel-level featurizer would decode first; byte statistics are the
     * container-agnostic stand-in with the same schema/partitioning shape.
+    * A native codegen'd expression ([[graft.expressions.ByteHistogram]]),
+    * so the featurizer stays inside WholeStageCodegen; null payload → null
+    * features.
     */
-  def withFeatures(df: DataFrame, payloadCol: String, dim: Int = 16): DataFrame = {
-    val featUdf = udf((b: Array[Byte]) =>
-      Option(b).map { p =>
-        val out = new Array[Float](dim)
-        var i = 0
-        while (i < p.length) {
-          out(i % dim) += (p(i) & 0xff) / 256.0f
-          i += 1
-        }
-        out
-      })
-    df.withColumn("features", featUdf(col(payloadCol)))
-  }
+  def withFeatures(df: DataFrame, payloadCol: String, dim: Int = 16): DataFrame =
+    df.withColumn("features", graft.functions.byte_histogram(col(payloadCol), dim))
 
   /** Frame sampling plan for audio/video payloads: every `stride`-th frame
     * index up to n_frames — one row per sampled frame (a real decoder

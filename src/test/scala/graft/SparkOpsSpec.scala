@@ -154,6 +154,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p == expect)
   }
 
+  test("NULL vector lanes fail fast instead of silently reading as 0.0") {
+    // getFloat on a null lane yields 0.0 with no error — these kernels must
+    // reject sparse arrays, not quietly corrupt signatures/extrema/cells
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sparse = new GenericArrayData(Array[Any](1.0f, null, 2.0f))
+    val planes = kernels.Sketches.planes(4, 3, 42L)
+    assertThrows[IllegalArgumentException](kernels.Sketches.hyperplaneSig(sparse, planes))
+    assertThrows[IllegalArgumentException](
+      kernels.Sketches.nearestCentroid(sparse, Array(Array(0f, 0f, 0f))))
+    // expression path (exercises the codegen'd check through a real plan)
+    val d = Seq(Tuple1(Seq[java.lang.Float](1.0f, null, 2.0f))).toDF("v")
+    val ex = intercept[Exception](
+      d.select(graft.functions.array_min_max(col("v").cast("array<float>"))).collect())
+    def hasNullLaneMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("NULL lane")) || hasNullLaneMsg(t.getCause))
+    assert(hasNullLaneMsg(ex))
+  }
+
   // ---------- catalog ----------
 
   test("vector_init validation: idempotent re-init must match (sqlite-vector.c:2518-2540)") {
@@ -404,13 +422,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import ops.MediaCodec
     val png = MediaCodec.probe(MediaCodec.pngFixture(640, 360), "x")
     assert(png == MediaCodec.MediaMeta("png", 640, 360, 1, 45L))
+    // the jpeg fixture pads SOF0 with 0xFF fill bytes (T.81 §B.1.1.2) —
+    // this asserts the walker skips fill instead of misreading a length
     val jpg = MediaCodec.probe(MediaCodec.jpegFixture(1024, 768), "x")
     assert(jpg.media_type == "jpeg" && jpg.width == 1024 && jpg.height == 768)
     val wav = MediaCodec.probe(MediaCodec.wavFixture(16000, 2, 1234), "x")
     assert(wav == MediaCodec.MediaMeta("wav", 16000, 2, 1234, 44L))
-    // GIF89a header, 320x200 LE16
-    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0, 0)
-    assert(MediaCodec.probe(gif, "x") == MediaCodec.MediaMeta("gif", 320, 200, 1, 12L))
+    val gif = MediaCodec.probe(MediaCodec.gifFixture(320, 200), "x")
+    assert(gif == MediaCodec.MediaMeta("gif", 320, 200, 1, 14L))
+    // GIF87a variant, raw bytes (320x200 LE16)
+    val gif87 = "GIF87a".getBytes ++ Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0, 0)
+    assert(MediaCodec.probe(gif87, "x") == MediaCodec.MediaMeta("gif", 320, 200, 1, 12L))
     // unknown container falls back to declared type + real byte_len
     val unk = MediaCodec.probe("just text".getBytes, "image")
     assert(unk == MediaCodec.MediaMeta("image", 0, 0, 1, 9L))
@@ -427,12 +449,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getString(0) == "png" && m.getInt(1) == 320 && m.getInt(2) == 240 && m.getLong(3) == 45L)
     assert(meta.where(col("id") === 2).select("meta").head().isNullAt(0)) // null payload -> null meta
 
-    val feats = Multimodal.withFeatures(d, "payload", 16)
-      .where(col("id") === 1).select("features").head().getSeq[Float](0)
+    val featsDf = Multimodal.withFeatures(d, "payload", 16)
+    val feats = featsDf.where(col("id") === 1).select("features").head().getSeq[Float](0)
     assert(feats.length == 16)
     // exact /256 arithmetic: sum of features == sum of payload bytes / 256
     val byteSum = ops.MediaCodec.pngFixture(320, 240).map(_ & 0xff).sum
     assert(feats.map(_.toDouble).sum == byteSum / 256.0)
+    // null payload -> null features, and the featurizer is a native
+    // codegen'd expression (no ScalaUDF node in the plan)
+    assert(featsDf.where(col("id") === 2).select("features").head().isNullAt(0))
+    // (analyzed plan: over this literal local table the optimizer constant-
+    // folds the whole projection — itself proof the featurizer is a native
+    // foldable expression, which a ScalaUDF never is)
+    val plan = featsDf.select("features").queryExecution.analyzed.toString
+    assert(!plan.contains("ScalaUDF"), s"featurizer is a UDF again:\n$plan")
+    assert(plan.contains("byte_histogram"))
   }
 
   // ---------- SQL surface ----------
