@@ -963,6 +963,22 @@ object Queries {
           col("meta.byte_len").as("byte_len"))
     }),
 
+    // Frame sampling over real WAV headers: every 7th sample frame of each
+    // audio payload becomes a row (the per-frame rows a real decoder slots
+    // into); the oracle restates the stride arithmetic from the fixture's
+    // frame-count formula. One row per (doc, sampled frame), capped per
+    // doc by the fixture's n_frames = doc_id % 100.
+    "multimodal_frames" -> ((s, dir) => {
+      val fixtureUdf = udf((id: Long) =>
+        MediaCodec.wavFixture((8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt, (id % 100).toInt))
+      val withPayload = docs(s, dir)
+        .withColumn("payload", fixtureUdf(col("doc_id")))
+        .withColumn("media_type", lit("audio"))
+      Multimodal.sampleFrames(
+          Multimodal.withMetadata(withPayload, "payload", "media_type"), "meta", 7)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+    }),
+
     // Byte-feature extraction over the (printable-ASCII) text bytes: 1/256
     // scaling keeps all lane arithmetic exact, so sums and the
     // lane-weighted checksum are restated bit-for-bit by the oracle
@@ -1346,6 +1362,11 @@ object Queries {
          |  CAST(CASE doc_id % 4 WHEN 0 THEN $pngLen WHEN 1 THEN $jpegLen WHEN 2 THEN $wavLen ELSE $gifLen END AS BIGINT) AS byte_len
          |FROM documents""".stripMargin
     },
+
+    "multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(unnest(generate_series(0, greatest(doc_id % 100 - 1, 0), 7)) AS BIGINT) AS frame_idx
+        |FROM documents""".stripMargin,
 
     "multimodal_features" ->
       """WITH ch AS (SELECT doc_id, t,
