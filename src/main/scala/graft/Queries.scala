@@ -256,11 +256,15 @@ object Queries {
     * the LSH-prefiltered pipelines. O(n²) is fine at oracle SF; the Spark
     * side must reach the same rows through banded candidates only.
     *
-    * The gates compare at `threshold` = 0.9 while the Spark pipelines run
-    * at 0.8: banding recall at the 16×8 default is ~0.95 for pairs exactly
-    * at 0.80 (a miss there would be a legitimate LSH outcome, not a bug,
-    * but would still fail a row-for-row gate on an unlucky corpus), vs
-    * ≥ 1−1e-4 at 0.90 — the guard band makes the gate corpus-independent.
+    * The gates compare at `threshold` = 0.9, where 16×8 banding recall is
+    * ≥ 1−1e-4 (vs ~0.95 for pairs exactly at 0.80, where a legitimate LSH
+    * miss would fail a row-for-row gate on an unlucky corpus) — the
+    * threshold choice makes the gate corpus-independent. The Spark
+    * pipelines run at the same 0.9: banding (and so recall) is
+    * threshold-independent, while the estimate filter's 4σ margin tracks
+    * the threshold, so a tighter threshold only prunes more candidates
+    * before the exact-verification join — it cannot drop a true ≥0.9 pair
+    * the 0.8 setting would have kept.
     */
   private def jaccardAllPairsSql(n: Int, threshold: Double, limit: Int): String = {
     val span = n - 1
@@ -851,12 +855,12 @@ object Queries {
       Dedup.exact(docs(s, dir), "doc_id", Seq("lang", "source"))),
 
     // Exact 4-gram Jaccard via MinHash-LSH candidates → exact verify (no
-    // all-pairs join anywhere in the plan); pipeline at 0.8, gate at the
-    // 0.9 guard band (see jaccardAllPairsSql), cache released after the
-    // limit materializes
+    // all-pairs join anywhere in the plan); pipeline and gate both at 0.9
+    // (see jaccardAllPairsSql), the run's materialization released after
+    // the limit materializes
     "ngram_jaccard_top" -> ((s, dir) =>
       materializedLsh(s, Dedup.minhashLshRun(docs(s, dir), "doc_id", "text",
-        numHashes = 128, bands = 16, shingleN = 4, threshold = 0.8))(
+        numHashes = 128, bands = 16, shingleN = 4, threshold = 0.9))(
         _.where(col("jaccard") >= 0.9)
           .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50))),
 
@@ -868,10 +872,10 @@ object Queries {
 
     // Exact 3-gram Jaccard through the banded MinHash pipeline; the oracle
     // restates the full all-pairs exact Jaccard (fine at oracle SF);
-    // pipeline at 0.8, gate at the 0.9 guard band
+    // pipeline and gate both at 0.9 (see jaccardAllPairsSql)
     "minhash_lsh_pairs" -> ((s, dir) =>
       materializedLsh(s, Dedup.minhashLshRun(docs(s, dir), "doc_id", "text",
-        numHashes = 128, bands = 16, shingleN = 3, threshold = 0.8))(
+        numHashes = 128, bands = 16, shingleN = 3, threshold = 0.9))(
         _.where(col("jaccard") >= 0.9)
           .orderBy(col("jaccard").desc, col("a"), col("b")).limit(100))),
 

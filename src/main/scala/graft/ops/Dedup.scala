@@ -92,8 +92,11 @@ object Dedup {
     *     collected once (bounded ≤ `maxBucket` by a prior count + anti-join
     *     against the few over-cap keys, so no aggregation buffer can
     *     quadratize) and candidate (a, b) pairs with a < b are generated by
-    *     in-row explode — no bucket self-join, no window sort; the only
-    *     wide shuffles carry band keys and 8-byte ids;
+    *     in-row explode — no bucket self-join, no window sort, no
+    *     candidate-level distinct (multi-band duplicates ride through the
+    *     estimate, a bounded constant factor, and collapse after exact
+    *     verification at output cardinality); the only wide shuffles carry
+    *     band keys and 8-byte ids;
     *  4. cheap estimate: matching-signature fraction, filtered with a 4σ
     *     margin below `threshold` (the margin makes THIS step lossless for
     *     true ≥threshold pairs; overall recall is bounded by step 3);
@@ -166,14 +169,18 @@ object Dedup {
 
     // candidate generation WITHOUT a bucket self-join: collect each bucket's
     // id list (bounded ≤ maxBucket by the cap above, so the aggregation
-    // buffer is bounded) and stream its pairs out via posexplode + slice
+    // buffer is bounded) and stream its pairs out via posexplode + slice.
+    // Deliberately NOT distinct'd here: a pair agreeing in b bands appears
+    // b times (b ≤ bands, a small constant factor — measured +9% rows at
+    // sf0.1), and deduplicating 10⁵-10⁶ raw pairs costs a full shuffle,
+    // while the same dedup after exact verification (below) touches only
+    // the final output's cardinality
     val candidates = capped.groupBy(col("band"), col("bandHash"))
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) >= 2)
       .select(posexplode(col("ids")).as(Seq("i", "a0")), col("ids"))
       .select(col("a0"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b0"))
       .select(least(col("a0"), col("b0")).as("a"), greatest(col("a0"), col("b0")).as("b"))
-      .distinct()
 
     // cheap estimate first (codegen'd agreement count; the 4σ margin below
     // the threshold makes this step lossless for true ≥threshold pairs),
@@ -190,6 +197,10 @@ object Dedup {
       .withColumn("jaccard", round(col("inter") / greatest(col("union"), lit(1.0)), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a").as("ra"), col("b").as("rb"), col("jaccard"))
+      // multi-band candidate duplicates collapse HERE, where cardinality is
+      // already the verified output's (see the candidates note above);
+      // jaccard is identical across duplicates so any row survives
+      .dropDuplicates("ra", "rb")
 
     // expansion. Within-group: every member pair of an identical-content
     // group, jaccard exactly 1.0 — posexplode + slice streams each member's
