@@ -833,6 +833,17 @@ object Queries {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))),
 
+    // Event-time tumbling-window aggregation (graft.streaming.Streams):
+    // the same declarative plan Structured Streaming runs under a
+    // watermark, gated here in batch where it is oracle-restatable
+    // (epoch-aligned 1-hour buckets, exact decimal sums)
+    "events_windowed" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      graft.streaming.Streams.windowedAgg(
+        e, graft.streaming.Streams.nanosToTimestamp(col("ts")),
+        "event_type", "1 hour", "value")
+    }),
+
     // ---- text analysis (documents) ----
     "text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1256,6 +1267,12 @@ object Queries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_windowed" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id,

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time operators for the streaming half of a training-data pipeline.
+  *
+  * The reference's `_stream` scan vtabs are pull-based lazy iteration, not
+  * event-time streaming (SURVEY §2.6) — those map to the non-limited
+  * projections in [[graft.ops.Knn]]/[[graft.ops.Quantizer]], which compose
+  * with `readStream` unchanged (stateless projections). This module covers
+  * what a LARGE-SCALE INGEST actually needs beyond them: event-time
+  * windowed aggregation under a watermark, and streaming exact
+  * deduplication with bounded state.
+  *
+  * Every operator here is declarative (built-in `window`, `withWatermark`,
+  * `dropDuplicatesWithinWatermark`) or a single
+  * `flatMapGroupsWithState` — Catalyst plans the state store, so the same
+  * code runs on a 1000-executor cluster with RocksDB state backends
+  * without change.
+  */
+object Streams {
+
+  /** Nanosecond epoch (the `TIMESTAMP(NANOS)` parquet encoding read with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) → proper timestamp.
+    * Integral microsecond division — no double rounding.
+    */
+  def nanosToTimestamp(nanos: Column): Column =
+    // decimal division: a double intermediate would round 2024-era epoch
+    // nanos (~1.7e18 > 2^53) before truncating to micros
+    timestamp_micros(floor(nanos.cast("decimal(38,0)") / lit(1000L)).cast("long"))
+
+  /** Tumbling event-time aggregation: (window start, key) → count + exact
+    * decimal-accumulated sum. Identical semantics in batch and streaming —
+    * in batch this is a plain `groupBy(window(...))`; on a stream apply
+    * [[withEventTime]] first so the watermark bounds state.
+    *
+    * Output: (w_start: long epoch seconds, key, n, sum_value).
+    */
+  def windowedAgg(df: DataFrame, tsCol: Column, keyCol: String,
+                  windowDuration: String, valueCol: String): DataFrame =
+    df.groupBy(window(tsCol, windowDuration).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").cast("long").as("w_start"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  /** Watermarked event-time column for streaming inputs: attaches the
+    * event-time column and the lateness bound that lets Spark finalize
+    * windows and evict state. Compose: `withEventTime(stream, $"ts_nanos",
+    * "10 minutes")` → [[windowedAgg]] on `col("event_time")`.
+    */
+  def withEventTime(df: DataFrame, tsNanos: Column, maxLateness: String): DataFrame =
+    df.withColumn("event_time", nanosToTimestamp(tsNanos))
+      .withWatermark("event_time", maxLateness)
+
+  /** Streaming exact dedup, declarative form: first occurrence of each key
+    * within the watermark horizon survives; Spark manages and evicts the
+    * seen-key state. The streaming analogue of [[graft.ops.Dedup.exact]]
+    * for the at-least-once ingest path (duplicate events within the
+    * lateness bound collapse; the watermark bounds state size — at 100 TB/
+    * day the state is keys-per-horizon, not keys-ever).
+    */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
+                           tsNanos: Column, maxLateness: String): DataFrame =
+    withEventTime(df, tsNanos, maxLateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming exact dedup, custom-state form (`flatMapGroupsWithState`):
+    * emits the FIRST row seen per key and suppresses the rest — within a
+    * micro-batch, across micro-batches, and across query restarts (the
+    * boolean per-key state lives in the checkpointed state store). Use
+    * when the emitted-row choice must differ from what
+    * `dropDuplicatesWithinWatermark` hard-codes, or when keys carry no
+    * event time. State is unbounded by design — size it for key spaces
+    * that fit the state store (e.g. 16-byte content fingerprints over a
+    * backfill window); for at-least-once ingest with a lateness bound,
+    * [[dedupWithinWatermark]] is the production path, where Spark evicts
+    * seen-key state at the watermark. (A processing-time TTL is
+    * deliberately NOT used here: `ProcessingTimeTimeout` keeps scheduling
+    * no-data micro-batches against pending deadlines, which breaks
+    * drain-and-stop semantics — `Trigger.AvailableNow` never terminates.)
+    * Works identically on a batch Dataset (plain first-per-key).
+    */
+  def dedupFirstSeen[T, K](ds: Dataset[T], key: T => K)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
+    implicit val boolEnc: Encoder[Boolean] = org.apache.spark.sql.Encoders.scalaBoolean
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: K, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
+}

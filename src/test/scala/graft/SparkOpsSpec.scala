@@ -378,6 +378,71 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("event-time windowed agg finalizes under the watermark; streaming dedup bounds state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streams
+    val H = 3600L * 1000000000L // one hour in nanos
+
+    // tumbling windows in append mode: a window emits only once the
+    // watermark (max event time - lateness) passes its end
+    val ms = MemoryStream[(Long, String, Double)]
+    val base = ms.toDF().toDF("ts", "event_type", "value")
+    val agged = Streams.windowedAgg(Streams.withEventTime(base, col("ts"), "10 minutes"),
+      col("event_time"), "event_type", "1 hour", "value")
+    val q = agged.writeStream.format("memory").queryName("win_agg").outputMode("append").start()
+    try {
+      ms.addData((1 * H + 5000, "a", 1.25), (1 * H + 7000, "a", 2.5), (2 * H, "b", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("win_agg").count() == 0) // watermark 1:50 < 2:00, nothing final
+      ms.addData((4 * H, "c", 9.0)) // watermark -> 3:50, finalizing [1h,2h) and [2h,3h)
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((3600L, "a", 2L, 3.75), (7200L, "b", 1L, 5.0)))
+    } finally q.stop()
+
+    // custom-state first-seen dedup: duplicates suppressed within a batch,
+    // across micro-batches, AND across query RESTARTS (state store +
+    // checkpoint recovery) — each run uses AvailableNow so it drains and
+    // terminates deterministically
+    val ms2 = MemoryStream[(Long, String)]
+    val dd = Streams.dedupFirstSeen[(Long, String), Long](ms2.toDS(), _._1)
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedup_out").toString
+    def drainOnce(): Set[(Long, String)] = {
+      // parquet sink + checkpoint: recoverable across restarts (the memory
+      // sink is not), AvailableNow drains and terminates deterministically
+      val q2 = dd.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      spark.read.parquet(outDir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    ms2.addData((1L, "first"), (1L, "dup-same-batch"), (2L, "x"))
+    assert(drainOnce() == Set((1L, "first"), (2L, "x")))
+    ms2.addData((1L, "dup-across-restart"), (3L, "y"))
+    // key 1 must be suppressed by state RECOVERED from the checkpoint
+    assert(drainOnce() == Set((1L, "first"), (2L, "x"), (3L, "y")))
+
+    // batch degenerate case: state starts empty -> plain first-per-key
+    val bd = Streams.dedupFirstSeen[(Long, String), Long](
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDS(), _._1).collect()
+    assert(bd.map(_._1).sorted.toSeq == Seq(1L, 2L))
+
+    // declarative watermarked dedup plans Spark's streaming dedup operator
+    val ms3 = MemoryStream[(Long, Long, String)]
+    val dw = Streams.dedupWithinWatermark(
+      ms3.toDF().toDF("event_id", "ts", "event_type"), Seq("event_id"), col("ts"), "10 minutes")
+    val q3 = dw.writeStream.format("memory").queryName("dedup_wm").outputMode("append").start()
+    try {
+      ms3.addData((7L, 1 * H, "a"), (7L, 1 * H + 1000, "a"), (8L, 1 * H, "b"))
+      q3.processAllAvailable()
+      assert(spark.table("dedup_wm").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(7L, 8L))
+    } finally q3.stop()
+  }
+
   test("no gated query plans a cartesian product or nested-loop join") {
     // The r1/r2 scale-killers were cartesian self-joins hiding behind
     // degenerate bucket keys; pin every gated plan against the whole class.
