@@ -764,6 +764,20 @@ object Queries {
       Knn.topK(scored, col("distance"), col("vec_id"), K)
     }),
 
+    // JSON-lines ingest: vectors ride as native JSON arrays through
+    // spark.read.json (schema'd array<float>), then straight into exact
+    // k-NN — the second text-format source next to CSV; the reference's
+    // JSON input path (sqlite-vector.c:1528-1653) without the string hop
+    "json_ingest_knn" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/emb"
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding")).write.mode("overwrite").json(tmp)
+      val jsonl = s.read.schema("vec_id LONG, embedding ARRAY<FLOAT>").json(tmp)
+      val scored = Knn.distanceStream(jsonl, "vec_id", "embedding", probe, "l2")
+        .withColumn("distance", round(col("distance"), 6))
+      Knn.topK(scored, col("distance"), col("vec_id"), K)
+    }),
+
     // F4: vector_as_f32 JSON parse round-trip (values survive exactly)
     "as_f32_json" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
@@ -906,11 +920,9 @@ object Queries {
     }),
 
     // SimHash from SQL-restatable polynomial token hashes → full oracle
-    "simhash_docs" -> ((s, dir) => {
-      val shUdf = udf(Dedup.simhash64)
+    "simhash_docs" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        shUdf(Dedup.simhashTokens(col("text"))).as("simhash"))
-    }),
+        Dedup.simhash64(Dedup.simhashTokens(col("text"))).as("simhash"))),
 
     // SimHash near-dup pairs via pigeonhole chunk blocking — the blocking
     // is EXACT (any pair within hamming k shares one of k+1 chunks), so
@@ -1023,6 +1035,8 @@ object Queries {
     "knn_l2" -> knnSql("l2"),
 
     "csv_ingest_knn" -> knnSql("l2"),
+
+    "json_ingest_knn" -> knnSql("l2"),
     "knn_sq_l2" -> knnSql("sq_l2"),
     "knn_cosine" -> knnSql("cosine"),
     "knn_dot" -> knnSql("dot"),

@@ -430,6 +430,30 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** SimHash of a token array (`array<string>` → long): bit b set iff more
+  * token hashes ([[graft.kernels.Sketches.tokenHash61]], exact BIGINT
+  * arithmetic, SQL-restatable) have bit b set than clear. A native
+  * expression, not a UDF — one traversal per row, inside
+  * WholeStageCodegen with the tokenizer built-ins feeding it.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.simhash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Byte-histogram featurizer for binary payloads: fixed-width
   * `array<float>` with out[i % dim] += byte/256 (see
   * [[graft.kernels.Sketches.byteHistogram]] for the exactness argument).

@@ -45,6 +45,8 @@ object functions {
 
   def byte_histogram(payload: Column, dim: Int): Column = col(ByteHistogram(expr(payload), dim))
 
+  def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
 

@@ -35,6 +35,49 @@ object Sketches {
     new GenericArrayData(out)
   }
 
+  /** 61-bit token hash from two polynomial rolling hashes (bases 31/131,
+    * moduli 1e9+7 and 2^31−1): h1·2³¹ | h2 — exact BIGINT arithmetic, so
+    * SimHash built on it is restatable in ANSI SQL (see
+    * [[graft.ops.Dedup.tokenHash61]] for the entropy note on bits 61-63).
+    */
+  def tokenHash61(t: String): Long = {
+    var h1 = 0L; var h2 = 0L; var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i).toInt
+      h1 = (h1 * 31 + c) % 1000000007L
+      h2 = (h2 * 131 + c) % 2147483647L
+      i += 1
+    }
+    (h1 << 31) | h2
+  }
+
+  /** SimHash over a token array (duplicates weighted, in-row): bit b of
+    * the output is set iff more token hashes have bit b set than clear.
+    * Static entry point for generated code ([[graft.expressions.SimHash64]]).
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      // null tokens cannot arise from split/filter, but fail fast like the
+      // other kernels rather than hashing a 0-length phantom
+      if (tokens.isNullAt(j)) throw new IllegalArgumentException(
+        s"simhash64: NULL token at index $j")
+      val h = tokenHash61(tokens.getUTF8String(j).toString)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** MinHash signature over pre-hashed shingles (array<long> in): minima of
     * `numHashes` derived hash functions. Static entry point for generated
     * code.

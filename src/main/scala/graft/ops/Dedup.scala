@@ -298,36 +298,15 @@ object Dedup {
     * arithmetic that overflows signed BIGINT in the SQL restatement, so
     * the reduced-entropy chunk is the deliberate trade.
     */
-  def tokenHash61(t: String): Long = {
-    var h1 = 0L; var h2 = 0L; var i = 0
-    while (i < t.length) {
-      val c = t.charAt(i).toInt
-      h1 = (h1 * 31 + c) % 1000000007L
-      h2 = (h2 * 131 + c) % 2147483647L
-      i += 1
-    }
-    (h1 << 31) | h2
-  }
+  def tokenHash61(t: String): Long = graft.kernels.Sketches.tokenHash61(t)
 
   /** Per-row SimHash over whitespace tokens (duplicates weighted, in-row,
     * no shuffle): bit b of the output is set iff more token hashes have bit
-    * b set than clear.
+    * b set than clear. A codegen'd expression
+    * ([[graft.expressions.SimHash64]] via [[graft.functions.simhash64]]),
+    * not a UDF.
     */
-  val simhash64: Seq[String] => Long = { toks =>
-    val acc = new Array[Int](64)
-    toks.foreach { t =>
-      val h = tokenHash61(t)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  def simhash64(tokens: Column): Column = graft.functions.simhash64(tokens)
 
   /** ASCII-only, empty-filtered whitespace tokens — the canonical SimHash
     * token stream, identical to the SQL restatement's.
@@ -355,9 +334,8 @@ object Dedup {
     require(maxHamming >= 1 && maxHamming <= 15, s"maxHamming must be in [1,15], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val shUdf = udf(simhash64)
     val hashed = df.select(col(idCol).as("id"),
-      shUdf(simhashTokens(col(textCol))).as("sh"))
+      simhash64(simhashTokens(col(textCol))).as("sh"))
 
     val banded = hashed.select(col("id"), col("sh"),
         posexplode(array((0 until chunks).map(c =>
