@@ -866,6 +866,14 @@ object Queries {
         TextAnalysis.stopwordCount(col("text")).as("n_stop"),
         length(col("text")).cast("long").as("n_chars_m"))),
 
+    // BPE-ish subword counting (letter runs + single digits + single
+    // punctuation): the pre-tokenization shape merge-based vocabularies
+    // use, next to the whitespace word count for the ratio
+    "subword_counts" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.subwordTokenCount(col("text")).as("n_subword"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"))),
+
     "quality_score" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))),
 
@@ -1294,6 +1302,12 @@ object Queries {
          |  len(list_distinct($tokensSql)) AS n_distinct,
          |  len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS n_stop,
          |  CAST(length(text) AS BIGINT) AS n_chars_m
+         |FROM documents""".stripMargin,
+
+    "subword_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_subword,
+         |  len($tokensSql) AS n_ws
          |FROM documents""".stripMargin,
 
     "quality_score" ->

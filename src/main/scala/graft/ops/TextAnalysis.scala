@@ -25,6 +25,22 @@ object TextAnalysis {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text))).cast("long")
 
+  /** BPE-ish subword unit pattern: letter runs, single digits, single
+    * punctuation marks. Digit- and punctuation-splitting mirror how
+    * merge-based vocab tokenizers (BPE) pre-tokenize, so the count tracks
+    * (and upper-bounds) real tokenizer output far better than whitespace
+    * words on code/numeric text. Alternation is unambiguous (disjoint
+    * character classes), so any leftmost-match regex engine agrees on the
+    * count — the property the SQL restatement relies on.
+    */
+  val SubwordPattern = "[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]"
+
+  /** Subword-unit count per [[SubwordPattern]] — a codegen'd built-in
+    * (`regexp_count`), no UDF.
+    */
+  def subwordTokenCount(text: Column): Column =
+    regexp_count(text, lit(SubwordPattern)).cast("long")
+
   /** Number of tokens that are English stopwords (fixed small list). */
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
