@@ -64,7 +64,10 @@ object Bench {
     // throughput rather than first-call JIT compilation
     ops.Knn.fullScan(vecs.limit(1000), "id", "vec", probe, 5, "l2").count()
     val docsWarm = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
-    ops.Dedup.minhashLsh(docsWarm, "doc_id", "text", threshold = 0.8).count()
+    // both timed shingle widths: the generated code embeds n, so 3- and
+    // 4-gram pipelines JIT separately
+    ops.Dedup.minhashLsh(docsWarm, "doc_id", "text", shingleN = 3, threshold = 0.9).count()
+    ops.Dedup.minhashLsh(docsWarm, "doc_id", "text", shingleN = 4, threshold = 0.9).count()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
