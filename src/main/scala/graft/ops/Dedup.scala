@@ -30,14 +30,16 @@ import graft.functions.minhash_signature
   */
 object Dedup {
 
-  /** A materializable LSH dedup result. `pairs` is lazy like any DataFrame.
-    * `release()` frees the run's materialized per-content projection (the
-    * checkpoint blocks — see [[minhashLshRun]] step 2); safe to call after
-    * the consuming action, and also safe to skip: unreferenced blocks are
-    * reclaimed by Spark's context cleaner once the run is garbage-collected.
-    * `overCapBuckets()` reports how many band buckets the size cap excluded
-    * from candidate generation (an eager action — run it on demand, not in
-    * the hot path).
+  /** An LSH dedup run. Constructing one materializes the per-content
+    * projection (an eager checkpoint — see [[minhashLshRun]] step 2);
+    * `pairs` and `overCapBuckets()` are lazy plans OVER that
+    * materialization. `release()` frees the checkpoint blocks — call it
+    * after the LAST read of the run (both `pairs` actions and
+    * `overCapBuckets()` need the blocks; reading after release fails
+    * rather than recomputing, since the checkpoint truncated lineage).
+    * Safe to skip: unreferenced blocks are reclaimed by Spark's context
+    * cleaner once the run is garbage-collected. `overCapBuckets()` memoizes
+    * its first result, so a pre-release reading stays available afterwards.
     */
   final case class LshRun(pairs: DataFrame, release: () => Unit, overCapBuckets: () => Long)
 
@@ -232,15 +234,22 @@ object Dedup {
         case None => None
       }
 
+    // memoized so a pre-release reading survives release() (the checkpoint
+    // blocks are gone afterwards and lineage cannot recompute them)
+    lazy val overCapCount: Long = overCap.count()
+
     LshRun(
       pairs = within.unionByName(cross),
       release = () => { persistedAncestor(grouped.rdd).foreach(_.unpersist(blocking = false)); () },
-      overCapBuckets = () => overCap.count())
+      overCapBuckets = () => overCapCount)
   }
 
   /** [[minhashLshRun]] without the release handle — callers that run one
-    * dedup per session (or clear the cache themselves) can keep the plain
-    * DataFrame shape.
+    * dedup per session can keep the plain DataFrame shape; the run's
+    * checkpoint blocks are then freed by the context cleaner when the
+    * result is garbage-collected. Repeated runs in a long-lived session
+    * should prefer [[minhashLshRun]] + `release()` for deterministic
+    * freeing.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 128, bands: Int = 16,

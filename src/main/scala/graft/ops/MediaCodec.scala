@@ -49,6 +49,9 @@ object MediaCodec {
     while (p + 3 < b.length) {
       if (u8(b, p) != 0xff) return None
       while (p + 3 < b.length && u8(b, p + 1) == 0xff) p += 1 // fill bytes
+      // a truncated stream ending inside a fill run leaves p near the end;
+      // re-check before the length-field reads below touch p+2/p+3
+      if (p + 3 >= b.length) return None
       val m = u8(b, p + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) p += 2 // standalone markers
       else if (m == 0xd9) return None // EOI before any SOF
