@@ -1412,10 +1412,13 @@ object Queries {
          |FROM documents""".stripMargin
     },
 
+    // zero-frame payloads (doc_id % 100 == 0) contribute zero rows — the
+    // oracle filter restates sampleFrames' when(n_frames > 0, ...) guard
+    // independently instead of mirroring a greatest(...,0) clamp
     "multimodal_frames" ->
       """SELECT doc_id,
-        |  CAST(unnest(generate_series(0, greatest(doc_id % 100 - 1, 0), 7)) AS BIGINT) AS frame_idx
-        |FROM documents""".stripMargin,
+        |  CAST(unnest(generate_series(0, doc_id % 100 - 1, 7)) AS BIGINT) AS frame_idx
+        |FROM documents WHERE doc_id % 100 > 0""".stripMargin,
 
     "multimodal_features" ->
       """WITH ch AS (SELECT doc_id, t,

@@ -31,17 +31,43 @@ import graft.functions.minhash_signature
 object Dedup {
 
   /** An LSH dedup run. Constructing one materializes the per-content
-    * projection (an eager checkpoint — see [[minhashLshRun]] step 2);
+    * projection (an eager barrier — see [[minhashLshRun]] step 2);
     * `pairs` and `overCapBuckets()` are lazy plans OVER that
-    * materialization. `release()` frees the checkpoint blocks — call it
+    * materialization. `release()` frees the barrier's storage — call it
     * after the LAST read of the run (both `pairs` actions and
-    * `overCapBuckets()` need the blocks; reading after release fails
-    * rather than recomputing, since the checkpoint truncated lineage).
-    * Safe to skip: unreferenced blocks are reclaimed by Spark's context
-    * cleaner once the run is garbage-collected. `overCapBuckets()` memoizes
-    * its first result, so a pre-release reading stays available afterwards.
+    * `overCapBuckets()` need the materialization; reading after release
+    * fails rather than recomputing under the checkpoint barriers, since
+    * they truncated lineage). Safe to skip: [[Barrier.LocalCheckpoint]]
+    * blocks are reclaimed by Spark's context cleaner once the run is
+    * garbage-collected (the other strategies leave their files until
+    * released). `overCapBuckets()` memoizes its first result, so a
+    * pre-release reading stays available afterwards.
     */
   final case class LshRun(pairs: DataFrame, release: () => Unit, overCapBuckets: () => Long)
+
+  /** How [[minhashLshRun]] materializes the per-content projection before
+    * its six-consumer fan-out (the step-2 barrier).
+    *
+    *  - [[Barrier.LocalCheckpoint]] (default): fastest — raw rows in
+    *    executor block storage, no lineage. Single-node / interactive
+    *    choice: lineage is truncated and blocks are NOT replicated, so on
+    *    a multi-executor cluster an executor loss mid-run fails the job
+    *    instead of recomputing.
+    *  - [[Barrier.ReliableCheckpoint]]: `df.checkpoint()` to the
+    *    SparkContext checkpoint dir (`sc.setCheckpointDir` on cluster
+    *    storage must be called first). Survives executor loss — the
+    *    1000-executor deployment choice.
+    *  - [[Barrier.Stage]]: write the projection to a parquet staging path
+    *    and read it back. Same fault tolerance as a reliable checkpoint
+    *    plus the staged columns arrive column-pruned to each consumer;
+    *    `release()` deletes the staged directory.
+    */
+  sealed trait Barrier
+  object Barrier {
+    case object LocalCheckpoint extends Barrier
+    case object ReliableCheckpoint extends Barrier
+    final case class Stage(path: String) extends Barrier
+  }
 
   /** Exact dedup: one row per distinct key, keeping the smallest id —
     * `groupBy(key).agg(min(id), count)`.
@@ -78,18 +104,18 @@ object Dedup {
     *     documents the birthday bound puts that at ~10⁻¹⁵;
     *  2. MinHash signature per distinct content (`numHashes` longs, one
     *     codegen'd pass). The per-content projection is materialized ONCE
-    *     as raw rows (`localCheckpoint`) before fan-out: six consumers read
-    *     it (banding, the over-cap count, two verification joins, two
-    *     expansion joins), and without a barrier each one re-scans and
-    *     re-shingles the corpus — column pruning specializes each branch's
-    *     plan, so exchange reuse never deduplicates them. `persist()` is
-    *     NOT the right barrier here: the columnar cache format pays a
-    *     per-scan encode/decode on the wide array columns (sh, sig,
-    *     members) that measured ~5× the cost of the raw-row scan.
-    *     On a multi-executor cluster, prefer a reliable barrier for this
-    *     step — `checkpoint()` onto the cluster store, or staging the
-    *     projection to parquet — since `localCheckpoint` truncates lineage
-    *     and an executor loss then fails the job instead of recomputing;
+    *     before fan-out: six consumers read it (banding, the over-cap
+    *     count, two verification joins, two expansion joins), and without
+    *     a barrier each one re-scans and re-shingles the corpus — column
+    *     pruning specializes each branch's plan, so exchange reuse never
+    *     deduplicates them. `persist()` is NOT the right barrier here: the
+    *     columnar cache format pays a per-scan encode/decode on the wide
+    *     array columns (sh, sig, members) that measured ~5× the cost of
+    *     the raw-row scan. HOW it materializes is the `barrier` parameter
+    *     ([[Barrier]]): `LocalCheckpoint` (default) for single-node speed,
+    *     `ReliableCheckpoint` or `Stage` on a multi-executor cluster,
+    *     where a lineage-truncating local checkpoint would turn one lost
+    *     executor into a failed job;
     *  3. band → bucket on (band index, band hash): per-bucket id lists are
     *     collected once (bounded ≤ `maxBucket` by a prior count + anti-join
     *     against the few over-cap keys, so no aggregation buffer can
@@ -130,7 +156,8 @@ object Dedup {
   def minhashLshRun(df: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 128, bands: Int = 16,
                     shingleN: Int = 3, threshold: Double = 0.8,
-                    maxBucket: Int = 1 << 16): LshRun = {
+                    maxBucket: Int = 1 << 16,
+                    barrier: Barrier = Barrier.LocalCheckpoint): LshRun = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
     val rowsPerBand = numHashes / bands
@@ -138,21 +165,23 @@ object Dedup {
     // one projection per distinct content carries the representative id,
     // the member list, the hashed shingle set and the signature — all later
     // stages (banding, two enrichment joins, expansion) consume it, so it
-    // is materialized ONCE as raw rows before the fan-out (see the scaladoc
-    // step-2 note on why localCheckpoint and not persist or re-execution).
+    // is materialized ONCE behind the chosen barrier before the fan-out
+    // (see the scaladoc step-2 note on why a barrier and not persist or
+    // re-execution).
     // The grouping key is a 128-bit fingerprint (ck2's seed literal comes
     // FIRST so its hash chain starts from a different state than ck1's —
     // appending the literal would make ck2 a function of ck1); `first(sh)`
     // is safe because every row in a group has the identical array.
-    val grouped = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
-      .withColumn("ck1", xxhash64(col("sh")))
-      .withColumn("ck2", xxhash64(lit(0x9E3779B97F4A7C15L), col("sh")))
-      .groupBy(col("ck1"), col("ck2"))
-      .agg(min(col("id")).as("rep"), sort_array(collect_list(col("id"))).as("members"),
-        first(col("sh")).as("sh"))
-      .drop("ck1", "ck2")
-      .withColumn("sig", minhash_signature(col("sh"), numHashes))
-      .localCheckpoint(true)
+    val (grouped, releaseBarrier) = materialize(
+      df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+        .withColumn("ck1", xxhash64(col("sh")))
+        .withColumn("ck2", xxhash64(lit(0x9E3779B97F4A7C15L), col("sh")))
+        .groupBy(col("ck1"), col("ck2"))
+        .agg(min(col("id")).as("rep"), sort_array(collect_list(col("id"))).as("members"),
+          first(col("sh")).as("sh"))
+        .drop("ck1", "ck2")
+        .withColumn("sig", minhash_signature(col("sh"), numHashes)),
+      barrier)
 
     val banded = grouped.select(col("rep").as("id"),
         posexplode(array((0 until bands).map(b =>
@@ -224,24 +253,66 @@ object Dedup {
       .select(least(col("a0"), col("b0")).as("a"), greatest(col("a0"), col("b0")).as("b"),
         col("jaccard"))
 
-    // the checkpoint's persisted RDD sits a couple of deserialization hops
-    // below grouped.rdd — walk down to it so release() can free its blocks
-    @annotation.tailrec
-    def persistedAncestor(rdd: org.apache.spark.rdd.RDD[_]): Option[org.apache.spark.rdd.RDD[_]] =
-      if (rdd.getStorageLevel != StorageLevel.NONE) Some(rdd)
-      else rdd.dependencies.headOption match {
-        case Some(d) => persistedAncestor(d.rdd)
-        case None => None
-      }
-
-    // memoized so a pre-release reading survives release() (the checkpoint
-    // blocks are gone afterwards and lineage cannot recompute them)
+    // memoized so a pre-release reading survives release() (the barrier's
+    // storage is gone afterwards; under the checkpoint strategies lineage
+    // cannot recompute it)
     lazy val overCapCount: Long = overCap.count()
 
     LshRun(
       pairs = within.unionByName(cross),
-      release = () => { persistedAncestor(grouped.rdd).foreach(_.unpersist(blocking = false)); () },
+      release = releaseBarrier,
       overCapBuckets = () => overCapCount)
+  }
+
+  /** Materialize `df` once behind the chosen [[Barrier]]; returns the
+    * barrier-backed frame plus the matching release action.
+    */
+  private def materialize(df: DataFrame, barrier: Barrier): (DataFrame, () => Unit) =
+    barrier match {
+      case Barrier.LocalCheckpoint =>
+        val g = df.localCheckpoint(eager = true)
+        (g, () => { persistedAncestor(g.rdd).foreach(_.unpersist(blocking = false)); () })
+      case Barrier.ReliableCheckpoint =>
+        val g = df.checkpoint(eager = true)
+        val spark = df.sparkSession
+        (g, () => {
+          checkpointedAncestor(g.rdd).flatMap(_.getCheckpointFile)
+            .foreach(deletePath(spark, _))
+        })
+      case Barrier.Stage(path) =>
+        val spark = df.sparkSession
+        df.write.mode("overwrite").parquet(path)
+        (spark.read.parquet(path), () => deletePath(spark, path))
+    }
+
+  /** The barrier's storage RDD sits a couple of deserialization hops below
+    * `df.rdd` — walk down to the persisted (local checkpoint) ancestor so
+    * release() can free its blocks.
+    */
+  @annotation.tailrec
+  private def persistedAncestor(rdd: org.apache.spark.rdd.RDD[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    if (rdd.getStorageLevel != StorageLevel.NONE) Some(rdd)
+    else rdd.dependencies.headOption match {
+      case Some(d) => persistedAncestor(d.rdd)
+      case None => None
+    }
+
+  /** Same walk for the reliably-checkpointed ancestor (its files live in
+    * the SparkContext checkpoint dir until released).
+    */
+  @annotation.tailrec
+  private def checkpointedAncestor(rdd: org.apache.spark.rdd.RDD[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    if (rdd.getCheckpointFile.isDefined) Some(rdd)
+    else rdd.dependencies.headOption match {
+      case Some(d) => checkpointedAncestor(d.rdd)
+      case None => None
+    }
+
+  private def deletePath(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 
   /** [[minhashLshRun]] without the release handle — callers that run one
@@ -253,8 +324,10 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 128, bands: Int = 16,
-                 shingleN: Int = 3, threshold: Double = 0.8): DataFrame =
-    minhashLshRun(df, idCol, textCol, numHashes, bands, shingleN, threshold).pairs
+                 shingleN: Int = 3, threshold: Double = 0.8,
+                 barrier: Barrier = Barrier.LocalCheckpoint): DataFrame =
+    minhashLshRun(df, idCol, textCol, numHashes, bands, shingleN, threshold,
+      barrier = barrier).pairs
 
   // ---------- N-gram Jaccard (exact, LSH-prefiltered) ----------
 

@@ -42,9 +42,13 @@ object Multimodal {
 
   /** Frame sampling plan for audio/video payloads: every `stride`-th frame
     * index up to n_frames — one row per sampled frame (a real decoder
-    * slots into the per-frame rows this stage emits).
+    * slots into the per-frame rows this stage emits). A payload with
+    * n_frames = 0 contributes ZERO rows: the sequence is guarded by
+    * `when(n_frames > 0, ...)` and `explode` drops the null, so no phantom
+    * frame_idx=0 row exists for frameless payloads.
     */
   def sampleFrames(df: DataFrame, metaCol: String, stride: Int): DataFrame =
     df.withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col(s"$metaCol.n_frames") - 1, lit(0)), lit(stride))))
+        explode(when(col(s"$metaCol.n_frames") > 0,
+          sequence(lit(0), col(s"$metaCol.n_frames") - 1, lit(stride)))))
 }

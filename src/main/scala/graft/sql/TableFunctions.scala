@@ -109,12 +109,18 @@ object GraftTableFunctions {
   // The reference registers vector_init / vector_quantize /
   // vector_quantize_memory / vector_quantize_preload /
   // vector_quantize_cleanup as SQL scalar functions next to the scan vtabs
-  // (sqlite-vector.c:2581-2597). Spark has no SQL procedures, so these are
-  // function builders whose side effect runs at analysis time — the same
-  // eager-at-`spark.sql(...)` semantics a SELECT of a side-effecting
-  // scalar has in the reference — and whose resolved expression is the
-  // reference's return value (NULL, or the quantized row count / byte
-  // size) as a literal.
+  // (sqlite-vector.c:2581-2597), and SQLite runs them when the statement
+  // STEPS, not when it prepares. Here each builder validates its arguments
+  // (pure, fail-fast at analysis) and returns a LifecycleCall whose side
+  // effect runs at EXECUTION — the standalone statement shape
+  // `SELECT lifecycle_fn(...)` is rewritten by LifecycleExecutionRule into
+  // a driver-side command (see Lifecycle.scala), so EXPLAIN, view
+  // re-resolution and failed analysis never fire a side effect. The
+  // expression's value is the reference's return (NULL, or the quantized
+  // row count). vector_quantize_memory is the one deliberate exception:
+  // it is a pure read (Σ bytes over the shadow store) that composes
+  // inside row-producing queries, so it resolves to a literal at analysis
+  // — re-analysis recomputes a number, mutating nothing.
 
   /** Shadow-store naming: `vector0_<table>_<column>`
     * (sqlite-vector.c:1000-1002) — both the parquet directory under the
@@ -135,12 +141,16 @@ object GraftTableFunctions {
     */
   def initBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(t, c, o) =>
-      val spark = SparkSession.active
       val table = strArg(t, "table name")
       val column = strArg(c, "column name")
+      // option parsing is pure validation — keep it at analysis so a typo
+      // fails the statement before anything executes
       val cfg = graft.VectorConfig.fromOptions(strArg(o, "options"))
-      VectorCatalog.init(table, column, cfg, Some(spark.table(table)))
-      Literal.create(null, StringType)
+      LifecycleCall("vector_init", StringType, () => {
+        val spark = Lifecycle.activeSession("vector_init")
+        VectorCatalog.init(table, column, cfg, Some(spark.table(table)))
+        null
+      })
     case other =>
       throw new IllegalArgumentException(s"vector_init expects (table, column, options), got ${other.size} args")
   }
@@ -157,21 +167,26 @@ object GraftTableFunctions {
       case other =>
         throw new IllegalArgumentException(s"vector_quantize expects (table, column[, options]), got ${other.size} args")
     }
-    val spark = SparkSession.active
     val table = strArg(t, "table name")
     val column = strArg(c, "column name")
-    val cfg = config(table, column)
-    // the only documented quantize option is max_memory (API.md:110-114)
-    val maxMem = opts.split(",").map(_.trim).collectFirst {
-      case kv if kv.toLowerCase.startsWith("max_memory=") =>
-        graft.VectorConfig.humanToNumber(kv.substring(kv.indexOf('=') + 1))
-    }.getOrElse(cfg.maxMemory)
-    val shadow = shadowName(table, column)
-    if (spark.catalog.tableExists(shadow)) spark.table(shadow).unpersist()
-    val (_, rows) = Quantizer.quantize(spark.table(table), cfg.idCol, column,
-      storePath(spark, cfg, table, column), cfg.qType, table, column, maxMem, cfg.dim)
-    spark.read.parquet(storePath(spark, cfg, table, column)).createOrReplaceTempView(shadow)
-    Literal(rows)
+    // the config lookup happens at execution so a vector_init earlier in
+    // the same session (or script) is honored regardless of when this
+    // statement was analyzed
+    LifecycleCall("vector_quantize", LongType, () => {
+      val spark = Lifecycle.activeSession("vector_quantize")
+      val cfg = config(table, column)
+      // the only documented quantize option is max_memory (API.md:110-114)
+      val maxMem = opts.split(",").map(_.trim).collectFirst {
+        case kv if kv.toLowerCase.startsWith("max_memory=") =>
+          graft.VectorConfig.humanToNumber(kv.substring(kv.indexOf('=') + 1))
+      }.getOrElse(cfg.maxMemory)
+      val shadow = shadowName(table, column)
+      if (spark.catalog.tableExists(shadow)) spark.table(shadow).unpersist()
+      val (_, rows) = Quantizer.quantize(spark.table(table), cfg.idCol, column,
+        storePath(spark, cfg, table, column), cfg.qType, table, column, maxMem, cfg.dim)
+      spark.read.parquet(storePath(spark, cfg, table, column)).createOrReplaceTempView(shadow)
+      rows
+    })
   }
 
   private def shadowTable(spark: SparkSession, table: String, column: String) = {
@@ -181,7 +196,9 @@ object GraftTableFunctions {
   }
 
   /** `vector_quantize_memory(tbl, col)` → preload bytes = Σ(8 + len(code))
-    * (API.md:123-133).
+    * (API.md:123-133). Deliberately analysis-time (see the section note):
+    * a pure read whose literal result composes inside row-producing
+    * queries without launching nested jobs from executor tasks.
     */
   def memoryBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(t, c) =>
@@ -199,12 +216,14 @@ object GraftTableFunctions {
     */
   def preloadBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(t, c) =>
-      val spark = SparkSession.active
       val table = strArg(t, "table name")
       val column = strArg(c, "column name")
-      Quantizer.preload(shadowTable(spark, table, column))
-        .createOrReplaceTempView(shadowName(table, column))
-      Literal.create(null, StringType)
+      LifecycleCall("vector_quantize_preload", StringType, () => {
+        val spark = Lifecycle.activeSession("vector_quantize_preload")
+        Quantizer.preload(shadowTable(spark, table, column))
+          .createOrReplaceTempView(shadowName(table, column))
+        null
+      })
     case other =>
       throw new IllegalArgumentException(s"vector_quantize_preload expects (table, column), got ${other.size} args")
   }
@@ -216,17 +235,19 @@ object GraftTableFunctions {
     */
   def cleanupBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(t, c) =>
-      val spark = SparkSession.active
       val table = strArg(t, "table name")
       val column = strArg(c, "column name")
-      val cfg = config(table, column)
-      val shadow = shadowName(table, column)
-      if (spark.catalog.tableExists(shadow)) {
-        spark.table(shadow).unpersist()
-        spark.catalog.dropTempView(shadow)
-      }
-      Quantizer.cleanup(spark, storePath(spark, cfg, table, column), table, column)
-      Literal.create(null, StringType)
+      LifecycleCall("vector_quantize_cleanup", StringType, () => {
+        val spark = Lifecycle.activeSession("vector_quantize_cleanup")
+        val cfg = config(table, column)
+        val shadow = shadowName(table, column)
+        if (spark.catalog.tableExists(shadow)) {
+          spark.table(shadow).unpersist()
+          spark.catalog.dropTempView(shadow)
+        }
+        Quantizer.cleanup(spark, storePath(spark, cfg, table, column), table, column)
+        null
+      })
     case other =>
       throw new IllegalArgumentException(s"vector_quantize_cleanup expects (table, column), got ${other.size} args")
   }
@@ -252,6 +273,13 @@ object GraftTableFunctions {
     scalarBuilders.foreach { case (name, b) =>
       sreg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
+    // the lifecycle statement shape must plan as a driver-side command
+    // (Lifecycle.scala); experimental.extraOptimizations is the live-
+    // session hook for the same rule inject() adds at session build
+    if (!spark.experimental.extraOptimizations.contains(LifecycleExecutionRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LifecycleExecutionRule
+    }
   }
 
   /** `SparkSessionExtensions` injection — enable with
@@ -266,6 +294,7 @@ object GraftTableFunctions {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftTableFunctions.getClass.getCanonicalName, name), b))
     }
+    ext.injectOptimizerRule(_ => LifecycleExecutionRule)
   }
 }
 

@@ -36,13 +36,20 @@ object Streams {
     * in batch this is a plain `groupBy(window(...))`; on a stream apply
     * [[withEventTime]] first so the watermark bounds state.
     *
+    * The per-value cast is decimal(38,4): the aggregate buffer then holds
+    * 34 integer digits, so a window sum cannot overflow (and silently NULL
+    * under non-ANSI defaults) at any realistic ingest volume — 18 digits
+    * would cap a window at ~10^14, plausible at 100 TB/day scale. Exact
+    * decimal accumulation costs the same either way; only the final value
+    * is rounded to double.
+    *
     * Output: (w_start: long epoch seconds, key, n, sum_value).
     */
   def windowedAgg(df: DataFrame, tsCol: Column, keyCol: String,
                   windowDuration: String, valueCol: String): DataFrame =
     df.groupBy(window(tsCol, windowDuration).as("w"), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
+        sum(col(valueCol).cast("decimal(38,4)")).cast("double").as("sum_value"))
       .select(col("w.start").cast("long").as("w_start"), col(keyCol),
         col("n"), col("sum_value"))
 

@@ -252,6 +252,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     run.release()
   }
 
+  test("minhash LSH barrier strategies produce identical pairs; stage/checkpoint release storage") {
+    def pairSet(run: Dedup.LshRun): Set[(Long, Long, Double)] = {
+      val s = run.pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      run.release()
+      s
+    }
+    val local = pairSet(Dedup.minhashLshRun(nearDupDocs, "id", "text", 64, 16, 3, 0.7))
+
+    val stageDir = java.nio.file.Files.createTempDirectory("lsh_stage").resolve("proj").toString
+    val staged = Dedup.minhashLshRun(nearDupDocs, "id", "text", 64, 16, 3, 0.7,
+      barrier = Dedup.Barrier.Stage(stageDir))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir)),
+      "stage barrier must materialize the projection to its path")
+    assert(pairSet(staged) == local)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir)),
+      "release() must delete the staged projection")
+
+    val ckptDir = java.nio.file.Files.createTempDirectory("lsh_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val reliable = Dedup.minhashLshRun(nearDupDocs, "id", "text", 64, 16, 3, 0.7,
+      barrier = Dedup.Barrier.ReliableCheckpoint)
+    assert(pairSet(reliable) == local)
+  }
+
   test("simhash pairs finds near-dups within hamming radius") {
     val pairs = Dedup.simhashPairs(nearDupDocs, "id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -616,6 +640,40 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // memory after cleanup errors like an unquantized scan
     assertThrows[IllegalArgumentException](
       spark.sql("SELECT vector_quantize_memory('emb_life', 'embedding')"))
+  }
+
+  test("lifecycle SQL side effects fire at execution, never at analysis or EXPLAIN") {
+    emb.createOrReplaceTempView("emb_lazy")
+    graft.sql.GraftTableFunctions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("sqllazy").toString
+    val store = java.nio.file.Paths.get(s"$tmp/vector0_emb_lazy_embedding")
+    spark.sql("SELECT vector_init('emb_lazy', 'embedding', " +
+      s"'dimension=64,type=FLOAT32,id_column=vec_id,store_dir=$tmp')").collect()
+    spark.sql("SELECT vector_quantize('emb_lazy', 'embedding')").collect()
+    assert(java.nio.file.Files.exists(store))
+
+    // EXPLAIN analyzes, optimizes and physically plans — and must not
+    // delete anything (the reference only runs functions on step)
+    spark.sql("EXPLAIN EXTENDED SELECT vector_quantize_cleanup('emb_lazy', 'embedding')").collect()
+    assert(java.nio.file.Files.exists(store), "EXPLAIN executed the cleanup side effect")
+
+    // the statement stays inert through full planning; the standalone
+    // shape plans as a driver-side command (Lifecycle.scala)
+    val pending = spark.sql("SELECT vector_quantize_cleanup('emb_lazy', 'embedding')")
+    val planned = pending.queryExecution.executedPlan.toString
+    assert(planned.contains("RunLifecycleCommand"), s"expected command plan, got:\n$planned")
+    assert(java.nio.file.Files.exists(store), "planning executed the cleanup side effect")
+
+    // first action executes it
+    pending.collect()
+    assert(!java.nio.file.Files.exists(store))
+
+    // re-quantize restores the store; an unexecuted re-quantize statement
+    // does not touch disk even after the store is gone again
+    spark.sql("SELECT vector_quantize('emb_lazy', 'embedding')").collect()
+    spark.sql("SELECT vector_quantize_cleanup('emb_lazy', 'embedding')").collect()
+    spark.sql("SELECT vector_quantize('emb_lazy', 'embedding')") // no action
+    assert(!java.nio.file.Files.exists(store), "lazy quantize statement wrote the store")
   }
 
   // ---------- packed-vector reference-fidelity path ----------
