@@ -437,6 +437,40 @@ object Queries {
       Knn.distanceStream(emb(s, dir), "vec_id", "embedding", probe, "l2")
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))),
 
+    // Batch k-NN join: N probes answered in ONE corpus scan via the
+    // bounded-heap knn_topk aggregate (expressions/aggregates.scala) —
+    // broadcast the probes, fold each partition into O(k) state per probe,
+    // shuffle only N×k winners. The grouped generalization of the
+    // reference's single-probe slot array (sqlite-vector.c:2022-2113); a
+    // window row_number() restatement (the oracle) would shuffle+sort the
+    // full N×corpus distance set.
+    "knn_batch_probes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val scored = e.where(col("embedding").isNotNull)
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          round(vector_distance(col("embedding"), col("pv"), "l2"), 6).as("distance"))
+      scored.groupBy(col("probe_id"))
+        .agg(knn_topk(col("distance"), col("vec_id"), 5).as("tk"))
+        .select(col("probe_id"), posexplode(col("tk")))
+        .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("vec_id"), col("col.distance").as("distance"))
+    }),
+
+    // Per-label embedding centroids via the exact fixed-point vector_avg
+    // aggregate: one (dim+1)-long buffer per group per task crosses the
+    // shuffle — order-independent integer sums, so the result is
+    // bit-reproducible at any partitioning (a plain double sum is not)
+    "group_centroids" -> ((s, dir) =>
+      emb(s, dir).where(col("embedding").isNotNull)
+        .groupBy(col("label"))
+        .agg(vector_avg(col("embedding"), Dim).as("c"))
+        .select(col("label"), posexplode(col("c")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          round(col("col"), 6).as("centroid"))),
+
     // K1 + join-back idiom (reference README.md:96-99): k-NN ids → documents
     "knn_join_docs" -> ((s, dir) => {
       val knn = knnQuery("cosine")(s, dir)
@@ -883,6 +917,16 @@ object Queries {
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // Gopher-style repetition quality filters — per-row sorted-run-length
+    // folds (ops/TextAnalysis.scala), zero shuffle; the oracle restates
+    // them independently as group-by-multiplicity aggregations
+    "rep_signals" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("r"))
+        .select(col("doc_id"), col("r.top_word_frac").as("top_word_frac"),
+          col("r.dup_word_frac").as("dup_word_frac"),
+          col("r.dup_2gram_frac").as("dup_2gram_frac"))),
+
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", Seq("lang", "source"))),
@@ -1059,6 +1103,29 @@ object Queries {
          |d AS (SELECT vec_id, ${distSql("cosine")} AS distance FROM embeddings, p WHERE embedding IS NOT NULL),
          |k AS (SELECT vec_id, round(distance, 6) AS distance FROM d ORDER BY round(distance, 6), vec_id LIMIT $K)
          |SELECT doc_id, k.distance, source FROM documents JOIN k ON doc_id = k.vec_id""".stripMargin,
+
+    // window restatement of the bounded-heap aggregate: same (distance, id)
+    // lexicographic order, rn ≤ k
+    "knn_batch_probes" ->
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 8),
+         |d AS (SELECT pr.probe_id, e.vec_id,
+         |  round(sqrt(list_sum(list_transform(generate_series(1,$Dim),
+         |    i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(pr.pv[i] AS DOUBLE))
+         |       * (CAST(e.embedding[i] AS DOUBLE) - CAST(pr.pv[i] AS DOUBLE))))), 6) AS distance
+         |  FROM embeddings e, pr WHERE e.embedding IS NOT NULL),
+         |r AS (SELECT probe_id, vec_id, distance,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY distance, vec_id) AS rn FROM d)
+         |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, distance FROM r WHERE rn <= 5""".stripMargin,
+
+    // per-lane fixed-point sums: CAST(round(x*1e6) AS BIGINT) is the same
+    // half-away-from-zero rounding VectorAvgFixed.fixedPoint applies
+    "group_centroids" ->
+      s"""WITH u AS (SELECT label, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS g(i) WHERE embedding IS NOT NULL)
+         |SELECT label, i - 1 AS pos, round(sum(v) / (count(*) * 1000000.0), 6) AS centroid
+         |FROM u GROUP BY label, i""".stripMargin,
 
     "quantize_params" ->
       s"""WITH $paramsCte
@@ -1332,6 +1399,25 @@ object Queries {
         |    list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) END AS fp
         |FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)""".stripMargin,
+
+    // independent group-by-multiplicity restatement of the sorted-run-length
+    // folds: a word/bigram's run length IS its multiplicity
+    "rep_signals" ->
+      s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |wc AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+         |wa AS (SELECT doc_id, sum(cnt) AS n, max(cnt) AS top,
+         |       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup FROM wc GROUP BY doc_id),
+         |t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |       i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM t),
+         |gc AS (SELECT doc_id, bg, count(*) AS cnt FROM g GROUP BY doc_id, bg),
+         |ga AS (SELECT doc_id, sum(cnt) AS n,
+         |       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup FROM gc GROUP BY doc_id)
+         |SELECT wa.doc_id,
+         |  round(CAST(wa.top AS DOUBLE) / wa.n, 6) AS top_word_frac,
+         |  round(CAST(wa.dup AS DOUBLE) / wa.n, 6) AS dup_word_frac,
+         |  round(coalesce(CAST(ga.dup AS DOUBLE) / ga.n, 0.0), 6) AS dup_2gram_frac
+         |FROM wa LEFT JOIN ga ON wa.doc_id = ga.doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count

@@ -62,6 +62,19 @@ object functions {
   def nearest_centroid(v: Column, centroids: Seq[Seq[Float]]): Column =
     col(NearestCentroid(expr(v), centroids))
 
+  /** Grouped top-k aggregate: smallest-k (distance, id) pairs per group,
+    * bounded O(k) state per task (map-side combine) — the batch k-NN join
+    * primitive; see [[graft.expressions.TopKPairs]].
+    */
+  def knn_topk(distance: Column, id: Column, k: Int): Column =
+    col(TopKPairs(expr(distance), expr(id), k).toAggregateExpression())
+
+  /** Per-group embedding centroid in exact (order-independent) fixed-point
+    * arithmetic; see [[graft.expressions.VectorAvgFixed]].
+    */
+  def vector_avg(v: Column, dim: Int): Column =
+    col(VectorAvgFixed(expr(v), dim).toAggregateExpression())
+
   def vector_as_f32(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F32, dim))
   def vector_as_f16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.F16, dim))
   def vector_as_bf16(v: Column, dim: Int = -1): Column = col(ToVector(expr(v), ElemType.BF16, dim))

@@ -92,6 +92,66 @@ object TextAnalysis {
     }
   }
 
+  // ---------- repetition signals (Gopher-style quality filters) ----------
+
+  /** Run-length statistics over a SORTED string array: the longest run
+    * (= the max multiplicity of any element) and the total number of
+    * elements belonging to runs longer than 1 (= how many elements are
+    * duplicates of something). One `aggregate` fold — per-row, inside
+    * codegen'd expression eval, NO shuffle: the whole repetition analysis
+    * of a 100 TB corpus is a single scan with zero exchanges, where the
+    * groupBy-on-(doc, token) restatement would shuffle every token.
+    *
+    * The sentinel prev="" cannot collide with a real token because a run
+    * only extends when `run > 0`.
+    */
+  private def runStats(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("dup")),
+      (acc, w) => {
+        val same = acc.getField("run") > 0 && w === acc.getField("prev")
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        // a run reaching length 2 contributes both its elements; each
+        // further extension contributes one more
+        val dup = acc.getField("dup") +
+          when(same, when(acc.getField("run") === 1L, lit(2L)).otherwise(lit(1L))).otherwise(lit(0L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"), dup.as("dup"))
+      },
+      acc => struct(acc.getField("best").as("best"), acc.getField("dup").as("dup")))
+
+  /** Adjacent word 2-grams, joined with a single space. Empty for
+    * single-word text (`slice` with length 0, never a negative-step
+    * `sequence`).
+    */
+  def bigrams(text: Column): Column = {
+    val ws = tokens(text)
+    zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Repetition signals per document, the classic LLM-corpus quality
+    * filters: `top_word_frac` (most frequent word's share), `dup_word_frac`
+    * (share of words that are repeats of something), `dup_2gram_frac`
+    * (same at adjacent-bigram level — catches boilerplate phrase loops
+    * that word-level stats miss). All exact integer/ratio math, rounded
+    * to 6 dp; restated independently by a group-by-multiplicity oracle.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val ws = runStats(sort_array(tokens(text)))
+    val nWords = size(tokens(text)).cast("double")
+    val bg = runStats(sort_array(bigrams(text)))
+    val nBigrams = (size(tokens(text)) - 1).cast("double")
+    struct(
+      round(ws.getField("best").cast("double") / nWords, 6).as("top_word_frac"),
+      round(ws.getField("dup").cast("double") / nWords, 6).as("dup_word_frac"),
+      when(nBigrams <= 0, lit(0.0))
+        .otherwise(round(bg.getField("dup").cast("double") / nBigrams, 6)).as("dup_2gram_frac"))
+  }
+
   /** Rolling polynomial hash (mod 1e9+7, base 31) over the printable-ASCII
     * codepoints — a deterministic document fingerprint computable in pure
     * SQL on any engine. All arithmetic stays within Long range.

@@ -470,10 +470,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("no gated query plans a cartesian product or nested-loop join") {
     // The r1/r2 scale-killers were cartesian self-joins hiding behind
     // degenerate bucket keys; pin every gated plan against the whole class.
-    val banned = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+    // One deliberate exception: knn_batch_probes broadcasts the k-row
+    // probe table against the corpus — every probe×corpus distance is the
+    // workload itself, and the pair space is bounded by the broadcast side
+    // (≤ spark.sql.autoBroadcastJoinThreshold), not corpus².
+    val boundedBroadcastCross = Set("knn_batch_probes")
     Queries.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      banned.foreach(b => assert(!plan.contains(b), s"$name plans $b:\n$plan"))
+      assert(!plan.contains("CartesianProduct"), s"$name plans CartesianProduct:\n$plan")
+      if (boundedBroadcastCross(name))
+        assert(plan.contains("BroadcastExchange"),
+          s"$name must broadcast its bounded probe side:\n$plan")
+      else
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans BroadcastNestedLoopJoin:\n$plan")
     }
   }
 
@@ -503,6 +513,80 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fp("hello world  hello") — stable rolling hash
     val expected = "hello world  hello".foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
     assert(r(1L)._3 == expected)
+  }
+
+  test("repetition signals: run-length folds match hand counts") {
+    // "a a a b c c" : top=a(3)/6, dup = 3(a)+2(c) = 5/6
+    // bigrams: "a a","a a","a b","b c","c c" : dup = 2 ("a a")/5
+    val d = Seq(
+      (1L, "a a a b c c"),
+      (2L, "x y z"),          // no repeats at all
+      (3L, "w"),              // single word: no bigrams -> dup_2gram 0
+      (4L, "p q p q p q"))    // bigram-heavy: "p q"×3, "q p"×2 -> 5/5
+      .toDF("id", "text")
+    val r = d.select(col("id"), TextAnalysis.repetitionSignals(col("text")).as("r"))
+      .select(col("id"), col("r.top_word_frac"), col("r.dup_word_frac"), col("r.dup_2gram_frac"))
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((0.5, math.rint(5.0 / 6 * 1e6) / 1e6, 0.4)))
+    assert(r(2L) == ((math.rint(1.0 / 3 * 1e6) / 1e6, 0.0, 0.0)))
+    assert(r(3L) == ((1.0, 0.0, 0.0)))
+    assert(r(4L) == ((0.5, 1.0, 1.0)))
+  }
+
+  // ---------- grouped aggregates: knn_topk and vector_avg ----------
+
+  test("knn_topk equals per-group sort-limit; survives repartitioned partial aggregation") {
+    import graft.functions.knn_topk
+    val scored = emb.crossJoin(
+        broadcast(emb.where(col("vec_id") < 4)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))))
+      .select(col("probe_id"), col("vec_id"),
+        round(graft.functions.vector_distance(col("embedding"), col("pv"), "l2"), 6).as("d"))
+      .repartition(7) // force multi-buffer merge through serialize/deserialize
+    val got = scored.groupBy("probe_id").agg(knn_topk(col("d"), col("vec_id"), 5).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")))
+      .select(col("probe_id"), col("pos"), col("col.id"), col("col.distance"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val oracle = scored.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (p, rows) =>
+        rows.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+          .map { case ((_, id, d), i) => (p, i, id, d) }
+      }.toSet
+    assert(got == oracle)
+    // group smaller than k: returns all, ascending
+    val tiny = Seq((1L, 3.0, 30L), (1L, 1.0, 10L), (1L, 2.0, 20L)).toDF("g", "d", "id")
+    val small = tiny.groupBy("g").agg(knn_topk(col("d"), col("id"), 10).as("tk"))
+      .select(explode(col("tk"))).select(col("col.id")).collect().map(_.getLong(0)).toSeq
+    assert(small == Seq(10L, 20L, 30L))
+    // ties break by id; NaN rows are skipped
+    val ties = Seq((1L, 1.0, 7L), (1L, 1.0, 3L), (1L, Double.NaN, 1L)).toDF("g", "d", "id")
+    val t = ties.groupBy("g").agg(knn_topk(col("d"), col("id"), 2).as("tk"))
+      .select(explode(col("tk"))).select(col("col.id")).collect().map(_.getLong(0)).toSeq
+    assert(t == Seq(3L, 7L))
+  }
+
+  test("vector_avg: exact fixed-point centroid, order-independent, nulls skipped") {
+    import graft.functions.vector_avg
+    val d = Seq(
+      (0, Array(1.0f, -2.0f)),
+      (0, Array(2.0f, -1.0f)),
+      (1, Array(0.5f, 0.25f)),
+      (1, null.asInstanceOf[Array[Float]])) // null vector: skipped, not zeroed
+      .toDF("label", "v")
+    def centroids(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
+      df.groupBy("label").agg(vector_avg(col("v"), 2).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val got = centroids(d)
+    assert(got(0) == Seq(1.5, -1.5))
+    assert(got(1) == Seq(0.5, 0.25))
+    // partition-order independence: exact equality across repartitionings
+    assert(centroids(d.repartition(5)) == got)
+    // dim mismatch fails fast
+    val bad = Seq((0, Array(1.0f, 2.0f, 3.0f))).toDF("label", "v")
+    val ex = intercept[Exception] {
+      bad.groupBy("label").agg(vector_avg(col("v"), 2)).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   // ---------- multimodal plumbing ----------
