@@ -471,6 +471,30 @@ object Queries {
         .select(col("label"), col("pos").cast("long").as("pos"),
           round(col("col"), 6).as("centroid"))),
 
+    // SemDeDup assignment step: nearest vector_avg centroid per embedding.
+    // The c-row centroid collect is driver-side like ivfCentroids; the
+    // assignment itself is a pure map — centroid matrix as a literal,
+    // per-row argmin over a HOF distance array, NO join and NO shuffle, so
+    // at 100 TB it is one codegen-friendly scan. Ties break to the
+    // smallest label (array_position finds the FIRST minimum; the oracle
+    // orders by (dsq, label)).
+    "centroid_assign" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val cents = e.groupBy(col("label"))
+        .agg(vector_avg(col("embedding"), Dim).as("c"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      val centsLit = typedlit(cents.map(_._2.toSeq).toSeq)
+      val labelsLit = typedlit(cents.map(_._1).toSeq)
+      val dists = transform(centsLit, c =>
+        aggregate(
+          zip_with(col("embedding"), c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x))
+      e.select(col("vec_id"), dists.as("ds"))
+        .select(col("vec_id"),
+          element_at(labelsLit, array_position(col("ds"), array_min(col("ds"))).cast("int")).as("cluster"),
+          round(sqrt(array_min(col("ds"))), 6).as("dist"))
+    }),
+
     // K1 + join-back idiom (reference README.md:96-99): k-NN ids → documents
     "knn_join_docs" -> ((s, dir) => {
       val knn = knnQuery("cosine")(s, dir)
@@ -1126,6 +1150,24 @@ object Queries {
          |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS g(i) WHERE embedding IS NOT NULL)
          |SELECT label, i - 1 AS pos, round(sum(v) / (count(*) * 1000000.0), 6) AS centroid
          |FROM u GROUP BY label, i""".stripMargin,
+
+    // same centroid formula UNROUNDED, then argmin by (squared distance,
+    // label) — the double math is sequential on both sides, so the argmin
+    // agrees bitwise
+    "centroid_assign" ->
+      s"""WITH u AS (SELECT label, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS g(i) WHERE embedding IS NOT NULL),
+         |c AS (SELECT label, list(cv_i ORDER BY i) AS cv FROM (
+         |  SELECT label, i, sum(v) / (count(*) * 1000000.0) AS cv_i FROM u GROUP BY label, i) GROUP BY label),
+         |d AS (SELECT e.vec_id, c.label,
+         |  list_sum(list_transform(generate_series(1, $Dim),
+         |    i -> (CAST(e.embedding[i] AS DOUBLE) - cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - cv[i]))) AS dsq
+         |  FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+         |r AS (SELECT vec_id, label, dsq,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dsq, label) AS rn FROM d)
+         |SELECT vec_id, label AS cluster, round(sqrt(dsq), 6) AS dist FROM r WHERE rn = 1""".stripMargin,
 
     "quantize_params" ->
       s"""WITH $paramsCte

@@ -178,4 +178,32 @@ class KernelSpec extends AnyFunSuite {
       assert(h == h1 * 2147483648L + h2)
     }
   }
+
+  test("TopKHeap: random insert streams equal sort-take-k; merge order irrelevant") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 60) {
+      val k = 1 + rnd.nextInt(12)
+      val n = rnd.nextInt(120)
+      // duplicated distances force the (value, id) tie-break
+      val pairs = Array.fill(n)((rnd.nextInt(12).toDouble, rnd.nextLong() & 0xFFFFL))
+      val expected = pairs.sortBy(p => (p._1, p._2)).take(k).toSeq
+
+      val h = new graft.expressions.TopKHeap(k)
+      pairs.foreach { case (d, id) => h.insert(d, id) }
+      val (ds, is) = h.sortedAscending()
+      assert(ds.zip(is).map(p => (p._1, p._2)).toSeq == expected, s"trial $trial")
+
+      // split into random sub-heaps and merge via re-insert (the agg path)
+      val parts = pairs.grouped(1 + rnd.nextInt(pairs.length + 1)).toSeq
+      val m = new graft.expressions.TopKHeap(k)
+      parts.foreach { part =>
+        val sub = new graft.expressions.TopKHeap(k)
+        part.foreach { case (d, id) => sub.insert(d, id) }
+        var i = 0
+        while (i < sub.size) { m.insert(sub.dists(i), sub.ids(i)); i += 1 }
+      }
+      val (md, mi) = m.sortedAscending()
+      assert(md.zip(mi).map(p => (p._1, p._2)).toSeq == expected, s"merge trial $trial")
+    }
+  }
 }
