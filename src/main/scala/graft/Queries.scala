@@ -495,6 +495,23 @@ object Queries {
           round(sqrt(array_min(col("ds"))), 6).as("dist"))
     }),
 
+    // the same batch k-NN join in PURE SQL: knn_topk registered as a SQL
+    // aggregate (functions.registerSql) next to vector_distance, consumed
+    // with GROUP BY + LATERAL VIEW posexplode — the SQL-parity form of
+    // knn_batch_probes (identical oracle shape)
+    "sql_knn_batch" -> ((s, dir) => {
+      emb(s, dir).createOrReplaceTempView("embeddings")
+      graft.functions.registerSql(s)
+      s.sql(s"""
+        |WITH pr AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT /*+ BROADCAST(pr) */ pr.probe_id, e.vec_id,
+        |        round(vector_distance(e.embedding, pr.pv, 'l2'), 6) AS distance
+        |      FROM embeddings e CROSS JOIN pr WHERE e.embedding IS NOT NULL),
+        |g AS (SELECT probe_id, knn_topk(distance, vec_id, 5) AS tk FROM d GROUP BY probe_id)
+        |SELECT probe_id, CAST(pos + 1 AS BIGINT) AS rank, t.col.id AS vec_id, t.col.distance AS distance
+        |FROM g LATERAL VIEW posexplode(tk) t AS pos, col""".stripMargin)
+    }),
+
     // K1 + join-back idiom (reference README.md:96-99): k-NN ids → documents
     "knn_join_docs" -> ((s, dir) => {
       val knn = knnQuery("cosine")(s, dir)
@@ -1131,6 +1148,18 @@ object Queries {
     // window restatement of the bounded-heap aggregate: same (distance, id)
     // lexicographic order, rn ≤ k
     "knn_batch_probes" ->
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 8),
+         |d AS (SELECT pr.probe_id, e.vec_id,
+         |  round(sqrt(list_sum(list_transform(generate_series(1,$Dim),
+         |    i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(pr.pv[i] AS DOUBLE))
+         |       * (CAST(e.embedding[i] AS DOUBLE) - CAST(pr.pv[i] AS DOUBLE))))), 6) AS distance
+         |  FROM embeddings e, pr WHERE e.embedding IS NOT NULL),
+         |r AS (SELECT probe_id, vec_id, distance,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY distance, vec_id) AS rn FROM d)
+         |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, distance FROM r WHERE rn <= 5""".stripMargin,
+
+    // the pure-SQL form computes the identical result
+    "sql_knn_batch" ->
       s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 8),
          |d AS (SELECT pr.probe_id, e.vec_id,
          |  round(sqrt(list_sum(list_transform(generate_series(1,$Dim),

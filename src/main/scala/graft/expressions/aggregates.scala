@@ -173,6 +173,13 @@ final class TopKHeap(k: Int) {
   * groups × (dim+1) × 8 bytes — NOT the corpus. The SemDeDup-style
   * building block: cluster centroids for embedding-space dedup in one
   * aggregation pass.
+  *
+  * Overflow bound: a lane sum saturates Long at 2⁶³/10⁶ ≈ 9.2×10¹² in
+  * absolute value — with unit-normalized lanes (|x| ≤ 1) that is ~9×10¹²
+  * rows in ONE group, three orders of magnitude beyond a 10¹⁰-vector
+  * (100 TB) corpus collapsing into a single cluster. Division at eval is
+  * exact as long as the lane sum stays below 2⁵³ (it does by the same
+  * margin).
   */
 case class VectorAvgFixed(child: Expression, dim: Int,
                           mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

@@ -113,5 +113,19 @@ object functions {
     reg.createOrReplaceTempFunction("vector_as_bf16", asFn(ElemType.BF16), "scala_udf")
     reg.createOrReplaceTempFunction("vector_as_i8", asFn(ElemType.I8), "scala_udf")
     reg.createOrReplaceTempFunction("vector_as_u8", asFn(ElemType.U8), "scala_udf")
+    def intArg(e: Expression, what: String): Int = e match {
+      case Literal(v, _) if v != null => v.toString.toInt
+      case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+    }
+    // aggregate builders return the bare AggregateFunction — the analyzer
+    // wraps it in an AggregateExpression like any built-in SQL aggregate
+    reg.createOrReplaceTempFunction("knn_topk", {
+      case Seq(d, id, k) => TopKPairs(d, id, intArg(k, "k"))
+      case args => throw new IllegalArgumentException(s"knn_topk expects (distance, id, k), got ${args.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("vector_avg", {
+      case Seq(v, d) => VectorAvgFixed(v, intArg(d, "dim"))
+      case args => throw new IllegalArgumentException(s"vector_avg expects (vec, dim), got ${args.size} args")
+    }, "scala_udf")
   }
 }

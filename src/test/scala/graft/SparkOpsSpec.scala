@@ -402,6 +402,38 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("knn_topk: map-side partial aggregation in batch; composes with streaming state") {
+    import graft.functions.knn_topk
+    // batch plan: the heap must fold map-side (partial_knn_topk below the
+    // exchange), so only groups×k rows cross the shuffle
+    val plan = Queries.queries("knn_batch_probes")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_knn_topk"), s"no map-side combine:\n$plan")
+    // centroid assignment is a pure map over the scan: no exchange at all
+    val assign = Queries.queries("centroid_assign")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!assign.contains("Exchange"), s"assignment must not shuffle:\n$assign")
+
+    // streaming: the same aggregate maintains per-group top-k as incremental
+    // state (serialize/deserialize through the state store between batches)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Double, Long)]
+    val agg = ms.toDF().toDF("g", "d", "id")
+      .groupBy("g").agg(knn_topk(col("d"), col("id"), 2).as("tk"))
+    val q = agg.writeStream.format("memory")
+      .queryName("topk_stream_test").outputMode("complete").start()
+    try {
+      ms.addData((1L, 5.0, 50L), (1L, 3.0, 30L))
+      q.processAllAvailable()
+      ms.addData((1L, 1.0, 10L)) // displaces 5.0 across the batch boundary
+      q.processAllAvailable()
+      val tk = spark.sql("SELECT tk FROM topk_stream_test WHERE g = 1").collect()
+        .head.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+      assert(tk == Seq((1.0, 10L), (3.0, 30L)))
+    } finally q.stop()
+  }
+
   test("event-time windowed agg finalizes under the watermark; streaming dedup bounds state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -474,7 +506,7 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // probe table against the corpus — every probe×corpus distance is the
     // workload itself, and the pair space is bounded by the broadcast side
     // (≤ spark.sql.autoBroadcastJoinThreshold), not corpus².
-    val boundedBroadcastCross = Set("knn_batch_probes")
+    val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch")
     Queries.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans CartesianProduct:\n$plan")
@@ -650,6 +682,14 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // f16 round-trip through SQL surface
     val h = spark.sql("SELECT vector_distance(vector_as_f16('[1.5, -2.25]'), vector_as_f16('[1.5, -2.25]'), 'l2') AS d").head()
     assert(h.getDouble(0) == 0.0)
+    // aggregates on the SQL surface: vector_avg / knn_topk group like built-ins
+    Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 1.0f))).toDF("g", "v").createOrReplaceTempView("va_sql")
+    val c = spark.sql("SELECT vector_avg(v, 2) AS c FROM va_sql GROUP BY g").head().getSeq[Double](0)
+    assert(c == Seq(2.0, 2.0))
+    val tk = spark.sql(
+      "SELECT knn_topk(CAST(g AS DOUBLE), CAST(g AS BIGINT), 1) AS tk FROM va_sql").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.0, 0L)))
   }
 
   test("SQL TVF surface: vector_full_scan / vector_quantize_scan in pure SQL") {
