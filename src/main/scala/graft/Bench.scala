@@ -130,7 +130,8 @@ object Bench {
       // 5. relational + text + dedup representatives from the inventory
       val fromQueries = Seq("q1_pricing", "q3_revenue", "window_top_orders",
         "text_stats", "fingerprint", "ngram_jaccard_top", "minhash_lsh_pairs",
-        "quantize_sums", "quant_knn_l2")
+        "quantize_sums", "quant_knn_l2",
+        "filter_quality", "decontam_overlap", "pack_sequences", "vocab_top")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

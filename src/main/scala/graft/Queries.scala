@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.ops.{Ann, Dedup, Knn, MediaCodec, Multimodal, Quantizer, TextAnalysis}
+import graft.ops.{Ann, Curation, Dedup, Knn, MediaCodec, Multimodal, Quantizer, TextAnalysis}
 
 /** The operator inventory wired to the driver's correctness gate: every
   * entry has a Spark implementation and (where SQL-expressible) an ANSI
@@ -968,6 +968,44 @@ object Queries {
           col("r.dup_word_frac").as("dup_word_frac"),
           col("r.dup_2gram_frac").as("dup_2gram_frac"))),
 
+    // ---- corpus curation (ops/Curation.scala) ----
+
+    // Composite Gopher-style keep/drop: five rules folded to a bitmask in
+    // one shuffle-free scan; thresholds tested by integer
+    // cross-multiplication so no float rounding can flip a verdict
+    "filter_quality" -> ((s, dir) =>
+      Curation.qualityFilter(docs(s, dir), "doc_id", "text")),
+
+    // Benchmark decontamination: word-3-gram overlap of every training doc
+    // against the benchmark slice (doc_id % 97 == 0) — benchmark set and
+    // hit counts both broadcast, the corpus never shuffles
+    "decontam_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.decontaminate(
+        d.where(col("doc_id") % 97 =!= 0),
+        d.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
+    // Deterministic hash-stratified sampling: en at 50%, others at 25% —
+    // a pure filter on the exact-BIGINT id hash (same arithmetic as the
+    // IVF centroid sample), zero shuffles, reproducible by construction
+    "sample_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 500), defaultPermille = 250)),
+
+    // Concat-and-split sequence packing at a 2048-subword-token budget:
+    // global token offsets via the two-level prefix sum (chunkSpan=64 so
+    // the gate exercises multiple chunks + the broadcast base join)
+    "pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 2048L, chunkSpan = 64L)),
+
+    // Corpus vocabulary: top-100 cleaned tokens by (count desc, token) —
+    // map-side partial counts, TakeOrdered top-N
+    "vocab_top" -> ((s, dir) =>
+      Curation.vocabTop(docs(s, dir), "text", topN = 100)),
+
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", Seq("lang", "source"))),
@@ -1118,6 +1156,13 @@ object Queries {
 
   private val tokensSql = """regexp_split_to_array(trim(text), '\s+')"""
   private val enStopSql = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Curation-side normalization (Curation.cleanText/cleanTokens): text →
+    * lowercased printable ASCII `ac`, non-empty space-split tokens `ws`.
+    */
+  private val cleanAcSql = """lower(regexp_replace(text, '[^ -~]', '', 'g'))"""
+  private def cleanWsSql(ac: String) =
+    s"list_filter(regexp_split_to_array(trim($ac), ' +'), w -> w <> '')"
 
   private def langHitsSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -1489,6 +1534,79 @@ object Queries {
          |  round(CAST(wa.dup AS DOUBLE) / wa.n, 6) AS dup_word_frac,
          |  round(coalesce(CAST(ga.dup AS DOUBLE) / ga.n, 0.0), 6) AS dup_2gram_frac
          |FROM wa LEFT JOIN ga ON wa.doc_id = ga.doc_id""".stripMargin,
+
+    // independent multiplicity restatement of the five integer-exact rules
+    // (top_word via per-distinct-token filter counts instead of the
+    // sorted-run fold)
+    "filter_quality" ->
+      s"""WITH t AS (SELECT doc_id, $cleanAcSql AS ac FROM documents),
+         |b AS (SELECT doc_id, ac, ${cleanWsSql("ac")} AS ws FROM t),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(length(replace(ac, ' ', '')) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(ac, '[^a-z0-9 ]')) AS BIGINT) AS n_symbols,
+         |  CAST(length(ac) AS BIGINT) AS n_total,
+         |  CAST(len(list_filter(ws, w -> w IN ($enStopSql))) AS BIGINT) AS n_stop,
+         |  CAST(coalesce(list_max(list_transform(list_distinct(ws),
+         |    w -> len(list_filter(ws, x -> x = w)))), 0) AS BIGINT) AS top_word
+         |  FROM b),
+         |k AS (SELECT doc_id, n_words, n_chars, n_symbols, n_total, n_stop, top_word,
+         |  CAST((CASE WHEN n_words < 10 OR n_words > 100000 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN n_chars < 3 * n_words OR n_chars > 12 * n_words THEN 2 ELSE 0 END)
+         |     + (CASE WHEN 4 * n_symbols > n_total THEN 4 ELSE 0 END)
+         |     + (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END)
+         |     + (CASE WHEN 10 * top_word > 3 * n_words THEN 16 ELSE 0 END) AS BIGINT) AS fail_mask
+         |  FROM m)
+         |SELECT doc_id, n_words,
+         |  round(CAST(n_chars AS DOUBLE) / greatest(n_words, 1), 6) AS mean_wlen,
+         |  round(CAST(n_symbols AS DOUBLE) / greatest(n_total, 1), 6) AS symbol_frac,
+         |  n_stop,
+         |  round(CAST(top_word AS DOUBLE) / greatest(n_words, 1), 6) AS top_word_frac,
+         |  fail_mask, (fail_mask = 0) AS keep
+         |FROM k""".stripMargin,
+
+    "decontam_overlap" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanWsSql(cleanAcSql)} AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS ngs
+         |  FROM t),
+         |bset AS (SELECT DISTINCT unnest(ngs) AS ng FROM s WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, ngs FROM s WHERE doc_id % 97 <> 0),
+         |e AS (SELECT doc_id, unnest(ngs) AS ng FROM tr),
+         |h AS (SELECT e.doc_id, count(*) AS n_overlap FROM e JOIN bset USING (ng) GROUP BY e.doc_id)
+         |SELECT tr.doc_id, CAST(len(tr.ngs) AS BIGINT) AS n_ngrams,
+         |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / greatest(len(tr.ngs), 1), 6) AS contam_frac,
+         |  (coalesce(h.n_overlap, 0) > 0) AS contaminated
+         |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  ((doc_id % 1000003) * 2654435761 % 1000000007) % 1000 AS sample_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_bucket FROM t
+        |WHERE sample_bucket < (CASE WHEN lang = 'en' THEN 500 ELSE 250 END)""".stripMargin,
+
+    // single-window restatement of the two-level prefix sum
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+         |  (n_tokens > 0 AND (start_offset + n_tokens - 1) // 2048 <> start_offset // 2048) AS crosses
+         |FROM c""".stripMargin,
+
+    "vocab_top" ->
+      s"""WITH w AS (SELECT unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents)
+         |SELECT token, count(*) AS n FROM w GROUP BY token
+         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count

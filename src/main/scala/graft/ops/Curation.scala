@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines: composite
+  * quality filtering, benchmark decontamination, deterministic stratified
+  * sampling, token-budget sequence packing, and vocabulary extraction.
+  *
+  * These sit downstream of [[TextAnalysis]] (per-row signals) and
+  * [[Dedup]] (near-duplicate removal) in a real pipeline. Like those
+  * modules, everything here is built from codegen'd Spark built-ins — no
+  * UDFs — and all cross-engine comparisons (filter thresholds) are exact
+  * integer cross-multiplications, never float comparisons, so the DuckDB
+  * oracle agrees row for row at any partitioning.
+  *
+  * Scale notes per operator are on each method; the common theme: the
+  * corpus-sized side never shuffles unless the semantics demand a global
+  * order (packing), and the small side (benchmark n-grams, chunk offsets,
+  * overlap hits) broadcasts.
+  */
+object Curation {
+
+  /** Lowercased printable-ASCII text: the shared normalization for all
+    * token-level curation ops. Non-printable ASCII (tabs/newlines
+    * included) is stripped, so the only whitespace left is ' '.
+    */
+  private[ops] def cleanText(text: Column): Column =
+    lower(TextAnalysis.asciiOnly(text))
+
+  /** Non-empty tokens of the cleaned text. The `filter` drops the empty
+    * string that `split("", ...)` yields for blank documents.
+    */
+  def cleanTokens(text: Column): Column =
+    filter(split(trim(cleanText(text)), " +"), t => t =!= "")
+
+  /** Distinct word n-grams (space-joined) over the cleaned tokens; empty
+    * array when the document has fewer than n words.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = cleanTokens(text)
+    when(size(ws) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))))
+  }
+
+  // ---------------- composite quality filter ----------------
+
+  /** Failure-bit layout of [[qualityFilter]]'s `fail_mask`. */
+  val FailTooFewWords = 1L      // n_words outside [minWords, maxWords]
+  val FailWordLength = 2L       // mean word length outside [3, 12]
+  val FailSymbolRatio = 4L      // >25% of characters are symbols
+  val FailNoStopwords = 8L      // fewer than 2 stopword hits
+  val FailRepetition = 16L      // top word takes >30% of the document
+
+  /** Gopher-style composite quality filter: five cheap per-document rules
+    * folded into a `fail_mask` bitmask (0 = keep). One scan, zero
+    * shuffles, all signals codegen'd built-ins — at 100 TB this is the
+    * cheapest pass of the pipeline and runs fused with the parquet scan.
+    *
+    * Thresholds are compared by integer cross-multiplication (e.g.
+    * `mean_wlen < 3` is tested as `n_chars < 3 * n_words`), so the
+    * keep/drop decision is exact — no float rounding can flip a document
+    * across an engine boundary. The reported ratio columns are rounded to
+    * 6 dp for display only.
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+    val ws = cleanTokens(col(textCol))
+    val ac = cleanText(col(textCol))
+    val base = df.select(
+      col(idCol),
+      size(ws).cast("long").as("n_words"),
+      // sum of token lengths == chars minus spaces (only ' ' survives cleanText)
+      length(regexp_replace(ac, " ", "")).cast("long").as("n_chars"),
+      regexp_count(ac, lit("[^a-z0-9 ]")).cast("long").as("n_symbols"),
+      length(ac).cast("long").as("n_total"),
+      size(filter(ws, t => array_contains(
+        array(TextAnalysis.EnStopwords.map(lit): _*), t))).cast("long").as("n_stop"),
+      TextAnalysis.runStats(sort_array(ws)).getField("best").cast("long").as("top_word"))
+    val failWords = col("n_words") < minWords || col("n_words") > maxWords
+    val failWlen = col("n_chars") < lit(3L) * col("n_words") ||
+      col("n_chars") > lit(12L) * col("n_words")
+    val failSym = lit(4L) * col("n_symbols") > col("n_total")
+    val failStop = col("n_stop") < 2
+    val failRep = lit(10L) * col("top_word") > lit(3L) * col("n_words")
+    val mask =
+      when(failWords, lit(FailTooFewWords)).otherwise(lit(0L)) +
+      when(failWlen, lit(FailWordLength)).otherwise(lit(0L)) +
+      when(failSym, lit(FailSymbolRatio)).otherwise(lit(0L)) +
+      when(failStop, lit(FailNoStopwords)).otherwise(lit(0L)) +
+      when(failRep, lit(FailRepetition)).otherwise(lit(0L))
+    base.select(
+      col(idCol), col("n_words"),
+      round(col("n_chars").cast("double") / greatest(col("n_words"), lit(1L)), 6).as("mean_wlen"),
+      round(col("n_symbols").cast("double") / greatest(col("n_total"), lit(1L)), 6).as("symbol_frac"),
+      col("n_stop"),
+      round(col("top_word").cast("double") / greatest(col("n_words"), lit(1L)), 6).as("top_word_frac"),
+      mask.as("fail_mask"),
+      (mask === 0L).as("keep"))
+  }
+
+  // ---------------- benchmark decontamination ----------------
+
+  /** Benchmark decontamination: per training document, how many of its
+    * distinct word n-grams appear anywhere in the benchmark corpus
+    * (the standard eval-contamination check run before training).
+    *
+    * Scale design: the benchmark side (eval suites — thousands of
+    * documents) is reduced to its distinct n-gram set and BROADCAST, so
+    * the corpus scan never shuffles to find hits; the per-document hit
+    * counts then aggregate on the narrow id key, and that hit frame —
+    * only the contaminated documents, typically a sliver of the corpus —
+    * broadcasts back onto the base projection. Net corpus shuffles: zero.
+    * If the contaminated fraction is ever large enough to break the
+    * second broadcast, drop the hint and pay one id-keyed shuffle — the
+    * semantics don't change.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val benchSet = bench.select(explode(wordNgrams(col(textCol), n)).as("ng")).distinct()
+    val base = train.select(col(idCol), wordNgrams(col(textCol), n).as("ngs"))
+    val hits = base.select(col(idCol), explode(col("ngs")).as("ng"))
+      .join(broadcast(benchSet), "ng")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    base.join(broadcast(hits), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(col("ngs")).cast("long").as("n_ngrams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contam_frac",
+        round(col("n_overlap").cast("double") / greatest(col("n_ngrams"), lit(1L)), 6))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  // ---------------- deterministic stratified sampling ----------------
+
+  /** Multiplicative id hash in exact BIGINT arithmetic — the same
+    * restatable form [[Ann.ivfCentroids]] uses for its deterministic
+    * sample order: products stay under 2^63 for any id, and every engine
+    * computes it identically.
+    */
+  def idHash(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+
+  /** Deterministic stratified sampling: keep a row iff its id-hash bucket
+    * (0..999) falls under the stratum's per-mille rate. A pure filter —
+    * zero shuffles, trivially reproducible (re-running on the same ids
+    * selects the same rows, the property training-data curation needs for
+    * audit), and rates are exact: bucket occupancy is uniform over ids.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       ratesPermille: Map[String, Int],
+                       defaultPermille: Int): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", pmod(idHash(col(idCol)), lit(1000L)))
+      .where(col("sample_bucket") < rate)
+  }
+
+  // ---------------- token-budget sequence packing ----------------
+
+  /** Concat-and-split sequence packing: documents are laid end to end in
+    * id order (subword token counts, [[TextAnalysis.subwordTokenCount]])
+    * and the stream is cut every `budget` tokens — each document gets its
+    * `start_offset` in the global token stream, its `pack_id`
+    * (= start_offset div budget), and whether it straddles a pack
+    * boundary (`crosses`). This is the packed-pretraining layout where
+    * documents may span batch boundaries.
+    *
+    * A global running sum is inherently sequential, so it is computed as
+    * a two-level prefix sum rather than one single-partition window:
+    * per-chunk windows (chunk = id div `chunkSpan`, preserving id order)
+    * run fully parallel, and only the chunk TOTALS — corpus/`chunkSpan`
+    * rows — pass through the small ordered window before broadcasting
+    * back as per-chunk base offsets. At 10^11 documents and the default
+    * span that second level is ~10^7 skinny rows; if even that outgrows
+    * one task, the same scheme applies to it recursively.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long = 2048L, chunkSpan: Long = 4096L): DataFrame = {
+    val t = df.select(col(idCol),
+      TextAnalysis.subwordTokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("chunk", expr(s"$idCol div $chunkSpan"))
+    val w = Window.partitionBy("chunk").orderBy(idCol)
+    val cum = t.withColumn("cum_incl", sum(col("n_tokens")).over(w))
+    val bases = t.groupBy("chunk").agg(sum("n_tokens").as("chunk_tot"))
+      .withColumn("chunk_base",
+        coalesce(sum("chunk_tot").over(
+          Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("chunk", "chunk_base")
+    cum.join(broadcast(bases), "chunk")
+      .select(col(idCol), col("n_tokens"),
+        (col("chunk_base") + col("cum_incl") - col("n_tokens")).as("start_offset"))
+      .withColumn("pack_id", expr(s"start_offset div $budget"))
+      .withColumn("crosses", col("n_tokens") > 0 &&
+        expr(s"(start_offset + n_tokens - 1) div $budget") =!= col("pack_id"))
+  }
+
+  // ---------------- vocabulary extraction ----------------
+
+  /** Corpus vocabulary: the `topN` most frequent cleaned tokens, ordered
+    * by (count desc, token asc) — the seed list for tokenizer training
+    * and stopword mining. Partial aggregation combines counts map-side,
+    * so the shuffle carries one (token, count) pair per distinct token
+    * per task, not one row per occurrence; the top-N itself is a
+    * TakeOrdered, never a global sort.
+    */
+  def vocabTop(df: DataFrame, textCol: String, topN: Int = 100): DataFrame =
+    df.select(explode(cleanTokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+}

@@ -105,7 +105,7 @@ object TextAnalysis {
     * The sentinel prev="" cannot collide with a real token because a run
     * only extends when `run > 0`.
     */
-  private def runStats(sorted: Column): Column =
+  private[ops] def runStats(sorted: Column): Column =
     aggregate(
       sorted,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("dup")),

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curation
+
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("wordNgrams: distinct space-joined n-grams; short docs yield empty") {
+    val out = docsDf((1L, "a b c d a b c"), (2L, "one two"), (3L, ""))
+      .select(col("doc_id"), Curation.wordNgrams(col("text"), 3).as("ngs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out(1L) == Set("a b c", "b c d", "c d a", "d a b")) // distinct: "a b c" appears twice
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
+  test("qualityFilter: each rule trips its own bit; clean doc keeps") {
+    val good = ("the quick brown fox jumps over the lazy dog and then it " +
+      "runs far away to the old red barn it likes") // 22 words, stopword-rich
+    val df = docsDf(
+      (1L, good),                                     // keep
+      (2L, "short text here"),                        // too few words (bit 0), no stopwords (bit 3)
+      (3L, good + " " + Seq.fill(12)("spam").mkString(" ")) // repetition: 12/34 spam > 30% (bit 4)
+    )
+    val out = Curation.qualityFilter(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("fail_mask"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == (0L, true))
+    assert((out(2L)._1 & Curation.FailTooFewWords) != 0 && (out(2L)._1 & Curation.FailNoStopwords) != 0)
+    assert((out(3L)._1 & Curation.FailRepetition) != 0 && !out(3L)._2)
+  }
+
+  test("decontaminate: overlap counts exact, bench docs excluded, broadcast plan") {
+    val train = docsDf(
+      (1L, "alpha beta gamma delta epsilon"),  // shares "alpha beta gamma" + "beta gamma delta"
+      (2L, "zeta eta theta iota"),             // no overlap
+      (3L, "alpha beta gamma"))                // exactly the contaminated 3-gram
+    val bench = docsDf((100L, "alpha beta gamma delta"))
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", 3)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(rows(1L) == (3L, 2L, true))
+    assert(rows(2L) == (2L, 0L, false))
+    assert(rows(3L) == (1L, 1L, true))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      "corpus side must never shuffle for the join")
+  }
+
+  test("stratifiedSample: deterministic, exact bucket arithmetic, rate-bounded") {
+    val df = spark.range(10000).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"))
+    val s1 = Curation.stratifiedSample(df, "doc_id", "lang", Map("en" -> 500), 250)
+    val got = s1.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // re-running selects the identical set
+    val got2 = Curation.stratifiedSample(df, "doc_id", "lang", Map("en" -> 500), 250)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == got2.toSet)
+    // bucket arithmetic matches the driver-side restatement
+    got.foreach { case (id, lang, b) =>
+      assert(b == ((id % 1000003L) * 2654435761L % 1000000007L) % 1000L)
+      assert(b < (if (lang == "en") 500 else 250))
+    }
+    // uniform hash: realized rates within 5 points of nominal
+    val enRate = got.count(_._2 == "en").toDouble / 10000 * 3
+    val deRate = got.count(_._2 == "de").toDouble / 10000 * 1.5
+    assert(math.abs(enRate - 0.5) < 0.05 && math.abs(deRate - 0.25) < 0.05)
+  }
+
+  test("packSequences: two-level prefix sum equals the global running sum; chunkSpan-invariant") {
+    // i*7 mod 199 is a permutation of 0..198 — distinct ids in scrambled order
+    val df = docsDf((0 until 199).map(i =>
+      (i.toLong * 7 % 199, Seq.fill(i % 17 + 1)("tok").mkString(" "))): _*)
+    def run(span: Long) =
+      Curation.packSequences(df, "doc_id", "text", budget = 16L, chunkSpan = span)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .sortBy(_._1)
+    val a = run(8L); val b = run(1000000L)
+    assert(a.toSeq == b.toSeq, "chunking must not change the global offsets")
+    // offsets are the exclusive prefix sum in id order; pack/crosses consistent
+    var cum = 0L
+    a.foreach { case (_, n, start, pack, crosses) =>
+      assert(start == cum); cum += n
+      assert(pack == start / 16L)
+      assert(crosses == (n > 0 && (start + n - 1) / 16L != pack))
+    }
+  }
+
+  test("vocabTop: counts and (count desc, token) order") {
+    val df = docsDf((1L, "b a a c C b a"), (2L, "a b x"))
+    val out = Curation.vocabTop(df, "text", 3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 4L), ("b", 3L), ("c", 2L))) // "C" lowercased into c
+  }
+}
