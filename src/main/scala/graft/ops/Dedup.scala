@@ -446,6 +446,34 @@ object Dedup {
     * bits trade recall for speed like any sign-LSH).
     * Columns out: (a, b, cosine_sim).
     */
+  /** SemDeDup-style semantic pruning: within each cluster, keep a row only
+    * if NO smaller-id member is ≥ `minSim` cosine-similar — the declarative
+    * one-pass variant of the published greedy (which compares only against
+    * already-kept members and so can keep slightly more). One left-anti
+    * join: the equi key is the cluster id, the similarity predicate rides
+    * as the join filter, and similarities are rounded to 6 dp before the
+    * threshold test (same convention as [[cosineNearDup]]) so the verdict
+    * is engine-portable.
+    *
+    * Scale: one shuffle on the cluster key; the pair space is quadratic
+    * only WITHIN a cluster — bounded by construction when the upstream
+    * clustering (k-means / [[graft.functions.vector_avg]] centroids) sizes
+    * clusters to corpus/k, which is the SemDeDup design point. A runaway
+    * cluster is the same skew case as the LSH band buckets: cap or
+    * sub-cluster it before this join.
+    */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+               clusterCol: Column, minSim: Double): DataFrame = {
+    val base = df.select(clusterCol.as("cluster"), col(idCol), col(vecCol))
+    val others = df.select(clusterCol.as("o_cluster"), col(idCol).as("o_id"),
+      col(vecCol).as("o_v"))
+    base.join(others,
+        col("cluster") === col("o_cluster") && col("o_id") < col(idCol) &&
+          round(lit(1.0) - graft.functions.vector_distance(col(vecCol), col("o_v"), "cosine"), 6) >= minSim,
+        "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
                     bucketCol: Column, minSim: Double): DataFrame = {
     val base = df.select(bucketCol.as("bkt"), col(idCol).as("id"), col(vecCol).as("v"))
