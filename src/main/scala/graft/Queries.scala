@@ -526,6 +526,22 @@ object Queries {
           round(sqrt(array_min(col("ds"))), 6).as("dist"))
     }),
 
+    // One full Lloyd iteration at scale shape: hash-sampled seeds (the IVF
+    // coarse-quantizer sample), codegen'd argmin assignment (no join, the
+    // seed matrix is a literal), exact fixed-point per-cell means — one
+    // corpus scan plus one (dim+1)-longs-per-cell shuffle; the driver
+    // loops this for k-means proper, each iteration identical
+    "kmeans_iter" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val seeds = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      Ann.withClusters(e, "embedding", seeds)
+        .groupBy(col("cluster"))
+        .agg(vector_avg(col("embedding"), Dim).as("c"), count(lit(1)).as("n_members"))
+        .select(col("cluster").cast("long").as("cell"), col("n_members"), posexplode(col("c")))
+        .select(col("cell"), col("pos").cast("long").as("pos"),
+          round(col("col"), 6).as("centroid"), col("n_members"))
+    }),
+
     // SemDeDup end-to-end: exact vector_avg centroids → nearest-centroid
     // clusters → within-cluster prune of rows with a smaller-id ≥0.35
     // cosine neighbor (Dedup.semDeDup). The pair space is quadratic only
@@ -1039,6 +1055,12 @@ object Queries {
       Curation.stratifiedSample(docs(s, dir).select(col("doc_id"), col("lang")),
         "doc_id", "lang", Map("en" -> 500), defaultPermille = 250)),
 
+    // Data-mixing resample: en up-sampled to 2.5× (2 copies + hash-gated
+    // third), de down to 40% — explode of a per-row sequence, no shuffle
+    "resample_weighted" -> ((s, dir) =>
+      Curation.resampleWeighted(docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 2500, "de" -> 400), defaultPermille = 1000)),
+
     // Concat-and-split sequence packing at a 2048-subword-token budget:
     // global token offsets via the two-level prefix sum (chunkSpan=64 so
     // the gate exercises multiple chunks + the broadcast base join)
@@ -1276,6 +1298,30 @@ object Queries {
     "centroid_assign" ->
       s"""WITH $centroidClusterCte
          |SELECT vec_id, label AS cluster, round(sqrt(dsq), 6) AS dist FROM r WHERE rn = 1""".stripMargin,
+
+    // IVF-style seed sample + double-sequential argmin assignment (the
+    // ivf_knn restatement without a probe), then the fixed-point per-cell
+    // means of the group_centroids restatement keyed by cell
+    "kmeans_iter" -> {
+      val hashOrder = "(vec_id % 1000003) * 2654435761 % 1000000007"
+      def cdist =
+        s"list_sum(list_transform(generate_series(1,$Dim), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(ct.cv[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(ct.cv[i] AS DOUBLE))))"
+      s"""WITH ctv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |        ORDER BY $hashOrder, vec_id LIMIT $IvfCells),
+         |ct AS (SELECT row_number() OVER (ORDER BY $hashOrder, vec_id) - 1 AS cid, embedding AS cv FROM ctv),
+         |ad AS (SELECT e.vec_id, e.embedding, ct.cid, $cdist AS d
+         |  FROM embeddings e, ct WHERE e.embedding IS NOT NULL),
+         |asg AS (SELECT vec_id, embedding, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+         |u AS (SELECT cid, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
+         |  FROM asg, UNNEST(generate_series(1, $Dim)) AS g(i))
+         |SELECT CAST(cid AS BIGINT) AS cell, i - 1 AS pos,
+         |  round(sum(v) / (count(*) * 1000000.0), 6) AS centroid,
+         |  count(*) AS n_members
+         |FROM u GROUP BY cid, i""".stripMargin
+    },
 
     // clustering CTE shared with centroid_assign, then the declarative
     // prune: drop any row with a smaller-id within-cluster neighbor whose
@@ -1644,6 +1690,18 @@ object Queries {
         |  FROM documents)
         |SELECT doc_id, lang, sample_bucket FROM t
         |WHERE sample_bucket < (CASE WHEN lang = 'en' THEN 500 ELSE 250 END)""".stripMargin,
+
+    "resample_weighted" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  (CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'de' THEN 400 ELSE 1000 END) AS w,
+        |  ((doc_id % 1000003) * 2654435761 % 1000000007) % 1000 AS bucket
+        |  FROM documents),
+        |n AS (SELECT doc_id, lang,
+        |  (w // 1000) + (CASE WHEN bucket < (w % 1000) THEN 1 ELSE 0 END) AS n_copies
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(g.c AS BIGINT) AS copy
+        |FROM n, UNNEST(generate_series(0, CAST(n_copies - 1 AS BIGINT))) AS g(c)
+        |WHERE n_copies > 0""".stripMargin,
 
     // single-window restatement of the two-level prefix sum
     "pack_sequences" ->

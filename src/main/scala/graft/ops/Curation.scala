@@ -161,6 +161,35 @@ object Curation {
       .where(col("sample_bucket") < rate)
   }
 
+  /** Weighted resampling WITH repetition — the data-mixing step that
+    * up-samples low-resource strata (weights > 1000‰ replicate rows) and
+    * down-samples others, deterministically: a stratum at weight w‰ emits
+    * `w div 1000` copies of every row plus one more iff the row's hash
+    * bucket falls under `w mod 1000`. Expected multiplicity is exactly
+    * w/1000 per row, realized multiplicity differs by at most 1, and the
+    * selection is reproducible from ids alone.
+    *
+    * Scale: one `explode` over a per-row `sequence` — no shuffle, no join;
+    * output size is the mixture's inherent size. `copy` (0-based) lets
+    * downstream consumers salt the replicas apart (e.g. into different
+    * packs of [[packSequences]]).
+    */
+  def resampleWeighted(df: DataFrame, idCol: String, strataCol: String,
+                       weightsPermille: Map[String, Int],
+                       defaultPermille: Int): DataFrame = {
+    val w = weightsPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val wl = w.cast("long")
+    val copies = floor(wl / 1000.0).cast("long") +
+      when(pmod(idHash(col(idCol)), lit(1000L)) < pmod(wl, lit(1000L)), 1L)
+        .otherwise(0L)
+    df.withColumn("n_copies", copies)
+      .where(col("n_copies") > 0)
+      .select(col("*"), explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      .drop("n_copies")
+  }
+
   // ---------------- token-budget sequence packing ----------------
 
   /** Concat-and-split sequence packing: documents are laid end to end in

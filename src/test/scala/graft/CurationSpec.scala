@@ -93,6 +93,39 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleWeighted: exact per-row multiplicity from the id hash; copy index dense") {
+    val df = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val out = Curation.resampleWeighted(df, "doc_id", "lang", Map("en" -> 2500, "de" -> 400), 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = out.groupBy(_._1)
+    byId.foreach { case (id, rows) =>
+      val w = if (rows.head._2 == "en") 2500L else 400L
+      val bucket = (id % 1000003L) * 2654435761L % 1000000007L % 1000L
+      val expected = w / 1000L + (if (bucket < w % 1000L) 1L else 0L)
+      assert(rows.length == expected, s"id $id")
+      assert(rows.map(_._3).sorted.toSeq == (0L until expected), s"copy indices for $id")
+    }
+    // realized mixture tracks the weights: en ~2.5x, de ~0.4x
+    val en = out.count(_._2 == "en") / 1000.0; val de = out.count(_._2 == "de") / 1000.0
+    assert(math.abs(en - 2.5) < 0.15 && math.abs(de - 0.4) < 0.1)
+  }
+
+  test("semDeDup: drops exactly the rows with a smaller-id similar neighbor; equi-key anti join") {
+    import graft.ops.Dedup
+    // cluster 0: ids 1,2 identical direction (sim 1.0), id 3 orthogonal;
+    // cluster 1: id 4 alone; id 5 similar to id 1 but in another cluster
+    val rows = Seq(
+      (1L, 0, Array(1f, 0f, 0f)), (2L, 0, Array(2f, 0f, 0f)), (3L, 0, Array(0f, 1f, 0f)),
+      (4L, 1, Array(0f, 0f, 1f)), (5L, 1, Array(1f, 0.01f, 0f)))
+    val df = rows.toDF("vec_id", "cl", "embedding")
+    val kept = Dedup.semDeDup(df, "vec_id", "embedding", col("cl"), 0.9)
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "cluster id must be extracted as the join's equi key:\n" + plan)
+  }
+
   test("vocabTop: counts and (count desc, token) order") {
     val df = docsDf((1L, "b a a c C b a"), (2L, "a b x"))
     val out = Curation.vocabTop(df, "text", 3).collect().map(r => (r.getString(0), r.getLong(1)))
