@@ -1077,6 +1077,33 @@ object Queries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", Seq("lang", "source"))),
 
+    // C4-style line-level dedup: 5-doc multi-line documents (deterministic
+    // roll-up, restated by the oracle), every line keeps only its first
+    // (doc, pos) occurrence corpus-wide. Keys are string_hash61 — the
+    // SQL-restatable 8-byte line key, so the gate exercises the hashed
+    // (scale) path end to end, removal decisions included
+    "line_dedup" -> ((s, dir) => {
+      val multi = docs(s, dir)
+        .groupBy(floor(col("doc_id") / 5).cast("long").as("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"), col("text").as("t")))),
+          x => x("t")), "\n").as("text"))
+      Dedup.lineDedup(multi, "doc_id", "text", graft.functions.string_hash61)
+        .select(col("doc_id"), col("text").as("text_deduped"),
+          col("n_lines"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // Near-dup PAIRS → duplicate CLUSTERS: alternating large-star/small-star
+    // connected components (O(log n) rounds, 8-byte keys only) over the
+    // exact SimHash hamming≤3 pair set; the oracle recomputes components
+    // independently via recursive min-label reachability
+    "dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3), "a", "b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")),
+
     // Exact 4-gram Jaccard via MinHash-LSH candidates → exact verify (no
     // all-pairs join anywhere in the plan); pipeline and gate both at 0.9
     // (see jaccardAllPairsSql), the run's materialization released after
@@ -1163,6 +1190,46 @@ object Queries {
         .select(col("vec_id"))
       val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
       val inter = exact.join(approx, "vec_id").count()
+      s.range(1).select(lit(K).cast("long").as("k"), lit(inter.toDouble / K).as("recall"))
+    }),
+
+    // ---- product quantization: 32× compression + code-only ADC scan ----
+
+    // full encoder gate: every (vec, subspace, code) assignment must match
+    // the oracle's independent per-subspace argmin over the restated
+    // hash-ordered code sample
+    "pq_codes" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val cb = Pq.codebook(e, "vec_id", "embedding", Dim, PqM, PqCodes)
+      Pq.encode(e, "vec_id", "embedding", cb)
+        .select(col("id").as("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("long").as("sub"),
+          col("col").cast("long").as("code"))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // ADC top-k through the code STORE (write + read back + scan of the
+    // tinyint codes only — the 100 TB serving path)
+    "pq_knn" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val cb = Pq.codebook(e, "vec_id", "embedding", Dim, PqM, PqCodes)
+      Pq.write(e, "vec_id", "embedding", path, cb)
+      val (codes, cb2) = Pq.read(s, path)
+      Pq.adcTopK(codes, "id", "codes", probe, K, cb2)
+        .select(col("id").as("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
+    // ADC shortlist → exact re-rank (the standard PQ serving pipeline) +
+    // the recall harness: |rerank ∩ exact| / k in one gated row
+    "pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val cb = Pq.codebook(e, "vec_id", "embedding", Dim, PqM, PqCodes)
+      val codes = Pq.encode(e, "vec_id", "embedding", cb)
+      val rerank = Pq.rerankTopK(codes, e, "vec_id", "codes", "embedding",
+        probe, K, cb, overscan = 10).select(col("vec_id"))
+      val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
+      val inter = exact.join(rerank, "vec_id").count()
       s.range(1).select(lit(K).cast("long").as("k"), lit(inter.toDouble / K).as("recall"))
     }),
 
@@ -1725,6 +1792,39 @@ object Queries {
     "dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY lang, source""".stripMargin,
+
+    // line-level dedup: same 5-doc roll-up, line keys restated with the
+    // string_hash61 polynomial (the Spark side's exact key), keep = first
+    // (doc, pos) occurrence per key, reassembly ordered by pos
+    "line_dedup" -> {
+      val chars = "list_transform(generate_series(1, length(line)), i -> CAST(ascii(line[i]) AS BIGINT))"
+      def poly(base: Int, mod: Long) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $chars), (acc, c) -> (acc * $base + c) % $mod)"
+      s"""WITH md AS (SELECT doc_id // 5 AS doc_id, string_agg(text, chr(10) ORDER BY doc_id) AS text
+         |            FROM documents GROUP BY (doc_id // 5)),
+         |parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM md),
+         |z AS (SELECT doc_id, unnest(list_zip(p, generate_series(1, len(p)))) AS s FROM parts),
+         |ln AS (SELECT doc_id, CAST(s[2] AS BIGINT) - 1 AS pos, CAST(s[1] AS VARCHAR) AS line FROM z),
+         |hk AS (SELECT doc_id, pos, line,
+         |  (${poly(31, 1000000007L)} * 2147483648) + ${poly(131, 2147483647L)} AS k FROM ln),
+         |mk AS (SELECT doc_id, pos, line,
+         |  row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) = 1 AS keep FROM hk)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_deduped,
+         |  count(*) AS n_lines, count(*) FILTER (WHERE NOT keep) AS n_removed
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // components via recursive min-label reachability — independent of the
+    // star-contraction algorithm the Spark side runs
+    "dup_clusters" ->
+      s"""WITH RECURSIVE $simhashSelect,
+         |pr AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |ed AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         |reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) t
+         |  UNION SELECT reach.node, e.v FROM reach JOIN ed e ON e.u = reach.r)
+         |SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "ngram_jaccard_top" -> jaccardAllPairsSql(4, 0.9, 50),
 

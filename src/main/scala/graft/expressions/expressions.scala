@@ -454,6 +454,31 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 61-bit polynomial hash of a string ([[graft.kernels.Sketches.tokenHash61]]
+  * — bases 31/131, moduli 1e9+7 and 2³¹−1, exact BIGINT arithmetic), the
+  * SQL-restatable narrow key for shuffle-heavy string grouping: 8 bytes
+  * cross the exchange instead of the string, and the oracle recomputes the
+  * key independently (the property xxhash64 lacks). Same entropy note as
+  * SimHash: bits 61-63 are always clear.
+  */
+case class StringHash61(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "string_hash61"
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.tokenHash61(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.tokenHash61($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Byte-histogram featurizer for binary payloads: fixed-width
   * `array<float>` with out[i % dim] += byte/256 (see
   * [[graft.kernels.Sketches.byteHistogram]] for the exactness argument).

@@ -47,6 +47,11 @@ object functions {
 
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
 
+  /** SQL-restatable 61-bit string hash — the narrow shuffle key for
+    * string-keyed grouping (line dedup); see [[graft.expressions.StringHash61]].
+    */
+  def string_hash61(s: Column): Column = col(StringHash61(expr(s)))
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
 
@@ -108,6 +113,10 @@ object functions {
       case Seq(v, Literal(d, _)) => ToVector(v, et, d.toString.toInt)
       case args => throw new IllegalArgumentException(s"vector_as_* expects 1-2 args, got ${args.size}")
     }
+    reg.createOrReplaceTempFunction("string_hash61", {
+      case Seq(s) => StringHash61(s)
+      case args => throw new IllegalArgumentException(s"string_hash61 expects 1 arg, got ${args.size}")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("vector_as_f32", asFn(ElemType.F32), "scala_udf")
     reg.createOrReplaceTempFunction("vector_as_f16", asFn(ElemType.F16), "scala_udf")
     reg.createOrReplaceTempFunction("vector_as_bf16", asFn(ElemType.BF16), "scala_udf")

@@ -474,6 +474,163 @@ object Dedup {
       .select(col(idCol), col("cluster"))
   }
 
+  // ---------- line-level exact dedup (C4-style) ----------
+
+  /** Line-level exact dedup across the whole corpus: every line keeps only
+    * its FIRST occurrence (smallest (doc, position)); later copies are cut
+    * from their documents. The classic C4/RefinedWeb boilerplate-removal
+    * pass — navbars, cookie banners, license footers repeat across
+    * millions of pages and survive document-level dedup.
+    *
+    * Shape at 100 TB — the corpus text crosses exactly ONE exchange:
+    *  1. explode to (id, pos, key) where key = `lineKey(line)` — an 8-byte
+    *     hash by default, so the line-keyed stages shuffle 24-byte rows,
+    *     never text (column pruning drops the line string before the
+    *     exchange);
+    *  2. `groupBy(key).agg(min(struct(id, pos)))` picks each line's first
+    *     occurrence; a co-partitioned self-join marks every LATER
+    *     occurrence → a narrow removal list (id, pos);
+    *  3. removals fold to one row per affected doc (sorted pos array) and
+    *     join back to the ORIGINAL docs — the single exchange that moves
+    *     text — where a `filter((line, i) => …)` HOF rebuilds the kept
+    *     text in place. Docs with nothing removed pass through the left
+    *     join untouched.
+    *
+    * `lineKey` defaults to xxhash64 (fast, 64-bit). Key collisions merge
+    * two distinct lines' occurrence lists (the later line is cut as a
+    * "duplicate" of the earlier); at 64 bits that is the usual 10⁻¹⁹-class
+    * birthday risk, the standard trade in every hash-keyed dedup. Pass
+    * [[graft.functions.string_hash61]] for the SQL-restatable key (the
+    * correctness gate does) or `identity` to group on raw line text —
+    * exact, but the grouping shuffle then carries the corpus.
+    *
+    * Columns out: the input columns with `textCol` rewritten to the kept
+    * lines, plus `n_removed` (lines cut) and `n_lines` (original count).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                lineKey: Column => Column = c => xxhash64(c)): DataFrame = {
+    val parts = split(col(textCol), "\n", -1)
+    val lines = df.select(col(idCol).as("id"), posexplode(parts).as(Seq("pos", "line")))
+      .select(col("id"), col("pos"), lineKey(col("line")).as("k"))
+    val firsts = lines.groupBy(col("k"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val removals = lines.join(firsts, "k")
+      .where(col("id") =!= col("f.id") || col("pos") =!= col("f.pos"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__ld_rm"))
+      .withColumnRenamed("id", "__ld_id")
+
+    df.join(removals, df(idCol) === removals("__ld_id"), "left")
+      .withColumn("n_lines", size(parts).cast("long"))
+      .withColumn("n_removed", coalesce(size(col("__ld_rm")), lit(0)).cast("long"))
+      .withColumn(textCol,
+        array_join(filter(parts, (_, i) =>
+          col("__ld_rm").isNull || !array_contains(col("__ld_rm"), i)), "\n"))
+      .drop("__ld_id", "__ld_rm")
+  }
+
+  // ---------- duplicate clusters: connected components over pair edges ----------
+
+  /** Connected components over an undirected edge list — turns near-dup
+    * PAIRS (the output of [[minhashLsh]], [[simhashPairs]],
+    * [[cosineNearDup]]) into duplicate CLUSTERS, the form a dedup keep/drop
+    * decision actually needs.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round formulation, NOT per-hop label propagation, whose
+    * round count is the component DIAMETER (a 10⁶-link chain of
+    * shingle-overlapping crawl pages would need 10⁶ rounds; large-star
+    * halves star depth every round, so the same chain converges in ~20).
+    * Each round is two groupBy/join pairs, all equi-keyed on 8-byte node
+    * ids — no text, no signatures, nothing wide ever shuffles:
+    *
+    *  - large-star: every node links its LARGER neighbors to its current
+    *    minimum (min(N(u) ∪ {u}));
+    *  - small-star: every node links its smaller-or-equal neighbors and
+    *    itself to that minimum.
+    *
+    * Both preserve connectivity and never create edges across components
+    * (every new edge is between two nodes already connected through u);
+    * at the fixed point the edge set is a star per component centered on
+    * its minimum id. Convergence is detected by an order-independent
+    * checksum (count + sum of xxhash64(u,v)) — two tiny driver actions
+    * per round; `maxIterations` is a safety valve (2·log₂(n) rounds is
+    * the paper's bound; 50 covers any conceivable corpus).
+    *
+    * Each round's edge set is re-materialized behind `barrier` and the
+    * previous round's storage is released immediately — peak footprint is
+    * two edge sets, not the whole iteration history; lineage never grows.
+    *
+    * Output: (node, component) for every node incident to at least one
+    * edge, component = the smallest node id reachable from it. Nodes with
+    * no edges don't appear (a row with no near-dup pair is its own
+    * component — union them back with `component = node` if a total
+    * labeling is needed, avoiding an edge row per singleton).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIterations: Int = 50,
+                          barrier: Barrier = Barrier.LocalCheckpoint): DataFrame = {
+    def roundBarrier(i: Int): Barrier = barrier match {
+      case Barrier.Stage(p) => Barrier.Stage(s"$p/cc_iter_$i")
+      case other => other
+    }
+    // canonical orientation (u > v), self-loops dropped, exact-duplicate
+    // edges collapsed — the working set is then at most the input pair count
+    var (e, releaseE) = materialize(
+      edges.select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
+        .where(col("u") =!= col("v")).distinct(),
+      roundBarrier(0))
+
+    // decimal(38,0) accumulation: exact and overflow-free under ANSI mode
+    // (a raw BIGINT sum of 64-bit hashes overflows almost immediately)
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = checksum(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      // large-star over the symmetrized neighborhood: m(u) = min(N(u) ∪ {u});
+      // every neighbor v > u re-links to m(u). Emitted edges keep u > v
+      // canonical because m(u) <= u < v.
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+      // small-star on the canonical orientation: every u's smaller
+      // neighborhood N≤(u) has min m = min(N≤(u)); relink N≤(u) ∪ {u}
+      // minus m itself. m <= every emitted partner, so u > v is preserved.
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(mins2, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+
+      val (e2, releaseE2) = materialize(small, roundBarrier(iter))
+      val cur = checksum(e2)
+      releaseE()
+      e = e2; releaseE = releaseE2
+      converged = cur == prev
+      prev = cur
+    }
+    // fixed point = one star per component, centered on the component min;
+    // the centers label themselves so every edge-incident node gets a row
+    val stars = e.select(col("u").as("node"), col("v").as("component"))
+    stars.unionByName(
+      stars.select(col("component").as("node"), col("component")).distinct())
+  }
+
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
                     bucketCol: Column, minSim: Double): DataFrame = {
     val base = df.select(bucketCol.as("bkt"), col(idCol).as("id"), col(vecCol).as("v"))

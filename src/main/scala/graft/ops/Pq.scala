@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{nearest_centroid, vectorLit, vector_distance}
+import graft.kernels.Sketches
+
+/** Product quantization (PQ) — the third compression tier next to the
+  * reference's scalar quantization (Q1, 4×) and the ANN partition pruning
+  * (LSH/IVF): dim floats collapse to `m` one-byte codes, so a dim-64 f32
+  * corpus stores 8 bytes/vector (32×) and an ADC probe scan reads ONLY the
+  * code column — at 100 TB the serving scan touches ~0.8 TB of codes, no
+  * vector bytes at all (Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011).
+  *
+  * Pipeline:
+  *  1. [[codebook]] — split dims into `m` subspaces; per subspace the code
+  *     table is the same deterministic hash-ordered sample as
+  *     [[Ann.ivfCentroids]] (exact BIGINT hash, SQL-restatable, quality
+  *     gated by the pq_recall correctness row — k-means refinement via
+  *     [[graft.expressions.VectorAvgFixed]] tightens cells but the sampled
+  *     codebook is the independently-verifiable baseline);
+  *  2. [[encode]] — per subspace, the codegen'd [[graft.expressions
+  *     .NearestCentroid]] argmin over the sliced vector: one scan, no
+  *     shuffle, no join — ties to the lower code on exact double equality;
+  *  3. [[adcTopK]] — asymmetric distance computation: the probe's
+  *     per-(subspace, code) squared-L2 table is computed ONCE driver-side
+  *     ([[PqCodebook.lut]], m×nCodes doubles) and embedded as literals;
+  *     each row's approximate distance is m array lookups + a sequential
+  *     double sum, inside WholeStageCodegen, topped by
+  *     TakeOrderedAndProject — O(k) state per partition, k-row shuffle;
+  *  4. [[rerankTopK]] — the standard serving pipeline: ADC shortlist
+  *     (k·overscan candidates) → broadcast semi-join back to the full
+  *     vectors → exact re-rank. Recall is the shortlist's, latency is the
+  *     code scan's.
+  *
+  * Store layout ([[write]]/[[read]]): codes as `array<tinyint>` parquet
+  * next to a `_pq_codebook` parquet sidecar (sub, code, cv) — parquet
+  * round-trips floats exactly, no text codec in the loop.
+  */
+object Pq {
+
+  /** cents(sub)(code) = the code's dsub-dim sub-centroid. */
+  final case class PqCodebook(m: Int, dsub: Int, cents: Array[Array[Array[Float]]]) {
+    require(m > 0 && dsub > 0 && cents.length == m, s"bad codebook shape m=$m dsub=$dsub")
+    def dim: Int = m * dsub
+    def nCodes: Int = cents(0).length
+
+    /** Probe's ADC lookup table: lut(s)(j) = sq_l2(probe_sub_s, cents(s)(j)),
+      * sequential double accumulation (same arithmetic as the encode
+      * kernel, restatable in SQL).
+      */
+    def lut(probe: Array[Float]): Array[Array[Double]] = {
+      require(probe.length == dim, s"probe dim ${probe.length} != codebook dim $dim")
+      Array.tabulate(m)(s =>
+        Sketches.centroidDistances(probe.slice(s * dsub, (s + 1) * dsub), cents(s)))
+    }
+  }
+
+  /** Deterministic sampled codebook: the first `nCodes` vectors in
+    * multiplicative-hash order ([[Ann.ivfCentroids]] — one c-row driver
+    * collect), each sliced into `m` sub-centroids. `nCodes` ≤ 128 keeps
+    * codes in a signed byte for the tinyint store.
+    */
+  def codebook(df: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int, nCodes: Int): PqCodebook = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(nCodes > 0 && nCodes <= 128, s"nCodes must be in [1,128], got $nCodes")
+    val dsub = dim / m
+    val sample = Ann.ivfCentroids(df, idCol, vecCol, nCodes)
+    require(sample.nonEmpty, "codebook sample is empty (no non-null vectors)")
+    PqCodebook(m, dsub,
+      Array.tabulate(m)(s => sample.map(_.slice(s * dsub, (s + 1) * dsub).toArray).toArray))
+  }
+
+  /** Per-subspace code column: `array<int>` of length m (code s = argmin
+    * over the subspace's code table, ties to the lower code).
+    */
+  def encodeColumn(vec: Column, cb: PqCodebook): Column =
+    array((0 until cb.m).map { s =>
+      nearest_centroid(slice(vec, s * cb.dsub + 1, cb.dsub),
+        cb.cents(s).map(_.toSeq).toSeq)
+    }: _*)
+
+  /** Encode to (id, codes) — one codegen'd scan, nothing shuffles. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: PqCodebook): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), encodeColumn(col(vecCol), cb).as("codes"))
+
+  /** ADC distance column over a codes array: m literal-table lookups +
+    * a left-to-right double sum (the SQL restatement's list_sum order).
+    */
+  def adcColumn(codes: Column, lut: Array[Array[Double]]): Column =
+    lut.indices.map { s =>
+      element_at(typedlit(lut(s).toSeq), element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Approximate top-k by ADC over (id, codes): scans ONLY the code
+    * column (8 bytes/row at m=8), TakeOrderedAndProject on top.
+    */
+  def adcTopK(codesDf: DataFrame, idCol: String, codesCol: String,
+              probe: Array[Float], k: Int, cb: PqCodebook): DataFrame =
+    Knn.topK(
+      codesDf.where(col(codesCol).isNotNull)
+        .select(col(idCol), adcColumn(col(codesCol), cb.lut(probe)).as("distance")),
+      col("distance"), col(idCol), k)
+
+  /** ADC shortlist → exact re-rank: the k·overscan ADC winners (a k-row
+    * driver merge) broadcast-join back to the full vectors for an exact
+    * top-k. The full-precision table is touched only for the shortlist.
+    */
+  def rerankTopK(codesDf: DataFrame, fullDf: DataFrame, idCol: String, codesCol: String,
+                 vecCol: String, probe: Array[Float], k: Int, cb: PqCodebook,
+                 overscan: Int = 10, metric: String = "l2"): DataFrame = {
+    val short = adcTopK(codesDf, idCol, codesCol, probe, k * overscan, cb)
+      .select(col(idCol))
+    Knn.topK(
+      fullDf.join(broadcast(short), idCol)
+        .select(col(idCol),
+          vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
+      col("distance"), col(idCol), k)
+  }
+
+  /** Materialize the code store: `array<tinyint>` codes plus a
+    * `_pq_codebook` parquet sidecar — exact float round-trip, readable
+    * without the original table.
+    */
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String, cb: PqCodebook): Unit = {
+    val spark = df.sparkSession
+    encode(df, idCol, vecCol, cb)
+      .select(col("id"), col("codes").cast("array<tinyint>").as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val rows = for (s <- 0 until cb.m; j <- 0 until cb.nCodes)
+      yield (s, j, cb.cents(s)(j).toSeq)
+    import spark.implicits._
+    rows.toDF("sub", "code", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_pq_codebook")
+  }
+
+  /** Read back (codes ready for [[adcTopK]], codebook from the sidecar). */
+  def read(spark: SparkSession, path: String): (DataFrame, PqCodebook) = {
+    val cbRows = spark.read.parquet(s"$path/_pq_codebook")
+      .select(col("sub"), col("code"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val nCodes = cbRows.map(_._2).max + 1
+    val bySub = cbRows.groupBy(_._1)
+    val cents = Array.tabulate(m)(s => bySub(s).sortBy(_._2).map(_._3))
+    require(cents.forall(_.length == nCodes), "ragged codebook sidecar")
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("codes").cast("array<int>").as("codes"))
+    (codes, PqCodebook(m, cents(0)(0).length, cents))
+  }
+}

@@ -283,6 +283,55 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("connected components: star contraction matches driver union-find on adversarial shapes") {
+    // path (worst case for per-hop propagation), two blobs, a cycle, and
+    // duplicate/reversed edges; singletons (9xx) never appear in edges
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), // path
+      (20L, 21L), (21L, 22L), (22L, 20L),                                   // cycle
+      (30L, 31L), (31L, 30L), (30L, 31L),                                   // dup + reversed
+      (40L, 41L)
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(6L,7L),(7L,8L),(20L,21L),(21L,22L),(22L,20L),(30L,31L),(40L,41L))
+      .foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want)
+    assert(got.values.toSet == Set(1L, 20L, 30L, 40L)) // min-id roots
+  }
+
+  test("connected components: 10k-node path converges (log-round contraction, not per-hop)") {
+    val n = 10000
+    val edges = spark.range(1, n).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+    assert(cc.where(col("component") =!= 1L).count() == 0)
+    assert(cc.count() == n)
+  }
+
+  test("line dedup: later occurrences cut, first kept, text rebuilt in place") {
+    val docsDf = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),      // beta repeats -> cut
+      (3L, "alpha\nbeta"),      // both repeat -> becomes empty
+      (4L, "epsilon")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docsDf, "doc_id", "text")
+      .select("doc_id", "text", "n_lines", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha\nbeta\ngamma", 3L, 0L)))
+    assert(out(2L) == (("delta", 2L, 1L)))
+    assert(out(3L) == (("", 2L, 2L)))
+    assert(out(4L) == (("epsilon", 1L, 0L)))
+    // hashed default key and raw-line key agree on collision-free input
+    val raw = Dedup.lineDedup(docsDf, "doc_id", "text", lineKey = identity)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(raw == out.view.mapValues(_._1).toMap)
+  }
+
   test("exact dedup groups identical keys") {
     val d = Dedup.exact(nearDupDocs, "id", Seq("text")).collect()
     val dupGroup = d.find(_.getLong(1) == 1L).get // keep_id = 1
