@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.ops.{Ann, Curation, Dedup, Knn, MediaCodec, Multimodal, Quantizer, TextAnalysis}
+import graft.ops.{Ann, Curation, Dedup, Knn, MediaCodec, Multimodal, Pq, Quantizer, TextAnalysis}
 
 /** The operator inventory wired to the driver's correctness gate: every
   * entry has a Spark implementation and (where SQL-expressible) an ANSI
@@ -26,6 +26,8 @@ object Queries {
   val CosBits = 8   // hyperplane bits for cosine near-dup blocking
   val IvfCells = 16 // IVF coarse-quantizer cells
   val IvfProbes = 4 // IVF cells scanned per probe
+  val PqM = 8       // PQ subspaces (dsub = Dim/PqM)
+  val PqCodes = 16  // PQ codes per subspace
   val DupCluster = 1000 // identical-doc cluster size for the dedup skew gate
 
   /** Probe vector: values in {-0.375..0.375} — exactly representable in
@@ -380,6 +382,44 @@ object Queries {
        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
        |pd AS (SELECT ct.cid, ${cdist("pv[i]")} AS d FROM ct, p),
        |pc AS (SELECT cid FROM pd ORDER BY d, cid LIMIT $IvfProbes)""".stripMargin
+  }
+
+  /** PQ restatement shared by pq_codes / pq_knn / pq_recall: the same
+    * hash-ordered sample as ivfCte sliced into PqM sub-codebooks, exact
+    * per-(vector, subspace) argmin (ties to the lower code), and the ADC
+    * lookup table recomputed from the probe — all independent of the Spark
+    * side's NearestCentroid/lut arithmetic but bit-identical to it
+    * (sequential double accumulation).
+    */
+  private val pqCte: String = {
+    val dsub = Dim / PqM
+    val hashOrder = "(vec_id % 1000003) * 2654435761 % 1000000007"
+    def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+    s"""ctv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+       |        ORDER BY $hashOrder, vec_id LIMIT $PqCodes),
+       |ct AS (SELECT row_number() OVER (ORDER BY $hashOrder, vec_id) - 1 AS code, embedding AS cv FROM ctv),
+       |sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+       |asd AS (SELECT e.vec_id, sub.s, ct.code,
+       |  list_sum(list_transform(generate_series(1, $dsub), i ->
+       |    ${sq(s"CAST(e.embedding[sub.s*$dsub+i] AS DOUBLE)", s"CAST(ct.cv[sub.s*$dsub+i] AS DOUBLE)")})) AS d
+       |  FROM embeddings e, sub, ct WHERE e.embedding IS NOT NULL),
+       |enc AS (SELECT vec_id, s, code FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM asd) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Probe ADC table + per-vector ADC distance (sequential sum over
+    * subspaces, the Spark side's left-to-right reduce order).
+    */
+  private val pqAdcCte: String = {
+    val dsub = Dim / PqM
+    def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+    s"""lut AS (SELECT sub.s, ct.code,
+       |  list_sum(list_transform(generate_series(1, $dsub), i ->
+       |    ${sq(s"pv[sub.s*$dsub+i]", s"CAST(ct.cv[sub.s*$dsub+i] AS DOUBLE)")})) AS d
+       |  FROM ct, sub, p),
+       |ad AS (SELECT enc.vec_id, list_sum(list(lut.d ORDER BY enc.s)) AS adc
+       |       FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+       |       GROUP BY enc.vec_id)""".stripMargin
   }
 
   /** Fixed-point per-label centroids + nearest-centroid assignment — the
@@ -1226,6 +1266,7 @@ object Queries {
       val e = emb(s, dir).where(col("embedding").isNotNull)
       val cb = Pq.codebook(e, "vec_id", "embedding", Dim, PqM, PqCodes)
       val codes = Pq.encode(e, "vec_id", "embedding", cb)
+        .withColumnRenamed("id", "vec_id")
       val rerank = Pq.rerankTopK(codes, e, "vec_id", "codes", "embedding",
         probe, K, cb, overscan = 10).select(col("vec_id"))
       val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
@@ -1874,6 +1915,30 @@ object Queries {
          |  ORDER BY distance, vec_id LIMIT $K) ext)
          |SELECT CAST($K AS BIGINT) AS k,
          |  CAST((SELECT count(*) FROM ex JOIN iv ON ex.vec_id = iv.vec_id) AS DOUBLE) / $K AS recall""".stripMargin,
+
+    "pq_codes" ->
+      s"""WITH $pqCte
+         |SELECT vec_id, s AS sub, code FROM enc ORDER BY vec_id, sub""".stripMargin,
+
+    "pq_knn" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $pqCte, $pqAdcCte
+         |SELECT vec_id, round(adc, 6) AS distance FROM ad
+         |ORDER BY adc, vec_id LIMIT $K""".stripMargin,
+
+    "pq_recall" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $pqCte, $pqAdcCte,
+         |short AS (SELECT vec_id FROM ad ORDER BY adc, vec_id LIMIT ${K * 10}),
+         |rr AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM (SELECT * FROM embeddings WHERE vec_id IN (SELECT vec_id FROM short)) AS embeddings, p
+         |  WHERE embedding IS NOT NULL
+         |  ORDER BY distance, vec_id LIMIT $K) t),
+         |ex AS (SELECT vec_id FROM (
+         |  SELECT vec_id, round(${distSql("l2")}, 6) AS distance
+         |  FROM embeddings, p WHERE embedding IS NOT NULL
+         |  ORDER BY distance, vec_id LIMIT $K) t2)
+         |SELECT CAST($K AS BIGINT) AS k,
+         |  CAST((SELECT count(*) FROM ex JOIN rr ON ex.vec_id = rr.vec_id) AS DOUBLE) / $K AS recall""".stripMargin,
 
     "simhash_docs" ->
       s"""WITH $simhashSelect

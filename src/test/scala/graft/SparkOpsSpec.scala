@@ -283,6 +283,54 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("PQ: encode matches driver argmin; ADC equals lut-sum; store round-trips") {
+    import graft.ops.Pq
+    val e = emb.where(col("embedding").isNotNull)
+    val cb = Pq.codebook(e, "vec_id", "embedding", Queries.Dim, 8, 16)
+    assert(cb.dsub == 8 && cb.nCodes == 16)
+
+    // encode vs a driver-side argmin over the same codebook
+    val sample = e.select("vec_id", "embedding").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val enc = Pq.encode(e.where(col("vec_id").isin(sample.keys.toSeq: _*)), "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    for ((id, v) <- sample) {
+      val want = Array.tabulate(cb.m) { s =>
+        val subv = v.slice(s * cb.dsub, (s + 1) * cb.dsub)
+        val ds = graft.kernels.Sketches.centroidDistances(subv, cb.cents(s))
+        ds.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      }
+      assert(enc(id).sameElements(want), s"codes mismatch for $id")
+    }
+
+    // ADC distance = sum of lut entries for the row's codes
+    val probe = Queries.probe
+    val lut = cb.lut(probe)
+    val adc = Pq.adcTopK(Pq.encode(e, "vec_id", "embedding", cb), "id", "codes", probe, 5, cb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, d) <- adc; codes <- enc.get(id))
+      assert(math.abs(d - codes.zipWithIndex.map { case (c, s) => lut(s)(c) }.sum) < 1e-12)
+
+    // store round-trip: tinyint codes + sidecar codebook reproduce the ranking
+    val path = java.nio.file.Files.createTempDirectory("pq_test").toString + "/store"
+    Pq.write(e, "vec_id", "embedding", path, cb)
+    val (codesDf, cb2) = Pq.read(spark, path)
+    assert(cb2.m == cb.m && cb2.dsub == cb.dsub && cb2.nCodes == cb.nCodes)
+    assert(cb2.cents.flatMap(_.toSeq).flatMap(_.toSeq).toSeq ==
+      cb.cents.flatMap(_.toSeq).flatMap(_.toSeq).toSeq)
+    val viaStore = Pq.adcTopK(codesDf, "id", "codes", probe, 5, cb2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Pq.adcTopK(Pq.encode(e, "vec_id", "embedding", cb), "id", "codes", probe, 5, cb)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaStore == direct)
+
+    // the ADC scan must read ONLY (id, codes) — never the vector column
+    val plan = Pq.adcTopK(codesDf, "id", "codes", probe, 5, cb2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("embedding"),
+      s"ADC scan should not touch vectors:\n$plan")
+  }
+
   test("connected components: star contraction matches driver union-find on adversarial shapes") {
     // path (worst case for per-hop propagation), two blobs, a cycle, and
     // duplicate/reversed edges; singletons (9xx) never appear in edges
