@@ -88,6 +88,14 @@ object Bench {
     ops.Ann.writeBucketed(vecs, "vec", s"$benchDir/ann", 8, Dim)
     val cents = ops.Ann.ivfCentroids(vecs, "id", "vec", 64)
     ops.Ann.writeIvf(vecs, "vec", s"$benchDir/ivf", cents)
+    // PQ code store: 8 bytes/vector (32× vs f32) — the ADC probe scans
+    // ONLY the code column; the build is the once-per-corpus batch job
+    val pqCb = ops.Pq.codebook(vecs, "id", "vec", Dim, 8, 16)
+    ops.Pq.write(vecs, "id", "vec", s"$benchDir/pq", pqCb)
+    val (pqCodes, _) = ops.Pq.read(spark, s"$benchDir/pq")
+    // IVF-PQ: both levers through one store — the probe reads 8/64 cell
+    // dirs AND only their 8-byte code column
+    ops.Pq.writeIvfPq(vecs, "id", "vec", s"$benchDir/ivfpq", cents, pqCb)
 
     for (_ <- 1 to reps) {
       // 1. exact brute-force k-NN over ~600k dim-64 vectors (K1 at scale)
@@ -126,12 +134,20 @@ object Bench {
         ops.Ann.lshTopKPruned(spark, s"$benchDir/ann", "id", "vec", probe, 10, "cosine", 8).count())
       time("ivf_probe_600k")(
         ops.Ann.ivfTopK(spark, s"$benchDir/ivf", "id", "vec", probe, 10, "l2", cents, 8).count())
+      // PQ ADC over the 8-byte codes + the shortlist->exact rerank pipeline
+      time("pq_adc_probe_600k")(
+        ops.Pq.adcTopK(pqCodes, "id", "codes", probe, 10, pqCb).count())
+      time("pq_rerank_600k")(
+        ops.Pq.rerankTopK(pqCodes, vecs, "id", "codes", "vec", probe, 10, pqCb).count())
+      time("ivfpq_probe_600k")(
+        ops.Pq.ivfPqTopK(spark, s"$benchDir/ivfpq", probe, 10, cents, pqCb, 8).count())
 
       // 5. relational + text + dedup representatives from the inventory
       val fromQueries = Seq("q1_pricing", "q3_revenue", "window_top_orders",
         "text_stats", "fingerprint", "ngram_jaccard_top", "minhash_lsh_pairs",
         "quantize_sums", "quant_knn_l2",
-        "filter_quality", "decontam_overlap", "pack_sequences", "vocab_top")
+        "filter_quality", "decontam_overlap", "pack_sequences", "vocab_top",
+        "line_dedup", "dup_clusters")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
