@@ -422,6 +422,27 @@ object Queries {
        |       GROUP BY enc.vec_id)""".stripMargin
   }
 
+  /** IVF restatement with `i`-prefixed CTE names so it composes with
+    * pqCte/pqAdcCte (both define ctv/ct, and pqAdcCte defines ad) in one
+    * WITH clause — used by the ivfpq_* oracles. Arithmetic is identical
+    * to [[ivfCte]]: hash-ordered sampled centroids, argmin assignment with
+    * ties to the lower cid, probe cells by centroid distance.
+    */
+  private val ivfCellFilterCte: String = {
+    def cdist(v: String) =
+      s"list_sum(list_transform(generate_series(1,$Dim), i -> ($v - CAST(ict.cv[i] AS DOUBLE)) * ($v - CAST(ict.cv[i] AS DOUBLE))))"
+    val hashOrder = "(vec_id % 1000003) * 2654435761 % 1000000007"
+    s"""ictv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+       |        ORDER BY $hashOrder, vec_id LIMIT $IvfCells),
+       |ict AS (SELECT row_number() OVER (ORDER BY $hashOrder, vec_id) - 1 AS cid, embedding AS cv FROM ictv),
+       |icd AS (SELECT e.vec_id, ict.cid, ${cdist("CAST(e.embedding[i] AS DOUBLE)")} AS d
+       |  FROM embeddings e, ict WHERE e.embedding IS NOT NULL),
+       |iasg AS (SELECT vec_id, cid FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM icd) WHERE rn = 1),
+       |ipd AS (SELECT ict.cid, ${cdist("pv[i]")} AS d FROM ict, p),
+       |ipc AS (SELECT cid FROM ipd ORDER BY d, cid LIMIT $IvfProbes)""".stripMargin
+  }
+
   /** Fixed-point per-label centroids + nearest-centroid assignment — the
     * clustering restatement shared by centroid_assign and semdedup_keep
     * (mirrors [[assignClusters]]: vector_avg fixed point, argmin ties to
@@ -1274,6 +1295,34 @@ object Queries {
       s.range(1).select(lit(K).cast("long").as("k"), lit(inter.toDouble / K).as("recall"))
     }),
 
+    // IVF-PQ (IVFADC): coarse cells prune at file-listing time AND the
+    // in-cell scan reads only the tinyint codes — both scale levers
+    // through one store, written + read back + probed end-to-end
+    "ivfpq_knn" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val cents = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      val cb = Pq.codebook(e, "vec_id", "embedding", Dim, PqM, PqCodes)
+      Pq.writeIvfPq(e, "vec_id", "embedding", path, cents, cb)
+      val (_, cents2, cb2) = Pq.readIvfPq(s, path)
+      Pq.ivfPqTopK(s, path, probe, K, cents2, cb2, IvfProbes)
+        .select(col("id").as("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
+    // IVF-PQ shortlist → exact re-rank, scored against brute-force truth
+    "ivfpq_recall" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val cents = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      val cb = Pq.codebook(e, "vec_id", "embedding", Dim, PqM, PqCodes)
+      Pq.writeIvfPq(e, "vec_id", "embedding", path, cents, cb)
+      val rerank = Pq.ivfPqRerank(s, path, e, "vec_id", "embedding",
+        probe, K, cents, cb, IvfProbes, overscan = 10).select(col("vec_id"))
+      val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
+      val inter = exact.join(rerank, "vec_id").count()
+      s.range(1).select(lit(K).cast("long").as("k"), lit(inter.toDouble / K).as("recall"))
+    }),
+
     // ---- multimodal: REAL container fixtures (valid PNG/JPEG/WAV bytes
     // built per doc_id) parsed by the real header codec; the oracle checks
     // the dimension formulas, so a parser reading the wrong offsets fails ----
@@ -1928,6 +1977,29 @@ object Queries {
     "pq_recall" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $pqCte, $pqAdcCte,
          |short AS (SELECT vec_id FROM ad ORDER BY adc, vec_id LIMIT ${K * 10}),
+         |rr AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM (SELECT * FROM embeddings WHERE vec_id IN (SELECT vec_id FROM short)) AS embeddings, p
+         |  WHERE embedding IS NOT NULL
+         |  ORDER BY distance, vec_id LIMIT $K) t),
+         |ex AS (SELECT vec_id FROM (
+         |  SELECT vec_id, round(${distSql("l2")}, 6) AS distance
+         |  FROM embeddings, p WHERE embedding IS NOT NULL
+         |  ORDER BY distance, vec_id LIMIT $K) t2)
+         |SELECT CAST($K AS BIGINT) AS k,
+         |  CAST((SELECT count(*) FROM ex JOIN rr ON ex.vec_id = rr.vec_id) AS DOUBLE) / $K AS recall""".stripMargin,
+
+    "ivfpq_knn" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCellFilterCte, $pqCte, $pqAdcCte
+         |SELECT vec_id, round(adc, 6) AS distance FROM ad
+         |WHERE vec_id IN (SELECT vec_id FROM iasg WHERE cid IN (SELECT cid FROM ipc))
+         |ORDER BY adc, vec_id LIMIT $K""".stripMargin,
+
+    "ivfpq_recall" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCellFilterCte, $pqCte, $pqAdcCte,
+         |short AS (SELECT vec_id FROM ad
+         |  WHERE vec_id IN (SELECT vec_id FROM iasg WHERE cid IN (SELECT cid FROM ipc))
+         |  ORDER BY adc, vec_id LIMIT ${K * 10}),
          |rr AS (SELECT vec_id FROM (
          |  SELECT vec_id, ${distSql("l2")} AS distance
          |  FROM (SELECT * FROM embeddings WHERE vec_id IN (SELECT vec_id FROM short)) AS embeddings, p

@@ -138,9 +138,87 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/_pq_codebook")
   }
 
-  /** Read back (codes ready for [[adcTopK]], codebook from the sidecar). */
-  def read(spark: SparkSession, path: String): (DataFrame, PqCodebook) = {
-    val cbRows = spark.read.parquet(s"$path/_pq_codebook")
+  // ---------- IVF-PQ: coarse partition pruning × code compression ----------
+
+  /** IVF-PQ store (the reference full pipeline of Jégou et al. 2011 §IV,
+    * "IVFADC"): each vector is assigned to its nearest coarse centroid
+    * ([[Ann.withClusters]]) and stored as its `m` PQ codes, partitioned by
+    * cell. A probe then prunes to `nprobe` cell directories at file-listing
+    * time AND scans only the 1-byte-per-subspace code column — the two
+    * scale levers multiply: at 100 TB, nprobe/c of the corpus × m bytes
+    * per vector is all that is read (~0.2 TB for c=1024, nprobe=64, m=8).
+    *
+    * Codes are computed over the RAW vector (not the residual v − c(v)):
+    * raw-vector codes are cell-independent, so one global codebook serves
+    * every cell and the encode stays a single shuffle-free scan. The
+    * residual variant tightens quantization error but couples every code
+    * to its cell's centroid; recall here is gated by ivfpq_recall instead.
+    */
+  def writeIvfPq(df: DataFrame, idCol: String, vecCol: String, path: String,
+                 centroids: Seq[Seq[Float]], cb: PqCodebook): Unit = {
+    val spark = df.sparkSession
+    Ann.withClusters(df.where(col(vecCol).isNotNull), vecCol, centroids)
+      .select(col(idCol).as("id"),
+        encodeColumn(col(vecCol), cb).cast("array<tinyint>").as("codes"),
+        col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+    val rows = for (s <- 0 until cb.m; j <- 0 until cb.nCodes)
+      yield (s, j, cb.cents(s)(j).toSeq)
+    import spark.implicits._
+    rows.toDF("sub", "code", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_pq_codebook")
+    centroids.zipWithIndex.map { case (cv, i) => (i, cv) }
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_ivf_centroids")
+  }
+
+  /** Read the IVF-PQ store back: (codes DataFrame with its `cluster`
+    * partition column, coarse centroids, PQ codebook) — self-contained,
+    * no original table needed.
+    */
+  def readIvfPq(spark: SparkSession, path: String): (DataFrame, Seq[Seq[Float]], PqCodebook) = {
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("codes").cast("array<int>").as("codes"), col("cluster"))
+    val cents = spark.read.parquet(s"$path/_ivf_centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1).map(_._2).toSeq
+    (codes, cents, readCodebook(spark, s"$path/_pq_codebook"))
+  }
+
+  /** ADC top-k over the probed cells only: the IN-list on the `cluster`
+    * partition column prunes directories before any row is read
+    * (PartitionFilters, like [[Ann.ivfTopK]]), then the surviving code
+    * rows are scored by the literal LUT inside WholeStageCodegen.
+    */
+  def ivfPqTopK(spark: SparkSession, path: String, probe: Array[Float], k: Int,
+                centroids: Seq[Seq[Float]], cb: PqCodebook, nprobe: Int): DataFrame = {
+    val store = spark.read.parquet(s"$path/codes")
+      .where(col("cluster").isin(Ann.probeClusters(probe, centroids, nprobe): _*))
+    Knn.topK(
+      store.select(col("id"),
+        adcColumn(col("codes").cast("array<int>"), cb.lut(probe)).as("distance")),
+      col("distance"), col("id"), k)
+  }
+
+  /** IVF-PQ shortlist → exact re-rank against the full-precision table
+    * (broadcast semi-join, k·overscan rows) — the end-to-end serving path.
+    */
+  def ivfPqRerank(spark: SparkSession, path: String, fullDf: DataFrame,
+                  idCol: String, vecCol: String, probe: Array[Float], k: Int,
+                  centroids: Seq[Seq[Float]], cb: PqCodebook, nprobe: Int,
+                  overscan: Int = 10, metric: String = "l2"): DataFrame = {
+    val short = ivfPqTopK(spark, path, probe, k * overscan, centroids, cb, nprobe)
+      .select(col("id").as(idCol))
+    Knn.topK(
+      fullDf.join(broadcast(short), idCol)
+        .select(col(idCol),
+          vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
+      col("distance"), col(idCol), k)
+  }
+
+  private def readCodebook(spark: SparkSession, cbPath: String): PqCodebook = {
+    val cbRows = spark.read.parquet(cbPath)
       .select(col("sub"), col("code"), col("cv"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
@@ -149,8 +227,13 @@ object Pq {
     val bySub = cbRows.groupBy(_._1)
     val cents = Array.tabulate(m)(s => bySub(s).sortBy(_._2).map(_._3))
     require(cents.forall(_.length == nCodes), "ragged codebook sidecar")
+    PqCodebook(m, cents(0)(0).length, cents)
+  }
+
+  /** Read back (codes ready for [[adcTopK]], codebook from the sidecar). */
+  def read(spark: SparkSession, path: String): (DataFrame, PqCodebook) = {
     val codes = spark.read.parquet(s"$path/codes")
       .select(col("id"), col("codes").cast("array<int>").as("codes"))
-    (codes, PqCodebook(m, cents(0)(0).length, cents))
+    (codes, readCodebook(spark, s"$path/_pq_codebook"))
   }
 }

@@ -466,6 +466,49 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("IVF-PQ store prunes cells, scans codes only, matches direct ADC on probed cells") {
+    import graft.ops.Pq
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqstore").toString + "/store"
+    val e = emb.where(col("embedding").isNotNull)
+    val cents = Ann.ivfCentroids(e, "vec_id", "embedding", 16)
+    val cb = Pq.codebook(e, "vec_id", "embedding", Queries.Dim, 8, 16)
+    Pq.writeIvfPq(e, "vec_id", "embedding", dir, cents, cb)
+
+    val (codes, cents2, cb2) = Pq.readIvfPq(spark, dir)
+    assert(cents2 == cents, "centroid sidecar must round-trip exactly")
+    assert(cb2.cents.flatMap(_.toSeq).flatMap(_.toSeq).toSeq ==
+      cb.cents.flatMap(_.toSeq).flatMap(_.toSeq).toSeq)
+
+    val q = Pq.ivfPqTopK(spark, dir, probe, 10, cents2, cb2, 4)
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // partition pruning: only the nprobe cell directories are listed
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.metrics("numFiles").value <= 4)
+    // and the scan never touches a vector column — codes only
+    assert(!q.queryExecution.executedPlan.toString.contains("embedding"))
+
+    // equals direct ADC restricted to the probed cells
+    val probed = Ann.probeClusters(probe, cents, 4)
+    val inCells = Ann.withClusters(e, "embedding", cents).where(col("cluster").isin(probed: _*))
+    val expected = Pq.adcTopK(Pq.encode(inCells, "vec_id", "embedding", cb),
+      "id", "codes", probe, 10, cb).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+
+    // with the shortlist covering the probed cells entirely, rerank must
+    // equal exact search restricted to those cells (deterministic — the
+    // recall NUMBER itself is data-dependent and gated by ivfpq_recall)
+    val rr = Pq.ivfPqRerank(spark, dir, e, "vec_id", "embedding", probe, 10, cents, cb, 4,
+      overscan = 1000)
+      .collect().map(_.getLong(0)).toSeq
+    val cellExact = Knn.fullScan(inCells, "vec_id", "embedding", probe, 10, "l2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rr == cellExact)
+  }
+
   test("IVF hash-ordered centroids give non-degenerate cells") {
     val e = emb.where(col("embedding").isNotNull)
     val cents = Ann.ivfCentroids(e, "vec_id", "embedding", 16)
