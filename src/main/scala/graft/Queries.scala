@@ -1055,6 +1055,16 @@ object Queries {
         "event_type", "1 hour", "value")
     }),
 
+    // Gap-based sessionization (built-in session_window; diff > gap
+    // starts a new session — the close boundary is inclusive — and
+    // s_end = last event + gap)
+    "event_sessions" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      graft.streaming.Streams.sessionize(
+        e, graft.streaming.Streams.nanosToTimestamp(col("ts")),
+        "user_id", "30 minutes", "value")
+    }),
+
     // ---- text analysis (documents) ----
     "text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1079,6 +1089,12 @@ object Queries {
 
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Top TF-IDF (doc, term) pairs; exact ties (equal tf, df) break on
+    // (term, doc_id), both sides rank the rounded score
+    "tfidf_top" -> ((s, dir) =>
+      TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text")
+        .orderBy(col("tfidf").desc, col("term"), col("doc_id")).limit(50)),
 
     // Gopher-style repetition quality filters — per-row sorted-run-length
     // folds (ops/TextAnalysis.scala), zero shuffle; the oracle restates
@@ -1738,6 +1754,20 @@ object Queries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "event_sessions" ->
+      """WITH b AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) // 1000000 AS s_start,
+        |  epoch_us(max(ts) + INTERVAL '30 minutes') // 1000000 AS s_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
     "text_stats" ->
       s"""SELECT doc_id,
          |  len($tokensSql) AS n_tokens,
@@ -1774,6 +1804,16 @@ object Queries {
         |    list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) END AS fp
         |FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)""".stripMargin,
+
+    "tfidf_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, term, tf, df,
+         |  round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+         |FROM tf JOIN dfreq USING (term), nn
+         |ORDER BY tfidf DESC, term, doc_id LIMIT 50""".stripMargin,
 
     // independent group-by-multiplicity restatement of the sorted-run-length
     // folds: a word/bigram's run length IS its multiplicity

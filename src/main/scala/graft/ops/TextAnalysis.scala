@@ -152,6 +152,28 @@ object TextAnalysis {
         .otherwise(round(bg.getField("dup").cast("double") / nBigrams, 6)).as("dup_2gram_frac"))
   }
 
+  /** Per-(document, term) TF-IDF: tf = in-document term count, df =
+    * number of documents containing the term, idf = ln(N / df), score =
+    * tf · idf. Two shuffles — (doc, term) then term — both on narrow
+    * integer/short-string keys, plus one N-count scan; the df table is
+    * vocabulary-sized (broadcastable in practice, left to AQE so a
+    * 100 M-term vocab falls back to a shuffle join rather than OOM).
+    *
+    * The score is rounded to 6 dp. ln() is the one non-rational step:
+    * IEEE doubles from two correctly-rounded libms agree to ≤ 1 ulp,
+    * far inside the rounding, and exact ties (equal (tf, df)) are decided
+    * by the caller's (term, id) tie-break rather than the score.
+    */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+  }
+
   /** Rolling polynomial hash (mod 1e9+7, base 31) over the printable-ASCII
     * codepoints — a deterministic document fingerprint computable in pure
     * SQL on any engine. All arithmetic stays within Long range.

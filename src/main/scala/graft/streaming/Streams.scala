@@ -62,6 +62,27 @@ object Streams {
     df.withColumn("event_time", nanosToTimestamp(tsNanos))
       .withWatermark("event_time", maxLateness)
 
+  /** Gap-based sessionization: a user's consecutive events merge into one
+    * session while each gap is at most `gap` (an event landing exactly on
+    * the close time still merges); a gap > `gap` starts a new session. Built-in `session_window`, so the same declarative plan runs
+    * batch or streaming (state-store-backed window merge under a
+    * watermark). One shuffle on the user key, per-user merge — no global
+    * sort, so a 100 TB event log sessionizes as user-partitioned local
+    * work.
+    *
+    * Output: (user, s_start = first event epoch s, s_end = last event +
+    * gap epoch s, n, sum_value as exact-decimal-accumulated double) —
+    * session_window's `end` is CLOSE time (last event + gap), per Spark's
+    * definition.
+    */
+  def sessionize(df: DataFrame, tsCol: Column, userCol: String,
+                 gap: String, valueCol: String): DataFrame =
+    df.groupBy(session_window(tsCol, gap).as("w"), col(userCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,4)")).cast("double").as("sum_value"))
+      .select(col(userCol), col("w.start").cast("long").as("s_start"),
+        col("w.end").cast("long").as("s_end"), col("n"), col("sum_value"))
+
   /** Streaming exact dedup, declarative form: first occurrence of each key
     * within the watermark horizon survives; Spark manages and evicts the
     * seen-key state. The streaming analogue of [[graft.ops.Dedup.exact]]

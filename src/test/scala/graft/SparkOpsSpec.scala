@@ -991,4 +991,51 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(codegenSpans.exists(_.contains("vector_distance_packed")), exec.toString)
   }
+
+  test("sessionize: gap > threshold splits, gap <= threshold merges, s_end = last + gap") {
+    import graft.streaming.Streams
+    // user 1: events at 0s, 10s, 100s (gap 90 <= 120 merges), 400s (gap 300 > 120 splits)
+    // user 2: single event
+    val rows = Seq(
+      (1L, 0L), (1L, 10L), (1L, 100L), (1L, 400L),
+      (2L, 50L)
+    ).map { case (u, sec) => (u, sec * 1000000000L, 1.0) }
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = Streams.sessionize(df, Streams.nanosToTimestamp(col("ts")),
+      "user_id", "120 seconds", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 220L, 3L),   // 0,10,100 merge; close = 100 + 120
+      (1L, 400L, 520L, 1L),
+      (2L, 50L, 170L, 1L)))
+
+    // the close boundary is INCLUSIVE: an event exactly gap after the
+    // previous one still merges; one microsecond past it splits
+    val edge = Seq((9L, 0L, 1.0), (9L, 120L * 1000000000L, 1.0)).toDF("user_id", "ts", "value")
+    assert(Streams.sessionize(edge, Streams.nanosToTimestamp(col("ts")),
+      "user_id", "120 seconds", "value").count() == 1)
+    val past = Seq((9L, 0L, 1.0), (9L, 120L * 1000000000L + 1000L, 1.0)).toDF("user_id", "ts", "value")
+    assert(Streams.sessionize(past, Streams.nanosToTimestamp(col("ts")),
+      "user_id", "120 seconds", "value").count() == 2)
+  }
+
+  test("tfIdf matches a driver-side computation") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "c c c d")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val n = 3.0
+    def e(tf: Long, df: Long): Double =
+      BigDecimal(tf * math.log(n / df)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.size == 6)
+    assert(got((1L, "a")) == ((2L, 2L, e(2, 2))))
+    assert(got((1L, "b")) == ((1L, 1L, e(1, 1))))
+    assert(got((2L, "a")) == ((1L, 2L, e(1, 2))))
+    assert(got((2L, "c")) == ((1L, 2L, e(1, 2))))
+    assert(got((3L, "c")) == ((3L, 2L, e(3, 2))))
+    assert(got((3L, "d")) == ((1L, 1L, e(1, 1))))
+  }
 }
