@@ -1159,6 +1159,21 @@ object Queries {
     // (doc, pos) occurrence corpus-wide. Keys are string_hash61 — the
     // SQL-restatable 8-byte line key, so the gate exercises the hashed
     // (scale) path end to end, removal decisions included
+    // Exact repeated n-gram spans (token-level exact-substring dedup):
+    // per-doc rollup of how many 5-token windows recur corpus-wide
+    "repeated_spans" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        greatest(size(Curation.cleanTokens(col("text"))) - 4, lit(0))
+          .cast("long").as("n_windows"))
+      val rep = Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", 5)
+        .groupBy("id").agg(count(lit(1)).as("n_repeated"))
+      base.join(rep, base("doc_id") === rep("id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+          round(coalesce(col("n_repeated"), lit(0L)).cast("double") /
+            greatest(col("n_windows"), lit(1L)), 6).as("rep_frac"))
+    }),
+
     "line_dedup" -> ((s, dir) => {
       val multi = docs(s, dir)
         .groupBy(floor(col("doc_id") / 5).cast("long").as("doc_id"))
@@ -1926,6 +1941,21 @@ object Queries {
     // line-level dedup: same 5-doc roll-up, line keys restated with the
     // string_hash61 polynomial (the Spark side's exact key), keep = first
     // (doc, pos) occurrence per key, reassembly ordered by pos
+    "repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanWsSql(cleanAcSql)} AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |  CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(generate_series(1, len(ws) - 4),
+         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) END) AS gram
+         |  FROM t),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         |r AS (SELECT doc_id, count(*) AS n_repeated FROM g JOIN d USING (gram) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(greatest(len(ws) - 4, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(r.n_repeated, 0) AS BIGINT) AS n_repeated,
+         |  round(CAST(coalesce(r.n_repeated, 0) AS DOUBLE) /
+         |    greatest(greatest(len(ws) - 4, 0), 1), 6) AS rep_frac
+         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+
     "line_dedup" -> {
       val chars = "list_transform(generate_series(1, length(line)), i -> CAST(ascii(line[i]) AS BIGINT))"
       def poly(base: Int, mod: Long) =

@@ -529,6 +529,35 @@ object Dedup {
       .drop("__ld_id", "__ld_rm")
   }
 
+  // ---------- repeated-span detection (exact-substring dedup, token level) ----------
+
+  /** Every position whose n-token window recurs ANYWHERE in the corpus —
+    * the token-level form of exact-substring training-data dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022): repeated spans, not whole near-dup documents, are what
+    * memorization-prone corpora actually contain.
+    *
+    * Output: (id, pos (1-based window start), gram) for each repeated
+    * window. Plan: one posexplode scan → count per gram → left-semi join
+    * of positions against the over-once grams. Both shuffles key on the
+    * gram; at 100 TB project the gram to a 16-byte fingerprint for the
+    * exchanges (same trade as [[minhashLshRun]]'s content key) and keep
+    * the string only in the output projection. No pairwise comparison
+    * exists anywhere — the span space is linear in corpus tokens.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"window width must be >= 2, got $n")
+    val ws = Curation.cleanTokens(col(textCol))
+    val grams = when(size(ws) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+    val w = df.select(col(idCol).as("id"), posexplode(grams).as(Seq("p0", "gram")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val dups = w.groupBy("gram").agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+    w.join(dups.select("gram"), Seq("gram"), "left_semi")
+      .select(col("id"), col("pos"), col("gram"))
+  }
+
   // ---------- duplicate clusters: connected components over pair edges ----------
 
   /** Connected components over an undirected edge list — turns near-dup

@@ -1019,6 +1019,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "user_id", "120 seconds", "value").count() == 2)
   }
 
+  test("repeatedSpans flags cross-doc and within-doc recurring windows, nothing else") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),      // 9 tokens, 5 windows
+      (2L, "xx the quick brown fox jumps yy zz"),                // shares window @2
+      (3L, "completely different words in this one here now"),   // unique
+      (4L, "rep rep rep rep rep rep")                            // within-doc repeat @1,@2
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 1L, "the quick brown fox jumps"),
+      (2L, 2L, "the quick brown fox jumps"),
+      (4L, 1L, "rep rep rep rep rep"),
+      (4L, 2L, "rep rep rep rep rep")))
+  }
+
   test("tfIdf matches a driver-side computation") {
     val docs = Seq(
       (1L, "a a b"),
