@@ -267,10 +267,16 @@ object Dedup {
   /** Materialize `df` once behind the chosen [[Barrier]]; returns the
     * barrier-backed frame plus the matching release action.
     */
-  private def materialize(df: DataFrame, barrier: Barrier): (DataFrame, () => Unit) =
+  private def materialize(df: DataFrame, barrier: Barrier,
+                          eager: Boolean = true): (DataFrame, () => Unit) =
     barrier match {
       case Barrier.LocalCheckpoint =>
-        val g = df.localCheckpoint(eager = true)
+        // eager=false defers the checkpoint to the caller's first action —
+        // callers that immediately run an aggregate over the result (the
+        // connected-components convergence probe) fold barrier + probe
+        // into one job. Reliable checkpoint and staging write eagerly
+        // regardless (their materialization IS the write).
+        val g = df.localCheckpoint(eager = eager)
         (g, () => { persistedAncestor(g.rdd).foreach(_.unpersist(blocking = false)); () })
       case Barrier.ReliableCheckpoint =>
         val g = df.checkpoint(eager = true)
@@ -596,28 +602,79 @@ object Dedup {
     * no edges don't appear (a row with no near-dup pair is its own
     * component — union them back with `component = node` if a total
     * labeling is needed, avoiding an edge row per singleton).
+    *
+    * Below `maxDriverEdges` deduplicated edges the labeling instead runs
+    * as a single driver-side union-find over the collected edge list (see
+    * the inline rationale: each distributed round costs seconds of
+    * driver planning overhead regardless of data size, and blocked
+    * near-dup graphs are tiny relative to their corpus). Identical
+    * output; `maxDriverEdges = 0` forces the distributed path.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIterations: Int = 50,
-                          barrier: Barrier = Barrier.LocalCheckpoint): DataFrame = {
+                          barrier: Barrier = Barrier.LocalCheckpoint,
+                          maxDriverEdges: Long = 1L << 22): DataFrame = {
     def roundBarrier(i: Int): Barrier = barrier match {
       case Barrier.Stage(p) => Barrier.Stage(s"$p/cc_iter_$i")
       case other => other
     }
-    // canonical orientation (u > v), self-loops dropped, exact-duplicate
-    // edges collapsed — the working set is then at most the input pair count
-    var (e, releaseE) = materialize(
-      edges.select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
-        .where(col("u") =!= col("v")).distinct(),
-      roundBarrier(0))
-
     // decimal(38,0) accumulation: exact and overflow-free under ANSI mode
-    // (a raw BIGINT sum of 64-bit hashes overflows almost immediately)
+    // (a raw BIGINT sum of 64-bit hashes overflows almost immediately).
+    // For the LocalCheckpoint barrier the checkpoint is created LAZILY and
+    // this aggregate is the action that materializes it — one job per
+    // round does both the barrier and the convergence probe.
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), r.getDecimal(1))
+    }
+
+    // canonical orientation (u > v), self-loops dropped, exact-duplicate
+    // edges collapsed — the working set is then at most the input pair count
+    var (e, releaseE) = materialize(
+      edges.select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
+          least(col(aCol), col(bCol)).cast("long").as("v"))
+        .where(col("u") =!= col("v")).distinct(),
+      roundBarrier(0), eager = false)
+
+    // Adaptive small-graph path. The pair graph after LSH/SimHash/bucket
+    // blocking is orders of magnitude smaller than the corpus (it holds
+    // only actual near-duplicates), and the distributed rounds below cost
+    // 1-4 s EACH in driver-side planning/AQE/codegen even when the
+    // runtime work is two tasks — measured: 55 edges take ~3 rounds ×
+    // ~2.5 s, vs milliseconds of union-find. Probe with one
+    // `limit(max+1)` collect: all edges in hand → label on the driver;
+    // overflow → discard and run the O(log n)-round star contraction
+    // (`maxDriverEdges` defaults to 4M edges = 64 MB of longs, far under
+    // any driver heap; 0 disables the path). Identical output either way.
+    val driverProbe = maxDriverEdges > 0 && maxDriverEdges < Int.MaxValue - 1
+    val arr = if (driverProbe) e.limit(maxDriverEdges.toInt + 1).collect()
+              else Array.empty[org.apache.spark.sql.Row]
+    if (driverProbe && arr.length <= maxDriverEdges) {
+      releaseE()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          val gp = parent.get(parent.get(x))
+          parent.put(x, gp); x = gp
+        }
+        x
+      }
+      arr.foreach { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // union by MIN id: the root is always the component minimum, so
+        // labels match the star-contraction fixed point exactly
+        if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach { n => out += ((n, find(n))) }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("node", "component")
     }
 
     var prev = checksum(e)
@@ -646,7 +703,7 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
 
-      val (e2, releaseE2) = materialize(small, roundBarrier(iter))
+      val (e2, releaseE2) = materialize(small, roundBarrier(iter), eager = false)
       val cur = checksum(e2)
       releaseE()
       e = e2; releaseE = releaseE2

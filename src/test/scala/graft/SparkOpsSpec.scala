@@ -340,7 +340,8 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (30L, 31L), (31L, 30L), (30L, 31L),                                   // dup + reversed
       (40L, 41L)
     ).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges, "a", "b")
+    // maxDriverEdges = 0 forces the distributed star contraction
+    val got = Dedup.connectedComponents(edges, "a", "b", maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // driver union-find oracle
     val parent = scala.collection.mutable.Map[Long, Long]()
@@ -350,12 +351,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = parent.keys.map(k => k -> find(k)).toMap
     assert(got == want)
     assert(got.values.toSet == Set(1L, 20L, 30L, 40L)) // min-id roots
+    // the small-graph driver path labels identically
+    val gotDriver = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDriver == want)
   }
 
   test("connected components: 10k-node path converges (log-round contraction, not per-hop)") {
     val n = 10000
     val edges = spark.range(1, n).select(col("id").as("a"), (col("id") + 1).as("b"))
-    val cc = Dedup.connectedComponents(edges, "a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b", maxDriverEdges = 0L)
     assert(cc.where(col("component") =!= 1L).count() == 0)
     assert(cc.count() == n)
   }
