@@ -97,6 +97,26 @@ object Bench {
     // dirs AND only their 8-byte code column
     ops.Pq.writeIvfPq(vecs, "id", "vec", s"$benchDir/ivfpq", cents, pqCb)
 
+    // Untimed page-cache warm: one linear read of every input byte (the
+    // pre-built stores and the sf tables the queries scan). The timed
+    // passes then measure steady-state compute — the reference's
+    // PRELOADED serving mode, which is what BASELINE.md budgets — not
+    // the storage device. On a healthy host this is seconds of cached
+    // reads; it exists because this shared host's disk has been measured
+    // as low as 4 MB/s during co-tenant I/O storms, which would otherwise
+    // turn every cold scan into a device benchmark.
+    def warmDir(path: String): Unit = {
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else {
+          val in = new java.io.FileInputStream(f)
+          val buf = new Array[Byte](1 << 20)
+          try while (in.read(buf) >= 0) {} finally in.close()
+        }
+      walk(new java.io.File(path))
+    }
+    Seq(benchDir, sfDir).foreach(warmDir)
+
     for (_ <- 1 to reps) {
       // 1. exact brute-force k-NN over ~600k dim-64 vectors (K1 at scale)
       time("knn_l2_600k")(ops.Knn.fullScan(vecs, "id", "vec", probe, 10, "l2").count())
