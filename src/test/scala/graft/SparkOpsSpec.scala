@@ -1024,6 +1024,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "user_id", "120 seconds", "value").count() == 2)
   }
 
+  test("sessionize runs as a STREAM: sessions finalize once the watermark passes close+gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streams
+    val M = 60L * 1000000000L // one minute in nanos
+
+    val ms = MemoryStream[(Long, Long, Double)]
+    val base = ms.toDF().toDF("ts", "user_id", "value")
+    val sess = Streams.sessionize(
+      Streams.withEventTime(base, col("ts"), "5 minutes"),
+      col("event_time"), "user_id", "10 minutes", "value")
+    val q = sess.writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 7: two events 2 min apart -> one session [0, 2min + gap)
+      ms.addData((0L, 7L, 1.0), (2 * M, 7L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // watermark hasn't passed close yet
+      // advance event time far enough that watermark (max - 5m) > 12m close
+      ms.addData((30 * M, 7L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(rows == Set((7L, 0L, 12 * 60L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("repeatedSpans flags cross-doc and within-doc recurring windows, nothing else") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),      // 9 tokens, 5 windows
