@@ -1065,6 +1065,75 @@ object Queries {
         "user_id", "30 minutes", "value")
     }),
 
+    // Point-in-time join: each purchase picks up the most recent strictly-
+    // earlier click by the same user (NULL payload when none). Oracle is
+    // DuckDB's NATIVE ASOF JOIN — an independent engine implementation of
+    // the semantics, not a restatement of our window trick. Timestamps are
+    // truncated to MICROseconds first (exact integral division): DuckDB
+    // reads TIMESTAMP(NANOS) parquet at micro precision, so comparing at
+    // nanos would diverge on sub-μs orderings the oracle cannot see (the
+    // events tables have no (user, μs) collisions at any SF).
+    "asof_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events").withColumn("ts",
+        floor(col("ts").cast("decimal(38,0)") / lit(1000L)).cast("long"))
+      graft.streaming.Streams.asofJoin(
+        e.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        e.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", Seq("event_id", "ts", "value"))
+    }),
+
+    // Bucketed range join: every purchase within 7 days at-or-after a
+    // signup by the same user, 1-day buckets (signups replicate ~8×; each
+    // qualifying pair meets in exactly the purchase's bucket). Oracle is
+    // the naive BETWEEN join — DuckDB plans IEJoin, we plan the bucketed
+    // equi-join; same answer, different engines' native range strategies.
+    "interval_join" -> ((s, dir) => {
+      // micro-precision ts for the same DuckDB-TIMESTAMP-precision reason
+      // as asof_join
+      val e = tbl(s, dir, "events").withColumn("ts",
+        floor(col("ts").cast("decimal(38,0)") / lit(1000L)).cast("long"))
+      val day = 86400L * 1000000L
+      graft.streaming.Streams.intervalJoin(
+        e.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        e.where(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"),
+            col("ts").as("start_ts"), (col("ts") + lit(7 * day)).as("end_ts")),
+        "user_id", "ts", "start_ts", "end_ts", day,
+        Seq("signup_id", "start_ts"))
+    }),
+
+    // Skew-salted join: events (hot user keys — ~300 users over 100k rows
+    // at sf0.1) pick up a per-user dim on (key, salt) with the dim
+    // replicated 16×, so one hot user spreads over 16 shuffle partitions.
+    // Oracle is the plain join — same rows, different physical strategy.
+    "salted_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val dim = e.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+      graft.ops.Joins.saltedJoin(
+        e.select("event_id", "user_id", "event_type"), "event_id",
+        dim, "user_id", 16, Seq("n_user_events"))
+    }),
+
+    // Corpus length-distribution percentiles: exact linear-interpolation
+    // percentile (Spark's one-pass counting aggregate — no global sort)
+    // over the per-doc token count, vs DuckDB quantile_cont. At 100 TB the
+    // same query swaps in approx_percentile(…, accuracy) — same plan
+    // shape, bounded state; the exact form is the gate because the
+    // t-digest sketch is engine-specific.
+    "token_percentiles" -> ((s, dir) => {
+      val n = TextAnalysis.tokenCount(col("text")).as("n")
+      docs(s, dir).select(n).agg(
+        round(expr("percentile(n, 0.10)"), 6).as("p10"),
+        round(expr("percentile(n, 0.25)"), 6).as("p25"),
+        round(expr("percentile(n, 0.50)"), 6).as("p50"),
+        round(expr("percentile(n, 0.75)"), 6).as("p75"),
+        round(expr("percentile(n, 0.90)"), 6).as("p90"),
+        round(expr("percentile(n, 0.99)"), 6).as("p99"))
+    }),
+
     // ---- text analysis (documents) ----
     "text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1089,6 +1158,12 @@ object Queries {
 
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Char-level Shannon entropy (bits/char): base64-blob / boilerplate
+    // detector; per-row fold, no shuffle
+    "char_entropy" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("entropy"))),
 
     // Top TF-IDF (doc, term) pairs; exact ties (equal tf, df) break on
     // (term, doc_id), both sides rank the rounded score
@@ -1783,6 +1858,38 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, l.value,
+        |  r.event_id AS asof_event_id, epoch_us(r.ts) AS asof_ts,
+        |  r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts > r.ts""".stripMargin,
+
+    "interval_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, l.value,
+        |  r.event_id AS iv_signup_id, epoch_us(r.ts) AS iv_start_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        | AND l.ts <= r.ts + INTERVAL 7 DAY""".stripMargin,
+
+    "salted_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, d.n_user_events
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS n_user_events
+        |      FROM events GROUP BY 1) d
+        |  ON e.user_id = d.user_id""".stripMargin,
+
+    "token_percentiles" ->
+      s"""SELECT round(quantile_cont(n, 0.10), 6) AS p10,
+         |  round(quantile_cont(n, 0.25), 6) AS p25,
+         |  round(quantile_cont(n, 0.50), 6) AS p50,
+         |  round(quantile_cont(n, 0.75), 6) AS p75,
+         |  round(quantile_cont(n, 0.90), 6) AS p90,
+         |  round(quantile_cont(n, 0.99), 6) AS p99
+         |FROM (SELECT len($tokensSql) AS n FROM documents)""".stripMargin,
+
     "text_stats" ->
       s"""SELECT doc_id,
          |  len($tokensSql) AS n_tokens,
@@ -1819,6 +1926,15 @@ object Queries {
         |    list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) END AS fp
         |FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)""".stripMargin,
+
+    "char_entropy" ->
+      """SELECT doc_id, CASE WHEN length(t) = 0 THEN 0.0 ELSE round(
+        |  list_reduce(list_prepend(0.0, list_transform(list_sort(list_distinct(cs)), c ->
+        |    -1.0 * ((CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / length(t)) *
+        |      (ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / length(t)) / ln(2.0))))),
+        |    (acc, v) -> acc + v), 6) END AS entropy
+        |FROM (SELECT doc_id, t, list_transform(generate_series(1, length(t)), i -> t[i]) AS cs
+        |      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents))""".stripMargin,
 
     "tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),

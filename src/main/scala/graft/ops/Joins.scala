@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational join patterns for the shapes that break at 100 TB.
+  *
+  * Catalyst already picks broadcast-hash for a small side and AQE splits
+  * skewed SORT-MERGE partitions at runtime — use those first. This module
+  * covers the case both miss: a join where BOTH sides are too big to
+  * broadcast and the key distribution is so hot (a handful of users/domains
+  * owning a double-digit share of rows) that even AQE's partition splitting
+  * leaves every replica of the hot key's probe side waiting on one
+  * build-side partition.
+  */
+object Joins {
+
+  /** Salted equi-join for hot keys: the big (probe) side gets a
+    * deterministic salt in [0, saltFactor) hashed from its unique id, the
+    * small-but-unbroadcastable (build) side replicates each row
+    * `saltFactor` times, and the join runs EQUI on (key, salt) — the hot
+    * key's rows spread over `saltFactor` shuffle partitions instead of
+    * one, at the price of a `saltFactor`× build-side blowup. Exactly the
+    * classic skew-salting recipe, packaged so callers don't hand-roll the
+    * replication (and so the salt is DETERMINISTIC — `rand()` salts make
+    * retried tasks emit different rows under speculative execution;
+    * xxhash64 of the row id keeps recomputation idempotent).
+    *
+    * Result = `big ⋈ build` on `keyCol` exactly (inner), every big column
+    * then every `payload` column of `build`. Pick `saltFactor` ≈ the
+    * hot-key share × target parallelism; 8–32 covers most skew without a
+    * meaningful build-side cost.
+    */
+  def saltedJoin(big: DataFrame, bigIdCol: String, build: DataFrame,
+                 keyCol: String, saltFactor: Int,
+                 payload: Seq[String]): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val b = big.withColumn("__salt", pmod(xxhash64(col(bigIdCol)), lit(saltFactor.toLong)))
+    val r = build.select(
+      Seq(col(keyCol).as("__rk"),
+        explode(sequence(lit(0L), lit(saltFactor - 1L))).as("__salt")) ++
+        payload.map(p => col(p).as("__p_" + p)): _*)
+    b.join(r, b(keyCol) === r("__rk") && b("__salt") === r("__salt"))
+      .select(big.columns.map(b(_)) ++ payload.map(p => r("__p_" + p).as(p)): _*)
+  }
+}

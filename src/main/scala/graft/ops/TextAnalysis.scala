@@ -152,6 +152,29 @@ object TextAnalysis {
         .otherwise(round(bg.getField("dup").cast("double") / nBigrams, 6)).as("dup_2gram_frac"))
   }
 
+  /** Character-level Shannon entropy (bits/char) over the printable-ASCII
+    * projection — the corpus-filter signal that catches base64 blobs and
+    * key-mash (high entropy) and repeated-padding boilerplate (low
+    * entropy) that token-level stats miss. Per-row fold over the distinct
+    * characters of the document (O(len·alphabet), alphabet ≤ 95): no
+    * shuffle, no UDF, restatable in SQL. Empty text → 0.0. Rounded to
+    * 6 dp; p·log₂p uses IEEE-double ln on both engines (≤ 1 ulp apart,
+    * far inside the rounding).
+    */
+  def charEntropy(text: Column): Column = {
+    val t = asciiOnly(text)
+    val n = length(t).cast("double")
+    val chars = transform(sequence(lit(1), length(t)), i => substring(t, i, lit(1)))
+    // sorted distinct chars: the float accumulation order is part of the
+    // contract (the SQL restatement folds the same sorted list)
+    val uniq = array_sort(array_distinct(chars))
+    when(length(t) === 0, lit(0.0)).otherwise(round(
+      aggregate(uniq, lit(0.0d), (acc, c) => {
+        val p = size(filter(chars, x => x === c)).cast("double") / n
+        acc - p * log(2.0, p)
+      }), 6))
+  }
+
   /** Per-(document, term) TF-IDF: tf = in-document term count, df =
     * number of documents containing the term, idf = ln(N / df), score =
     * tf · idf. Two shuffles — (doc, term) then term — both on narrow

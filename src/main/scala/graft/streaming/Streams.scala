@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -82,6 +83,94 @@ object Streams {
         sum(col(valueCol).cast("decimal(38,4)")).cast("double").as("sum_value"))
       .select(col(userCol), col("w.start").cast("long").as("s_start"),
         col("w.end").cast("long").as("s_end"), col("n"), col("sum_value"))
+
+  /** Point-in-time (as-of) join: each left row picks up the payload of the
+    * most recent right row with `right.ts` STRICTLY before `left.ts` for
+    * the same key — the time-series join (kdb `aj`, pandas `merge_asof`,
+    * DuckDB `ASOF JOIN`) that Spark has no native operator for. Left rows
+    * with no prior right row survive with NULL payload (left-join
+    * semantics).
+    *
+    * Spark-first shape: NOT a range join — Catalyst would plan
+    * `l.key = r.key AND r.ts < l.ts` as an equi-join exploding every
+    * (left, all-prior-right) pair before a per-row argmax, O(n·m) per key.
+    * Instead the two sides union with a side tag, one window per key
+    * ordered by (ts, side) carries a running `last(payload,
+    * ignoreNulls)`, and left rows are kept. ONE shuffle of n+m rows on
+    * the key and a per-partition sort — linear, skew-bounded by the
+    * hottest key, and identical in shape on a 1000-executor cluster.
+    * Sorting right AFTER left at equal ts (side 0 = left < 1 = right)
+    * makes the "strictly before" contract exact: a same-timestamp right
+    * row is outside the left row's running frame.
+    *
+    * Output: every `left` column, then one `<prefix><p>` column per
+    * payload column `p` of `right`. `tsCol` may be any orderable type
+    * (the nanos-long encoding of the events table compares exactly).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payload: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val lSide = left.select(
+      Seq(lStruct.as("__l"), col(keyCol).as("__k"), col(tsCol).as("__t"),
+        lit(0).as("__side")) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(prefix + p)): _*)
+    val rSide = right.select(
+      Seq(lit(null).cast(lType).as("__l"), col(keyCol).as("__k"),
+        col(tsCol).as("__t"), lit(1).as("__side")) ++
+        payload.map(p => col(p).as(prefix + p)): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .select(Seq(col("__l"), col("__side")) ++
+        payload.map(p => last(col(prefix + p), ignoreNulls = true).over(w).as(prefix + p)): _*)
+      .where(col("__side") === 0)
+      .select(col("__l.*") +: payload.map(p => col(prefix + p)): _*)
+  }
+
+  /** Bucketed interval (range) join: every (point, interval) pair with the
+    * same key and `start <= ts <= end` — the other time-series join shape
+    * Spark has no scalable native plan for. A naive
+    * `l.key = r.key AND l.ts BETWEEN r.start AND r.end` plans as an
+    * equi-join on the key that explodes every (point × interval) pair per
+    * key before filtering — quadratic in the hottest key. Here both sides
+    * map onto fixed-width time buckets first: a point lands in exactly
+    * one bucket, an interval replicates to the ⌈len/width⌉+1 buckets it
+    * covers, and the join is EQUI on (key, bucket) with the BETWEEN as a
+    * residual — each qualifying pair meets in exactly one bucket (the
+    * point's), so no dedup pass is needed. Cost: interval-side blowup of
+    * ~len/width rows; pick `bucketWidth` near the typical interval length
+    * so the replication factor stays single-digit while buckets stay
+    * selective. Catalyst broadcasts the exploded interval side when it is
+    * small; otherwise both sides shuffle on (key, bucket) — either way
+    * linear, and the same plan at 100 TB.
+    *
+    * Timestamps are compared as exact integral values (the nanos-long
+    * events encoding); bucket math goes through decimal(38,0) because a
+    * double quotient of 2024-era epoch nanos (~1.7e18 > 2^53) would round
+    * before flooring. Output: every `points` column, then one
+    * `<prefix><p>` per payload column of `intervals`; points matching
+    * nothing are dropped (inner-join semantics).
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keyCol: String,
+                   tsCol: String, startCol: String, endCol: String,
+                   bucketWidth: Long, payload: Seq[String],
+                   prefix: String = "iv_"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def bucket(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / lit(bucketWidth)).cast("long")
+    val p = points.withColumn("__b", bucket(col(tsCol)))
+    val iv = intervals.select(
+      Seq(col(keyCol).as("__ik"), col(startCol).as("__s"), col(endCol).as("__e"),
+        explode(sequence(bucket(col(startCol)), bucket(col(endCol)))).as("__b")) ++
+        payload.map(pc => col(pc).as(prefix + pc)): _*)
+    p.join(iv,
+        p(keyCol) === iv("__ik") && p("__b") === iv("__b") &&
+          col(tsCol) >= col("__s") && col(tsCol) <= col("__e"))
+      .select(points.columns.map(p(_)) ++ payload.map(pc => iv(prefix + pc)): _*)
+  }
 
   /** Streaming exact dedup, declarative form: first occurrence of each key
     * within the watermark horizon survives; Spark manages and evicts the

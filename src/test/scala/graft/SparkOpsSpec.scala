@@ -1066,6 +1066,72 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 2L, "rep rep rep rep rep")))
   }
 
+  test("charEntropy: 0 for empty/uniform, 1 bit for a fair binary alphabet, matches driver calc") {
+    val d = Seq((1L, ""), (2L, "aaaa"), (3L, "abab"), (4L, "abcd"), (5L, "hello world"))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.charEntropy(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 1.0)
+    assert(got(4L) == 2.0)
+    def driverEntropy(s: String): Double = {
+      val n = s.length.toDouble
+      val e = s.distinct.sorted.foldLeft(0.0) { (acc, c) =>
+        val p = s.count(_ == c) / n
+        acc - p * (math.log(p) / math.log(2.0))
+      }
+      BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(5L) == driverEntropy("hello world"))
+  }
+
+  test("asofJoin: latest strictly-earlier right row per key; equal ts excluded; no match -> null") {
+    val left = Seq((100L, 1L, 50L, 5.0), (101L, 1L, 10L, 6.0), (102L, 2L, 30L, 7.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((200L, 1L, 20L, 1.0), (201L, 1L, 40L, 2.0), (202L, 1L, 50L, 3.0),
+      (203L, 3L, 5L, 4.0)).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.streaming.Streams
+      .asofJoin(left, right, "user_id", "ts", Seq("event_id", "value"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+    // event 100 (ts=50): right ts=40 wins — the ts=50 right row is NOT
+    // strictly earlier; event 101 (ts=10): nothing earlier; user 2: no
+    // right rows at all
+    assert(got == Set(
+      (100L, Some(201L), Some(2.0)),
+      (101L, None, None),
+      (102L, None, None)))
+  }
+
+  test("intervalJoin: inclusive bounds, multi-bucket intervals, multi-match, no dup per pair") {
+    val points = Seq((1L, 1L, 10L), (2L, 1L, 25L), (3L, 1L, 31L), (4L, 2L, 10L))
+      .toDF("point_id", "user_id", "ts")
+    // interval [10, 30] spans buckets 1..3 at width 10; [20, 25] nests inside
+    val ivs = Seq((100L, 1L, 10L, 30L), (101L, 1L, 20L, 25L), (102L, 3L, 0L, 100L))
+      .toDF("iv_id", "user_id", "start_ts", "end_ts")
+    val got = graft.streaming.Streams
+      .intervalJoin(points, ivs, "user_id", "ts", "start_ts", "end_ts", 10L, Seq("iv_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // point 1 (ts=10): on [10,30]'s start bound; point 2 (ts=25): inside
+    // both intervals; point 3 (ts=31): just past end; user 2: no intervals.
+    // Each qualifying pair appears exactly ONCE despite bucket replication.
+    assert(got.sorted == Seq((1L, 100L), (2L, 100L), (2L, 101L)))
+  }
+
+  test("saltedJoin equals the plain join, exactly once per qualifying pair") {
+    val big = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "a"))
+      .toDF("id", "k")
+    val dim = Seq(("a", 10L), ("b", 20L), ("d", 30L)).toDF("k", "v")
+    val got = graft.ops.Joins.saltedJoin(big, "id", dim, "k", 4, Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    val plain = big.join(dim, "k").select(big("id"), big("k"), dim("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(got == plain)
+    assert(got.size == 4) // key c has no dim row, key d no big rows
+  }
+
   test("tfIdf matches a driver-side computation") {
     val docs = Seq(
       (1L, "a a b"),
