@@ -1044,6 +1044,70 @@ object Queries {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))),
 
+    // ROLLUP hierarchy aggregate (grouping sets): one shuffle produces
+    // the (flag, status), (flag) and () grouping levels; NULL group keys
+    // are coalesced to a sentinel on both sides so the hash compare sees
+    // identical strings, and grouping_id disambiguates data-vs-subtotal
+    // rows. Sums ride exact decimals; both engines agree on the
+    // first-arg-is-MSB grouping bit order (verified empirically).
+    "rollup_pricing" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("gid"), col("n"), col("sum_qty"), col("sum_price"))),
+
+    // Window-frame running aggregates per user: 4-event moving average
+    // and running total. Frame sums ride decimal(18,4) so neither
+    // engine's frame-evaluation order (sequential vs segment tree) can
+    // produce float jitter; the mean divides two exact values in double.
+    "moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = order.rowsBetween(-3, 0)
+      val cum = order.rowsBetween(Window.unboundedPreceding, 0)
+      tbl(s, dir, "events").select(col("event_id"),
+        round(sum(col("value").cast("decimal(18,4)")).over(frame).cast("double") /
+          count(lit(1)).over(frame), 6).as("mavg4"),
+        sum(col("value").cast("decimal(18,4)")).over(cum).cast("double").as("cum_value"))
+    }),
+
+    // Schema'd JSON extraction from the event payload column — the
+    // semi-structured hop every clickstream/crawl pipeline starts with
+    "props_json" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .where(col("event_id") % 20 === 0)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
+
+    // HLL++ cardinality sketch vs exact distinct: the ok flag asserts the
+    // estimate lands within 5% of truth (rsd=0.01), the ivf_recall gate
+    // pattern — the sketch path is what replaces COUNT(DISTINCT)'s
+    // full shuffle at 100 TB
+    "hll_distinct" -> ((s, dir) =>
+      tbl(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("est"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est").cast("double") / col("exact_users") - 1) <= 0.05).as("ok"))),
+
+    // ORC sink/source round-trip: the third storage format next to
+    // parquet and the text sources — written column-pruned, read back,
+    // aggregated; the oracle reads the ORIGINAL parquet, so any
+    // write/read corruption value-fails
+    "orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/docs"
+      docs(s, dir).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // Event-time tumbling-window aggregation (graft.streaming.Streams):
     // the same declarative plan Structured Streaming runs under a
     // watermark, gated here in batch where it is oracle-restatable
@@ -1132,6 +1196,40 @@ object Queries {
         round(expr("percentile(n, 0.75)"), 6).as("p75"),
         round(expr("percentile(n, 0.90)"), 6).as("p90"),
         round(expr("percentile(n, 0.99)"), 6).as("p99"))
+    }),
+
+    // Incremental exact dedup (continuous-ingest shape): odd-id docs are
+    // the arriving batch, even-id docs the accumulated corpus; the
+    // anti-join runs on 16-byte content fingerprints while the oracle
+    // restates it on raw text equality — a fingerprint collision at gate
+    // scale would hash-mismatch
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupAgainst(
+        d.where(col("doc_id") % 2 === 1).select("doc_id", "text"),
+        d.where(col("doc_id") % 2 === 0), "text")
+        .select("doc_id")
+    }),
+
+    // CCNet-style LM quality signal: per-doc mean unigram logprob under
+    // the corpus's own unigram LM; per-token logp rounded to 9 dp and
+    // summed as decimal(38,9) so the unordered reduce is exact
+    "lm_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
+
+    // Bloom-prefiltered incremental dedup: same semantics as
+    // dedup_incremental on a source-parity split, but the anti-join input
+    // is shrunk by a distributed-built Bloom filter (no false negatives →
+    // bypassed rows are provably fresh; accepted rows are exactly
+    // confirmed). Oracle restates on raw text NOT EXISTS, so both the
+    // bypass and the confirm path are value-gated.
+    "bloom_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      Dedup.dedupAgainstBloom(
+        d.where(srcNum % 2 === 1).select("doc_id", "text"),
+        d.where(srcNum % 2 === 0), "text")
+        .select("doc_id")
     }),
 
     // ---- text analysis (documents) ----
@@ -1838,6 +1936,41 @@ object Queries {
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "moving_avg" ->
+      """SELECT event_id,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER f AS DOUBLE)
+        |        / COUNT(*) OVER f, 6) AS mavg4,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER c AS DOUBLE) AS cum_value
+        |FROM events
+        |WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |       c AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "props_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events WHERE event_id % 20 = 0""".stripMargin,
+
+    "hll_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "orc_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY lang""".stripMargin,
+
     "events_windowed" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
         |  event_type, COUNT(*) AS n,
@@ -1889,6 +2022,30 @@ object Queries {
          |  round(quantile_cont(n, 0.90), 6) AS p90,
          |  round(quantile_cont(n, 0.99), 6) AS p99
          |FROM (SELECT len($tokensSql) AS n FROM documents)""".stripMargin,
+
+    "dedup_incremental" ->
+      """SELECT b.doc_id FROM documents b
+        |WHERE b.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id % 2 = 0 AND s.text = b.text)""".stripMargin,
+
+    "bloom_dedup" ->
+      """SELECT b.doc_id FROM documents b
+        |WHERE CAST(substr(b.source, 4) AS INT) % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE CAST(substr(s.source, 4) AS INT) % 2 = 0
+        |                    AND s.text = b.text)""".stripMargin,
+
+    "lm_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |lm AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM toks),
+         |lp AS (SELECT doc_id,
+         |         CAST(round(ln(tf) - ln(n_total), 9) AS DECIMAL(38,9)) AS logp
+         |       FROM toks JOIN lm USING (term) CROSS JOIN tot)
+         |SELECT doc_id, round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp,
+         |  count(*) AS n_tokens
+         |FROM lp GROUP BY doc_id""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id,

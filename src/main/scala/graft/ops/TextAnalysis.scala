@@ -175,6 +175,38 @@ object TextAnalysis {
       }), 6))
   }
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram language model — the CCNet-style LM quality signal (docs far
+    * below the corpus mean read as gibberish/key-mash; far above as
+    * boilerplate). logp(token) = ln(tf_corpus) − ln(N_corpus).
+    *
+    * Exactness contract: each per-token logp is rounded to 9 dp and
+    * accumulated as decimal(38,9) — order-independent exact sums, so the
+    * unordered shuffle reduce cannot produce run-to-run float jitter; the
+    * mean is rounded to 6 dp at the end (ln itself agrees across engines
+    * well inside 9 dp, as the green tfidf/entropy gates already rely on).
+    *
+    * Plan shape: explode → corpus-LM aggregate on the term key → join
+    * tokens back to the LM on the term key → per-doc aggregate. The LM
+    * side is vocabulary-sized; Catalyst/AQE broadcasts it when small and
+    * shuffle-joins on the term key when not — both linear, no driver-side
+    * loops, the scalar corpus total rides a 1-row broadcast cross join.
+    */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = lm.agg(sum(col("tf")).as("n_total"))
+    toks.join(lm, "term")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(col("tf")) - log(col("n_total")), 9)
+          .cast("decimal(38,9)").as("logp"))
+      .groupBy(col(idCol))
+      .agg(round((sum(col("logp")).cast("double") / count(lit(1))), 6)
+        .as("mean_logp"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Per-(document, term) TF-IDF: tf = in-document term count, df =
     * number of documents containing the term, idf = ln(N / df), score =
     * tf · idf. Two shuffles — (doc, term) then term — both on narrow

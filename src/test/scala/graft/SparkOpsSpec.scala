@@ -1132,6 +1132,47 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 4) // key c has no dim row, key d no big rows
   }
 
+  test("dedupAgainstBloom matches exact semantics even with forced false positives") {
+    val seen = Seq((0L, "alpha"), (2L, "beta"), (4L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha"), (3L, "delta"), (5L, "beta"), (7L, "epsilon"),
+      (9L, "zeta")).toDF("doc_id", "text")
+    // 64-bit filter over 3 items → near-certain false positives; the exact
+    // confirm join must still produce the exact answer
+    val kept = graft.ops.Dedup.dedupAgainstBloom(batch, seen, "text",
+      expectedItems = 3, numBits = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 7L, 9L))
+  }
+
+  test("dedupAgainstBloom with empty seen keeps the whole batch") {
+    val seen = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.dedupAgainstBloom(batch, seen, "text").count() == 2)
+  }
+
+  test("dedupAgainst drops batch rows whose text is in seen, keeps the rest") {
+    val seen = Seq((0L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha"), (3L, "gamma"), (5L, "beta"), (7L, "delta"))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.dedupAgainst(batch, seen, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 7L))
+  }
+
+  test("unigramLogProb matches a driver-side computation") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus: a×2, b×2, c×1, N=5; mirror the operator's arithmetic exactly:
+    // per-token logp rounded to 9 dp, exact decimal sum, double mean, 6 dp
+    def lp(tf: Int) = BigDecimal(math.log(tf) - math.log(5))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def mean(lps: Seq[BigDecimal]) = BigDecimal(lps.sum.toDouble / lps.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(rows(1L) == ((mean(Seq(lp(2), lp(2), lp(2))), 3L)))
+    assert(rows(2L) == ((mean(Seq(lp(2), lp(1))), 2L)))
+  }
+
   test("tfIdf matches a driver-side computation") {
     val docs = Seq(
       (1L, "a a b"),
