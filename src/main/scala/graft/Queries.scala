@@ -1061,6 +1061,52 @@ object Queries {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("gid"), col("n"), col("sum_qty"), col("sum_price"))),
 
+    // Pivot (wide aggregation): one shuffle on the group key with the
+    // pivot values folded into conditional aggregates — identical plan to
+    // the oracle's FILTER restatement; sums ride exact decimals
+    "pivot_returns" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")),
+
+    // Set operations under SQL set semantics (dedup both sides): corpus
+    // overlap between the even- and odd-source halves — INTERSECT for the
+    // shared texts, EXCEPT for the seen-only remainder
+    "setop_texts" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val a = d.where(srcNum % 2 === 0).select("text")
+      val b = d.where(srcNum % 2 === 1).select("text")
+      a.intersect(b).agg(count(lit(1)).as("n_common"))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_even")))
+    }),
+
+    // t-digest-style approximate median vs the exact percentile, gated by
+    // an ok band (the ivf_recall pattern): l_quantity is integer-spaced,
+    // and at accuracy 10000 the rank error is ≤ N/10000, so the
+    // approximate median must land within one quantity step of truth
+    "approx_quantile_ok" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap"))
+        .select(col("l_returnflag"), col("p50"),
+          (abs(col("ap") - col("p50")) <= 1.0).as("ok"))),
+
+    // Exact sample variance from decimal power sums: Σx and Σx² are
+    // exact integers, the final (sumsq − sum²/n)/(n−1) is the identical
+    // double expression tree on both engines, rounded to 6 dp
+    "variance_by_lang" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).cast("double").as("s2"))
+        .select(col("lang"), col("n"),
+          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
+            .as("var_chars"))),
+
     // Window-frame running aggregates per user: 4-event moving average
     // and running total. Frame sums ride decimal(18,4) so neither
     // engine's frame-evaluation order (sequential vs segment tree) can
@@ -1944,6 +1990,38 @@ object Queries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "pivot_returns" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "setop_texts" ->
+      """SELECT
+        |  (SELECT count(*) FROM
+        |    (SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+        |     INTERSECT
+        |     SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1)) AS n_common,
+        |  (SELECT count(*) FROM
+        |    (SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+        |     EXCEPT
+        |     SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1)) AS n_only_even""".stripMargin,
+
+    "approx_quantile_ok" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50, TRUE AS ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "variance_by_lang" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  round((CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE)
+        |         - CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE)
+        |           * CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*))
+        |        / (COUNT(*) - 1), 6) AS var_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "moving_avg" ->
       """SELECT event_id,
