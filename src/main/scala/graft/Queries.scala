@@ -1278,6 +1278,23 @@ object Queries {
         .select("doc_id")
     }),
 
+    // PII redaction over deterministically injected identifiers (the
+    // synthetic corpus contains none): an email, a phone and an IPv4
+    // derived from doc_id are appended to each text, then masked by the
+    // same RE2-safe regexp_replace chain both engines evaluate
+    "pii_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Curation.redactPii(concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1555000"), col("doc_id").cast("string"),
+          lit(" from 10.0.0."), (col("doc_id") % 256).cast("string")))
+          .as("clean"))),
+
+    // Context-window chunking: 32-token windows every 24 tokens
+    // (8-token overlap), the doc → training-piece explode
+    "doc_chunks" -> ((s, dir) =>
+      Curation.chunk(docs(s, dir), "doc_id", "text", 32, 24)),
+
     // ---- text analysis (documents) ----
     "text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -2124,6 +2141,25 @@ object Queries {
          |SELECT doc_id, round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp,
          |  count(*) AS n_tokens
          |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com or +1555000'
+        |         || doc_id || ' from 10.0.0.' || (doc_id % 256),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS clean
+        |FROM documents""".stripMargin,
+
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanWsSql(cleanAcSql)} AS ws FROM documents),
+         |s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS start
+         |      FROM t WHERE len(ws) > 0)
+         |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+         |  CAST(len(ws[start+1 : start+32]) AS BIGINT) AS n_tokens,
+         |  array_to_string(ws[start+1 : start+32], ' ') AS chunk_text
+         |FROM s""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id,

@@ -243,4 +243,42 @@ object Curation {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
+
+  /** PII redaction: masks email addresses, IPv4 addresses and
+    * international-format phone numbers with typed placeholders. A chain
+    * of codegen'd `regexp_replace` calls — no UDF — restricted to
+    * RE2-safe syntax (character classes + bounded repetition, no
+    * lookaround or backreferences) so the exact semantics are restatable
+    * on any RE2-family engine. Order matters: emails first (their local
+    * parts may contain digits and '+'), then IPv4 (dotted digit runs
+    * would otherwise half-match the phone pattern), then phones.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\+[0-9]{7,15}"
+    regexp_replace(regexp_replace(regexp_replace(text, email, "<EMAIL>"),
+      ip, "<IP>"), phone, "<PHONE>")
+  }
+
+  /** Context-window chunking: each document's token sequence split into
+    * width-`width` windows starting every `stride` tokens (overlapping
+    * when stride < width) — the training-prep stage that turns documents
+    * into model-context-sized pieces. Pure per-row array ops
+    * (sequence → slice), zero shuffle; an empty document contributes
+    * zero rows; the tail window may be shorter than `width`.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    df.select(col(idCol), cleanTokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - 1, lit(stride)),
+        start => slice(col("ws"), start + 1, lit(width)))))
+      .toDF(idCol, "chunk_idx", "chunk")
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
 }

@@ -1132,6 +1132,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 4) // key c has no dim row, key d no big rows
   }
 
+  test("redactPii masks emails, IPs and phones, leaves clean text alone") {
+    val df = Seq(
+      "write to bob.smith+x@corp.example.org today",
+      "server at 192.168.0.1 answered",
+      "call +14155550123 now",
+      "nothing sensitive here 1.2 or a@b").toDF("text")
+    val out = df.select(graft.ops.Curation.redactPii(col("text")))
+      .collect().map(_.getString(0))
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "server at <IP> answered")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "nothing sensitive here 1.2 or a@b")
+  }
+
+  test("chunk emits overlapping windows and drops empty docs") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "   ")).toDF("doc_id", "text")
+    val rows = graft.ops.Curation.chunk(df, "doc_id", "text", width = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSet == Set(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 3L, "e f g"), (1L, 3L, 1L, "g")))
+  }
+
   test("dedupAgainstBloom matches exact semantics even with forced false positives") {
     val seen = Seq((0L, "alpha"), (2L, "beta"), (4L, "gamma")).toDF("doc_id", "text")
     val batch = Seq((1L, "alpha"), (3L, "delta"), (5L, "beta"), (7L, "epsilon"),
