@@ -1274,7 +1274,11 @@ object Queries {
       val srcNum = substring(col("source"), 4, 10).cast("int")
       Dedup.dedupAgainstBloom(
         d.where(srcNum % 2 === 1).select("doc_id", "text"),
-        d.where(srcNum % 2 === 0), "text")
+        d.where(srcNum % 2 === 0), "text",
+        // sized for the gate corpus (~10 bits/item); production callers
+        // size for their seen-side cardinality — 1 MiB literals in every
+        // plan node make plan dumps unwieldy, so don't oversize
+        expectedItems = 1L << 10, numBits = 1L << 14)
         .select("doc_id")
     }),
 
