@@ -167,7 +167,8 @@ object Bench {
         "text_stats", "fingerprint", "ngram_jaccard_top", "minhash_lsh_pairs",
         "quantize_sums", "quant_knn_l2",
         "filter_quality", "decontam_overlap", "pack_sequences", "vocab_top",
-        "line_dedup", "dup_clusters", "asof_join", "interval_join")
+        "line_dedup", "dup_clusters", "asof_join", "interval_join",
+        "lm_logprob", "bloom_dedup", "doc_chunks", "rollup_pricing")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

@@ -1107,6 +1107,26 @@ object Queries {
           round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
             .as("var_chars"))),
 
+    // CUBE: all four grouping levels — (flag,status), (flag), (status),
+    // () — from one Expand+shuffle, same exactness contract as ROLLUP
+    "cube_pricing" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("gid"), col("n"), col("sum_qty"))),
+
+    // Per-group exact quartiles (counting aggregate, no global sort);
+    // 100 TB swaps in approx_percentile with the same plan shape
+    "lang_percentiles" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 6).as("p75"))),
+
     // Window-frame running aggregates per user: 4-event moving average
     // and running total. Frame sums ride decimal(18,4) so neither
     // engine's frame-evaluation order (sequential vs segment tree) can
@@ -2042,6 +2062,21 @@ object Queries {
         |         - CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE)
         |           * CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*))
         |        / (COUNT(*) - 1), 6) AS var_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "cube_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "lang_percentiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS p75
         |FROM documents GROUP BY lang""".stripMargin,
 
     "moving_avg" ->
