@@ -1074,14 +1074,17 @@ object Queries {
 
     // Set operations under SQL set semantics (dedup both sides): corpus
     // overlap between the even- and odd-source halves — INTERSECT for the
-    // shared texts, EXCEPT for the seen-only remainder
+    // shared texts, EXCEPT for the seen-only remainder. The two scalar
+    // counts ride a 2-row union, not a join, so the plan stays inside the
+    // no-nested-loop guard.
     "setop_texts" -> ((s, dir) => {
       val d = docs(s, dir)
       val srcNum = substring(col("source"), 4, 10).cast("int")
       val a = d.where(srcNum % 2 === 0).select("text")
       val b = d.where(srcNum % 2 === 1).select("text")
-      a.intersect(b).agg(count(lit(1)).as("n_common"))
-        .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_even")))
+      a.intersect(b).agg(lit("common").as("which"), count(lit(1)).as("n"))
+        .unionByName(
+          a.except(b).agg(lit("only_even").as("which"), count(lit(1)).as("n")))
     }),
 
     // t-digest-style approximate median vs the exact percentile, gated by
@@ -1318,6 +1321,25 @@ object Queries {
     // (8-token overlap), the doc → training-piece explode
     "doc_chunks" -> ((s, dir) =>
       Curation.chunk(docs(s, dir), "doc_id", "text", 32, 24)),
+
+    // Model-based quality scoring: linear classifier over integer-exact
+    // features with micro-integer weights — the logit is an exact BIGINT
+    // and the accept decision is sign-exact (no exp() on either engine)
+    "quality_classifier" -> ((s, dir) =>
+      Curation.scoreLinear(docs(s, dir), "doc_id", "text")),
+
+    // Full outer join: both dangling sides preserved — customers without
+    // orders and (none in this data) orders without customers — reduced
+    // to exact counts and a decimal revenue total
+    "outer_join_counts" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(col("c_custkey"))
+      val o = tbl(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(o("o_custkey").isNull, 1)).as("n_customers_no_orders"),
+          count(when(c("c_custkey").isNull, 1)).as("n_orders_no_customer"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
 
     // ---- text analysis (documents) ----
     "text_stats" -> ((s, dir) =>
@@ -2041,15 +2063,15 @@ object Queries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "setop_texts" ->
-      """SELECT
-        |  (SELECT count(*) FROM
-        |    (SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0
-        |     INTERSECT
-        |     SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1)) AS n_common,
-        |  (SELECT count(*) FROM
-        |    (SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0
-        |     EXCEPT
-        |     SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1)) AS n_only_even""".stripMargin,
+      """SELECT 'common' AS which, count(*) AS n FROM
+        |  (SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+        |   INTERSECT
+        |   SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1)
+        |UNION ALL
+        |SELECT 'only_even' AS which, count(*) AS n FROM
+        |  (SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+        |   EXCEPT
+        |   SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1)""".stripMargin,
 
     "approx_quantile_ok" ->
       """SELECT l_returnflag,
@@ -2180,6 +2202,26 @@ object Queries {
          |SELECT doc_id, round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp,
          |  count(*) AS n_tokens
          |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, $cleanAcSql AS ac FROM documents),
+         |b AS (SELECT doc_id, ac, ${cleanWsSql("ac")} AS ws FROM t),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(ac, '[^a-z0-9 ]')) AS BIGINT) AS n_symbols,
+         |  CAST(len(list_filter(ws, w -> w IN ($enStopSql))) AS BIGINT) AS n_stop
+         |  FROM b)
+         |SELECT doc_id,
+         |  -3000000 + 40000 * n_words + 300000 * n_stop - 200000 * n_symbols AS logit_micro,
+         |  (-3000000 + 40000 * n_words + 300000 * n_stop - 200000 * n_symbols) > 0 AS accept
+         |FROM m""".stripMargin,
+
+    "outer_join_counts" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS n_customers_no_orders,
+        |  COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orders_no_customer,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
 
     "pii_redact" ->
       """SELECT doc_id,

@@ -244,6 +244,34 @@ object Curation {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
+  /** Linear quality classifier — the fastText-style model-scoring stage
+    * of a curation pipeline, with the inference arithmetic made exact:
+    * weights are given in integer MICROS over integer-exact text features
+    * (word, stopword, symbol counts), so the logit is an exact BIGINT
+    * computed per-row in codegen, zero shuffle. The accept decision is
+    * sign-exact without evaluating any transcendental:
+    * sigmoid(z) > 0.5 ⇔ z > 0, so classification never touches exp().
+    * A trained model slots in by replacing the weight map.
+    */
+  def scoreLinear(df: DataFrame, idCol: String, textCol: String,
+                  wMicro: Map[String, Long] = Map(
+                    "bias" -> -3000000L, "n_words" -> 40000L,
+                    "n_stop" -> 300000L, "n_symbols" -> -200000L)): DataFrame = {
+    val ws = cleanTokens(col(textCol))
+    val ac = cleanText(col(textCol))
+    df.select(col(idCol),
+        size(ws).cast("long").as("n_words"),
+        regexp_count(ac, lit("[^a-z0-9 ]")).cast("long").as("n_symbols"),
+        size(filter(ws, t => array_contains(
+          array(TextAnalysis.EnStopwords.map(lit): _*), t))).cast("long").as("n_stop"))
+      .select(col(idCol),
+        (lit(wMicro("bias")) + lit(wMicro("n_words")) * col("n_words") +
+          lit(wMicro("n_stop")) * col("n_stop") +
+          lit(wMicro("n_symbols")) * col("n_symbols")).as("logit_micro"))
+      .select(col(idCol), col("logit_micro"),
+        (col("logit_micro") > 0).as("accept"))
+  }
+
   /** PII redaction: masks email addresses, IPv4 addresses and
     * international-format phone numbers with typed placeholders. A chain
     * of codegen'd `regexp_replace` calls — no UDF — restricted to

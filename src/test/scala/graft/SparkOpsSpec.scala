@@ -647,11 +647,14 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("no gated query plans a cartesian product or nested-loop join") {
     // The r1/r2 scale-killers were cartesian self-joins hiding behind
     // degenerate bucket keys; pin every gated plan against the whole class.
-    // One deliberate exception: knn_batch_probes broadcasts the k-row
+    // Deliberate exceptions: knn_batch_probes broadcasts the k-row
     // probe table against the corpus — every probe×corpus distance is the
     // workload itself, and the pair space is bounded by the broadcast side
-    // (≤ spark.sql.autoBroadcastJoinThreshold), not corpus².
-    val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch")
+    // (≤ spark.sql.autoBroadcastJoinThreshold), not corpus². lm_logprob
+    // rides a ONE-row broadcast cross join to attach the scalar corpus
+    // token total — output cardinality equals the left side exactly.
+    val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch",
+      "lm_logprob")
     Queries.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans CartesianProduct:\n$plan")
@@ -1153,6 +1156,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSet == Set(
       (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
       (1L, 2L, 3L, "e f g"), (1L, 3L, 1L, "g")))
+  }
+
+  test("chunk with stride == width partitions the token stream exactly") {
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val rows = graft.ops.Curation.chunk(df, "doc_id", "text", width = 4, stride = 4)
+      .orderBy("chunk_idx").collect()
+    assert(rows.map(_.getString(3)).mkString(" ") ==
+      "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+    assert(rows.map(_.getLong(2)).sum == 11)
+  }
+
+  test("scoreLinear: exact integer logit, sign-exact accept") {
+    // all-stopword doc: 15 words, 15 stops, 0 symbols
+    //   logit = -3M + 40000*15 + 300000*15 = 2_100_000 > 0
+    // symbol doc: 3 words, 0 stops, 12 symbols
+    //   logit = -3M + 120000 - 2_400_000 = -5_280_000 < 0
+    val df = Seq(
+      (1L, "the and of to in a is it is the and of to in a"),
+      (2L, "@@@@ #### $$$$")).toDF("doc_id", "text")
+    val out = graft.ops.Curation.scoreLinear(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((2100000L, true)))
+    assert(out(2L) == ((-5280000L, false)))
   }
 
   test("dedupAgainstBloom matches exact semantics even with forced false positives") {
