@@ -214,4 +214,16 @@ object Streams {
           }
       }
   }
+
+  /** Stream-static enrichment: each streaming row picks up the matching
+    * row of a static dimension snapshot. Stateless (no watermark); the
+    * static side is re-resolved per micro-batch, so swapping the dim
+    * table's files is picked up on the next batch. The broadcast hint is
+    * the 100 TB strategy for dimension-sized sides — each executor joins
+    * its stream partition locally, zero stream-side shuffle; drop the
+    * hint for a huge static side and Spark shuffles both on the key.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String,
+             joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), joinType)
 }

@@ -644,6 +644,51 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q3.stop()
   }
 
+  test("stream-static enrich joins each micro-batch against the dim snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val ms = MemoryStream[(Long, Long)]
+    val enriched = graft.streaming.Streams.enrich(
+      ms.toDF().toDF("order_id", "cust_id"), dim, "cust_id")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_test").outputMode("append").start()
+    try {
+      ms.addData((10L, 1L), (11L, 2L), (12L, 99L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT order_id, tier FROM enrich_test").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      // left_outer: unmatched keys survive with a null tier
+      assert(rows == Map(10L -> Some("gold"), 11L -> Some("silver"), 12L -> None))
+    } finally q.stop()
+  }
+
+  test("incremental dedup accretes across streaming micro-batches (foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    // the accreting seen-corpus: starts empty, grows by each batch's
+    // accepted rows — the production shape persists fingerprints instead
+    var seen = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fresh = graft.ops.Dedup.dedupAgainst(batch, seen, "text")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        kept ++= fresh.map(_._1)
+        seen = seen.unionByName(fresh.toSeq.toDF("doc_id", "text"))
+      }
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      ms.addData((3L, "alpha"), (4L, "gamma"))
+      q.processAllAvailable()
+      // batch 2's "alpha" is suppressed by batch 1's accepted copy
+      assert(kept.sorted == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("no gated query plans a cartesian product or nested-loop join") {
     // The r1/r2 scale-killers were cartesian self-joins hiding behind
     // degenerate bucket keys; pin every gated plan against the whole class.
