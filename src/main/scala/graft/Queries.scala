@@ -1184,7 +1184,7 @@ object Queries {
     "events_windowed" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       graft.streaming.Streams.windowedAgg(
-        e, graft.streaming.Streams.nanosToTimestamp(col("ts")),
+        e, graft.streaming.Streams.eventTime(e),
         "event_type", "1 hour", "value")
     }),
 
@@ -1194,7 +1194,7 @@ object Queries {
     "event_sessions" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       graft.streaming.Streams.sessionize(
-        e, graft.streaming.Streams.nanosToTimestamp(col("ts")),
+        e, graft.streaming.Streams.eventTime(e),
         "user_id", "30 minutes", "value")
     }),
 
@@ -1208,7 +1208,7 @@ object Queries {
     // events tables have no (user, μs) collisions at any SF).
     "asof_join" -> ((s, dir) => {
       val e = tbl(s, dir, "events").withColumn("ts",
-        floor(col("ts").cast("decimal(38,0)") / lit(1000L)).cast("long"))
+        graft.streaming.Streams.eventEpochUs(tbl(s, dir, "events")))
       graft.streaming.Streams.asofJoin(
         e.where(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts", "value"),
@@ -1226,7 +1226,7 @@ object Queries {
       // micro-precision ts for the same DuckDB-TIMESTAMP-precision reason
       // as asof_join
       val e = tbl(s, dir, "events").withColumn("ts",
-        floor(col("ts").cast("decimal(38,0)") / lit(1000L)).cast("long"))
+        graft.streaming.Streams.eventEpochUs(tbl(s, dir, "events")))
       val day = 86400L * 1000000L
       graft.streaming.Streams.intervalJoin(
         e.where(col("event_type") === "purchase")

@@ -32,6 +32,34 @@ object Streams {
     // nanos (~1.7e18 > 2^53) before truncating to micros
     timestamp_micros(floor(nanos.cast("decimal(38,0)") / lit(1000L)).cast("long"))
 
+  /** The `events.ts` column as a proper timestamp, whatever physical
+    * encoding the parquet writer chose. Generators have shipped it both as
+    * TIMESTAMP(NANOS) (loads as nanosecond-epoch LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and as TIMESTAMP(MICROS)
+    * (loads as timestamp / timestamp_ntz directly) — dispatch on the
+    * resolved schema so operators are storage-encoding-agnostic.
+    */
+  def eventTime(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => nanosToTimestamp(col(tsCol))
+      // ntz → timestamp is exact under the pinned-UTC session timezone and
+      // keeps downstream window/epoch casts on one type
+      case _ => col(tsCol).cast("timestamp")
+    }
+
+  /** Same dispatch, to a microsecond-epoch LONG — the exact integral form
+    * the as-of / interval join gates compare on (DuckDB sees parquet
+    * timestamps at micro precision, so comparing at micros is lossless for
+    * both engines; session timezone is pinned UTC everywhere, making the
+    * ntz→timestamp cast exact).
+    */
+  def eventEpochUs(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        floor(col(tsCol).cast("decimal(38,0)") / lit(1000L)).cast("long")
+      case _ => unix_micros(col(tsCol).cast("timestamp"))
+    }
+
   /** Tumbling event-time aggregation: (window start, key) → count + exact
     * decimal-accumulated sum. Identical semantics in batch and streaming —
     * in batch this is a plain `groupBy(window(...))`; on a stream apply
