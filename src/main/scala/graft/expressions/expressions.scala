@@ -362,6 +362,53 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Sign-bit binary quantization (`array<float>` → `array<long>` of
+  * ceil(dim/64) packed words): bit i set iff v[i] > 0. The 1-bit member of
+  * the quantization family (32× compression vs f32; the reference stops at
+  * i8/u8, sqlite-vector.c:1258-1272) — a Hamming scan over these words
+  * reads 1/32 of the bytes of the full-precision store.
+  */
+case class SignBits(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(dim > 0, s"dim must be > 0, got $dim")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "sign_bits"
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.signBits(v.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.signBits($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two packed bit signatures (`array<long>`,
+  * `array<long>` → long): popcount of the XOR — one JIT'd POPCNT per 64
+  * dims inside whole-stage codegen.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def prettyName: String = "hamming_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.kernels.Sketches.hamming($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection size of two sorted `array<long>` columns: a codegen'd
   * merge scan — the exact-verification kernel of the dedup pipelines
   * (ShingleHashes emits sorted arrays). No per-row hash sets.

@@ -52,6 +52,15 @@ object functions {
     */
   def string_hash61(s: Column): Column = col(StringHash61(expr(s)))
 
+  /** Sign-bit binary quantization: `array<float>` → packed `array<long>`
+    * bit signature (1 bit/dim); see [[graft.expressions.SignBits]].
+    */
+  def sign_bits(v: Column, dim: Int): Column = col(SignBits(expr(v), dim))
+
+  /** Hamming distance between two [[sign_bits]] signatures. */
+  def hamming_distance(a: Column, b: Column): Column =
+    col(HammingDistance(expr(a), expr(b)))
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
 

@@ -78,6 +78,40 @@ object Sketches {
     out
   }
 
+  /** Sign-bit binary quantization of a float vector: bit `i & 63` of word
+    * `i >> 6` is set iff v[i] > 0 — 32× compression over f32 (dim 64 → one
+    * long). The standard binary-quantization scheme for inner-product /
+    * cosine embedding spaces; restatable per-bit in SQL as
+    * `embedding[i] > 0`, so a gate can verify the packed form without ever
+    * materializing a 2^63 literal. Static entry point for generated code.
+    */
+  def signBits(v: ArrayData, dim: Int): ArrayData = {
+    val words = new Array[Long]((dim + 63) >>> 6)
+    var i = 0
+    while (i < dim) {
+      if (v.getFloat(i) > 0f) words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Hamming distance between two packed bit signatures (array<long>):
+    * popcount of the XOR, one `Long.bitCount` per 64 dims. Static entry
+    * point for generated code.
+    */
+  def hamming(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"hamming: signature length mismatch (${n} vs ${b.numElements()} words)")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    s
+  }
+
   /** MinHash signature over pre-hashed shingles (array<long> in): minima of
     * `numHashes` derived hash functions. Static entry point for generated
     * code.

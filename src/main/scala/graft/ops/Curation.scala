@@ -161,6 +161,47 @@ object Curation {
       .where(col("sample_bucket") < rate)
   }
 
+  /** Deterministic train/validation/test assignment: the id-hash bucket
+    * (0..99) is compared against cumulative percent cut points —
+    * `< trainPct` → train, `< trainPct+valPct` → val, else test. A pure
+    * projection (zero shuffles) whose assignment is a function of the id
+    * alone, so (a) re-runs and incremental appends land every document in
+    * the same split — no leakage when the corpus grows — and (b) any
+    * engine can recompute the assignment for audit (exact BIGINT hash,
+    * [[idHash]]). The split column partitions a write cleanly
+    * (`partitionBy("split")` → three directories, no shuffle).
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percents ($trainPct, $valPct)")
+    val bucket = pmod(idHash(col(idCol)), lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Per-key document cap — crawl curation's "at most n pages per domain".
+    * Selection is deterministic: each key keeps the n rows with the
+    * smallest (idHash, id) priority, i.e. a reproducible uniform sample of
+    * the key's rows rather than "whatever arrived first".
+    *
+    * Scale shape: ONE shuffle on the key into the bounded-heap
+    * [[graft.functions.knn_topk]] aggregate — O(n) state per key per task,
+    * partial aggregation map-side, only per-task winners cross the
+    * exchange. The window-function alternative (`row_number() OVER
+    * (PARTITION BY key)`) must sort every key's full row set and breaks
+    * down on a skewed mega-domain; the heap never holds more than n
+    * entries regardless of skew.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(graft.functions.knn_topk(
+        idHash(col(idCol)).cast("double"), col(idCol), n).as("_kept"))
+      .select(col(keyCol), explode(col("_kept")).as("_k"))
+      .select(col(keyCol), col("_k.id").as(idCol))
+
   /** Weighted resampling WITH repetition — the data-mixing step that
     * up-samples low-resource strata (weights > 1000‰ replicate rows) and
     * down-samples others, deterministically: a stratum at weight w‰ emits

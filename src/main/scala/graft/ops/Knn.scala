@@ -60,6 +60,34 @@ object Knn {
   def joinBack(knn: DataFrame, base: DataFrame, knnId: String, baseId: String): DataFrame =
     base.join(broadcast(knn), base(baseId) === knn(knnId))
 
+  /** Matryoshka (MRL) two-stage search: rank on the first `coarseDim`
+    * dimensions only, shortlist `c` candidates, rerank those exactly at
+    * full dimension. Matryoshka-trained embeddings order information by
+    * prefix, so the truncated distance is a cheap high-recall filter —
+    * stage 1 touches coarseDim/dim of the vector bytes (and, if the store
+    * is written with a separate prefix column, parquet prunes the rest at
+    * the scan).
+    *
+    * Same physical shape as [[BinaryQuant.rerankTopK]]: two
+    * TakeOrderedAndProject scans, a broadcast of the c-row shortlist, no
+    * full-table shuffle anywhere.
+    */
+  def mrlTopK(df: DataFrame, idCol: String, vecCol: String, probe: Array[Float],
+              coarseDim: Int, c: Int, k: Int, metric: String): DataFrame = {
+    require(coarseDim > 0 && coarseDim <= probe.length,
+      s"coarseDim $coarseDim out of range (dim ${probe.length})")
+    val coarseProbe = vectorLit(probe.take(coarseDim))
+    val shortlist = topK(
+      df.where(col(vecCol).isNotNull)
+        .select(col(idCol),
+          vector_distance(slice(col(vecCol), 1, coarseDim), coarseProbe, metric)
+            .as("coarse_distance")),
+      col("coarse_distance"), col(idCol), c).select(col(idCol))
+    val exact = df.join(broadcast(shortlist), idCol)
+      .select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance"))
+    topK(exact, col("distance"), col(idCol), k)
+  }
+
   def topK(scored: DataFrame, dist: Column, id: Column, k: Int): DataFrame =
     scored.orderBy(dist.asc, id.asc).limit(math.max(k, 0))
 }
