@@ -1432,6 +1432,14 @@ object Queries {
     "vocab_top" -> ((s, dir) =>
       Curation.vocabTop(docs(s, dir), "text", topN = 100)),
 
+    // Per-key cap ("≤25 docs per lang"): deterministic smallest-
+    // (idHash53, id) selection through the bounded knn_topk heap — one
+    // shuffle, O(n) state per key regardless of skew; the oracle restates
+    // the full-range priority in exact BIGINT and row_numbers it
+    "cap_per_key" -> ((s, dir) =>
+      Curation.capPerKey(docs(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", n = 25)),
+
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", Seq("lang", "source"))),
@@ -2123,7 +2131,7 @@ object Queries {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "orc_roundtrip" ->
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY lang""".stripMargin,
 
@@ -2401,6 +2409,26 @@ object Queries {
       s"""WITH w AS (SELECT unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents)
          |SELECT token, count(*) AS n FROM w GROUP BY token
          |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // capPerKey's idHash53 priority restated in exact BIGINT: lo/hi are
+    // the 31-bit halves of doc_id, two independent multiplicative mixes
+    // combine into a < 2^53 priority (lossless under Spark's double cast)
+    "cap_per_key" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    doc_id % 2147483648 AS lo,
+        |    CAST(doc_id // 2147483648 AS BIGINT) AS hi
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, doc_id,
+        |    ((lo * 2654435761 + hi * 40503) % 1000000007) * 8388608
+        |      + ((lo * 2246822519 + hi * 69069) % 8388593) AS priority
+        |  FROM h),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+        |  FROM p)
+        |SELECT lang, doc_id FROM r WHERE rn <= 25""".stripMargin,
 
     "dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count

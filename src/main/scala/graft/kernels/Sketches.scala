@@ -86,9 +86,15 @@ object Sketches {
     * materializing a 2^63 literal. Static entry point for generated code.
     */
   def signBits(v: ArrayData, dim: Int): ArrayData = {
+    require(v.numElements() == dim,
+      s"sign_bits: vector dim ${v.numElements()} != $dim")
     val words = new Array[Long]((dim + 63) >>> 6)
     var i = 0
     while (i < dim) {
+      // fail fast: a NULL lane would silently read as 0.0 (bit clear) and
+      // diverge from the SQL restatement `embedding[i] > 0` (NULL there)
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"sign_bits: NULL lane at index $i (vectors must be dense)")
       if (v.getFloat(i) > 0f) words(i >>> 6) |= 1L << (i & 63)
       i += 1
     }

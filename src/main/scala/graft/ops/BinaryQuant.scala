@@ -52,7 +52,9 @@ object BinaryQuant {
                  probe: Array[Float], dim: Int, c: Int, k: Int,
                  metric: String): DataFrame = {
     val shortlist = hammingTopK(sigs, idCol, probe, dim, c).select(col(idCol))
-    val exact = base.join(broadcast(shortlist), idCol)
+    // NULL vectors (sigs built from a different/stale snapshot) would sort
+    // first under ASC NULLS FIRST and displace real neighbors from the top-k
+    val exact = base.where(col(vecCol).isNotNull).join(broadcast(shortlist), idCol)
       .select(col(idCol),
         vector_distance(col(vecCol), vectorLit(probe), metric).as("distance"))
     Knn.topK(exact, col("distance"), col(idCol), k)

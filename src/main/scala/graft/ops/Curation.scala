@@ -145,6 +145,27 @@ object Curation {
   def idHash(id: Column): Column =
     pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000000007L))
 
+  /** Full-range deterministic id hash for per-row PRIORITIES (not
+    * buckets): both 31-bit halves of the id feed two independent
+    * multiplicative mixes, combined into a value in [0, 2^53) — exact in
+    * BIGINT (every intermediate stays under 2^63, so DuckDB restates it
+    * verbatim) and exact when cast to double (< 2^53). Unlike [[idHash]]
+    * (which reduces to ≤1000003 residues first — fine for permille
+    * buckets, but a key with >1M rows would see large tie classes broken
+    * by ascending id, biasing selection toward low ids), this yields
+    * ~8×10^15 distinct priorities: collision-free in expectation up to
+    * ~10^8 rows per key.
+    */
+  def idHash53(id: Column): Column = {
+    val lo = pmod(id, lit(2147483648L))           // low 31 bits
+    // (id - lo) is an exact multiple of 2^31, so the double division is
+    // lossless for ANY long id (a raw id/2^31 would round past 2^53)
+    val hi = ((id - lo) / lit(2147483648L)).cast("long")
+    val h1 = pmod(lo * lit(2654435761L) + hi * lit(40503L), lit(1000000007L))
+    val h2 = pmod(lo * lit(2246822519L) + hi * lit(69069L), lit(8388593L))
+    h1 * lit(8388608L) + h2                        // < 2^53
+  }
+
   /** Deterministic stratified sampling: keep a row iff its id-hash bucket
     * (0..999) falls under the stratum's per-mille rate. A pure filter —
     * zero shuffles, trivially reproducible (re-running on the same ids
@@ -184,8 +205,10 @@ object Curation {
 
   /** Per-key document cap — crawl curation's "at most n pages per domain".
     * Selection is deterministic: each key keeps the n rows with the
-    * smallest (idHash, id) priority, i.e. a reproducible uniform sample of
-    * the key's rows rather than "whatever arrived first".
+    * smallest ([[idHash53]], id) priority, i.e. a reproducible uniform
+    * sample of the key's rows rather than "whatever arrived first". The
+    * priority is full-range (~2^53 values, exact in both BIGINT and
+    * double), so selection stays unbiased even on mega-keys.
     *
     * Scale shape: ONE shuffle on the key into the bounded-heap
     * [[graft.functions.knn_topk]] aggregate — O(n) state per key per task,
@@ -198,7 +221,7 @@ object Curation {
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame =
     df.groupBy(col(keyCol))
       .agg(graft.functions.knn_topk(
-        idHash(col(idCol)).cast("double"), col(idCol), n).as("_kept"))
+        idHash53(col(idCol)).cast("double"), col(idCol), n).as("_kept"))
       .select(col(keyCol), explode(col("_kept")).as("_k"))
       .select(col(keyCol), col("_k.id").as(idCol))
 

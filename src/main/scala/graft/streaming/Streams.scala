@@ -84,12 +84,22 @@ object Streams {
 
   /** Watermarked event-time column for streaming inputs: attaches the
     * event-time column and the lateness bound that lets Spark finalize
-    * windows and evict state. Compose: `withEventTime(stream, $"ts_nanos",
+    * windows and evict state. Compose: `withEventTime(stream, $"ts",
     * "10 minutes")` → [[windowedAgg]] on `col("event_time")`.
+    *
+    * Dispatches on the column's RESOLVED type (same rule as [[eventTime]]):
+    * a LONG is nanosecond epoch (the `nanosAsLong` parquet read), anything
+    * else casts through timestamp — so a MICROS-generation source does NOT
+    * get divided by 1000 into ~1970 event times.
     */
-  def withEventTime(df: DataFrame, tsNanos: Column, maxLateness: String): DataFrame =
-    df.withColumn("event_time", nanosToTimestamp(tsNanos))
+  def withEventTime(df: DataFrame, ts: Column, maxLateness: String): DataFrame = {
+    val tsTyped = df.select(ts.as("_g_ts")).schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType => nanosToTimestamp(ts)
+      case _ => ts.cast("timestamp")
+    }
+    df.withColumn("event_time", tsTyped)
       .withWatermark("event_time", maxLateness)
+  }
 
   /** Gap-based sessionization: a user's consecutive events merge into one
     * session while each gap is at most `gap` (an event landing exactly on
@@ -208,8 +218,8 @@ object Streams {
     * day the state is keys-per-horizon, not keys-ever).
     */
   def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
-                           tsNanos: Column, maxLateness: String): DataFrame =
-    withEventTime(df, tsNanos, maxLateness)
+                           ts: Column, maxLateness: String): DataFrame =
+    withEventTime(df, ts, maxLateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming exact dedup, custom-state form (`flatMapGroupsWithState`):
