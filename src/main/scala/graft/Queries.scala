@@ -1644,6 +1644,36 @@ object Queries {
       s.range(1).select(lit(K).cast("long").as("k"), lit(inter.toDouble / K).as("recall"))
     }),
 
+    // ---- binary quantization: 32× compression sign-bit signatures ----
+
+    // Hamming top-k over packed sign-bit signatures (one long per 64
+    // dims): the oracle recomputes the distance per-dim as a sign
+    // comparison, so a mispacked bit or wrong popcount value-fails
+    "binary_hamming_topk" -> ((s, dir) => {
+      val sigs = graft.ops.BinaryQuant.signatures(emb(s, dir), "vec_id", "embedding", Dim)
+      graft.ops.BinaryQuant.hammingTopK(sigs, "vec_id", probe, Dim, K)
+        .select(col("vec_id"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // Two-stage binary search: Hamming shortlist (c=50) → exact L2
+    // rerank → top-k. Signature scan + broadcast of the 50-row shortlist;
+    // the base table is never shuffled
+    "binary_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val sigs = graft.ops.BinaryQuant.signatures(e, "vec_id", "embedding", Dim)
+      graft.ops.BinaryQuant.rerankTopK(sigs, e, "vec_id", "embedding",
+        probe, Dim, c = 50, k = K, metric = "l2")
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
+    // Matryoshka (MRL) two-stage search: rank on the first 16 dims,
+    // shortlist 50, exact full-dim rerank — stage 1 touches 1/4 of the
+    // vector bytes; same broadcast-shortlist shape as binary_rerank
+    "mrl_topk" -> ((s, dir) =>
+      Knn.mrlTopK(emb(s, dir), "vec_id", "embedding", probe,
+        coarseDim = 16, c = 50, k = K, metric = "l2")
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))),
+
     // ---- multimodal: REAL container fixtures (valid PNG/JPEG/WAV bytes
     // built per doc_id) parsed by the real header codec; the oracle checks
     // the dimension formulas, so a parser reading the wrong offsets fails ----
@@ -2510,6 +2540,41 @@ object Queries {
          |      FROM sg, p WHERE bucket IN (SELECT bkt FROM pb))
          |SELECT vec_id, round(distance, 6) AS distance FROM d
          |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
+
+    // binary quantization: Hamming restated per-dim as a sign comparison
+    // (bit i of the packed signature is embedding[i] > 0; popcount of the
+    // XOR = count of dims whose signs differ from the probe's)
+    "binary_hamming_topk" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1,$Dim),
+         |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |  FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT $K""".stripMargin,
+
+    "binary_rerank" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |h AS (SELECT vec_id, list_sum(list_transform(generate_series(1,$Dim),
+         |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS hd
+         |  FROM embeddings, p WHERE embedding IS NOT NULL),
+         |sl AS (SELECT vec_id FROM h ORDER BY hd, vec_id LIMIT 50),
+         |d AS (SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM embeddings, p WHERE embedding IS NOT NULL AND vec_id IN (SELECT vec_id FROM sl))
+         |SELECT vec_id, round(distance, 6) AS distance FROM d
+         |ORDER BY round(distance, 6), vec_id LIMIT $K""".stripMargin,
+
+    // MRL: stage-1 coarse distance over the 16-dim prefix (same
+    // sequential double accumulation, just a shorter series), then exact
+    // full-dim rerank of the 50-row shortlist
+    "mrl_topk" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |cd AS (SELECT vec_id, sqrt(list_sum(list_transform(generate_series(1,16),
+         |    i -> (CAST(embedding[i] AS DOUBLE) - pv[i]) * (CAST(embedding[i] AS DOUBLE) - pv[i])))) AS coarse
+         |  FROM embeddings, p WHERE embedding IS NOT NULL),
+         |sl AS (SELECT vec_id FROM cd ORDER BY coarse, vec_id LIMIT 50),
+         |d AS (SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM embeddings, p WHERE embedding IS NOT NULL AND vec_id IN (SELECT vec_id FROM sl))
+         |SELECT vec_id, round(distance, 6) AS distance FROM d
+         |ORDER BY round(distance, 6), vec_id LIMIT $K""".stripMargin,
 
     "ivf_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCte,

@@ -1286,4 +1286,51 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((3L, "c")) == ((3L, 2L, e(3, 2))))
     assert(got((3L, "d")) == ((1L, 1L, e(1, 1))))
   }
+
+  // ---------- binary quantization + MRL two-stage search ----------
+
+  test("hammingTopK matches a driver-side sign-comparison oracle") {
+    val dim = Queries.Dim
+    val rows = emb.where(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val oracle = rows.map { case (id, v) =>
+      (id, v.indices.count(i => (v(i) > 0f) != (probe(i) > 0f)).toLong)
+    }.sortBy { case (id, h) => (h, id) }.take(10)
+    val sigs = BinaryQuant.signatures(emb, "vec_id", "embedding", dim)
+    val got = BinaryQuant.hammingTopK(sigs, "vec_id", probe, dim, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == oracle.toSeq)
+  }
+
+  test("binary rerank and mrlTopK recover most of the exact top-k") {
+    val exact = Knn.fullScan(emb, "vec_id", "embedding", probe, 10, "l2")
+      .collect().map(_.getLong(0)).toSet
+    val sigs = BinaryQuant.signatures(emb, "vec_id", "embedding", Queries.Dim)
+    val bin = BinaryQuant.rerankTopK(sigs, emb, "vec_id", "embedding",
+      probe, Queries.Dim, c = 50, k = 10, metric = "l2")
+      .collect().map(_.getLong(0)).toSet
+    val mrl = Knn.mrlTopK(emb, "vec_id", "embedding", probe,
+      coarseDim = 16, c = 50, k = 10, metric = "l2")
+      .collect().map(_.getLong(0)).toSet
+    // both shortlists are 5x overscan of k; sign bits / 16-dim prefixes
+    // are crude but must land well above chance on 6k rows
+    assert(exact.intersect(bin).size >= 5, s"binary recall ${exact.intersect(bin).size}/10")
+    assert(exact.intersect(mrl).size >= 5, s"mrl recall ${exact.intersect(mrl).size}/10")
+  }
+
+  test("sign_bits fails fast on dim mismatch and NULL lanes") {
+    import graft.functions.sign_bits
+    val short = Seq((1L, Array(1.0f, -1.0f))).toDF("id", "v")
+    val ex1 = intercept[Exception] {
+      short.select(sign_bits(col("v"), 4)).collect()
+    }
+    assert(ex1.getMessage.contains("sign_bits") || ex1.getCause != null)
+    val withNull = Seq((1L, Array[java.lang.Float](1.0f, null, 2.0f, 3.0f)))
+      .toDF("id", "v")
+    val ex2 = intercept[Exception] {
+      withNull.select(sign_bits(col("v"), 4)).collect()
+    }
+    assert(ex2.getMessage.contains("NULL lane") || ex2.getCause != null)
+  }
 }
