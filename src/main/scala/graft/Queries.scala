@@ -319,8 +319,11 @@ object Queries {
        |ORDER BY jaccard DESC, a, b LIMIT $limit""".stripMargin
   }
 
-  /** Per-doc SimHash restatement: polynomial token hashes (bases 31/131,
-    * exact BIGINT arithmetic — Dedup.tokenHash61) → per-bit majority vote.
+  /** Per-doc SimHash restatement: polynomial token hashes (bases 31/131)
+    * mixed through the odd-multiplier bijections of
+    * [[graft.kernels.Sketches.tokenHash63]] (per-bit balanced — see its
+    * Scaladoc for why the raw composition would bias the majority vote),
+    * then the per-bit majority. Exact BIGINT arithmetic throughout.
     */
   private val simhashSelect: String = {
     val chars = "list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))"
@@ -330,7 +333,8 @@ object Queries {
        |  list_filter(regexp_split_to_array(trim(regexp_replace(text, '[^ -~]', '', 'g')), '\\s+'), t -> t <> '') AS toks
        |  FROM documents),
        |hs AS (SELECT doc_id, list_transform(toks, t ->
-       |  (${poly(31, 1000000007L)} * 2147483648) + ${poly(131, 2147483647L)}) AS hl FROM tk),
+       |  ((${poly(31, 1000000007L)} * 2654435761) % 2147483648) * 4294967296
+       |    + ((${poly(131, 2147483647L)} * 2246822519) % 4294967296)) AS hl FROM tk),
        |sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63), b ->
        |  CASE WHEN 2 * len(list_filter(hl, h -> ((h >> b) & 1) = 1)) - len(hl) > 0
        |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
@@ -627,6 +631,22 @@ object Queries {
         |g AS (SELECT probe_id, knn_topk(distance, vec_id, 5) AS tk FROM d GROUP BY probe_id)
         |SELECT probe_id, CAST(pos + 1 AS BIGINT) AS rank, t.col.id AS vec_id, t.col.distance AS distance
         |FROM g LATERAL VIEW posexplode(tk) t AS pos, col""".stripMargin)
+    }),
+
+    // Binary-quantized k-NN entirely in SQL: sign_bits + hamming_distance
+    // as registered SQL functions — the SQL-only user's path to the 32×
+    // compressed scan
+    "sql_binary_knn" -> ((s, dir) => {
+      emb(s, dir).createOrReplaceTempView("embeddings")
+      graft.functions.registerSql(s)
+      val pvSql = probe.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
+      s.sql(s"""
+        |WITH sg AS (SELECT vec_id, sign_bits(embedding, $Dim) AS sig
+        |            FROM embeddings WHERE embedding IS NOT NULL),
+        |d AS (SELECT vec_id,
+        |        hamming_distance(sig, sign_bits(CAST($pvSql AS ARRAY<FLOAT>), $Dim)) AS hamming
+        |      FROM sg)
+        |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT $K""".stripMargin)
     }),
 
     // K1 + join-back idiom (reference README.md:96-99): k-NN ids → documents
@@ -2545,6 +2565,13 @@ object Queries {
     // (bit i of the packed signature is embedding[i] > 0; popcount of the
     // XOR = count of dims whose signs differ from the probe's)
     "binary_hamming_topk" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1,$Dim),
+         |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |  FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT $K""".stripMargin,
+
+    "sql_binary_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),
          |d AS (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1,$Dim),
          |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming

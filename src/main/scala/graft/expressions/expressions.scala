@@ -478,8 +478,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /** SimHash of a token array (`array<string>` → long): bit b set iff more
-  * token hashes ([[graft.kernels.Sketches.tokenHash61]], exact BIGINT
-  * arithmetic, SQL-restatable) have bit b set than clear. A native
+  * token hashes ([[graft.kernels.Sketches.tokenHash63]], exact BIGINT
+  * arithmetic, SQL-restatable, per-bit balanced so the majority vote
+  * can't collapse to constants) have bit b set than clear. A native
   * expression, not a UDF — one traversal per row, inside
   * WholeStageCodegen with the tokenizer built-ins feeding it.
   */

@@ -145,5 +145,13 @@ object functions {
       case Seq(v, d) => VectorAvgFixed(v, intArg(d, "dim"))
       case args => throw new IllegalArgumentException(s"vector_avg expects (vec, dim), got ${args.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("sign_bits", {
+      case Seq(v, d) => SignBits(v, intArg(d, "dim"))
+      case args => throw new IllegalArgumentException(s"sign_bits expects (vec, dim), got ${args.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("hamming_distance", {
+      case Seq(a, b) => HammingDistance(a, b)
+      case args => throw new IllegalArgumentException(s"hamming_distance expects (a, b), got ${args.size} args")
+    }, "scala_udf")
   }
 }

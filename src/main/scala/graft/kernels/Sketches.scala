@@ -51,6 +51,40 @@ object Sketches {
     (h1 << 31) | h2
   }
 
+  /** 63-bit token hash with per-bit-BALANCED output — the SimHash input.
+    *
+    * [[tokenHash61]]'s raw composition is fine as an equality key but
+    * poisonous under SimHash's per-bit majority vote: h1 < 10^9+7 makes
+    * its top bits biased (P(bit 29)=0.46, bits above always 0), and the
+    * majority over n tokens amplifies ANY per-token bias by √n toward a
+    * CONSTANT — measured on the sf0.1 corpus, one 16-bit top chunk value
+    * covered 44% of all documents, turning the pigeonhole bucket join
+    * quadratic. The fix: pass each residue through an odd-multiplier
+    * bijection mod 2^31/2^32 (invertible, so no collisions added; the
+    * multiply diffuses the range's top-bit bias across all lower bits):
+    *
+    *   g1 = (h1 · 2654435761) mod 2^31   (31 bits, ≤ 2.7e18 — no overflow)
+    *   g2 = (h2 · 2246822519) mod 2^32   (32 bits, ≤ 4.9e18 — no overflow)
+    *   hash = g1 · 2^32 + g2             (< 2^63)
+    *
+    * Every intermediate is exact BIGINT, so the full composition restates
+    * verbatim in ANSI SQL. Bit 63 is always 0 — constant across all
+    * inputs, so it never contributes a SimHash difference and the 4×16
+    * pigeonhole blocking stays exact.
+    */
+  def tokenHash63(t: String): Long = {
+    var h1 = 0L; var h2 = 0L; var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i).toInt
+      h1 = (h1 * 31 + c) % 1000000007L
+      h2 = (h2 * 131 + c) % 2147483647L
+      i += 1
+    }
+    val g1 = (h1 * 2654435761L) % 2147483648L
+    val g2 = (h2 * 2246822519L) % 4294967296L
+    g1 * 4294967296L + g2
+  }
+
   /** SimHash over a token array (duplicates weighted, in-row): bit b of
     * the output is set iff more token hashes have bit b set than clear.
     * Static entry point for generated code ([[graft.expressions.SimHash64]]).
@@ -64,7 +98,7 @@ object Sketches {
       // other kernels rather than hashing a 0-length phantom
       if (tokens.isNullAt(j)) throw new IllegalArgumentException(
         s"simhash64: NULL token at index $j")
-      val h = tokenHash61(tokens.getUTF8String(j).toString)
+      val h = tokenHash63(tokens.getUTF8String(j).toString)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1

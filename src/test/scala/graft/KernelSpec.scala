@@ -179,6 +179,32 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenHash63 is restatable integer math with balanced bits 0-62") {
+    val toks = Seq("", "a", "hello", "x" * 500)
+    toks.foreach { t =>
+      val h = Sketches.tokenHash63(t)
+      assert(h >= 0L, s"'$t' -> $h") // nonnegative long == fits in 63 bits
+      val h1 = t.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+      val h2 = t.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % 2147483647L)
+      assert(h == ((h1 * 2654435761L) % 2147483648L) * 4294967296L
+        + ((h2 * 2246822519L) % 4294967296L))
+    }
+    // per-bit balance over a modest vocabulary: every bit 0..62 must land
+    // in [25%, 75%] set-frequency — the property tokenHash61's top bits
+    // lack and the one SimHash's majority vote amplifies into constants
+    val vocab = (0 until 4000).map(i => s"tok$i")
+    val counts = new Array[Int](63)
+    vocab.foreach { t =>
+      val h = Sketches.tokenHash63(t)
+      var b = 0
+      while (b < 63) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+    }
+    (0 until 63).foreach { b =>
+      assert(counts(b) > vocab.size / 4 && counts(b) < vocab.size * 3 / 4,
+        s"bit $b set in ${counts(b)}/${vocab.size}")
+    }
+  }
+
   test("TopKHeap: random insert streams equal sort-take-k; merge order irrelevant") {
     val rnd = new scala.util.Random(41)
     for (trial <- 1 to 60) {
