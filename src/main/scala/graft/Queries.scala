@@ -1452,6 +1452,14 @@ object Queries {
     "vocab_top" -> ((s, dir) =>
       Curation.vocabTop(docs(s, dir), "text", topN = 100)),
 
+    // Exact top-20 vocabulary through the Misra-Gries sketch: per-
+    // partition ≤200-counter summaries, merge, broadcast the candidates,
+    // exact recount — no full-vocabulary shuffle anywhere; the oracle is
+    // the plain exact top-20, which MUST match because every true top-20
+    // token clears the n/(k+1) presence bound
+    "heavy_hitters" -> ((s, dir) =>
+      Curation.heavyHitters(docs(s, dir), "text", topN = 20, sketchK = 200)),
+
     // Per-key cap ("≤25 docs per lang"): deterministic smallest-
     // (idHash53, id) selection through the bounded knn_topk heap — one
     // shuffle, O(n) state per key regardless of skew; the oracle restates
@@ -2459,6 +2467,11 @@ object Queries {
       s"""WITH w AS (SELECT unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents)
          |SELECT token, count(*) AS n FROM w GROUP BY token
          |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents)
+         |SELECT token, count(*) AS n FROM w GROUP BY token
+         |ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     // capPerKey's idHash53 priority restated in exact BIGINT: lo/hi are
     // the 31-bit halves of doc_id, two independent multiplicative mixes

@@ -258,3 +258,136 @@ case class VectorAvgFixed(child: Expression, dim: Int,
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c(0))
 }
+
+/** Misra-Gries heavy-hitters sketch: a fixed-size (≤ k entries) frequency
+  * summary with the classic deterministic guarantee — every item whose
+  * true count exceeds n/(k+1) is PRESENT in the summary, and each
+  * reported estimate underestimates its true count by at most n/(k+1)
+  * (never overestimates).
+  *
+  * The 100 TB shape: exact vocabulary counting (`groupBy(token)`)
+  * shuffles the full corpus-wide vocabulary — billions of keys for web
+  * text. This aggregate folds each partition into ≤ k counters
+  * (map-side partial aggregation), merges k-sized summaries across the
+  * exchange (the Agarwal et al. mergeable-summaries merge: sum, then
+  * subtract the (k+1)-th largest count and drop non-positives, which
+  * preserves the additive bound), and only k (token, est) pairs ever
+  * cross the wire. Serve it as a candidate filter: sketch → ≤ k
+  * candidates → broadcast semi-join → exact recount of candidates only —
+  * exact top-N output, sketch-sized shuffles (the heavy_hitters gate).
+  *
+  * NULL items are skipped (consistent with COUNT/knn_topk). Output:
+  * `array<struct<token, est>>` sorted (est DESC, token ASC) — fully
+  * deterministic for a given partitioning; merges are order-insensitive
+  * in the bound, not bit-for-bit, which is why gates recount exactly.
+  */
+case class FreqItemsSketch(child: Expression, k: Int,
+                           mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Long]] with ExpectsInputTypes {
+
+  require(k > 0, s"freq_items_sketch requires k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("token", StringType, nullable = false),
+                   StructField("est", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "freq_items_sketch"
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buffer: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = v.toString // copy out of the reused UTF8String buffer
+      val cur = buffer.getOrDefault(t, 0L)
+      if (cur != 0L) buffer.put(t, cur + 1)
+      else if (buffer.size < k) buffer.put(t, 1L)
+      else {
+        // decrement-all: each unit pairs an increment with a decrement, so
+        // total decrement work is amortized O(1) per input item
+        val it = buffer.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1)
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: java.util.HashMap[String, Long],
+                     other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    other.forEach { (t, c) => buffer.put(t, buffer.getOrDefault(t, 0L) + c) }
+    if (buffer.size > k) {
+      // subtract the (k+1)-th largest count from everything, drop <= 0
+      val counts = new Array[Long](buffer.size)
+      var i = 0
+      val vit = buffer.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(buffer.size - k - 1) // (k+1)-th largest
+      val it = buffer.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= sub) it.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    buffer
+  }
+
+  override def eval(buffer: java.util.HashMap[String, Long]): Any = {
+    val entries = new Array[(String, Long)](buffer.size)
+    var i = 0
+    buffer.forEach { (t, c) => entries(i) = (t, c); i += 1 }
+    scala.util.Sorting.stableSort(entries,
+      (a: (String, Long), b: (String, Long)) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    val rows = new Array[Any](entries.length)
+    i = 0
+    while (i < entries.length) {
+      rows(i) = InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(entries(i)._1), entries(i)._2)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buffer: java.util.HashMap[String, Long]): Array[Byte] = {
+    var bytes = 4
+    val enc = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)](buffer.size)
+    buffer.forEach { (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      enc += ((b, c)); bytes += 4 + b.length + 8
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(enc.size)
+    enc.foreach { case (b, c) => bb.putInt(b.length); bb.put(b); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      m.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}

@@ -61,6 +61,12 @@ object functions {
   def hamming_distance(a: Column, b: Column): Column =
     col(HammingDistance(expr(a), expr(b)))
 
+  /** Misra-Gries heavy-hitters aggregate (≤ k counters, deterministic
+    * n/(k+1) undercount bound); see [[graft.expressions.FreqItemsSketch]].
+    */
+  def freq_items_sketch(item: Column, k: Int): Column =
+    col(FreqItemsSketch(expr(item), k).toAggregateExpression())
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
 
@@ -144,6 +150,10 @@ object functions {
     reg.createOrReplaceTempFunction("vector_avg", {
       case Seq(v, d) => VectorAvgFixed(v, intArg(d, "dim"))
       case args => throw new IllegalArgumentException(s"vector_avg expects (vec, dim), got ${args.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("freq_items_sketch", {
+      case Seq(item, k) => FreqItemsSketch(item, intArg(k, "k"))
+      case args => throw new IllegalArgumentException(s"freq_items_sketch expects (item, k), got ${args.size} args")
     }, "scala_udf")
     reg.createOrReplaceTempFunction("sign_bits", {
       case Seq(v, d) => SignBits(v, intArg(d, "dim"))

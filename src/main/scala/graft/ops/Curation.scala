@@ -308,6 +308,32 @@ object Curation {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
+  /** Exact top-N vocabulary WITHOUT a full-vocabulary shuffle — the
+    * 100 TB form of [[vocabTop]]. [[vocabTop]]'s `groupBy(token)`
+    * exchanges the corpus-wide vocabulary (billions of keys on web text);
+    * here a Misra-Gries sketch ([[graft.functions.freq_items_sketch]])
+    * folds each partition into ≤ `sketchK` counters, only sketch-sized
+    * summaries cross the wire, and the ≤ sketchK candidates are then
+    * exactly recounted via a broadcast semi-join and ranked.
+    *
+    * The output is EXACT (not approximate) whenever the true N-th count
+    * exceeds n_tokens/(sketchK+1): Misra-Gries guarantees every such item
+    * is in the candidate set, and the recount restores exact counts.
+    * Size sketchK ≥ ~50× topN for comfortable margins on Zipfian text.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, topN: Int,
+                   sketchK: Int): DataFrame = {
+    val toks = df.select(explode(cleanTokens(col(textCol))).as("token"))
+    val cands = toks
+      .agg(graft.functions.freq_items_sketch(col("token"), sketchK).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"))
+    toks.join(broadcast(cands), "token")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+  }
+
   /** Linear quality classifier — the fastText-style model-scoring stage
     * of a curation pipeline, with the inference arithmetic made exact:
     * weights are given in integer MICROS over integer-exact text features

@@ -1319,6 +1319,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.intersect(mrl).size >= 5, s"mrl recall ${exact.intersect(mrl).size}/10")
   }
 
+  test("freq_items_sketch honors the Misra-Gries n/(k+1) guarantee under eviction + merge") {
+    // 5000 noise tokens (vocab 2000 >> k=50) + three heavy hitters
+    val rnd = new scala.util.Random(7)
+    val items = (Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++ Seq.fill(200)("gamma") ++
+      Seq.fill(5000)(s"noise${rnd.nextInt(2000)}"))
+    val n = items.size.toLong
+    val k = 50
+    val df = spark.createDataset(rnd.shuffle(items))(org.apache.spark.sql.Encoders.STRING)
+      .toDF("token").repartition(8) // force multi-partition partials + merge
+    val out = df.agg(graft.functions.freq_items_sketch(col("token"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size <= k)
+    val bound = n / (k + 1)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // presence: every item above the bound is in the sketch
+    truth.filter(_._2 > bound).keys.foreach(t => assert(out.contains(t), s"missing $t"))
+    // estimates never overestimate and undercount by at most the bound
+    out.foreach { case (t, est) =>
+      val tc = truth(t)
+      assert(est <= tc && est >= tc - bound, s"$t est=$est true=$tc bound=$bound")
+    }
+    // the sketch -> exact-recount pipeline returns the exact top list
+    val docsDf = Seq(items.mkString(" ")).toDF("text")
+    val hh = Curation.heavyHitters(docsDf, "text", topN = 3, sketchK = k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq == Seq(("alpha", 400L), ("beta", 300L), ("gamma", 200L)))
+  }
+
   test("sign_bits fails fast on dim mismatch and NULL lanes") {
     import graft.functions.sign_bits
     val short = Seq((1L, Array(1.0f, -1.0f))).toDF("id", "v")
