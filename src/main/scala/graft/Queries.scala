@@ -1208,6 +1208,24 @@ object Queries {
         "event_type", "1 hour", "value")
     }),
 
+    // Hive-partitioned event store: write partitioned by event_type, read
+    // back filtered to 2 of 5 types — the filter prunes at FILE-LISTING
+    // time (only matching partition dirs are touched; asserted via
+    // numFiles in SparkOpsSpec like the LSH store), then exact-decimal
+    // aggregate. Oracle filters the ORIGINAL parquet, so a partition
+    // write/read corruption or a pruning bug that drops rows value-fails
+    "events_partitioned_agg" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evp").toString + "/events"
+      tbl(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .where(col("event_type").isin("purchase", "signup"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    }),
+
     // Gap-based sessionization (built-in session_window; diff > gap
     // starts a new session — the close boundary is inclusive — and
     // s_end = last event + gap)
@@ -2198,6 +2216,13 @@ object Queries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_partitioned_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY event_type""".stripMargin,
 
     "event_sessions" ->
       """WITH b AS (SELECT user_id, event_id, ts, value,

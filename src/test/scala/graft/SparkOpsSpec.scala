@@ -1319,6 +1319,39 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.intersect(mrl).size >= 5, s"mrl recall ${exact.intersect(mrl).size}/10")
   }
 
+  test("partitioned event store prunes to the filtered event_type dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("evstore").toString + "/events"
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type", "value")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val nTypes = new java.io.File(dir).listFiles().count(_.getName.startsWith("event_type="))
+    assert(nTypes == 5)
+    // AQE wraps the executed plan in query stages, hiding the scan node
+    // from collect(); this assertion is about pruning, not re-planning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (q, got) = try {
+      val q0 = spark.read.parquet(dir)
+        .where(col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      (q0, q0.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val expected = events.where(col("event_type").isin("purchase", "signup"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.size == 2)
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    // 2 of the 5 event_type partition dirs listed (InputMetrics-grade)
+    val numFiles = scan.metrics("numFiles").value
+    val filesPerType = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_type="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum / 5
+    assert(numFiles <= 2 * math.max(filesPerType, 1) && numFiles >= 1,
+      s"numFiles=$numFiles filesPerType=$filesPerType")
+  }
+
   test("freq_items_sketch honors the Misra-Gries n/(k+1) guarantee under eviction + merge") {
     // 5000 noise tokens (vocab 2000 >> k=50) + three heavy hitters
     val rnd = new scala.util.Random(7)
