@@ -1208,6 +1208,25 @@ object Queries {
         "event_type", "1 hour", "value")
     }),
 
+    // Bucketed co-located join: both tables written bucketBy(8, orderkey)
+    // through the catalog, joined WITHOUT a shuffle on either side (the
+    // fact table pays its shuffle once at write time — zero-Exchange join
+    // asserted in SparkOpsSpec); exact cents revenue per priority class
+    "bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      graft.ops.Joins.writeBucketed(tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "b_orders", s"$tmp/orders", "o_orderkey", 8)
+      graft.ops.Joins.writeBucketed(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        "b_lineitem", s"$tmp/lineitem", "l_orderkey", 8)
+      s.table("b_orders")
+        .join(s.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))) / lit(10000.0)).as("revenue"))
+    }),
+
     // Hive-partitioned event store: write partitioned by event_type, read
     // back filtered to 2 of 5 types — the filter prunes at FILE-LISTING
     // time (only matching partition dirs are touched; asserted via
@@ -2216,6 +2235,12 @@ object Queries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "events_partitioned_agg" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -43,4 +43,25 @@ object Joins {
     b.join(r, b(keyCol) === r("__rk") && b("__salt") === r("__salt"))
       .select(big.columns.map(b(_)) ++ payload.map(p => r("__p_" + p).as(p)): _*)
   }
+
+  /** Bucketed table write — the PRE-SHUFFLED layout for repeated big-big
+    * joins. `bucketBy(n, key)` hash-partitions rows into n files per
+    * write-task group and records the bucket spec in the catalog;
+    * a later join of two tables bucketed on the same key with the same n
+    * plans WITHOUT a shuffle on either side (zero Exchange — asserted in
+    * SparkOpsSpec): each bucket pair joins independently, the sort is
+    * per-bucket (sortBy pre-orders the files).
+    *
+    * The 100 TB economics: a fact table joined every run pays its shuffle
+    * ONCE at write time, not per query — this is Spark's answer to the
+    * co-located join, and the reason the write goes through the catalog
+    * (`saveAsTable` with an explicit `path`): pure path-based parquet has
+    * nowhere to carry the bucket spec.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    keyCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
 }

@@ -1319,6 +1319,38 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.intersect(mrl).size >= 5, s"mrl recall ${exact.intersect(mrl).size}/10")
   }
 
+  test("bucketed tables join with ZERO exchanges on either side") {
+    val tmp = java.nio.file.Files.createTempDirectory("bktstore").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    Joins.writeBucketed(orders, "t_orders", s"$tmp/orders", "o_orderkey", 4)
+    Joins.writeBucketed(li, "t_lineitem", s"$tmp/lineitem", "l_orderkey", 4)
+    // forbid broadcast so the co-location (not a BroadcastExchange) is
+    // what eliminates the shuffle; AQE off for stable plan inspection
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.table("t_orders")
+        .join(spark.table("t_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      val nExchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.size
+      assert(nExchanges == 0, s"expected zero exchanges, got $nExchanges:\n${j.queryExecution.executedPlan}")
+      // and the result matches the plain (shuffled) join
+      val got = j.count()
+      val expected = orders.join(li, col("o_orderkey") === col("l_orderkey")).count()
+      assert(got == expected && got > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS t_orders")
+      spark.sql("DROP TABLE IF EXISTS t_lineitem")
+    }
+  }
+
   test("partitioned event store prunes to the filtered event_type dirs") {
     val dir = java.nio.file.Files.createTempDirectory("evstore").toString + "/events"
     val events = spark.read.parquet(s"$sfDir/events.parquet")
