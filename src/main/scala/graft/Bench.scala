@@ -162,13 +162,25 @@ object Bench {
       time("ivfpq_probe_600k")(
         ops.Pq.ivfPqTopK(spark, s"$benchDir/ivfpq", probe, 10, cents, pqCb, 8).count())
 
+      // binary quantization: 1-bit/dim signatures — Hamming scan of the
+      // packed longs, then the two-stage Hamming-shortlist -> exact rerank
+      val sigs = ops.BinaryQuant.signatures(vecs, "id", "vec", Dim)
+      time("binary_hamming_600k")(
+        ops.BinaryQuant.hammingTopK(sigs, "id", probe, Dim, 10).count())
+      time("binary_rerank_600k")(
+        ops.BinaryQuant.rerankTopK(sigs, vecs, "id", "vec", probe, Dim, 100, 10, "l2").count())
+      // MRL prefix search: coarse ranking touches 16/64 of the vector
+      time("mrl_rerank_600k")(
+        ops.Knn.mrlTopK(vecs, "id", "vec", probe, 16, 100, 10, "l2").count())
+
       // 5. relational + text + dedup representatives from the inventory
       val fromQueries = Seq("q1_pricing", "q3_revenue", "window_top_orders",
         "text_stats", "fingerprint", "ngram_jaccard_top", "minhash_lsh_pairs",
         "quantize_sums", "quant_knn_l2",
         "filter_quality", "decontam_overlap", "pack_sequences", "vocab_top",
         "line_dedup", "dup_clusters", "asof_join", "interval_join",
-        "lm_logprob", "bloom_dedup", "doc_chunks", "rollup_pricing")
+        "lm_logprob", "bloom_dedup", "doc_chunks", "rollup_pricing",
+        "heavy_hitters", "events_partitioned_agg")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

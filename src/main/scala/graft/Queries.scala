@@ -1337,6 +1337,20 @@ object Queries {
         .select("doc_id")
     }),
 
+    // Incremental NEAR-dup: odd-id batch screened against the even-id
+    // seen corpus's MinHash index — band-bucket candidates, exact-Jaccard
+    // verify, anti-join; oracle = exact cross-half NOT EXISTS at the same
+    // threshold (pipeline and gate both at 0.9, the LSH guard band)
+    "near_dup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = Dedup.nearDupStore(d.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", numHashes = 128, bands = 16, shingleN = 4)
+      Dedup.nearDupAgainst(d.where(col("doc_id") % 2 === 1).select("doc_id", "text"),
+        store, "doc_id", "text", numHashes = 128, bands = 16, shingleN = 4,
+        threshold = 0.9)
+        .select("doc_id")
+    }),
+
     // CCNet-style LM quality signal: per-doc mean unigram logprob under
     // the corpus's own unigram LM; per-token logp rounded to 9 dp and
     // summed as decimal(38,9) so the unordered reduce is exact
@@ -2300,6 +2314,19 @@ object Queries {
         |WHERE b.doc_id % 2 = 1
         |  AND NOT EXISTS (SELECT 1 FROM documents s
         |                  WHERE s.doc_id % 2 = 0 AND s.text = b.text)""".stripMargin,
+
+    // exact 4-gram-Jaccard cross-half restatement of the banded screen
+    "near_dup_incremental" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN length(t) < 4 THEN [t]
+        |       ELSE list_distinct(list_transform(generate_series(1, length(t) - 3), i -> t[i:i+3])) END AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(text, '[^ -~]', '', 'g')) AS t FROM documents)),
+        |m AS (SELECT DISTINCT b.doc_id FROM s b JOIN s sn
+        |        ON b.doc_id % 2 = 1 AND sn.doc_id % 2 = 0
+        |  WHERE round(CAST(len(list_intersect(b.sh, sn.sh)) AS DOUBLE) /
+        |        greatest(CAST(len(b.sh) + len(sn.sh) AS DOUBLE) - CAST(len(list_intersect(b.sh, sn.sh)) AS DOUBLE), 1.0), 6) >= 0.9)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin,
 
     "bloom_dedup" ->
       """SELECT b.doc_id FROM documents b

@@ -156,6 +156,70 @@ object Dedup {
   def shingleHashes(text: Column, n: Int = 3): Column =
     graft.functions.shingle_hashes(text, n)
 
+  /** The persistable MinHash index of a SEEN corpus, for INCREMENTAL
+    * near-dup ([[nearDupAgainst]]): `bands` = (band, bandHash, id) — the
+    * narrow LSH directory, 24 bytes/row × bands, partitionable by (band,
+    * bandHash) on disk; `payload` = (id, sh, sig) — one row per doc
+    * carrying the hashed shingle set and signature for exact
+    * verification. Split in two so the wide shingle arrays are stored
+    * ONCE per doc, not once per band.
+    */
+  final case class NearDupStore(bands: DataFrame, payload: DataFrame)
+
+  def nearDupStore(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 128, bands: Int = 16,
+                   shingleN: Int = 3): NearDupStore = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val payload = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhash_signature(col("sh"), numHashes))
+    val banded = payload.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+      .select(col("band"), col("bandHash"), col("id"))
+    NearDupStore(banded, payload)
+  }
+
+  /** Incremental NEAR-dup screen — the continuous-ingest companion to the
+    * exact [[dedupAgainst]]: batch rows survive unless ≥ `threshold`
+    * n-gram-Jaccard-similar to SOME seen document. Decision is EXACT
+    * above the LSH recall floor: band-bucket candidates (seen directory ⋈
+    * batch bands — the batch side is ingest-wave-sized, so AQE broadcasts
+    * it and the 100 TB seen directory is never shuffled), estimate-gate on
+    * signature agreement with the same 4σ lossless margin as
+    * [[minhashLshRun]], exact merge-scan Jaccard on the hashed shingle
+    * sets, then one anti-join of the batch against the matched ids.
+    *
+    * Run [[dedupAgainst]] (exact) first in an ingest pipeline: identical
+    * batch copies of one seen doc then never reach the near-dup join, the
+    * same degenerate-skew ordering the batch LSH pipeline uses. Accrete
+    * accepted rows into the store with [[nearDupStore]] on the accepted
+    * slice (union of the two `bands`/`payload` pairs).
+    */
+  def nearDupAgainst(batch: DataFrame, seen: NearDupStore, idCol: String,
+                     textCol: String, numHashes: Int = 128, bands: Int = 16,
+                     shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val b = nearDupStore(batch, idCol, textCol, numHashes, bands, shingleN)
+    val margin = 4.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val cands = seen.bands.select(col("band"), col("bandHash"), col("id").as("seen_id"))
+      .join(b.bands.select(col("band"), col("bandHash"), col("id").as("batch_id")),
+        Seq("band", "bandHash"))
+      .select(col("batch_id"), col("seen_id")).dropDuplicates("batch_id", "seen_id")
+    val matched = cands
+      .join(b.payload.select(col("id").as("batch_id"), col("sh").as("shb"), col("sig").as("sigb")), "batch_id")
+      .join(seen.payload.select(col("id").as("seen_id"), col("sh").as("shs"), col("sig").as("sigs")), "seen_id")
+      .where(graft.functions.sig_match_count(col("sigb"), col("sigs")).cast("double") / numHashes
+        >= threshold - margin)
+      .withColumn("inter", graft.functions.sorted_intersect_count(col("shb"), col("shs")).cast("double"))
+      .withColumn("union", (size(col("shb")) + size(col("shs"))).cast("double") - col("inter"))
+      .where(round(col("inter") / greatest(col("union"), lit(1.0)), 6) >= threshold)
+      .select(col("batch_id").as("__dup_id")).distinct()
+    batch.join(matched, batch(idCol) === col("__dup_id"), "left_anti")
+  }
+
   // ---------- MinHash + LSH candidates → exact verification ----------
 
   /** MinHash-LSH near-dup pairs, the 100 TB-shaped pipeline:
