@@ -1319,6 +1319,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.intersect(mrl).size >= 5, s"mrl recall ${exact.intersect(mrl).size}/10")
   }
 
+  test("nearDupAgainst drops batch rows near-dup to seen, keeps fresh; store accretes") {
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark vector engines at scale")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),  // exact dup of 1
+      (12L, "a wholly novel document that matches nothing in the seen set")
+    ).toDF("id", "text")
+    val store = Dedup.nearDupStore(seen, "id", "text", 64, 16, 3)
+    val kept = Dedup.nearDupAgainst(batch, store, "id", "text", 64, 16, 3, 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L), s"kept $kept")
+    // accretion: union the accepted slice into the store; a re-sent copy
+    // of the accepted doc is now itself screened out
+    val accepted = batch.where(col("id") === 12L)
+    val acc = Dedup.nearDupStore(accepted, "id", "text", 64, 16, 3)
+    val store2 = Dedup.NearDupStore(
+      store.bands.unionByName(acc.bands), store.payload.unionByName(acc.payload))
+    val batch2 = Seq(
+      (20L, "a wholly novel document that matches nothing in the seen set"), // dup of accepted 12
+      (21L, "yet another genuinely fresh piece of text nothing resembles")
+    ).toDF("id", "text")
+    val kept2 = Dedup.nearDupAgainst(batch2, store2, "id", "text", 64, 16, 3, 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(21L), s"kept2 $kept2")
+  }
+
   test("bucketed tables join with ZERO exchanges on either side") {
     val tmp = java.nio.file.Files.createTempDirectory("bktstore").toString
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
