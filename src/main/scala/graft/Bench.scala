@@ -96,6 +96,10 @@ object Bench {
     // IVF-PQ: both levers through one store — the probe reads 8/64 cell
     // dirs AND only their 8-byte code column
     ops.Pq.writeIvfPq(vecs, "id", "vec", s"$benchDir/ivfpq", cents, pqCb)
+    // binary signature store (8 bytes/vector) + MRL two-column layout
+    ops.BinaryQuant.signatures(vecs, "id", "vec", Dim)
+      .write.mode("overwrite").parquet(s"$benchDir/sigs")
+    ops.Knn.writeMrl(vecs, "id", "vec", s"$benchDir/mrl", 16)
 
     // Untimed page-cache warm: one linear read of every input byte (the
     // pre-built stores and the sf tables the queries scan). The timed
@@ -162,16 +166,19 @@ object Bench {
       time("ivfpq_probe_600k")(
         ops.Pq.ivfPqTopK(spark, s"$benchDir/ivfpq", probe, 10, cents, pqCb, 8).count())
 
-      // binary quantization: 1-bit/dim signatures — Hamming scan of the
-      // packed longs, then the two-stage Hamming-shortlist -> exact rerank
-      val sigs = ops.BinaryQuant.signatures(vecs, "id", "vec", Dim)
+      // binary quantization: Hamming scan of the STORED 1-bit/dim
+      // signatures (8 bytes/vector — the 32× byte win is the point), then
+      // the two-stage Hamming-shortlist -> exact rerank against the f32s
+      val sigs = spark.read.parquet(s"$benchDir/sigs")
       time("binary_hamming_600k")(
         ops.BinaryQuant.hammingTopK(sigs, "id", probe, Dim, 10).count())
       time("binary_rerank_600k")(
         ops.BinaryQuant.rerankTopK(sigs, vecs, "id", "vec", probe, Dim, 100, 10, "l2").count())
-      // MRL prefix search: coarse ranking touches 16/64 of the vector
+      // MRL prefix search over the two-column store: stage 1's projection
+      // reads only the 16-dim prefix column chunks
+      val mrl = spark.read.parquet(s"$benchDir/mrl")
       time("mrl_rerank_600k")(
-        ops.Knn.mrlTopK(vecs, "id", "vec", probe, 16, 100, 10, "l2").count())
+        ops.Knn.mrlTopKStored(mrl, "id", "prefix", "vec", probe, 16, 100, 10, "l2").count())
 
       // 5. relational + text + dedup representatives from the inventory
       val fromQueries = Seq("q1_pricing", "q3_revenue", "window_top_orders",

@@ -88,6 +88,38 @@ object Knn {
     topK(exact, col("distance"), col(idCol), k)
   }
 
+  /** [[mrlTopK]] over a store written with a DEDICATED prefix column
+    * (`writeMrl`): stage 1 selects only (id, prefix), so the parquet scan
+    * reads coarseDim/dim of the vector bytes — column pruning does the
+    * work the sliced single-column form can only do arithmetically. The
+    * rerank reads the full column for the c shortlisted ids alone.
+    */
+  def mrlTopKStored(df: DataFrame, idCol: String, prefixCol: String,
+                    vecCol: String, probe: Array[Float],
+                    coarseDim: Int, c: Int, k: Int, metric: String): DataFrame = {
+    require(coarseDim > 0 && coarseDim <= probe.length,
+      s"coarseDim $coarseDim out of range (dim ${probe.length})")
+    val shortlist = topK(
+      df.where(col(prefixCol).isNotNull)
+        .select(col(idCol),
+          vector_distance(col(prefixCol), vectorLit(probe.take(coarseDim)), metric)
+            .as("coarse_distance")),
+      col("coarse_distance"), col(idCol), c).select(col(idCol))
+    val exact = df.where(col(vecCol).isNotNull).join(broadcast(shortlist), idCol)
+      .select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance"))
+    topK(exact, col("distance"), col(idCol), k)
+  }
+
+  /** Write the MRL two-column layout: (id, prefix = first coarseDim lanes,
+    * vec). Parquet stores the two arrays as independent column chunks, so
+    * a prefix-only projection never touches the full vectors.
+    */
+  def writeMrl(df: DataFrame, idCol: String, vecCol: String, path: String,
+               coarseDim: Int): Unit =
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), slice(col(vecCol), 1, coarseDim).as("prefix"), col(vecCol))
+      .write.mode("overwrite").parquet(path)
+
   def topK(scored: DataFrame, dist: Column, id: Column, k: Int): DataFrame =
     scored.orderBy(dist.asc, id.asc).limit(math.max(k, 0))
 }

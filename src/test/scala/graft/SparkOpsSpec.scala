@@ -1319,6 +1319,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.intersect(mrl).size >= 5, s"mrl recall ${exact.intersect(mrl).size}/10")
   }
 
+  test("mrlTopKStored equals mrlTopK; stage-1 scan never reads the full vector column") {
+    val dir = java.nio.file.Files.createTempDirectory("mrlstore").toString + "/mrl"
+    Knn.writeMrl(emb, "vec_id", "embedding", dir, 16)
+    val store = spark.read.parquet(dir)
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    val got = rows(Knn.mrlTopKStored(store, "vec_id", "prefix", "embedding",
+      probe, 16, 50, 10, "l2"))
+    val want = rows(Knn.mrlTopK(emb, "vec_id", "embedding", probe, 16, 50, 10, "l2"))
+    assert(got == want)
+    // column pruning: the coarse projection's parquet scan reads only
+    // (vec_id, prefix) — the full vector column chunk is never touched
+    val s1 = store.select(col("vec_id"),
+      graft.functions.vector_distance(col("prefix"),
+        graft.functions.vectorLit(probe.take(16)), "l2").as("d"))
+    val scan = s1.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(!scan.requiredSchema.fieldNames.contains("embedding"),
+      scan.requiredSchema.treeString)
+  }
+
   test("nearDupAgainst drops batch rows near-dup to seen, keeps fresh; store accretes") {
     val seen = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
