@@ -1753,6 +1753,28 @@ object Queries {
         coarseDim = 16, c = 50, k = K, metric = "l2")
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))),
 
+    // Same search through the two-column (prefix, vec) STORE: written,
+    // read back, stage-1 scan column-pruned to the prefix chunks
+    // (requiredSchema-asserted in SparkOpsSpec)
+    "mrl_topk_stored" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mrl").toString + "/store"
+      Knn.writeMrl(emb(s, dir), "vec_id", "embedding", path, 16)
+      Knn.mrlTopKStored(s.read.parquet(path), "vec_id", "prefix", "embedding",
+        probe, coarseDim = 16, c = 50, k = K, metric = "l2")
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
+    // JL random projection 64 -> 8 dims: deterministic Gaussian planes
+    // (same machinery as the hyperplane LSH), exact sequential-double
+    // dots restated with the plane matrix as SQL literals; output
+    // exploded to (vec_id, d, val) scalars for the hash compare
+    "random_projection" -> ((s, dir) =>
+      emb(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          posexplode(random_projection(col("embedding"), 8, Dim).as("p")))
+        .select(col("vec_id"), col("pos").cast("long").as("d"),
+          round(col("col"), 6).as("val"))),
+
     // ---- multimodal: REAL container fixtures (valid PNG/JPEG/WAV bytes
     // built per doc_id) parsed by the real header codec; the oracle checks
     // the dimension formulas, so a parser reading the wrong offsets fails ----
@@ -2661,6 +2683,13 @@ object Queries {
          |  FROM embeddings, p WHERE embedding IS NOT NULL)
          |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT $K""".stripMargin,
 
+    "random_projection" ->
+      s"""WITH ${planesCte(8)},
+         |pr AS (SELECT vec_id, b, list_sum(list_transform(generate_series(1,$Dim),
+         |    i -> CAST(embedding[i] AS DOUBLE) * plv[i])) * ${1.0 / math.sqrt(8.0)} AS v
+         |  FROM embeddings, pl WHERE embedding IS NOT NULL)
+         |SELECT vec_id, CAST(b AS BIGINT) AS d, round(v, 6) AS val FROM pr""".stripMargin,
+
     "sql_binary_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),
          |d AS (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1,$Dim),
@@ -2683,6 +2712,18 @@ object Queries {
     // sequential double accumulation, just a shorter series), then exact
     // full-dim rerank of the 50-row shortlist
     "mrl_topk" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |cd AS (SELECT vec_id, sqrt(list_sum(list_transform(generate_series(1,16),
+         |    i -> (CAST(embedding[i] AS DOUBLE) - pv[i]) * (CAST(embedding[i] AS DOUBLE) - pv[i])))) AS coarse
+         |  FROM embeddings, p WHERE embedding IS NOT NULL),
+         |sl AS (SELECT vec_id FROM cd ORDER BY coarse, vec_id LIMIT 50),
+         |d AS (SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM embeddings, p WHERE embedding IS NOT NULL AND vec_id IN (SELECT vec_id FROM sl))
+         |SELECT vec_id, round(distance, 6) AS distance FROM d
+         |ORDER BY round(distance, 6), vec_id LIMIT $K""".stripMargin,
+
+    // identical semantics through the store — same restatement
+    "mrl_topk_stored" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),
          |cd AS (SELECT vec_id, sqrt(list_sum(list_transform(generate_series(1,16),
          |    i -> (CAST(embedding[i] AS DOUBLE) - pv[i]) * (CAST(embedding[i] AS DOUBLE) - pv[i])))) AS coarse

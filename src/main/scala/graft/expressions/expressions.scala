@@ -582,6 +582,40 @@ case class HyperplaneSignature(child: Expression, nBits: Int, dim: Int, seed: Lo
     copy(child = newChild)
 }
 
+/** Gaussian random projection (Johnson-Lindenstrauss dimensionality
+  * reduction): `array<float>` (dim) → `array<double>` (outDim), out_b =
+  * dot(v, plane_b)/√outDim over the same deterministic (seed-derived)
+  * plane matrix machinery as [[HyperplaneSignature]] — so the oracle
+  * restates the exact projection with the planes as SQL literals.
+  * Sequential per-lane accumulation (list_sum order); NULL lanes and dim
+  * drift fail fast like the sibling kernels.
+  */
+case class RandomProjection(child: Expression, outDim: Int, dim: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(outDim > 0, s"outDim must be positive, got $outDim")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "random_projection"
+
+  @transient private lazy val planes: Array[Array[Double]] = Sketches.planes(outDim, dim, seed)
+  private val scale: Double = 1.0 / math.sqrt(outDim.toDouble)
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.project(v.asInstanceOf[ArrayData], planes, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    // Double.toString round-trips, so the inlined Java literal is the
+    // exact same scale the interpreted path multiplies by
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.project($c, $planesRef, ${scale}d);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid assignment for IVF-style coarse quantization:
   * `array<float>` → the index of the closest centroid (squared-L2,
   * sequential double accumulation, ties to the lowest index — all exactly

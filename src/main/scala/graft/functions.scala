@@ -82,6 +82,12 @@ object functions {
   def nearest_centroid(v: Column, centroids: Seq[Seq[Float]]): Column =
     col(NearestCentroid(expr(v), centroids))
 
+  /** Johnson-Lindenstrauss Gaussian random projection to `outDim`
+    * dimensions; see [[graft.expressions.RandomProjection]].
+    */
+  def random_projection(v: Column, outDim: Int, dim: Int, seed: Long = 42L): Column =
+    col(RandomProjection(expr(v), outDim, dim, seed))
+
   /** Grouped top-k aggregate: smallest-k (distance, id) pairs per group,
     * bounded O(k) state per task (map-side combine) — the batch k-NN join
     * primitive; see [[graft.expressions.TopKPairs]].

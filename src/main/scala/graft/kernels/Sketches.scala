@@ -253,6 +253,33 @@ object Sketches {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Gaussian random projection (Johnson-Lindenstrauss): out_b =
+    * dot(v, plane_b) · scale, scale = 1/√outDim so expected pairwise
+    * L2 distances are preserved. ONE traversal of the vector; per-plane
+    * accumulation is sequential in element order (the same order an SQL
+    * list_sum restatement uses). Static entry point for generated code.
+    */
+  def project(v: ArrayData, planes: Array[Array[Double]], scale: Double): ArrayData = {
+    require(v.numElements() == planes(0).length,
+      s"vector dim ${v.numElements()} != plane dim ${planes(0).length}")
+    val nb = planes.length
+    val acc = new Array[Double](nb)
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"random_projection: NULL lane at index $i (vectors must be dense)")
+      val x = v.getFloat(i).toDouble
+      var b = 0
+      while (b < nb) { acc(b) += x * planes(b)(i); b += 1 }
+      i += 1
+    }
+    val out = new Array[Any](nb)
+    var b = 0
+    while (b < nb) { out(b) = acc(b) * scale; b += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Hyperplane signature: bit b set iff dot(v, plane_b) > 0. ONE traversal
     * of the vector; per-plane accumulation is sequential in element order
     * (the same order an SQL list_sum restatement uses). Static entry point

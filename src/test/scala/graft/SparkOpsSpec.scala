@@ -1319,6 +1319,40 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.intersect(mrl).size >= 5, s"mrl recall ${exact.intersect(mrl).size}/10")
   }
 
+  test("random_projection: exact vs driver math, JL distance preservation, fail-fast") {
+    import graft.functions.random_projection
+    val rows = emb.where(col("embedding").isNotNull)
+      .select("vec_id", "embedding").limit(50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planes = graft.kernels.Sketches.planes(16, Queries.Dim, 42L)
+    val scale = 1.0 / math.sqrt(16.0)
+    def proj(v: Array[Float]): Array[Double] =
+      planes.map(p => p.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * p(i)) * scale)
+    val got = emb.where(col("embedding").isNotNull).where(col("vec_id") < 50)
+      .select(col("vec_id"), random_projection(col("embedding"), 16, Queries.Dim))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.filter(_._1 < 50).foreach { case (id, v) =>
+      val e = proj(v)
+      assert(got(id).zip(e).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    }
+    // JL: projected pairwise L2 within a loose band of the original
+    def l2(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    val sample = rows.take(10)
+    var ok = 0; var tot = 0
+    for (i <- sample.indices; j <- (i + 1) until sample.length) {
+      val dOrig = l2(sample(i)._2.map(_.toDouble), sample(j)._2.map(_.toDouble))
+      val dProj = l2(proj(sample(i)._2), proj(sample(j)._2))
+      tot += 1
+      if (dProj > 0.4 * dOrig && dProj < 1.8 * dOrig) ok += 1
+    }
+    assert(ok >= tot * 8 / 10, s"JL preservation $ok/$tot")
+    val short = Seq((1L, Array(1.0f, -1.0f))).toDF("id", "v")
+    intercept[Exception] {
+      short.select(random_projection(col("v"), 4, 8)).collect()
+    }
+  }
+
   test("mrlTopKStored equals mrlTopK; stage-1 scan never reads the full vector column") {
     val dir = java.nio.file.Files.createTempDirectory("mrlstore").toString + "/mrl"
     Knn.writeMrl(emb, "vec_id", "embedding", dir, 16)
