@@ -72,10 +72,21 @@ object Distances {
 
   // ---------- f32 kernels on packed bytes (no per-row unpack allocation) ----------
 
+  // On little-endian hosts (every supported Spark target in practice) the
+  // packed LE floats are read with ONE intrinsified 4-byte load
+  // (Platform.getFloat — same primitive Tungsten rows use) instead of four
+  // byte loads + three shifts the JIT won't fuse; the byte-wise fallback
+  // keeps big-endian correctness. The branch is on a constant, so the JIT
+  // folds it away.
+  private val nativeLE = java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+
   @inline private def f32At(a: Array[Byte], i: Int): Float = {
     val o = i << 2
-    java.lang.Float.intBitsToFloat(
-      (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) | ((a(o + 2) & 0xff) << 16) | ((a(o + 3) & 0xff) << 24))
+    if (nativeLE)
+      org.apache.spark.unsafe.Platform.getFloat(a, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + o)
+    else
+      java.lang.Float.intBitsToFloat(
+        (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) | ((a(o + 2) & 0xff) << 16) | ((a(o + 3) & 0xff) << 24))
   }
 
   /** Same float arithmetic as the Array[Float] kernels above, reading the
