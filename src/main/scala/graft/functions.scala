@@ -157,6 +157,11 @@ object functions {
       case Seq(v, d) => VectorAvgFixed(v, intArg(d, "dim"))
       case args => throw new IllegalArgumentException(s"vector_avg expects (vec, dim), got ${args.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("random_projection", {
+      case Seq(v, o, d) => RandomProjection(v, intArg(o, "outDim"), intArg(d, "dim"), 42L)
+      case Seq(v, o, d, sd) => RandomProjection(v, intArg(o, "outDim"), intArg(d, "dim"), intArg(sd, "seed").toLong)
+      case args => throw new IllegalArgumentException(s"random_projection expects (vec, outDim, dim[, seed]), got ${args.size} args")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("freq_items_sketch", {
       case Seq(item, k) => FreqItemsSketch(item, intArg(k, "k"))
       case args => throw new IllegalArgumentException(s"freq_items_sketch expects (item, k), got ${args.size} args")

@@ -689,6 +689,44 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("near-dup screening accretes across streaming micro-batches (foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    var store = Dedup.nearDupStore(Seq.empty[(Long, String)].toDF("id", "text"),
+      "id", "text", 64, 16, 3)
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = ms.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fresh = Dedup.nearDupAgainst(batch, store, "id", "text", 64, 16, 3, 0.7)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        kept ++= fresh.map(_._1)
+        val acc = Dedup.nearDupStore(fresh.toSeq.toDF("id", "text"), "id", "text", 64, 16, 3)
+        store = Dedup.NearDupStore(
+          store.bands.unionByName(acc.bands).localCheckpoint(true),
+          store.payload.unionByName(acc.payload).localCheckpoint(true))
+      }
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      q.processAllAvailable()
+      ms.addData(
+        (2L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 1
+        (3L, "completely different content about spark vector engines at scale"))
+      q.processAllAvailable()
+      assert(kept.sorted == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("binary Hamming top-k plans as one exchange-free TakeOrderedAndProject scan") {
+    val sigs = BinaryQuant.signatures(emb, "vec_id", "embedding", Queries.Dim)
+    val q = BinaryQuant.hammingTopK(sigs, "vec_id", probe, Queries.Dim, 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("no gated query plans a cartesian product or nested-loop join") {
     // The r1/r2 scale-killers were cartesian self-joins hiding behind
     // degenerate bucket keys; pin every gated plan against the whole class.
