@@ -1764,6 +1764,23 @@ object Queries {
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))
     }),
 
+    // Sort-on-write + predicate pushdown: the corpus rewritten range-
+    // sorted by n_chars, then range-filtered — the filter reaches the
+    // parquet scan (PushedFilters, test-asserted) where sorted row-group
+    // min/max stats skip non-matching groups; the third pruning lever
+    // after partition dirs (events_partitioned_agg) and buckets
+    "sorted_scan_range" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_srt").toString + "/docs"
+      docs(s, dir).select("doc_id", "lang", "n_chars")
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .where(col("n_chars") >= 100 && col("n_chars") <= 200)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
     // JL random projection 64 -> 8 dims: deterministic Gaussian planes
     // (same machinery as the hyperplane LSH), exact sequential-double
     // dots restated with the plane matrix as SQL literals; output
@@ -2682,6 +2699,11 @@ object Queries {
          |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
          |  FROM embeddings, p WHERE embedding IS NOT NULL)
          |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT $K""".stripMargin,
+
+    "sorted_scan_range" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars BETWEEN 100 AND 200
+        |GROUP BY lang""".stripMargin,
 
     "random_projection" ->
       s"""WITH ${planesCte(8)},

@@ -718,6 +718,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("range filter on a sorted store is pushed down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("srtstore").toString + "/docs"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars")
+    docs.repartitionByRange(2, col("n_chars")).sortWithinPartitions("n_chars")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(col("n_chars") >= 100 && col("n_chars") <= 200)
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(n_chars,100)")
+      && pushed.contains("LessThanOrEqual(n_chars,200)"), pushed)
+    assert(q.count() ==
+      docs.where(col("n_chars") >= 100 && col("n_chars") <= 200).count())
+  }
+
   test("binary Hamming top-k plans as one exchange-free TakeOrderedAndProject scan") {
     val sigs = BinaryQuant.signatures(emb, "vec_id", "embedding", Queries.Dim)
     val q = BinaryQuant.hammingTopK(sigs, "vec_id", probe, Queries.Dim, 10)
