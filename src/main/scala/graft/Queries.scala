@@ -1478,6 +1478,15 @@ object Queries {
         "doc_id", "text", n = 3)
     }),
 
+    // Deterministic train/val/test assignment (90/5/5): exact-BIGINT
+    // id-hash bucket vs cumulative cut points — pure projection,
+    // reproducible under re-runs and incremental appends (no split
+    // leakage as the corpus grows)
+    "train_split" -> ((s, dir) =>
+      Curation.assignSplit(docs(s, dir).select(col("doc_id")), "doc_id")
+        .groupBy(col("split")).agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+
     // Deterministic hash-stratified sampling: en at 50%, others at 25% —
     // a pure filter on the exact-BIGINT id hash (same arithmetic as the
     // IVF centroid sample), zero shuffles, reproducible by construction
@@ -2699,6 +2708,15 @@ object Queries {
          |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
          |  FROM embeddings, p WHERE embedding IS NOT NULL)
          |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT $K""".stripMargin,
+
+    "train_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ((doc_id % 1000003) * 2654435761 % 1000000007) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM b GROUP BY 1""".stripMargin,
 
     "sorted_scan_range" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
