@@ -577,6 +577,23 @@ object Queries {
         .select(col("label"), col("pos").cast("long").as("pos"),
           round(col("col"), 6).as("centroid"))),
 
+    // Semantic outlier detection: each embedding's L2 distance to its OWN
+    // label's exact fixed-point centroid, top-20 farthest — the noisy-
+    // embedding filter. Centroids broadcast (few labels); the distance is
+    // a sequential zip_with/aggregate fold (codegen'd built-ins, same
+    // accumulation order as the oracle's list_sum)
+    "embedding_outliers" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val cents = e.groupBy(col("label")).agg(vector_avg(col("embedding"), Dim).as("cent"))
+      val scored = e.join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"),
+          round(sqrt(aggregate(
+            zip_with(col("embedding"), col("cent"),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (acc, t) => acc + t)), 6).as("dist"))
+      scored.orderBy(col("dist").desc, col("vec_id")).limit(20)
+    }),
+
     // SemDeDup assignment step: nearest vector_avg centroid per embedding.
     // The c-row centroid collect is driver-side like ivfCentroids; the
     // assignment itself is a pure map — centroid matrix as a literal,
@@ -1926,6 +1943,22 @@ object Queries {
          |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS g(i) WHERE embedding IS NOT NULL)
          |SELECT label, i - 1 AS pos, round(sum(v) / (count(*) * 1000000.0), 6) AS centroid
          |FROM u GROUP BY label, i""".stripMargin,
+
+    // outliers: the same fixed-point centroid, materialized as an ordered
+    // list per label, then a sequential per-lane fold — identical
+    // accumulation order to the Spark zip_with/aggregate chain
+    "embedding_outliers" ->
+      s"""WITH u AS (SELECT label, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS g(i) WHERE embedding IS NOT NULL),
+         |c AS (SELECT label, i, sum(v) / (count(*) * 1000000.0) AS cv FROM u GROUP BY label, i),
+         |cl AS (SELECT label, list(cv ORDER BY i) AS cent FROM c GROUP BY label),
+         |d AS (SELECT vec_id, e.label,
+         |  round(sqrt(list_sum(list_transform(generate_series(1, $Dim),
+         |    i -> (CAST(embedding[i] AS DOUBLE) - cent[i]) * (CAST(embedding[i] AS DOUBLE) - cent[i])))), 6) AS dist
+         |  FROM embeddings e JOIN cl ON e.label = cl.label WHERE embedding IS NOT NULL)
+         |SELECT vec_id, label, dist FROM d ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
 
     // same centroid formula UNROUNDED, then argmin by (squared distance,
     // label) — the double math is sequential on both sides, so the argmin
