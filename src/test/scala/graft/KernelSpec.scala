@@ -232,4 +232,34 @@ class KernelSpec extends AnyFunSuite {
       assert(md.zip(mi).map(p => (p._1, p._2)).toSeq == expected, s"merge trial $trial")
     }
   }
+
+  test("signBits + hamming == naive sign-disagreement count on random vectors") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 40) {
+      val dim = dims(rnd.nextInt(dims.length))
+      def vec() = Array.fill(dim)((rnd.nextFloat() - 0.5f) * (if (rnd.nextBoolean()) 1f else 0f))
+      val a = vec(); val b = vec()
+      val sa = Sketches.signBits(new GenericArrayData(a), dim)
+      val sb = Sketches.signBits(new GenericArrayData(b), dim)
+      val naive = (0 until dim).count(i => (a(i) > 0f) != (b(i) > 0f))
+      assert(Sketches.hamming(sa, sb) == naive.toLong, s"trial $trial dim $dim")
+      // word count: one long per 64 dims
+      assert(sa.numElements() == (dim + 63) / 64)
+    }
+  }
+
+  test("project: scale-linear in the input, exact zero vector, word layout") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val planes = Sketches.planes(8, 16, 42L)
+    val zero = Sketches.project(new GenericArrayData(Array.fill(16)(0.0f)), planes, 0.25)
+    assert((0 until 8).forall(i => zero.getDouble(i) == 0.0))
+    val rnd = new scala.util.Random(29)
+    val v = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val p1 = Sketches.project(new GenericArrayData(v), planes, 1.0)
+    val p2 = Sketches.project(new GenericArrayData(v.map(_ * 2f)), planes, 1.0)
+    // doubling every float lane exactly doubles every projection lane
+    // (float*2 is exact; the dot is linear)
+    assert((0 until 8).forall(i => math.abs(p2.getDouble(i) - 2 * p1.getDouble(i)) < 1e-12))
+  }
 }

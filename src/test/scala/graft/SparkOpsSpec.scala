@@ -689,6 +689,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("nearDupAgainst with an empty store keeps the whole batch; idHash53 stays in range") {
+    val empty = Dedup.nearDupStore(Seq.empty[(Long, String)].toDF("id", "text"), "id", "text", 64, 16, 3)
+    val batch = Seq((1L, "anything at all"), (2L, "something else entirely")).toDF("id", "text")
+    val kept = Dedup.nearDupAgainst(batch, empty, "id", "text", 64, 16, 3, 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    // idHash53: full-range priority stays in [0, 2^53) for extreme ids
+    val ids = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 999999999999L).toDF("id")
+    val hs = ids.select(Curation.idHash53(col("id")).as("h")).collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 0L && h < (1L << 53)), hs.mkString(","))
+    assert(hs.distinct.length == hs.length) // no collisions among these
+  }
+
   test("near-dup screening accretes across streaming micro-batches (foreachBatch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
