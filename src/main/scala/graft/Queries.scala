@@ -712,6 +712,23 @@ object Queries {
         .select(col("id").as("vec_id"), col("distance").as("dist_sq"))
     }),
 
+    // Incremental maintenance: quantize the even half (store + sidecar),
+    // APPEND the odd half under the frozen sidecar params, scan the
+    // combined store. The oracle quantizes EVERY row with even-half-only
+    // params — so a rebuild-instead-of-append (params drift) or a lost
+    // append value-fails
+    "quant_append" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qa").toString + "/store"
+      val e = emb(s, dir)
+      Quantizer.quantize(e.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        tmp, dim = Dim)
+      Quantizer.quantizeAppend(e.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        tmp, dim = Dim)
+      val p = graft.catalog.VectorCatalog.readSidecar(s"$tmp/_vector_meta.json")
+      Quantizer.quantScan(s.read.parquet(tmp), probe, p, K, "sq_l2")
+        .select(col("id").as("vec_id"), col("distance").as("dist_sq"))
+    }),
+
     // S5 vector_quantize_preload: pin the code table in executor memory and
     // scan the cached copy — results must equal the uncached scan
     // (sqlite-vector.c:1338-1404; preload changes locality, never values)
@@ -2030,6 +2047,13 @@ object Queries {
          |FROM ($quantKnnSql)""".stripMargin,
 
     "quant_preload" -> quantKnnSql,
+
+    // append gate: same code-space scan, but the quant params come from
+    // the EVEN-id half only (the original store's envelope), while codes
+    // cover every row — mirrors quantize(even) + quantizeAppend(odd)
+    "quant_append" -> quantKnnSql.replace(
+      "WHERE NOT isnan(CAST(u.x AS DOUBLE))",
+      "WHERE NOT isnan(CAST(u.x AS DOUBLE)) AND vec_id % 2 = 0"),
 
     "sql_tvf_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),

@@ -89,6 +89,34 @@ object Quantizer {
                cfg: graft.VectorConfig, table: String, column: String): (QuantParams, Long) =
     quantize(df, idCol, vecCol, quantPath, cfg.qType, table, column, cfg.maxMemory, cfg.dim)
 
+  /** Incremental maintenance — APPEND newly ingested vectors to an
+    * existing quant store under its FROZEN params (read from the sidecar),
+    * skipping both the global min/max pass and the full rewrite. The
+    * reference has no incremental path (`vector_quantize` always DROPs and
+    * rebuilds, sqlite-vector.c:1418-1437); at 100 TB a rebuild per ingest
+    * wave is untenable while an append is one scan of the wave.
+    *
+    * Correctness contract: appended codes use the stored scale/offset, so
+    * the combined store is code-identical to a full rebuild IFF the new
+    * vectors lie within the original [min, max] envelope (outside values
+    * saturate at the clamp exactly like the reference's range behavior).
+    * Re-quantize when the envelope drifts; the sidecar's params make the
+    * check one comparison against the wave's own extrema.
+    *
+    * Returns the appended row count.
+    */
+  def quantizeAppend(df: DataFrame, idCol: String, vecCol: String,
+                     quantPath: String, maxMemory: Long = 30L * 1024 * 1024,
+                     dim: Int = -1): Long = {
+    val p = VectorCatalog.readSidecar(s"$quantPath/_vector_meta.json")
+    val rows = df.where(col(vecCol).isNotNull).count()
+    val writer = quantizeCodes(df, idCol, vecCol, p).write.mode(SaveMode.Append)
+    val sized = if (dim > 0) writer.option("maxRecordsPerFile", math.max(1L, maxMemory / (8L + dim)))
+                else writer
+    sized.parquet(quantPath)
+    rows
+  }
+
   /** Q3: quantize the probe vector with the stored params
     * (sqlite-vector.c:2159-2177).
     */
