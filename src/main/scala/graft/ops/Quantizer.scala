@@ -114,6 +114,9 @@ object Quantizer {
     val sized = if (dim > 0) writer.option("maxRecordsPerFile", math.max(1L, maxMemory / (8L + dim)))
                 else writer
     sized.parquet(quantPath)
+    // keep the sidecar's row count truthful for the grown store (scale/
+    // offset/qtype are frozen by design)
+    VectorCatalog.writeSidecar(s"$quantPath/_vector_meta.json", p.copy(rows = p.rows + rows))
     rows
   }
 
