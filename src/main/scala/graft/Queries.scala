@@ -2762,7 +2762,7 @@ object Queries {
     "binary_hamming_topk" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),
          |d AS (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1,$Dim),
-         |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0 AND NOT isnan(CAST(embedding[i] AS DOUBLE))) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
          |  FROM embeddings, p WHERE embedding IS NOT NULL)
          |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT $K""".stripMargin,
 
@@ -2790,14 +2790,14 @@ object Queries {
     "sql_binary_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),
          |d AS (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1,$Dim),
-         |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0 AND NOT isnan(CAST(embedding[i] AS DOUBLE))) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
          |  FROM embeddings, p WHERE embedding IS NOT NULL)
          |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT $K""".stripMargin,
 
     "binary_rerank" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),
          |h AS (SELECT vec_id, list_sum(list_transform(generate_series(1,$Dim),
-         |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS hd
+         |    i -> CASE WHEN (CAST(embedding[i] AS DOUBLE) > 0 AND NOT isnan(CAST(embedding[i] AS DOUBLE))) <> (pv[i] > 0) THEN 1 ELSE 0 END)) AS hd
          |  FROM embeddings, p WHERE embedding IS NOT NULL),
          |sl AS (SELECT vec_id FROM h ORDER BY hd, vec_id LIMIT 50),
          |d AS (SELECT vec_id, ${distSql("l2")} AS distance

@@ -322,16 +322,35 @@ object Curation {
     * Size sketchK ≥ ~50× topN for comfortable margins on Zipfian text.
     */
   def heavyHitters(df: DataFrame, textCol: String, topN: Int,
-                   sketchK: Int): DataFrame = {
+                   sketchK: Int, certify: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
     val toks = df.select(explode(cleanTokens(col(textCol))).as("token"))
-    val cands = toks
-      .agg(graft.functions.freq_items_sketch(col("token"), sketchK).as("sk"))
-      .select(explode(col("sk")).as("e"))
-      .select(col("e.token").as("token"))
-    toks.join(broadcast(cands), "token")
+    // ONE scan produces both the sketch and the exact token total — the
+    // total certifies the result below at zero extra passes
+    val skRow = toks.agg(
+      graft.functions.freq_items_sketch(col("token"), sketchK).as("sk"),
+      count(lit(1)).as("n_tokens")).head()
+    val nTokens = skRow.getLong(1)
+    val candTokens = skRow.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    import spark.implicits._
+    val cands = candTokens.toDF("token")
+    val out = toks.join(broadcast(cands), "token")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
+    if (!certify) return out
+    // Exactness certificate (free: the rows are topN and already needed):
+    // Misra-Gries guarantees presence only for counts > n/(k+1). If the
+    // weakest returned count clears that bound, NO absent token can beat
+    // it, so the top-N is provably exact; otherwise fail fast rather than
+    // return a silently-unverifiable list (raise sketchK or lower topN).
+    val rows = out.collect()
+    val bound = nTokens / (sketchK + 1L)
+    if (rows.nonEmpty)
+      require(rows.last.getLong(1) > bound,
+        s"heavyHitters uncertifiable: rank-${rows.length} count ${rows.last.getLong(1)} " +
+          s"<= n/(k+1) = $bound (n=$nTokens, sketchK=$sketchK) — raise sketchK")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Linear quality classifier — the fastText-style model-scoring stage

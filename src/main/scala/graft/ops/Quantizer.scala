@@ -109,15 +109,17 @@ object Quantizer {
                      quantPath: String, maxMemory: Long = 30L * 1024 * 1024,
                      dim: Int = -1): Long = {
     val p = VectorCatalog.readSidecar(s"$quantPath/_vector_meta.json")
-    val rows = df.where(col(vecCol).isNotNull).count()
     val writer = quantizeCodes(df, idCol, vecCol, p).write.mode(SaveMode.Append)
     val sized = if (dim > 0) writer.option("maxRecordsPerFile", math.max(1L, maxMemory / (8L + dim)))
                 else writer
     sized.parquet(quantPath)
-    // keep the sidecar's row count truthful for the grown store (scale/
-    // offset/qtype are frozen by design)
-    VectorCatalog.writeSidecar(s"$quantPath/_vector_meta.json", p.copy(rows = p.rows + rows))
-    rows
+    // the ingest wave is scanned exactly ONCE (the write above); the row
+    // count comes from the compact code store's parquet footers — also
+    // truthful under task retries, unlike a separate pre-count of a
+    // possibly non-deterministic input
+    val total = df.sparkSession.read.parquet(quantPath).count()
+    VectorCatalog.writeSidecar(s"$quantPath/_vector_meta.json", p.copy(rows = total))
+    total - p.rows
   }
 
   /** Q3: quantize the probe vector with the stored params
