@@ -1505,6 +1505,49 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantizeAppend: frozen params, clamp on envelope drift, truthful sidecar rows") {
+    val dir = java.nio.file.Files.createTempDirectory("qappend").toString + "/store"
+    val base = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f, 0.25f)),
+      (2L, Array(0.1f, 0.9f, 0.3f, 0.7f))
+    ).toDF("id", "vec")
+    val (p, n0) = Quantizer.quantize(base, "id", "vec", dir, dim = 4)
+    assert(n0 == 2)
+    // wave inside the envelope + one vector OUTSIDE it (2.0 > max 1.0)
+    val wave = Seq(
+      (3L, Array(0.2f, 0.4f, 0.6f, 0.8f)),
+      (4L, Array(2.0f, -1.0f, 0.5f, 0.0f))
+    ).toDF("id", "vec")
+    val appended = Quantizer.quantizeAppend(wave, "id", "vec", dir, dim = 4)
+    assert(appended == 2)
+    val p2 = graft.catalog.VectorCatalog.readSidecar(s"$dir/_vector_meta.json")
+    assert(p2.scale == p.scale && p2.offset == p.offset && p2.qType == p.qType,
+      "append must not change the frozen params")
+    assert(p2.rows == 4, s"sidecar rows ${p2.rows}")
+    val store = spark.read.parquet(dir)
+    assert(store.count() == 4)
+    // out-of-envelope lanes saturate at the clamp exactly like in-place
+    // quantization of the same value would
+    val code4 = store.where(col("id") === 4L).head().getAs[Array[Byte]]("code")
+    val expected4 = graft.kernels.Quantize.codes(Array(2.0f, -1.0f, 0.5f, 0.0f), p)
+    assert(code4.toSeq == expected4.toSeq)
+  }
+
+  test("heavyHitters fails fast when the top-N is not certifiable") {
+    // 300 distinct tokens, each appearing once: with sketchK=10 the bound
+    // n/(k+1) = 27 dwarfs every count — no top-5 claim is certifiable
+    val text = (0 until 300).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(text).toDF("text")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.heavyHitters(docs, "text", topN = 5, sketchK = 10)
+    }
+    assert(ex.getMessage.contains("uncertifiable"))
+    // certify=false returns the best-effort survivors instead of throwing
+    // (an all-unique stream legitimately leaves < topN counters standing)
+    assert(Curation.heavyHitters(docs, "text", topN = 5, sketchK = 10,
+      certify = false).collect().length <= 5)
+  }
+
   test("partitioned event store prunes to the filtered event_type dirs") {
     val dir = java.nio.file.Files.createTempDirectory("evstore").toString + "/events"
     val events = spark.read.parquet(s"$sfDir/events.parquet")
