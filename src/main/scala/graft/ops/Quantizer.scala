@@ -122,6 +122,37 @@ object Quantizer {
     total - p.rows
   }
 
+  /** Compact a quant store after many [[quantizeAppend]] waves: rewrite
+    * the accumulated small files into batch-sized ones (same
+    * `max_memory/(8+dim)` sizing as [[quantize]]) and swap directories.
+    * Codes and params are untouched — this is purely a small-files fix
+    * (each append wave adds its own files; a thousand waves would
+    * otherwise make every scan pay a thousand-file listing). The swap is
+    * delete-then-rename, not atomic — run it in the same maintenance
+    * window as the reference's rebuild transaction; a crash between the
+    * two steps loses only the directory, which the `.compact` copy fully
+    * restores.
+    *
+    * Returns the store's row count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, quantPath: String,
+              maxMemory: Long = 30L * 1024 * 1024, dim: Int = -1): Long = {
+    val p = VectorCatalog.readSidecar(s"$quantPath/_vector_meta.json")
+    val tmpPath = quantPath + ".compact"
+    val writer = spark.read.parquet(quantPath)
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism))
+      .write.mode(SaveMode.Overwrite)
+    val sized = if (dim > 0) writer.option("maxRecordsPerFile", math.max(1L, maxMemory / (8L + dim)))
+                else writer
+    sized.parquet(tmpPath)
+    val hp = new org.apache.hadoop.fs.Path(quantPath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(hp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), hp)
+    VectorCatalog.writeSidecar(s"$quantPath/_vector_meta.json", p)
+    p.rows
+  }
+
   /** Q3: quantize the probe vector with the stored params
     * (sqlite-vector.c:2159-2177).
     */

@@ -1533,6 +1533,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code4.toSeq == expected4.toSeq)
   }
 
+  test("compact merges append waves' files; codes and sidecar unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("qcompact").toString + "/store"
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, Array(i * 0.1f % 1.0f, 0.5f, 0.25f, 0.75f))).toDF("id", "vec")
+    Quantizer.quantize(mk(0L until 4L), "id", "vec", dir, dim = 4)
+    (1 to 5).foreach(w => Quantizer.quantizeAppend(
+      mk((w * 10L) until (w * 10L + 4L)), "id", "vec", dir, dim = 4))
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val filesBefore = files()
+    assert(filesBefore >= 6, s"expected one file set per wave, got $filesBefore")
+    val pBefore = graft.catalog.VectorCatalog.readSidecar(s"$dir/_vector_meta.json")
+    val n = Quantizer.compact(spark, dir, dim = 4)
+    assert(files() < filesBefore, s"${files()} vs $filesBefore")
+    val after = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(after == before)
+    val pAfter = graft.catalog.VectorCatalog.readSidecar(s"$dir/_vector_meta.json")
+    assert(pAfter == pBefore && n == pAfter.rows)
+  }
+
   test("heavyHitters fails fast when the top-N is not certifiable") {
     // 300 distinct tokens, each appearing once: with sketchK=10 the bound
     // n/(k+1) = 27 dwarfs every count — no top-5 claim is certifiable
