@@ -195,6 +195,50 @@ object GraftTableFunctions {
     spark.table(shadowName(table, column))
   }
 
+  /** `vector_quantize_append(tbl, col, waveView)` → appended row count.
+    * BEYOND-REFERENCE maintenance (the reference can only DROP+rebuild):
+    * quantizes the rows of the registered view/table `waveView` under the
+    * store's frozen sidecar params and appends them (one scan of the
+    * wave, [[Quantizer.quantizeAppend]]), then refreshes the shadow view.
+    */
+  def appendBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(t, c, w) =>
+      val table = strArg(t, "table name")
+      val column = strArg(c, "column name")
+      val wave = strArg(w, "wave view name")
+      LifecycleCall("vector_quantize_append", LongType, () => {
+        val spark = Lifecycle.activeSession("vector_quantize_append")
+        val cfg = config(table, column)
+        val path = storePath(spark, cfg, table, column)
+        val rows = Quantizer.quantizeAppend(spark.table(wave), cfg.idCol, column,
+          path, cfg.maxMemory, cfg.dim)
+        spark.read.parquet(path).createOrReplaceTempView(shadowName(table, column))
+        rows
+      })
+    case other =>
+      throw new IllegalArgumentException(s"vector_quantize_append expects (table, column, wave_view), got ${other.size} args")
+  }
+
+  /** `vector_quantize_compact(tbl, col)` → store row count. BEYOND-
+    * REFERENCE: merges accumulated append-wave files into batch-sized
+    * ones ([[Quantizer.compact]]) and refreshes the shadow view.
+    */
+  def compactBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(t, c) =>
+      val table = strArg(t, "table name")
+      val column = strArg(c, "column name")
+      LifecycleCall("vector_quantize_compact", LongType, () => {
+        val spark = Lifecycle.activeSession("vector_quantize_compact")
+        val cfg = config(table, column)
+        val path = storePath(spark, cfg, table, column)
+        val rows = Quantizer.compact(spark, path, cfg.maxMemory, cfg.dim)
+        spark.read.parquet(path).createOrReplaceTempView(shadowName(table, column))
+        rows
+      })
+    case other =>
+      throw new IllegalArgumentException(s"vector_quantize_compact expects (table, column), got ${other.size} args")
+  }
+
   /** `vector_quantize_memory(tbl, col)` → preload bytes = Σ(8 + len(code))
     * (API.md:123-133). Deliberately analysis-time (see the section note):
     * a pure read whose literal result composes inside row-producing
@@ -261,7 +305,9 @@ object GraftTableFunctions {
     "vector_quantize" -> (quantizeBuilder _),
     "vector_quantize_memory" -> (memoryBuilder _),
     "vector_quantize_preload" -> (preloadBuilder _),
-    "vector_quantize_cleanup" -> (cleanupBuilder _))
+    "vector_quantize_cleanup" -> (cleanupBuilder _),
+    "vector_quantize_append" -> (appendBuilder _),
+    "vector_quantize_compact" -> (compactBuilder _))
 
   /** Runtime registration on a live session (the `CREATE FUNCTION` path). */
   def register(spark: SparkSession): Unit = {

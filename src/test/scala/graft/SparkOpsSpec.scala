@@ -1016,6 +1016,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       probe, p, 5, "l2").collect().map(_.getLong(0)).toSeq
     assert(got == want)
 
+    // append a wave under the frozen params through pure SQL, then compact
+    emb.where(col("vec_id") < 8)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .createOrReplaceTempView("emb_wave")
+    val appended = spark.sql(
+      "SELECT vector_quantize_append('emb_life', 'embedding', 'emb_wave')").head().getLong(0)
+    assert(appended == 8)
+    assert(spark.table("vector0_emb_life_embedding").count() == n + 8)
+    val compacted = spark.sql(
+      "SELECT vector_quantize_compact('emb_life', 'embedding')").head().getLong(0)
+    assert(compacted == n + 8)
+    assert(spark.table("vector0_emb_life_embedding").count() == n + 8)
+
     // cleanup: store gone, params gone, view gone; init registration stays
     spark.sql("SELECT vector_quantize_cleanup('emb_life', 'embedding')").collect()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store)), "store not deleted")
