@@ -185,6 +185,11 @@ object Bench {
       val mrl = spark.read.parquet(s"$benchDir/mrl")
       time("mrl_rerank_600k")(
         ops.Knn.mrlTopKStored(mrl, "id", "prefix", "vec", probe, 16, 100, 10, "l2").count())
+      // table-to-table ANN join: 64 probe rows x 600k corpus through the
+      // shared hamming-1 bucket neighborhood, per-probe top-10
+      time("ann_join64_600k")(
+        ops.Ann.annJoin(vecs.where(col("id") < 650), "id", "vec",
+          vecs, "id", "vec", 10, "l2", 8, Dim).count())
 
       // 5. relational + text + dedup representatives from the inventory
       val fromQueries = Seq("q1_pricing", "q3_revenue", "window_top_orders",

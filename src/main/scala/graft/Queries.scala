@@ -1671,6 +1671,17 @@ object Queries {
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))
     }),
 
+    // Table-to-table ANN JOIN: 20 probe rows × full corpus, candidates =
+    // shared hamming-1 LSH bucket neighborhood, per-probe top-5 through
+    // the bounded knn_topk heap — the "every document's neighbors"
+    // primitive with one bucket-keyed shuffle per side, nothing quadratic
+    "ann_join" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.annJoin(e.where(col("vec_id") < 20), "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5, metric = "cosine", AnnBits, Dim)
+        .withColumnRenamed("vec_id_probe", "probe_id")
+    }),
+
     // IVF ANN: deterministic sampled centroids → codegen'd nearest-centroid
     // assignment → cluster-PARTITIONED store → probe scans only the nprobe
     // nearest cells (partition pruning). The second scale path next to LSH.
@@ -2830,6 +2841,23 @@ object Queries {
          |  FROM embeddings, p WHERE embedding IS NOT NULL AND vec_id IN (SELECT vec_id FROM sl))
          |SELECT vec_id, round(distance, 6) AS distance FROM d
          |ORDER BY round(distance, 6), vec_id LIMIT $K""".stripMargin,
+
+    "ann_join" -> {
+      def lsum(term: String) = s"list_sum(list_transform(generate_series(1,$Dim), i -> $term))"
+      val dot = lsum("CAST(lv[i] AS DOUBLE) * CAST(rv[i] AS DOUBLE)")
+      val na = lsum("CAST(lv[i] AS DOUBLE) * CAST(lv[i] AS DOUBLE)")
+      val nb = lsum("CAST(rv[i] AS DOUBLE) * CAST(rv[i] AS DOUBLE)")
+      s"""WITH ${planesCte(AnnBits)}, $bucketSigCte,
+         |l AS (SELECT vec_id AS probe_id, embedding AS lv, bucket AS lb FROM sg WHERE vec_id < 20),
+         |r AS (SELECT vec_id, embedding AS rv, bucket AS rb FROM sg),
+         |d AS (SELECT probe_id, r.vec_id,
+         |  round((CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 1.0
+         |    ELSE 1.0 - greatest(-1.0, least(1.0, $dot / (sqrt($na) * sqrt($nb)))) END), 6) AS distance
+         |  FROM l JOIN r ON bit_count(xor(lb, rb)) <= 1),
+         |rk AS (SELECT probe_id, vec_id, distance,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY distance, vec_id) AS rn FROM d)
+         |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, distance FROM rk WHERE rn <= 5""".stripMargin
+    },
 
     "ivf_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCte,

@@ -75,6 +75,58 @@ object Ann {
       col("distance"), col(idCol), k)
   }
 
+  /** Table-to-table ANN JOIN: every LEFT row gets its top-k nearest RIGHT
+    * rows under `metric`, with candidates limited to right rows whose LSH
+    * bucket lies within Hamming distance 1 of the left row's (the same
+    * multi-probe neighborhood [[lshTopK]] uses for a single probe).
+    *
+    * Shape at 100 TB — this is the retrieval/dedup primitive "for every
+    * document, its nearest neighbors", and nothing quadratic appears:
+    * the right side computes its bucket once; the left side explodes to
+    * its nBits+1 probe buckets; both shuffle ONCE on the 8-byte bucket
+    * key into an equi-join (a pair meets exactly once: the right bucket
+    * equals exactly one element of the left's probe set); per-left-row
+    * ranking folds through the bounded knn_topk heap — O(k) state per
+    * left row, only left×k rows leave the aggregation. Skewed buckets are
+    * the LSH-occupancy story (size nBits to the corpus, see the module
+    * doc); candidate quality is the standard sign-LSH recall trade.
+    *
+    * Distances are rounded to 6 dp BEFORE ranking (the repo's engine-
+    * portability convention). Output: (left id, rank 1..k, right id,
+    * distance), rank ties broken by right id.
+    */
+  /** XOR masks of popcount ≤ radius over nBits — the multi-probe
+    * neighborhood size is Σ C(nBits, r): 9 at radius 1, 37 at radius 2
+    * for nBits = 8. Recall/cost dial: each +1 radius multiplies the
+    * candidate fraction read per probe.
+    */
+  private[ops] def probeMasks(nBits: Int, radius: Int): Seq[Long] =
+    (0L until (1L << nBits)).filter(m => java.lang.Long.bitCount(m) <= radius)
+
+  def annJoin(left: DataFrame, leftIdCol: String, leftVecCol: String,
+              right: DataFrame, rightIdCol: String, rightVecCol: String,
+              k: Int, metric: String, nBits: Int, dim: Int,
+              seed: Long = 42L, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= nBits, s"probeRadius $probeRadius out of range")
+    val masks = probeMasks(nBits, probeRadius)
+    val l = withBuckets(left.where(col(leftVecCol).isNotNull), leftVecCol, nBits, dim, seed)
+      .select(col(leftIdCol).as("_l_id"), col(leftVecCol).as("_l_v"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val r = withBuckets(right.where(col(rightVecCol).isNotNull), rightVecCol, nBits, dim, seed)
+      .select(col("bucket"), col(rightIdCol).as("_r_id"), col(rightVecCol).as("_r_v"))
+    l.join(r, "bucket")
+      .select(col("_l_id"),
+        round(vector_distance(col("_l_v"), col("_r_v"), metric), 6).as("_d"),
+        col("_r_id"))
+      .groupBy(col("_l_id"))
+      .agg(graft.functions.knn_topk(col("_d"), col("_r_id"), k).as("_tk"))
+      .select(col("_l_id"), posexplode(col("_tk")))
+      .select(col("_l_id").as(leftIdCol + "_probe"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(rightIdCol),
+        col("col.distance").as("distance"))
+  }
+
   // ---------- IVF (inverted-file) coarse quantization ----------
 
   /** Deterministic hash-ordered sampled centroids: order by a

@@ -749,6 +749,41 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       docs.where(col("n_chars") >= 100 && col("n_chars") <= 200).count())
   }
 
+  test("annJoin: each candidate pair meets exactly once; decent recall vs exact top-k") {
+    val e = emb.where(col("embedding").isNotNull)
+    val left = e.where(col("vec_id") < 10)
+    val out = Ann.annJoin(left, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 10, metric = "l2", nBits = 8, dim = 64, probeRadius = 2)
+    val rows = out.collect()
+    // per-probe result sets: unique right ids, ranks 1..n ascending distance
+    rows.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq, s"probe $pid ranks")
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length, s"probe $pid dup neighbor")
+      assert(byRank.map(_.getDouble(3)).toSeq == byRank.map(_.getDouble(3)).sorted.toSeq)
+    }
+    // the probe's own row is its 0-distance nearest neighbor (same bucket)
+    rows.filter(r => r.getLong(1) == 1L).foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getDouble(3) == 0.0, r.toString)
+    }
+    // recall floor vs exact per-probe top-10: radius-2 multiprobe reads
+    // 37/256 of the buckets and must land well above chance on 6k rows
+    // (radius 1 measured 18/100 on this corpus — the radius dial is the
+    // recall/cost trade)
+    val exactHits = (0L until 10L).map { pid =>
+      val pv = e.where(col("vec_id") === pid).head().getSeq[Float](1).toArray
+      val exact = Knn.fullScan(e, "vec_id", "embedding", pv, 10, "l2")
+        .collect().map(_.getLong(0)).toSet
+      val got = rows.filter(_.getLong(0) == pid).map(_.getLong(2)).toSet
+      exact.intersect(got).size
+    }
+    // chance baseline = 10 x (37/256) ~ 14.5/100 (random 14.5% subset);
+    // measured 37/100 on this SYNTHETIC near-uniform corpus — real
+    // clustered embeddings score far higher; floor guards the 2.5x-over-
+    // chance signal, not a production recall target
+    assert(exactHits.sum >= 25, s"total recall ${exactHits.sum}/100")
+  }
+
   test("binary Hamming top-k plans as one exchange-free TakeOrderedAndProject scan") {
     val sigs = BinaryQuant.signatures(emb, "vec_id", "embedding", Queries.Dim)
     val q = BinaryQuant.hammingTopK(sigs, "vec_id", probe, Queries.Dim, 10)
