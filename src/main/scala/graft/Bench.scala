@@ -151,7 +151,11 @@ object Bench {
         params = ops.Quantizer.computeParams(vecs, "vec"); params.rows
       }
       val codes = ops.Quantizer.quantizeCodes(vecs, "id", "vec", params)
-      time("quantize_codes_600k")(codes.count())
+      // sum(length(code)) forces every code blob to be produced — a bare
+      // count() lets Catalyst prune the quantize projection and times
+      // nothing but the scan
+      time("quantize_codes_600k")(
+        codes.agg(sum(length(col("code")))).head().getLong(0))
 
       // 3. quantized approximate scan (K2), preloaded (S5) like the reference
       val preloaded = ops.Quantizer.preload(codes)

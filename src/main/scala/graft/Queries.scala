@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.ops.{Ann, Curation, Dedup, Knn, MediaCodec, Multimodal, Pq, Quantizer, TextAnalysis}
+import graft.ops.{Ann, Curation, Dedup, Knn, Layout, MediaCodec, Multimodal, Pq, Quantizer, TextAnalysis}
 
 /** The operator inventory wired to the driver's correctness gate: every
   * entry has a Spark implementation and (where SQL-expressible) an ANSI
@@ -1207,6 +1207,13 @@ object Queries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
 
+    // Count-min-sketch point frequencies vs exact counts: one-sided-error
+    // ok band (est in [exact, exact + 3*eps*N]) — the fixed-size per-key
+    // frequency summary next to Misra-Gries (heavy_hitters) and HLL
+    // (hll_distinct); seed-deterministic, order-independent
+    "cms_counts" -> ((s, dir) =>
+      Curation.cmsCounts(tbl(s, dir, "events"), "user_id", (0L until 20L).toSeq)),
+
     // HLL++ cardinality sketch vs exact distinct: the ok flag asserts the
     // estimate lands within 5% of truth (rsd=0.01), the ivf_recall gate
     // pattern — the sketch path is what replaces COUNT(DISTINCT)'s
@@ -1479,6 +1486,14 @@ object Queries {
 
     // Top TF-IDF (doc, term) pairs; exact ties (equal tf, df) break on
     // (term, doc_id), both sides rank the rounded score
+    // Okapi BM25 against a 3-term query: per-row codegen'd tf folds (the
+    // corpus never shuffles), one scalar stats aggregation, 6-dp-rounded
+    // scores; top-50 with id tie-break
+    "bm25_top" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          Seq("vector", "hash", "scan"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)),
+
     "tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text")
         .orderBy(col("tfidf").desc, col("term"), col("doc_id")).limit(50)),
@@ -1835,6 +1850,34 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
     }),
 
+    // Z-order (Morton) key: bit-interleave of (l_partkey, l_suppkey) —
+    // pure codegen'd bit arithmetic (no UDF, no custom expression),
+    // restated bit-for-bit in the oracle; the sort key behind the
+    // 2-D-pruned store below
+    "zorder_key" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          Layout.zorderValue(col("l_partkey"), col("l_suppkey"), 16).as("z"))),
+
+    // Z-order clustered store + 2-D box scan: lineitem rewritten Morton-
+    // clustered on (l_partkey, l_suppkey), then box-filtered on BOTH
+    // columns — file/row-group min-max stats prune both dimensions at
+    // once (the OPTIMIZE ZORDER layout; pruning quantified in
+    // SparkOpsSpec via parquet footer ranges). Oracle reads the ORIGINAL
+    // parquet, so any clustering corruption value-fails.
+    "zorder_pruned_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zo").toString + "/li"
+      Layout.writeZordered(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+        tmp, "l_partkey", "l_suppkey", 16, 16)
+      s.read.parquet(tmp)
+        .where(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 40))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          min(col("l_orderkey")).as("min_order"), max(col("l_orderkey")).as("max_order"))
+    }),
+
     // JL random projection 64 -> 8 dims: deterministic Gaussian planes
     // (same machinery as the hyperplane LSH), exact sequential-double
     // dots restated with the plane matrix as SQL literals; output
@@ -1882,6 +1925,37 @@ object Queries {
       Multimodal.sampleFrames(
           Multimodal.withMetadata(withPayload, "payload", "media_type"), "meta", 7)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+    }),
+
+    // REAL audio sample decode: WAV payloads carry MATERIALIZED 16-bit
+    // PCM (s(i) = ((doc_id*31 + i*17) mod 4096) - 2048); the codegen'd
+    // pcm_stats expression walks the RIFF chunks and decodes every LE16
+    // sample; the oracle recomputes the exact integer statistics from the
+    // generator formula — a decoder reading wrong offsets/endianness fails
+    "audio_pcm_stats" -> ((s, dir) => {
+      val fixtureUdf = udf((id: Long) =>
+        MediaCodec.wavPcmFixture(16000, 1, (50 + id % 32).toInt, id))
+      Multimodal.withPcmStats(
+          docs(s, dir).withColumn("payload", fixtureUdf(col("doc_id"))), "payload")
+        .select(col("doc_id"), col("pcm.n_samples").as("n_samples"),
+          col("pcm.sum_abs").as("sum_abs"), col("pcm.max_abs").as("max_abs"),
+          col("pcm.zero_cross").as("zero_cross"))
+    }),
+
+    // REAL image pixel decode: PNG payloads with zlib-compressed 8-bit RGB
+    // pixels (v = (doc_id + 7x + 13y + 29c) mod 256), each doc written
+    // under scanline filter doc_id%5 — so all five PNG filter
+    // reconstructions (None/Sub/Up/Average/Paeth) are exercised at the
+    // gate; the oracle recomputes exact per-channel sums from the formula
+    "image_pixel_stats" -> ((s, dir) => {
+      val fixtureUdf = udf((id: Long) =>
+        MediaCodec.pngPixelFixture((1 + id % 8).toInt, (1 + id % 6).toInt, id, (id % 5).toInt))
+      Multimodal.withPixelStats(
+          docs(s, dir).withColumn("payload", fixtureUdf(col("doc_id"))), "payload")
+        .select(col("doc_id"), col("px.width").as("width"),
+          col("px.height").as("height"), col("px.channels").as("channels"),
+          col("px.sum_r").as("sum_r"), col("px.sum_g").as("sum_g"),
+          col("px.sum_b").as("sum_b"), col("px.max_px").as("max_px"))
     }),
 
     // Byte-feature extraction over the (printable-ASCII) text bytes: 1/256
@@ -2350,6 +2424,10 @@ object Queries {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events WHERE event_id % 20 = 0""".stripMargin,
 
+    "cms_counts" ->
+      """SELECT user_id, COUNT(*) AS exact_n, TRUE AS ok
+        |FROM events WHERE user_id BETWEEN 0 AND 19 GROUP BY user_id""".stripMargin,
+
     "hll_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS ok
@@ -2546,6 +2624,24 @@ object Queries {
         |    (acc, v) -> acc + v), 6) END AS entropy
         |FROM (SELECT doc_id, t, list_transform(generate_series(1, length(t)), i -> t[i]) AS cs
         |      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents))""".stripMargin,
+
+    "bm25_top" -> {
+      val terms = Seq("vector", "hash", "scan")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(ws, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      // term-by-term the same double expression tree as TextAnalysis.bm25:
+      // ((idf * tf) * (k1+1)) / (tf + k1*((1-b) + (b/avgdl)*dl))
+      val score = terms.indices.map(i =>
+        s"ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 / " +
+        s"(tf$i + 1.2 * (0.25 + (0.75 / (sumlen / CAST(n AS DOUBLE))) * dl))").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+         |tf AS (SELECT doc_id, len(ws) AS dl, $tfs FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumlen, $dfs FROM tf)
+         |SELECT doc_id, round($score, 6) AS score
+         |FROM tf, st ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    },
 
     "tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
@@ -2791,6 +2887,20 @@ object Queries {
         |FROM documents WHERE n_chars BETWEEN 100 AND 200
         |GROUP BY lang""".stripMargin,
 
+    "zorder_key" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |  CAST(list_sum(list_transform(generate_series(0,15),
+        |    i -> (((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i+1)))) AS BIGINT) AS z
+        |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
+
+    "zorder_pruned_scan" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  MIN(l_orderkey) AS min_order, MAX(l_orderkey) AS max_order
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+        |GROUP BY l_suppkey""".stripMargin,
+
     "random_projection" ->
       s"""WITH ${planesCte(8)},
          |pr AS (SELECT vec_id, b, list_sum(list_transform(generate_series(1,$Dim),
@@ -2959,6 +3069,39 @@ object Queries {
       """SELECT doc_id,
         |  CAST(unnest(generate_series(0, doc_id % 100 - 1, 7)) AS BIGINT) AS frame_idx
         |FROM documents WHERE doc_id % 100 > 0""".stripMargin,
+
+    // exact restatement of the PCM generator the fixture materializes:
+    // the Spark side DECODES bytes, the oracle recomputes from the formula
+    "audio_pcm_stats" ->
+      """WITH t AS (SELECT doc_id, 50 + doc_id % 32 AS n FROM documents),
+        |s AS (SELECT doc_id, n, list_transform(generate_series(0, n - 1),
+        |    i -> ((doc_id * 31 + i * 17) % 4096) - 2048) AS sm FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT) AS sum_abs,
+        |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS max_abs,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(2, n),
+        |    i -> CASE WHEN (sm[i] < 0) <> (sm[i-1] < 0) THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
+        |FROM s""".stripMargin,
+
+    // exact restatement of the pixel generator: per-channel sums over the
+    // w x h grid; the Spark side inflates + unfilters real PNG bytes
+    "image_pixel_stats" ->
+      """WITH t AS (SELECT doc_id, 1 + doc_id % 8 AS w, 1 + doc_id % 6 AS h FROM documents),
+        |cells AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS k FROM t),
+        |v AS (SELECT doc_id, k % w AS x, k // w AS y FROM cells),
+        |s AS (SELECT v.doc_id,
+        |    SUM((v.doc_id + 7*x + 13*y) % 256) AS sum_r,
+        |    SUM((v.doc_id + 7*x + 13*y + 29) % 256) AS sum_g,
+        |    SUM((v.doc_id + 7*x + 13*y + 58) % 256) AS sum_b,
+        |    MAX(greatest((v.doc_id + 7*x + 13*y) % 256,
+        |      (v.doc_id + 7*x + 13*y + 29) % 256,
+        |      (v.doc_id + 7*x + 13*y + 58) % 256)) AS max_px
+        |  FROM v GROUP BY v.doc_id)
+        |SELECT t.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(sum_r AS BIGINT) AS sum_r,
+        |  CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b,
+        |  CAST(max_px AS BIGINT) AS max_px
+        |FROM t JOIN s ON t.doc_id = s.doc_id""".stripMargin,
 
     "multimodal_features" ->
       """WITH ch AS (SELECT doc_id, t,

@@ -735,3 +735,77 @@ case class ToVector(child: Expression, target: ElemType, expectDim: Int = -1)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `pcm_stats(payload)` — REAL 16-bit PCM sample decode of a RIFF/WAVE
+  * binary column folded to exact integer statistics
+  * ([[graft.ops.MediaCodec.pcmStats]]): struct(n_samples, sum_abs,
+  * max_abs, zero_cross). NULL for payloads that aren't PCM16 WAV. The
+  * decode runs as one static call inside whole-stage codegen.
+  */
+case class PcmStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("max_abs", LongType, nullable = false),
+    StructField("zero_cross", LongType, nullable = false)))
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pcm_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.MediaCodec.pcmStatsRow(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.ops.MediaCodec.pcmStatsRow($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `png_pixel_stats(payload)` — REAL PNG pixel decode (zlib inflate + all
+  * five scanline filters, [[graft.ops.MediaCodec.pngPixelStats]]) folded
+  * to exact per-channel integer sums: struct(width, height, channels,
+  * sum_r, sum_g, sum_b, max_px). NULL for undecodable payloads.
+  */
+case class PngPixelStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("max_px", LongType, nullable = false)))
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_pixel_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.MediaCodec.pngPixelStatsRow(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.ops.MediaCodec.pngPixelStatsRow($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -67,6 +67,16 @@ object functions {
   def freq_items_sketch(item: Column, k: Int): Column =
     col(FreqItemsSketch(expr(item), k).toAggregateExpression())
 
+  /** REAL 16-bit PCM decode of a RIFF/WAVE payload → exact integer stats
+    * struct; see [[graft.expressions.PcmStatsExpr]].
+    */
+  def pcm_stats(payload: Column): Column = col(PcmStatsExpr(expr(payload)))
+
+  /** REAL PNG pixel decode (inflate + five-filter reconstruction) → exact
+    * per-channel sums struct; see [[graft.expressions.PngPixelStatsExpr]].
+    */
+  def png_pixel_stats(payload: Column): Column = col(PngPixelStatsExpr(expr(payload)))
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
 
@@ -137,6 +147,14 @@ object functions {
     reg.createOrReplaceTempFunction("string_hash61", {
       case Seq(s) => StringHash61(s)
       case args => throw new IllegalArgumentException(s"string_hash61 expects 1 arg, got ${args.size}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_stats", {
+      case Seq(p) => PcmStatsExpr(p)
+      case args => throw new IllegalArgumentException(s"pcm_stats expects 1 arg, got ${args.size}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("png_pixel_stats", {
+      case Seq(p) => PngPixelStatsExpr(p)
+      case args => throw new IllegalArgumentException(s"png_pixel_stats expects 1 arg, got ${args.size}")
     }, "scala_udf")
     reg.createOrReplaceTempFunction("vector_as_f32", asFn(ElemType.F32), "scala_udf")
     reg.createOrReplaceTempFunction("vector_as_f16", asFn(ElemType.F16), "scala_udf")

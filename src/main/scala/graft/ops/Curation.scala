@@ -353,6 +353,42 @@ object Curation {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Count-min-sketch point-frequency estimates for `candidates`, checked
+    * against the exact counts — the fixed-size (width × depth counters)
+    * frequency summary that answers "how often does key k appear" over a
+    * 100 TB stream without a per-key shuffle, next to Misra-Gries
+    * ([[heavyHitters]], top-N identity) and HLL (hll_distinct,
+    * cardinality) in the sketch family.
+    *
+    * Built with Spark's distributed `count_min_sketch` aggregate (merged
+    * map-side; counter adds commute, so the sketch is deterministic for a
+    * fixed seed regardless of row order/partitioning). Output rows carry
+    * the CMS guarantee as an `ok` flag: est ∈ [exact, exact + 3·eps·N]
+    * — one-sided error is structural (CMS never undercounts), and with
+    * depth = ⌈ln 1/(1−confidence)⌉ rows the chance any query exceeds
+    * 3·eps·N is ≤ (3e)^-depth per query (Markov per row, min over rows),
+    * vanishing at the defaults.
+    */
+  def cmsCounts(df: DataFrame, keyCol: String, candidates: Seq[Long],
+                eps: Double = 1e-4, confidence: Double = 0.999,
+                seed: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    val skBytes = df.agg(
+      expr(s"count_min_sketch($keyCol, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), $seed)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val bound = math.ceil(3.0 * eps * cms.totalCount()).toLong
+    import spark.implicits._
+    val est = broadcast(candidates.map(k => (k, cms.estimateCount(k)))
+      .toDF(keyCol, "est"))
+    df.where(col(keyCol).isin(candidates: _*))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("exact_n"))
+      .join(est, keyCol)
+      .select(col(keyCol), col("exact_n"),
+        (col("est") >= col("exact_n") && col("est") <= col("exact_n") + bound).as("ok"))
+  }
+
   /** Linear quality classifier — the fastText-style model-scoring stage
     * of a curation pipeline, with the inference arithmetic made exact:
     * weights are given in integer MICROS over integer-exact text features

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering.
+  *
+  * The third-and-a-half pruning lever after Hive partition directories
+  * (events_partitioned_agg), bucketed joins (bucketed_join) and 1-D
+  * range-sorted stores (sorted_scan_range): interleaving the bits of TWO
+  * filter columns into one sort key makes rows that are close in BOTH
+  * dimensions land in the same parquet files, so file/row-group min-max
+  * stats prune a 2-D box predicate on EITHER or BOTH columns — where a
+  * 1-D sort only ever prunes its own column and a box predicate on the
+  * other dimension scans the whole store. This is the layout behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`, built here from pure codegen'd
+  * bit arithmetic (no custom expression needed) so the key is restatable
+  * verbatim in any SQL engine.
+  *
+  * Scale envelope: the z-key computation is a zero-shuffle projection;
+  * the write pays one range-partitioning shuffle (same price as any
+  * sorted rewrite, amortized over every box query after it). At 100 TB
+  * the store is written once per compaction window and every
+  * `x BETWEEN ... AND y BETWEEN ...` query afterwards reads only the
+  * O(perimeter) files whose z-ranges intersect the box instead of the
+  * full corpus.
+  */
+object Layout {
+
+  /** Morton interleave of two non-negative integer columns confined to
+    * `bits` low bits each: bit i of `x` lands at output bit 2i, bit i of
+    * `y` at 2i+1. Values outside [0, 2^bits) fold into the key's low bits
+    * (callers bound their columns or pre-bucket them). Pure built-in bit
+    * ops — codegen'd, deterministic, engine-portable.
+    */
+  def zorderValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long"); val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_)).as("z")
+  }
+
+  /** Rewrite `df` clustered by the z-order of (`xCol`, `yCol`): one
+    * range-partitioning shuffle on the z key, sorted within partitions so
+    * parquet row-group stats are tight, split into `files` output ranges.
+    * The store keeps a `_z` column (8 bytes/row) so readers can range-scan
+    * the key directly as well.
+    */
+  def writeZordered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    bits: Int, files: Int): Unit =
+    df.withColumn("_z", zorderValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Per-file [min,max] stats of `column` from the parquet footers —
+    * the exact information the scan's file/row-group skipping uses. Test
+    * and diagnostics surface for proving a layout prunes: a file whose
+    * range misses the predicate box is never read.
+    */
+  def fileRanges(spark: SparkSession, path: String, column: String): Seq[(Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).filter(s => s.getPath.getName.endsWith(".parquet"))
+    files.toSeq.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        reader.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == column) {
+              val s = c.getStatistics
+              mn = math.min(mn, s.genericGetMin.asInstanceOf[Number].longValue)
+              mx = math.max(mx, s.genericGetMax.asInstanceOf[Number].longValue)
+            }
+          }
+        }
+        (mn, mx)
+      } finally reader.close()
+    }
+  }
+}

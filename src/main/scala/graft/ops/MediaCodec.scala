@@ -173,4 +173,259 @@ object MediaCodec {
     out.put("data".getBytes).putInt(dataSize)
     out.array() // data chunk declared but not materialized (header fixture)
   }
+
+  // ---------- sample/pixel decode: the REAL decode stage ----------
+
+  final case class PcmStats(n_samples: Long, sum_abs: Long, max_abs: Long,
+                            zero_cross: Long)
+
+  /** REAL 16-bit PCM decode: walk the RIFF chunk list (like [[probeWav]]),
+    * require audio format 1 (PCM) at 16 bits/sample, then decode every
+    * little-endian sample in the data chunk (clamped to the bytes actually
+    * present) and fold exact integer statistics in one pass — sample
+    * count, Σ|s|, max |s|, and the sign-change count over the interleaved
+    * stream ((s_i < 0) != (s_{i-1} < 0)). All-integer outputs make the
+    * decode restatable exactly in SQL from a known generator. None for
+    * non-WAV / non-PCM16 payloads.
+    */
+  def pcmStats(b: Array[Byte]): Option[PcmStats] = {
+    if (b.length < 12 || ascii4(b, 0) != "RIFF" || ascii4(b, 8) != "WAVE") return None
+    var p = 12
+    var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    while (p + 8 <= b.length) {
+      val id = ascii4(b, p)
+      val size = le32(b, p + 4)
+      if (size < 0) return None
+      if (id == "fmt " && p + 8 + 16 <= b.length) {
+        fmtOk = le16(b, p + 8) == 1 && le16(b, p + 22) == 16
+      } else if (id == "data") {
+        dataOff = p + 8
+        dataLen = math.min(size, b.length - dataOff)
+      }
+      p += 8 + size + (size & 1)
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val n = dataLen / 2
+    var sumAbs = 0L; var maxAbs = 0L; var zc = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val s = (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend LE16
+      val a = math.abs(s).toLong
+      sumAbs += a
+      if (a > maxAbs) maxAbs = a
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    Some(PcmStats(n.toLong, sumAbs, maxAbs, zc))
+  }
+
+  /** Static entry point for generated code ([[graft.expressions.PcmStatsExpr]]):
+    * null when the payload isn't decodable PCM16.
+    */
+  def pcmStatsRow(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    pcmStats(b) match {
+      case Some(s) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](s.n_samples, s.sum_abs, s.max_abs, s.zero_cross))
+      case None => null
+    }
+
+  final case class PixelStats(width: Long, height: Long, channels: Long,
+                              sum_r: Long, sum_g: Long, sum_b: Long, max_px: Long)
+
+  /** REAL PNG pixel decode for 8-bit greyscale / RGB / RGBA non-interlaced
+    * images: IHDR validation, IDAT concatenation, zlib inflate
+    * (`java.util.zip.Inflater`), full five-filter scanline reconstruction
+    * (None/Sub/Up/Average/Paeth — RFC 2083 §6.2-6.6), then exact
+    * per-channel integer sums over the reconstructed pixels (greyscale
+    * folds into sum_r; alpha excluded). CRCs are not validated — decode
+    * integrity comes from inflate plus the exact expected buffer length.
+    * None for malformed / unsupported payloads (16-bit, palette,
+    * interlaced).
+    */
+  def pngPixelStats(b: Array[Byte]): Option[PixelStats] = {
+    if (probePng(b).isEmpty) return None
+    val w = be32(b, 16); val h = be32(b, 20)
+    val bitDepth = u8(b, 24); val colorType = u8(b, 25); val interlace = u8(b, 28)
+    if (bitDepth != 8 || interlace != 0) return None
+    val ch = colorType match { case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None }
+    // 256 MB reconstructed-pixel cap: a crafted 2^31-pixel header would
+    // otherwise allocate the executor to death before inflate even fails
+    if (w <= 0 || h <= 0 || w.toLong * h * ch + h > (1L << 28)) return None
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var sawEnd = false
+    while (!sawEnd && p + 8 <= b.length) {
+      val len = be32(b, p); val id = ascii4(b, p + 4)
+      if (len < 0 || p + 8 + len > b.length) return None
+      if (id == "IDAT") idat.write(b, p + 8, len)
+      if (id == "IEND") sawEnd = true
+      p += 12 + len // length + type + data + crc
+    }
+    val comp = idat.toByteArray
+    if (comp.isEmpty) return None
+    val stride = 1 + w * ch
+    val raw = new Array[Byte](stride * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(comp)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val got = inf.inflate(raw, off, raw.length - off)
+        if (got == 0 && inf.needsInput()) return None // truncated stream
+        off += got
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (off != raw.length) return None
+
+    // scanline reconstruction, in place (raw(y*stride) is the filter byte)
+    var y = 0
+    while (y < h) {
+      val f = u8(raw, y * stride)
+      if (f > 4) return None
+      val row = y * stride + 1
+      val prev = (y - 1) * stride + 1
+      var i = 0
+      while (i < w * ch) {
+        val x = u8(raw, row + i)
+        val a = if (i >= ch) u8(raw, row + i - ch) else 0          // left
+        val bb = if (y > 0) u8(raw, prev + i) else 0               // up
+        val c = if (y > 0 && i >= ch) u8(raw, prev + i - ch) else 0 // up-left
+        val recon = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + bb
+          case 3 => x + ((a + bb) >> 1)
+          case 4 =>
+            val pp = a + bb - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - bb); val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+        }
+        raw(row + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+
+    val sums = new Array[Long](3)
+    var maxPx = 0L
+    y = 0
+    while (y < h) {
+      val row = y * stride + 1
+      var i = 0
+      while (i < w * ch) {
+        val cIdx = i % ch
+        if (cIdx < 3) { // alpha (cIdx == 3) excluded
+          val v = u8(raw, row + i).toLong
+          sums(if (ch == 1) 0 else cIdx) += v
+          if (v > maxPx) maxPx = v
+        }
+        i += 1
+      }
+      y += 1
+    }
+    Some(PixelStats(w.toLong, h.toLong, ch.toLong, sums(0), sums(1), sums(2), maxPx))
+  }
+
+  /** Static entry point for generated code
+    * ([[graft.expressions.PngPixelStatsExpr]]): null when not decodable.
+    */
+  def pngPixelStatsRow(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    pngPixelStats(b) match {
+      case Some(s) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](s.width, s.height, s.channels, s.sum_r, s.sum_g, s.sum_b, s.max_px))
+      case None => null
+    }
+
+  /** WAV fixture with MATERIALIZED 16-bit PCM samples:
+    * s(i) = ((seed·31 + i·17) mod 4096) − 2048 over frames×channels
+    * interleaved samples — integer-exact and restatable in SQL.
+    */
+  def wavPcmFixture(sampleRate: Int, channels: Int, frames: Int, seed: Long): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = frames * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16.toShort)
+    out.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    val n = frames * channels
+    while (i < n) {
+      out.putShort((((seed * 31 + i * 17) % 4096) - 2048).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** PNG fixture with REAL zlib-compressed 8-bit pixel data (greyscale,
+    * RGB or RGBA by `channels` ∈ {1,3,4}): v(y,x,c) = (seed + 7x + 13y +
+    * 29c) mod 256, scanlines written under `filterType` (0-4 — the
+    * decoder must reverse it), chunk CRCs real.
+    */
+  def pngPixelFixture(w: Int, h: Int, seed: Long, filterType: Int = 0,
+                      channels: Int = 3): Array[Byte] = {
+    require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
+    val ch = channels
+    val colorType = ch match {
+      case 1 => 0
+      case 3 => 2
+      case 4 => 6
+      case _ => throw new IllegalArgumentException(s"channels must be 1/3/4, got $ch")
+    }
+    val stride = 1 + w * ch
+    val px = Array.tabulate(h, w * ch) { (y, i) =>
+      val x = i / ch; val c = i % ch
+      (((seed + 7 * x + 13 * y + 29 * c) % 256).toInt)
+    }
+    val raw = new Array[Byte](stride * h)
+    for (y <- 0 until h) {
+      raw(y * stride) = filterType.toByte
+      for (i <- 0 until w * ch) {
+        val orig = px(y)(i)
+        val a = if (i >= ch) px(y)(i - ch) else 0
+        val b = if (y > 0) px(y - 1)(i) else 0
+        val c = if (y > 0 && i >= ch) px(y - 1)(i - ch) else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * stride + 1 + i) = ((orig - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val compBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) compBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val comp = compBuf.toByteArray
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp) ++ chunk("IEND", Array.empty)
+  }
 }

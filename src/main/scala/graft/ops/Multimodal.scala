@@ -40,6 +40,23 @@ object Multimodal {
   def withFeatures(df: DataFrame, payloadCol: String, dim: Int = 16): DataFrame =
     df.withColumn("features", graft.functions.byte_histogram(col(payloadCol), dim))
 
+  /** REAL sample decode for audio payloads: 16-bit PCM WAV → exact
+    * integer sample statistics struct (n_samples, sum_abs, max_abs,
+    * zero_cross) via the codegen'd [[graft.expressions.PcmStatsExpr]] —
+    * the decode stage [[withFeatures]]' byte histogram stood in for.
+    * Undecodable payloads → null struct.
+    */
+  def withPcmStats(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("pcm", graft.functions.pcm_stats(col(payloadCol)))
+
+  /** REAL pixel decode for image payloads: 8-bit gray/RGB/RGBA PNG →
+    * zlib inflate + five-filter scanline reconstruction + exact
+    * per-channel sums ([[graft.expressions.PngPixelStatsExpr]]).
+    * Undecodable payloads → null struct.
+    */
+  def withPixelStats(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("px", graft.functions.png_pixel_stats(col(payloadCol)))
+
   /** Frame sampling plan for audio/video payloads: every `stride`-th frame
     * index up to n_frames — one row per sampled frame (a real decoder
     * slots into the per-frame rows this stage emits). A payload with

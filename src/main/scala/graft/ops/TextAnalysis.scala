@@ -229,6 +229,44 @@ object TextAnalysis {
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
   }
 
+  /** Okapi BM25 document scoring against a literal query-term list — the
+    * classical retrieval scorer next to [[tfIdf]]:
+    * idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) (the non-negative
+    * Robertson form), score(d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·len/avgdl)).
+    *
+    * Scale: tf for ONLY the query terms is a per-row codegen'd array fold
+    * — the corpus never shuffles; the (N, Σlen, df_t…) statistics are ONE
+    * scalar aggregation (a handful of numbers over the whole corpus), and
+    * the score pass is a second zero-shuffle projection. Determinism: the
+    * stats are exact BIGINTs, ln() agrees across correctly-rounded libms
+    * to ≤ 1 ulp, and the score is rounded to 6 dp (same convention as
+    * [[tfIdf]]).
+    */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val projCols = col(idCol) +: size(tokens(col(textCol))).cast("long").as("dl") +:
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        size(filter(tokens(col(textCol)), x => x === lit(t))).cast("long").as(s"tf$i")
+      }
+    val withTf = df.select(projCols: _*)
+    // one row of global statistics: N, Σlen and one df per query term
+    val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("sumlen") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val statsRow = withTf.agg(statCols.head, statCols.tail: _*).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val score = queryTerms.indices.map { i =>
+      val dfT = statsRow.getLong(2 + i)
+      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+      lit(idf) * col(s"tf$i") * (k1 + 1.0) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + lit(b / avgdl) * col("dl")))
+    }.reduce(_ + _)
+    withTf.select(col(idCol), round(score, 6).as("score"))
+  }
+
   /** Rolling polynomial hash (mod 1e9+7, base 31) over the printable-ASCII
     * codepoints — a deterministic document fingerprint computable in pure
     * SQL on any engine. All arithmetic stays within Long range.

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc profiling entry: times named pieces of the bench pipeline and
+  * prints formatted plans — local iteration only, never driver-run.
+  * Usage: runMain graft.tools.Profile <sfDir> <what,...>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val what = if (args.length > 1) args(1).split(",").toSet else Set("all")
+    def on(n: String) = what.contains("all") || what.contains(n)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val benchDir = java.nio.file.Files.createTempDirectory("graft_prof").toString
+    graft.Bench.syntheticVectors(li).write.mode("overwrite").parquet(s"$benchDir/vectors")
+    val vecs = spark.read.parquet(s"$benchDir/vectors")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    if (on("quant")) {
+      // warm
+      graft.ops.Knn.fullScan(vecs.limit(1000), "id", "vec", graft.Queries.probe, 5, "l2").count()
+      for (rep <- 1 to 2) {
+        val params = time(s"quantize_params[$rep]")(graft.ops.Quantizer.computeParams(vecs, "vec"))
+        val codes = graft.ops.Quantizer.quantizeCodes(vecs, "id", "vec", params)
+        time(s"quantize_codes.count[$rep]")(codes.count())
+        time(s"vec_scan_only.count[$rep]")(vecs.where(col("vec").isNotNull).count())
+      }
+      val params = graft.ops.Quantizer.computeParams(vecs, "vec")
+      graft.ops.Quantizer.quantizeCodes(vecs, "id", "vec", params).explain("formatted")
+    }
+
+    if (on("dup")) {
+      for (rep <- 1 to 2) {
+        val sh = docs.select(col("doc_id"), graft.functions.simhash64(
+          graft.ops.Dedup.simhashTokens(col("text"))).as("sh"))
+        time(s"simhash_only.count[$rep]")(sh.count())
+        val pairs = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", 3)
+        time(s"simhash_pairs.count[$rep]")(pairs.count())
+        time(s"dup_clusters[$rep]")(
+          graft.Queries.queries("dup_clusters")(spark, sfDir).count())
+      }
+    }
+
+    if (on("jacc")) {
+      for (rep <- 1 to 2) {
+        time(s"ngram_jaccard_top[$rep]")(
+          graft.Queries.queries("ngram_jaccard_top")(spark, sfDir).count())
+        time(s"minhash_lsh_pairs[$rep]")(
+          graft.Queries.queries("minhash_lsh_pairs")(spark, sfDir).count())
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1696,4 +1696,53 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex2.getMessage.contains("NULL lane") || ex2.getCause != null)
   }
+
+  // ---------- Z-order clustering ----------
+
+  test("zorderValue interleaves bits exactly (driver-math oracle)") {
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (65535L, 1L),
+      (12345L, 54321L), (65535L, 65535L))
+    val got = rows.toDF("x", "y")
+      .select(Layout.zorderValue(col("x"), col("y"), 16)).collect().map(_.getLong(0))
+    val want = rows.map { case (x, y) => morton(x, y, 16) }
+    assert(got.toSeq == want)
+    // adjacency property: consecutive z-values differ only in low bits for
+    // points in the same 2x2 cell
+    assert(morton(2, 2, 16) == morton(3, 3, 16) - 3)
+  }
+
+  test("z-ordered store prunes a 2-D box on file stats where a 1-D sort cannot") {
+    // 64x64 grid, one row per cell, written as many small files so each
+    // file's footer range is tight
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"), col("id").as("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zot").toString
+    Layout.writeZordered(grid, s"$tmp/z", "x", "y", 6, 32)
+    grid.repartitionByRange(32, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$tmp/xsort")
+
+    // box narrow in Y only: the x-sorted layout cannot prune it at all
+    def overlapping(path: String): Int = {
+      val xs = Layout.fileRanges(spark, path, "x")
+      val ys = Layout.fileRanges(spark, path, "y")
+      xs.zip(ys).count { case ((_, _), (ymn, ymx)) => ymn <= 11 && ymx >= 4 }
+    }
+    val zTotal = Layout.fileRanges(spark, s"$tmp/z", "x").size
+    val xTotal = Layout.fileRanges(spark, s"$tmp/xsort", "x").size
+    val zHit = overlapping(s"$tmp/z")
+    val xHit = overlapping(s"$tmp/xsort")
+    assert(xHit == xTotal, "1-D x-sorted layout reads every file for a y-only box")
+    assert(zHit * 2 <= zTotal, s"z-order should skip >= half the files, read $zHit/$zTotal")
+
+    // and the clustered store still answers the box exactly
+    val got = spark.read.parquet(s"$tmp/z")
+      .where(col("x").between(10, 20) && col("y").between(4, 11))
+      .agg(count(lit(1)), sum(col("payload"))).head()
+    val want = grid.where(col("x").between(10, 20) && col("y").between(4, 11))
+      .agg(count(lit(1)), sum(col("payload"))).head()
+    assert(got == want)
+  }
 }
