@@ -161,6 +161,11 @@ object Bench {
       val preloaded = ops.Quantizer.preload(codes)
       time("quant_knn_600k")(
         ops.Quantizer.quantScan(preloaded, probe, params, 10, "sq_l2").count())
+      // certified-exact two-stage scan: code-store shortlist under the
+      // quantization-error bound + exact rerank — exact results at
+      // compressed-scan cost (both stages timed)
+      time("certified_knn_600k")(
+        ops.Quantizer.certifiedTopK(vecs, "id", "vec", preloaded, probe, params, 10, "l2").count())
       ops.Quantizer.cleanup(preloaded)
 
       // 4. partition-pruned ANN probes over the pre-built stores
@@ -190,10 +195,14 @@ object Bench {
       time("mrl_rerank_600k")(
         ops.Knn.mrlTopKStored(mrl, "id", "prefix", "vec", probe, 16, 100, 10, "l2").count())
       // table-to-table ANN join: 64 probe rows x 600k corpus through the
-      // shared hamming-1 bucket neighborhood, per-probe top-10
+      // shared hamming-1 bucket neighborhood, per-probe top-10. nBits
+      // sized to the corpus (10 bits -> ~600 rows/bucket): probes draw
+      // buckets size-biased, so coarser 8-bit buckets ballooned the
+      // candidate set to ~5.3M pairs where 10 bits reads ~1.3M for the
+      // same radius-1 recall structure
       time("ann_join64_600k")(
         ops.Ann.annJoin(vecs.where(col("id") < 650), "id", "vec",
-          vecs, "id", "vec", 10, "l2", 8, Dim).count())
+          vecs, "id", "vec", 10, "l2", 10, Dim).count())
 
       // 5. relational + text + dedup representatives from the inventory
       val fromQueries = Seq("q1_pricing", "q3_revenue", "window_top_orders",

@@ -690,6 +690,18 @@ object Queries {
     // K2: approximate k-NN over codes (vector_quantize_scan), integer space
     "quant_knn_l2" -> quantKnn _,
 
+    // CERTIFIED-EXACT quantized k-NN (beyond-reference): code-store
+    // shortlist under the quantization-error bound -> exact rerank; the
+    // oracle is the EXACT full-precision k-NN — hash-equality here IS the
+    // exactness proof carried out end-to-end
+    "quant_certified_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = Quantizer.computeParams(e, "embedding")
+      val codes = Quantizer.quantizeCodes(e, "vec_id", "embedding", p)
+      Quantizer.certifiedTopK(e, "vec_id", "embedding", codes, probe, p, K, "l2")
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
     // K4: streaming code-space distances, no sort/limit (vector_quantize_scan_stream)
     "quant_stream_sq_l2" -> ((s, dir) => {
       val (codes, p) = quantCodesDf(s, dir)
@@ -795,6 +807,24 @@ object Queries {
       graft.catalog.VectorCatalog.putQuantParams("embeddings", "embedding", p)
       val probeJson = probe.mkString("[", ",", "]")
       s.sql(s"SELECT id, distance FROM vector_quantize_scan('embeddings', 'embedding', '$probeJson', $K)")
+    }),
+
+    // Automatic index selection in pure SQL: vector_scan expands to the
+    // CERTIFIED-EXACT code-store plan when the pair is quantized (this
+    // gate's setup quantizes, so the certified path runs) — and the
+    // oracle is the EXACT full-precision k-NN, proving the silent plan
+    // swap changed nothing
+    "sql_auto_scan" -> ((s, dir) => {
+      emb(s, dir).createOrReplaceTempView("embeddings")
+      graft.catalog.VectorCatalog.init("embeddings", "embedding",
+        VectorConfig(Dim, idCol = "vec_id"))
+      graft.sql.GraftTableFunctions.register(s)
+      val (codes, p) = quantCodesDf(s, dir)
+      codes.createOrReplaceTempView("vector0_embeddings_embedding")
+      graft.catalog.VectorCatalog.putQuantParams("embeddings", "embedding", p)
+      val probeJson = probe.mkString("[", ",", "]")
+      s.sql(s"SELECT id, round(distance, 6) AS distance " +
+        s"FROM vector_scan('embeddings', 'embedding', '$probeJson', $K)")
     }),
 
     // The reference's full SQL lifecycle (API.md:53-168,
@@ -2125,6 +2155,10 @@ object Queries {
 
     "quant_knn_l2" -> quantKnnSql,
 
+    // the certified scan's oracle is the EXACT k-NN restatement — not the
+    // code-space one — because certification promises exact results
+    "quant_certified_knn" -> knnSql("l2"),
+
     "quant_lifecycle" -> quantKnnSql,
 
     "quant_cleanup" ->
@@ -2144,6 +2178,13 @@ object Queries {
       s"""WITH p AS (SELECT $probeSqlList AS pv),
          |d AS (SELECT vec_id AS id, ${distSql("l2")} AS distance FROM embeddings, p WHERE embedding IS NOT NULL)
          |SELECT id, distance FROM d ORDER BY distance, id LIMIT $K""".stripMargin,
+
+    // the auto TVF's oracle is EXACT k-NN: certification means the
+    // quantized access path must not change results
+    "sql_auto_scan" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |d AS (SELECT vec_id AS id, ${distSql("l2")} AS distance FROM embeddings, p WHERE embedding IS NOT NULL)
+         |SELECT id, round(distance, 6) AS distance FROM d ORDER BY round(distance, 6), id LIMIT $K""".stripMargin,
 
     "sql_tvf_quant_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $paramsCte,

@@ -170,6 +170,68 @@ object Quantizer {
       col("distance"), col("id"), k)
   }
 
+  /** CERTIFIED-EXACT k-NN from the quantized store (beyond-reference):
+    * scans only the 1-byte codes like [[quantScan]], yet returns EXACTLY
+    * the full-precision top-k — the approximate index with an exactness
+    * proof, where the reference's quantized scan (and every standard ANN
+    * stack) accepts silent recall loss.
+    *
+    * Derivation (L2, code units): in-envelope quantization places every
+    * stored lane within 0.5 code of `scale·(x − offset)` (half-away
+    * rounding, no saturation inside the pass-1 min/max envelope), so
+    * ‖scale·(x − q)‖ deviates from the integer code distance by at most
+    * B = 0.5·√dim + E_p, with E_p the probe's OWN quantization error
+    * computed exactly on the driver (so an out-of-envelope, even saturated
+    * probe just widens the bound — certification survives). If T is the
+    * k-th smallest code distance² then every true top-k row has code
+    * distance ≤ (√T + 2B)²: stage 1 takes the code top-k (one
+    * TakeOrderedAndProject over the codes), stage 2 rescans the codes for
+    * rows under the certified threshold and reranks ONLY those against
+    * the full-precision vectors (equi-join on id, AQE broadcasts the
+    * candidate side when small). Two scans of the 4×-smaller code store +
+    * a candidate-sized exact pass replace one full f32 scan; no shuffle
+    * of `base` beyond the join.
+    *
+    * Preconditions (documented, not checked): codes built by the full
+    * rebuild (in-envelope — appended waves that clamped under envelope
+    * drift void the proof) and NaN-free vectors. Metrics: l2 / sq_l2
+    * (the bound is an L2 triangle inequality; other metrics fall back to
+    * [[graft.ops.Knn.fullScan]]).
+    */
+  def certifiedTopK(base: DataFrame, idCol: String, vecCol: String,
+                    quantDF: DataFrame, probe: Array[Float], p: QuantParams,
+                    k: Int, metric: String): DataFrame = {
+    if (metric != "l2" && metric != "sq_l2")
+      return Knn.fullScan(base, idCol, vecCol, probe, k, metric)
+    if (k <= 0)
+      return base.select(col(idCol), lit(0.0).as("distance")).limit(0)
+    val qprobe = quantizeProbe(probe, p)
+    val ep = math.sqrt(probe.indices.map { i =>
+      val scaled = (probe(i).toDouble - p.offset) * p.scale
+      val c = if (p.qType == QType.I8) qprobe(i).toDouble else (qprobe(i) & 0xff).toDouble
+      val d = scaled - c; d * d
+    }.sum)
+    val bound = 0.5 * math.sqrt(probe.length.toDouble) + ep
+    val codeD = quantDF.select(col("id"),
+      code_distance(col("code"), lit(qprobe), "sq_l2", p.qType).as("cd"))
+    // stage 1: k-th smallest code distance² — a k-row driver merge
+    val kthRow = Knn.topK(codeD, col("cd"), col("id"), k)
+      .agg(max(col("cd"))).head()
+    if (kthRow.isNullAt(0))
+      return base.select(col(idCol), lit(0.0).as("distance")).limit(0)
+    val s = math.sqrt(kthRow.getLong(0).toDouble) + 2.0 * bound
+    // integer threshold, rounded UP with float slack so the certificate
+    // can only widen, never narrow
+    val thr = math.ceil(s * s * (1.0 + 1e-12)).toLong
+    val cand = codeD.where(col("cd") <= thr).select(col("id").as("_cand_id"))
+    Knn.topK(
+      base.where(col(vecCol).isNotNull)
+        .join(cand, col(idCol) === col("_cand_id"))
+        .select(col(idCol),
+          graft.functions.vector_distance(col(vecCol), graft.functions.vectorLit(probe), metric).as("distance")),
+      col("distance"), col(idCol), k)
+  }
+
   /** K4 `vector_quantize_scan_stream`: code-space distances, no sort/limit. */
   def quantStream(quantDF: DataFrame, probe: Array[Float], p: QuantParams, metric: String): DataFrame = {
     val qprobe = quantizeProbe(probe, p)

@@ -98,6 +98,88 @@ object GraftTableFunctions {
       throw new IllegalArgumentException(s"vector_quantize_scan expects (table, column, probe, k), got ${other.size} args")
   }
 
+  /** `vector_scan(tbl, col, probeJson, k)` — AUTOMATIC index selection,
+    * the "the optimizer picks the access path" surface neither the
+    * reference nor stock Spark has: when the (table, column) pair has a
+    * quantized store AND an L2-family metric, expand to the
+    * CERTIFIED-EXACT two-stage plan ([[graft.ops.Quantizer.certifiedTopK]]
+    * — code-store shortlist under the quantization-error bound, exact
+    * rerank); otherwise fall back to the brute-force full scan. Either
+    * path returns exactly the full-precision top-k, so swapping plans
+    * never changes results — which is precisely what licenses an
+    * optimizer to make the choice silently.
+    *
+    * The certified threshold is DECLARATIVE: the k-th code distance rides
+    * as an uncorrelated scalar subquery, so the whole thing is one
+    * LogicalPlan — no driver-side action at expansion time, EXPLAIN shows
+    * both stages, and Catalyst/AQE schedule the subquery like any other.
+    */
+  def autoScanBuilder(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(t, c, probeE, kE) =>
+      val table = strArg(t, "table name")
+      val column = strArg(c, "column name")
+      val cfg = config(table, column)
+      val probe = probeArg(probeE, cfg.dim)
+      val k = intArg(kE, "k")
+      VectorCatalog.quantParams(table, column) match {
+        case Some(p) if (cfg.metric == graft.Metric.L2 || cfg.metric == graft.Metric.SquaredL2) && k > 0 =>
+          certifiedPlan(table, column, cfg, probe, p, k)
+        case _ => fullScanBuilder(args)
+      }
+    case other =>
+      throw new IllegalArgumentException(s"vector_scan expects (table, column, probe, k), got ${other.size} args")
+  }
+
+  private def certifiedPlan(table: String, column: String, cfg: graft.VectorConfig,
+                            probe: Array[Float], p: graft.QuantParams, k: Int): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, EqualTo, LessThanOrEqual, Multiply, ScalarSubquery, Sqrt}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Max
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+    val qprobe = Quantizer.quantizeProbe(probe, p)
+    // probe's own quantization error in code units — exact, saturation
+    // included, so out-of-envelope probes only widen the bound
+    val ep = math.sqrt(probe.indices.map { i =>
+      val scaled = (probe(i).toDouble - p.offset) * p.scale
+      val cv = if (p.qType == QType.I8) qprobe(i).toDouble else (qprobe(i) & 0xff).toDouble
+      val d = scaled - cv; d * d
+    }.sum)
+    val bound = 0.5 * math.sqrt(probe.length.toDouble) + ep
+
+    def codeProj = Project(Seq(
+        Alias(UnresolvedAttribute("id"), "id")(),
+        Alias(CodeDistance(UnresolvedAttribute("code"), Literal(qprobe, BinaryType),
+          graft.Metric.SquaredL2, signed = p.qType == QType.I8), "cd")()),
+      UnresolvedRelation(Seq(s"vector0_${table}_$column")))
+
+    // k-th smallest code distance² as an uncorrelated scalar subquery
+    val kth = Aggregate(Nil,
+      Seq(Alias(Max(UnresolvedAttribute("cd")).toAggregateExpression(), "t")()),
+      Limit(Literal(k), Sort(
+        Seq(SortOrder(UnresolvedAttribute("cd"), Ascending),
+            SortOrder(UnresolvedAttribute("id"), Ascending)),
+        global = true, codeProj)))
+    // thr = (sqrt(T) + 2B)² widened by a float-slack factor — the
+    // certificate can only widen, never narrow
+    val sPlus = Add(Sqrt(Cast(ScalarSubquery(kth), DoubleType)), Literal(2.0 * bound))
+    val thr = Multiply(Multiply(sPlus, sPlus), Literal(1.0 + 1e-12))
+
+    val cand = Project(Seq(Alias(UnresolvedAttribute("id"), "_cand_id")()),
+      Filter(LessThanOrEqual(Cast(UnresolvedAttribute("cd"), DoubleType), thr), codeProj))
+    val joined = Join(
+      Filter(IsNotNull(UnresolvedAttribute(column)), UnresolvedRelation(Seq(table))),
+      cand, Inner,
+      Some(EqualTo(UnresolvedAttribute(cfg.idCol), UnresolvedAttribute("_cand_id"))),
+      JoinHint.NONE)
+    topK(Project(Seq(
+        Alias(UnresolvedAttribute(cfg.idCol), "id")(),
+        Alias(VectorDistance(UnresolvedAttribute(column),
+          Literal.create(probe, ArrayType(FloatType)), cfg.metric), "distance")()),
+      joined), k)
+  }
+
   private def topK(proj: LogicalPlan, k: Int): LogicalPlan =
     Limit(Literal(math.max(k, 0)), Sort(
       Seq(SortOrder(UnresolvedAttribute("distance"), Ascending),
@@ -298,7 +380,8 @@ object GraftTableFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "vector_full_scan" -> (fullScanBuilder _),
-    "vector_quantize_scan" -> (quantScanBuilder _))
+    "vector_quantize_scan" -> (quantScanBuilder _),
+    "vector_scan" -> (autoScanBuilder _))
 
   private val scalarBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vector_init" -> (initBuilder _),

@@ -60,6 +60,47 @@ object Profile {
       }
     }
 
+    if (on("annjoin")) {
+      val probes = vecs.where(col("id") < 650)
+      for (rep <- 1 to 2) {
+        time(s"annJoin64[$rep]")(
+          graft.ops.Ann.annJoin(probes, "id", "vec", vecs, "id", "vec", 10, "l2", 8, 64).count())
+        time(s"annJoin64_bcastL[$rep]")(
+          graft.ops.Ann.annJoin(broadcast(probes), "id", "vec", vecs, "id", "vec", 10, "l2", 8, 64).count())
+        val r = graft.ops.Ann.withBuckets(vecs.where(col("vec").isNotNull), "vec", 8, 64, 42L)
+        time(s"rightBuckets.count[$rep]")(r.count())
+      }
+      graft.ops.Ann.annJoin(broadcast(probes), "id", "vec", vecs, "id", "vec", 10, "l2", 8, 64)
+        .explain("formatted")
+      // sub-plans: join+distance only, then agg of the joined rows
+      val masks = (0L until 256L).filter(m => java.lang.Long.bitCount(m) <= 1)
+      val l = graft.ops.Ann.withBuckets(probes.where(col("vec").isNotNull), "vec", 8, 64, 42L)
+        .select(col("id").as("_l_id"), col("vec").as("_l_v"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      val r2 = graft.ops.Ann.withBuckets(vecs.where(col("vec").isNotNull), "vec", 8, 64, 42L)
+        .select(col("bucket"), col("id").as("_r_id"), col("vec").as("_r_v"))
+      val joined = broadcast(l).join(r2, "bucket")
+        .select(col("_l_id"),
+          round(graft.functions.vector_distance(col("_l_v"), col("_r_v"), "l2"), 6).as("_d"),
+          col("_r_id"))
+      for (rep <- 1 to 2) {
+        time(s"join_rows.count[$rep]")(joined.count())
+        time(s"join_dist.sum[$rep]")(joined.agg(sum(col("_d"))).head().getDouble(0).toLong)
+        time(s"join_agg[$rep]")(joined.groupBy(col("_l_id"))
+          .agg(graft.functions.knn_topk(col("_d"), col("_r_id"), 10).as("_tk")).count())
+      }
+      println(s"[profile] joined rows = ${joined.count()}")
+      r2.groupBy("bucket").count().orderBy(col("count").desc).limit(5).collect()
+        .foreach(x => println(s"[profile] top bucket ${x.getLong(0)} -> ${x.getLong(1)}"))
+      // distance microbench baseline: same 64-float arrays, crossJoin form
+      val probes8 = broadcast(vecs.orderBy("id").limit(64)
+        .select(col("id").as("pid"), col("vec").as("pv")))
+      val cj = vecs.crossJoin(probes8).where(pmod(col("id") + col("pid"), lit(28L)) === 0)
+        .select(round(graft.functions.vector_distance(col("vec"), col("pv"), "l2"), 6).as("_d"))
+      for (rep <- 1 to 2)
+        time(s"cross_dist_1.37M.sum[$rep]")(cj.agg(sum(col("_d"))).head().getDouble(0).toLong)
+    }
+
     if (on("jacc")) {
       for (rep <- 1 to 2) {
         time(s"ngram_jaccard_top[$rep]")(

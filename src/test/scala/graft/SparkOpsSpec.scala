@@ -1697,6 +1697,60 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex2.getMessage.contains("NULL lane") || ex2.getCause != null)
   }
 
+  // ---------- certified-exact quantized scan ----------
+
+  test("certifiedTopK equals exact fullScan, including an out-of-envelope probe") {
+    val e = emb
+    val p = Quantizer.computeParams(e, "embedding")
+    val codes = Quantizer.quantizeCodes(e, "vec_id", "embedding", p)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    for (metric <- Seq("l2", "sq_l2")) {
+      val exact = ids(Knn.fullScan(e, "vec_id", "embedding", probe, 10, metric))
+      val cert = ids(Quantizer.certifiedTopK(e, "vec_id", "embedding", codes, probe, p, 10, metric))
+      assert(cert == exact, s"metric $metric")
+    }
+    // probe far OUTSIDE the quantization envelope: every lane saturates,
+    // E_p explodes, the bound widens — results must STILL be exact
+    val wild = probe.map(x => x * 1000f + 50f)
+    val exactW = ids(Knn.fullScan(e, "vec_id", "embedding", wild, 10, "l2"))
+    val certW = ids(Quantizer.certifiedTopK(e, "vec_id", "embedding", codes, wild, p, 10, "l2"))
+    assert(certW == exactW, "out-of-envelope probe lost exactness")
+    // k = 0 and empty store degenerate cases
+    assert(Quantizer.certifiedTopK(e, "vec_id", "embedding", codes, probe, p, 0, "l2").count() == 0)
+    assert(Quantizer.certifiedTopK(e, "vec_id", "embedding",
+      codes.limit(0), probe, p, 10, "l2").count() == 0)
+  }
+
+  test("vector_scan TVF auto-selects: certified code path when quantized, full scan otherwise") {
+    val e = emb
+    e.createOrReplaceTempView("auto_emb")
+    graft.catalog.VectorCatalog.init("auto_emb", "embedding",
+      VectorConfig(64, idCol = "vec_id"))
+    graft.sql.GraftTableFunctions.register(spark)
+    val probeJson = probe.mkString("[", ",", "]")
+    val q = s"SELECT id, distance FROM vector_scan('auto_emb', 'embedding', '$probeJson', 10)"
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    val exact = ids(Knn.fullScan(e, "vec_id", "embedding", probe, 10, "l2"))
+
+    // not quantized -> brute-force expansion, no subquery in the plan
+    graft.catalog.VectorCatalog.dropQuantParams("auto_emb", "embedding")
+    val full = spark.sql(q)
+    assert(!full.queryExecution.optimizedPlan.toString.contains("scalar-subquery"))
+    assert(ids(full) == exact)
+
+    // quantized -> certified expansion: scalar-subquery threshold over the
+    // code view, same exact results
+    val p = Quantizer.computeParams(e, "embedding")
+    Quantizer.quantizeCodes(e, "vec_id", "embedding", p)
+      .createOrReplaceTempView("vector0_auto_emb_embedding")
+    graft.catalog.VectorCatalog.putQuantParams("auto_emb", "embedding", p)
+    val cert = spark.sql(q)
+    val plan = cert.queryExecution.optimizedPlan.toString
+    assert(plan.contains("scalar-subquery"), s"expected certified plan, got:\n$plan")
+    assert(ids(cert) == exact)
+  }
+
   // ---------- Z-order clustering ----------
 
   test("zorderValue interleaves bits exactly (driver-math oracle)") {
