@@ -100,6 +100,13 @@ object Bench {
     ops.BinaryQuant.signatures(vecs, "id", "vec", Dim)
       .write.mode("overwrite").parquet(s"$benchDir/sigs")
     ops.Knn.writeMrl(vecs, "id", "vec", s"$benchDir/mrl", 16)
+    // z-order clustered lineitem store: one range shuffle at write time
+    // (untimed, like the other store builds); the timed query is a 2-D box
+    // that file/row-group stats prune on BOTH columns
+    ops.Layout.writeZordered(
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+      s"$benchDir/zorder", "l_partkey", "l_suppkey", 16, 32)
+
     // partitioned event store, built ONCE untimed like the other serving
     // stores — the timed query measures the file-listing-pruned read, not
     // a per-rep rewrite
@@ -215,6 +222,16 @@ object Bench {
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
+      // 2-D box over the pre-built z-ordered store: both range predicates
+      // reach the parquet scan where Morton clustering makes row-group
+      // min-max stats tight in BOTH dimensions
+      time("zorder_box_600k")(
+        spark.read.parquet(s"$benchDir/zorder")
+          .where(col("l_partkey").between(1000, 3000) && col("l_suppkey").between(100, 400))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .count())
+
       // pruned read over the pre-built partitioned store (2 of 5 type dirs)
       time("events_partitioned_agg")(
         spark.read.parquet(s"$benchDir/events_by_type")

@@ -1194,6 +1194,32 @@ object Queries {
           round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
             .as("var_chars"))),
 
+    // Per-group z-score normalization: exact decimal power sums over one
+    // window shuffle, per-row (x - mean)/sigma as the identical double
+    // tree on both engines (the variance_by_lang contract applied per row)
+    "zscore_by_lang" -> ((s, dir) =>
+      Curation.zscoreByGroup(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          "n_chars", "lang")
+        .select(col("doc_id"), col("lang"), col("z"))),
+
+    // Edit-distance-1 vocabulary pairs via SymSpell deletion blocking
+    // (lossless: lev<=1 <=> shared deletion variant) + exact levenshtein
+    // verify; the oracle brute-forces the quadratic pair space with
+    // DuckDB's own independent levenshtein implementation. The corpus
+    // vocabulary is augmented with INJECTED typos (first char of the
+    // first token of every doc_id%11 doc dropped) so the gate's pair set
+    // is non-empty by construction, like pii_redact's injected identifiers
+    "edit_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(explode(Curation.cleanTokens(col("text"))).as("word"))
+      val t1 = element_at(Curation.cleanTokens(col("text")), 1)
+      val typos = d.where(col("doc_id") % 11 === 0)
+        .select(t1.substr(lit(2), length(t1) - 1).as("word"))
+        .where(col("word").isNotNull && length(col("word")) > 0)
+      TextAnalysis.editPairs(toks.unionByName(typos), "word")
+    }),
+
     // CUBE: all four grouping levels — (flag,status), (flag), (status),
     // () — from one Expand+shuffle, same exactness contract as ROLLUP
     "cube_pricing" -> ((s, dir) =>
@@ -2433,6 +2459,28 @@ object Queries {
         |           * CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*))
         |        / (COUNT(*) - 1), 6) AS var_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "zscore_by_lang" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |  COUNT(*) OVER w AS n,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s2
+        |  FROM documents WINDOW w AS (PARTITION BY lang))
+        |SELECT doc_id, lang,
+        |  CASE WHEN n = 1 OR (s2 - s1 * s1 / n) / (n - 1) <= 0 THEN 0.0
+        |       ELSE round((n_chars - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) END AS z
+        |FROM t""".stripMargin,
+
+    "edit_pairs" ->
+      s"""WITH ws AS (SELECT doc_id, ${cleanWsSql(cleanAcSql)} AS ws FROM documents),
+         |w AS (SELECT DISTINCT w FROM (
+         |  SELECT unnest(ws) AS w FROM ws
+         |  UNION ALL
+         |  SELECT ws[1][2:] AS w FROM ws
+         |  WHERE doc_id % 11 = 0 AND len(ws) >= 1 AND len(ws[1]) > 1)
+         |  WHERE w IS NOT NULL AND w <> '')
+         |SELECT a.w AS a, b.w AS b FROM w a JOIN w b
+         |ON a.w < b.w AND levenshtein(a.w, b.w) <= 1""".stripMargin,
 
     "cube_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

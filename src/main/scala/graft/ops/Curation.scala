@@ -353,6 +353,26 @@ object Curation {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Per-group z-score normalization — the feature-scaling stage of a
+    * curation/mixing pipeline ("normalize quality scores within each
+    * language"), with the statistics made engine-exact: Σx and Σx² are
+    * exact DECIMAL sums over ONE window shuffle on the group key, and the
+    * per-row (x − μ)/σ is the identical double expression tree on any
+    * engine (the variance_by_lang contract applied per row; sample
+    * variance, n − 1). Single-row and zero-variance groups normalize to
+    * z = 0. Output: input columns + `z` (rounded 6 dp).
+    */
+  def zscoreByGroup(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val n = count(lit(1)).over(w)
+    val s1 = sum(col(valueCol).cast("decimal(38,0)")).over(w).cast("double")
+    val s2 = sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)")).over(w).cast("double")
+    val variance = (s2 - s1 * s1 / n) / (n - 1)
+    df.withColumn("z",
+      when(n === 1 || variance <= 0, lit(0.0))
+        .otherwise(round((col(valueCol) - s1 / n) / sqrt(variance), 6)))
+  }
+
   /** Count-min-sketch point-frequency estimates for `candidates`, checked
     * against the exact counts — the fixed-size (width × depth counters)
     * frequency summary that answers "how often does key k appear" over a

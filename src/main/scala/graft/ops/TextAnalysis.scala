@@ -267,6 +267,34 @@ object TextAnalysis {
     withTf.select(col(idCol), round(score, 6).as("score"))
   }
 
+  /** Edit-distance-1 vocabulary pairing (typo clustering) via
+    * SymSpell-style deletion blocking: two distinct words are within
+    * Levenshtein distance 1 IFF they share a string in {w} ∪ deletes₁(w),
+    * so candidates come from ONE equi-join on a deletion-variant key
+    * (≤ len+1 keys per word — linear in corpus vocabulary) instead of a
+    * quadratic all-pairs, and the final filter is the exact built-in
+    * `levenshtein`. The blocking is lossless, so the output is the EXACT
+    * distance-≤1 pair set: (a, b) with a < b, distinct.
+    *
+    * Scale: bound word length upstream (vocabularies obey Zipf; a 30-char
+    * cap keeps the variant fan-out ≤ 31× on outliers) — the join keys are
+    * short strings, the pair space is output-proportional.
+    */
+  def editPairs(df: org.apache.spark.sql.DataFrame, wordCol: String): org.apache.spark.sql.DataFrame = {
+    val words = df.select(col(wordCol).as("w"))
+      .where(col("w").isNotNull && length(col("w")) > 0).distinct()
+    val variants = words.select(col("w"), explode(array_distinct(concat(
+      array(col("w")),
+      transform(sequence(lit(1), length(col("w"))), i =>
+        concat(col("w").substr(lit(1), i - 1),
+               col("w").substr(i + 1, length(col("w")))))))).as("v"))
+    val l = variants.select(col("v"), col("w").as("wa"))
+    val r = variants.select(col("v"), col("w").as("wb"))
+    l.join(r, "v").where(col("wa") < col("wb"))
+      .select(col("wa").as("a"), col("wb").as("b")).distinct()
+      .where(levenshtein(col("a"), col("b")) <= 1)
+  }
+
   /** Rolling polynomial hash (mod 1e9+7, base 31) over the printable-ASCII
     * codepoints — a deterministic document fingerprint computable in pure
     * SQL on any engine. All arithmetic stays within Long range.

@@ -1697,6 +1697,33 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex2.getMessage.contains("NULL lane") || ex2.getCause != null)
   }
 
+  test("editPairs: deletion blocking is lossless vs brute-force levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val words = Seq("cat", "bat", "cats", "cut", "dog", "dogs", "dot", "d",
+      "", "hello", "hallo", "hell", "shell", "a", "b", "ab")
+    val got = TextAnalysis.editPairs(words.toDF("word"), "word")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val nz = words.filter(_.nonEmpty)
+    val want = (for { a <- nz; b <- nz if a < b && lev(a, b) <= 1 } yield (a, b)).toSet
+    assert(got == want)
+  }
+
+  test("zscoreByGroup: driver math; single-row and zero-variance groups -> 0") {
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 5L), ("b", 7L), ("c", 4L), ("c", 4L))
+      .toDF("g", "x")
+    val got = Curation.zscoreByGroup(df, "x", "g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // group a: mean 3, sample var ((1+9+25) - 81/3)/2 = 4, sd 2
+    assert(got == Set(("a", 1L, -1.0), ("a", 3L, 0.0), ("a", 5L, 1.0),
+      ("b", 7L, 0.0), ("c", 4L, 0.0)))
+  }
+
   // ---------- certified-exact quantized scan ----------
 
   test("certifiedTopK equals exact fullScan, including an out-of-envelope probe") {
