@@ -254,6 +254,54 @@ object Queries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Full independent BPE replay: `rounds` unrolled merge rounds in pure
+    * SQL. Per round: weighted adjacent-pair counts → deterministic argmax
+    * (count desc, a, b) → GREEDY left-to-right non-overlap merge, restated
+    * with window functions (match islands; odd positions within an island
+    * are the selected pairs — exactly the linear scan's choice, including
+    * runs like "aaa" under an (a,a) merge).
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""s1 AS MATERIALIZED (SELECT w AS word, n, list_transform(generate_series(1, len(w)), i -> w[i]) AS syms
+       |  FROM (SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(${cleanWsSql(cleanAcSql)}) AS w FROM documents) GROUP BY w))""".stripMargin
+    for (r <- 1 to rounds) {
+      ctes += s"""p$r AS MATERIALIZED (SELECT s.syms[i] AS a, s.syms[i + 1] AS b, s.n
+         |  FROM s$r s, unnest(generate_series(1, len(s.syms) - 1)) t(i))""".stripMargin
+      ctes += s"m$r AS MATERIALIZED (SELECT a, b, CAST(sum(n) AS BIGINT) AS c FROM p$r GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1)"
+      ctes += s"""e$r AS MATERIALIZED (SELECT s.word, s.n, i, s.syms[i] AS sym,
+         |    coalesce(s.syms[i] = m.a AND s.syms[i + 1] = m.b, FALSE) AS ispair
+         |  FROM s$r s, m$r m, unnest(generate_series(1, len(s.syms))) t(i))""".stripMargin
+      ctes += s"isl$r AS MATERIALIZED (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g FROM e$r WHERE ispair)"
+      ctes += s"""sel$r AS MATERIALIZED (SELECT word, i FROM (
+         |  SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn FROM isl$r) WHERE rn % 2 = 1)""".stripMargin
+      ctes += s"""s${r + 1} AS MATERIALIZED (SELECT e.word, any_value(e.n) AS n,
+         |    list(CASE WHEN sl.i IS NOT NULL THEN m.a || m.b ELSE e.sym END ORDER BY e.i) AS syms
+         |  FROM e$r e CROSS JOIN m$r m
+         |  LEFT JOIN sel$r sl ON e.word = sl.word AND e.i = sl.i
+         |  LEFT JOIN sel$r sp ON e.word = sp.word AND e.i = sp.i + 1
+         |  WHERE sp.i IS NULL GROUP BY e.word)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n")
+  }
+
+  private def bpeSql(rounds: Int): String = {
+    val out = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, c AS cnt FROM m$r")
+      .mkString("\nUNION ALL\n")
+    bpeCtes(rounds) + "\n" + out
+  }
+
+  /** Encode restatement: per-doc symbol totals after `rounds` merges —
+    * each doc's words looked up in the replayed final symbol table.
+    */
+  private def bpeEncodeSql(rounds: Int): String =
+    bpeCtes(rounds) + "\n" +
+      s"""SELECT d.doc_id, count(*) AS n_words, CAST(sum(len(s.syms)) AS BIGINT) AS n_symbols
+         |FROM (SELECT doc_id, unnest(${cleanWsSql(cleanAcSql)}) AS word FROM documents) d
+         |JOIN s${rounds + 1} s ON d.word = s.word GROUP BY d.doc_id""".stripMargin
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold — the oracle restatement of
     * the LSH-prefiltered pipelines. O(n²) is fine at oracle SF; the Spark
     * side must reach the same rows through banded candidates only.
@@ -1193,6 +1241,38 @@ object Queries {
         .select(col("lang"), col("n"),
           round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
             .as("var_chars"))),
+
+    // BPE tokenizer training (Sennrich et al. 2016), 6 merge rounds over
+    // the corpus vocabulary: each round = one distributed weighted
+    // pair-count + driver argmax + codegen'd greedy merge; the oracle
+    // replays all six rounds independently in DuckDB (window-function
+    // greedy selection), so count weighting, tie-breaks AND the
+    // left-to-right non-overlap merge semantics must all agree
+    "bpe_merges" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(Curation.cleanTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val ms = graft.ops.Bpe.learn(vocab, "word", "n", 6)
+      import s.implicits._
+      ms.map { case (r, a, b, c) => (r.toLong, a, b, c) }.toDF("round", "a", "b", "cnt")
+    }),
+
+    // BPE encoding with the learned merges: per-doc symbol totals after
+    // applying the 6-round merge table (the applyMerges end-to-end path);
+    // the oracle re-learns AND re-applies everything independently
+    "bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = d.select(explode(Curation.cleanTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val ms = graft.ops.Bpe.learn(vocab, "word", "n", 6).map(m => (m._2, m._3))
+      val words = d.select(col("doc_id"), explode(Curation.cleanTokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .withColumn("syms", transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+      graft.ops.Bpe.applyMerges(words, "syms", ms)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(size(col("syms"))).as("n_symbols"))
+    }),
 
     // Per-group z-score normalization: exact decimal power sums over one
     // window shuffle, per-row (x - mean)/sigma as the identical double
@@ -2459,6 +2539,10 @@ object Queries {
         |           * CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*))
         |        / (COUNT(*) - 1), 6) AS var_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "bpe_merges" -> bpeSql(6),
+
+    "bpe_encode" -> bpeEncodeSql(6),
 
     "zscore_by_lang" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,

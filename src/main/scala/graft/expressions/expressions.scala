@@ -809,3 +809,33 @@ case class PngPixelStatsExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `bpe_merge(syms, 'a', 'b')` — one byte-pair-encoding merge round:
+  * every non-overlapping (a, b) adjacency in the symbol array becomes the
+  * concatenated symbol, greedy left-to-right on the original sequence
+  * ([[graft.kernels.Sketches.bpeMerge]]). Codegen'd static call; NULL
+  * array → NULL.
+  */
+case class BpeMerge(child: Expression, a: String, b: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def prettyName: String = "bpe_merge"
+
+  @transient private lazy val aU = UTF8String.fromString(a)
+  @transient private lazy val bU = UTF8String.fromString(b)
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.bpeMerge(v.asInstanceOf[ArrayData], aU, bU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeA", aU, "org.apache.spark.unsafe.types.UTF8String")
+    val bRef = ctx.addReferenceObj("bpeB", bU, "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.bpeMerge($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

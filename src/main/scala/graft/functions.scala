@@ -77,6 +77,12 @@ object functions {
     */
   def png_pixel_stats(payload: Column): Column = col(PngPixelStatsExpr(expr(payload)))
 
+  /** One BPE merge round over a symbol array; see
+    * [[graft.expressions.BpeMerge]].
+    */
+  def bpe_merge(syms: Column, a: String, b: String): Column =
+    col(BpeMerge(expr(syms), a, b))
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
 

@@ -1,6 +1,7 @@
 package graft.kernels
 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Sketch kernels for the dedup / ANN operators: one-permutation-style
   * MinHash signatures and random-hyperplane LSH signatures. Both are pure
@@ -378,5 +379,27 @@ object Sketches {
       b += 1
     }
     sig
+  }
+
+  /** One BPE merge round over a symbol array: replace every non-overlapping
+    * (a, b) adjacency with the concatenation a+b, greedy left-to-right on
+    * the ORIGINAL sequence (the standard byte-pair-encoding round; in a
+    * run "aaa" with merge (a,a) only the first pair merges). Static entry
+    * point for generated code ([[graft.expressions.BpeMerge]]).
+    */
+  def bpeMerge(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val buf = new scala.collection.mutable.ArrayBuffer[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && a.equals(arr.getUTF8String(i)) && b.equals(arr.getUTF8String(i + 1))) {
+        buf += UTF8String.concat(a, b)
+        i += 2
+      } else {
+        buf += arr.getUTF8String(i)
+        i += 1
+      }
+    }
+    new GenericArrayData(buf.toArray)
   }
 }

@@ -1697,6 +1697,44 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex2.getMessage.contains("NULL lane") || ex2.getCause != null)
   }
 
+  test("BPE: greedy merge semantics and learn loop vs driver reference") {
+    // kernel greedy non-overlap, incl. the aaa run case
+    def merge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a"), (Seq("a", "a", "a", "a"), "a", "a"),
+      (Seq("l", "o", "w", "e", "r"), "l", "o"), (Seq("x"), "x", "x"),
+      (Seq("a", "b", "a", "b"), "a", "b"))
+    for ((syms, a, b) <- cases) {
+      val got = Seq(syms).toDF("syms")
+        .select(graft.functions.bpe_merge(col("syms"), a, b)).head().getSeq[String](0)
+      assert(got == merge(syms, a, b), s"$syms merge ($a,$b)")
+    }
+
+    // learn on a classic corpus: driver-side reference replay
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    var state = vocab.map { case (w, n) => (w.map(_.toString), n) }
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to 4) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- state; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      val ((a, b), c) = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+      ref += ((a, b, c))
+      state = state.map { case (syms, n) => (merge(syms, a, b).toIndexedSeq, n) }
+    }
+    val got = Bpe.learn(vocab.toDF("word", "n"), "word", "n", 4)
+      .map { case (_, a, b, c) => (a, b, c) }
+    assert(got == ref.toSeq)
+  }
+
   test("editPairs: deletion blocking is lossless vs brute-force levenshtein") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
