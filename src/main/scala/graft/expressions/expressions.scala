@@ -839,3 +839,59 @@ case class BpeMerge(child: Expression, a: String, b: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `fast_round(x)` — decimal HALF_UP rounding of a double at a fixed
+  * scale, result-identical to Spark's `round(x, scale)` (and to the
+  * DuckDB `round` the oracles use) but without its per-row cost: Spark's
+  * `Round` on DoubleType emits `BigDecimal.valueOf(x).setScale(...)`,
+  * and `BigDecimal.valueOf` goes through `Double.toString` — a string
+  * render per evaluated value, which dominates pair-dense plans (the ANN
+  * join and the Jaccard verify round one value per CANDIDATE PAIR).
+  *
+  * Fast path: `floor(x·10^s + 0.5) / 10^s` in pure double math. That
+  * agrees with the BigDecimal decision whenever `x·10^s` is farther than
+  * ~1e-9 from a .5 boundary (the scaled shortest-repr decimal and the
+  * computed product differ by well under that), so any value within 1e-6
+  * of a boundary — plus NaN/±Inf and magnitudes where doubles go
+  * integer-sparse — takes the exact [[graft.kernels.Quantize.roundHalfUp]]
+  * fallback instead. ~2e-6 of uniformly distributed inputs fall back;
+  * equality with Spark's round is property-tested on boundary-adversarial
+  * inputs (KernelProps).
+  */
+case class FastRound(child: Expression, scale: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(scale >= 1 && scale <= 9, s"fast_round scale must be in [1,9], got $scale")
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def prettyName: String = "fast_round"
+
+  private val pow10 = math.pow(10.0, scale)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Double]
+    val y = x * pow10
+    val diff = y - math.floor(y)
+    if (!(math.abs(diff - 0.5) >= 1e-6) || math.abs(y) >= 4.5e15)
+      Quantize.roundHalfUp(x, scale)
+    else math.floor(y + 0.5) / pow10
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val y = ctx.freshName("y"); val diff = ctx.freshName("diff")
+      s"""
+         |double $y = $c * ${pow10}d;
+         |double $diff = $y - java.lang.Math.floor($y);
+         |if (!(java.lang.Math.abs($diff - 0.5d) >= 1.0e-6d) || java.lang.Math.abs($y) >= 4.5e15d) {
+         |  ${ev.value} = graft.kernels.Quantize.roundHalfUp($c, $scale);
+         |} else {
+         |  ${ev.value} = java.lang.Math.floor($y + 0.5d) / ${pow10}d;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

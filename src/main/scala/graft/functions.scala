@@ -41,6 +41,13 @@ object functions {
 
   def array_min_max(v: Column): Column = col(ArrayMinMax(expr(v)))
 
+  /** Result-identical drop-in for `round(c, scale)` on doubles, minus the
+    * per-row BigDecimal/`Double.toString` cost — see
+    * [[graft.expressions.FastRound]]. Use in pair-dense plans where a
+    * value is rounded per candidate, not per output row.
+    */
+  def fast_round(c: Column, scale: Int = 6): Column = col(FastRound(expr(c), scale))
+
   def shingle_hashes(text: Column, n: Int): Column = col(ShingleHashes(expr(text), n))
 
   def byte_histogram(payload: Column, dim: Int): Column = col(ByteHistogram(expr(payload), dim))

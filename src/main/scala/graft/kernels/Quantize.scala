@@ -40,6 +40,16 @@ object Quantize {
     }
   }
 
+  /** Exact decimal HALF_UP rounding of a double — the slow-but-exact half
+    * of [[graft.expressions.FastRound]]; literally Spark's `Round`-on-
+    * DoubleType semantics (`BigDecimal.valueOf` = shortest-repr decimal).
+    */
+  def roundHalfUp(x: Double, scale: Int): Double = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** Half-away-from-zero round + saturate to [0,255]. sqlite-vector.c:495-505. */
   def roundU8(v: Double): Int = {
     if (v.isNaN) return 0

@@ -116,7 +116,7 @@ object Ann {
       .select(col("bucket"), col(rightIdCol).as("_r_id"), col(rightVecCol).as("_r_v"))
     l.join(r, "bucket")
       .select(col("_l_id"),
-        round(vector_distance(col("_l_v"), col("_r_v"), metric), 6).as("_d"),
+        graft.functions.fast_round(vector_distance(col("_l_v"), col("_r_v"), metric), 6).as("_d"),
         col("_r_id"))
       .groupBy(col("_l_id"))
       .agg(graft.functions.knn_topk(col("_d"), col("_r_id"), k).as("_tk"))

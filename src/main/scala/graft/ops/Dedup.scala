@@ -215,7 +215,7 @@ object Dedup {
         >= threshold - margin)
       .withColumn("inter", graft.functions.sorted_intersect_count(col("shb"), col("shs")).cast("double"))
       .withColumn("union", (size(col("shb")) + size(col("shs"))).cast("double") - col("inter"))
-      .where(round(col("inter") / greatest(col("union"), lit(1.0)), 6) >= threshold)
+      .where(graft.functions.fast_round(col("inter") / greatest(col("union"), lit(1.0)), 6) >= threshold)
       .select(col("batch_id").as("__dup_id")).distinct()
     batch.join(matched, batch(idCol) === col("__dup_id"), "left_anti")
   }
@@ -359,7 +359,7 @@ object Dedup {
         >= threshold - margin)
       .withColumn("inter", graft.functions.sorted_intersect_count(col("sha"), col("shb")).cast("double"))
       .withColumn("union", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
-      .withColumn("jaccard", round(col("inter") / greatest(col("union"), lit(1.0)), 6))
+      .withColumn("jaccard", graft.functions.fast_round(col("inter") / greatest(col("union"), lit(1.0)), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a").as("ra"), col("b").as("rb"), col("jaccard"))
       // multi-band candidate duplicates collapse HERE, where cardinality is
@@ -499,7 +499,7 @@ object Dedup {
       .withColumn("inter", graft.functions.sorted_intersect_count(col("sha"), col("shb")).cast("double"))
       .withColumn("union", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
       .select(col("a"), col("b"),
-        round(col("inter") / greatest(col("union"), lit(1.0)), 6).as("jaccard"))
+        graft.functions.fast_round(col("inter") / greatest(col("union"), lit(1.0)), 6).as("jaccard"))
   }
 
   // ---------- SimHash ----------
@@ -566,10 +566,15 @@ object Dedup {
 
     val l = banded.select(col("chunk"), col("chunkVal"), col("id").as("a"), col("sh").as("sha"))
     val r = banded.select(col("chunk"), col("chunkVal"), col("id").as("b"), col("sh").as("shb"))
+    // hamming filter BEFORE the pair dedup: the filter is a codegen'd
+    // per-row popcount while dropDuplicates is a shuffle — ordering them
+    // this way shrinks the exchange from every bucket-collision candidate
+    // down to the actual near-dup pairs (equivalent result: hamming is a
+    // pure function of (a, b))
     l.join(r, Seq("chunk", "chunkVal")).where(col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
-      .dropDuplicates("a", "b")
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
   }
 
   // ---------- Embedding cosine near-dup ----------
@@ -609,7 +614,7 @@ object Dedup {
       col(vecCol).as("o_v"))
     base.join(others,
         col("cluster") === col("o_cluster") && col("o_id") < col(idCol) &&
-          round(lit(1.0) - graft.functions.vector_distance(col(vecCol), col("o_v"), "cosine"), 6) >= minSim,
+          graft.functions.fast_round(lit(1.0) - graft.functions.vector_distance(col(vecCol), col("o_v"), "cosine"), 6) >= minSim,
         "left_anti")
       .select(col(idCol), col("cluster"))
   }
@@ -858,7 +863,7 @@ object Dedup {
     val r = base.select(col("bkt"), col("id").as("b"), col("v").as("vb"))
     l.join(r, Seq("bkt")).where(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(lit(1.0) - graft.functions.vector_distance(col("va"), col("vb"), "cosine"), 6)
+        graft.functions.fast_round(lit(1.0) - graft.functions.vector_distance(col("va"), col("vb"), "cosine"), 6)
           .as("cosine_sim"))
       .where(col("cosine_sim") >= minSim)
       .dropDuplicates("a", "b")

@@ -109,4 +109,43 @@ object KernelProps extends Properties("kernels") {
       val sn = Sketches.hyperplaneSig(v.map(x => -x), planes)
       (s & sn) == 0L
     }
+
+  // FastRound's fast path must agree with Spark's Round-on-double
+  // semantics (BigDecimal.valueOf + HALF_UP) for every input, including
+  // values engineered onto .5 decimal boundaries where the two paths
+  // could plausibly split.
+  private def sparkRound(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def fastRound(x: Double, scale: Int): Double =
+    graft.expressions.FastRound(
+      org.apache.spark.sql.catalyst.expressions.Literal(x), scale)
+      .eval(null).asInstanceOf[Double]
+
+  property("fast_round == Spark round on random doubles") =
+    forAll(Gen.chooseNum(-1e12, 1e12), Gen.chooseNum(1, 9)) { (x: Double, s: Int) =>
+      val a = fastRound(x, s); val b = sparkRound(x, s)
+      (a == b) || (a.isNaN && b.isNaN)
+    }
+
+  property("fast_round == Spark round on decimal half boundaries") =
+    forAll(Gen.chooseNum(-2000000L, 2000000L), Gen.chooseNum(1, 9)) { (k: Long, s: Int) =>
+      // (k + 0.5) * 10^-s: the exact decimal half at scale s (as the
+      // nearest double), plus one-ulp neighbors on either side
+      val half = (k + 0.5) / math.pow(10.0, s)
+      Prop.all(Seq(half, Math.nextUp(half), Math.nextDown(half),
+          k / math.pow(10.0, s)).map { x =>
+        val a = fastRound(x, s); val b = sparkRound(x, s)
+        Prop(a == b) :| s"x=$x s=$s fast=$a spark=$b"
+      }: _*)
+    }
+
+  property("fast_round handles NaN/Inf/zero like Spark round") =
+    Prop.all(Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        0.0, -0.0, 4.6e15, -4.6e15, 1e300, -1e300).map { x =>
+      val a = fastRound(x, 6); val b = sparkRound(x, 6)
+      Prop((a == b) || (a.isNaN && b.isNaN)) :| s"x=$x fast=$a spark=$b"
+    }: _*)
 }
