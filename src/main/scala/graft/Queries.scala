@@ -2106,7 +2106,35 @@ object Queries {
           aggregate(zip_with(col("features"), sequence(lit(1), lit(16)),
             (f, w) => f.cast("double") * w.cast("double")),
             lit(0.0), (acc, x) => acc + x).as("feat_wsum"))
-    })
+    }),
+
+    // Temperature-flattened language mixture (α = 0.5): minority langs
+    // upweighted past rate 1.0 (rows repeat), the majority sampled down —
+    // per-lang realized rate and resampled row count, all exact-restatable
+    // (9-dp decimal weight sums + exact-BIGINT idHash multiplicities)
+    "mixture_temperature" -> ((s, dir) =>
+      Curation.temperatureMixture(docs(s, dir), "doc_id", "lang", 0.5)
+        .groupBy("lang")
+        .agg(max(col("permille")).as("permille"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_resampled"))
+        .orderBy("lang")),
+
+    // Conjunctive Boolean retrieval over the inverted index: docs holding
+    // ALL THREE query terms, ranked by total query-term tf — the plan
+    // touches only the query terms' postings, never the corpus text
+    "inverted_search" -> ((s, dir) =>
+      TextAnalysis.conjunctiveSearch(
+        TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text"),
+        Seq("vector", "hash", "join"), 20)),
+
+    // Cross-document repeated 3-grams (Lee et al. 2022's memorized-span
+    // signal): grams in ≥ 2 distinct docs, counts exact, shuffle on the
+    // gram key only
+    "cross_doc_ngrams" -> ((s, dir) =>
+      TextAnalysis.crossDocNgrams(docs(s, dir), "doc_id", "text", 3, 2)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+        .limit(50))
   )
 
   // ---------------- the oracle SQL ----------------
@@ -3286,7 +3314,43 @@ object Queries {
         |  CASE WHEN t IS NULL THEN NULL
         |       ELSE CAST(coalesce(list_sum(list_transform(generate_series(1, len(cs)),
         |    i -> ((i - 1) % 16 + 1) * cs[i])), 0) AS DOUBLE) / 256 END AS feat_wsum
-        |FROM ch""".stripMargin
+        |FROM ch""".stripMargin,
+
+    // temperatureMixture replayed end-to-end: counts → 9-dp decimal
+    // α-weights → exact decimal sum → double rate tree → idHash copies
+    "mixture_temperature" ->
+      """WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |  CAST(round(POWER(CAST(n AS DOUBLE), 0.5), 9) AS DECIMAL(38,9)) AS p FROM sz),
+        |tot AS (SELECT CAST(SUM(p) AS DECIMAL(38,9)) AS s, CAST(SUM(n) AS BIGINT) AS t FROM w),
+        |perm AS (SELECT lang, n,
+        |  CAST(FLOOR(1000.0 * (CAST(p AS DOUBLE) / CAST(s AS DOUBLE)) * t / n + 0.5) AS BIGINT) AS permille
+        |  FROM w, tot),
+        |cp AS (SELECT d.doc_id, d.lang, permille,
+        |  permille // 1000 + (CASE WHEN ((d.doc_id % 1000003) * 2654435761 % 1000000007) % 1000 < permille % 1000
+        |    THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents d JOIN perm USING (lang))
+        |SELECT lang, max(permille) AS permille,
+        |  count(CASE WHEN n_copies > 0 THEN 1 END) AS n_docs,
+        |  CAST(SUM(n_copies) AS BIGINT) AS n_resampled
+        |FROM cp GROUP BY lang""".stripMargin,
+
+    "inverted_search" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |post AS (SELECT term, doc_id, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
+         |FROM post WHERE term IN ('vector', 'hash', 'join')
+         |GROUP BY doc_id HAVING count(*) = 3
+         |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
+
+    "cross_doc_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) - 2 > 0
+         |    THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS gram FROM t)
+         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 50""".stripMargin
   ) ++
     packedGridCombos.map { case (m, et) =>
       s"packed_${et}_$m" -> packedGridSql(m, "dist")

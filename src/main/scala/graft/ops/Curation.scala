@@ -254,6 +254,49 @@ object Curation {
       .drop("n_copies")
   }
 
+  /** Temperature-flattened domain mixture — the α-scaled sampling of
+    * multilingual/multi-domain LM corpora (mC4 / XLM-R style): domain d
+    * holding n_d of the corpus's N rows is resampled toward share
+    * n_d^α / Σ n_d^α. α = 1 keeps the natural mixture, α → 0 approaches
+    * uniform-over-domains; α ∈ (0, 1) upweights small domains, possibly
+    * past rate 1.0, in which case their rows repeat
+    * ([[resampleWeighted]]'s copy semantics).
+    *
+    * Everything is declarative and engine-exact, so the mixture is
+    * auditable by restatement: per-domain counts are one narrow
+    * aggregate; n_d^α is rounded to 9 dp and summed as DECIMAL(38,9)
+    * (exact, order-independent); the per-mille rate is
+    * `floor(1000·(p_d/S)·N/n_d + 0.5)` evaluated in doubles with an
+    * identical expression tree on any engine; per-row multiplicity comes
+    * from the exact-BIGINT [[idHash]] bucket exactly as in
+    * [[resampleWeighted]].
+    *
+    * Scale: one count shuffle on the domain key + a broadcast of the
+    * per-domain rate table back onto the corpus — the corpus itself never
+    * shuffles, and the output is the mixture's inherent size. Appends
+    * `permille` (the domain's realized rate) and `copy` (0-based replica
+    * index) to the input columns.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, domainCol: String,
+                         alpha: Double): DataFrame = {
+    val sizes = df.groupBy(col(domainCol).as("_dom")).agg(count(lit(1)).as("_n"))
+    val weighted = sizes.withColumn("_p",
+      round(pow(col("_n").cast("double"), lit(alpha)), 9).cast("decimal(38,9)"))
+    val tot = weighted.agg(sum(col("_p")).as("_s"), sum(col("_n")).as("_t"))
+    val rates = weighted.crossJoin(broadcast(tot)).select(col("_dom"),
+      floor(lit(1000.0) * (col("_p").cast("double") / col("_s").cast("double"))
+          * col("_t") / col("_n") + lit(0.5))
+        .cast("long").as("permille"))
+    val copies = floor(col("permille") / 1000.0).cast("long") +
+      when(pmod(idHash(col(idCol)), lit(1000L)) < pmod(col("permille"), lit(1000L)), 1L)
+        .otherwise(0L)
+    df.join(broadcast(rates), col(domainCol) === col("_dom"))
+      .withColumn("n_copies", copies)
+      .where(col("n_copies") > 0)
+      .select(df.columns.map(col) ++ Seq(col("permille"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy")): _*)
+  }
+
   // ---------------- token-budget sequence packing ----------------
 
   /** Concat-and-split sequence packing: documents are laid end to end in

@@ -295,6 +295,66 @@ object TextAnalysis {
       .where(levenshtein(col("a"), col("b")) <= 1)
   }
 
+  /** Inverted index: one posting row (term, doc, tf) per distinct term
+    * occurrence — the classic retrieval layout, built with ONE shuffle on
+    * the (term, doc) key with map-side partial counts. At 100 TB write it
+    * `partitionBy` a term hash-bucket (same pattern as the ANN bucket
+    * store): a query then lists only its own terms' bucket directories.
+    */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Conjunctive (AND) Boolean retrieval over an [[invertedIndex]]: docs
+    * containing EVERY query term, ranked by total query-term frequency
+    * (desc, doc_id tiebreak). The plan never touches the corpus text:
+    * filter the posting table to the |q| query terms (partition pruning
+    * when the index is bucket-partitioned), one groupBy on doc_id over
+    * those postings — candidate volume is Σ df(term), the retrieval
+    * lower bound — and a HAVING count = |q| for the intersection.
+    */
+  def conjunctiveSearch(index: org.apache.spark.sql.DataFrame,
+                        queryTerms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "conjunctiveSearch needs at least one term")
+    val distinctTerms = queryTerms.distinct
+    index.where(col("term").isin(distinctTerms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_sum"))
+      .where(col("n_terms") === distinctTerms.size)
+      .select(col("doc_id"), col("tf_sum"))
+      .orderBy(col("tf_sum").desc, col("doc_id")).limit(k)
+  }
+
+  /** Cross-document repeated token n-grams — the corpus-level "memorized
+    * span" signal of Lee et al. 2022 (Deduplicating Training Data Makes
+    * Language Models Better): n-grams occurring in ≥ `minDocs` distinct
+    * documents, with doc- and occurrence-counts. Unlike
+    * [[graft.ops.Dedup.repeatedSpans]] (within one document, zero
+    * shuffle), this shuffles — but on the n-gram key only: per-row
+    * sliding windows explode locally, partial aggregation collapses
+    * per-partition duplicates map-side, and only (gram, counts) rows
+    * cross the wire. At 100 TB swap the gram string for its 128-bit hash
+    * (same plan, 16-byte keys) and recover strings for the survivors by
+    * one join back.
+    */
+  def crossDocNgrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, n: Int, minDocs: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // NB: guard short docs BEFORE sequence() — sequence(1, 0) yields a
+    // DESCENDING [1, 0] (see fingerprint), and slice() rejects start 0
+    val toks = tokens(col(textCol))
+    val cnt = size(toks) - (n - 1)
+    val grams = df.select(col(idCol).as("doc_id"),
+        explode(when(cnt > 0,
+            transform(sequence(lit(1), cnt), i => array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= minDocs)
+  }
+
   /** Rolling polynomial hash (mod 1e9+7, base 31) over the printable-ASCII
     * codepoints — a deterministic document fingerprint computable in pure
     * SQL on any engine. All arithmetic stays within Long range.

@@ -1864,4 +1864,53 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(count(lit(1)), sum(col("payload"))).head()
     assert(got == want)
   }
+
+  test("temperatureMixture: alpha=1 is the identity mixture; alpha=0.5 conserves totals") {
+    val df = Seq.tabulate(300)(i => (i.toLong, if (i < 240) "big" else "small"))
+      .toDF("id", "dom")
+    // alpha = 1: every domain's rate is exactly 1000 permille -> one copy
+    // of every row, copy index 0
+    val nat = Curation.temperatureMixture(df, "id", "dom", 1.0)
+    assert(nat.count() == 300)
+    assert(nat.agg(max(col("permille")), min(col("permille"))).head() ==
+      org.apache.spark.sql.Row(1000L, 1000L))
+    assert(nat.agg(max(col("copy"))).head().getLong(0) == 0L)
+    // alpha = 0.5: small domain upweighted, big downweighted; realized
+    // counts within 1 of n * permille / 1000 per domain (exact-bucket
+    // uniformity makes it close, but assert only the rate relationship)
+    val mix = Curation.temperatureMixture(df, "id", "dom", 0.5)
+      .groupBy("dom").agg(max(col("permille")).as("pm"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mix("small")._1 > 1000L && mix("big")._1 < 1000L)
+    // expected share: sqrt(240)/ (sqrt(240)+sqrt(60)) = 2/3 of 300 = 200
+    assert(math.abs(mix("big")._2 - 200L) <= 2)
+    assert(math.abs(mix("small")._2 - 100L) <= 2)
+  }
+
+  test("invertedIndex + conjunctiveSearch: AND semantics and tf ranking") {
+    val docs = Seq(
+      (1L, "a b a c"), (2L, "a b"), (3L, "b c b c"), (4L, "a c a c a")
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+    // postings are exact (term, doc, tf)
+    assert(idx.where(col("term") === "a" && col("doc_id") === 4).head().getLong(2) == 3L)
+    val hits = TextAnalysis.conjunctiveSearch(idx, Seq("a", "c"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // docs 1 and 4 hold both terms; 4 ranks first on tf 5 vs 3
+    assert(hits == Seq((4L, 5L), (1L, 3L)))
+    // duplicate query terms collapse (not double-counted in the AND arity)
+    assert(TextAnalysis.conjunctiveSearch(idx, Seq("a", "a", "c"), 10).count() == 2)
+  }
+
+  test("crossDocNgrams: exact counts; docs shorter than n contribute nothing") {
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z"), (3L, "q x y z"), (4L, "y z"), (5L, ""), (6L, "x y")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.crossDocNgrams(docs, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // "x y z" appears in docs 1, 2, 3 once each; every other 3-gram is unique
+    assert(got == Set(("x y z", 3L, 3L)))
+    // n larger than every doc -> empty, not an error (sequence/slice guard)
+    assert(TextAnalysis.crossDocNgrams(docs, "doc_id", "text", 9, 1).count() == 0)
+  }
 }
