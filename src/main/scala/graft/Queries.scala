@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.ops.{Ann, Curation, Dedup, Knn, Layout, MediaCodec, Multimodal, Pq, Quantizer, TextAnalysis}
+import graft.ops.{Ann, Curation, Dedup, Graph, Knn, Layout, MediaCodec, Multimodal, Pq, Quantizer, TextAnalysis}
 
 /** The operator inventory wired to the driver's correctness gate: every
   * entry has a Spark implementation and (where SQL-expressible) an ANSI
@@ -387,6 +387,33 @@ object Queries {
        |  CASE WHEN 2 * len(list_filter(hl, h -> ((h >> b) & 1) = 1)) - len(hl) > 0
        |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
        |FROM hs)""".stripMargin
+  }
+
+  /** PageRank replay: the simhash hamming≤3 pair graph symmetrized, then
+    * `iters` unrolled power-iteration rounds with Graph.pageRank's exact
+    * arithmetic — per-edge contribution `round(pr/deg, 9)` summed as
+    * DECIMAL(38,9), damping update `(1.0 - 0.85)/n + 0.85·Σ` re-rounded
+    * to 9 dp. Identical double trees on both engines; the decimal sums
+    * make every round order-independent.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.v AS node,
+         |  CAST(SUM(CAST(round(CAST(p.pr AS DOUBLE) / d.deg, 9) AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s
+         |  FROM ed e JOIN p${i - 1} p ON p.node = e.u JOIN dg d ON d.u = e.u GROUP BY e.v),
+         |p$i AS (SELECT node,
+         |  CAST(round((1.0 - 0.85) / n + 0.85 * CAST(s AS DOUBLE), 9) AS DECIMAL(38,9)) AS pr
+         |  FROM c$i, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $simhashSelect,
+       |pr AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |ed AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+       |dg AS (SELECT u, count(*) AS deg FROM ed GROUP BY u),
+       |nn AS (SELECT count(*) AS n FROM dg),
+       |p0 AS (SELECT u AS node, CAST(round(1.0 / n, 9) AS DECIMAL(38,9)) AS pr FROM dg, nn),
+       |$rounds
+       |SELECT node AS doc_id, CAST(pr AS DOUBLE) AS pagerank FROM p$iters ORDER BY doc_id""".stripMargin
   }
 
   // ---------------- hyperplane-LSH SQL restatement ----------------
@@ -2134,7 +2161,17 @@ object Queries {
     "cross_doc_ngrams" -> ((s, dir) =>
       TextAnalysis.crossDocNgrams(docs(s, dir), "doc_id", "text", 3, 2)
         .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
-        .limit(50))
+        .limit(50)),
+
+    // PageRank over the SimHash near-dup graph, 3 power iterations — the
+    // oracle replays every round independently (9-dp decimal contribution
+    // sums make the unordered reduce exact, so a fixed iteration count is
+    // engine-restatable)
+    "pagerank" -> ((s, dir) =>
+      Graph.pageRank(Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3),
+          "a", "b", iterations = 3)
+        .select(col("node").as("doc_id"), col("pagerank"))
+        .orderBy("doc_id"))
   )
 
   // ---------------- the oracle SQL ----------------
@@ -3342,6 +3379,8 @@ object Queries {
          |FROM post WHERE term IN ('vector', 'hash', 'join')
          |GROUP BY doc_id HAVING count(*) = 3
          |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
+
+    "pagerank" -> pageRankSql(3),
 
     "cross_doc_ngrams" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

@@ -1913,4 +1913,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // n larger than every doc -> empty, not an error (sequence/slice guard)
     assert(TextAnalysis.crossDocNgrams(docs, "doc_id", "text", 9, 1).count() == 0)
   }
+
+  test("pageRank: driver-math replay on a known graph; mass conserved") {
+    // path graph 1-2-3 plus isolated pair 4-5; duplicate + self edges ignored
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 3L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Graph.pageRank(edges, "a", "b", iterations = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val deg = Map(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 1)
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L), 4L -> Seq(5L), 5L -> Seq(4L))
+    var pr = deg.keys.map(_ -> r9(1.0 / 5)).toMap
+    for (_ <- 1 to 3)
+      pr = deg.keys.map { v =>
+        val s = nbrs(v).map(u => BigDecimal(r9(pr(u) / deg(u)))).sum
+        v -> r9((1.0 - 0.85) / 5 + 0.85 * s.toDouble)
+      }.toMap
+    assert(got == pr)
+    // center of the path outranks the leaves; symmetric pair stays uniform
+    assert(got(2L) > got(1L) && got(1L) == got(3L) && got(4L) == got(5L))
+  }
 }
