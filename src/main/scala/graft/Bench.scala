@@ -207,8 +207,12 @@ object Bench {
       // buckets size-biased, so coarser 8-bit buckets ballooned the
       // candidate set to ~5.3M pairs where 10 bits reads ~1.3M for the
       // same radius-1 recall structure
+      // the probe side rides a broadcast hint (it propagates through
+      // annJoin's bucket explode): the 600k corpus side then streams
+      // straight from its scan through distance + partial heap with no
+      // exchange/sort, vs the SortMergeJoin the planner picks unhinted
       time("ann_join64_600k")(
-        ops.Ann.annJoin(vecs.where(col("id") < 650), "id", "vec",
+        ops.Ann.annJoin(broadcast(vecs.where(col("id") < 650)), "id", "vec",
           vecs, "id", "vec", 10, "l2", 10, Dim).count())
 
       // 5. relational + text + dedup representatives from the inventory
@@ -218,7 +222,8 @@ object Bench {
         "filter_quality", "decontam_overlap", "pack_sequences", "vocab_top",
         "line_dedup", "dup_clusters", "asof_join", "interval_join",
         "lm_logprob", "bloom_dedup", "doc_chunks", "rollup_pricing",
-        "heavy_hitters")
+        "heavy_hitters", "mixture_temperature", "inverted_search",
+        "cross_doc_ngrams", "pagerank")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

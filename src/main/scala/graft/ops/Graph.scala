@@ -42,7 +42,15 @@ object Graph {
       graft.functions.fast_round(c, 9).cast("decimal(38,9)")
     val ed = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
-    val sym = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v"))).distinct()
+    // materialize the symmetrized edge list ONCE: every iteration joins
+    // against it, and without the barrier the upstream pair derivation
+    // (e.g. the whole SimHash pipeline) would re-execute per round. Same
+    // tradeoff as Dedup's LocalCheckpoint barrier: executor block
+    // storage, lineage truncated; blocks are reclaimed by the context
+    // cleaner once the result is unreferenced. On a multi-executor
+    // cluster swap for a reliable checkpoint / parquet stage.
+    val sym = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     val nNodes = deg.agg(count(lit(1)).as("n"))
     // every node starts at 1/N; n rides along as a constant column so the

@@ -343,15 +343,22 @@ object TextAnalysis {
                      textCol: String, n: Int, minDocs: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     // NB: guard short docs BEFORE sequence() — sequence(1, 0) yields a
-    // DESCENDING [1, 0] (see fingerprint), and slice() rejects start 0
-    val toks = tokens(col(textCol))
+    // DESCENDING [1, 0] (see fingerprint), and slice() rejects start 0.
+    // The tokenization is projected ONCE per row (referencing tokens()
+    // twice in one projection would split the text twice).
+    val toks = col("_toks")
     val cnt = size(toks) - (n - 1)
-    val grams = df.select(col(idCol).as("doc_id"),
+    val grams = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
         explode(when(cnt > 0,
             transform(sequence(lit(1), cnt), i => array_join(slice(toks, i, lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("gram"))
-    grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+    // two explicit stages instead of countDistinct's Expand: the (gram,
+    // doc) pre-aggregate collapses within-doc repeats map-side, then the
+    // gram rollup counts docs and sums occurrences
+    grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("_c"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_c")).as("n_occurrences"))
       .where(col("n_docs") >= minDocs)
   }
 
