@@ -2171,7 +2171,20 @@ object Queries {
       Graph.pageRank(Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3),
           "a", "b", iterations = 3)
         .select(col("node").as("doc_id"), col("pagerank"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Adjacent-pair PMI collocations: exact BIGINT counts, one ln() tree
+    // over them — the count floor keeps the pair table vocabulary-sized
+    "pmi_pairs" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(docs(s, dir), "doc_id", "text", minCount = 5)
+        .orderBy(col("pmi").desc, col("a"), col("b")).limit(40)),
+
+    // Content-defined chunking: rsync/LBFS boundary rule over the repo's
+    // polynomial fingerprint — boundaries, offsets and per-chunk
+    // fingerprints all exact BIGINT, restated verbatim by the oracle
+    "cdc_chunks" -> ((s, dir) =>
+      Curation.cdcChunks(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   // ---------------- the oracle SQL ----------------
@@ -3381,6 +3394,51 @@ object Queries {
          |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
     "pagerank" -> pageRankSql(3),
+
+    "pmi_pairs" ->
+      s"""WITH t AS (SELECT $tokensSql AS toks FROM documents),
+         |pe AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1), i ->
+         |      {'a': least(toks[i], toks[i+1]), 'b': greatest(toks[i], toks[i+1])})
+         |    ELSE [] END) AS p FROM t),
+         |pc AS (SELECT p.a AS a, p.b AS b, count(*) AS n_pair FROM pe
+         |       WHERE p.a <> '' AND p.b <> '' GROUP BY 1, 2),
+         |flt AS (SELECT * FROM pc WHERE n_pair >= 5),
+         |un AS (SELECT tk AS tok, count(*) AS n_uni
+         |       FROM (SELECT unnest(toks) AS tk FROM t) u WHERE tk <> '' GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(SUM(n_uni) AS BIGINT) FROM un) AS n_total,
+         |               (SELECT CAST(SUM(greatest(len(toks) - 1, 0)) AS BIGINT) FROM t) AS p_total)
+         |SELECT f.a, f.b, f.n_pair,
+         |  round(ln(CAST(f.n_pair AS DOUBLE) * n_total * n_total
+         |    / (CAST(p_total AS DOUBLE) * ua.n_uni * ub.n_uni)), 6) AS pmi
+         |FROM flt f JOIN un ua ON ua.tok = f.a JOIN un ub ON ub.tok = f.b, tot
+         |ORDER BY pmi DESC, a, b LIMIT 40""".stripMargin,
+
+    "cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+        |           FROM documents WHERE text IS NOT NULL),
+        |lb AS (SELECT doc_id, t, length(t) AS len FROM t),
+        |bd AS (SELECT doc_id, t, len,
+        |  list_concat(list_concat([0],
+        |    CASE WHEN len > 8 THEN list_filter(generate_series(8, len - 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(i - 7, i), j -> CAST(ascii(t[j]) AS BIGINT))),
+        |        (acc, c) -> (acc * 31 + c) % 1000000007) % 64 = 0)
+        |    ELSE [] END), [len]) AS b FROM lb),
+        |ch AS (SELECT doc_id, t, unnest(CASE WHEN len > 0
+        |    THEN list_transform(generate_series(1, len(b) - 1), k ->
+        |      {'chunk_idx': CAST(k - 1 AS BIGINT), 'start_off': CAST(b[k] AS BIGINT),
+        |       'chunk_len': CAST(b[k+1] - b[k] AS BIGINT)})
+        |    ELSE [] END) AS c FROM bd),
+        |cs AS (SELECT doc_id, c.chunk_idx AS chunk_idx, c.start_off AS start_off,
+        |  c.chunk_len AS chunk_len,
+        |  substr(t, CAST(c.start_off + 1 AS INTEGER), CAST(c.chunk_len AS INTEGER)) AS s FROM ch)
+        |SELECT doc_id, chunk_idx, start_off, chunk_len,
+        |  CASE WHEN length(s) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) END AS fp
+        |FROM cs""".stripMargin,
 
     "cross_doc_ngrams" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

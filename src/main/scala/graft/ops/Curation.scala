@@ -504,6 +504,62 @@ object Curation {
     * (sequence → slice), zero shuffle; an empty document contributes
     * zero rows; the tail window may be shorter than `width`.
     */
+  /** Content-defined chunking (CDC): split each document at positions
+    * where a `window`-char polynomial hash of the trailing window is
+    * ≡ 0 mod `divisor` — the rsync/LBFS boundary rule. Unlike
+    * fixed-width [[chunk]]ing, an insertion early in a document shifts
+    * only the chunk it lands in: downstream boundaries re-align because
+    * they depend on local content, not absolute offsets. That makes the
+    * (fp, chunk) table a delta-dedup store — shared boilerplate between
+    * document versions hashes to identical chunks.
+    *
+    * Expected chunk length is `divisor` chars (boundary probability
+    * 1/divisor per position); documents shorter than `window` are one
+    * chunk; empty/NULL documents emit nothing. The hash is the repo's
+    * polynomial fingerprint (base 31 mod 1e9+7, printable-ASCII — see
+    * [[TextAnalysis.fingerprint]]) over the trailing window, recomputed
+    * per position (window·len work, all inside one per-row projection —
+    * zero shuffle; a rolling-update custom Expression is the constant
+    * optimization at 100 TB, same semantics). Every value — boundaries,
+    * offsets, per-chunk fingerprints — is exact BIGINT arithmetic,
+    * restatable verbatim in SQL.
+    *
+    * Output: (id, chunk_idx 0-based, start_off 0-based char offset into
+    * the ASCII-cleaned text, chunk_len, fp).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val M = 1000000007L
+    val t = col("_t"); val len = col("_len")
+    def windowHash(i: Column): Column =
+      aggregate(sequence(i - (window - 1), i), lit(0L),
+        (acc, j) => (acc * 31L + ascii(t.substr(j, lit(1))).cast("long")) % M)
+    // boundary marks strictly inside (0, len): i == len is excluded so the
+    // appended final bound never duplicates (keeps the list sorted-unique
+    // without an order-sensitive distinct)
+    val marks = when(len > window,
+        filter(sequence(lit(window), len - 1), i => windowHash(i) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = concat(array(lit(0)), marks, array(len))
+    val chunks = when(len > 0,
+        transform(sequence(lit(1), size(col("_b")) - 1), k =>
+          struct((k - 1).cast("long").as("chunk_idx"),
+            element_at(col("_b"), k).cast("long").as("start"),
+            (element_at(col("_b"), k + 1) - element_at(col("_b"), k)).cast("long").as("chunk_len"))))
+      .otherwise(array().cast("array<struct<chunk_idx:long,start:long,chunk_len:long>>"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.asciiOnly(col(textCol)).as("_t"))
+      .withColumn("_len", length(t))
+      .withColumn("_b", bounds)
+      .select(col(idCol), t, explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.start").as("start_off"),
+        col("c.chunk_len"),
+        TextAnalysis.fingerprint(
+          t.substr((col("c.start") + 1).cast("int"), col("c.chunk_len").cast("int"))).as("fp"))
+  }
+
   def chunk(df: DataFrame, idCol: String, textCol: String,
             width: Int, stride: Int): DataFrame = {
     require(width > 0 && stride > 0, "width and stride must be positive")

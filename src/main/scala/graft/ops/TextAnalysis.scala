@@ -362,6 +362,49 @@ object TextAnalysis {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Pointwise mutual information of ADJACENT token pairs — collocation
+    * mining ("machine learning"-style multiword detection). Pairs are
+    * unordered (lexicographically normalized); counts are exact BIGINTs
+    * from two narrow-key shuffles (pair key, then unigram broadcast-join
+    * sized by the vocabulary); the score
+    * `ln(c_ab·N² / (P·c_a·c_b))` is one double expression tree over
+    * exact counts, rounded to 6 dp — restatable on any engine with a
+    * correctly-rounded libm ln (same convention as bm25's idf).
+    *
+    * Output: (a, b, n_pair, pmi) for pairs with n_pair ≥ minCount — the
+    * count floor is the standard guard against PMI's low-frequency blowup
+    * AND what keeps the output vocabulary-sized rather than corpus-sized.
+    */
+  def pmiPairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+               minCount: Long): org.apache.spark.sql.DataFrame = {
+    val toksDf = df.select(tokens(col(textCol)).as("_toks"))
+    val pairs = toksDf.select(
+        explode(when(size(col("_toks")) >= 2,
+            transform(sequence(lit(1), size(col("_toks")) - 1), i =>
+              struct(least(element_at(col("_toks"), i), element_at(col("_toks"), i + 1)).as("a"),
+                greatest(element_at(col("_toks"), i), element_at(col("_toks"), i + 1)).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= "" && col("b") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val uni = toksDf.select(explode(col("_toks")).as("t")).where(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("n_uni"))
+    // N = unigram events, P = ALL adjacent-pair events (pre-minCount — the
+    // count floor prunes the output, not the probability normalization)
+    val totals = uni.agg(sum(col("n_uni")).as("n_total"))
+      .crossJoin(toksDf.agg(
+        sum(greatest(size(col("_toks")) - 1, lit(0))).as("p_total")))
+    pairs
+      .join(uni.select(col("t").as("a"), col("n_uni").as("n_a")), "a")
+      .join(uni.select(col("t").as("b"), col("n_uni").as("n_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_pair"),
+        graft.functions.fast_round(
+          log(col("n_pair").cast("double") * col("n_total") * col("n_total")
+            / (col("p_total").cast("double") * col("n_a") * col("n_b"))), 6).as("pmi"))
+  }
+
   /** Rolling polynomial hash (mod 1e9+7, base 31) over the printable-ASCII
     * codepoints — a deterministic document fingerprint computable in pure
     * SQL on any engine. All arithmetic stays within Long range.

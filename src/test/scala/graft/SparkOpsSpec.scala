@@ -1935,4 +1935,46 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // center of the path outranks the leaves; symmetric pair stays uniform
     assert(got(2L) > got(1L) && got(1L) == got(3L) && got(4L) == got(5L))
   }
+
+  test("pmiPairs: driver-math counts and score on a tiny corpus") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toList
+    // adjacent pairs: (a,b) (a,b) (a,b) [doc1 has ab, ba, ab] + doc2 (a,b), (b,c), (c,c)
+    // normalized: doc1 -> (a,b)x3, (b,c); doc2 -> (a,b), (b,c), (c,c)
+    // counts: (a,b)=4, (b,c)=2, (c,c)=1 -> minCount 2 keeps (a,b), (b,c)
+    // N = 9 tokens, P = 7 pairs; c(a)=3, c(b)=3, c(c)=3
+    def pmi(cab: Long, ca: Long, cb: Long): Double = {
+      val x = math.log(cab.toDouble * 9 * 9 / (7.0 * ca * cb))
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    assert(got.toSet == Set(("a", "b", 4L, pmi(4, 3, 3)), ("b", "c", 2L, pmi(2, 3, 3))))
+  }
+
+  test("cdcChunks: chunks tile the text; short/empty docs; content-defined realignment") {
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val docs = Seq((1L, base), (2L, "tiny"), (3L, ""), (4L, "PREFIX-INSERT " + base))
+      .toDF("doc_id", "text")
+    val ch = Curation.cdcChunks(docs, "doc_id", "text", window = 8, divisor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // tiling: starts are the running sum of lengths, total = doc length
+    for ((id, rows) <- byDoc) {
+      val lens = rows.map(_._4)
+      assert(rows.map(_._3).toSeq == lens.scanLeft(0L)(_ + _).init.toSeq, s"doc $id offsets")
+    }
+    assert(byDoc(1L).map(_._4).sum == base.length.toLong)
+    // shorter than the window -> one whole-doc chunk; empty -> no rows
+    def poly(t: String): Long = t.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, 0L, 4L, poly("tiny"))))
+    assert(!byDoc.contains(3L))
+    // content-defined: after an inserted prefix, the chunk fp multiset is
+    // shared except near the insertion — at least all but 2 of doc 1's
+    // chunks reappear in doc 4
+    val f1 = byDoc(1L).map(_._5).groupBy(identity).view.mapValues(_.size).toMap
+    val f4 = byDoc(4L).map(_._5).groupBy(identity).view.mapValues(_.size).toMap
+    val sharedCount = f1.map { case (k, n) => math.min(n, f4.getOrElse(k, 0)) }.sum
+    assert(sharedCount >= byDoc(1L).size - 2,
+      s"only $sharedCount of ${byDoc(1L).size} chunks survived the prefix insert")
+  }
 }
