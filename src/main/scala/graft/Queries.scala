@@ -2184,7 +2184,22 @@ object Queries {
     // fingerprints all exact BIGINT, restated verbatim by the oracle
     "cdc_chunks" -> ((s, dir) =>
       Curation.cdcChunks(docs(s, dir), "doc_id", "text")
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Per-node triangle counts (degree-oriented forward algorithm) on the
+    // hamming≤7 SimHash graph — wider than dup_clusters' ≤3 so dense
+    // pockets actually close; the oracle counts by direct 3-way join
+    "triangle_counts" -> ((s, dir) =>
+      Graph.triangles(Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 7), "a", "b")
+        .select(col("node").as("doc_id"), col("n_triangles"))
+        .orderBy("doc_id")),
+
+    // Deterministic pretraining shuffle: stable pseudorandom position per
+    // row from a two-level prefix sum — no global sort anywhere
+    "shuffle_positions" -> ((s, dir) =>
+      Curation.shufflePositions(docs(s, dir), "doc_id", 32)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("doc_id"))
   )
 
   // ---------------- the oracle SQL ----------------
@@ -3394,6 +3409,29 @@ object Queries {
          |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
     "pagerank" -> pageRankSql(3),
+
+    "triangle_counts" ->
+      s"""WITH $simhashSelect,
+         |pr AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM pr e1 JOIN pr e2 ON e2.a = e1.b
+         |        JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nd AS (SELECT x AS node FROM tri
+         |       UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |SELECT node AS doc_id, count(*) AS n_triangles FROM nd GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // shufflePositions' (bucket, idHash53, id) total order restated as one
+    // ROW_NUMBER — the oracle needs no two-level machinery, just the order
+    "shuffle_positions" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 2654435761 + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
+        |      + ((doc_id % 2147483648) * 2246822519 + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY h53 % 32, h53, doc_id) - 1 AS shuffle_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "pmi_pairs" ->
       s"""WITH t AS (SELECT $tokensSql AS toks FROM documents),

@@ -504,6 +504,40 @@ object Curation {
     * (sequence → slice), zero shuffle; an empty document contributes
     * zero rows; the tail window may be shorter than `width`.
     */
+  /** Deterministic global corpus shuffle — the pretraining "shuffle once,
+    * audit forever" primitive: every row gets a stable position in a
+    * pseudorandom total order defined purely by its id, so re-running on
+    * the same corpus reproduces the identical order and an appended
+    * corpus re-shuffles without coordination.
+    *
+    * The order is (bucket, [[idHash53]], id) with bucket =
+    * idHash53 mod `nBuckets` — pseudorandom because the hash leads both
+    * levels. Positions come from a TWO-LEVEL prefix sum (same shape as
+    * [[packSequences]]): a per-bucket window ranks rows inside each
+    * bucket while a broadcast of the nBuckets-row cumulative bucket sizes
+    * supplies the global base — no global sort, no single-partition
+    * window, shuffle keyed on the bucket only. Size nBuckets ≈ the
+    * cluster's task count × a small factor.
+    *
+    * Appends `shuffle_pos` (0-based, dense, a permutation of row ranks).
+    */
+  def shufflePositions(df: DataFrame, idCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val h = idHash53(col(idCol))
+    val withBucket = df.withColumn("_h", h).withColumn("_bkt", pmod(col("_h"), lit(nBuckets.toLong)))
+    val within = row_number().over(
+      Window.partitionBy(col("_bkt")).orderBy(col("_h"), col(idCol))).cast("long") - 1L
+    val bases = withBucket.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+      .withColumn("_base",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_base"))
+    withBucket
+      .join(broadcast(bases), "_bkt")
+      .withColumn("shuffle_pos", col("_base") + within)
+      .drop("_h", "_bkt", "_base")
+  }
+
   /** Content-defined chunking (CDC): split each document at positions
     * where a `window`-char polynomial hash of the trailing window is
     * ≡ 0 mod `divisor` — the rsync/LBFS boundary rule. Unlike

@@ -73,4 +73,50 @@ object Graph {
     }
     pr.select(col("node"), col("pr").cast("double").as("pagerank"))
   }
+
+  /** Exact per-node triangle counts on an undirected edge list — the
+    * clustering-coefficient numerator and the standard "dense pocket"
+    * signal on near-dup graphs. Uses the forward/degree-orientation
+    * algorithm: orient every edge from its lower (deg, id) endpoint to
+    * the higher, enumerate wedges from each pivot's OUT-neighbors, and
+    * keep wedges that close into an oriented edge. Each triangle has
+    * exactly one node with out-edges to both others, so it is found
+    * exactly once.
+    *
+    * Scale: the wedge fan-out is Σ outdeg², and degree orientation bounds
+    * every out-degree by O(√m) regardless of skew (a hub's edges orient
+    * INTO it) — the join stays output-proportional where a naive
+    * neighbor-join squares the hub degree. Three equi-joins on 8-byte
+    * keys; no payload ever shuffles.
+    *
+    * Output: (node, n_triangles) for nodes in ≥ 1 triangle.
+    */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = canon.select(col("u").as("n")).unionAll(canon.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (deg, id): src = the smaller endpoint under that order
+    val oriented = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    // wedges (s -> t1, s -> t2) with a consistent t1 < t2 arbitration so
+    // each unordered out-pair appears once, closed by an oriented edge in
+    // EITHER direction between t1 and t2
+    val w1 = oriented.select(col("s"), col("t").as("t1"))
+    val w2 = oriented.select(col("s"), col("t").as("t2"))
+    val wedges = w1.join(w2, "s").where(col("t1") < col("t2"))
+    val closing = oriented.select(
+      least(col("s"), col("t")).as("t1"), greatest(col("s"), col("t")).as("t2"))
+    val tri = wedges.join(closing, Seq("t1", "t2"))
+    tri.select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -799,11 +799,12 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Deliberate exceptions: knn_batch_probes broadcasts the k-row
     // probe table against the corpus — every probe×corpus distance is the
     // workload itself, and the pair space is bounded by the broadcast side
-    // (≤ spark.sql.autoBroadcastJoinThreshold), not corpus². lm_logprob
-    // rides a ONE-row broadcast cross join to attach the scalar corpus
-    // token total — output cardinality equals the left side exactly.
+    // (≤ spark.sql.autoBroadcastJoinThreshold), not corpus². lm_logprob,
+    // pmi_pairs, mixture_temperature and pagerank ride a ONE-row broadcast
+    // cross join to attach scalar corpus totals (N/P, Σweights, |V|) —
+    // output cardinality equals the left side exactly.
     val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch",
-      "lm_logprob")
+      "lm_logprob", "pmi_pairs", "mixture_temperature", "pagerank")
     Queries.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans CartesianProduct:\n$plan")
@@ -1976,5 +1977,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sharedCount = f1.map { case (k, n) => math.min(n, f4.getOrElse(k, 0)) }.sum
     assert(sharedCount >= byDoc(1L).size - 2,
       s"only $sharedCount of ${byDoc(1L).size} chunks survived the prefix insert")
+  }
+
+  test("triangles: K4 counts, hub wedge without closure, duplicate/self edges ignored") {
+    // K4 on 1..4 (every node in C(3,2)=3 triangles), a hub 10 joined to
+    // 11/12/13 with no edges among the spokes (zero triangles), plus noise
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 10L), (5L, 5L)))
+      .toDF("a", "b")
+    val got = Graph.triangles(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("shufflePositions: a deterministic dense permutation, stable under re-partitioning") {
+    val df = (0L until 500L).toDF("id").repartition(7)
+    val got = Curation.shufflePositions(df, "id", nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).sorted.toSeq == (0L until 500L))
+    // positions are a function of ids alone: same result from 1 partition
+    val again = Curation.shufflePositions((0L until 500L).toDF("id").coalesce(1), "id", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // and genuinely shuffled: identity order would be astronomically unlikely
+    assert(got.sortBy(_._1).map(_._2).toSeq != (0L until 500L))
   }
 }
