@@ -2199,7 +2199,20 @@ object Queries {
     "shuffle_positions" -> ((s, dir) =>
       Curation.shufflePositions(docs(s, dir), "doc_id", 32)
         .select(col("doc_id"), col("shuffle_pos"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Hybrid retrieval: BM25 top-50 and cosine k-NN top-50 fused by
+    // reciprocal rank (1/(60+rank) per list, 9-dp decimal sums) — rank
+    // calibration instead of score calibration, the RAG-stack combiner
+    "rrf_hybrid" -> ((s, dir) => {
+      val bm = TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          Seq("vector", "hash", "scan"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      val kn = Knn.fullScan(emb(s, dir), "vec_id", "embedding", probe, 50, "cosine")
+        .select(col("vec_id").as("doc_id"), fast_round(col("distance"), 6).as("distance"))
+      TextAnalysis.rrfFuse(
+        Seq((bm, col("score").desc), (kn, col("distance"))), "doc_id", c = 60, topN = 20)
+    })
   )
 
   // ---------------- the oracle SQL ----------------
@@ -3409,6 +3422,34 @@ object Queries {
          |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
     "pagerank" -> pageRankSql(3),
+
+    "rrf_hybrid" -> {
+      val terms = Seq("vector", "hash", "scan")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(ws, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 / " +
+        s"(tf$i + 1.2 * (0.25 + (0.75 / (sumlen / CAST(n AS DOUBLE))) * dl))").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+         |tf AS (SELECT doc_id, len(ws) AS dl, $tfs FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumlen, $dfs FROM tf),
+         |bm AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM (
+         |  SELECT doc_id, round($score, 6) AS score FROM tf, st
+         |  ORDER BY score DESC, doc_id LIMIT 50) bx),
+         |p AS (SELECT $probeSqlList AS pv),
+         |kd AS (SELECT vec_id AS doc_id, round(${distSql("cosine")}, 6) AS rd
+         |       FROM embeddings, p WHERE embedding IS NOT NULL),
+         |kn AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rd, doc_id) AS rank FROM (
+         |  SELECT doc_id, rd FROM kd ORDER BY rd, doc_id LIMIT 50) kx),
+         |u AS (SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM kn),
+         |f AS (SELECT doc_id,
+         |  CAST(SUM(CAST(round(1.0 / (60.0 + rank), 9) AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS s,
+         |  count(*) AS n_lists FROM u GROUP BY 1)
+         |SELECT doc_id, CAST(s AS DOUBLE) AS rrf_score, CAST(n_lists AS BIGINT) AS n_lists
+         |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     "triangle_counts" ->
       s"""WITH $simhashSelect,

@@ -362,6 +362,42 @@ object TextAnalysis {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-retrieval
+    * combiner: each input is a SHORTLIST (id + an ordering column), each
+    * list contributes 1/(c + rank) per id, and ids are scored by the sum.
+    * The standard way to merge BM25 and vector-search rankings without
+    * score calibration, since only ranks enter the formula.
+    *
+    * Exactness: ranks are row_numbers over the caller's (ordering, id)
+    * sort; each 1/(c+rank) term is rounded to 9 dp and summed as
+    * DECIMAL(38,9), so with ≥ 3 lists the unordered reduce still cannot
+    * reassociate doubles. The per-list window is single-partition BY
+    * DESIGN — inputs are top-N shortlists (the k·overscan rows a
+    * retrieval stage emits), never corpora; fusing pre-ranked lists of
+    * thousands of rows is driver-scale work no matter the cluster.
+    *
+    * Output: (id, rrf_score, n_lists), fused rank order =
+    * (rrf_score desc, id).
+    */
+  def rrfFuse(lists: Seq[(org.apache.spark.sql.DataFrame, Column)], idCol: String,
+              c: Int = 60, topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 1, s"c must be >= 1, got $c")
+    val ranked = lists.map { case (df, ord) =>
+      df.select(col(idCol),
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(ord, col(idCol)))
+          .cast("long").as("_rank"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy(idCol)
+      .agg(
+        sum(graft.functions.fast_round(lit(1.0) / (lit(c.toDouble) + col("_rank")), 9)
+          .cast("decimal(38,9)")).as("_s"),
+        count(lit(1)).as("n_lists"))
+      .select(col(idCol), col("_s").cast("double").as("rrf_score"), col("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol)).limit(topN)
+  }
+
   /** Pointwise mutual information of ADJACENT token pairs — collocation
     * mining ("machine learning"-style multiword detection). Pairs are
     * unordered (lexicographically normalized); counts are exact BIGINTs

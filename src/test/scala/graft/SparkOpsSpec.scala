@@ -2002,4 +2002,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and genuinely shuffled: identity order would be astronomically unlikely
     assert(got.sortBy(_._1).map(_._2).toSeq != (0L until 500L))
   }
+
+  test("rrfFuse: driver-math fusion of two known rankings") {
+    // list A ranks (1, 2, 3) by score desc; list B ranks (3, 2, 4) by dist asc
+    val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val b = Seq((3L, 0.1), (2L, 0.5), (4L, 0.9)).toDF("id", "dist")
+    val got = TextAnalysis.rrfFuse(
+        Seq((a, col("score").desc), (b, col("dist"))), "id", c = 60, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = Map(
+      1L -> (r9(1.0 / 61), 1L), 2L -> (BigDecimal(r9(1.0 / 62)) + BigDecimal(r9(1.0 / 62)), 2L),
+      3L -> (BigDecimal(r9(1.0 / 63)) + BigDecimal(r9(1.0 / 61)), 2L), 4L -> (r9(1.0 / 63), 1L))
+    val wantList = want.map {
+      case (id, (s: BigDecimal, n)) => (id, s.toDouble, n)
+      case (id, (s: Double, n)) => (id, s, n)
+    }.toList.sortBy(t => (-t._2, t._1))
+    assert(got == wantList)
+    // doc 2 (rank 2 in both) outranks doc 3 (ranks 3 and 1) — rank sums equal
+    // but 2's terms are balanced; verify the actual order is by the score
+    assert(got.map(_._1).take(2).toSet == Set(2L, 3L))
+  }
 }
