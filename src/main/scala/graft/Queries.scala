@@ -2201,6 +2201,13 @@ object Queries {
         .select(col("doc_id"), col("shuffle_pos"))
         .orderBy("doc_id")),
 
+    // Interpolated bigram LM (Jelinek-Mercer λ=0.7): lm_logprob with
+    // context — unseen-in-context pairs degrade to the unigram floor
+    // instead of ln(0); same 9-dp decimal exactness contract
+    "bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text", lambda = 0.7)
+        .orderBy("doc_id")),
+
     // Hybrid retrieval: BM25 top-50 and cosine k-NN top-50 fused by
     // reciprocal rank (1/(60+rank) per list, 9-dp decimal sums) — rank
     // calibration instead of score calibration, the RAG-stack combiner
@@ -3422,6 +3429,25 @@ object Queries {
          |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
     "pagerank" -> pageRankSql(3),
+
+    "bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |pr AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(2, len(toks)), i ->
+         |      {'prev': toks[i-1], 'cur': toks[i]})
+         |    ELSE [] END) AS p FROM t),
+         |pp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pr),
+         |bg AS (SELECT prev, cur, count(*) AS cb FROM pp GROUP BY 1, 2),
+         |cx AS (SELECT prev, count(*) AS ca FROM pp GROUP BY 1),
+         |un AS (SELECT tk AS cur, count(*) AS cu
+         |       FROM (SELECT unnest(toks) AS tk FROM t) u GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total FROM un),
+         |lp AS (SELECT doc_id,
+         |  CAST(round(ln(0.7 * cb / ca + (1.0 - 0.7) * cu / n_total), 9) AS DECIMAL(38,9)) AS logp
+         |  FROM pp JOIN bg USING (prev, cur) JOIN cx USING (prev) JOIN un USING (cur), tot)
+         |SELECT doc_id, round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp,
+         |  count(*) AS n_pairs
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "rrf_hybrid" -> {
       val terms = Seq("vector", "hash", "scan")

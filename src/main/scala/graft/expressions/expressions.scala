@@ -895,3 +895,32 @@ case class FastRound(child: Expression, scale: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `cdc_boundaries(text)` — content-defined-chunking boundary positions
+  * (1-based ends of `window`-char trailing windows whose polynomial hash
+  * is ≡ 0 mod `divisor`), the hot inner scan of
+  * [[graft.ops.Curation.cdcChunks]] as ONE codegen'd pass over the
+  * string bytes. Replaces a per-position higher-order-function fold that
+  * allocated a sequence per character (measured 10× the whole query's
+  * budget at sf0.1). Input must be printable-ASCII-cleaned so bytes are
+  * chars ([[graft.ops.TextAnalysis.asciiOnly]]).
+  */
+case class CdcBoundaries(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 2, s"window must be >= 2, got $window")
+  require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "cdc_boundaries"
+
+  override def nullSafeEval(v: Any): Any =
+    Sketches.cdcBoundaries(v.asInstanceOf[UTF8String], window, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Sketches.cdcBoundaries($c, $window, $divisor);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -50,6 +50,12 @@ object functions {
 
   def shingle_hashes(text: Column, n: Int): Column = col(ShingleHashes(expr(text), n))
 
+  /** CDC boundary positions over ASCII-cleaned text; see
+    * [[graft.expressions.CdcBoundaries]].
+    */
+  def cdc_boundaries(text: Column, window: Int, divisor: Int): Column =
+    col(CdcBoundaries(expr(text), window, divisor))
+
   def byte_histogram(payload: Column, dim: Int): Column = col(ByteHistogram(expr(payload), dim))
 
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))

@@ -402,4 +402,30 @@ object Sketches {
     }
     new GenericArrayData(buf.toArray)
   }
+
+  /** CDC boundary positions (1-based) for [[graft.ops.Curation.cdcChunks]]:
+    * every i in [window, len-1] where the base-31 mod-1e9+7 polynomial of
+    * chars (i-window, i] is ≡ 0 mod divisor. Bytes are the chars —
+    * callers pass printable-ASCII-cleaned text. Semantically identical to
+    * the per-position SQL fold the oracle runs; this is the tight-loop
+    * form (the fold allocates a sequence per position). Static entry
+    * point for generated code ([[graft.expressions.CdcBoundaries]]).
+    */
+  def cdcBoundaries(t: UTF8String, window: Int, divisor: Int): ArrayData = {
+    val bytes = t.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = window
+    while (i <= n - 1) {
+      var h = 0L
+      var j = i - window
+      while (j < i) {
+        h = (h * 31L + (bytes(j) & 0xffL)) % 1000000007L
+        j += 1
+      }
+      if (h % divisor == 0L) out += i
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -565,17 +565,14 @@ object Curation {
                 window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
-    val M = 1000000007L
     val t = col("_t"); val len = col("_len")
-    def windowHash(i: Column): Column =
-      aggregate(sequence(i - (window - 1), i), lit(0L),
-        (acc, j) => (acc * 31L + ascii(t.substr(j, lit(1))).cast("long")) % M)
-    // boundary marks strictly inside (0, len): i == len is excluded so the
-    // appended final bound never duplicates (keeps the list sorted-unique
-    // without an order-sensitive distinct)
-    val marks = when(len > window,
-        filter(sequence(lit(window), len - 1), i => windowHash(i) % divisor === 0))
-      .otherwise(array().cast("array<int>"))
+    // boundary marks strictly inside (0, len) — i == len is excluded (by
+    // the kernel's loop bound) so the appended final bound never
+    // duplicates, keeping the list sorted-unique without an
+    // order-sensitive distinct. One codegen'd pass over the bytes
+    // ([[graft.expressions.CdcBoundaries]]); the oracle runs the
+    // equivalent per-position fold.
+    val marks = graft.functions.cdc_boundaries(t, window, divisor)
     val bounds = concat(array(lit(0)), marks, array(len))
     val chunks = when(len > 0,
         transform(sequence(lit(1), size(col("_b")) - 1), k =>

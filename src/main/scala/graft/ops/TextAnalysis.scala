@@ -362,6 +362,53 @@ object TextAnalysis {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Interpolated bigram LM score — [[unigramLogProb]] with context: each
+    * adjacent pair (prev, cur) scores
+    * `ln(λ·c(prev,cur)/ctx(prev) + (1−λ)·c(cur)/N)` where ctx(prev) is
+    * the CONTEXT count (pairs starting with prev, not the raw unigram
+    * count — a document-final token is never a context), and a document's
+    * score is the mean over its pairs. Linear interpolation with the
+    * unigram floor means unseen-in-context words degrade gracefully
+    * instead of hitting ln(0) — the classic Jelinek-Mercer smoothing that
+    * perplexity-based quality filtering (CCNet-style) actually uses.
+    *
+    * Exactness contract is lm_logprob's: every count is an exact BIGINT,
+    * the interpolation and ln are ONE double tree per pair, each term is
+    * rounded to 9 dp and summed as DECIMAL(38,9) (unordered reduce
+    * exact), the mean re-rounded to 6 dp. Shuffles ride (prev, cur) /
+    * prev / cur keys — vocabulary-sized, AQE broadcasts the LM tables.
+    * Documents with fewer than two tokens have no pairs and don't appear.
+    */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
+    val toksDf = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val pairs = toksDf.select(col(idCol),
+        explode(when(size(col("_toks")) >= 2,
+            transform(sequence(lit(2), size(col("_toks"))), i =>
+              struct(element_at(col("_toks"), i - 1).as("prev"),
+                element_at(col("_toks"), i).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>"))).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bigram = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val ctx = pairs.groupBy("prev").agg(count(lit(1)).as("ca"))
+    val uni = toksDf.select(explode(col("_toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("n_total"))
+    pairs
+      .join(bigram, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .join(uni.select(col("t").as("cur"), col("cu")), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(lit(lambda) * col("cb") / col("ca")
+            + (lit(1.0) - lit(lambda)) * col("cu") / col("n_total")), 9)
+          .cast("decimal(38,9)").as("logp"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("mean_logp"),
+        count(lit(1)).as("n_pairs"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-retrieval
     * combiner: each input is a SHORTLIST (id + an ordering column), each
     * list contributes 1/(c + rank) per id, and ids are scored by the sum.

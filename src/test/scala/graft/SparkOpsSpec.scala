@@ -804,7 +804,8 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cross join to attach scalar corpus totals (N/P, Σweights, |V|) —
     // output cardinality equals the left side exactly.
     val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch",
-      "lm_logprob", "pmi_pairs", "mixture_temperature", "pagerank")
+      "lm_logprob", "bigram_logprob", "pmi_pairs", "mixture_temperature",
+      "pagerank")
     Queries.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans CartesianProduct:\n$plan")
@@ -2023,5 +2024,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 2 (rank 2 in both) outranks doc 3 (ranks 3 and 1) — rank sums equal
     // but 2's terms are balanced; verify the actual order is by the score
     assert(got.map(_._1).take(2).toSet == Set(2L, 3L))
+  }
+
+  test("bigramLogProb: driver-math interpolated score; sub-2-token docs absent") {
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, "doc_id", "text", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // corpus pairs: doc1 (a,b), (b,a); doc2 (b,a) -> cb: (a,b)=1, (b,a)=2
+    // ctx: a=1, b=2; unigrams: a=3, b=2, x=1; N=6
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val lpAB = r9(math.log(0.7 * 1 / 1.0 + (1.0 - 0.7) * 2 / 6.0)) // p(b|a)
+    val lpBA = r9(math.log(0.7 * 2 / 2.0 + (1.0 - 0.7) * 3 / 6.0)) // p(a|b)
+    val want = Map(
+      1L -> (r6((lpAB.add(lpBA)).doubleValue() / 2), 2L),
+      2L -> (r6(lpBA.doubleValue()), 1L))
+    assert(got == want.map { case (k, (m, n)) => k -> ((m, n)) })
+    assert(!got.contains(3L))
   }
 }
