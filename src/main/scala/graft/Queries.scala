@@ -699,6 +699,37 @@ object Queries {
           round(col("col"), 6).as("centroid"), col("n_members"))
     }),
 
+    // TWO Lloyd iterations — the driver loop the kmeans_iter docstring
+    // promises, gated: iteration 1's exact fixed-point means are rounded
+    // to 6 dp and cast to FLOAT (the engine-portable centroid handoff,
+    // same convention as the packed-vector gates), re-assigned, and
+    // re-averaged; the oracle replays BOTH rounds including the float
+    // cast and the survivor-cell re-indexing. Cells that lose every
+    // member in round 1 drop out, exactly like a real Lloyd step
+    "kmeans_iter2" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val seeds = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      val m1 = Ann.withClusters(e, "embedding", seeds)
+        .groupBy(col("cluster"))
+        .agg(vector_avg(col("embedding"), Dim).as("c"))
+        .collect()
+        .sortBy(_.getAs[Int]("cluster"))
+      // q20 binary grid (k/2^20), NOT 6-dp decimal: a decimal half is not
+      // representable in binary, so engines can disagree on which side a
+      // computed double falls (observed once in 1024 lanes); a BINARY .5
+      // boundary is exact, so scale-0 round agrees on every double, and
+      // k/2^20 with |x|<1 is float-exact for the centroid handoff
+      val cents2: Seq[Seq[Float]] = m1.toSeq.map(
+        r => r.getSeq[Double](r.fieldIndex("c")).map(x =>
+          (graft.kernels.Quantize.roundHalfUp(x * 1048576.0, 0) / 1048576.0).toFloat))
+      Ann.withClusters(e, "embedding", cents2)
+        .groupBy(col("cluster"))
+        .agg(vector_avg(col("embedding"), Dim).as("c"), count(lit(1)).as("n_members"))
+        .select(col("cluster").cast("long").as("cell"), col("n_members"), posexplode(col("c")))
+        .select(col("cell"), col("pos").cast("long").as("pos"),
+          (round(col("col") * 1048576.0) / 1048576.0).as("centroid"), col("n_members"))
+    }),
+
     // SemDeDup end-to-end: exact vector_avg centroids → nearest-centroid
     // clusters → within-cluster prune of rows with a smaller-id ≥0.35
     // cosine neighbor (Dedup.semDeDup). The pair space is quadratic only
@@ -2201,6 +2232,13 @@ object Queries {
         .select(col("doc_id"), col("shuffle_pos"))
         .orderBy("doc_id")),
 
+    // Efraimidis-Spirakis weighted sampling without replacement: top-50
+    // by ln(u)/w with the deterministic idHash53 uniform — exact weighted
+    // selection as a pure projection + TakeOrdered, no shuffle
+    "weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(docs(s, dir), "doc_id", col("n_chars"), 50)
+        .select(col("doc_id"), col("n_chars"), col("sample_key"))),
+
     // Interpolated bigram LM (Jelinek-Mercer λ=0.7): lm_logprob with
     // context — unseen-in-context pairs degrade to the unigram floor
     // instead of ln(0); same 9-dp decimal exactness contract
@@ -2340,6 +2378,44 @@ object Queries {
          |  round(sum(v) / (count(*) * 1000000.0), 6) AS centroid,
          |  count(*) AS n_members
          |FROM u GROUP BY cid, i""".stripMargin
+    },
+
+    // kmeans_iter's pipeline replayed TWICE: round-1 means are 6-dp-rounded,
+    // float-cast (CAST ... AS REAL — the same engine-portable handoff the
+    // packed gates use), re-indexed over surviving cells, then assignment +
+    // fixed-point means run again
+    "kmeans_iter2" -> {
+      val hashOrder = "(vec_id % 1000003) * 2654435761 % 1000000007"
+      def cdist(cv: String) =
+        s"list_sum(list_transform(generate_series(1,$Dim), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE))))"
+      s"""WITH ctv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |        ORDER BY $hashOrder, vec_id LIMIT $IvfCells),
+         |ct AS (SELECT row_number() OVER (ORDER BY $hashOrder, vec_id) - 1 AS cid, embedding AS cv FROM ctv),
+         |ad AS (SELECT e.vec_id, e.embedding, ct.cid, ${cdist("ct.cv")} AS d
+         |  FROM embeddings e, ct WHERE e.embedding IS NOT NULL),
+         |asg AS (SELECT vec_id, embedding, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+         |u AS (SELECT cid, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
+         |  FROM asg, UNNEST(generate_series(1, $Dim)) AS g(i)),
+         |m1 AS (SELECT cid, i,
+         |       CAST(round((sum(v) / (count(*) * 1000000.0)) * 1048576.0) / 1048576.0 AS REAL) AS cf
+         |       FROM u GROUP BY cid, i),
+         |c2 AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS cid, list(cf ORDER BY i) AS cv
+         |       FROM (SELECT cid, i, cf FROM m1) m GROUP BY cid),
+         |ad2 AS (SELECT e.vec_id, e.embedding, c2.cid, ${cdist("c2.cv")} AS d
+         |  FROM embeddings e, c2 WHERE e.embedding IS NOT NULL),
+         |asg2 AS (SELECT vec_id, embedding, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad2) WHERE rn = 1),
+         |u2 AS (SELECT cid, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
+         |  FROM asg2, UNNEST(generate_series(1, $Dim)) AS g(i))
+         |SELECT CAST(cid AS BIGINT) AS cell, i - 1 AS pos,
+         |  round((sum(v) / (count(*) * 1000000.0)) * 1048576.0) / 1048576.0 AS centroid,
+         |  count(*) AS n_members
+         |FROM u2 GROUP BY cid, i""".stripMargin
     },
 
     // clustering CTE shared with centroid_assign, then the declarative
@@ -3429,6 +3505,16 @@ object Queries {
          |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
     "pagerank" -> pageRankSql(3),
+
+    "weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ((doc_id % 2147483648) * 2654435761 + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
+        |      + ((doc_id % 2147483648) * 2246822519 + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |  round(ln(CAST(h53 + 1 AS DOUBLE) / 9007199254740992.0) / CAST(n_chars AS DOUBLE), 9) AS sample_key
+        |FROM h ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
 
     "bigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

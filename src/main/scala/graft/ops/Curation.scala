@@ -504,6 +504,31 @@ object Curation {
     * (sequence → slice), zero shuffle; an empty document contributes
     * zero rows; the tail window may be shorter than `width`.
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    * row i gets key uᵢ^(1/wᵢ) with uᵢ uniform in (0,1]; the k largest
+    * keys are a weighted sample without replacement — exactly, not
+    * approximately. Ranking by ln(uᵢ)/wᵢ is the same order with no
+    * overflow at extreme weights. uᵢ here is the DETERMINISTIC uniform
+    * (idHash53+1)/2^53 — exact in a double, reproducible from ids alone
+    * (same audit contract as [[stratifiedSample]]), and keys are rounded
+    * to 9 dp with an id tiebreak so the rank order is engine-portable.
+    *
+    * Scale: a pure projection + one TakeOrdered top-k (per-partition
+    * bounded heaps, k-row driver merge) — no shuffle, no sort. This is
+    * the one-shot form of weighted reservoir sampling; a streaming
+    * reservoir keeps the same keys in a bounded heap.
+    *
+    * Rows with weight ≤ 0 or NULL never sample. Appends `sample_key`.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (idHash53(col(idCol)) + 1L).cast("double") / lit(9007199254740992.0) // 2^53
+    df.where(weightCol.isNotNull && weightCol > 0)
+      .withColumn("sample_key",
+        graft.functions.fast_round(log(u) / weightCol.cast("double"), 9))
+      .orderBy(col("sample_key").desc, col(idCol)).limit(k)
+  }
+
   /** Deterministic global corpus shuffle — the pretraining "shuffle once,
     * audit forever" primitive: every row gets a stable position in a
     * pseudorandom total order defined purely by its id, so re-running on

@@ -2042,4 +2042,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want.map { case (k, (m, n)) => k -> ((m, n)) })
     assert(!got.contains(3L))
   }
+
+  test("weightedSample: ES keys match driver math; zero/null weights excluded; bias direction") {
+    val df = (0L until 400L).map(i => (i, if (i < 200) 1L else 100L)).toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", col("w"), 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // keys replay exactly from ids
+    def h53(id: Long): Long = {
+      val lo = id % 2147483648L; val hi = id / 2147483648L
+      (lo * 2654435761L + hi * 40503L) % 1000000007L * 8388608L +
+        (lo * 2246822519L + hi * 69069L) % 8388593L
+    }
+    def key(id: Long, w: Long): Double = {
+      val u = (h53(id) + 1).toDouble / 9007199254740992.0
+      java.math.BigDecimal.valueOf(math.log(u) / w)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    got.foreach { case (id, w, k) => assert(k == key(id, w), s"id $id") }
+    // heavy rows (w=100) should dominate a 100-of-400 sample overwhelmingly
+    val heavy = got.count(_._2 == 100L)
+    assert(heavy > 80, s"only $heavy heavy rows sampled")
+    // weight <= 0 / null rows never sample
+    val z = Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("id", "w")
+    assert(Curation.weightedSample(z, "id", col("w"), 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }
