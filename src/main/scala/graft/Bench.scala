@@ -223,7 +223,9 @@ object Bench {
         "line_dedup", "dup_clusters", "asof_join", "interval_join",
         "lm_logprob", "bloom_dedup", "doc_chunks", "rollup_pricing",
         "heavy_hitters", "mixture_temperature", "inverted_search",
-        "cross_doc_ngrams", "pagerank", "pmi_pairs", "cdc_chunks")
+        "cross_doc_ngrams", "pagerank", "pmi_pairs", "cdc_chunks",
+        "bigram_logprob", "novelty_score", "triangle_counts",
+        "shuffle_positions", "weighted_sample", "rrf_hybrid")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

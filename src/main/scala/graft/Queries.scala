@@ -2232,6 +2232,12 @@ object Queries {
         .select(col("doc_id"), col("shuffle_pos"))
         .orderBy("doc_id")),
 
+    // Corpus novelty: fraction of each doc's distinct 3-grams appearing
+    // in no other doc — boilerplate/contamination collapses it to ~0
+    "novelty_score" -> ((s, dir) =>
+      TextAnalysis.noveltyScores(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id")),
+
     // Efraimidis-Spirakis weighted sampling without replacement: top-50
     // by ln(u)/w with the deterministic idHash53 uniform — exact weighted
     // selection as a pure projection + TakeOrdered, no shuffle
@@ -3505,6 +3511,17 @@ object Queries {
          |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
     "pagerank" -> pageRankSql(3),
+
+    "novelty_score" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) - 2 > 0
+         |    THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS gram FROM t),
+         |dfq AS (SELECT gram, count(*) AS gdf FROM g GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_distinct_grams,
+         |  CAST(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(CAST(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+         |FROM g JOIN dfq USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "weighted_sample" ->
       """WITH h AS (

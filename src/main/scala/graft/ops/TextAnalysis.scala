@@ -362,6 +362,39 @@ object TextAnalysis {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Corpus-novelty score: the fraction of a document's DISTINCT token
+    * n-grams that appear in no other document — high novelty marks
+    * original content, low novelty marks boilerplate/templated/near-dup
+    * text, and benchmark contamination shows up as novelty collapsing
+    * for exactly the contaminated slice. The distinct-gram side of
+    * [[crossDocNgrams]]: same gram construction, same (gram-key-only)
+    * shuffles, then a per-doc rollup.
+    *
+    * Output: (id, n_distinct_grams, n_novel, novelty) with novelty =
+    * n_novel / n_distinct_grams rounded to 6 dp. Documents shorter than
+    * n tokens have no grams and don't appear.
+    */
+  def noveltyScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = col("_toks")
+    val cnt = size(toks) - (n - 1)
+    val grams = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(when(cnt > 0,
+            transform(sequence(lit(1), cnt), i => array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    grams.join(dfreq, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        graft.functions.fast_round(
+          col("n_novel").cast("double") / col("n_distinct_grams"), 6))
+  }
+
   /** Interpolated bigram LM score — [[unigramLogProb]] with context: each
     * adjacent pair (prev, cur) scores
     * `ln(λ·c(prev,cur)/ctx(prev) + (1−λ)·c(cur)/N)` where ctx(prev) is
