@@ -1891,6 +1891,19 @@ object Queries {
         .withColumnRenamed("vec_id_probe", "probe_id")
     }),
 
+    // the same join with the bucket-size cap BITING (maxBucket=4 at ~2
+    // mean occupancy): right rows in over-cap buckets are excluded from
+    // candidate generation — the skew guard that stops a hot LSH bucket
+    // quadratizing the join at 100 TB, exercised end-to-end against the
+    // oracle's independent bucket-count exclusion
+    "ann_join_capped" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.annJoin(e.where(col("vec_id") < 20), "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5, metric = "cosine", AnnBits, Dim,
+        maxBucket = 4)
+        .withColumnRenamed("vec_id_probe", "probe_id")
+    }),
+
     // IVF ANN: deterministic sampled centroids → codegen'd nearest-centroid
     // assignment → cluster-PARTITIONED store → probe scans only the nprobe
     // nearest cells (partition pruning). The second scale path next to LSH.
@@ -2259,8 +2272,14 @@ object Queries {
       val bm = TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
           Seq("vector", "hash", "scan"))
         .orderBy(col("score").desc, col("doc_id")).limit(50)
-      val kn = Knn.fullScan(emb(s, dir), "vec_id", "embedding", probe, 50, "cosine")
+      // round-BEFORE-cut (the knnQuery convention): the oracle cuts its
+      // top-50 on the 6-dp rounded distance with doc_id tiebreak, so the
+      // Spark leg must rank on the identical rounded key — cutting on raw
+      // distance and rounding after can disagree on shortlist membership
+      // when two candidates round to the same value at the 50-boundary
+      val kn = Knn.distanceStream(emb(s, dir), "vec_id", "embedding", probe, "cosine")
         .select(col("vec_id").as("doc_id"), fast_round(col("distance"), 6).as("distance"))
+        .orderBy(col("distance"), col("doc_id")).limit(50)
       TextAnalysis.rrfFuse(
         Seq((bm, col("score").desc), (kn, col("distance"))), "doc_id", c = 60, topN = 20)
     })
@@ -3337,6 +3356,27 @@ object Queries {
          |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, distance FROM rk WHERE rn <= 5""".stripMargin
     },
 
+    // ann_join plus the independently-restated bucket cap: right rows in
+    // buckets holding > 4 members are excluded before the join
+    "ann_join_capped" -> {
+      def lsum(term: String) = s"list_sum(list_transform(generate_series(1,$Dim), i -> $term))"
+      val dot = lsum("CAST(lv[i] AS DOUBLE) * CAST(rv[i] AS DOUBLE)")
+      val na = lsum("CAST(lv[i] AS DOUBLE) * CAST(lv[i] AS DOUBLE)")
+      val nb = lsum("CAST(rv[i] AS DOUBLE) * CAST(rv[i] AS DOUBLE)")
+      s"""WITH ${planesCte(AnnBits)}, $bucketSigCte,
+         |l AS (SELECT vec_id AS probe_id, embedding AS lv, bucket AS lb FROM sg WHERE vec_id < 20),
+         |r0 AS (SELECT vec_id, embedding AS rv, bucket AS rb FROM sg),
+         |bc AS (SELECT rb, count(*) AS n FROM r0 GROUP BY 1),
+         |r AS (SELECT r0.* FROM r0 JOIN bc USING (rb) WHERE bc.n <= 4),
+         |d AS (SELECT probe_id, r.vec_id,
+         |  round((CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 1.0
+         |    ELSE 1.0 - greatest(-1.0, least(1.0, $dot / (sqrt($na) * sqrt($nb)))) END), 6) AS distance
+         |  FROM l JOIN r ON bit_count(xor(lb, rb)) <= 1),
+         |rk AS (SELECT probe_id, vec_id, distance,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY distance, vec_id) AS rn FROM d)
+         |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, distance FROM rk WHERE rn <= 5""".stripMargin
+    },
+
     "ivf_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCte,
          |d2 AS (SELECT vec_id, ${distSql("l2")} AS distance
@@ -3500,7 +3540,8 @@ object Queries {
         |SELECT lang, max(permille) AS permille,
         |  count(CASE WHEN n_copies > 0 THEN 1 END) AS n_docs,
         |  CAST(SUM(n_copies) AS BIGINT) AS n_resampled
-        |FROM cp GROUP BY lang""".stripMargin,
+        |FROM cp GROUP BY lang
+        |HAVING SUM(n_copies) > 0""".stripMargin,
 
     "inverted_search" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),

@@ -849,14 +849,19 @@ case class BpeMerge(child: Expression, a: String, b: String)
   * join and the Jaccard verify round one value per CANDIDATE PAIR).
   *
   * Fast path: `floor(x·10^s + 0.5) / 10^s` in pure double math. That
-  * agrees with the BigDecimal decision whenever `x·10^s` is farther than
-  * ~1e-9 from a .5 boundary (the scaled shortest-repr decimal and the
-  * computed product differ by well under that), so any value within 1e-6
-  * of a boundary — plus NaN/±Inf and magnitudes where doubles go
-  * integer-sparse — takes the exact [[graft.kernels.Quantize.roundHalfUp]]
-  * fallback instead. ~2e-6 of uniformly distributed inputs fall back;
-  * equality with Spark's round is property-tested on boundary-adversarial
-  * inputs (KernelProps).
+  * agrees with the BigDecimal decision whenever `x·10^s` is farther from
+  * a .5 boundary than the product/shortest-repr-decimal discrepancy —
+  * which is a few ulps of the product, NOT an absolute constant: above
+  * ~2^33 one ulp of `x·10^s` exceeds 1e-6, so a fixed guard would let
+  * the discrepancy cross a boundary undetected. The guard therefore
+  * scales with the magnitude: any value within `max(1e-6, 4·ulp(x·10^s))`
+  * of a boundary — plus NaN/±Inf and magnitudes ≥ 4.5e15 where doubles
+  * go integer-sparse — takes the exact
+  * [[graft.kernels.Quantize.roundHalfUp]] fallback instead. ~2e-6 of
+  * uniformly distributed small inputs fall back (the ulp term dominates
+  * only above ~8.6e9 where it admits ~2e-15 of inputs); equality with
+  * Spark's round is property-tested on boundary-adversarial inputs in
+  * BOTH bands (KernelProps).
   */
 case class FastRound(child: Expression, scale: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -872,7 +877,7 @@ case class FastRound(child: Expression, scale: Int)
     val x = v.asInstanceOf[Double]
     val y = x * pow10
     val diff = y - math.floor(y)
-    if (!(math.abs(diff - 0.5) >= 1e-6) || math.abs(y) >= 4.5e15)
+    if (!(math.abs(diff - 0.5) >= math.max(1e-6, 4.0 * math.ulp(y))) || math.abs(y) >= 4.5e15)
       Quantize.roundHalfUp(x, scale)
     else math.floor(y + 0.5) / pow10
   }
@@ -880,10 +885,14 @@ case class FastRound(child: Expression, scale: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, c => {
       val y = ctx.freshName("y"); val diff = ctx.freshName("diff")
+      val guard = ctx.freshName("guard")
+      // NB: no generated line may BEGIN with '|' (a downstream stripMargin
+      // pass would eat it) — keep each condition on one line
       s"""
          |double $y = $c * ${pow10}d;
          |double $diff = $y - java.lang.Math.floor($y);
-         |if (!(java.lang.Math.abs($diff - 0.5d) >= 1.0e-6d) || java.lang.Math.abs($y) >= 4.5e15d) {
+         |double $guard = java.lang.Math.max(1.0e-6d, 4.0d * java.lang.Math.ulp($y));
+         |if (!(java.lang.Math.abs($diff - 0.5d) >= $guard) || java.lang.Math.abs($y) >= 4.5e15d) {
          |  ${ev.value} = graft.kernels.Quantize.roundHalfUp($c, $scale);
          |} else {
          |  ${ev.value} = java.lang.Math.floor($y + 0.5d) / ${pow10}d;

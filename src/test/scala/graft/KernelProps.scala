@@ -142,6 +142,22 @@ object KernelProps extends Properties("kernels") {
       }: _*)
     }
 
+  property("fast_round == Spark round on LARGE-magnitude half boundaries") =
+    // the [~2^33, 4.5e15) band where ulp(x·10^s) exceeds the old fixed
+    // 1e-6 guard: the scaled product can sit within one ulp of a .5
+    // boundary, so the fallback guard must widen with ulp(y). k+0.5
+    // engineered as the nearest double to the decimal half at scale s.
+    forAll(Gen.chooseNum(8L * 1000L * 1000L * 1000L, 450L * 1000L * 1000L * 1000L * 1000L),
+        Gen.chooseNum(1, 9), Gen.oneOf(true, false)) { (k0: Long, s: Int, neg: Boolean) =>
+      val k = if (neg) -k0 else k0
+      val half = (k + 0.5) / math.pow(10.0, s)
+      Prop.all(Seq(half, Math.nextUp(half), Math.nextDown(half),
+          k / math.pow(10.0, s)).map { x =>
+        val a = fastRound(x, s); val b = sparkRound(x, s)
+        Prop(a == b) :| s"x=$x s=$s fast=$a spark=$b"
+      }: _*)
+    }
+
   property("fast_round handles NaN/Inf/zero like Spark round") =
     Prop.all(Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
         0.0, -0.0, 4.6e15, -4.6e15, 1e300, -1e300).map { x =>

@@ -13,6 +13,11 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // fail LOUDLY if any generated code does not compile — without this
+      // a Janino parse error silently falls back to interpreted eval and
+      // only shows up as a performance cliff (caught one in round 9: a
+      // generated line starting with '|' was eaten by a stripMargin pass)
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -784,6 +789,40 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exactHits.sum >= 25, s"total recall ${exactHits.sum}/100")
   }
 
+  test("annJoin bucket cap bounds a hot-bucket skewed corpus and reports it") {
+    // boilerplate-embedding skew: 400 clones of one vector all land in ONE
+    // LSH bucket. Uncapped, every left row probing that bucket would fan
+    // out x400 (the quadratic hazard); capped, the hot bucket is excluded
+    // from candidate generation and the observer reports it.
+    val e = emb.where(col("embedding").isNotNull)
+    val hot = e.where(col("vec_id") === 3L)
+      .crossJoin(spark.range(100000, 100400).select(col("id").as("clone_id")))
+      .select(col("clone_id").as("vec_id"), col("embedding"))
+    val right = e.select(col("vec_id"), col("embedding")).unionByName(hot)
+    val left = e.where(col("vec_id") < 10)
+    val run = Ann.annJoinRun(left, "vec_id", "embedding", right, "vec_id", "embedding",
+      k = 10, metric = "l2", nBits = 8, dim = 64, maxBucket = 50)
+    val rows = run.pairs.collect()
+    assert(run.overCapBuckets() >= 1L, "hot bucket must be reported as capped")
+    // every right id from an over-cap bucket is excluded — so per-left
+    // candidates are bounded by (nBits+1) x maxBucket regardless of skew
+    val bucketCounts = Ann.withBuckets(right, "embedding", 8, 64)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val hotBuckets = bucketCounts.where(col("n") > 50)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert(hotBuckets.nonEmpty)
+    val hotIds = Ann.withBuckets(right, "embedding", 8, 64)
+      .where(col("bucket").isin(hotBuckets.toSeq: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !hotIds.contains(r.getLong(2))),
+      "no neighbor may come from a capped bucket")
+    assert(rows.nonEmpty, "other buckets still produce neighbors")
+    // and with the cap lifted the clones DO flood back in at distance 0
+    val uncapped = Ann.annJoin(left.where(col("vec_id") === 3L), "vec_id", "embedding",
+      right, "vec_id", "embedding", k = 10, metric = "l2", nBits = 8, dim = 64)
+    assert(uncapped.collect().count(r => r.getLong(2) >= 100000L) > 0)
+  }
+
   test("binary Hamming top-k plans as one exchange-free TakeOrderedAndProject scan") {
     val sigs = BinaryQuant.signatures(emb, "vec_id", "embedding", Queries.Dim)
     val q = BinaryQuant.hammingTopK(sigs, "vec_id", probe, Queries.Dim, 10)
@@ -800,9 +839,10 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // probe table against the corpus — every probe×corpus distance is the
     // workload itself, and the pair space is bounded by the broadcast side
     // (≤ spark.sql.autoBroadcastJoinThreshold), not corpus². lm_logprob,
-    // pmi_pairs, mixture_temperature and pagerank ride a ONE-row broadcast
-    // cross join to attach scalar corpus totals (N/P, Σweights, |V|) —
-    // output cardinality equals the left side exactly.
+    // bigram_logprob, pmi_pairs, mixture_temperature and pagerank ride a
+    // ONE-row broadcast cross join to attach scalar corpus totals (N/P,
+    // Σweights, |V|, the corpus token total for the bigram interpolation
+    // floor) — output cardinality equals the left side exactly.
     val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch",
       "lm_logprob", "bigram_logprob", "pmi_pairs", "mixture_temperature",
       "pagerank")
