@@ -832,19 +832,54 @@ object Queries {
 
     // Incremental maintenance: quantize the even half (store + sidecar),
     // APPEND the odd half under the frozen sidecar params, scan the
-    // combined store. The oracle quantizes EVERY row with even-half-only
-    // params — so a rebuild-instead-of-append (params drift) or a lost
-    // append value-fails
+    // combined store. The odd half's extrema may exceed the even half's
+    // envelope by a hair (random halves), so this gate consciously opts
+    // into onDrift="allow" — the oracle quantizes EVERY row with
+    // even-half-only params INCLUDING the saturating clamp, so a
+    // rebuild-instead-of-append (params drift) or a lost append
+    // value-fails. The default-reject path is gated by quant_append_drift
     "quant_append" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_qa").toString + "/store"
       val e = emb(s, dir)
       Quantizer.quantize(e.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
         tmp, dim = Dim)
       Quantizer.quantizeAppend(e.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
-        tmp, dim = Dim)
+        tmp, dim = Dim, onDrift = "allow")
       val p = graft.catalog.VectorCatalog.readSidecar(s"$tmp/_vector_meta.json")
       Quantizer.quantScan(s.read.parquet(tmp), probe, p, K, "sq_l2")
         .select(col("id").as("vec_id"), col("distance").as("dist_sq"))
+    }),
+
+    // The ENFORCED envelope check (the certifiedTopK precondition turned
+    // from documentation into a gate): build a store over the HALVED
+    // corpus (exact float scaling — halving only shifts the exponent),
+    // then attempt to append the unhalved corpus. Its extrema exceed the
+    // halved envelope 2×, so the default onDrift="fail" must reject
+    // BEFORE writing a byte — store_rows proves the store is untouched,
+    // and the envelope/extrema columns restate the decision's inputs.
+    // The oracle recomputes halved-corpus params, inverts the envelope,
+    // and takes the full corpus's extrema, all independently
+    "quant_append_drift" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qad").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val half = e.select(col("vec_id"),
+        transform(col("embedding"), x => (x / lit(2.0f)).cast("float")).as("embedding"))
+      val (p, _) = Quantizer.quantize(half, "vec_id", "embedding", tmp, dim = Dim)
+      val rejected =
+        try { Quantizer.quantizeAppend(e, "vec_id", "embedding", tmp, dim = Dim); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val storeRows = s.read.parquet(tmp).count()
+      val (wmn, wmx) = Quantizer.waveExtrema(e, "embedding")
+      // raw inverted bounds (without the internal ulp slack) — the
+      // display convention both engines can restate exactly
+      val (emn, emx) =
+        if (p.qType == graft.QType.I8) (-(127.0 / p.scale), 127.0 / p.scale)
+        else (p.offset, p.offset + 255.0 / p.scale)
+      s.range(1).select(
+        lit(rejected).cast("long").as("rejected"),
+        lit(storeRows).cast("long").as("store_rows"),
+        round(lit(emn), 6).as("env_min"), round(lit(emx), 6).as("env_max"),
+        round(lit(wmn), 6).as("wave_min"), round(lit(wmx), 6).as("wave_max"))
     }),
 
     // S5 vector_quantize_preload: pin the code table in executor memory and
@@ -2493,6 +2528,30 @@ object Queries {
     "quant_append" -> quantKnnSql.replace(
       "WHERE NOT isnan(CAST(u.x AS DOUBLE))",
       "WHERE NOT isnan(CAST(u.x AS DOUBLE)) AND vec_id % 2 = 0"),
+
+    // envelope-drift rejection: params over the HALVED corpus (min/2 and
+    // max/2 — halving is exact, so extrema commute with the scaling),
+    // envelope inverted from scale/offset, wave extrema over the unhalved
+    // corpus, and the reject decision + untouched store row count
+    "quant_append_drift" ->
+      s"""WITH mmh AS (SELECT min(CAST(u.x AS DOUBLE))/2 AS mn, max(CAST(u.x AS DOUBLE))/2 AS mx
+         |  FROM embeddings, UNNEST(embedding) AS u(x) WHERE NOT isnan(CAST(u.x AS DOUBLE))),
+         |par AS (SELECT
+         |  CASE WHEN mn < 0 THEN 'INT8' ELSE 'UINT8' END AS qtype,
+         |  CASE WHEN mn < 0 THEN (CASE WHEN greatest(abs(mn),abs(mx)) = 0 THEN 1.0 ELSE 127.0/greatest(abs(mn),abs(mx)) END)
+         |       ELSE (CASE WHEN mx - mn = 0 THEN 1.0 ELSE 255.0/(mx - mn) END) END AS q_scale,
+         |  CASE WHEN mn < 0 THEN 0.0 ELSE mn END AS q_offset FROM mmh),
+         |env AS (SELECT
+         |  CASE WHEN qtype = 'INT8' THEN -(127.0/q_scale) ELSE q_offset END AS emn,
+         |  CASE WHEN qtype = 'INT8' THEN 127.0/q_scale ELSE q_offset + 255.0/q_scale END AS emx FROM par),
+         |wm AS (SELECT min(CAST(u.x AS DOUBLE)) AS wmn, max(CAST(u.x AS DOUBLE)) AS wmx
+         |  FROM embeddings, UNNEST(embedding) AS u(x) WHERE NOT isnan(CAST(u.x AS DOUBLE))),
+         |n AS (SELECT count(*) AS c FROM embeddings WHERE embedding IS NOT NULL)
+         |SELECT CAST(CASE WHEN wmn < emn OR wmx > emx THEN 1 ELSE 0 END AS BIGINT) AS rejected,
+         |  n.c AS store_rows,
+         |  round(emn, 6) AS env_min, round(emx, 6) AS env_max,
+         |  round(wmn, 6) AS wave_min, round(wmx, 6) AS wave_max
+         |FROM env, wm, n""".stripMargin,
 
     "sql_tvf_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),

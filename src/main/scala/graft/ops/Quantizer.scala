@@ -99,27 +99,76 @@ object Quantizer {
     * Correctness contract: appended codes use the stored scale/offset, so
     * the combined store is code-identical to a full rebuild IFF the new
     * vectors lie within the original [min, max] envelope (outside values
-    * saturate at the clamp exactly like the reference's range behavior).
-    * Re-quantize when the envelope drifts; the sidecar's params make the
-    * check one comparison against the wave's own extrema.
+    * saturate at the clamp exactly like the reference's range behavior —
+    * but a full rebuild would have WIDENED the params, so drift also
+    * voids [[certifiedTopK]]'s in-envelope exactness proof). The check is
+    * therefore ENFORCED, not documented: the wave's global extrema (one
+    * `array_min_max` aggregation over the ingest wave only — never the
+    * store) are compared against [[envelope]] before any byte is written.
+    * `onDrift = "fail"` (default) rejects the wave with the measured
+    * extrema in the message; `"allow"` proceeds with saturating codes for
+    * callers that have consciously traded the certificate away.
     *
     * Returns the appended row count.
     */
   def quantizeAppend(df: DataFrame, idCol: String, vecCol: String,
                      quantPath: String, maxMemory: Long = 30L * 1024 * 1024,
-                     dim: Int = -1): Long = {
+                     dim: Int = -1, onDrift: String = "fail"): Long = {
+    require(onDrift == "fail" || onDrift == "allow", s"onDrift must be fail|allow, got $onDrift")
     val p = VectorCatalog.readSidecar(s"$quantPath/_vector_meta.json")
+    if (onDrift == "fail") {
+      val (mn, mx) = waveExtrema(df, vecCol)
+      val (emn, emx) = envelope(p)
+      if (mn < emn || mx > emx)
+        throw new IllegalArgumentException(
+          f"quantizeAppend: wave extrema [$mn%.9g, $mx%.9g] exceed the store's " +
+          f"quantization envelope [$emn%.9g, $emx%.9g]; appended codes would " +
+          "saturate and certifiedTopK's exactness proof would be void. " +
+          "Re-quantize (full rebuild) or pass onDrift=\"allow\".")
+    }
     val writer = quantizeCodes(df, idCol, vecCol, p).write.mode(SaveMode.Append)
     val sized = if (dim > 0) writer.option("maxRecordsPerFile", math.max(1L, maxMemory / (8L + dim)))
                 else writer
     sized.parquet(quantPath)
-    // the ingest wave is scanned exactly ONCE (the write above); the row
-    // count comes from the compact code store's parquet footers — also
-    // truthful under task retries, unlike a separate pre-count of a
-    // possibly non-deterministic input
+    // the appended row count comes from the compact code store's parquet
+    // footers — truthful under task retries, unlike a separate pre-count
+    // of a possibly non-deterministic input
     val total = df.sparkSession.read.parquet(quantPath).count()
     VectorCatalog.writeSidecar(s"$quantPath/_vector_meta.json", p.copy(rows = total))
     total - p.rows
+  }
+
+  /** The [min, max] value envelope a [[QuantParams]] was built from,
+    * inverted from the scale/offset formulas (Quantize.params): U8 has
+    * offset = min, scale = 255/(max−min); I8 has offset = 0, scale =
+    * 127/absMax. One extra ulp of slack absorbs the division round-trip
+    * (the recovered bound differs from the true min/max by at most the
+    * 255/scale rounding), so an in-envelope wave is never falsely
+    * rejected while any drift that could move a rebuilt param survives
+    * the slack.
+    */
+  def envelope(p: QuantParams): (Double, Double) = p.qType match {
+    case QType.U8 =>
+      val range = 255.0 / p.scale
+      (p.offset, p.offset + range + math.ulp(range))
+    case _ =>
+      val a = 127.0 / p.scale
+      val am = a + math.ulp(a)
+      (-am, am)
+  }
+
+  /** Global (min, max) over every lane of every vector in the wave — the
+    * same NaN-skipping single-traversal `array_min_max` aggregation as
+    * [[computeParams]] pass 1; shuffles two doubles per partition. An
+    * empty / all-null wave returns the degenerate (+Inf, −Inf), which is
+    * inside every envelope (an empty append never drifts).
+    */
+  def waveExtrema(df: DataFrame, vecCol: String): (Double, Double) = {
+    val row = df.where(col(vecCol).isNotNull)
+      .select(graft.functions.array_min_max(col(vecCol)).as("mm"))
+      .agg(min(col("mm.mn")).as("mn"), max(col("mm.mx")).as("mx")).head()
+    if (row.isNullAt(0)) (Double.PositiveInfinity, Double.NegativeInfinity)
+    else (row.getDouble(0), row.getDouble(1))
   }
 
   /** Compact a quant store after many [[quantizeAppend]] waves: rewrite
@@ -192,9 +241,11 @@ object Quantizer {
     * a candidate-sized exact pass replace one full f32 scan; no shuffle
     * of `base` beyond the join.
     *
-    * Preconditions (documented, not checked): codes built by the full
-    * rebuild (in-envelope — appended waves that clamped under envelope
-    * drift void the proof) and NaN-free vectors. Metrics: l2 / sq_l2
+    * Preconditions: every stored code in-envelope — guaranteed by the
+    * full rebuild and ENFORCED on appends ([[quantizeAppend]]'s default
+    * onDrift="fail"; only an explicit onDrift="allow" can introduce
+    * saturated codes that void the proof) — and NaN-free vectors
+    * (documented, not checked). Metrics: l2 / sq_l2
     * (the bound is an L2 triangle inequality; other metrics fall back to
     * [[graft.ops.Knn.fullScan]]).
     */

@@ -1603,13 +1603,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("id", "vec")
     val (p, n0) = Quantizer.quantize(base, "id", "vec", dir, dim = 4)
     assert(n0 == 2)
-    // wave inside the envelope + one vector OUTSIDE it (2.0 > max 1.0)
+    // wave inside the envelope + one vector OUTSIDE it (2.0 > max 1.0):
+    // the default onDrift="fail" must reject BEFORE any write...
     val wave = Seq(
       (3L, Array(0.2f, 0.4f, 0.6f, 0.8f)),
       (4L, Array(2.0f, -1.0f, 0.5f, 0.0f))
     ).toDF("id", "vec")
-    val appended = Quantizer.quantizeAppend(wave, "id", "vec", dir, dim = 4)
-    assert(appended == 2)
+    val ex = intercept[IllegalArgumentException] {
+      Quantizer.quantizeAppend(wave, "id", "vec", dir, dim = 4)
+    }
+    assert(ex.getMessage.contains("envelope"))
+    assert(spark.read.parquet(dir).count() == 2, "rejected append must not write")
+    assert(graft.catalog.VectorCatalog.readSidecar(s"$dir/_vector_meta.json").rows == 2)
+    // ...an in-envelope wave passes the default check untouched...
+    assert(Quantizer.quantizeAppend(
+      wave.where(col("id") === 3L), "id", "vec", dir, dim = 4) == 1)
+    assert(spark.read.parquet(dir).count() == 3)
+    // ...and onDrift="allow" consciously opts into the saturating clamp
+    val appended = Quantizer.quantizeAppend(
+      wave.where(col("id") === 4L), "id", "vec", dir, dim = 4, onDrift = "allow")
+    assert(appended == 1)
     val p2 = graft.catalog.VectorCatalog.readSidecar(s"$dir/_vector_meta.json")
     assert(p2.scale == p.scale && p2.offset == p.offset && p2.qType == p.qType,
       "append must not change the frozen params")
