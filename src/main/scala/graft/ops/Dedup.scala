@@ -683,12 +683,15 @@ object Dedup {
     * memorization-prone corpora actually contain.
     *
     * Output: (id, pos (1-based window start), gram) for each repeated
-    * window. Plan: one posexplode scan → count per gram → left-semi join
-    * of positions against the over-once grams. Both shuffles key on the
-    * gram; at 100 TB project the gram to a 16-byte fingerprint for the
-    * exchanges (same trade as [[minhashLshRun]]'s content key) and keep
-    * the string only in the output projection. No pairwise comparison
-    * exists anywhere — the span space is linear in corpus tokens.
+    * window. Plan: one posexplode scan → count per 128-bit gram
+    * fingerprint (two xxhash64 lanes, the [[fingerprints]] seed
+    * convention — the counting exchange moves 16-byte keys, never the
+    * window text) → left-semi join of positions against the over-once
+    * fingerprints. The dup set is output-sized, so AQE broadcasts it and
+    * the position stream's strings stay put; a lane collision
+    * (< 2⁻⁸⁰ at 10¹² windows, see [[minhashLshRun]]) would flag a
+    * unique span as repeated. No pairwise comparison exists anywhere —
+    * the span space is linear in corpus tokens.
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"window width must be >= 2, got $n")
@@ -697,9 +700,11 @@ object Dedup {
       transform(sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
     val w = df.select(col(idCol).as("id"), posexplode(grams).as(Seq("p0", "gram")))
-      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
-    val dups = w.groupBy("gram").agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
-    w.join(dups.select("gram"), Seq("gram"), "left_semi")
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("gram"),
+        xxhash64(col("gram")).as("h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("gram")).as("h2"))
+    val dups = w.groupBy("h1", "h2").agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+    w.join(dups.select("h1", "h2"), Seq("h1", "h2"), "left_semi")
       .select(col("id"), col("pos"), col("gram"))
   }
 

@@ -336,12 +336,21 @@ object TextAnalysis {
     * Language Models Better): n-grams occurring in ≥ `minDocs` distinct
     * documents, with doc- and occurrence-counts. Unlike
     * [[graft.ops.Dedup.repeatedSpans]] (within one document, zero
-    * shuffle), this shuffles — but on the n-gram key only: per-row
-    * sliding windows explode locally, partial aggregation collapses
-    * per-partition duplicates map-side, and only (gram, counts) rows
-    * cross the wire. At 100 TB swap the gram string for its 128-bit hash
-    * (same plan, 16-byte keys) and recover strings for the survivors by
-    * one join back.
+    * shuffle), this shuffles — but NEVER on the gram string: every
+    * exchange keys on the gram's 128-bit content fingerprint (two
+    * independently-seeded xxhash64 lanes, the [[graft.ops.Dedup]]
+    * convention), so a 100 TB corpus moves 16-byte keys where the naive
+    * plan moves full n-gram text (~n× heavier). Strings are recovered
+    * for the SURVIVORS only, by one hash-keyed join back against a
+    * second local gram pass — two corpus scans total, the classic
+    * scan-vs-shuffle trade that wins whenever the exchange, not the
+    * read, is the bottleneck (always, at cluster scale). Map-side
+    * partial aggregation collapses the recovery join's duplicate
+    * strings before they cross the wire, so that shuffle is
+    * survivors × partitions at worst. A fingerprint collision would
+    * merge two distinct grams — probability < 2⁻⁸⁰ even at 10¹²
+    * distinct grams, the same budget [[graft.ops.Dedup.minhashLshRun]]
+    * documents.
     */
   def crossDocNgrams(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, n: Int, minDocs: Int): org.apache.spark.sql.DataFrame = {
@@ -357,22 +366,43 @@ object TextAnalysis {
         explode(when(cnt > 0,
             transform(sequence(lit(1), cnt), i => array_join(slice(toks, i, lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("gram"))
-    // two explicit stages instead of countDistinct's Expand: the (gram,
+    // two explicit stages instead of countDistinct's Expand: the (hash,
     // doc) pre-aggregate collapses within-doc repeats map-side, then the
-    // gram rollup counts docs and sums occurrences
-    grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("_c"))
-      .groupBy("gram")
+    // hash rollup counts docs and sums occurrences — both exchanges carry
+    // 16-byte keys, the gram string is dropped before the first one
+    val counts = grams
+      .select(col("doc_id"), gramHash1.as("h1"), gramHash2.as("h2"))
+      .groupBy("h1", "h2", "doc_id").agg(count(lit(1)).as("_c"))
+      .groupBy("h1", "h2")
       .agg(count(lit(1)).as("n_docs"), sum(col("_c")).as("n_occurrences"))
       .where(col("n_docs") >= minDocs)
+    // survivor string recovery: re-derive grams locally (second scan),
+    // inner-join the output-sized survivor set (AQE broadcasts it when
+    // small), and collapse each fingerprint's identical strings map-side
+    grams.select(gramHash1.as("h1"), gramHash2.as("h2"), col("gram"))
+      .join(counts, Seq("h1", "h2"))
+      .groupBy("h1", "h2", "n_docs", "n_occurrences")
+      .agg(min(col("gram")).as("gram"))
+      .select(col("gram"), col("n_docs"), col("n_occurrences"))
   }
+
+  /** The 2-lane 128-bit gram fingerprint (seed convention shared with
+    * [[graft.ops.Dedup.fingerprints]]).
+    */
+  private def gramHash1 = xxhash64(col("gram"))
+  private def gramHash2 = xxhash64(lit(0x9E3779B97F4A7C15L), col("gram"))
 
   /** Corpus-novelty score: the fraction of a document's DISTINCT token
     * n-grams that appear in no other document — high novelty marks
     * original content, low novelty marks boilerplate/templated/near-dup
     * text, and benchmark contamination shows up as novelty collapsing
     * for exactly the contaminated slice. The distinct-gram side of
-    * [[crossDocNgrams]]: same gram construction, same (gram-key-only)
-    * shuffles, then a per-doc rollup.
+    * [[crossDocNgrams]]: same gram construction, same 128-bit-fingerprint
+    * exchanges, then a per-doc rollup. Better still than crossDocNgrams:
+    * the OUTPUT carries no gram strings, so no recovery pass exists at
+    * all — the string dies in the mapper and the whole plan (distinct,
+    * doc-frequency rollup, per-doc join-back) moves only (id, 16-byte
+    * hash) rows. One corpus scan, three hash-keyed exchanges.
     *
     * Output: (id, n_distinct_grams, n_novel, novelty) with novelty =
     * n_novel / n_distinct_grams rounded to 6 dp. Documents shorter than
@@ -388,9 +418,10 @@ object TextAnalysis {
         explode(when(cnt > 0,
             transform(sequence(lit(1), cnt), i => array_join(slice(toks, i, lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col(idCol), gramHash1.as("h1"), gramHash2.as("h2"))
       .distinct()
-    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
-    grams.join(dfreq, "gram")
+    val dfreq = grams.groupBy("h1", "h2").agg(count(lit(1)).as("gdf"))
+    grams.join(dfreq, Seq("h1", "h2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_distinct_grams"),
         sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_novel"))
