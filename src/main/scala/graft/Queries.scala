@@ -1965,6 +1965,33 @@ object Queries {
       s.range(1).select(lit(K).cast("long").as("k"), lit(inter.toDouble / K).as("recall"))
     }),
 
+    // IVF with a k-means coarse quantizer: one exact Lloyd refinement
+    // round over the hash-sampled seeds (Ann.refineCentroids — the
+    // kmeans_iter2 machinery wired into writeIvf), recall measured side
+    // by side with the sampled-seed baseline from the SAME probe. The
+    // oracle replays seed sampling, the fixed-point Lloyd round with the
+    // q20 float handoff, BOTH assignments, BOTH probe-cell choices, and
+    // both intersections with the exact top-k — nothing is taken from
+    // the Spark side
+    "ivf_recall_kmeans" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfk").toString
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val seeds = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      val refined = Ann.refineCentroids(e, "embedding", seeds, Dim)
+      val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
+      def recall(cents: Seq[Seq[Float]], sub: String): Double = {
+        val path = s"$base/$sub"
+        Ann.writeIvf(e, "embedding", path, cents)
+        val approx = Ann.ivfTopK(s, path, "vec_id", "embedding", probe, K, "l2", cents, IvfProbes)
+          .select(col("vec_id"))
+        exact.join(approx, "vec_id").count().toDouble / K
+      }
+      s.range(1).select(lit(K).cast("long").as("k"),
+        lit(recall(refined, "kmeans")).as("recall_kmeans"),
+        lit(recall(seeds, "sampled")).as("recall_sampled"),
+        lit(refined.size.toLong).as("n_cells"))
+    }),
+
     // ---- product quantization: 32× compression + code-only ADC scan ----
 
     // full encoder gate: every (vec, subspace, code) assignment must match
@@ -3455,6 +3482,58 @@ object Queries {
          |  ORDER BY distance, vec_id LIMIT $K) ext)
          |SELECT CAST($K AS BIGINT) AS k,
          |  CAST((SELECT count(*) FROM ex JOIN iv ON ex.vec_id = iv.vec_id) AS DOUBLE) / $K AS recall""".stripMargin,
+
+    // full independent replay: seed sample → one fixed-point Lloyd round
+    // with the q20 REAL handoff (the kmeans_iter2 CTE chain) → both
+    // assignments → both probe-cell choices → both recalls vs exact
+    "ivf_recall_kmeans" -> {
+      val hashOrder = "(vec_id % 1000003) * 2654435761 % 1000000007"
+      def cdist(cv: String) =
+        s"list_sum(list_transform(generate_series(1,$Dim), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE))))"
+      def pdist(cv: String) =
+        s"list_sum(list_transform(generate_series(1,$Dim), i -> (pv[i] - CAST($cv[i] AS DOUBLE)) * (pv[i] - CAST($cv[i] AS DOUBLE))))"
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |ctv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |        ORDER BY $hashOrder, vec_id LIMIT $IvfCells),
+         |ct AS (SELECT row_number() OVER (ORDER BY $hashOrder, vec_id) - 1 AS cid, embedding AS cv FROM ctv),
+         |ad AS (SELECT e.vec_id, e.embedding, ct.cid, ${cdist("ct.cv")} AS d
+         |  FROM embeddings e, ct WHERE e.embedding IS NOT NULL),
+         |asg AS (SELECT vec_id, embedding, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+         |u AS (SELECT cid, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
+         |  FROM asg, UNNEST(generate_series(1, $Dim)) AS g(i)),
+         |m1 AS (SELECT cid, i,
+         |       CAST(round((sum(v) / (count(*) * 1000000.0)) * 1048576.0) / 1048576.0 AS REAL) AS cf
+         |       FROM u GROUP BY cid, i),
+         |c2 AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS cid, list(cf ORDER BY i) AS cv
+         |       FROM (SELECT cid, i, cf FROM m1) m GROUP BY cid),
+         |ad2 AS (SELECT e.vec_id, e.embedding, c2.cid, ${cdist("c2.cv")} AS d
+         |  FROM embeddings e, c2 WHERE e.embedding IS NOT NULL),
+         |asg2 AS (SELECT vec_id, embedding, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad2) WHERE rn = 1),
+         |pd AS (SELECT ct.cid, ${pdist("ct.cv")} AS d FROM ct, p),
+         |pc AS (SELECT cid FROM pd ORDER BY d, cid LIMIT $IvfProbes),
+         |pd2 AS (SELECT c2.cid, ${pdist("c2.cv")} AS d FROM c2, p),
+         |pc2 AS (SELECT cid FROM pd2 ORDER BY d, cid LIMIT $IvfProbes),
+         |iv AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM asg AS embeddings, p WHERE cid IN (SELECT cid FROM pc)
+         |  ORDER BY round(distance, 6), vec_id LIMIT $K) ivt),
+         |iv2 AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM asg2 AS embeddings, p WHERE cid IN (SELECT cid FROM pc2)
+         |  ORDER BY round(distance, 6), vec_id LIMIT $K) ivt2),
+         |ex AS (SELECT vec_id FROM (
+         |  SELECT vec_id, round(${distSql("l2")}, 6) AS distance
+         |  FROM embeddings, p WHERE embedding IS NOT NULL
+         |  ORDER BY distance, vec_id LIMIT $K) ext)
+         |SELECT CAST($K AS BIGINT) AS k,
+         |  CAST((SELECT count(*) FROM ex JOIN iv2 ON ex.vec_id = iv2.vec_id) AS DOUBLE) / $K AS recall_kmeans,
+         |  CAST((SELECT count(*) FROM ex JOIN iv ON ex.vec_id = iv.vec_id) AS DOUBLE) / $K AS recall_sampled,
+         |  (SELECT count(*) FROM c2) AS n_cells""".stripMargin
+    },
 
     "pq_codes" ->
       s"""WITH $pqCte

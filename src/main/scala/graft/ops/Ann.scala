@@ -196,6 +196,29 @@ object Ann {
   def withClusters(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]]): DataFrame =
     df.withColumn("cluster", graft.functions.nearest_centroid(col(vecCol), centroids))
 
+  /** One exact Lloyd refinement round over the given seeds — the k-means
+    * coarse quantizer the [[ivfCentroids]] docstring promises, now wired
+    * in: assign (codegen'd argmin, seed matrix is a literal), per-cell
+    * exact fixed-point means (`vector_avg` — one corpus scan, a
+    * (dim+1)-longs-per-cell shuffle), then the q20 binary-grid float
+    * handoff (k/2²⁰ — a BINARY .5 boundary is exact so every engine
+    * rounds the same way; see the kmeans_iter2 gate, whose oracle
+    * replays this round verbatim). Cells that lose every member drop
+    * out; survivors re-index in seed order. Call again for more rounds —
+    * each is one scan, and refined cells tighten IVF probes (gated by
+    * ivf_recall_kmeans against the sampled-seed baseline).
+    */
+  def refineCentroids(df: DataFrame, vecCol: String, seeds: Seq[Seq[Float]],
+                      dim: Int): Seq[Seq[Float]] =
+    withClusters(df, vecCol, seeds)
+      .groupBy(col("cluster"))
+      .agg(graft.functions.vector_avg(col(vecCol), dim).as("c"))
+      .collect()
+      .sortBy(_.getAs[Int]("cluster"))
+      .toSeq
+      .map(r => r.getSeq[Double](r.fieldIndex("c")).map(x =>
+        (graft.kernels.Quantize.roundHalfUp(x * 1048576.0, 0) / 1048576.0).toFloat))
+
   /** Materialize the IVF store partitioned by cluster (clustered before
     * the write — see [[writeBucketed]] on the small-files explosion).
     */
