@@ -2320,6 +2320,24 @@ object Queries {
       Curation.weightedSample(docs(s, dir), "doc_id", col("n_chars"), 50)
         .select(col("doc_id"), col("n_chars"), col("sample_key"))),
 
+    // DSIR importance scores: per-doc summed log-likelihood ratio of
+    // hashed-token bucket distributions, target = the English slice vs
+    // the whole corpus; the oracle recomputes bucket hashes from
+    // character codes, both Laplace-smoothed distributions, and every
+    // 9-dp decimal term independently
+    "dsir_scores" -> ((s, dir) =>
+      Curation.dsirScores(docs(s, dir), "doc_id", "text",
+        col("lang") === "en", buckets = 256)),
+
+    // DSIR resampling: Gumbel top-100 ∝ exp(score) off the deterministic
+    // idHash53 uniform — the selection the scores exist to drive
+    "dsir_sample" -> ((s, dir) => {
+      val sc = Curation.dsirScores(docs(s, dir), "doc_id", "text",
+        col("lang") === "en", buckets = 256)
+      Curation.dsirSample(sc, "doc_id", col("dsir_score"), 100)
+        .select(col("doc_id"), col("dsir_score"), col("sample_key"))
+    }),
+
     // Interpolated bigram LM (Jelinek-Mercer λ=0.7): lm_logprob with
     // context — unseen-in-context pairs degrade to the unigram floor
     // instead of ln(0); same 9-dp decimal exactness contract
@@ -2356,6 +2374,30 @@ object Queries {
     * lowercased printable ASCII `ac`, non-empty space-split tokens `ws`.
     */
   private val cleanAcSql = """lower(regexp_replace(text, '[^ -~]', '', 'g'))"""
+  /** DSIR restatement: curation-normalized tokens bucketed by the
+    * string_hash61 polynomial recomputed from character codes, both
+    * Laplace-smoothed bucket distributions, the four-ln LLR tree with
+    * 9-dp decimal terms, per-doc sums re-rounded to 6 dp.
+    */
+  private lazy val dsirScoresCte: String = {
+    val chars = "list_transform(generate_series(1, length(term)), i -> CAST(ascii(term[i]) AS BIGINT))"
+    def poly(base: Int, mod: Long) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $chars), (acc, c) -> (acc * $base + c) % $mod)"
+    s"""toks AS (SELECT doc_id, lang = 'en' AS tg, unnest(${cleanWsSql(cleanAcSql)}) AS term FROM documents),
+       |hb AS (SELECT doc_id, tg,
+       |  ((${poly(31, 1000000007L)}) * 2147483648 + (${poly(131, 2147483647L)})) % 256 AS b FROM toks),
+       |rawc AS (SELECT b, count(*) AS cr FROM hb GROUP BY b),
+       |tgtc AS (SELECT b, count(*) AS ct FROM hb WHERE tg GROUP BY b),
+       |totr AS (SELECT count(*) AS nr FROM hb),
+       |tott AS (SELECT count(*) AS nt FROM hb WHERE tg),
+       |lut AS (SELECT rawc.b, CAST(round(
+       |  (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)) - ln(CAST(nt + 256 AS DOUBLE)))
+       |  - (ln(CAST(cr + 1 AS DOUBLE)) - ln(CAST(nr + 256 AS DOUBLE))), 9) AS DECIMAL(38,9)) AS lr
+       |  FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN totr CROSS JOIN tott),
+       |sc AS (SELECT doc_id, round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_score, count(*) AS n_tokens
+       |  FROM hb JOIN lut USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
   private def cleanWsSql(ac: String) =
     s"list_filter(regexp_split_to_array(trim($ac), ' +'), w -> w <> '')"
 
@@ -3711,6 +3753,20 @@ object Queries {
         |SELECT doc_id, n_chars,
         |  round(ln(CAST(h53 + 1 AS DOUBLE) / 9007199254740992.0) / CAST(n_chars AS DOUBLE), 9) AS sample_key
         |FROM h ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    "dsir_scores" ->
+      s"""WITH $dsirScoresCte
+         |SELECT doc_id, dsir_score, n_tokens FROM sc""".stripMargin,
+
+    "dsir_sample" ->
+      s"""WITH $dsirScoresCte,
+         |h AS (SELECT doc_id, dsir_score,
+         |  ((doc_id % 2147483648) * 2654435761 + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
+         |    + ((doc_id % 2147483648) * 2246822519 + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
+         |  FROM sc)
+         |SELECT doc_id, dsir_score,
+         |  round(dsir_score + (-ln(-ln(CAST(h53 + 1 AS DOUBLE) / 9007199254740992.0))), 9) AS sample_key
+         |FROM h ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
 
     "bigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

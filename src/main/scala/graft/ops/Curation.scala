@@ -534,6 +534,81 @@ object Curation {
       .orderBy(col("sample_key").desc, col(idCol)).limit(k)
   }
 
+  // ---------- DSIR importance resampling (hashed-token LLR scores) ----------
+
+  /** DSIR-style per-document importance scores (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023): hash every token into one of `buckets` feature buckets,
+    * estimate the bucket distribution of the TARGET slice
+    * (`targetPred`, e.g. a trusted high-quality source) and of the RAW
+    * corpus, both Laplace-smoothed, and score each document by its
+    * summed per-token log-likelihood ratio — log of how much more
+    * target-like than raw-like its hashed token profile is. Resampling
+    * ∝ exp(score) ([[dsirSample]]) then shifts the corpus toward the
+    * target distribution, the standard pretraining-data reweighting
+    * move.
+    *
+    * Plan at 100 TB: one token explode; two BUCKET-sized rollups (≤
+    * `buckets` rows each, map-side combine) build the broadcast LLR
+    * lookup; the per-instance join is a broadcast hash join (nothing
+    * but the B-row table moves); the per-doc rollup is the only
+    * doc-keyed exchange, one row per document after partial
+    * aggregation. The bucket key is the SQL-restatable
+    * `string_hash61` (the oracle recomputes it from character codes),
+    * and the ratio is computed as a four-ln double tree over exact
+    * BIGINT counts — no count product that could overflow at corpus
+    * scale — with each token's term rounded to 9 dp and summed as
+    * DECIMAL(38,9) so the reduce is order-independent (the lm_logprob
+    * exactness contract).
+    *
+    * Output: (idCol, dsir_score (6 dp), n_tokens).
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // curation-normalized tokens (lowercased printable ASCII): the hash
+    // runs over single-code-unit characters on every engine, so the
+    // oracle's per-codepoint restatement is exact; docs with no clean
+    // tokens contribute nothing and don't appear
+    val toks = df.select(col(idCol), targetPred.as("_t"),
+        explode(cleanTokens(col(textCol))).as("term"))
+      .select(col(idCol), col("_t"),
+        pmod(graft.functions.string_hash61(col("term")), lit(buckets.toLong)).as("b"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.where(col("_t")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totR = raw.agg(sum(col("cr")).as("nr"))
+    val totT = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val lut = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .select(col("b"),
+        round((log((coalesce(col("ct"), lit(0L)) + 1L).cast("double"))
+            - log((col("nt") + buckets.toLong).cast("double")))
+          - (log((col("cr") + 1L).cast("double"))
+            - log((col("nr") + buckets.toLong).cast("double"))), 9)
+          .cast("decimal(38,9)").as("lr"))
+    toks.join(broadcast(lut), "b")
+      .groupBy(col(idCol))
+      .agg(round(sum(col("lr")).cast("double"), 6).as("dsir_score"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Gumbel top-k selection ∝ exp(scoreCol) — DSIR's resampling step,
+    * deterministic: the per-row uniform comes from [[idHash53]] (audit
+    * property: re-running selects the same rows), the Gumbel perturbation
+    * `−ln(−ln u)` added to the log-weight realizes sampling without
+    * replacement proportional to exp(score) (Gumbel-max), and the cut is
+    * on the 9-dp rounded key with id tiebreak — the round-before-cut
+    * convention, so engines can't disagree on boundary membership. A pure
+    * projection + TakeOrdered: no shuffle beyond the k-row driver merge.
+    */
+  def dsirSample(scored: DataFrame, idCol: String, scoreCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (idHash53(col(idCol)) + 1L).cast("double") / lit(9007199254740992.0) // 2^53
+    scored.withColumn("sample_key",
+        graft.functions.fast_round(scoreCol + -log(-log(u)), 9))
+      .orderBy(col("sample_key").desc, col(idCol)).limit(k)
+  }
+
   /** Deterministic global corpus shuffle — the pretraining "shuffle once,
     * audit forever" primitive: every row gets a stable position in a
     * pseudorandom total order defined purely by its id, so re-running on

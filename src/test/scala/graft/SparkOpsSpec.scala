@@ -2120,4 +2120,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Curation.weightedSample(z, "id", col("w"), 10)
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("dsirScores ranks target-like docs above off-distribution docs; sample follows") {
+    // target slice speaks {alpha beta}; off-distribution docs speak
+    // {zork quux}; a mixed doc sits between
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha beta", true),
+      (1L, "beta alpha beta alpha beta alpha", true),
+      (2L, "alpha beta alpha beta beta alpha", false), // target-like, not in slice
+      (3L, "zork quux zork quux zork quux", false),
+      (4L, "alpha beta zork quux alpha zork", false),
+      (5L, "", false) // no clean tokens -> absent from output
+    ).toDF("doc_id", "text", "is_t")
+    val sc = Curation.dsirScores(docs, "doc_id", "text", col("is_t"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!sc.contains(5L), "tokenless doc must not appear")
+    assert(sc(2L) > sc(4L) && sc(4L) > sc(3L),
+      s"expected target-like > mixed > off-distribution, got $sc")
+    // equal token profiles score identically regardless of slice membership
+    assert(sc(0L) == sc(1L))
+    // Gumbel top-k keys replay from idHash53 + score; high scorers dominate
+    val scored = Curation.dsirScores(docs, "doc_id", "text", col("is_t"), buckets = 64)
+    val top = Curation.dsirSample(scored, "doc_id", col("dsir_score"), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(!top.contains(3L), s"worst doc sampled into top-3: $top")
+  }
 }
