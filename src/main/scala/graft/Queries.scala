@@ -1868,6 +1868,15 @@ object Queries {
           hyperplane_signature(col("embedding"), CosBits, Dim), 0.0)
         .orderBy(col("cosine_sim").desc, col("a"), col("b")).limit(50)),
 
+    // Exact max-containment pairs via prefix filtering: the blocking has
+    // ZERO false negatives (rarest-shingle prefixes must hit the bigger
+    // doc), so the oracle is the plain all-pairs containment restatement
+    // — the subset/quotation detector Jaccard banding structurally misses
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        .orderBy(col("containment").desc, col("a"), col("b")).limit(100)),
+
     // Exact 3-gram Jaccard through the banded MinHash pipeline; the oracle
     // restates the full all-pairs exact Jaccard (fine at oracle SF);
     // pipeline and gate both at 0.9 (see jaccardAllPairsSql)
@@ -3352,6 +3361,20 @@ object Queries {
     "ngram_jaccard_top" -> jaccardAllPairsSql(4, 0.9, 50),
 
     "minhash_lsh_pairs" -> jaccardAllPairsSql(3, 0.9, 100),
+
+    // all-pairs max-containment — legitimate as the oracle for the
+    // prefix-filtered join precisely because that blocking is exact
+    "containment_pairs" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN length(t) < 3 THEN [t]
+        |       ELSE list_distinct(list_transform(generate_series(1, length(t) - 2), i -> t[i:i+2])) END AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(text, '[^ -~]', '', 'g')) AS t FROM documents)),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6) AS containment
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a, b, containment FROM pr WHERE containment >= 0.8
+        |ORDER BY containment DESC, a, b LIMIT 100""".stripMargin,
 
     "minhash_dup_cluster" -> dupClusterSql(3, 0.8, DupCluster, 150),
 

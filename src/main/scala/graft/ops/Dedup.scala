@@ -502,6 +502,94 @@ object Dedup {
         graft.functions.fast_round(col("inter") / greatest(col("union"), lit(1.0)), 6).as("jaccard"))
   }
 
+  // ---------- exact containment join (prefix filtering) ----------
+
+  /** EXACT max-containment pairs — the asymmetric companion to Jaccard
+    * dedup: C(A,B) = |A∩B| / min(|A|,|B|) over hashed shingle sets, which
+    * flags one document CONTAINED in another (quotations, partial
+    * scrapes, page-within-page, boilerplate supersets) that Jaccard
+    * misses entirely (a 100-shingle page inside a 10,000-shingle page has
+    * Jaccard ≤ 0.01 at containment 1.0 — below ANY banding threshold, so
+    * the MinHash pipeline structurally cannot find it).
+    *
+    * Candidates come from PREFIX FILTERING (Chaudhuri et al. SSJoin /
+    * Bayardo et al. AllPairs, the exact set-join technique), not LSH:
+    * order every doc's shingles by global rarity (document frequency,
+    * hash tiebreak — one B-row-ish df rollup and a per-doc window), and
+    * block each doc's PREFIX — its (⌊(1−t)·|A|⌋ + 1) rarest shingles —
+    * against the FULL postings of the ≥-sized side. If C(A,B) ≥ t with
+    * |A| ≤ |B| then |A\B| ≤ |A| − ⌈t·|A|⌉ < the prefix length, so some
+    * prefix shingle of A lands in A∩B ⊆ B: the blocking has ZERO false
+    * negatives, and the oracle is therefore the plain all-pairs
+    * restatement. Exact verification (merge-scan intersect over the
+    * sorted hash arrays) runs on candidates only.
+    *
+    * Scale: the rarity order is what bounds fan-out — a shingle
+    * contributes prefix×postings candidates, and prefixes hold each
+    * doc's RAREST shingles, so common shingles (df in the millions)
+    * almost never appear on the prefix side; candidate volume ≈
+    * Σ_prefix-occurrences df(shingle), linear in corpus for fixed t on
+    * natural text. `maxPostings` guards the adversarial residue (a doc
+    * whose EVERY shingle is corpus-hot): postings lists longer than the
+    * cap are excluded from candidate generation and reported through the
+    * returned observer — pairs whose only shared-prefix shingle was
+    * over-cap are lost (the same explicit recall trade as
+    * [[minhashLshRun]]'s bucket cap; such pairs are boilerplate-on-
+    * boilerplate by construction). Shuffles: shingle-df rollup (8-byte
+    * keys), one per-doc window, the posting join on 8-byte shingle keys,
+    * and the id-keyed verify join.
+    *
+    * Output: (a, b, containment) with a < b, exact 6-dp containment ≥
+    * threshold.
+    */
+  final case class ContainmentRun(pairs: DataFrame, overCapShingles: () => Long)
+
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxPostings: Int = 1 << 16): DataFrame =
+    containmentRun(df, idCol, textCol, shingleN, threshold, maxPostings).pairs
+
+  def containmentRun(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, threshold: Double = 0.8,
+                     maxPostings: Int = 1 << 16): ContainmentRun = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val base = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val toks = base.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("t"))
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("tdf"))
+    val overCap = dfreq.where(col("tdf") > maxPostings)
+    val posts = toks.join(overCap.select(col("t")), Seq("t"), "left_anti")
+      .join(dfreq, "t")
+    // per-doc rarity rank; prefix length |A| - ceil(t*|A|) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tdf"), col("t"))
+    // the 1e-9 nudge keeps a floating t·sz that lands one ulp ABOVE an
+    // exact integer from overshooting the true ceiling — overshooting
+    // would SHORTEN the prefix and admit false negatives; the nudge can
+    // only lengthen it (more candidates, never fewer)
+    val prefix = posts
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+    val cands = prefix.select(col("t"), col("id").as("a"), col("sz").as("sza"))
+      .join(posts.select(col("t"), col("id").as("b"), col("sz").as("szb")), "t")
+      .where(col("sza") < col("szb") ||
+        (col("sza") === col("szb") && col("a") < col("b")))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val pairs = cands
+      .join(base.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(base.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", graft.functions.sorted_intersect_count(col("sha"), col("shb")).cast("double"))
+      .withColumn("containment", graft.functions.fast_round(
+        col("inter") / least(size(col("sha")), size(col("shb"))).cast("double"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+    lazy val capped: Long = overCap.count()
+    ContainmentRun(pairs, () => capped)
+  }
+
   // ---------- SimHash ----------
 
   /** 61-bit token hash from two polynomial rolling hashes (bases 31/131,

@@ -2121,6 +2121,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("containmentPairs finds a low-Jaccard full containment; observer reports capped postings") {
+    val small = "the unique quick brown fox jumps over one lazy dog tonight"
+    val big = small + " " + (1 to 40).map(i => s"unrelated filler sentence number $i with extra words").mkString(" ")
+    val other = "completely different content that shares nothing with either document at all"
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1's shingles are a subset of doc 2's (containment 1.0) while
+    // Jaccard is tiny — the pair MinHash banding cannot see
+    assert(got.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 }, got.mkString(","))
+    assert(!got.exists { case (a, b, _) => Set(a, b).contains(3L) })
+    // with maxPostings=1 every shared shingle is over-cap: the observer
+    // reports them and the pair is (documentedly) lost
+    val run = Dedup.containmentRun(docs, "doc_id", "text", 3, 0.9, maxPostings = 1)
+    assert(run.pairs.count() == 0)
+    assert(run.overCapShingles() > 0)
+  }
+
   test("dsirScores ranks target-like docs above off-distribution docs; sample follows") {
     // target slice speaks {alpha beta}; off-distribution docs speak
     // {zork quux}; a mixed doc sits between
