@@ -669,6 +669,30 @@ object Queries {
       scored.orderBy(col("dist").desc, col("vec_id")).limit(20)
     }),
 
+    // Top principal component by two distributed power iterations
+    // (Embeddings.pcaTopComponent — the all-but-the-top / isotropy-audit
+    // primitive): C·v as one scan per round with dim decimal partials,
+    // fixed-point mean, 9-dp per-round handoffs. The oracle unrolls both
+    // rounds — mean, dots, lane sums, normalization — independently
+    "pca_top_component" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val (v, eig) = graft.ops.Embeddings.pcaTopComponent(e, "embedding", Dim, rounds = 2)
+      v.zipWithIndex.map { case (x, i) => (i.toLong, x, eig) }
+        .toDF("pos", "loading", "eigenvalue")
+    }),
+
+    // All-but-the-top: center + remove the power-iterated top component
+    // for a 20-doc slice — a pure literal-projection scan (no shuffle);
+    // the oracle recomputes mean, both rounds, AND the projection
+    "abtt_embeddings" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val mu = graft.ops.Embeddings.meanVector(e, "embedding", Dim)
+      val (v, _) = graft.ops.Embeddings.pcaTopComponent(e, "embedding", Dim, rounds = 2)
+      graft.ops.Embeddings.removeTopComponent(
+        e.where(col("vec_id") < 20), "vec_id", "embedding", Dim, mu, v)
+    }),
+
     // SemDeDup assignment step: nearest vector_avg centroid per embedding.
     // The c-row centroid collect is driver-side like ivfCentroids; the
     // assignment itself is a pure map — centroid matrix as a literal,
@@ -2474,6 +2498,80 @@ object Queries {
     // outliers: the same fixed-point centroid, materialized as an ordered
     // list per label, then a sequential per-lane fold — identical
     // accumulation order to the Spark zip_with/aggregate chain
+    // two power-iteration rounds fully unrolled: 6-dp fixed-point mean,
+    // index-order dots, 9-dp decimal lane sums, norm + 9-dp handoff per
+    // round — the kmeans_iter2 replay pattern applied to C·v
+    "pca_top_component" -> {
+      def dot(vp: String) =
+        s"list_sum(list_transform(generate_series(1, $Dim), i -> (CAST(e.embedding[i] AS DOUBLE) - ml.ml[i]) * $vp[i]))"
+      s"""WITH lanes AS (SELECT vec_id, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS fx
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS g(i) WHERE embedding IS NOT NULL),
+         |mu AS (SELECT i, round(sum(fx) / (count(*) * 1000000.0), 6) AS m FROM lanes GROUP BY i),
+         |ml AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+         |nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+         |v0 AS (SELECT list_transform(generate_series(1, $Dim), i -> round(1.0 / sqrt(CAST($Dim AS DOUBLE)), 9)) AS vl),
+         |d1 AS (SELECT e.vec_id, e.embedding, ${dot("vp.vl")} AS d
+         |  FROM embeddings e, ml, v0 vp WHERE e.embedding IS NOT NULL),
+         |w1 AS (SELECT g.i AS i,
+         |  sum(CAST(round((CAST(embedding[g.i] AS DOUBLE) - ml.ml[g.i]) * d, 9) AS DECIMAL(38,9))) AS w
+         |  FROM d1, ml, UNNEST(generate_series(1, $Dim)) AS g(i) GROUP BY g.i),
+         |raw1 AS (SELECT i, CAST(w AS DOUBLE) / nn.n AS raw FROM w1, nn),
+         |rl1 AS (SELECT list(raw ORDER BY i) AS rl FROM raw1),
+         |nm1 AS (SELECT sqrt(list_sum(list_transform(rl, y -> y * y))) AS nm FROM rl1),
+         |v1 AS (SELECT list_transform(rl, y -> round(y / nm, 9)) AS vl FROM rl1, nm1),
+         |d2 AS (SELECT e.vec_id, e.embedding, ${dot("vp.vl")} AS d
+         |  FROM embeddings e, ml, v1 vp WHERE e.embedding IS NOT NULL),
+         |w2 AS (SELECT g.i AS i,
+         |  sum(CAST(round((CAST(embedding[g.i] AS DOUBLE) - ml.ml[g.i]) * d, 9) AS DECIMAL(38,9))) AS w
+         |  FROM d2, ml, UNNEST(generate_series(1, $Dim)) AS g(i) GROUP BY g.i),
+         |raw2 AS (SELECT i, CAST(w AS DOUBLE) / nn.n AS raw FROM w2, nn),
+         |rl2 AS (SELECT list(raw ORDER BY i) AS rl FROM raw2),
+         |nm2 AS (SELECT sqrt(list_sum(list_transform(rl, y -> y * y))) AS nm FROM rl2)
+         |SELECT CAST(i - 1 AS BIGINT) AS pos, round(raw / nm2.nm, 9) AS loading,
+         |  round(nm2.nm, 6) AS eigenvalue
+         |FROM raw2, nm2""".stripMargin
+    },
+
+    // the pca chain re-run, then the centered remove-projection over the
+    // 20-doc slice
+    "abtt_embeddings" -> {
+      def dot(vp: String) =
+        s"list_sum(list_transform(generate_series(1, $Dim), i -> (CAST(e.embedding[i] AS DOUBLE) - ml.ml[i]) * $vp[i]))"
+      s"""WITH lanes AS (SELECT vec_id, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS fx
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS g(i) WHERE embedding IS NOT NULL),
+         |mu AS (SELECT i, round(sum(fx) / (count(*) * 1000000.0), 6) AS m FROM lanes GROUP BY i),
+         |ml AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+         |nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+         |v0 AS (SELECT list_transform(generate_series(1, $Dim), i -> round(1.0 / sqrt(CAST($Dim AS DOUBLE)), 9)) AS vl),
+         |d1 AS (SELECT e.vec_id, e.embedding, ${dot("vp.vl")} AS d
+         |  FROM embeddings e, ml, v0 vp WHERE e.embedding IS NOT NULL),
+         |w1 AS (SELECT g.i AS i,
+         |  sum(CAST(round((CAST(embedding[g.i] AS DOUBLE) - ml.ml[g.i]) * d, 9) AS DECIMAL(38,9))) AS w
+         |  FROM d1, ml, UNNEST(generate_series(1, $Dim)) AS g(i) GROUP BY g.i),
+         |raw1 AS (SELECT i, CAST(w AS DOUBLE) / nn.n AS raw FROM w1, nn),
+         |rl1 AS (SELECT list(raw ORDER BY i) AS rl FROM raw1),
+         |nm1 AS (SELECT sqrt(list_sum(list_transform(rl, y -> y * y))) AS nm FROM rl1),
+         |v1 AS (SELECT list_transform(rl, y -> round(y / nm, 9)) AS vl FROM rl1, nm1),
+         |d2 AS (SELECT e.vec_id, e.embedding, ${dot("vp.vl")} AS d
+         |  FROM embeddings e, ml, v1 vp WHERE e.embedding IS NOT NULL),
+         |w2 AS (SELECT g.i AS i,
+         |  sum(CAST(round((CAST(embedding[g.i] AS DOUBLE) - ml.ml[g.i]) * d, 9) AS DECIMAL(38,9))) AS w
+         |  FROM d2, ml, UNNEST(generate_series(1, $Dim)) AS g(i) GROUP BY g.i),
+         |raw2 AS (SELECT i, CAST(w AS DOUBLE) / nn.n AS raw FROM w2, nn),
+         |rl2 AS (SELECT list(raw ORDER BY i) AS rl FROM raw2),
+         |nm2 AS (SELECT sqrt(list_sum(list_transform(rl, y -> y * y))) AS nm FROM rl2),
+         |vf AS (SELECT list_transform(rl, y -> round(y / nm, 9)) AS vl FROM rl2, nm2),
+         |d3 AS (SELECT e.vec_id, e.embedding, ${dot("vp.vl")} AS d
+         |  FROM embeddings e, ml, vf vp WHERE e.embedding IS NOT NULL AND e.vec_id < 20)
+         |SELECT d3.vec_id, CAST(g.i - 1 AS BIGINT) AS pos,
+         |  round((CAST(embedding[g.i] AS DOUBLE) - ml.ml[g.i]) - d * vp.vl[g.i], 6) AS component
+         |FROM d3, ml, vf vp, UNNEST(generate_series(1, $Dim)) AS g(i)""".stripMargin
+    },
+
     "embedding_outliers" ->
       s"""WITH u AS (SELECT label, g.i AS i,
          |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.kernels.Quantize
+
+/** Corpus-level embedding analysis: the top principal component by
+  * distributed power iteration — the workhorse behind all-but-the-top
+  * embedding postprocessing (Mu & Viswanath, ICLR 2018: subtracting the
+  * dominant direction measurably improves similarity search), isotropy
+  * audits, and drift detection between embedding model versions.
+  *
+  * The engine never materializes the dim×dim covariance: each power
+  * iteration computes C·v as Σ_rows (x−μ)·⟨x−μ, v⟩ in ONE corpus scan —
+  * a per-row dot against broadcast literals (μ, v), then per-lane sums.
+  * The per-round shuffle is dim DECIMAL(38,9) partials per partition
+  * (map-side combine), nothing row-shaped; the driver normalizes and
+  * feeds the next round, exactly the kmeans_iter2 loop shape.
+  *
+  * Exactness contract (so an independent engine replays it bit for bit):
+  * μ is the fixed-point `vector_avg` mean rounded to 6 dp; v₀ is the
+  * uniform direction rounded to 9 dp; every per-row lane term
+  * (x_i−μ_i)·⟨x−μ, v⟩ is one double tree rounded to 9 dp and summed as
+  * DECIMAL(38,9) (order-independent reduce); normalization divides by
+  * the sequential-index-order L2 norm and re-rounds each lane to 9 dp —
+  * the per-round handoff. Power iteration's sign and convergence are
+  * then deterministic functions of the data.
+  */
+object Embeddings {
+
+  /** Fixed-point corpus mean, each lane rounded to 6 dp (the restatable
+    * handoff). Null vectors are skipped; an empty corpus yields zeros.
+    */
+  def meanVector(df: DataFrame, vecCol: String, dim: Int): Array[Double] = {
+    val row = df.where(col(vecCol).isNotNull)
+      .agg(graft.functions.vector_avg(col(vecCol), dim).as("m")).head()
+    if (row.isNullAt(0)) Array.fill(dim)(0.0)
+    else row.getSeq[Double](0).map(Quantize.roundHalfUp(_, 6)).toArray
+  }
+
+  /** `rounds` power iterations for the top principal component.
+    * Returns (unit loading vector (9 dp lanes), eigenvalue estimate
+    * ‖C·v‖ from the last round, 6 dp). Degenerate corpora (empty, or a
+    * point mass where C·v = 0) return the zero vector with eigenvalue 0.
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+                      rounds: Int = 3): (Seq[Double], Double) = {
+    require(dim > 0, s"dim must be > 0, got $dim")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val base = df.where(col(vecCol).isNotNull)
+    val n = base.count()
+    if (n == 0L) return (Seq.fill(dim)(0.0), 0.0)
+    val mu = meanVector(base, vecCol, dim)
+    val muLit = array(mu.map(lit(_)): _*)
+    val v = Array.fill(dim)(Quantize.roundHalfUp(1.0 / math.sqrt(dim.toDouble), 9))
+    var eig = 0.0
+    var r = 0
+    while (r < rounds) {
+      val vLit = array(v.map(lit(_)): _*)
+      // ⟨x−μ, v⟩ as a sequential index-order fold — the same shape as the
+      // oracle's list_sum(list_transform(...)) restatement
+      val d = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+        (acc, i) => acc + (element_at(col(vecCol), i).cast("double") - element_at(muLit, i))
+          * element_at(vLit, i))
+      val w = base.select(d.as("_d"), posexplode(col(vecCol)).as(Seq("p0", "x")))
+        .select((col("p0") + 1).as("i"),
+          round((col("x").cast("double") - element_at(muLit, col("p0") + 1)) * col("_d"), 9)
+            .cast("decimal(38,9)").as("t"))
+        .groupBy(col("i")).agg(sum(col("t")).as("w"))
+        .collect()
+        .map(row => row.getInt(0) -> row.getDecimal(1).doubleValue()).toMap
+      val raw = Array.tabulate(dim)(i => w.getOrElse(i + 1, 0.0) / n.toDouble)
+      var s2 = 0.0
+      var i = 0
+      while (i < dim) { s2 += raw(i) * raw(i); i += 1 }
+      val norm = math.sqrt(s2)
+      eig = norm
+      if (norm == 0.0) return (raw.toSeq, 0.0)
+      i = 0
+      while (i < dim) { v(i) = Quantize.roundHalfUp(raw(i) / norm, 9); i += 1 }
+      r += 1
+    }
+    (v.toSeq, Quantize.roundHalfUp(eig, 6))
+  }
+
+  /** All-but-the-top postprocessing (Mu & Viswanath 2018): center each
+    * embedding and remove its projection on the dominant direction —
+    * x′_i = (x_i − μ_i) − ⟨x−μ, v⟩·v_i, emitted as (id, pos, component)
+    * rows with 6-dp components. A pure map over literals (μ, v): no
+    * join, no shuffle — one codegen-friendly scan at any corpus size.
+    */
+  def removeTopComponent(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                         mu: Array[Double], v: Seq[Double]): DataFrame = {
+    require(mu.length == dim && v.length == dim, "mu/v must match dim")
+    val muLit = array(mu.map(lit(_)): _*)
+    val vLit = array(v.map(lit(_)): _*)
+    val d = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, i) => acc + (element_at(col(vecCol), i).cast("double") - element_at(muLit, i))
+        * element_at(vLit, i))
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), d.as("_d"), posexplode(col(vecCol)).as(Seq("p0", "x")))
+      .select(col(idCol), col("p0").cast("long").as("pos"),
+        graft.functions.fast_round(
+          (col("x").cast("double") - element_at(muLit, col("p0") + 1))
+            - col("_d") * element_at(vLit, col("p0") + 1), 6).as("component"))
+  }
+}

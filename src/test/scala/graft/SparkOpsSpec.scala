@@ -2139,6 +2139,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run.overCapShingles() > 0)
   }
 
+  test("pcaTopComponent finds the dominant axis; removeTopComponent flattens it") {
+    // variance concentrated on axis 1 (values ±8), tiny spread elsewhere
+    val rows = (0 until 40).map { i =>
+      val main = if (i % 2 == 0) 8.0f else -8.0f
+      (i.toLong, Array(0.1f * (i % 3), main, 0.05f * (i % 2), 0.0f))
+    }
+    val df = rows.toDF("id", "vec")
+    val (v, eig) = graft.ops.Embeddings.pcaTopComponent(df, "vec", 4, rounds = 3)
+    assert(eig > 0.0)
+    assert(math.abs(v(1)) > 0.99, s"dominant axis not found: ${v.mkString(",")}")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-6, "not unit norm")
+    // ABTT output has (near-)zero projection on the removed direction
+    val mu = graft.ops.Embeddings.meanVector(df, "vec", 4)
+    val post = graft.ops.Embeddings.removeTopComponent(df, "id", "vec", 4, mu, v)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(post.length == 40 * 4)
+    val proj = post.groupBy(_._1).values.map { lanes =>
+      lanes.sortBy(_._2).map(_._3).zip(v).map { case (x, vi) => x * vi }.sum
+    }
+    assert(proj.forall(p => math.abs(p) < 1e-4), s"max residual ${proj.map(math.abs).max}")
+  }
+
   test("dsirScores ranks target-like docs above off-distribution docs; sample follows") {
     // target slice speaks {alpha beta}; off-distribution docs speak
     // {zork quux}; a mixed doc sits between
