@@ -2353,6 +2353,15 @@ object Queries {
       Curation.weightedSample(docs(s, dir), "doc_id", col("n_chars"), 50)
         .select(col("doc_id"), col("n_chars"), col("sample_key"))),
 
+    // UniMax budget allocation over languages (n_chars as token weight):
+    // small domains cap at maxEpochs, the rest split the leftover evenly
+    // — the closed-form waterfill with both branches live at these
+    // parameters (4 capped languages + english on the even share)
+    "unimax_mixture" -> ((s, dir) =>
+      Curation.unimaxAllocation(docs(s, dir), "lang", col("n_chars"),
+          budget = 250000L, maxEpochs = 2)
+        .orderBy(col("domain"))),
+
     // DSIR importance scores: per-doc summed log-likelihood ratio of
     // hashed-token bucket distributions, target = the English slice vs
     // the whole corpus; the oracle recomputes bucket hashes from
@@ -3874,6 +3883,27 @@ object Queries {
         |SELECT doc_id, n_chars,
         |  round(ln(CAST(h53 + 1 AS DOUBLE) / 9007199254740992.0) / CAST(n_chars AS DOUBLE), 9) AS sample_key
         |FROM h ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // closed-form UniMax waterfill: prefix-sum cappedness + even share
+    "unimax_mixture" ->
+      """WITH sz AS (SELECT lang AS domain, sum(n_chars) AS n_tokens
+        |            FROM documents GROUP BY lang HAVING sum(n_chars) > 0),
+        |st AS (SELECT count(*) AS n FROM sz),
+        |rkd AS (SELECT domain, n_tokens,
+        |  row_number() OVER (ORDER BY n_tokens, domain) AS rk,
+        |  sum(n_tokens) OVER (ORDER BY n_tokens, domain ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+        |  FROM sz),
+        |cp AS (SELECT rkd.*, st.n,
+        |  (2 * n_tokens * (st.n - rk + 1) + 2 * (pfx - n_tokens) <= 250000) AS capped FROM rkd, st),
+        |cs AS (SELECT count(*) FILTER (WHERE capped) AS m,
+        |       coalesce(sum(n_tokens) FILTER (WHERE capped), 0) AS s_cap FROM cp)
+        |SELECT domain, n_tokens,
+        |  round(CASE WHEN capped THEN CAST(2 * n_tokens AS DOUBLE)
+        |        ELSE CAST(250000 - 2 * s_cap AS DOUBLE) / CAST(n - m AS DOUBLE) END, 6) AS allocation,
+        |  round(round(CASE WHEN capped THEN CAST(2 * n_tokens AS DOUBLE)
+        |        ELSE CAST(250000 - 2 * s_cap AS DOUBLE) / CAST(n - m AS DOUBLE) END, 6)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM cp, cs ORDER BY domain""".stripMargin,
 
     "dsir_scores" ->
       s"""WITH $dsirScoresCte

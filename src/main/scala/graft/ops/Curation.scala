@@ -534,6 +534,62 @@ object Curation {
       .orderBy(col("sample_key").desc, col(idCol)).limit(k)
   }
 
+  // ---------- UniMax mixture allocation ----------
+
+  /** UniMax token-budget allocation across domains (Chung et al., ICLR
+    * 2023): visit domains in increasing size order and give each
+    * `min(maxEpochs·sizeᵢ, remaining/‖remaining domains‖)` — small
+    * domains are fully used up to the epoch cap (never oversampled past
+    * it), the rest split the leftover budget evenly. The sequential
+    * waterfill has a closed form because the cap set is a PREFIX of the
+    * size order (f(i) = E·sᵢ·(n−i+1) + E·S_{i−1} is nondecreasing, so
+    * "cap binds" flips at most once) and the even share is constant once
+    * it starts (R/k is invariant under R ← R−R/k, k ← k−1): one window
+    * prefix sum decides cappedness, one aggregate over the capped prefix
+    * yields the even share — no iteration, fully restatable in SQL.
+    *
+    * Plan: one shuffle to domain grain (map-side combined), then a
+    * single-partition window over the DOMAIN table — a mixture has tens
+    * to thousands of rows, which is the point of the operator; the
+    * `maxDomains` require turns that size assumption into a checked one
+    * (the rrfFuse convention). Overflow note: E·sᵢ·n must stay under
+    * 2⁶³ — at 10¹³ tokens/domain, 10³ domains, E≤100 the headroom is
+    * ~100×; shard the budget before allocation beyond that.
+    *
+    * Output: (domain, n_tokens, allocation (6 dp), epochs = alloc/size).
+    */
+  def unimaxAllocation(df: DataFrame, domainCol: String, weightCol: Column,
+                       budget: Long, maxEpochs: Int,
+                       maxDomains: Int = 1 << 20): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val sizes = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(weightCol).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val n = sizes.count()
+    require(n >= 1, "unimaxAllocation: no non-empty domains")
+    require(n <= maxDomains,
+      s"unimaxAllocation: $n domains exceed maxDomains=$maxDomains (single-partition window bound)")
+    val e = maxEpochs.toLong
+    val wOrd = Window.orderBy(col("n_tokens"), col("domain"))
+    val ranked = sizes
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("pfx", sum(col("n_tokens")).over(wOrd))
+      .withColumn("capped",
+        lit(e) * col("n_tokens") * (lit(n) - col("rk") + 1)
+          + lit(e) * (col("pfx") - col("n_tokens")) <= lit(budget))
+    val capStats = ranked.where(col("capped"))
+      .agg(count(lit(1)).as("m"), coalesce(sum(col("n_tokens")), lit(0L)).as("s_cap"))
+    ranked.crossJoin(broadcast(capStats))
+      .withColumn("allocation", graft.functions.fast_round(
+        when(col("capped"), (lit(e) * col("n_tokens")).cast("double"))
+          .otherwise((lit(budget) - lit(e) * col("s_cap")).cast("double")
+            / (lit(n) - col("m")).cast("double")), 6))
+      .withColumn("epochs",
+        graft.functions.fast_round(col("allocation") / col("n_tokens").cast("double"), 6))
+      .select(col("domain"), col("n_tokens"), col("allocation"), col("epochs"))
+  }
+
   // ---------- DSIR importance resampling (hashed-token LLR scores) ----------
 
   /** DSIR-style per-document importance scores (Xie et al., "Data

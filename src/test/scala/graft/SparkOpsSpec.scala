@@ -2139,6 +2139,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run.overCapShingles() > 0)
   }
 
+  test("unimaxAllocation matches the literal sequential waterfill; budget conserved") {
+    val sizes = Seq("a" -> 10L, "b" -> 25L, "c" -> 25L, "d" -> 400L, "e" -> 1000L, "f" -> 3L)
+    val df = sizes.toDF("dom", "w")
+    for ((budget, e) <- Seq((500L, 3), (2000L, 2), (10000L, 2), (50L, 1))) {
+      val got = Curation.unimaxAllocation(df, "dom", col("w"), budget, e)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      // the paper's sequential algorithm, verbatim
+      var remaining = budget.toDouble
+      val want = scala.collection.mutable.Map[String, Double]()
+      val ordered = sizes.sortBy { case (d, s) => (s, d) }
+      for (((d, s), i) <- ordered.zipWithIndex) {
+        val a = math.min(e.toDouble * s, remaining / (ordered.size - i))
+        want(d) = a; remaining -= a
+      }
+      got.foreach { case (d, a) =>
+        assert(math.abs(a - want(d)) < 1e-5, s"B=$budget E=$e dom=$d: $a vs ${want(d)}")
+      }
+      // budget never exceeded; fully spent unless every domain capped
+      val spent = got.values.sum
+      assert(spent <= budget + 1e-5)
+      val allCapped = sizes.forall { case (d, s) => math.abs(got(d) - e.toDouble * s) < 1e-5 }
+      assert(allCapped || math.abs(spent - budget) < 1e-5)
+    }
+    // zero-weight domains are excluded
+    val z = Seq("a" -> 5L, "zero" -> 0L).toDF("dom", "w")
+    assert(Curation.unimaxAllocation(z, "dom", col("w"), 100L, 2)
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("pcaTopComponent finds the dominant axis; removeTopComponent flattens it") {
     // variance concentrated on axis 1 (values ±8), tiny spread elsewhere
     val rows = (0 until 40).map { i =>
