@@ -1892,6 +1892,28 @@ object Queries {
           hyperplane_signature(col("embedding"), CosBits, Dim), 0.0)
         .orderBy(col("cosine_sim").desc, col("a"), col("b")).limit(50)),
 
+    // SoftDeDup: 1/n_copies down-weighting off content fingerprints —
+    // 50 cloned docs must land weight 0.5 (or 1/3 for naturally-repeated
+    // text), originals keep 1.0; the oracle groups by raw text
+    "softdedup_weights" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val clones = d.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.softDedupWeights(d.unionByName(clones), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Semantic decontamination: min cosine distance to a 10-vector
+    // benchmark set (broadcast literal, shuffle-free scan), flagged on
+    // the 6-dp rounded distance — catches paraphrase-level eval leakage
+    // that n-gram decontam_overlap misses
+    "semantic_decontam" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val bench = e.where(col("vec_id") < 10).orderBy(col("vec_id"))
+        .collect().map(_.getSeq[Float](1).toSeq).toSeq
+      graft.ops.Embeddings.semanticDecontam(e, "vec_id", "embedding", bench, 0.3)
+    }),
+
     // Exact max-containment pairs via prefix filtering: the blocking has
     // ZERO false negatives (rarest-shingle prefixes must hit the bigger
     // doc), so the oracle is the plain all-pairs containment restatement
@@ -3468,6 +3490,30 @@ object Queries {
     "ngram_jaccard_top" -> jaccardAllPairsSql(4, 0.9, 50),
 
     "minhash_lsh_pairs" -> jaccardAllPairsSql(3, 0.9, 100),
+
+    "softdedup_weights" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |c AS (SELECT text, count(*) AS n_copies FROM u GROUP BY text)
+        |SELECT u.doc_id, c.n_copies, round(1.0 / c.n_copies, 6) AS weight
+        |FROM u JOIN c USING (text)""".stripMargin,
+
+    "semantic_decontam" -> {
+      def lsum(term: String) =
+        s"list_sum(list_transform(generate_series(1,$Dim), i -> $term))"
+      val dt = lsum("CAST(e.embedding[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)")
+      val na = lsum("CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)")
+      val nb = lsum("CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)")
+      s"""WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+         |d AS (SELECT vec_id,
+         |  (CASE WHEN na = 0.0 OR nb = 0.0 THEN 1.0
+         |        ELSE 1.0 - greatest(-1.0, least(1.0, dt / (sqrt(na) * sqrt(nb)))) END) AS cd
+         |  FROM (SELECT e.vec_id, $dt AS dt, $na AS na, $nb AS nb
+         |        FROM embeddings e, b WHERE e.embedding IS NOT NULL) t),
+         |m AS (SELECT vec_id, round(min(cd), 6) AS min_dist FROM d GROUP BY vec_id)
+         |SELECT vec_id, min_dist, min_dist <= 0.3 AS contaminated FROM m""".stripMargin
+    },
 
     // all-pairs max-containment — legitimate as the oracle for the
     // prefix-filtered join precisely because that blocking is exact

@@ -502,6 +502,26 @@ object Dedup {
         graft.functions.fast_round(col("inter") / greatest(col("union"), lit(1.0)), 6).as("jaccard"))
   }
 
+  /** SoftDeDup: keep every copy but DOWN-WEIGHT duplicated content by
+    * 1/n_copies, so a training run sees each distinct content with unit
+    * total mass instead of dropping all-but-one copy — the soft
+    * alternative to [[exact]] when copies carry distinct metadata
+    * (provenance, timestamps) worth preserving. One groupBy on the
+    * 16-byte content fingerprint plus one fingerprint-keyed join back:
+    * text never shuffles, and the weight column feeds
+    * [[graft.ops.Curation.weightedSample]] / resampling directly.
+    * Output: (id, n_copies, weight = 1/n_copies at 6 dp).
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      xxhash64(col(textCol)).as("ck1"),
+      xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol)).as("ck2"))
+    val counts = fp.groupBy(col("ck1"), col("ck2")).agg(count(lit(1)).as("n_copies"))
+    fp.join(counts, Seq("ck1", "ck2"))
+      .select(col("id"), col("n_copies"),
+        graft.functions.fast_round(lit(1.0) / col("n_copies").cast("double"), 6).as("weight"))
+  }
+
   // ---------- exact containment join (prefix filtering) ----------
 
   /** EXACT max-containment pairs — the asymmetric companion to Jaccard

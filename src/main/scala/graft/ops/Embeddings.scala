@@ -84,6 +84,29 @@ object Embeddings {
     (v.toSeq, Quantize.roundHalfUp(eig, 6))
   }
 
+  /** Semantic decontamination: flag corpus rows whose embedding sits
+    * within `tau` (metric distance, default cosine) of ANY benchmark
+    * vector — the embedding-space companion to n-gram `decontamOverlap`,
+    * which catches paraphrased or reformatted eval leakage that exact
+    * n-grams miss. The benchmark matrix rides along as a broadcast
+    * literal (eval sets are small by definition); the scan is a pure
+    * projection — per-row distances via the same codegen'd kernels as
+    * k-NN, min, 6-dp round, threshold on the ROUNDED value (round-
+    * before-decision) — so at 100 TB this is one shuffle-free pass.
+    * Output: (id, min_dist, contaminated).
+    */
+  def semanticDecontam(df: DataFrame, idCol: String, vecCol: String,
+                       bench: Seq[Seq[Float]], tau: Double,
+                       metric: String = "cosine"): DataFrame = {
+    require(bench.nonEmpty, "semanticDecontam needs at least one benchmark vector")
+    val bLit = typedlit(bench)
+    val dists = transform(bLit, b => graft.functions.vector_distance(col(vecCol), b, metric))
+    df.where(col(vecCol).isNotNull)
+      .withColumn("min_dist", graft.functions.fast_round(array_min(dists), 6))
+      .withColumn("contaminated", col("min_dist") <= tau)
+      .select(col(idCol), col("min_dist"), col("contaminated"))
+  }
+
   /** All-but-the-top postprocessing (Mu & Viswanath 2018): center each
     * embedding and remove its projection on the dominant direction —
     * x′_i = (x_i − μ_i) − ⟨x−μ, v⟩·v_i, emitted as (id, pos, component)
