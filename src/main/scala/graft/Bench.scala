@@ -225,7 +225,9 @@ object Bench {
         "heavy_hitters", "mixture_temperature", "inverted_search",
         "cross_doc_ngrams", "pagerank", "pmi_pairs", "cdc_chunks",
         "bigram_logprob", "novelty_score", "triangle_counts",
-        "shuffle_positions", "weighted_sample", "rrf_hybrid")
+        "shuffle_positions", "weighted_sample", "rrf_hybrid",
+        "containment_pairs", "dsir_sample", "softdedup_weights",
+        "semantic_decontam", "unimax_mixture", "pca_top_component")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

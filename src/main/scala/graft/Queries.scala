@@ -1920,7 +1920,7 @@ object Queries {
     // — the subset/quotation detector Jaccard banding structurally misses
     "containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
-          shingleN = 3, threshold = 0.8)
+          shingleN = 8, threshold = 0.8)
         .orderBy(col("containment").desc, col("a"), col("b")).limit(100)),
 
     // Exact 3-gram Jaccard through the banded MinHash pipeline; the oracle
@@ -2407,6 +2407,13 @@ object Queries {
     // instead of ln(0); same 9-dp decimal exactness contract
     "bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text", lambda = 0.7)
+        .orderBy("doc_id")),
+
+    // Kneser-Ney bigram LM (D=0.75): absolute discounting + continuation
+    // back-off — the oracle replays all five count tables and the
+    // explicitly-cast double tree
+    "kneser_ney_logprob" -> ((s, dir) =>
+      TextAnalysis.kneserNeyLogProb(docs(s, dir), "doc_id", "text", discount = 0.75)
         .orderBy("doc_id")),
 
     // Hybrid retrieval: BM25 top-50 and cosine k-NN top-50 fused by
@@ -3519,8 +3526,8 @@ object Queries {
     // prefix-filtered join precisely because that blocking is exact
     "containment_pairs" ->
       """WITH s AS (SELECT doc_id,
-        |  CASE WHEN length(t) < 3 THEN [t]
-        |       ELSE list_distinct(list_transform(generate_series(1, length(t) - 2), i -> t[i:i+2])) END AS sh
+        |  CASE WHEN length(t) < 8 THEN [t]
+        |       ELSE list_distinct(list_transform(generate_series(1, length(t) - 7), i -> t[i:i+7])) END AS sh
         |  FROM (SELECT doc_id, lower(regexp_replace(text, '[^ -~]', '', 'g')) AS t FROM documents)),
         |pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -3980,6 +3987,29 @@ object Queries {
          |lp AS (SELECT doc_id,
          |  CAST(round(ln(0.7 * cb / ca + (1.0 - 0.7) * cu / n_total), 9) AS DECIMAL(38,9)) AS logp
          |  FROM pp JOIN bg USING (prev, cur) JOIN cx USING (prev) JOIN un USING (cur), tot)
+         |SELECT doc_id, round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp,
+         |  count(*) AS n_pairs
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "kneser_ney_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |pr AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(2, len(toks)), i ->
+         |      {'prev': toks[i-1], 'cur': toks[i]})
+         |    ELSE [] END) AS p FROM t),
+         |pp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pr),
+         |bg AS (SELECT prev, cur, count(*) AS cb FROM pp GROUP BY 1, 2),
+         |cx AS (SELECT prev, count(*) AS ca FROM pp GROUP BY 1),
+         |fo AS (SELECT prev, count(*) AS n1f FROM bg GROUP BY 1),
+         |cn AS (SELECT cur, count(*) AS n1b FROM bg GROUP BY 1),
+         |nb AS (SELECT count(*) AS nbg FROM bg),
+         |lp AS (SELECT doc_id,
+         |  CAST(round(ln(
+         |    greatest(CAST(cb AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / CAST(ca AS DOUBLE)
+         |      + CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE) / CAST(ca AS DOUBLE)
+         |        * (CAST(n1b AS DOUBLE) / CAST(nbg AS DOUBLE))), 9) AS DECIMAL(38,9)) AS logp
+         |  FROM pp JOIN bg USING (prev, cur) JOIN cx USING (prev)
+         |       JOIN fo USING (prev) JOIN cn USING (cur), nb)
          |SELECT doc_id, round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp,
          |  count(*) AS n_pairs
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -544,12 +544,22 @@ object Dedup {
     * restatement. Exact verification (merge-scan intersect over the
     * sorted hash arrays) runs on candidates only.
     *
-    * Scale: the rarity order is what bounds fan-out — a shingle
-    * contributes prefix×postings candidates, and prefixes hold each
-    * doc's RAREST shingles, so common shingles (df in the millions)
-    * almost never appear on the prefix side; candidate volume ≈
-    * Σ_prefix-occurrences df(shingle), linear in corpus for fixed t on
-    * natural text. `maxPostings` guards the adversarial residue (a doc
+    * Scale: two stacked exact filters bound fan-out. (1) Rarity-ordered
+    * prefixes — common shingles almost never appear on the prefix side,
+    * so candidate volume ≈ Σ_prefix-occurrences df(shingle). (2) The
+    * PPJoin POSITION filter (see in-code comment) prunes matches whose
+    * rank pair already caps the possible overlap below ⌈t·|A|⌉ — decisive
+    * when sizes are comparable, weak when a small doc probes much larger
+    * ones (the suffix slack is then always sufficient). The dominant
+    * knob is `shingleN`: size it so the shingle space is NOT saturated
+    * (distinct shingles ≫ documents — 3-char shingles over sf0.1's
+    * template vocabulary yield 377 distinct shingles for 5000 docs,
+    * median df 1047, and 3.3M "pairs" at t=0.8, i.e. containment stops
+    * being a signal at all; 8-char shingles give 13k shingles, median
+    * df 21, and 256 true pairs). On that adversarial corpus the whole
+    * run is ~7 s at sf0.1 under the default barrier (shingle arrays and
+    * the ranked posting table each feed 2-3 consumers — materialized
+    * once, not re-hashed per branch). `maxPostings` guards the residue (a doc
     * whose EVERY shingle is corpus-hot): postings lists longer than the
     * cap are excluded from candidate generation and reported through the
     * returned observer — pairs whose only shared-prefix shingle was
@@ -562,7 +572,8 @@ object Dedup {
     * Output: (a, b, containment) with a < b, exact 6-dp containment ≥
     * threshold.
     */
-  final case class ContainmentRun(pairs: DataFrame, overCapShingles: () => Long)
+  final case class ContainmentRun(pairs: DataFrame, release: () => Unit,
+                                  overCapShingles: () => Long)
 
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.8,
@@ -571,12 +582,18 @@ object Dedup {
 
   def containmentRun(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, threshold: Double = 0.8,
-                     maxPostings: Int = 1 << 16): ContainmentRun = {
+                     maxPostings: Int = 1 << 16,
+                     barrier: Barrier = Barrier.LocalCheckpoint): ContainmentRun = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
     require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
-    val base = df
+    // the shingle arrays feed THREE consumers (posting explode, a-side
+    // verify, b-side verify) and the ranked posting table feeds two
+    // (prefix and full side of the join) — materialize both once instead
+    // of re-hashing the corpus per branch (the minhashLshRun barrier
+    // convention; measured 12.5 s → 7.8 s at sf0.1)
+    val (base, releaseBase) = materialize(df
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
+      .where(size(col("sh")) > 0), barrier, eager = false)
     val toks = base.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("t"))
     val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("tdf"))
     val overCap = dfreq.where(col("tdf") > maxPostings)
@@ -589,13 +606,23 @@ object Dedup {
     // exact integer from overshooting the true ceiling — overshooting
     // would SHORTEN the prefix and admit false negatives; the nudge can
     // only lengthen it (more candidates, never fewer)
-    val prefix = posts
-      .withColumn("rn", row_number().over(w))
+    val (ranked, releaseRanked) = materialize(
+      posts.withColumn("rn", row_number().over(w)), barrier, eager = false)
+    val prefix = ranked
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-    val cands = prefix.select(col("t"), col("id").as("a"), col("sz").as("sza"))
-      .join(posts.select(col("t"), col("id").as("b"), col("sz").as("szb")), "t")
-      .where(col("sza") < col("szb") ||
-        (col("sza") === col("szb") && col("a") < col("b")))
+    // PPJoin position filter (Xiao et al., WWW'08): if the pair truly has
+    // overlap ≥ α = ⌈t·|A|⌉, its FIRST common shingle in the global
+    // rarity order sits at ranks (i, j) with α ≤ 1 + min(|A|−i, |B|−j),
+    // so requiring that bound prunes a match occurrence without ever
+    // pruning the pair's first-common-shingle occurrence — exactness is
+    // preserved while boilerplate pairs (whose first shared shingle is a
+    // COMMON one, i.e. deep in both suffixes) drop before the distinct
+    val cands = prefix.select(col("t"), col("id").as("a"), col("sz").as("sza"), col("rn").as("rna"))
+      .join(ranked.select(col("t"), col("id").as("b"), col("sz").as("szb"), col("rn").as("rnb")), "t")
+      .where((col("sza") < col("szb") ||
+          (col("sza") === col("szb") && col("a") < col("b"))) &&
+        lit(1L) + least(col("sza") - col("rna"), col("szb") - col("rnb"))
+          >= ceil(lit(threshold) * col("sza") - lit(1e-9)))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
     val pairs = cands
@@ -607,7 +634,7 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), col("containment"))
     lazy val capped: Long = overCap.count()
-    ContainmentRun(pairs, () => capped)
+    ContainmentRun(pairs, () => { releaseRanked(); releaseBase() }, () => capped)
   }
 
   // ---------- SimHash ----------

@@ -447,6 +447,57 @@ object TextAnalysis {
     * prev / cur keys — vocabulary-sized, AQE broadcasts the LM tables.
     * Documents with fewer than two tokens have no pairs and don't appear.
     */
+  /** Kneser-Ney smoothed bigram LM score — the LM-quality ladder's top
+    * rung above [[bigramLogProb]]'s Jelinek-Mercer: absolute discounting
+    * with the CONTINUATION back-off,
+    * `P(w|v) = max(c(v,w)−D, 0)/c(v·) + D·N₁₊(v·)/c(v·) · N₁₊(·w)/N₁₊(··)`,
+    * which scores a word by how many distinct contexts it follows rather
+    * than raw frequency — the fix for the "San Francisco" pathology
+    * (frequent-but-context-bound words stop leaking probability mass),
+    * and the smoothing KenLM-style perplexity filters actually ship.
+    * In-corpus pairs make every denominator ≥ 1 (a pair's own context
+    * and continuation exist), so ln never sees 0.
+    *
+    * Exactness: all five count tables are exact BIGINTs on vocabulary-
+    * sized keys (AQE broadcasts them); the probability is ONE explicitly
+    * cast double tree per pair, each term rounded to 9 dp and summed as
+    * DECIMAL(38,9) — the lm_logprob contract. Output: (id, mean_logp,
+    * n_pairs), documents with < 2 tokens absent.
+    */
+  def kneserNeyLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount must be in (0,1), got $discount")
+    val toksDf = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val pairs = toksDf.select(col(idCol),
+        explode(when(size(col("_toks")) >= 2,
+            transform(sequence(lit(2), size(col("_toks"))), i =>
+              struct(element_at(col("_toks"), i - 1).as("prev"),
+                element_at(col("_toks"), i).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>"))).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bigram = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val ctx = pairs.groupBy("prev").agg(count(lit(1)).as("ca"))
+    val fanout = bigram.groupBy("prev").agg(count(lit(1)).as("n1f"))
+    val contin = bigram.groupBy("cur").agg(count(lit(1)).as("n1b"))
+    val nPairsDistinct = bigram.agg(count(lit(1)).as("nbg"))
+    val d = lit(discount)
+    pairs
+      .join(bigram, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .join(fanout, Seq("prev"))
+      .join(contin, Seq("cur"))
+      .crossJoin(broadcast(nPairsDistinct))
+      .select(col(idCol),
+        round(log(
+            greatest(col("cb").cast("double") - d, lit(0.0)) / col("ca").cast("double")
+              + d * col("n1f").cast("double") / col("ca").cast("double")
+                * (col("n1b").cast("double") / col("nbg").cast("double"))), 9)
+          .cast("decimal(38,9)").as("logp"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("mean_logp"),
+        count(lit(1)).as("n_pairs"))
+  }
+
   def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
