@@ -227,7 +227,8 @@ object Bench {
         "bigram_logprob", "novelty_score", "triangle_counts",
         "shuffle_positions", "weighted_sample", "rrf_hybrid",
         "containment_pairs", "dsir_sample", "softdedup_weights",
-        "semantic_decontam", "unimax_mixture", "pca_top_component")
+        "semantic_decontam", "unimax_mixture", "pca_top_component",
+        "kneser_ney_logprob")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
