@@ -933,3 +933,63 @@ case class CdcBoundaries(child: Expression, window: Int, divisor: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `centered_dot(vec)` — ⟨x−μ, v⟩ against constant (μ, v) vectors as ONE
+  * codegen'd sequential fold (index order, the oracle's
+  * `list_sum(list_transform(...))` tree), replacing the interpreted
+  * per-lane `aggregate` HOF in the PCA / all-but-the-top scans. The
+  * constant vectors ride as reference objects, not literals — no
+  * 64-element expression tree to compile per round.
+  */
+case class CenteredDot(child: Expression, mu: Array[Double], v: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mu.length == v.length, s"mu/v length mismatch: ${mu.length} vs ${v.length}")
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "centered_dot"
+
+  override def nullSafeEval(value: Any): Any =
+    graft.kernels.Embed.centeredDot(
+      value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], mu, v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("mu", mu, "double[]")
+    val vRef = ctx.addReferenceObj("v", v, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Embed.centeredDot($c, $muRef, $vRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pca_lane_terms(vec)` — the per-row PCA contribution vector
+  * `round9((x_i−μ_i)·⟨x−μ, v⟩)` in one codegen'd pass: the dot and all
+  * dim lane terms share a single traversal, and the 9-dp HALF_UP
+  * rounding is exactly Spark `round`'s BigDecimal semantics
+  * ([[graft.kernels.Quantize.roundHalfUp]]), so the plan change cannot
+  * move a single ulp — the pca gates' hash equality is the proof.
+  */
+case class PcaLaneTerms(child: Expression, mu: Array[Double], v: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mu.length == v.length, s"mu/v length mismatch: ${mu.length} vs ${v.length}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "pca_lane_terms"
+
+  override def nullSafeEval(value: Any): Any =
+    graft.kernels.Embed.pcaLaneTerms(
+      value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], mu, v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("mu", mu, "double[]")
+    val vRef = ctx.addReferenceObj("v", v, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.kernels.Embed.pcaLaneTerms($c, $muRef, $vRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -58,6 +58,14 @@ object functions {
 
   def byte_histogram(payload: Column, dim: Int): Column = col(ByteHistogram(expr(payload), dim))
 
+  /** ⟨x−μ, v⟩ against constant vectors — see [[graft.expressions.CenteredDot]]. */
+  def centered_dot(vec: Column, mu: Array[Double], v: Array[Double]): Column =
+    col(CenteredDot(expr(vec), mu, v))
+
+  /** Per-row PCA lane contributions — see [[graft.expressions.PcaLaneTerms]]. */
+  def pca_lane_terms(vec: Column, mu: Array[Double], v: Array[Double]): Column =
+    col(PcaLaneTerms(expr(vec), mu, v))
+
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
 
   /** SQL-restatable 61-bit string hash — the narrow shuffle key for

@@ -52,21 +52,17 @@ object Embeddings {
     val n = base.count()
     if (n == 0L) return (Seq.fill(dim)(0.0), 0.0)
     val mu = meanVector(base, vecCol, dim)
-    val muLit = array(mu.map(lit(_)): _*)
     val v = Array.fill(dim)(Quantize.roundHalfUp(1.0 / math.sqrt(dim.toDouble), 9))
     var eig = 0.0
     var r = 0
     while (r < rounds) {
-      val vLit = array(v.map(lit(_)): _*)
-      // ⟨x−μ, v⟩ as a sequential index-order fold — the same shape as the
-      // oracle's list_sum(list_transform(...)) restatement
-      val d = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
-        (acc, i) => acc + (element_at(col(vecCol), i).cast("double") - element_at(muLit, i))
-          * element_at(vLit, i))
-      val w = base.select(d.as("_d"), posexplode(col(vecCol)).as(Seq("p0", "x")))
-        .select((col("p0") + 1).as("i"),
-          round((col("x").cast("double") - element_at(muLit, col("p0") + 1)) * col("_d"), 9)
-            .cast("decimal(38,9)").as("t"))
+      // one codegen'd pass per row computes the dot AND all dim rounded
+      // lane terms (graft.kernels.Embed — bit-identical to the previous
+      // interpreted HOF tree; the gates' hash equality is the proof)
+      val w = base
+        .select(posexplode(graft.functions.pca_lane_terms(col(vecCol), mu, v.clone()))
+          .as(Seq("p0", "t0")))
+        .select((col("p0") + 1).as("i"), col("t0").cast("decimal(38,9)").as("t"))
         .groupBy(col("i")).agg(sum(col("t")).as("w"))
         .collect()
         .map(row => row.getInt(0) -> row.getDecimal(1).doubleValue()).toMap
@@ -118,9 +114,7 @@ object Embeddings {
     require(mu.length == dim && v.length == dim, "mu/v must match dim")
     val muLit = array(mu.map(lit(_)): _*)
     val vLit = array(v.map(lit(_)): _*)
-    val d = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
-      (acc, i) => acc + (element_at(col(vecCol), i).cast("double") - element_at(muLit, i))
-        * element_at(vLit, i))
+    val d = graft.functions.centered_dot(col(vecCol), mu, v.toArray)
     df.where(col(vecCol).isNotNull)
       .select(col(idCol), d.as("_d"), posexplode(col(vecCol)).as(Seq("p0", "x")))
       .select(col(idCol), col("p0").cast("long").as("pos"),
