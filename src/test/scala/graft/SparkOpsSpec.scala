@@ -839,13 +839,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // probe table against the corpus — every probe×corpus distance is the
     // workload itself, and the pair space is bounded by the broadcast side
     // (≤ spark.sql.autoBroadcastJoinThreshold), not corpus². lm_logprob,
-    // bigram_logprob, pmi_pairs, mixture_temperature and pagerank ride a
+    // bigram_logprob, kneser_ney_logprob, pmi_pairs, mixture_temperature,
+    // pagerank, dsir_scores/dsir_sample and unimax_mixture ride a
     // ONE-row broadcast cross join to attach scalar corpus totals (N/P,
     // Σweights, |V|, the corpus token total for the bigram interpolation
-    // floor) — output cardinality equals the left side exactly.
+    // floor, the distinct-pair count for the KN continuation, the
+    // raw/target token totals for the DSIR LLR, the capped-prefix stats
+    // for the UniMax even share) — output cardinality equals the left
+    // side exactly.
     val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch",
-      "lm_logprob", "bigram_logprob", "pmi_pairs", "mixture_temperature",
-      "pagerank")
+      "lm_logprob", "bigram_logprob", "kneser_ney_logprob", "pmi_pairs",
+      "mixture_temperature", "pagerank", "dsir_scores", "dsir_sample",
+      "unimax_mixture")
     Queries.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans CartesianProduct:\n$plan")
