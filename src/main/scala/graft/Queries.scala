@@ -2271,6 +2271,31 @@ object Queries {
     // under scanline filter doc_id%5 — so all five PNG filter
     // reconstructions (None/Sub/Up/Average/Paeth) are exercised at the
     // gate; the oracle recomputes exact per-channel sums from the formula
+    // Perceptual image dedup, stage 1: 63-bit dHash over REAL decoded
+    // PNG pixels (18×16 fixtures — filter type cycles doc_id%5, gray and
+    // RGB both exercised). The oracle replays generator pixels → integer
+    // luma → 2×2 floor-mean pools → comparison bits, fully independently
+    "image_dhash" -> ((s, dir) => {
+      val fixtureUdf = udf((id: Long) =>
+        MediaCodec.pngPixelFixture(18, 16, id, (id % 5).toInt,
+          channels = if (id % 4 == 0) 1 else 3))
+      docs(s, dir).withColumn("payload", fixtureUdf(col("doc_id")))
+        .select(col("doc_id"), graft.functions.png_dhash(col("payload")).as("dhash"))
+    }),
+
+    // stage 2: hamming-≤7 near-dup pairs over the dHash column through
+    // the generalized pigeonhole blocking (exact — any pair within 7
+    // bits shares one of 8 chunks); oracle = all-pairs popcount
+    "image_dhash_pairs" -> ((s, dir) => {
+      val fixtureUdf = udf((id: Long) =>
+        MediaCodec.pngPixelFixture(18, 16, id, (id % 5).toInt,
+          channels = if (id % 4 == 0) 1 else 3))
+      val hashed = docs(s, dir).withColumn("payload", fixtureUdf(col("doc_id")))
+        .select(col("doc_id"), graft.functions.png_dhash(col("payload")).as("dhash"))
+      Dedup.hammingPairs(hashed, "doc_id", col("dhash"), maxHamming = 7)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "image_pixel_stats" -> ((s, dir) => {
       val fixtureUdf = udf((id: Long) =>
         MediaCodec.pngPixelFixture((1 + id % 8).toInt, (1 + id % 6).toInt, id, (id % 5).toInt))
@@ -3856,6 +3881,52 @@ object Queries {
 
     // exact restatement of the pixel generator: per-channel sums over the
     // w x h grid; the Spark side inflates + unfilters real PNG bytes
+    // generator pixels -> luma -> 2x2 floor-mean pools -> comparison bits;
+    // bit index y*8+x, bit 63 dropped (BIGINT-restatable convention)
+    "image_dhash" -> {
+      val luma =
+        """CASE WHEN ch = 1 THEN (doc_id + 7*x + 13*y) % 256
+          |     ELSE (299*((doc_id + 7*x + 13*y) % 256)
+          |         + 587*((doc_id + 7*x + 13*y + 29) % 256)
+          |         + 114*((doc_id + 7*x + 13*y + 58) % 256)) // 1000 END""".stripMargin
+      s"""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+         |cells AS (SELECT doc_id, gx.x AS x, gy.y AS y, $luma AS l
+         |  FROM t, UNNEST(generate_series(0, 17)) AS gx(x), UNNEST(generate_series(0, 15)) AS gy(y)),
+         |pool AS (SELECT doc_id, x // 2 AS px, y // 2 AS py, sum(l) // 4 AS pv
+         |  FROM cells GROUP BY doc_id, x // 2, y // 2),
+         |hb AS (SELECT pa.doc_id,
+         |  CAST(sum(CASE WHEN pa.pv < pb.pv AND (pa.py * 8 + pa.px) < 63
+         |           THEN (CAST(1 AS BIGINT) << (pa.py * 8 + pa.px)) ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM pool pa JOIN pool pb
+         |    ON pa.doc_id = pb.doc_id AND pa.py = pb.py AND pb.px = pa.px + 1
+         |  GROUP BY pa.doc_id)
+         |SELECT doc_id, dhash FROM hb""".stripMargin
+    },
+
+    "image_dhash_pairs" -> {
+      val luma =
+        """CASE WHEN ch = 1 THEN (doc_id + 7*x + 13*y) % 256
+          |     ELSE (299*((doc_id + 7*x + 13*y) % 256)
+          |         + 587*((doc_id + 7*x + 13*y + 29) % 256)
+          |         + 114*((doc_id + 7*x + 13*y + 58) % 256)) // 1000 END""".stripMargin
+      s"""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+         |cells AS (SELECT doc_id, gx.x AS x, gy.y AS y, $luma AS l
+         |  FROM t, UNNEST(generate_series(0, 17)) AS gx(x), UNNEST(generate_series(0, 15)) AS gy(y)),
+         |pool AS (SELECT doc_id, x // 2 AS px, y // 2 AS py, sum(l) // 4 AS pv
+         |  FROM cells GROUP BY doc_id, x // 2, y // 2),
+         |hb AS (SELECT pa.doc_id,
+         |  CAST(sum(CASE WHEN pa.pv < pb.pv AND (pa.py * 8 + pa.px) < 63
+         |           THEN (CAST(1 AS BIGINT) << (pa.py * 8 + pa.px)) ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM pool pa JOIN pool pb
+         |    ON pa.doc_id = pb.doc_id AND pa.py = pb.py AND pb.px = pa.px + 1
+         |  GROUP BY pa.doc_id)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+         |ORDER BY a, b""".stripMargin
+    },
+
     "image_pixel_stats" ->
       """WITH t AS (SELECT doc_id, 1 + doc_id % 8 AS w, 1 + doc_id % 6 AS h FROM documents),
         |cells AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS k FROM t),

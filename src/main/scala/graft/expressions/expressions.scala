@@ -993,3 +993,37 @@ case class PcaLaneTerms(child: Expression, mu: Array[Double], v: Array[Double])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `png_dhash(blob)` — 63-bit perceptual difference hash over REAL
+  * decoded PNG pixels ([[graft.ops.MediaCodec.pngDhash63]]): decode →
+  * integer luma → 9×8 floor-mean pool → adjacent-pool comparison bits.
+  * NULL for undecodable blobs or dimensions not divisible into the
+  * pool grid. Codegen'd static call, one pass per row.
+  */
+case class PngDhashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_dhash"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.MediaCodec.pngDhashBoxed(v.asInstanceOf[Array[Byte]]) match {
+      case null => null
+      case boxed => boxed.longValue()
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r = graft.ops.MediaCodec.pngDhashBoxed($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -98,6 +98,11 @@ object functions {
     */
   def png_pixel_stats(payload: Column): Column = col(PngPixelStatsExpr(expr(payload)))
 
+  /** 63-bit perceptual dHash over decoded PNG pixels — see
+    * [[graft.expressions.PngDhashExpr]].
+    */
+  def png_dhash(payload: Column): Column = col(PngDhashExpr(expr(payload)))
+
   /** One BPE merge round over a symbol array; see
     * [[graft.expressions.BpeMerge]].
     */

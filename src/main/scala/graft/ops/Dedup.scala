@@ -684,15 +684,27 @@ object Dedup {
     * again and require two matches) to keep buckets bounded.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(df, idCol, simhash64(simhashTokens(col(textCol))), maxHamming)
+
+  /** Pigeonhole hamming-≤k pairs over ANY 64-bit hash column — the
+    * blocking engine behind [[simhashPairs]] (text) and the perceptual
+    * image dedup gate ([[graft.ops.MediaCodec.pngDhash63]] column):
+    * split the hash into (k+1) chunks; any pair within distance k shares
+    * at least one exact chunk (zero false negatives), bucket-join on
+    * (chunk, value), verify with a codegen'd popcount. Null hashes
+    * (e.g. undecodable images) drop out before blocking.
+    */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: Column,
+                   maxHamming: Int): DataFrame = {
     // maxHamming=0 would give bitsPer=64 and (1L<<64)-1 == 0 (Java shifts
     // mod 64), silently collapsing all rows into one bucket; require >= 1
     // (exact duplicates are a plain groupBy on the full hash, not blocking).
     require(maxHamming >= 1 && maxHamming <= 15, s"maxHamming must be in [1,15], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val hashed = df.select(col(idCol).as("id"),
-      simhash64(simhashTokens(col(textCol))).as("sh"))
+    val hashed = df.select(col(idCol).as("id"), hashCol.as("sh"))
+      .where(col("sh").isNotNull)
 
     val banded = hashed.select(col("id"), col("sh"),
         posexplode(array((0 until chunks).map(c =>

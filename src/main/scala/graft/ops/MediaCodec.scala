@@ -247,7 +247,13 @@ object MediaCodec {
     * None for malformed / unsupported payloads (16-bit, palette,
     * interlaced).
     */
-  def pngPixelStats(b: Array[Byte]): Option[PixelStats] = {
+  /** Shared PNG decode: returns (w, h, channels, reconstructed scanlines
+    * (filter byte slots still present, pixel bytes reconstructed),
+    * stride) — the common front half of [[pngPixelStats]] and
+    * [[pngDhash63]]. All the guards (bit depth, interlace, 256 MB cap,
+    * truncated stream) live here once.
+    */
+  private[ops] def pngDecodePixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte], Int)] = {
     if (probePng(b).isEmpty) return None
     val w = be32(b, 16); val h = be32(b, 20)
     val bitDepth = u8(b, 24); val colorType = u8(b, 25); val interlace = u8(b, 28)
@@ -311,10 +317,17 @@ object MediaCodec {
       }
       y += 1
     }
+    Some((w, h, ch, raw, stride))
+  }
 
+  def pngPixelStats(b: Array[Byte]): Option[PixelStats] = {
+    val (w, h, ch, raw, stride) = pngDecodePixels(b) match {
+      case Some(t) => t
+      case None => return None
+    }
     val sums = new Array[Long](3)
     var maxPx = 0L
-    y = 0
+    var y = 0
     while (y < h) {
       val row = y * stride + 1
       var i = 0
@@ -340,6 +353,79 @@ object MediaCodec {
       case Some(s) =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](s.width, s.height, s.channels, s.sum_r, s.sum_g, s.sum_b, s.max_px))
+      case None => null
+    }
+
+  /** Perceptual 63-bit difference hash (dHash) over REAL decoded PNG
+    * pixels — the image-dedup fingerprint: decode ([[pngDecodePixels]],
+    * all five scanline filters), integer luma `(299r+587g+114b)/1000`
+    * (identity for grayscale, alpha ignored), average-pool to a 9×8 grid
+    * (floor mean over exact (w/9)×(h/8) boxes — `None` unless 9|w and
+    * 8|h so the pool is integer-exact and SQL-restatable; production
+    * callers resize upstream), then bit `y·8+x` = 1 iff
+    * `pool[y][x] < pool[y][x+1]`. Bit 63 (the last comparison) is
+    * deliberately dropped: every engine that restates the hash as
+    * `Σ CASE·2^bit` would overflow signed BIGINT on bit 63 — the same
+    * entropy trade as [[graft.ops.Dedup.tokenHash61]].
+    *
+    * Near-identical images differ in few bits (a changed region moves
+    * only its own pools), so [[graft.ops.Dedup.hammingPairs]] over this
+    * column is exact perceptual dedup above the pigeonhole floor.
+    */
+  def pngDhash63(b: Array[Byte]): Option[Long] = {
+    val (w, h, ch, raw, stride) = pngDecodePixels(b) match {
+      case Some(t) => t
+      case None => return None
+    }
+    if (w % 9 != 0 || h % 8 != 0) return None
+    val bw = w / 9; val bh = h / 8
+    val pool = new Array[Long](72) // 8 rows x 9 cols
+    var py = 0
+    while (py < 8) {
+      var px = 0
+      while (px < 9) {
+        var s = 0L
+        var y = py * bh
+        while (y < (py + 1) * bh) {
+          val row = y * stride + 1
+          var x = px * bw
+          while (x < (px + 1) * bw) {
+            val l =
+              if (ch == 1) u8(raw, row + x)
+              else (299 * u8(raw, row + x * ch) + 587 * u8(raw, row + x * ch + 1)
+                + 114 * u8(raw, row + x * ch + 2)) / 1000
+            s += l
+            x += 1
+          }
+          y += 1
+        }
+        pool(py * 9 + px) = s / (bw.toLong * bh)
+        px += 1
+      }
+      py += 1
+    }
+    var hash = 0L
+    var py2 = 0
+    while (py2 < 8) {
+      var px2 = 0
+      while (px2 < 8) {
+        val bit = py2 * 8 + px2
+        if (bit < 63 && pool(py2 * 9 + px2) < pool(py2 * 9 + px2 + 1))
+          hash |= 1L << bit
+        px2 += 1
+      }
+      py2 += 1
+    }
+    Some(hash)
+  }
+
+  /** Static entry point for generated code
+    * ([[graft.expressions.PngDhashExpr]]): null when not decodable or
+    * not pool-divisible.
+    */
+  def pngDhashBoxed(b: Array[Byte]): java.lang.Long =
+    pngDhash63(b) match {
+      case Some(v) => java.lang.Long.valueOf(v)
       case None => null
     }
 

@@ -2144,6 +2144,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run.overCapShingles() > 0)
   }
 
+  test("pngDhash63: stable under filter type, null on bad pool dims, locality of change") {
+    import graft.ops.MediaCodec
+    // the same pixels through different scanline filters decode identically
+    val h0 = MediaCodec.pngDhash63(MediaCodec.pngPixelFixture(18, 16, 7L, 0))
+    (1 to 4).foreach { f =>
+      assert(MediaCodec.pngDhash63(MediaCodec.pngPixelFixture(18, 16, 7L, f)) == h0,
+        s"filter $f changed the dhash")
+    }
+    assert(h0.isDefined && (h0.get & (1L << 63)) == 0L, "bit 63 must stay clear")
+    // dimensions that don't divide into the 9x8 pool grid -> None
+    assert(MediaCodec.pngDhash63(MediaCodec.pngPixelFixture(17, 16, 7L, 0)).isEmpty)
+    assert(MediaCodec.pngDhash63(MediaCodec.pngPixelFixture(18, 15, 7L, 0)).isEmpty)
+    // undecodable -> None; grayscale path decodes
+    assert(MediaCodec.pngDhash63(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodec.pngDhash63(
+      MediaCodec.pngPixelFixture(18, 16, 7L, 0, channels = 1)).isDefined)
+    // a nearby seed shifts mod-256 wrap positions slightly: hashes are
+    // close but the hash still discriminates across the corpus
+    val hs = (0L until 64L).map(s =>
+      MediaCodec.pngDhash63(MediaCodec.pngPixelFixture(18, 16, s, 0)).get)
+    assert(hs.distinct.size > 8, s"only ${hs.distinct.size} distinct dhashes in 64 seeds")
+    val d01 = java.lang.Long.bitCount(hs(0) ^ hs(1))
+    assert(d01 <= 16, s"adjacent seeds unexpectedly far: $d01 bits")
+  }
+
   test("unimaxAllocation matches the literal sequential waterfill; budget conserved") {
     val sizes = Seq("a" -> 10L, "b" -> 25L, "c" -> 25L, "d" -> 400L, "e" -> 1000L, "f" -> 3L)
     val df = sizes.toDF("dom", "w")
