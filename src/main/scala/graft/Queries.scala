@@ -2359,6 +2359,15 @@ object Queries {
         .select(col("node").as("doc_id"), col("pagerank"))
         .orderBy("doc_id")),
 
+    // Deterministic label propagation (min-label tiebreak) on the same
+    // near-dup graph, two synchronous rounds — the oracle replays both
+    // rounds' neighbor-label majorities with identical window semantics
+    "label_propagation" -> ((s, dir) =>
+      Graph.labelPropagation(Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3),
+          "a", "b", iterations = 2)
+        .select(col("node").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")),
+
     // Adjacent-pair PMI collocations: exact BIGINT counts, one ln() tree
     // over them — the count floor keeps the pair table vocabulary-sized
     "pmi_pairs" -> ((s, dir) =>
@@ -3986,6 +3995,25 @@ object Queries {
          |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
     "pagerank" -> pageRankSql(3),
+
+    // two synchronous LPA rounds over the same simhash graph: neighbor
+    // label majorities, row_number tiebreak (count desc, label asc)
+    "label_propagation" -> {
+      def round(i: Int) =
+        s"""m$i AS (SELECT e.v AS node, l.label, count(*) AS cnt
+           |  FROM ed e JOIN l${i - 1} l ON l.node = e.u GROUP BY e.v, l.label),
+           |l$i AS (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+           |  FROM m$i) WHERE rn = 1)""".stripMargin
+      s"""WITH $simhashSelect,
+         |pr AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |ed AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
+         |${round(1)},
+         |${round(2)}
+         |SELECT node AS doc_id, label AS community FROM l2 ORDER BY doc_id""".stripMargin
+    },
 
     "novelty_score" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

@@ -184,6 +184,10 @@ object functions {
       case Seq(p) => PcmStatsExpr(p)
       case args => throw new IllegalArgumentException(s"pcm_stats expects 1 arg, got ${args.size}")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("png_dhash", {
+      case Seq(p) => PngDhashExpr(p)
+      case args => throw new IllegalArgumentException(s"png_dhash expects 1 arg, got ${args.size}")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("png_pixel_stats", {
       case Seq(p) => PngPixelStatsExpr(p)
       case args => throw new IllegalArgumentException(s"png_pixel_stats expects 1 arg, got ${args.size}")
