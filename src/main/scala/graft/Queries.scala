@@ -2256,6 +2256,20 @@ object Queries {
     // pcm_stats expression walks the RIFF chunks and decodes every LE16
     // sample; the oracle recomputes the exact integer statistics from the
     // generator formula — a decoder reading wrong offsets/endianness fails
+    // Energy-envelope audio fingerprint over REAL decoded PCM16: 8-sample
+    // frame energies, interior peak constellation, polynomial fold — the
+    // oracle replays samples from the generator formula, frame sums,
+    // peak selection, and the interleaved (idx, energy) fold verbatim
+    "audio_fingerprint" -> ((s, dir) => {
+      val fixtureUdf = udf((id: Long) =>
+        MediaCodec.wavPcmFixture(16000, 1, (50 + id % 32).toInt, id))
+      docs(s, dir).withColumn("payload", fixtureUdf(col("doc_id")))
+        .select(col("doc_id"),
+          graft.functions.pcm_fingerprint(col("payload"), 8).as("fp"))
+        .select(col("doc_id"), col("fp.n_windows").as("n_windows"),
+          col("fp.n_peaks").as("n_peaks"), col("fp.fingerprint").as("fingerprint"))
+    }),
+
     "audio_pcm_stats" -> ((s, dir) => {
       val fixtureUdf = udf((id: Long) =>
         MediaCodec.wavPcmFixture(16000, 1, (50 + id % 32).toInt, id))
@@ -3877,6 +3891,25 @@ object Queries {
 
     // exact restatement of the PCM generator the fixture materializes:
     // the Spark side DECODES bytes, the oracle recomputes from the formula
+    // formula samples -> 8-sample frame energies -> strict interior peaks
+    // -> (h*31 + x) % 1e9+7 fold over the interleaved (idx, e%2^16) list
+    "audio_fingerprint" ->
+      """WITH t AS (SELECT doc_id, 50 + doc_id % 32 AS n FROM documents),
+        |s AS (SELECT doc_id, n, list_transform(generate_series(0, n - 1),
+        |    i -> ((doc_id * 31 + i * 17) % 4096) - 2048) AS sm FROM t),
+        |e AS (SELECT doc_id, n // 8 AS k, list_transform(generate_series(0, n // 8 - 1),
+        |    w -> CAST(list_sum(list_transform(generate_series(1, 8),
+        |      j -> CAST(sm[w * 8 + j] AS BIGINT) * sm[w * 8 + j])) AS BIGINT)) AS el FROM s),
+        |p AS (SELECT doc_id, k, el,
+        |    list_filter(generate_series(2, k - 1),
+        |      w -> el[w] > el[w - 1] AND el[w] > el[w + 1]) AS pw FROM e),
+        |f AS (SELECT doc_id, k, pw,
+        |    flatten(list_transform(pw, w -> [CAST(w AS BIGINT), el[w] % 65536])) AS fl FROM p)
+        |SELECT doc_id, CAST(k AS BIGINT) AS n_windows, CAST(len(pw) AS BIGINT) AS n_peaks,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fl),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
+        |FROM f""".stripMargin,
+
     "audio_pcm_stats" ->
       """WITH t AS (SELECT doc_id, 50 + doc_id % 32 AS n FROM documents),
         |s AS (SELECT doc_id, n, list_transform(generate_series(0, n - 1),

@@ -1027,3 +1027,39 @@ case class PngDhashExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `pcm_fingerprint(blob, window)` — energy-envelope audio fingerprint
+  * over REAL decoded PCM16
+  * ([[graft.ops.MediaCodec.pcmEnergyFingerprint]]): per-frame energy,
+  * interior peak constellation, polynomial fold. NULL when the payload
+  * isn't decodable PCM16.
+  */
+case class PcmFingerprintExpr(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_windows", LongType, nullable = false),
+    StructField("n_peaks", LongType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pcm_fingerprint"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.MediaCodec.pcmEnergyFingerprintRow(v.asInstanceOf[Array[Byte]], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.ops.MediaCodec.pcmEnergyFingerprintRow($c, $window);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

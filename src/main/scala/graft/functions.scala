@@ -103,6 +103,12 @@ object functions {
     */
   def png_dhash(payload: Column): Column = col(PngDhashExpr(expr(payload)))
 
+  /** Energy-envelope audio fingerprint over decoded PCM16 — see
+    * [[graft.expressions.PcmFingerprintExpr]].
+    */
+  def pcm_fingerprint(payload: Column, window: Int = 8): Column =
+    col(PcmFingerprintExpr(expr(payload), window))
+
   /** One BPE merge round over a symbol array; see
     * [[graft.expressions.BpeMerge]].
     */

@@ -188,7 +188,11 @@ object MediaCodec {
     * decode restatable exactly in SQL from a known generator. None for
     * non-WAV / non-PCM16 payloads.
     */
-  def pcmStats(b: Array[Byte]): Option[PcmStats] = {
+  /** Shared RIFF/WAVE walk to the PCM16 sample region: (dataOff,
+    * n_samples) — the common front half of [[pcmStats]] and
+    * [[pcmEnergyFingerprint]].
+    */
+  private[ops] def pcmData(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 12 || ascii4(b, 0) != "RIFF" || ascii4(b, 8) != "WAVE") return None
     var p = 12
     var fmtOk = false
@@ -206,7 +210,14 @@ object MediaCodec {
       p += 8 + size + (size & 1)
     }
     if (!fmtOk || dataOff < 0) return None
-    val n = dataLen / 2
+    Some((dataOff, dataLen / 2))
+  }
+
+  def pcmStats(b: Array[Byte]): Option[PcmStats] = {
+    val (dataOff, n) = pcmData(b) match {
+      case Some(t) => t
+      case None => return None
+    }
     var sumAbs = 0L; var maxAbs = 0L; var zc = 0L
     var prevNeg = false
     var i = 0
@@ -231,6 +242,67 @@ object MediaCodec {
       case Some(s) =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](s.n_samples, s.sum_abs, s.max_abs, s.zero_cross))
+      case None => null
+    }
+
+  final case class PcmFingerprint(n_windows: Long, n_peaks: Long, fingerprint: Long)
+
+  /** Energy-envelope audio fingerprint over REAL decoded PCM16: sum of
+    * squares per `window`-sample frame (exact BIGINT), energy-peak
+    * frames (strict local maxima over interior frames — the envelope's
+    * constellation), and an order-sensitive polynomial fold over the
+    * peak (index, energy mod 2¹⁶) stream:
+    * `h ← (h·31 + x) mod 1e9+7` over [idx₁, e₁, idx₂, e₂, …] with
+    * 1-based frame indices. Identical content fingerprints identically
+    * regardless of container padding; a shifted/edited copy moves its
+    * peaks and changes the hash — the cheap audio content key for
+    * exact-dup grouping, restatable verbatim in SQL (every step is
+    * integer arithmetic over the formula samples). Trailing partial
+    * frames are dropped; fewer than 3 frames → zero peaks, fingerprint 0.
+    */
+  def pcmEnergyFingerprint(b: Array[Byte], window: Int = 8): Option[PcmFingerprint] = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val (dataOff, n) = pcmData(b) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val k = n / window
+    val e = new Array[Long](k)
+    var w = 0
+    while (w < k) {
+      var s = 0L
+      var j = 0
+      while (j < window) {
+        val smp = (le16(b, dataOff + 2 * (w * window + j)) << 16) >> 16
+        s += smp.toLong * smp
+        j += 1
+      }
+      e(w) = s
+      w += 1
+    }
+    val M = 1000000007L
+    var h = 0L
+    var peaks = 0L
+    w = 1
+    while (w < k - 1) {
+      if (e(w) > e(w - 1) && e(w) > e(w + 1)) {
+        peaks += 1
+        h = (h * 31 + (w + 1)) % M
+        h = (h * 31 + e(w) % 65536) % M
+      }
+      w += 1
+    }
+    Some(PcmFingerprint(k.toLong, peaks, h))
+  }
+
+  /** Static entry point for generated code
+    * ([[graft.expressions.PcmFingerprintExpr]]).
+    */
+  def pcmEnergyFingerprintRow(b: Array[Byte], window: Int): org.apache.spark.sql.catalyst.InternalRow =
+    pcmEnergyFingerprint(b, window) match {
+      case Some(f) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](f.n_windows, f.n_peaks, f.fingerprint))
       case None => null
     }
 

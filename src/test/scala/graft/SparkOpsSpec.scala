@@ -2144,6 +2144,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run.overCapShingles() > 0)
   }
 
+  test("pcmEnergyFingerprint: deterministic, content-sensitive, degenerate-safe") {
+    import graft.ops.MediaCodec
+    val a = MediaCodec.pcmEnergyFingerprint(MediaCodec.wavPcmFixture(16000, 1, 80, 7L))
+    val a2 = MediaCodec.pcmEnergyFingerprint(MediaCodec.wavPcmFixture(16000, 1, 80, 7L))
+    val b = MediaCodec.pcmEnergyFingerprint(MediaCodec.wavPcmFixture(16000, 1, 80, 8L))
+    assert(a.isDefined && a == a2, "same content must fingerprint identically")
+    assert(a.get.fingerprint != b.get.fingerprint, "different content collided")
+    assert(a.get.n_windows == 10)
+    // fewer than 3 full frames -> zero peaks, fingerprint 0
+    val tiny = MediaCodec.pcmEnergyFingerprint(MediaCodec.wavPcmFixture(16000, 1, 16, 7L))
+    assert(tiny.get.n_windows == 2 && tiny.get.n_peaks == 0 && tiny.get.fingerprint == 0L)
+    // undecodable -> None
+    assert(MediaCodec.pcmEnergyFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("pngDhash63: stable under filter type, null on bad pool dims, locality of change") {
     import graft.ops.MediaCodec
     // the same pixels through different scanline filters decode identically
