@@ -3891,8 +3891,8 @@ object Queries {
 
     // exact restatement of the PCM generator the fixture materializes:
     // the Spark side DECODES bytes, the oracle recomputes from the formula
-    // formula samples -> 8-sample frame energies -> strict interior peaks
-    // -> (h*31 + x) % 1e9+7 fold over the interleaved (idx, e%2^16) list
+    // formula samples -> 8-sample frame energies -> whole-envelope
+    // (h*31 + e%2^16) % 1e9+7 fold + strict-interior-peak count
     "audio_fingerprint" ->
       """WITH t AS (SELECT doc_id, 50 + doc_id % 32 AS n FROM documents),
         |s AS (SELECT doc_id, n, list_transform(generate_series(0, n - 1),
@@ -3901,14 +3901,13 @@ object Queries {
         |    w -> CAST(list_sum(list_transform(generate_series(1, 8),
         |      j -> CAST(sm[w * 8 + j] AS BIGINT) * sm[w * 8 + j])) AS BIGINT)) AS el FROM s),
         |p AS (SELECT doc_id, k, el,
-        |    list_filter(generate_series(2, k - 1),
-        |      w -> el[w] > el[w - 1] AND el[w] > el[w + 1]) AS pw FROM e),
-        |f AS (SELECT doc_id, k, pw,
-        |    flatten(list_transform(pw, w -> [CAST(w AS BIGINT), el[w] % 65536])) AS fl FROM p)
-        |SELECT doc_id, CAST(k AS BIGINT) AS n_windows, CAST(len(pw) AS BIGINT) AS n_peaks,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fl),
+        |    len(list_filter(generate_series(2, k - 1),
+        |      w -> el[w] > el[w - 1] AND el[w] > el[w + 1])) AS n_peaks FROM e)
+        |SELECT doc_id, CAST(k AS BIGINT) AS n_windows, CAST(n_peaks AS BIGINT) AS n_peaks,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(el, x -> x % 65536)),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
-        |FROM f""".stripMargin,
+        |FROM p""".stripMargin,
 
     "audio_pcm_stats" ->
       """WITH t AS (SELECT doc_id, 50 + doc_id % 32 AS n FROM documents),

@@ -248,17 +248,17 @@ object MediaCodec {
   final case class PcmFingerprint(n_windows: Long, n_peaks: Long, fingerprint: Long)
 
   /** Energy-envelope audio fingerprint over REAL decoded PCM16: sum of
-    * squares per `window`-sample frame (exact BIGINT), energy-peak
-    * frames (strict local maxima over interior frames — the envelope's
-    * constellation), and an order-sensitive polynomial fold over the
-    * peak (index, energy mod 2¹⁶) stream:
-    * `h ← (h·31 + x) mod 1e9+7` over [idx₁, e₁, idx₂, e₂, …] with
-    * 1-based frame indices. Identical content fingerprints identically
-    * regardless of container padding; a shifted/edited copy moves its
-    * peaks and changes the hash — the cheap audio content key for
-    * exact-dup grouping, restatable verbatim in SQL (every step is
-    * integer arithmetic over the formula samples). Trailing partial
-    * frames are dropped; fewer than 3 frames → zero peaks, fingerprint 0.
+    * squares per `window`-sample frame (exact BIGINT), then an
+    * order-sensitive polynomial fold over the WHOLE envelope —
+    * `h ← (h·31 + e_w mod 2¹⁶) mod 1e9+7` frame by frame — as the
+    * content key, plus the count of strict interior energy peaks (the
+    * constellation summary). Folding every frame rather than peaks only
+    * keeps the key discriminative on smooth-envelope content (a linear
+    * ramp has no interior maxima at all); identical content fingerprints
+    * identically regardless of container padding, and any edit moves
+    * every downstream frame's contribution. Restatable verbatim in SQL —
+    * every step is integer arithmetic over the decoded samples. Trailing
+    * partial frames are dropped; zero full frames → fingerprint 0.
     */
   def pcmEnergyFingerprint(b: Array[Byte], window: Int = 8): Option[PcmFingerprint] = {
     require(window >= 1, s"window must be >= 1, got $window")
@@ -283,13 +283,10 @@ object MediaCodec {
     val M = 1000000007L
     var h = 0L
     var peaks = 0L
-    w = 1
-    while (w < k - 1) {
-      if (e(w) > e(w - 1) && e(w) > e(w + 1)) {
-        peaks += 1
-        h = (h * 31 + (w + 1)) % M
-        h = (h * 31 + e(w) % 65536) % M
-      }
+    w = 0
+    while (w < k) {
+      h = (h * 31 + e(w) % 65536) % M
+      if (w >= 1 && w < k - 1 && e(w) > e(w - 1) && e(w) > e(w + 1)) peaks += 1
       w += 1
     }
     Some(PcmFingerprint(k.toLong, peaks, h))
