@@ -1876,6 +1876,17 @@ object Queries {
         .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")),
 
+    // The keep DECISION on top of the clusters: per-component
+    // best-quality member (score desc, id tiebreak) — the oracle replays
+    // components (recursive reachability), the quality formula, and the
+    // window rank independently
+    "cluster_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.clusterKeep(Dedup.simhashPairs(d, "doc_id", "text", 3),
+          d, "doc_id", TextAnalysis.qualityScore(col("text")))
+        .orderBy("doc_id")
+    }),
+
     // Exact 4-gram Jaccard via MinHash-LSH candidates → exact verify (no
     // all-pairs join anywhere in the plan); pipeline and gate both at 0.9
     // (see jaccardAllPairsSql), the run's materialization released after
@@ -3541,6 +3552,26 @@ object Queries {
          |reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) t
          |  UNION SELECT reach.node, e.v FROM reach JOIN ed e ON e.u = reach.r)
          |SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // components (recursive reachability) x quality formula x window rank
+    "cluster_keep" ->
+      s"""WITH RECURSIVE $simhashSelect,
+         |pr AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |ed AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         |reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) t
+         |  UNION SELECT reach.node, e.v FROM reach JOIN ed e ON e.u = reach.r),
+         |cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |qs AS (SELECT doc_id, round(
+         |  least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25 +
+         |  (CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25 +
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25 +
+         |  least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+         |  6) AS score FROM documents),
+         |rk AS (SELECT cc.node AS doc_id, cc.component, qs.score,
+         |  row_number() OVER (PARTITION BY cc.component ORDER BY qs.score DESC, cc.node) AS rn
+         |  FROM cc JOIN qs ON qs.doc_id = cc.node)
+         |SELECT doc_id, component, score, rn = 1 AS is_keep FROM rk ORDER BY doc_id""".stripMargin,
 
     "ngram_jaccard_top" -> jaccardAllPairsSql(4, 0.9, 50),
 

@@ -855,6 +855,31 @@ object Dedup {
       .select(col("id"), col("pos"), col("gram"))
   }
 
+  /** The end-to-end dedup KEEP decision: near-dup pairs → connected
+    * components → per-cluster best-quality representative. This is the
+    * step a real pipeline runs after clustering — "which copy survives"
+    * — and quality-aware selection (RefinedWeb/FineWeb keep the
+    * highest-scoring member, not an arbitrary one) measurably beats
+    * min-id keeps on crawl data where the cleanest copy is rarely the
+    * first-crawled one. Deterministic: rank by (score desc, id asc)
+    * within each cluster — the per-cluster window is bounded by cluster
+    * size, and everything upstream shuffles 8-byte keys only.
+    * Output: one row per clustered doc (idCol, component, score,
+    * is_keep); docs in no pair are trivially their own keeps and are
+    * not emitted (the [[connectedComponents]] convention).
+    */
+  def clusterKeep(pairs: DataFrame, df: DataFrame, idCol: String,
+                  scoreCol: Column): DataFrame = {
+    val comps = connectedComponents(pairs, "a", "b")
+    val scored = df.select(col(idCol).as("node"), scoreCol.as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("score").desc, col("node"))
+    comps.join(scored, "node")
+      .withColumn("rn", row_number().over(w))
+      .select(col("node").as(idCol), col("component"), col("score"),
+        (col("rn") === 1).as("is_keep"))
+  }
+
   // ---------- duplicate clusters: connected components over pair edges ----------
 
   /** Connected components over an undirected edge list — turns near-dup
