@@ -2434,6 +2434,14 @@ object Queries {
       Curation.weightedSample(docs(s, dir), "doc_id", col("n_chars"), 50)
         .select(col("doc_id"), col("n_chars"), col("sample_key"))),
 
+    // Quality-curriculum quartile bins: exact percentile cuts (rounded
+    // 6 dp) + a pure-projection Σ(score > cut) assignment; the oracle
+    // recomputes the quality formula, quantile_cont cuts, and bins
+    "curriculum_bins" -> ((s, dir) =>
+      Curation.curriculumBins(docs(s, dir), "doc_id",
+          TextAnalysis.qualityScore(col("text")))
+        .orderBy("doc_id")),
+
     // UniMax budget allocation over languages (n_chars as token weight):
     // small domains cap at maxEpochs, the rest split the leftover evenly
     // — the closed-form waterfill with both branches live at these
@@ -4098,6 +4106,23 @@ object Queries {
         |SELECT doc_id, n_chars,
         |  round(ln(CAST(h53 + 1 AS DOUBLE) / 9007199254740992.0) / CAST(n_chars AS DOUBLE), 9) AS sample_key
         |FROM h ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // quality formula -> rounded quantile_cont cuts -> sum-of-compares bin
+    "curriculum_bins" ->
+      s"""WITH qs AS (SELECT doc_id, round(
+         |  least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25 +
+         |  (CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25 +
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25 +
+         |  least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+         |  6) AS score FROM documents),
+         |c AS (SELECT round(quantile_cont(score, 0.25), 6) AS c1,
+         |             round(quantile_cont(score, 0.5), 6) AS c2,
+         |             round(quantile_cont(score, 0.75), 6) AS c3 FROM qs)
+         |SELECT doc_id, score,
+         |  CAST(CASE WHEN score > c1 THEN 1 ELSE 0 END
+         |     + CASE WHEN score > c2 THEN 1 ELSE 0 END
+         |     + CASE WHEN score > c3 THEN 1 ELSE 0 END AS BIGINT) AS bin
+         |FROM qs, c ORDER BY doc_id""".stripMargin,
 
     // closed-form UniMax waterfill: prefix-sum cappedness + even share
     "unimax_mixture" ->

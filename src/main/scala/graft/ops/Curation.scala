@@ -534,6 +534,31 @@ object Curation {
       .orderBy(col("sample_key").desc, col(idCol)).limit(k)
   }
 
+  /** Quality-curriculum binning: exact corpus quantile cut points over
+    * `scoreCol` (one counting-aggregate job — no global sort; the 100 TB
+    * swap is `approx_percentile` with the same plan shape, the
+    * approx_quantile_ok trade), then a pure-projection bin assignment
+    * `bin = Σ (score > cutᵢ)` against the 6-dp-rounded cut literals.
+    * Deterministic and append-stable given the cuts; curriculum
+    * schedulers order training from bin 0 upward (or sample per-bin
+    * rates via [[stratifiedSample]] on the bin column).
+    * Output: (idCol, score, bin ∈ [0, |fractions|]).
+    */
+  def curriculumBins(df: DataFrame, idCol: String, scoreCol: Column,
+                     fractions: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(fractions.nonEmpty && fractions == fractions.sorted
+      && fractions.forall(f => f > 0.0 && f < 1.0),
+      s"fractions must be sorted in (0,1), got $fractions")
+    val scored = df.select(col(idCol), scoreCol.as("score"))
+    val fracExpr = fractions.mkString("array(", ", ", ")")
+    val row = scored.agg(expr(s"percentile(score, $fracExpr)").as("c")).head()
+    if (row.isNullAt(0))
+      return scored.select(col(idCol), col("score"), lit(0L).as("bin")).limit(0)
+    val cuts = row.getSeq[Double](0).map(graft.kernels.Quantize.roundHalfUp(_, 6))
+    val bin = cuts.foldLeft(lit(0))((acc, c) => acc + (col("score") > lit(c)).cast("int"))
+    scored.withColumn("bin", bin.cast("long"))
+  }
+
   // ---------- UniMax mixture allocation ----------
 
   /** UniMax token-budget allocation across domains (Chung et al., ICLR
