@@ -2144,6 +2144,58 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run.overCapShingles() > 0)
   }
 
+  test("containmentPairs equals brute-force containment on a randomized corpus") {
+    // the prefix-filter blocking claims ZERO false negatives — check it
+    // against the definition on a corpus random enough to hit prefix
+    // boundaries, tie ranks, and equal-size orientations (fixed seed)
+    val rnd = new scala.util.Random(20260814L)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val docs = (0 until 60).map { i =>
+      val n = 3 + rnd.nextInt(15)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val t = 0.7
+    val got = Dedup.containmentPairs(df, "doc_id", "text", shingleN = 4, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force from the same shingle kernel
+    val sets = df.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 4).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      inter = sets(a).intersect(sets(b)).size.toDouble
+      c = graft.kernels.Quantize.roundHalfUp(
+        inter / math.min(sets(a).size, sets(b).size), 6)
+      if c >= t
+    } yield (a, b) -> c).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    assert(want.nonEmpty, "degenerate corpus: no pairs to check")
+  }
+
+  test("hammingPairs equals brute-force popcount pairs on random clustered hashes") {
+    val rnd = new scala.util.Random(42L)
+    val bases = Seq.fill(6)(rnd.nextLong())
+    val rows = (0 until 80).map { i =>
+      var h = bases(i % bases.size)
+      (0 until rnd.nextInt(6)).foreach(_ => h ^= 1L << rnd.nextInt(64))
+      (i.toLong, h)
+    }
+    val k = 4
+    val got = Dedup.hammingPairs(rows.toDF("id", "h"), "id", col("h"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byId = rows.toMap
+    val want = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      d = java.lang.Long.bitCount(byId(a) ^ byId(b)).toLong
+      if d <= k
+    } yield (a, b, d)).toSet
+    assert(got == want, s"sym diff ${(got diff want).take(3)} ${(want diff got).take(3)}")
+    assert(want.nonEmpty)
+  }
+
   test("pcmEnergyFingerprint: deterministic, content-sensitive, degenerate-safe") {
     import graft.ops.MediaCodec
     val a = MediaCodec.pcmEnergyFingerprint(MediaCodec.wavPcmFixture(16000, 1, 80, 7L))
