@@ -974,6 +974,23 @@ object Queries {
       s.sql(s"SELECT id, distance FROM vector_quantize_scan('embeddings', 'embedding', '$probeJson', $K)")
     }),
 
+    // The dedup pipeline as pure SQL: near_dup_pairs expands to the SAME
+    // Catalyst tree as the Scala API (no second implementation), so the
+    // all-pairs Jaccard oracle gates the SQL surface end-to-end
+    "sql_near_dup_pairs" -> ((s, dir) => {
+      docs(s, dir).createOrReplaceTempView("documents")
+      graft.sql.GraftTableFunctions.register(s)
+      s.sql("""SELECT a, b, jaccard FROM near_dup_pairs('documents', 'doc_id', 'text', 0.9)
+              |WHERE jaccard >= 0.9 ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin)
+    }),
+
+    "sql_containment_pairs" -> ((s, dir) => {
+      docs(s, dir).createOrReplaceTempView("documents")
+      graft.sql.GraftTableFunctions.register(s)
+      s.sql("""SELECT a, b, containment FROM containment_pairs('documents', 'doc_id', 'text', 8, 0.8)
+              |ORDER BY containment DESC, a, b LIMIT 100""".stripMargin)
+    }),
+
     // Automatic index selection in pure SQL: vector_scan expands to the
     // CERTIFIED-EXACT code-store plan when the pair is quantized (this
     // gate's setup quantizes, so the certified path runs) — and the
@@ -2833,6 +2850,20 @@ object Queries {
          |  round(emn, 6) AS env_min, round(emx, 6) AS env_max,
          |  round(wmn, 6) AS wave_min, round(wmx, 6) AS wave_max
          |FROM env, wm, n""".stripMargin,
+
+    "sql_near_dup_pairs" -> jaccardAllPairsSql(3, 0.9, 100),
+
+    "sql_containment_pairs" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN length(t) < 8 THEN [t]
+        |       ELSE list_distinct(list_transform(generate_series(1, length(t) - 7), i -> t[i:i+7])) END AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(text, '[^ -~]', '', 'g')) AS t FROM documents)),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6) AS containment
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a, b, containment FROM pr WHERE containment >= 0.8
+        |ORDER BY containment DESC, a, b LIMIT 100""".stripMargin,
 
     "sql_tvf_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv),

@@ -378,10 +378,59 @@ object GraftTableFunctions {
       throw new IllegalArgumentException(s"vector_quantize_cleanup expects (table, column), got ${other.size} args")
   }
 
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => d
+    case Literal(dec: org.apache.spark.sql.types.Decimal, _: org.apache.spark.sql.types.DecimalType) => dec.toDouble
+    case Literal(i: Int, IntegerType) => i.toDouble
+    case Literal(l: Long, LongType) => l.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  }
+
+  /** `near_dup_pairs(tbl, idCol, textCol, threshold)` → (a, b, jaccard):
+    * the MinHash-LSH exact-Jaccard dedup pipeline
+    * ([[graft.ops.Dedup.ngramJaccard]]) as a SQL table function —
+    * BEYOND-REFERENCE surface: the reference's TVFs cover vector scans
+    * only, while a pipeline user writes `CREATE TABLE dups AS SELECT *
+    * FROM near_dup_pairs('docs','doc_id','text', 0.9)`. The builder
+    * expands the registered table through the full DataFrame pipeline
+    * and returns its analyzed logical plan (the same Catalyst tree the
+    * Scala API produces — no second implementation to drift); the
+    * pipeline's content-projection barrier materializes at expansion
+    * time, exactly like the Scala call.
+    */
+  def nearDupPairsBuilder(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(t, idE, txtE, thrE) =>
+      val spark = Lifecycle.activeSession("near_dup_pairs")
+      val table = strArg(t, "table name")
+      graft.ops.Dedup.ngramJaccard(spark.table(table),
+          strArg(idE, "id column"), strArg(txtE, "text column"),
+          n = 3, threshold = doubleArg(thrE, "threshold"))
+        .queryExecution.logical
+    case other =>
+      throw new IllegalArgumentException(s"near_dup_pairs expects (table, idCol, textCol, threshold), got ${other.size} args")
+  }
+
+  /** `containment_pairs(tbl, idCol, textCol, shingleN, threshold)` →
+    * (a, b, containment): the exact prefix-filtered containment join
+    * ([[graft.ops.Dedup.containmentPairs]]) in SQL.
+    */
+  def containmentPairsBuilder(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(t, idE, txtE, nE, thrE) =>
+      val spark = Lifecycle.activeSession("containment_pairs")
+      graft.ops.Dedup.containmentPairs(spark.table(strArg(t, "table name")),
+          strArg(idE, "id column"), strArg(txtE, "text column"),
+          shingleN = intArg(nE, "shingleN"), threshold = doubleArg(thrE, "threshold"))
+        .queryExecution.logical
+    case other =>
+      throw new IllegalArgumentException(s"containment_pairs expects (table, idCol, textCol, shingleN, threshold), got ${other.size} args")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "vector_full_scan" -> (fullScanBuilder _),
     "vector_quantize_scan" -> (quantScanBuilder _),
-    "vector_scan" -> (autoScanBuilder _))
+    "vector_scan" -> (autoScanBuilder _),
+    "near_dup_pairs" -> (nearDupPairsBuilder _),
+    "containment_pairs" -> (containmentPairsBuilder _))
 
   private val scalarBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vector_init" -> (initBuilder _),
