@@ -2451,6 +2451,12 @@ object Queries {
       Curation.weightedSample(docs(s, dir), "doc_id", col("n_chars"), 50)
         .select(col("doc_id"), col("n_chars"), col("sample_key"))),
 
+    // Corpus data card: release-summary metrics in one long-format table
+    // — sizes, token volume, fingerprint-exact dup rate, decimal-exact
+    // mean quality, token quartiles; every number independently restated
+    "data_card" -> ((s, dir) =>
+      Curation.dataCard(docs(s, dir), "doc_id", "text")),
+
     // Quality-curriculum quartile bins: exact percentile cuts (rounded
     // 6 dp) + a pure-projection Σ(score > cut) assignment; the oracle
     // recomputes the quality formula, quantile_cont cuts, and bins
@@ -4137,6 +4143,32 @@ object Queries {
         |SELECT doc_id, n_chars,
         |  round(ln(CAST(h53 + 1 AS DOUBLE) / 9007199254740992.0) / CAST(n_chars AS DOUBLE), 9) AS sample_key
         |FROM h ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    "data_card" ->
+      s"""WITH qs AS (SELECT doc_id, text, len($tokensSql) AS n_tok, length(text) AS n_chr,
+         |  round(
+         |    least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25 +
+         |    (CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25 +
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25 +
+         |    least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+         |  6) AS q FROM documents),
+         |agg AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |  CAST(sum(n_tok) AS DOUBLE) AS n_tokens,
+         |  round(CAST(sum(n_chr) AS DOUBLE) / count(*), 6) AS mean_chars,
+         |  round(CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_quality,
+         |  round(quantile_cont(n_tok, 0.25), 6) AS p25,
+         |  round(quantile_cont(n_tok, 0.5), 6) AS p50,
+         |  round(quantile_cont(n_tok, 0.75), 6) AS p75
+         |  FROM qs),
+         |dd AS (SELECT CAST(count(DISTINCT text) AS DOUBLE) AS n_distinct FROM documents)
+         |SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+         |UNION ALL SELECT 'n_tokens', n_tokens FROM agg
+         |UNION ALL SELECT 'mean_chars', mean_chars FROM agg
+         |UNION ALL SELECT 'mean_quality', mean_quality FROM agg
+         |UNION ALL SELECT 'exact_dup_rate', round((n_docs - n_distinct) / n_docs, 6) FROM agg, dd
+         |UNION ALL SELECT 'tokens_p25', p25 FROM agg
+         |UNION ALL SELECT 'tokens_p50', p50 FROM agg
+         |UNION ALL SELECT 'tokens_p75', p75 FROM agg""".stripMargin,
 
     // quality formula -> rounded quantile_cont cuts -> sum-of-compares bin
     "curriculum_bins" ->

@@ -534,6 +534,50 @@ object Curation {
       .orderBy(col("sample_key").desc, col(idCol)).limit(k)
   }
 
+  /** Corpus data card: the one-table summary a dataset release ships
+    * with — sizes, token volume, exact duplicate rate (via the 16-byte
+    * content fingerprint, text never shuffles), mean quality, and token
+    * length quartiles — emitted long-format (metric, value) so the card
+    * grows without schema changes. Three aggregation jobs total (corpus
+    * scalars, fingerprint distinct, percentiles), every number exact and
+    * restatable; per-language shares ride [[stratifiedSample]]-style
+    * grouping separately if needed. All values 6-dp rounded doubles.
+    */
+  def dataCard(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val toks = graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("double")
+    val base = df.select(col(idCol), col(textCol), toks.as("n_tok"),
+      length(col(textCol)).cast("double").as("n_chr"),
+      graft.ops.TextAnalysis.qualityScore(col(textCol)).as("q"))
+    // integer-valued doubles sum exactly in any order (< 2^53); the 6-dp
+    // quality scores go through DECIMAL(38,6) so the reduce order can't
+    // jitter the mean's last ulp
+    val row = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      avg(col("n_chr")).as("mean_chars"),
+      (sum(col("q").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("mean_quality"),
+      expr("percentile(n_tok, array(0.25, 0.5, 0.75))").as("tq")).head()
+    val distinctTexts = df
+      .select(xxhash64(col(textCol)).as("ck1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol)).as("ck2"))
+      .distinct().count()
+    val nDocs = row.getDouble(0)
+    def r6(x: Double): Double = graft.kernels.Quantize.roundHalfUp(x, 6)
+    val tq = row.getSeq[Double](4)
+    import spark.implicits._
+    Seq(
+      ("n_docs", nDocs),
+      ("n_tokens", row.getDouble(1)),
+      ("mean_chars", r6(row.getDouble(2))),
+      ("mean_quality", r6(row.getDouble(3))),
+      ("exact_dup_rate", r6(if (nDocs == 0) 0.0 else (nDocs - distinctTexts) / nDocs)),
+      ("tokens_p25", r6(tq(0))),
+      ("tokens_p50", r6(tq(1))),
+      ("tokens_p75", r6(tq(2)))
+    ).toDF("metric", "value")
+  }
+
   /** Quality-curriculum binning: exact corpus quantile cut points over
     * `scoreCol` (one counting-aggregate job — no global sort; the 100 TB
     * swap is `approx_percentile` with the same plan shape, the
