@@ -228,7 +228,8 @@ object Bench {
         "shuffle_positions", "weighted_sample", "rrf_hybrid",
         "containment_pairs", "dsir_sample", "softdedup_weights",
         "semantic_decontam", "unimax_mixture", "pca_top_component",
-        "kneser_ney_logprob")
+        "kneser_ney_logprob", "label_propagation", "cluster_keep",
+        "curriculum_bins", "data_card")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

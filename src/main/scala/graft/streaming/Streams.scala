@@ -264,4 +264,35 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, keyCol: String,
              joinType: String = "left_outer"): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), joinType)
+
+  /** Watermarked stream-stream equi-join with a time bound — the
+    * impressions⋈clicks shape: a right event joins a left event with the
+    * same key when it lands within `[left time, left time + bound]`.
+    * Both sides carry watermarks and the join condition carries the
+    * explicit event-time range, which is what lets Spark's
+    * stream-stream join EVICT state (without the bound, both sides'
+    * state grows forever — the classic unbounded-state footgun). Inner
+    * join: a left event with no right match within the bound simply
+    * never emits; use the outer variants once the watermark proves
+    * absence. At scale the state store holds only the bound's worth of
+    * per-key events — ingest-rate × bound, independent of stream length.
+    *
+    * `leftTsCol`/`rightTsCol` name TIMESTAMP columns already present on
+    * each side (route through [[withEventTime]]'s casting first if the
+    * source carries epoch numbers); they must be DISTINCT names so the
+    * range predicate can reference both unambiguously.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTsCol: String, rightTsCol: String,
+                       maxLateness: String, bound: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      s"leftTsCol and rightTsCol must differ, both were '$leftTsCol'")
+    val l = left.withWatermark(leftTsCol, maxLateness)
+    val r = right.withColumnRenamed(keyCol, s"${keyCol}_r")
+      .withWatermark(rightTsCol, maxLateness)
+    l.join(r, expr(
+        s"$keyCol = ${keyCol}_r AND " +
+        s"$rightTsCol >= $leftTsCol AND $rightTsCol <= $leftTsCol + INTERVAL $bound"))
+      .drop(s"${keyCol}_r")
+  }
 }

@@ -649,6 +649,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q3.stop()
   }
 
+  test("stream-stream join matches within the time bound only; state is bounded by design") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, Long)] // (ad_id, epoch seconds)
+    val clks = MemoryStream[(Long, Long)]
+    val l = imps.toDF().toDF("ad_id", "sec")
+      .withColumn("imp_time", col("sec").cast("timestamp")).drop("sec")
+    val r = clks.toDF().toDF("ad_id", "sec")
+      .withColumn("clk_time", col("sec").cast("timestamp")).drop("sec")
+    val joined = graft.streaming.Streams.streamStreamJoin(
+      l, r, "ad_id", "imp_time", "clk_time", "10 seconds", "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, 100L), (2L, 100L), (3L, 100L))
+      clks.addData((1L, 130L), (2L, 200L), (4L, 130L)) // 2 is out of bound, 4 unmatched
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000)).toSet
+      assert(rows == Set((1L, 100L, 130L)), rows.mkString(","))
+      // a second wave still joins (same key reused within its own bound)
+      imps.addData((1L, 300L))
+      clks.addData((1L, 320L))
+      q.processAllAvailable()
+      assert(spark.table("ss_join").count() == 2)
+    } finally q.stop()
+  }
+
   test("stream-static enrich joins each micro-batch against the dim snapshot") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
