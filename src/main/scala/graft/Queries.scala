@@ -682,6 +682,20 @@ object Queries {
         .toDF("pos", "loading", "eigenvalue")
     }),
 
+    // Top-2 components with Gram-Schmidt deflation (the general
+    // all-but-the-top form): one power round per component, the second
+    // iterated in the first's orthogonal complement — the oracle replays
+    // mean, both C·v scans, BOTH deflations (9-dp re-rounds included),
+    // and both normalizations
+    "pca_top2" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val (vs, es) = graft.ops.Embeddings.pcaTopComponents(e, "embedding", Dim, d = 2, rounds = 1)
+      vs.zipWithIndex.flatMap { case (v, ci) =>
+        v.zipWithIndex.map { case (x, i) => (ci.toLong, i.toLong, x, es(ci)) }
+      }.toDF("comp", "pos", "loading", "eigenvalue")
+    }),
+
     // All-but-the-top: center + remove the power-iterated top component
     // for a 20-doc slice — a pure literal-projection scan (no shuffle);
     // the oracle recomputes mean, both rounds, AND the projection
@@ -2660,6 +2674,54 @@ object Queries {
          |SELECT CAST(i - 1 AS BIGINT) AS pos, round(raw / nm2.nm, 9) AS loading,
          |  round(nm2.nm, 6) AS eigenvalue
          |FROM raw2, nm2""".stripMargin
+    },
+
+    // one power round per component; deflation = dot + subtract + 9-dp
+    // re-round, replayed for BOTH the start vector and the iterate
+    "pca_top2" -> {
+      def dot(vp: String) =
+        s"list_sum(list_transform(generate_series(1, $Dim), i -> (CAST(e.embedding[i] AS DOUBLE) - ml.ml[i]) * $vp[i]))"
+      def ldot(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, $Dim), i -> $a[i] * $b[i]))"
+      s"""WITH lanes AS (SELECT vec_id, g.i AS i,
+         |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS fx
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS g(i) WHERE embedding IS NOT NULL),
+         |mu AS (SELECT i, round(sum(fx) / (count(*) * 1000000.0), 6) AS m FROM lanes GROUP BY i),
+         |ml AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+         |nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+         |v0 AS (SELECT list_transform(generate_series(1, $Dim), i -> round(1.0 / sqrt(CAST($Dim AS DOUBLE)), 9)) AS vl),
+         |d1 AS (SELECT e.vec_id, e.embedding, ${dot("vp.vl")} AS d
+         |  FROM embeddings e, ml, v0 vp WHERE e.embedding IS NOT NULL),
+         |w1 AS (SELECT g.i AS i,
+         |  sum(CAST(round((CAST(embedding[g.i] AS DOUBLE) - ml.ml[g.i]) * d, 9) AS DECIMAL(38,9))) AS w
+         |  FROM d1, ml, UNNEST(generate_series(1, $Dim)) AS g(i) GROUP BY g.i),
+         |raw1 AS (SELECT i, round(CAST(w AS DOUBLE) / nn.n, 9) AS raw FROM w1, nn),
+         |rl1 AS (SELECT list(raw ORDER BY i) AS rl FROM raw1),
+         |nm1 AS (SELECT sqrt(list_sum(list_transform(rl, y -> y * y))) AS nm FROM rl1),
+         |v1 AS (SELECT list_transform(rl, y -> round(y / nm, 9)) AS vl FROM rl1, nm1),
+         |dt0 AS (SELECT ${ldot("v0.vl", "v1.vl")} AS dt FROM v0, v1),
+         |vd AS (SELECT list_transform(generate_series(1, $Dim),
+         |         i -> round(v0.vl[i] - dt0.dt * v1.vl[i], 9)) AS vl FROM v0, v1, dt0),
+         |d2 AS (SELECT e.vec_id, e.embedding, ${dot("vp.vl")} AS d
+         |  FROM embeddings e, ml, vd vp WHERE e.embedding IS NOT NULL),
+         |w2 AS (SELECT g.i AS i,
+         |  sum(CAST(round((CAST(embedding[g.i] AS DOUBLE) - ml.ml[g.i]) * d, 9) AS DECIMAL(38,9))) AS w
+         |  FROM d2, ml, UNNEST(generate_series(1, $Dim)) AS g(i) GROUP BY g.i),
+         |raw2 AS (SELECT i, CAST(w AS DOUBLE) / nn.n AS raw FROM w2, nn),
+         |rl2 AS (SELECT list(raw ORDER BY i) AS rl FROM raw2),
+         |dtr AS (SELECT ${ldot("rl2.rl", "v1.vl")} AS dt FROM rl2, v1),
+         |df2 AS (SELECT list_transform(generate_series(1, $Dim),
+         |         i -> round(rl2.rl[i] - dtr.dt * v1.vl[i], 9)) AS vl FROM rl2, v1, dtr),
+         |nm2 AS (SELECT sqrt(list_sum(list_transform(vl, y -> y * y))) AS nm FROM df2),
+         |v2 AS (SELECT list_transform(df2.vl, y -> round(y / nm2.nm, 9)) AS vl FROM df2, nm2)
+         |SELECT CAST(0 AS BIGINT) AS comp, CAST(g.i - 1 AS BIGINT) AS pos,
+         |  v1.vl[g.i] AS loading, round(nm1.nm, 6) AS eigenvalue
+         |FROM v1, nm1, UNNEST(generate_series(1, $Dim)) AS g(i)
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(g.i - 1 AS BIGINT),
+         |  v2.vl[g.i], round(nm2.nm, 6)
+         |FROM v2, nm2, UNNEST(generate_series(1, $Dim)) AS g(i)""".stripMargin
     },
 
     // the pca chain re-run, then the centered remove-projection over the

@@ -80,6 +80,98 @@ object Embeddings {
     (v.toSeq, Quantize.roundHalfUp(eig, 6))
   }
 
+  /** Top-D principal components by power iteration WITH DEFLATION —
+    * the general form all-but-the-top actually prescribes (Mu &
+    * Viswanath remove the top D ≈ dim/100 directions, not one): after
+    * each component converges, subsequent iterations orthogonalize the
+    * iterate against every previously-found direction (classical
+    * Gram-Schmidt on the driver — a D×dim handful of dot products),
+    * re-round to the 9-dp handoff, and continue on the SAME corpus
+    * scans. Cost: D × rounds scans, each the [[pcaTopComponent]] plan
+    * (dim decimal partials per partition, nothing row-shaped moves).
+    * Degenerate directions (deflated corpus collapses to zero) end the
+    * list early. Returns (components (each 9-dp unit rows), eigenvalue
+    * estimates (6 dp)).
+    */
+  def pcaTopComponents(df: DataFrame, vecCol: String, dim: Int, d: Int,
+                       rounds: Int = 2): (Seq[Seq[Double]], Seq[Double]) = {
+    require(d >= 1 && d <= dim, s"d must be in [1, $dim], got $d")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val base = df.where(col(vecCol).isNotNull)
+    val n = base.count()
+    if (n == 0L) return (Seq.empty, Seq.empty)
+    val mu = meanVector(base, vecCol, dim)
+    val comps = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    val eigs = scala.collection.mutable.ArrayBuffer[Double]()
+    var c = 0
+    while (c < d) {
+      // start from the uniform direction deflated against found comps
+      var v = deflate(
+        Array.fill(dim)(Quantize.roundHalfUp(1.0 / math.sqrt(dim.toDouble), 9)),
+        comps.toSeq)
+      if (v == null) return (comps.toSeq, eigs.toSeq)
+      var eig = 0.0
+      var r = 0
+      var dead = false
+      while (r < rounds && !dead) {
+        val w = base
+          .select(posexplode(graft.functions.pca_lane_terms(col(vecCol), mu, v.clone()))
+            .as(Seq("p0", "t0")))
+          .select((col("p0") + 1).as("i"), col("t0").cast("decimal(38,9)").as("t"))
+          .groupBy(col("i")).agg(sum(col("t")).as("w"))
+          .collect()
+          .map(row => row.getInt(0) -> row.getDecimal(1).doubleValue()).toMap
+        val raw = Array.tabulate(dim)(i => w.getOrElse(i + 1, 0.0) / n.toDouble)
+        // deflation happens INSIDE the loop: C·v has components along
+        // found directions (numerical leakage); remove them before the
+        // normalize so each iterate stays in the orthogonal complement
+        val defl = deflate(raw, comps.toSeq)
+        if (defl == null) dead = true
+        else {
+          var s2 = 0.0
+          var i = 0
+          while (i < dim) { s2 += defl(i) * defl(i); i += 1 }
+          val norm = math.sqrt(s2)
+          eig = norm
+          if (norm == 0.0) dead = true
+          else {
+            i = 0
+            while (i < dim) { v(i) = Quantize.roundHalfUp(defl(i) / norm, 9); i += 1 }
+          }
+        }
+        r += 1
+      }
+      if (dead) return (comps.toSeq, eigs.toSeq)
+      comps += v.toSeq
+      eigs += Quantize.roundHalfUp(eig, 6)
+      c += 1
+    }
+    (comps.toSeq, eigs.toSeq)
+  }
+
+  /** Gram-Schmidt removal of `against` directions from `x`, 9-dp
+    * re-rounded; null when the residual is numerically zero. Sequential
+    * index-order dot products — the restatable tree.
+    */
+  private def deflate(x: Array[Double], against: Seq[Seq[Double]]): Array[Double] = {
+    val out = x.clone()
+    against.foreach { u =>
+      var dot = 0.0
+      var i = 0
+      while (i < out.length) { dot += out(i) * u(i); i += 1 }
+      i = 0
+      while (i < out.length) { out(i) = out(i) - dot * u(i); i += 1 }
+    }
+    var i = 0
+    var nz = false
+    while (i < out.length) {
+      out(i) = Quantize.roundHalfUp(out(i), 9)
+      if (out(i) != 0.0) nz = true
+      i += 1
+    }
+    if (nz) out else null
+  }
+
   /** Semantic decontamination: flag corpus rows whose embedding sits
     * within `tau` (metric distance, default cosine) of ANY benchmark
     * vector — the embedding-space companion to n-gram `decontamOverlap`,

@@ -2264,6 +2264,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d01 <= 16, s"adjacent seeds unexpectedly far: $d01 bits")
   }
 
+  test("pcaTopComponents: orthogonal unit directions recovering the two variance axes") {
+    // variance on axes 1 (±8) and 3 (±3), noise-free elsewhere
+    val rows = (0 until 48).map { i =>
+      (i.toLong, Array(0.0f,
+        if (i % 2 == 0) 8.0f else -8.0f,
+        0.0f,
+        if ((i / 2) % 2 == 0) 3.0f else -3.0f))
+    }
+    val df = rows.toDF("id", "vec")
+    val (vs, es) = graft.ops.Embeddings.pcaTopComponents(df, "vec", 4, d = 2, rounds = 4)
+    assert(vs.size == 2 && es.size == 2)
+    assert(math.abs(vs(0)(1)) > 0.99, s"first axis: ${vs(0)}")
+    assert(math.abs(vs(1)(3)) > 0.99, s"second axis: ${vs(1)}")
+    assert(es(0) > es(1) && es(1) > 0.0, s"eigs $es")
+    val dot = vs(0).zip(vs(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-6, s"components not orthogonal: $dot")
+    vs.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-6, "not unit norm")
+    }
+  }
+
   test("unimaxAllocation matches the literal sequential waterfill; budget conserved") {
     val sizes = Seq("a" -> 10L, "b" -> 25L, "c" -> 25L, "d" -> 400L, "e" -> 1000L, "f" -> 3L)
     val df = sizes.toDF("dom", "w")
