@@ -2520,6 +2520,13 @@ object Queries {
       TextAnalysis.kneserNeyLogProb(docs(s, dir), "doc_id", "text", discount = 0.75)
         .orderBy("doc_id")),
 
+    // Sparse more-like-this: per-doc top-5 by TF-IDF cosine over the
+    // inverted index — weights/norms/dots all 9-dp decimal-exact, the
+    // oracle replays the whole retrieval pipeline including the rank cut
+    "similar_docs_sparse" -> ((s, dir) =>
+      TextAnalysis.similarDocsSparse(docs(s, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
+
     // Hybrid retrieval: BM25 top-50 and cosine k-NN top-50 fused by
     // reciprocal rank (1/(60+rank) per list, 9-dp decimal sums) — rank
     // calibration instead of score calibration, the RAG-stack combiner
@@ -4302,6 +4309,32 @@ object Queries {
          |SELECT doc_id, round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp,
          |  count(*) AS n_pairs
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // tf/df -> 9-dp weights -> decimal norms and dots -> cosine -> per-doc
+    // (d, other) rank cut, all independently restated
+    "similar_docs_sparse" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tfx AS (SELECT term, doc_id, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS tdf FROM tfx GROUP BY 1),
+         |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |wts AS (SELECT term, tfx.doc_id, round(CAST(tf AS DOUBLE)
+         |    * ln(CAST(n + 1 AS DOUBLE) / CAST(tdf + 1 AS DOUBLE)), 9) AS w
+         |  FROM tfx JOIN dfq USING (term), nn),
+         |nrm AS (SELECT doc_id,
+         |    sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+         |  FROM wts GROUP BY doc_id),
+         |dots AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS dot
+         |  FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT a, b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+         |  FROM dots JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
+         |  WHERE na.nrm > 0 AND nb.nrm > 0),
+         |rk AS (SELECT a AS doc_id, b AS other, round(1.0 - cosine, 6) AS d FROM sc),
+         |r2 AS (SELECT doc_id, other, d,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY d, other) AS rn FROM rk)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rank, other, round(1.0 - d, 6) AS cosine
+         |FROM r2 WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "kneser_ney_logprob" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

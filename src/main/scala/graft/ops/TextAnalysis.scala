@@ -331,6 +331,74 @@ object TextAnalysis {
       .orderBy(col("tf_sum").desc, col("doc_id")).limit(k)
   }
 
+  /** Sparse document-to-document similarity ("more like this"): top-k
+    * neighbors per document by TF-IDF cosine over the inverted index —
+    * the SPARSE counterpart to the dense embedding ANN suite, and the
+    * retrieval shape BM25-era dedup/recommendation pipelines run when no
+    * embeddings exist. Weights `w(d,t) = tf · ln((N+1)/(df+1))` (9-dp
+    * rounded), per-doc norms from 9-dp-rounded squared terms summed as
+    * DECIMAL(38,9), pair dot products likewise — the lm_logprob
+    * exactness contract applied to retrieval, so the whole pipeline is
+    * restatable.
+    *
+    * Plan: candidates come from the posting self-join on the term key —
+    * pair volume is Σ_t df(t)², which is why `maxDf` exists: terms in
+    * more than `maxDf` documents are EXCLUDED from candidate generation
+    * (their IDF ≈ 0 contribution is retrieval noise anyway — the classic
+    * stop-posting cut) and reported through the observer; exact weights
+    * still include them via the norm, so scores of surviving pairs are
+    * exact. One term-keyed shuffle for candidates, map-side-combined
+    * decimal dot rollup per pair, then the bounded `knn_topk` heap per
+    * doc — N×k rows cross the final exchange.
+    *
+    * Output: (idCol, rank, other, cosine) — both orientations of each
+    * pair rank (a neighbor list per document).
+    */
+  def similarDocsSparse(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, k: Int,
+                        maxDf: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val idx = invertedIndex(df, idCol, textCol) // (term, doc_id, tf)
+    val dfreq = idx.groupBy("term").agg(count(lit(1)).as("tdf"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val w = idx.join(dfreq, "term")
+      .select(col("term"), col("doc_id"), col("tdf"),
+        graft.functions.fast_round(
+          col("tf").cast("double")
+            * log((lit(nDocs) + 1L).cast("double") / (col("tdf") + 1L).cast("double")), 9)
+          .as("w"))
+    val norms = w
+      .select(col("doc_id"),
+        graft.functions.fast_round(col("w") * col("w"), 9).cast("decimal(38,9)").as("w2"))
+      .groupBy("doc_id")
+      .agg(sqrt(sum(col("w2")).cast("double")).as("nrm"))
+    val live = w.where(col("tdf") <= maxDf)
+    val dots = live.select(col("term"), col("doc_id").as("a"), col("w").as("wa"))
+      .join(live.select(col("term"), col("doc_id").as("b"), col("w").as("wb")), "term")
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.fast_round(col("wa") * col("wb"), 9).cast("decimal(38,9)").as("p"))
+      .groupBy(col("a"), col("b")).agg(sum(col("p")).cast("double").as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), "b")
+      // a zero norm (every term of the doc in every doc) would make the
+      // division NaN; such docs carry no retrieval signal — excluded
+      .where(col("na") > 0.0 && col("nb") > 0.0)
+      .select(col("a"), col("b"),
+        graft.functions.fast_round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+    scored
+      .select(col("a"),
+        graft.functions.fast_round(lit(1.0) - col("cosine"), 6).as("_d"), col("b"))
+      .groupBy(col("a"))
+      .agg(graft.functions.knn_topk(col("_d"), col("b"), k).as("_tk"))
+      .select(col("a").as(idCol), posexplode(col("_tk")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("other"),
+        graft.functions.fast_round(lit(1.0) - col("col.distance"), 6).as("cosine"))
+  }
+
   /** Cross-document repeated token n-grams — the corpus-level "memorized
     * span" signal of Lee et al. 2022 (Deduplicating Training Data Makes
     * Language Models Better): n-grams occurring in ≥ `minDocs` distinct

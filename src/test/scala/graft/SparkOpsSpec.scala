@@ -2172,6 +2172,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run.overCapShingles() > 0)
   }
 
+  test("similarDocsSparse ranks shared-rare-term docs first; stop-posting cap cuts hubs") {
+    val docs = Seq(
+      (1L, "rareword alpha beta"),
+      (2L, "rareword alpha gamma"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "unrelated totally different terms here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.similarDocsSparse(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // docs 1 and 2 share the rarest term -> each other's top neighbor
+    assert(got.exists { case (d, rk, o, _) => d == 1L && rk == 1L && o == 2L }, got.mkString(","))
+    assert(got.exists { case (d, rk, o, _) => d == 2L && rk == 1L && o == 1L })
+    // doc 4 shares no term with anyone: absent from every list
+    assert(!got.exists { case (d, _, o, _) => d == 4L || o == 4L })
+    // maxDf = 1 removes every shared posting -> no candidate pairs at all
+    assert(TextAnalysis.similarDocsSparse(docs, "doc_id", "text", 2, maxDf = 1).count() == 0)
+  }
+
   test("containmentPairs equals brute-force containment on a randomized corpus") {
     // the prefix-filter blocking claims ZERO false negatives — check it
     // against the definition on a corpus random enough to hit prefix
