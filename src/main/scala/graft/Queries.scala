@@ -2465,6 +2465,15 @@ object Queries {
       Curation.weightedSample(docs(s, dir), "doc_id", col("n_chars"), 50)
         .select(col("doc_id"), col("n_chars"), col("sample_key"))),
 
+    // Grouped heavy hitters: top-10 tokens per language via per-key
+    // Misra-Gries sketches + exact recount, each key certified against
+    // its own n/(k+1) bound — the oracle is the plain exact per-key
+    // top-10, which certification guarantees the sketch path matches
+    "heavy_hitters_by_lang" -> ((s, dir) =>
+      Curation.heavyHittersByKey(docs(s, dir), "lang", "text",
+          topN = 10, sketchK = 200)
+        .orderBy(col("lang"), col("rank"))),
+
     // Corpus data card: release-summary metrics in one long-format table
     // — sizes, token volume, fingerprint-exact dup rate, decimal-exact
     // mean quality, token quartiles; every number independently restated
@@ -4212,6 +4221,14 @@ object Queries {
         |SELECT doc_id, n_chars,
         |  round(ln(CAST(h53 + 1 AS DOUBLE) / 9007199254740992.0) / CAST(n_chars AS DOUBLE), 9) AS sample_key
         |FROM h ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    "heavy_hitters_by_lang" ->
+      s"""WITH toks AS (SELECT lang AS key, unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents),
+         |c AS (SELECT key, token, count(*) AS n FROM toks GROUP BY 1, 2),
+         |r AS (SELECT key, token, n,
+         |    row_number() OVER (PARTITION BY key ORDER BY n DESC, token) AS rk FROM c)
+         |SELECT key AS lang, CAST(rk AS BIGINT) AS rank, token, n
+         |FROM r WHERE rk <= 10 ORDER BY lang, rank""".stripMargin,
 
     "data_card" ->
       s"""WITH qs AS (SELECT doc_id, text, len($tokensSql) AS n_tok, length(text) AS n_chr,

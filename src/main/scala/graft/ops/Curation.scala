@@ -534,6 +534,48 @@ object Curation {
       .orderBy(col("sample_key").desc, col(idCol)).limit(k)
   }
 
+  /** Per-key heavy hitters — [[heavyHitters]] grouped (top terms per
+    * language/domain/source, the data-card drill-down): ONE scan builds
+    * a Misra-Gries sketch AND the exact token total per key (mergeable
+    * ≤sketchK-counter summaries, so the shuffle carries sketch rows, not
+    * tokens), candidates broadcast back for an exact recount, and each
+    * key's top-N certifies independently against its own n/(k+1) bound —
+    * provably exact per key or fail fast, never silently approximate.
+    * Output: (keyCol, rank, token, n).
+    */
+  def heavyHittersByKey(df: DataFrame, keyCol: String, textCol: String,
+                        topN: Int, sketchK: Int,
+                        certify: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val toks = df.select(col(keyCol).as("key"),
+      explode(cleanTokens(col(textCol))).as("token"))
+    val sk = toks.groupBy("key").agg(
+      graft.functions.freq_items_sketch(col("token"), sketchK).as("sk"),
+      count(lit(1)).as("n_tokens")).collect()
+    val nByKey = sk.map(r => r.get(0) -> r.getLong(2)).toMap
+    import spark.implicits._
+    val cands = sk.flatMap { r =>
+      val key = r.getString(0)
+      r.getSeq[org.apache.spark.sql.Row](1).map(c => (key, c.getString(0)))
+    }.toSeq.toDF("key", "token")
+    val w = Window.partitionBy(col("key")).orderBy(col("n").desc, col("token"))
+    val top = toks.join(broadcast(cands), Seq("key", "token"))
+      .groupBy("key", "token").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= topN)
+      .select(col("key").as(keyCol), col("rk").cast("long").as("rank"),
+        col("token"), col("n"))
+    if (!certify) return top
+    val rows = top.collect()
+    rows.groupBy(_.get(0)).foreach { case (key, rs) =>
+      val weakest = rs.map(_.getLong(3)).min
+      val bound = nByKey(key) / (sketchK + 1L)
+      require(weakest > bound,
+        s"heavyHittersByKey uncertifiable for key $key: weakest count $weakest " +
+          s"<= n/(k+1) = $bound — raise sketchK")
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+  }
+
   /** Corpus data card: the one-table summary a dataset release ships
     * with — sizes, token volume, exact duplicate rate (via the 16-byte
     * content fingerprint, text never shuffles), mean quality, and token
