@@ -2298,6 +2298,20 @@ object Queries {
     // pcm_stats expression walks the RIFF chunks and decodes every LE16
     // sample; the oracle recomputes the exact integer statistics from the
     // generator formula — a decoder reading wrong offsets/endianness fails
+    // Animation frame accounting via a REAL GIF89a block walk (image
+    // descriptors + Graphic Control delays; NETSCAPE extension skipped
+    // generically, no LZW decode) — the oracle restates count and total
+    // delay from the fixture formulas
+    "gif_frames" -> ((s, dir) => {
+      val fixtureUdf = udf((id: Long) =>
+        MediaCodec.gifAnimFixture(4 + (id % 5).toInt, 3 + (id % 4).toInt,
+          frames = 1 + (id % 6).toInt, delayCs = 3 + (id % 7).toInt))
+      docs(s, dir).withColumn("payload", fixtureUdf(col("doc_id")))
+        .select(col("doc_id"), graft.functions.gif_frames(col("payload")).as("g"))
+        .select(col("doc_id"), col("g.n_frames").as("n_frames"),
+          col("g.total_delay_cs").as("total_delay_cs"))
+    }),
+
     // Energy-envelope audio fingerprint over REAL decoded PCM16: 8-sample
     // frame energies, interior peak constellation, polynomial fold — the
     // oracle replays samples from the generator formula, frame sums,
@@ -4045,6 +4059,11 @@ object Queries {
 
     // exact restatement of the PCM generator the fixture materializes:
     // the Spark side DECODES bytes, the oracle recomputes from the formula
+    "gif_frames" ->
+      """SELECT doc_id, CAST(1 + doc_id % 6 AS BIGINT) AS n_frames,
+        |  CAST((1 + doc_id % 6) * (3 + doc_id % 7) AS BIGINT) AS total_delay_cs
+        |FROM documents""".stripMargin,
+
     // formula samples -> 8-sample frame energies -> whole-envelope
     // (h*31 + e%2^16) % 1e9+7 fold + strict-interior-peak count
     "audio_fingerprint" ->

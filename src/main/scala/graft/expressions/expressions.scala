@@ -1063,3 +1063,36 @@ case class PcmFingerprintExpr(child: Expression, window: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `gif_frames(blob)` — REAL GIF block-structure walk
+  * ([[graft.ops.MediaCodec.gifFrameStats]]): frame count + total
+  * animation delay (centiseconds) from image descriptors and Graphic
+  * Control Extensions, no LZW decode. NULL for malformed payloads.
+  */
+case class GifFramesExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_frames", LongType, nullable = false),
+    StructField("total_delay_cs", LongType, nullable = false)))
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gif_frames"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.MediaCodec.gifFrameStatsRow(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.ops.MediaCodec.gifFrameStatsRow($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

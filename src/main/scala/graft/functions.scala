@@ -109,6 +109,11 @@ object functions {
   def pcm_fingerprint(payload: Column, window: Int = 8): Column =
     col(PcmFingerprintExpr(expr(payload), window))
 
+  /** GIF frame count + total delay via a real block walk — see
+    * [[graft.expressions.GifFramesExpr]].
+    */
+  def gif_frames(payload: Column): Column = col(GifFramesExpr(expr(payload)))
+
   /** One BPE merge round over a symbol array; see
     * [[graft.expressions.BpeMerge]].
     */

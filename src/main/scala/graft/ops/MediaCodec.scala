@@ -498,6 +498,104 @@ object MediaCodec {
       case None => null
     }
 
+  /** Animated GIF89a fixture: logical screen descriptor, a NETSCAPE
+    * application extension (exercises generic extension skipping), and
+    * per frame a Graphic Control Extension carrying `delayCs` (GIF
+    * delays are centiseconds) + an image descriptor with one opaque LZW
+    * data sub-block (the structure walk never decodes LZW). Real GIF89a
+    * block grammar — a real parser reads it; ours does.
+    */
+  def gifAnimFixture(w: Int, h: Int, frames: Int, delayCs: Int): Array[Byte] = {
+    require(frames >= 1 && delayCs >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes)
+    le16(w); le16(h)
+    out.write(0); out.write(0); out.write(0) // packed (no global table), bg, aspect
+    // NETSCAPE looping extension: 0x21 0xFF, 11-byte app block, one
+    // 3-byte data sub-block, terminator
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes)
+    out.write(3); out.write(1); le16(0)
+    out.write(0)
+    (0 until frames).foreach { _ =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); le16(delayCs); out.write(0) // packed, delay, transparent idx
+      out.write(0)                               // GCE terminator
+      out.write(0x2c)                            // image descriptor
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(0)                               // packed: no local color table
+      out.write(2)                               // LZW minimum code size
+      out.write(2); out.write(0x4c); out.write(0x01) // one 2-byte data sub-block
+      out.write(0)                               // data terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  final case class GifFrames(n_frames: Long, total_delay_cs: Long)
+
+  /** REAL GIF89a/87a block-structure walk (no LZW decode — frame
+    * counting and timing need only the grammar): header + logical
+    * screen descriptor (+ global color table when flagged), then blocks:
+    * image descriptors (count a frame; skip the local color table when
+    * flagged and the LZW sub-block chain), extensions (accumulate the
+    * Graphic Control delay, skip every other label's sub-block chain
+    * generically), trailer. Malformed/truncated structure → None —
+    * never a partial count.
+    */
+  def gifFrameStats(b: Array[Byte]): Option[GifFrames] = {
+    if (b.length < 14) return None
+    val hdr = new String(b, 0, 6, "ISO-8859-1")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    var p = 10
+    val packed = u8(b, p); p += 3 // packed, bg index, aspect
+    if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 7) + 1))
+    var frames = 0L
+    var delay = 0L
+    def skipSubBlocks(): Boolean = {
+      while (p < b.length) {
+        val len = u8(b, p); p += 1
+        if (len == 0) return true
+        p += len
+      }
+      false
+    }
+    while (p < b.length) {
+      u8(b, p) match {
+        case 0x3b => return Some(GifFrames(frames, delay))
+        case 0x2c =>
+          if (p + 10 > b.length) return None
+          val ipacked = u8(b, p + 9)
+          p += 10
+          if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1))
+          p += 1 // LZW minimum code size
+          if (p > b.length || !skipSubBlocks()) return None
+          frames += 1
+        case 0x21 =>
+          if (p + 2 > b.length) return None
+          val label = u8(b, p + 1)
+          if (label == 0xf9 && p + 7 <= b.length && u8(b, p + 2) == 4)
+            delay += le16(b, p + 4)
+          p += 2
+          if (!skipSubBlocks()) return None
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Static entry point for generated code
+    * ([[graft.expressions.GifFramesExpr]]).
+    */
+  def gifFrameStatsRow(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    gifFrameStats(b) match {
+      case Some(g) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](g.n_frames, g.total_delay_cs))
+      case None => null
+    }
+
   /** WAV fixture with MATERIALIZED 16-bit PCM samples:
     * s(i) = ((seed·31 + i·17) mod 4096) − 2048 over frames×channels
     * interleaved samples — integer-exact and restatable in SQL.

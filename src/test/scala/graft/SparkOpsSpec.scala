@@ -2257,6 +2257,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MediaCodec.pcmEnergyFingerprint(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("gifFrameStats: frame/delay walk, color-table skips, malformed -> None") {
+    import graft.ops.MediaCodec
+    val g = MediaCodec.gifFrameStats(MediaCodec.gifAnimFixture(8, 6, frames = 4, delayCs = 10))
+    assert(g.contains(MediaCodec.GifFrames(4, 40)))
+    // the static single-block fixture: zero frames, zero delay
+    assert(MediaCodec.gifFrameStats(MediaCodec.gifFixture(5, 5))
+      .contains(MediaCodec.GifFrames(0, 0)))
+    // truncated mid-frame -> None, never a partial count
+    val full = MediaCodec.gifAnimFixture(8, 6, 3, 5)
+    assert(MediaCodec.gifFrameStats(full.dropRight(6)).isEmpty)
+    assert(MediaCodec.gifFrameStats("notagif".getBytes).isEmpty)
+    // a global color table shifts the block stream; the walk must skip it
+    val withTable = {
+      val base = MediaCodec.gifAnimFixture(4, 4, 2, 7)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, 10)
+      out.write(0x80 | 0); out.write(0); out.write(0) // packed: table of 2 entries
+      out.write(new Array[Byte](3 * 2))               // the table
+      out.write(base, 13, base.length - 13)
+      out.toByteArray
+    }
+    assert(MediaCodec.gifFrameStats(withTable).contains(MediaCodec.GifFrames(2, 14)))
+  }
+
   test("pngDhash63: stable under filter type, null on bad pool dims, locality of change") {
     import graft.ops.MediaCodec
     // the same pixels through different scanline filters decode identically
