@@ -345,11 +345,15 @@ object TextAnalysis {
     * pair volume is Σ_t df(t)², which is why `maxDf` exists: terms in
     * more than `maxDf` documents are EXCLUDED from candidate generation
     * (their IDF ≈ 0 contribution is retrieval noise anyway — the classic
-    * stop-posting cut) and reported through the observer; exact weights
-    * still include them via the norm, so scores of surviving pairs are
-    * exact. One term-keyed shuffle for candidates, map-side-combined
-    * decimal dot rollup per pair, then the bounded `knn_topk` heap per
-    * doc — N×k rows cross the final exchange.
+    * stop-posting cut); exact weights still include them via the norm,
+    * so scores of surviving pairs are exact. One term-keyed shuffle for
+    * candidates, map-side-combined decimal dot rollup per pair, then the
+    * bounded `knn_topk` heap per doc — N×k rows cross the final
+    * exchange. Same corpus caveat as [[graft.ops.Dedup.containmentPairs]]:
+    * on template text where EVERY term is a hub (tiny vocabulary),
+    * Σ df² is quadratic and maxDf is the only lever — size it from the
+    * df distribution, accepting that pairs sharing ONLY cut terms go
+    * unscored (boilerplate-similarity pairs by definition).
     *
     * Output: (idCol, rank, other, cosine) — both orientations of each
     * pair rank (a neighbor list per document).
