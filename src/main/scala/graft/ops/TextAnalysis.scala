@@ -358,9 +358,22 @@ object TextAnalysis {
     * Output: (idCol, rank, other, cosine) — both orientations of each
     * pair rank (a neighbor list per document).
     */
+  final case class SparseSimRun(neighbors: org.apache.spark.sql.DataFrame,
+                                cutTerms: () => Long)
+
   def similarDocsSparse(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, k: Int,
-                        maxDf: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
+                        maxDf: Int = 1 << 20): org.apache.spark.sql.DataFrame =
+    similarDocsSparseRun(df, idCol, textCol, k, maxDf).neighbors
+
+  /** [[similarDocsSparse]] plus the over-cap observer (`cutTerms()` —
+    * how many terms the maxDf stop-posting cut removed from candidate
+    * generation), the repo's standard contract for every capped pair
+    * space: the cut never bites silently.
+    */
+  def similarDocsSparseRun(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, k: Int,
+                           maxDf: Int = 1 << 20): SparseSimRun = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val idx = invertedIndex(df, idCol, textCol) // (term, doc_id, tf)
@@ -392,7 +405,7 @@ object TextAnalysis {
       .where(col("na") > 0.0 && col("nb") > 0.0)
       .select(col("a"), col("b"),
         graft.functions.fast_round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
-    scored
+    val neighbors = scored
       .select(col("a"),
         graft.functions.fast_round(lit(1.0) - col("cosine"), 6).as("_d"), col("b"))
       .groupBy(col("a"))
@@ -401,6 +414,8 @@ object TextAnalysis {
       .select(col(idCol), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("other"),
         graft.functions.fast_round(lit(1.0) - col("col.distance"), 6).as("cosine"))
+    lazy val cut: Long = dfreq.where(col("tdf") > maxDf).count()
+    SparseSimRun(neighbors, () => cut)
   }
 
   /** Cross-document repeated token n-grams — the corpus-level "memorized

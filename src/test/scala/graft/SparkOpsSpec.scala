@@ -2186,8 +2186,12 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists { case (d, rk, o, _) => d == 2L && rk == 1L && o == 1L })
     // doc 4 shares no term with anyone: absent from every list
     assert(!got.exists { case (d, _, o, _) => d == 4L || o == 4L })
-    // maxDf = 1 removes every shared posting -> no candidate pairs at all
-    assert(TextAnalysis.similarDocsSparse(docs, "doc_id", "text", 2, maxDf = 1).count() == 0)
+    // maxDf = 1 removes every shared posting -> no candidate pairs, and
+    // the observer reports exactly the cut terms (never a silent cut)
+    val run = TextAnalysis.similarDocsSparseRun(docs, "doc_id", "text", 2, maxDf = 1)
+    assert(run.neighbors.count() == 0)
+    assert(run.cutTerms() == 4L, s"cut ${run.cutTerms()}") // rareword, alpha, beta, gamma (df >= 2)
+    assert(TextAnalysis.similarDocsSparseRun(docs, "doc_id", "text", 2).cutTerms() == 0L)
   }
 
   test("containmentPairs equals brute-force containment on a randomized corpus") {
