@@ -650,7 +650,8 @@ object Queries {
         .agg(vector_avg(col("embedding"), Dim).as("c"))
         .select(col("label"), posexplode(col("c")))
         .select(col("label"), col("pos").cast("long").as("pos"),
-          round(col("col"), 6).as("centroid"))),
+          // q20 grid for the same decimal-half hazard as kmeans_iter
+          (round(col("col") * 1048576.0) / 1048576.0).as("centroid"))),
 
     // Semantic outlier detection: each embedding's L2 distance to its OWN
     // label's exact fixed-point centroid, top-20 farthest — the noisy-
@@ -734,7 +735,11 @@ object Queries {
         .agg(vector_avg(col("embedding"), Dim).as("c"), count(lit(1)).as("n_members"))
         .select(col("cluster").cast("long").as("cell"), col("n_members"), posexplode(col("c")))
         .select(col("cell"), col("pos").cast("long").as("pos"),
-          round(col("col"), 6).as("centroid"), col("n_members"))
+          // q20 binary grid, NOT 6-dp decimal: the fixed-point mean is a
+          // RATIONAL that can land exactly on a decimal half, where
+          // engines disagree on the rounded double (observed at sf0.001:
+          // 0.0313375 -> 0.031338 vs 0.031337); a binary .5 is exact
+          (round(col("col") * 1048576.0) / 1048576.0).as("centroid"), col("n_members"))
     }),
 
     // TWO Lloyd iterations — the driver loop the kmeans_iter docstring
@@ -2664,7 +2669,8 @@ object Queries {
          |  CASE WHEN embedding[g.i] IS NULL OR isnan(CAST(embedding[g.i] AS DOUBLE)) THEN 0
          |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
          |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS g(i) WHERE embedding IS NOT NULL)
-         |SELECT label, i - 1 AS pos, round(sum(v) / (count(*) * 1000000.0), 6) AS centroid
+         |SELECT label, i - 1 AS pos,
+         |  round((sum(v) / (count(*) * 1000000.0)) * 1048576.0) / 1048576.0 AS centroid
          |FROM u GROUP BY label, i""".stripMargin,
 
     // outliers: the same fixed-point centroid, materialized as an ordered
@@ -2831,7 +2837,7 @@ object Queries {
          |       ELSE CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
          |  FROM asg, UNNEST(generate_series(1, $Dim)) AS g(i))
          |SELECT CAST(cid AS BIGINT) AS cell, i - 1 AS pos,
-         |  round(sum(v) / (count(*) * 1000000.0), 6) AS centroid,
+         |  round((sum(v) / (count(*) * 1000000.0)) * 1048576.0) / 1048576.0 AS centroid,
          |  count(*) AS n_members
          |FROM u GROUP BY cid, i""".stripMargin
     },
