@@ -2516,6 +2516,13 @@ object Queries {
           budget = 250000L, maxEpochs = 2)
         .orderBy(col("domain"))),
 
+    // Per-language weighted cap: keep 5 docs per lang sampled ∝ n_chars
+    // via deterministic ES keys through the bounded heap — the oracle
+    // replays keys and the per-key (key desc, id) rank cut
+    "weighted_cap_per_key" -> ((s, dir) =>
+      Curation.weightedCapPerKey(docs(s, dir), "doc_id", "lang", col("n_chars"), 5)
+        .orderBy(col("lang"), col("rank"))),
+
     // DSIR importance scores: per-doc summed log-likelihood ratio of
     // hashed-token bucket distributions, target = the English slice vs
     // the whole corpus; the oracle recomputes bucket hashes from
@@ -4318,6 +4325,20 @@ object Queries {
         |        ELSE CAST(250000 - 2 * s_cap AS DOUBLE) / CAST(n - m AS DOUBLE) END, 6)
         |    / CAST(n_tokens AS DOUBLE), 6) AS epochs
         |FROM cp, cs ORDER BY domain""".stripMargin,
+
+    "weighted_cap_per_key" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ((doc_id % 2147483648) * 2654435761 + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
+        |      + ((doc_id % 2147483648) * 2246822519 + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |sk AS (SELECT lang, doc_id,
+        |  round(ln(CAST(h53 + 1 AS DOUBLE) / 9007199254740992.0) / CAST(n_chars AS DOUBLE), 9) AS sample_key
+        |  FROM h),
+        |r AS (SELECT lang, doc_id, sample_key,
+        |  row_number() OVER (PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rk FROM sk)
+        |SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id, sample_key
+        |FROM r WHERE rk <= 5 ORDER BY lang, rank""".stripMargin,
 
     "dsir_scores" ->
       s"""WITH $dsirScoresCte

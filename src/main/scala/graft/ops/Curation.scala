@@ -645,6 +645,30 @@ object Curation {
     scored.withColumn("bin", bin.cast("long"))
   }
 
+  /** Weighted per-key cap — [[capPerKey]]'s selection upgraded from
+    * uniform to weight-proportional: within each key keep k rows sampled
+    * without replacement ∝ `weightCol`, via the Efraimidis-Spirakis key
+    * `ln(u)/w` off the deterministic [[idHash53]] uniform (the
+    * [[weightedSample]] math, per key). The per-key winner selection
+    * rides the bounded `knn_topk` heap on the NEGATED sample key —
+    * O(k) state per key regardless of skew (a window would sort the
+    * whole mega-key) and ties break exactly like weightedSample's
+    * (key desc, id asc). Reproducible from ids alone; k×keys rows cross
+    * the shuffle. Output: (keyCol, rank, idCol, sample_key).
+    */
+  def weightedCapPerKey(df: DataFrame, idCol: String, keyCol: String,
+                        weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (idHash53(col(idCol)) + 1L).cast("double") / lit(9007199254740992.0) // 2^53
+    df.where(weightCol.isNotNull && weightCol > 0)
+      .withColumn("_sk", graft.functions.fast_round(log(u) / weightCol.cast("double"), 9))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.knn_topk(-col("_sk"), col(idCol), k).as("_tk"))
+      .select(col(keyCol), posexplode(col("_tk")))
+      .select(col(keyCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), (-col("col.distance")).as("sample_key"))
+  }
+
   // ---------- UniMax mixture allocation ----------
 
   /** UniMax token-budget allocation across domains (Chung et al., ICLR
