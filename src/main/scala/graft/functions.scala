@@ -199,6 +199,14 @@ object functions {
       case Seq(p) => PngDhashExpr(p)
       case args => throw new IllegalArgumentException(s"png_dhash expects 1 arg, got ${args.size}")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("gif_frames", {
+      case Seq(p) => GifFramesExpr(p)
+      case args => throw new IllegalArgumentException(s"gif_frames expects 1 arg, got ${args.size}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_fingerprint", {
+      case Seq(p) => PcmFingerprintExpr(p, 8)
+      case args => throw new IllegalArgumentException(s"pcm_fingerprint expects 1 arg, got ${args.size}")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("png_pixel_stats", {
       case Seq(p) => PngPixelStatsExpr(p)
       case args => throw new IllegalArgumentException(s"png_pixel_stats expects 1 arg, got ${args.size}")
