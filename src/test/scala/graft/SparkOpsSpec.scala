@@ -1058,6 +1058,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 1.0f))).toDF("g", "v").createOrReplaceTempView("va_sql")
     val c = spark.sql("SELECT vector_avg(v, 2) AS c FROM va_sql GROUP BY g").head().getSeq[Double](0)
     assert(c == Seq(2.0, 2.0))
+    // media fingerprints reachable from pure SQL
+    Seq(Tuple1(graft.ops.MediaCodec.gifAnimFixture(4, 4, 3, 5)),
+        Tuple1(graft.ops.MediaCodec.pngPixelFixture(18, 16, 7L, 0)))
+      .toDF("b").createOrReplaceTempView("media_sql")
+    val gm = spark.sql("SELECT gif_frames(b).n_frames AS n FROM media_sql").collect()
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(gm.toSeq == Seq(3L)) // the PNG row is null for gif_frames
+    assert(spark.sql("SELECT png_dhash(b) AS h FROM media_sql WHERE png_dhash(b) IS NOT NULL")
+      .count() == 1)
+    Seq(Tuple1(graft.ops.MediaCodec.wavPcmFixture(16000, 1, 80, 7L)))
+      .toDF("b").createOrReplaceTempView("wav_sql")
+    assert(spark.sql("SELECT pcm_fingerprint(b).fingerprint AS f FROM wav_sql")
+      .head().getLong(0) != 0L)
     val tk = spark.sql(
       "SELECT knn_topk(CAST(g AS DOUBLE), CAST(g AS BIGINT), 1) AS tk FROM va_sql").head()
       .getSeq[org.apache.spark.sql.Row](0)
