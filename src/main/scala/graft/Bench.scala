@@ -229,7 +229,12 @@ object Bench {
         "containment_pairs", "dsir_sample", "softdedup_weights",
         "semantic_decontam", "unimax_mixture", "pca_top_component",
         "kneser_ney_logprob", "label_propagation", "cluster_keep",
-        "curriculum_bins", "data_card")
+        "curriculum_bins", "data_card", "weighted_cap_per_key",
+        "heavy_hitters_by_lang")
+      // similar_docs_sparse is gated but NOT benched: the sf0.1 template
+      // corpus is its documented hub pathology (50-word vocabulary makes
+      // the posting self-join Sigma df^2 ~ 800M rows — a corpus property,
+      // not a plan property; see the operator's scaladoc)
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
