@@ -2615,6 +2615,22 @@ object Queries {
        |  FROM hb JOIN lut USING (b) GROUP BY doc_id)""".stripMargin
   }
 
+  /** Quality-score restatement matching [[graft.ops.TextAnalysis.qualityScore]]'s
+    * decimal-exact formulation: 9-dp-rounded terms summed as
+    * DECIMAL(38,9), final 6-dp rounding in decimal space (the 2.5e-6
+    * rational grid lands on 6-dp halves routinely, where double-space
+    * rounding diverges across engines — observed at sf0.1).
+    */
+  private lazy val qualityScoreSql: String = {
+    def t9(term: String) = s"CAST(round($term, 9) AS DECIMAL(20,9))"
+    "CAST(round(" +
+      t9(s"least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25") + " + " +
+      t9(s"(CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25") + " + " +
+      t9(s"least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25") + " + " +
+      t9(s"least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25") +
+      ", 6) AS DOUBLE)"
+  }
+
   private def cleanWsSql(ac: String) =
     s"list_filter(regexp_split_to_array(trim($ac), ' +'), w -> w <> '')"
 
@@ -3463,12 +3479,7 @@ object Queries {
          |FROM documents""".stripMargin,
 
     "quality_score" ->
-      s"""SELECT doc_id, round(
-         |  least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25 +
-         |  (CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25 +
-         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25 +
-         |  least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
-         |  6) AS score
+      s"""SELECT doc_id, $qualityScoreSql AS score
          |FROM documents""".stripMargin,
 
     "lang_id" -> {
@@ -3712,12 +3723,7 @@ object Queries {
          |reach(node, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) t
          |  UNION SELECT reach.node, e.v FROM reach JOIN ed e ON e.u = reach.r),
          |cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
-         |qs AS (SELECT doc_id, round(
-         |  least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25 +
-         |  (CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25 +
-         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25 +
-         |  least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
-         |  6) AS score FROM documents),
+         |qs AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
          |rk AS (SELECT cc.node AS doc_id, cc.component, qs.score,
          |  row_number() OVER (PARTITION BY cc.component ORDER BY qs.score DESC, cc.node) AS rn
          |  FROM cc JOIN qs ON qs.doc_id = cc.node)
@@ -4264,12 +4270,7 @@ object Queries {
 
     "data_card" ->
       s"""WITH qs AS (SELECT doc_id, text, len($tokensSql) AS n_tok, length(text) AS n_chr,
-         |  round(
-         |    least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25 +
-         |    (CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25 +
-         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25 +
-         |    least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
-         |  6) AS q FROM documents),
+         |  $qualityScoreSql AS q FROM documents),
          |agg AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
          |  CAST(sum(n_tok) AS DOUBLE) AS n_tokens,
          |  round(CAST(sum(n_chr) AS DOUBLE) / count(*), 6) AS mean_chars,
@@ -4290,12 +4291,7 @@ object Queries {
 
     // quality formula -> rounded quantile_cont cuts -> sum-of-compares bin
     "curriculum_bins" ->
-      s"""WITH qs AS (SELECT doc_id, round(
-         |  least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25 +
-         |  (CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25 +
-         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25 +
-         |  least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
-         |  6) AS score FROM documents),
+      s"""WITH qs AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
          |c AS (SELECT round(quantile_cont(score, 0.25), 6) AS c1,
          |             round(quantile_cont(score, 0.5), 6) AS c2,
          |             round(quantile_cont(score, 0.75), 6) AS c3 FROM qs)

@@ -51,18 +51,35 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: length saturation, lexical diversity,
     * stopword presence — the classic cheap pre-filter for LLM corpora.
+    *
+    * Exactness: each of the four terms is rounded to 9 dp and the sum
+    * runs in DECIMAL(20,9), so the final 6-dp rounding happens in exact
+    * decimal space. The naive all-double formulation hit a real
+    * cross-engine divergence at sf0.1: the quarter-weighted rational
+    * terms live on a 2.5e-6 grid, so sums land EXACTLY on 6-dp halves
+    * routinely (observed 0.5010625), where Spark's shortest-repr HALF_UP
+    * and DuckDB's multiply-based double rounding disagree by one display
+    * ulp. Decimal-space rounding of 9-dp terms is the same medicine the
+    * LM/PageRank sums use.
     */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val nDis = distinctTokenCount(text).cast("double")
     val nChr = length(text).cast("double")
     val nStop = stopwordCount(text).cast("double")
+    // decimal(20,9), NOT (38,9): chaining four adds grows precision by
+    // one digit per step, and at the 38 cap Spark silently REDUCES the
+    // scale to keep integer digits (allowPrecisionLoss) — the sum came
+    // back pre-rounded at 6 dp. (20,9) leaves 18 digits of headroom so
+    // the chain stays exact at scale 9 (terms are <= 1.0)
+    def t9(c: Column): Column =
+      graft.functions.fast_round(c, 9).cast("decimal(20,9)")
     round(
-      least(nTok / 100.0, lit(1.0)) * 0.25 +
-      (nDis / greatest(nTok, lit(1.0))) * 0.25 +
-      least(nChr / 500.0, lit(1.0)) * 0.25 +
-      least(nStop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.25,
-      6)
+      t9(least(nTok / 100.0, lit(1.0)) * 0.25) +
+      t9((nDis / greatest(nTok, lit(1.0))) * 0.25) +
+      t9(least(nChr / 500.0, lit(1.0)) * 0.25) +
+      t9(least(nStop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.25),
+      6).cast("double")
   }
 
   /** N-gram-free language ID: stopword-hit voting over a per-language
