@@ -2163,6 +2163,33 @@ object Queries {
       s.range(1).select(lit(K).cast("long").as("k"), lit(inter.toDouble / K).as("recall"))
     }),
 
+    // IVF-PQ on the k-means coarse quantizer: the Lloyd-refined centroids
+    // (Ann.refineCentroids — the same machinery ivf_recall_kmeans gates)
+    // feeding the combined store, recall measured side by side with the
+    // hash-sampled baseline from the SAME probe/codebook. The oracle
+    // replays seed sampling, the fixed-point Lloyd round with the q20
+    // float handoff, BOTH cell assignments and probe-cell choices, the PQ
+    // encode + ADC shortlists, both exact re-ranks, and both recalls
+    "ivfpq_recall_kmeans" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfpqk").toString
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val seeds = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      val refined = Ann.refineCentroids(e, "embedding", seeds, Dim)
+      val cb = Pq.codebook(e, "vec_id", "embedding", Dim, PqM, PqCodes)
+      val exact = knnQuery("l2")(s, dir).select(col("vec_id"))
+      def recall(cents: Seq[Seq[Float]], sub: String): Double = {
+        val path = s"$base/$sub"
+        Pq.writeIvfPq(e, "vec_id", "embedding", path, cents, cb)
+        val rerank = Pq.ivfPqRerank(s, path, e, "vec_id", "embedding",
+          probe, K, cents, cb, IvfProbes, overscan = 10).select(col("vec_id"))
+        exact.join(rerank, "vec_id").count().toDouble / K
+      }
+      s.range(1).select(lit(K).cast("long").as("k"),
+        lit(recall(refined, "kmeans")).as("recall_kmeans"),
+        lit(recall(seeds, "sampled")).as("recall_sampled"),
+        lit(refined.size.toLong).as("n_cells"))
+    }),
+
     // ---- binary quantization: 32× compression sign-bit signatures ----
 
     // Hamming top-k over packed sign-bit signatures (one long per 64
@@ -2615,20 +2642,21 @@ object Queries {
        |  FROM hb JOIN lut USING (b) GROUP BY doc_id)""".stripMargin
   }
 
-  /** Quality-score restatement matching [[graft.ops.TextAnalysis.qualityScore]]'s
-    * decimal-exact formulation: 9-dp-rounded terms summed as
-    * DECIMAL(38,9), final 6-dp rounding in decimal space (the 2.5e-6
-    * rational grid lands on 6-dp halves routinely, where double-space
-    * rounding diverges across engines — observed at sf0.1).
-    */
+  // all-integer scale-9 restatement (mirrors TextAnalysis.qualityScore):
+  // half-up rational terms via (2a+b)//(2b), BIGINT sum, one more
+  // half-up // to 6 dp, and only the final <=1e6 integer touches DOUBLE
   private lazy val qualityScoreSql: String = {
-    def t9(term: String) = s"CAST(round($term, 9) AS DECIMAL(20,9))"
-    "CAST(round(" +
-      t9(s"least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) * 0.25") + " + " +
-      t9(s"(CAST(len(list_distinct($tokensSql)) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 0.25") + " + " +
-      t9(s"least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25") + " + " +
-      t9(s"least(CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS DOUBLE) / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25") +
-      ", 6) AS DOUBLE)"
+    def hdiv(a: String, b: String) = s"((($a) * 2 + ($b)) // (($b) * 2))"
+    val nTok = s"CAST(len($tokensSql) AS BIGINT)"
+    val nDis = s"CAST(len(list_distinct($tokensSql)) AS BIGINT)"
+    val nChr = "CAST(length(text) AS BIGINT)"
+    val nStop = s"CAST(len(list_filter($tokensSql, t -> t IN ($enStopSql))) AS BIGINT)"
+    val g = s"greatest($nTok, 1)"
+    val t1 = s"(CASE WHEN $nTok <= 100 THEN $nTok * 2500000 ELSE 250000000 END)"
+    val t2 = hdiv(s"$nDis * 1000000000", s"$g * 4")
+    val t3 = s"(CASE WHEN $nChr <= 500 THEN $nChr * 500000 ELSE 250000000 END)"
+    val t4 = s"least(${hdiv(s"$nStop * 5000000000", s"$g * 4")}, 250000000)"
+    s"(CAST((($t1 + $t2 + $t3 + $t4 + 500) // 1000) AS DOUBLE) / 1000000.0)"
   }
 
   private def cleanWsSql(ac: String) =
@@ -4042,6 +4070,58 @@ object Queries {
          |SELECT CAST($K AS BIGINT) AS k,
          |  CAST((SELECT count(*) FROM ex JOIN rr ON ex.vec_id = rr.vec_id) AS DOUBLE) / $K AS recall""".stripMargin,
 
+    // ivfpq_recall's machinery × ivf_recall_kmeans' Lloyd replay: the
+    // refined-centroid chain re-derives the fixed-point means + q20
+    // handoff from the sampled assignment, then both coarse quantizers
+    // drive the SAME ADC shortlist → exact re-rank → recall-vs-truth
+    "ivfpq_recall_kmeans" -> {
+      def c2dist(cv: String) =
+        s"list_sum(list_transform(generate_series(1,$Dim), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE))))"
+      def p2dist(cv: String) =
+        s"list_sum(list_transform(generate_series(1,$Dim), i -> (pv[i] - CAST($cv[i] AS DOUBLE)) * (pv[i] - CAST($cv[i] AS DOUBLE))))"
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCellFilterCte,
+         |iu AS (SELECT iasg.cid, g.i AS i,
+         |  CASE WHEN e.embedding[g.i] IS NULL OR isnan(CAST(e.embedding[g.i] AS DOUBLE)) THEN 0
+         |       ELSE CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) END AS v
+         |  FROM iasg JOIN embeddings e USING (vec_id), UNNEST(generate_series(1, $Dim)) AS g(i)),
+         |im1 AS (SELECT cid, i,
+         |       CAST(round((sum(v) / (count(*) * 1000000.0)) * 1048576.0) / 1048576.0 AS REAL) AS cf
+         |       FROM iu GROUP BY cid, i),
+         |ic2 AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS cid, list(cf ORDER BY i) AS cv
+         |       FROM (SELECT cid, i, cf FROM im1) m GROUP BY cid),
+         |icd2 AS (SELECT e.vec_id, ic2.cid, ${c2dist("ic2.cv")} AS d
+         |  FROM embeddings e, ic2 WHERE e.embedding IS NOT NULL),
+         |iasg2 AS (SELECT vec_id, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM icd2) WHERE rn = 1),
+         |ipd2 AS (SELECT ic2.cid, ${p2dist("ic2.cv")} AS d FROM ic2, p),
+         |ipc2 AS (SELECT cid FROM ipd2 ORDER BY d, cid LIMIT $IvfProbes),
+         |$pqCte, $pqAdcCte,
+         |short_s AS (SELECT vec_id FROM ad
+         |  WHERE vec_id IN (SELECT vec_id FROM iasg WHERE cid IN (SELECT cid FROM ipc))
+         |  ORDER BY adc, vec_id LIMIT ${K * 10}),
+         |rr_s AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM (SELECT * FROM embeddings WHERE vec_id IN (SELECT vec_id FROM short_s)) AS embeddings, p
+         |  WHERE embedding IS NOT NULL
+         |  ORDER BY distance, vec_id LIMIT $K) t),
+         |short_k AS (SELECT vec_id FROM ad
+         |  WHERE vec_id IN (SELECT vec_id FROM iasg2 WHERE cid IN (SELECT cid FROM ipc2))
+         |  ORDER BY adc, vec_id LIMIT ${K * 10}),
+         |rr_k AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${distSql("l2")} AS distance
+         |  FROM (SELECT * FROM embeddings WHERE vec_id IN (SELECT vec_id FROM short_k)) AS embeddings, p
+         |  WHERE embedding IS NOT NULL
+         |  ORDER BY distance, vec_id LIMIT $K) t2),
+         |ex AS (SELECT vec_id FROM (
+         |  SELECT vec_id, round(${distSql("l2")}, 6) AS distance
+         |  FROM embeddings, p WHERE embedding IS NOT NULL
+         |  ORDER BY distance, vec_id LIMIT $K) t3)
+         |SELECT CAST($K AS BIGINT) AS k,
+         |  CAST((SELECT count(*) FROM ex JOIN rr_k ON ex.vec_id = rr_k.vec_id) AS DOUBLE) / $K AS recall_kmeans,
+         |  CAST((SELECT count(*) FROM ex JOIN rr_s ON ex.vec_id = rr_s.vec_id) AS DOUBLE) / $K AS recall_sampled,
+         |  (SELECT count(*) FROM ic2) AS n_cells""".stripMargin
+    },
+
     "simhash_docs" ->
       s"""WITH $simhashSelect
          |SELECT doc_id, simhash FROM sh""".stripMargin,
@@ -4289,12 +4369,14 @@ object Queries {
          |UNION ALL SELECT 'tokens_p50', p50 FROM agg
          |UNION ALL SELECT 'tokens_p75', p75 FROM agg""".stripMargin,
 
-    // quality formula -> rounded quantile_cont cuts -> sum-of-compares bin
+    // quality formula -> q20-binary-grid quantile_cont cuts -> sum-of-
+    // compares bin (binary grid: decimal 6-dp halves round differently
+    // across engines; k/2^20 halves are exact doubles and round the same)
     "curriculum_bins" ->
       s"""WITH qs AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
-         |c AS (SELECT round(quantile_cont(score, 0.25), 6) AS c1,
-         |             round(quantile_cont(score, 0.5), 6) AS c2,
-         |             round(quantile_cont(score, 0.75), 6) AS c3 FROM qs)
+         |c AS (SELECT round(quantile_cont(score, 0.25) * 1048576) / 1048576 AS c1,
+         |             round(quantile_cont(score, 0.5) * 1048576) / 1048576 AS c2,
+         |             round(quantile_cont(score, 0.75) * 1048576) / 1048576 AS c3 FROM qs)
          |SELECT doc_id, score,
          |  CAST(CASE WHEN score > c1 THEN 1 ELSE 0 END
          |     + CASE WHEN score > c2 THEN 1 ELSE 0 END
@@ -4303,7 +4385,7 @@ object Queries {
 
     // closed-form UniMax waterfill: prefix-sum cappedness + even share
     "unimax_mixture" ->
-      """WITH sz AS (SELECT lang AS domain, sum(n_chars) AS n_tokens
+      """WITH sz AS (SELECT lang AS domain, CAST(sum(n_chars) AS BIGINT) AS n_tokens
         |            FROM documents GROUP BY lang HAVING sum(n_chars) > 0),
         |st AS (SELECT count(*) AS n FROM sz),
         |rkd AS (SELECT domain, n_tokens,

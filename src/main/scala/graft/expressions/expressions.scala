@@ -1064,6 +1064,42 @@ case class PcmFingerprintExpr(child: Expression, window: Int)
     copy(child = newChild)
 }
 
+/** `media_probe(payload, declared_type)` — container-header metadata for a
+  * multimodal binary column ([[graft.ops.MediaCodec.probe]]): magic-byte
+  * detection + real PNG/JPEG/GIF/WAV header parse →
+  * struct(media_type, width, height, n_frames, byte_len); unknown
+  * containers fall back to the declared type with zero dimensions. One
+  * static call inside whole-stage codegen — the corpus-wide metadata pass
+  * never leaves the columnar batch. NULL if either input is NULL
+  * (callers wanting a default for a null declared type coalesce it, as
+  * [[graft.ops.Multimodal.withMetadata]] does).
+  */
+case class MediaProbeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("media_type", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("byte_len", LongType, nullable = false)))
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_probe"
+
+  override def nullSafeEval(payload: Any, declared: Any): Any =
+    graft.ops.MediaCodec.probeRow(
+      payload.asInstanceOf[Array[Byte]], declared.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, d) =>
+      s"${ev.value} = graft.ops.MediaCodec.probeRow($p, $d);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `gif_frames(blob)` — REAL GIF block-structure walk
   * ([[graft.ops.MediaCodec.gifFrameStats]]): frame count + total
   * animation delay (centiseconds) from image descriptors and Graphic

@@ -114,6 +114,20 @@ object functions {
     */
   def gif_frames(payload: Column): Column = col(GifFramesExpr(expr(payload)))
 
+  /** Container-header metadata struct for a multimodal binary payload —
+    * see [[graft.expressions.MediaProbeExpr]].
+    */
+  def media_probe(payload: Column, declaredType: Column): Column =
+    col(MediaProbeExpr(expr(payload), expr(declaredType)))
+
+  /** Exact integral division over BIGINT columns (the SQL `div`
+    * operator; DuckDB `//`) — the building block for decimal-exact
+    * rational arithmetic in integer space, where `/` on longs would
+    * detour through double and lose exactness past 2⁵³.
+    */
+  def long_div(a: Column, b: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.IntegralDivide(expr(a), expr(b)))
+
   /** One BPE merge round over a symbol array; see
     * [[graft.expressions.BpeMerge]].
     */
@@ -202,6 +216,10 @@ object functions {
     reg.createOrReplaceTempFunction("gif_frames", {
       case Seq(p) => GifFramesExpr(p)
       case args => throw new IllegalArgumentException(s"gif_frames expects 1 arg, got ${args.size}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("media_probe", {
+      case Seq(p, d) => MediaProbeExpr(p, d)
+      case args => throw new IllegalArgumentException(s"media_probe expects 2 args, got ${args.size}")
     }, "scala_udf")
     reg.createOrReplaceTempFunction("pcm_fingerprint", {
       case Seq(p) => PcmFingerprintExpr(p, 8)

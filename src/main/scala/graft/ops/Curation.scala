@@ -542,11 +542,26 @@ object Curation {
     * key's top-N certifies independently against its own n/(k+1) bound —
     * provably exact per key or fail fast, never silently approximate.
     * Output: (keyCol, rank, token, n).
+    *
+    * The per-key sketch table (one row per key, ≤sketchK candidates
+    * each) is a DRIVER read, so key cardinality is a checked assumption:
+    * `maxKeys` bounds it via a cheap distinct count before the collect
+    * (the rrfFuse maxListRows / unimaxAllocation maxDomains convention)
+    * — a high-cardinality keyCol fails fast instead of silently becoming
+    * an unbounded driver read. String keys only (the sketch candidates
+    * are token strings keyed by key string); any other type fails the
+    * upfront schema check.
     */
   def heavyHittersByKey(df: DataFrame, keyCol: String, textCol: String,
                         topN: Int, sketchK: Int,
-                        certify: Boolean = true): DataFrame = {
+                        certify: Boolean = true, maxKeys: Int = 10000): DataFrame = {
     val spark = df.sparkSession
+    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
+      s"heavyHittersByKey: $keyCol must be a string column, got ${df.schema(keyCol).dataType}")
+    val nKeys = df.agg(countDistinct(col(keyCol))).head().getLong(0)
+    require(nKeys <= maxKeys,
+      s"heavyHittersByKey: $nKeys distinct $keyCol keys exceed maxKeys=$maxKeys — " +
+        "the per-key sketch table is a driver read; raise maxKeys deliberately or pre-filter keys")
     val toks = df.select(col(keyCol).as("key"),
       explode(cleanTokens(col(textCol))).as("token"))
     val sk = toks.groupBy("key").agg(
@@ -629,6 +644,14 @@ object Curation {
     * schedulers order training from bin 0 upward (or sample per-bin
     * rates via [[stratifiedSample]] on the bin column).
     * Output: (idCol, score, bin ∈ [0, |fractions|]).
+    *
+    * Cut points land on the q20 BINARY grid (k/2²⁰), not a 6-dp decimal
+    * one: quantile interpolation over 6-dp scores routinely yields exact
+    * decimal halves (the median of an even count), where Spark's
+    * HALF_UP and DuckDB's multiply-based double round can disagree by
+    * 1e-6 and shift bin membership — a binary .5 is exactly
+    * representable, so every engine rounds it identically (the
+    * kmeans_iter handoff convention).
     */
   def curriculumBins(df: DataFrame, idCol: String, scoreCol: Column,
                      fractions: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
@@ -640,7 +663,8 @@ object Curation {
     val row = scored.agg(expr(s"percentile(score, $fracExpr)").as("c")).head()
     if (row.isNullAt(0))
       return scored.select(col(idCol), col("score"), lit(0L).as("bin")).limit(0)
-    val cuts = row.getSeq[Double](0).map(graft.kernels.Quantize.roundHalfUp(_, 6))
+    val cuts = row.getSeq[Double](0).map(x =>
+      graft.kernels.Quantize.roundHalfUp(x * 1048576.0, 0) / 1048576.0)
     val bin = cuts.foldLeft(lit(0))((acc, c) => acc + (col("score") > lit(c)).cast("int"))
     scored.withColumn("bin", bin.cast("long"))
   }

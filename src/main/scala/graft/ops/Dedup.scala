@@ -291,7 +291,8 @@ object Dedup {
                     numHashes: Int = 128, bands: Int = 16,
                     shingleN: Int = 3, threshold: Double = 0.8,
                     maxBucket: Int = 1 << 16,
-                    barrier: Barrier = Barrier.LocalCheckpoint): LshRun = {
+                    barrier: Barrier = Barrier.LocalCheckpoint,
+                    eager: Boolean = true): LshRun = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
     val rowsPerBand = numHashes / bands
@@ -315,7 +316,7 @@ object Dedup {
           first(col("sh")).as("sh"))
         .drop("ck1", "ck2")
         .withColumn("sig", minhash_signature(col("sh"), numHashes)),
-      barrier)
+      barrier, eager)
 
     val banded = grouped.select(col("rep").as("id"),
         posexplode(array((0 until bands).map(b =>

@@ -113,6 +113,18 @@ object MediaCodec {
     probePng(b).orElse(probeJpeg(b)).orElse(probeGif(b)).orElse(probeWav(b))
       .getOrElse(MediaMeta(declaredType, 0, 0, 1, b.length.toLong))
 
+  /** Static entry point for generated code ([[graft.expressions.MediaProbeExpr]]):
+    * probe never fails (unknown containers fall back to the declared type),
+    * so the row is always non-null for a non-null payload.
+    */
+  def probeRow(b: Array[Byte],
+               declared: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = probe(b, if (declared == null) "unknown" else declared.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(m.media_type),
+      m.width, m.height, m.n_frames, m.byte_len))
+  }
+
   // ---------- fixtures (test/dev only): minimal valid containers ----------
 
   /** Minimal PNG: signature + IHDR chunk (CRC zeroed — not validated by

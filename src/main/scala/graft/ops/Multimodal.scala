@@ -3,8 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.MediaCodec.MediaMeta
-
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct.
   *
@@ -18,14 +16,16 @@ import graft.ops.MediaCodec.MediaMeta
 object Multimodal {
 
   /** Attach parsed metadata: binary + declared media_type → meta struct
-    * (media_type, width, height, n_frames, byte_len). A narrow UDF over
-    * exactly two columns; null payload → null meta.
+    * (media_type, width, height, n_frames, byte_len). A codegen'd narrow
+    * projection over exactly two columns
+    * ([[graft.expressions.MediaProbeExpr]]) — the full-corpus metadata
+    * pass stays inside WholeStageCodegen with no per-row Row
+    * serialization. Null payload → null meta; null declared type reads as
+    * "unknown".
     */
-  def withMetadata(df: DataFrame, payloadCol: String, mediaTypeCol: String): DataFrame = {
-    val probeUdf = udf((payload: Array[Byte], declared: String) =>
-      Option(payload).map(p => MediaCodec.probe(p, Option(declared).getOrElse("unknown"))))
-    df.withColumn("meta", probeUdf(col(payloadCol), col(mediaTypeCol)))
-  }
+  def withMetadata(df: DataFrame, payloadCol: String, mediaTypeCol: String): DataFrame =
+    df.withColumn("meta", graft.functions.media_probe(
+      col(payloadCol), coalesce(col(mediaTypeCol), lit("unknown"))))
 
   /** Byte-histogram feature extraction: payload → fixed-width
     * `array<float>` with out[i % dim] += byte/256. The 1/256 scaling keeps

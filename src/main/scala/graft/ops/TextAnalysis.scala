@@ -52,34 +52,35 @@ object TextAnalysis {
   /** Quality score in [0,1]: length saturation, lexical diversity,
     * stopword presence — the classic cheap pre-filter for LLM corpora.
     *
-    * Exactness: each of the four terms is rounded to 9 dp and the sum
-    * runs in DECIMAL(20,9), so the final 6-dp rounding happens in exact
-    * decimal space. The naive all-double formulation hit a real
-    * cross-engine divergence at sf0.1: the quarter-weighted rational
-    * terms live on a 2.5e-6 grid, so sums land EXACTLY on 6-dp halves
-    * routinely (observed 0.5010625), where Spark's shortest-repr HALF_UP
-    * and DuckDB's multiply-based double rounding disagree by one display
-    * ulp. Decimal-space rounding of 9-dp terms is the same medicine the
-    * LM/PageRank sums use.
+    * Exactness: the entire score is INTEGER arithmetic on the scale-9
+    * decimal grid — each quarter-weighted term is an exactly-rounded
+    * rational (half-up integral division, `(2a+b) div 2b`), the sum is a
+    * BIGINT add, the 6-dp display rounding drops three digits with one
+    * more half-up integral division, and only the final ≤10⁶ integer is
+    * converted to double (exact, and /10⁶ is the identical IEEE op on
+    * every engine). No double ever carries an intermediate, so there is
+    * nothing left to round differently across engines. The earlier
+    * round-9-then-decimal-sum form still rounded DOUBLE terms, and a
+    * data-dependent denominator (nDis/(4·nTok) with nTok = 2ᵃ·5ᵇ, e.g. a
+    * 1280-token doc) can land exactly on a non-binary-representable 9-dp
+    * half where the engines' round-to-9 disagrees by one ulp.
     */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val nDis = distinctTokenCount(text).cast("double")
-    val nChr = length(text).cast("double")
-    val nStop = stopwordCount(text).cast("double")
-    // decimal(20,9), NOT (38,9): chaining four adds grows precision by
-    // one digit per step, and at the 38 cap Spark silently REDUCES the
-    // scale to keep integer digits (allowPrecisionLoss) — the sum came
-    // back pre-rounded at 6 dp. (20,9) leaves 18 digits of headroom so
-    // the chain stays exact at scale 9 (terms are <= 1.0)
-    def t9(c: Column): Column =
-      graft.functions.fast_round(c, 9).cast("decimal(20,9)")
-    round(
-      t9(least(nTok / 100.0, lit(1.0)) * 0.25) +
-      t9((nDis / greatest(nTok, lit(1.0))) * 0.25) +
-      t9(least(nChr / 500.0, lit(1.0)) * 0.25) +
-      t9(least(nStop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.25),
-      6).cast("double")
+    val nTok = tokenCount(text)
+    val nDis = distinctTokenCount(text)
+    val nChr = length(text).cast("long")
+    val nStop = stopwordCount(text)
+    val g = greatest(nTok, lit(1L))
+    // half-up a/b at integer scale: (2a + b) div 2b, exact for a,b >= 0
+    def hdiv(a: Column, b: Column): Column =
+      graft.functions.long_div(a * 2L + b, b * 2L)
+    // each term = round9(raw/4) * 1e9 as an exact integer
+    val t1 = when(nTok <= 100L, nTok * 2500000L).otherwise(lit(250000000L))
+    val t2 = hdiv(nDis * 1000000000L, g * 4L)
+    val t3 = when(nChr <= 500L, nChr * 500000L).otherwise(lit(250000000L))
+    val t4 = least(hdiv(nStop * 5000000000L, g * 4L), lit(250000000L))
+    val s9 = t1 + t2 + t3 + t4
+    (graft.functions.long_div(s9 + 500L, lit(1000L)).cast("double") / 1000000.0)
   }
 
   /** N-gram-free language ID: stopword-hit voting over a per-language

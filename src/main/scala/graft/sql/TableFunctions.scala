@@ -394,33 +394,46 @@ object GraftTableFunctions {
     * FROM near_dup_pairs('docs','doc_id','text', 0.9)`. The builder
     * expands the registered table through the full DataFrame pipeline
     * and returns its analyzed logical plan (the same Catalyst tree the
-    * Scala API produces — no second implementation to drift); the
-    * pipeline's content-projection barrier materializes at expansion
-    * time, exactly like the Scala call.
+    * Scala API produces — no second implementation to drift).
+    *
+    * Barrier lifecycle under SQL expansion: the pipeline's
+    * content-projection barrier is threaded through LAZILY (`eager =
+    * false`) so plan expansion — which also runs for EXPLAIN or an
+    * unexecuted CTAS — never fires a shingling job at analysis time; the
+    * checkpoint materializes on the outer query's first action. There is
+    * no release() hook at the SQL surface (the expanded plan's lifetime
+    * is the caller's), so the blocks are freed by the ContextCleaner
+    * when the result plan is garbage-collected — the same contract as
+    * the Scala convenience wrappers ([[graft.ops.Dedup.minhashLsh]]);
+    * long-lived sessions doing repeated programmatic dedup runs should
+    * use the Scala Run variants + release() for deterministic freeing.
     */
   def nearDupPairsBuilder(args: Seq[Expression]): LogicalPlan = args match {
     case Seq(t, idE, txtE, thrE) =>
       val spark = Lifecycle.activeSession("near_dup_pairs")
       val table = strArg(t, "table name")
-      graft.ops.Dedup.ngramJaccard(spark.table(table),
+      graft.ops.Dedup.minhashLshRun(spark.table(table),
           strArg(idE, "id column"), strArg(txtE, "text column"),
-          n = 3, threshold = doubleArg(thrE, "threshold"))
-        .queryExecution.logical
+          numHashes = 128, bands = 16, shingleN = 3,
+          threshold = doubleArg(thrE, "threshold"), eager = false)
+        .pairs.queryExecution.logical
     case other =>
       throw new IllegalArgumentException(s"near_dup_pairs expects (table, idCol, textCol, threshold), got ${other.size} args")
   }
 
   /** `containment_pairs(tbl, idCol, textCol, shingleN, threshold)` →
     * (a, b, containment): the exact prefix-filtered containment join
-    * ([[graft.ops.Dedup.containmentPairs]]) in SQL.
+    * ([[graft.ops.Dedup.containmentPairs]]) in SQL. Its barriers are
+    * lazy already; release follows the same GC contract as
+    * [[nearDupPairsBuilder]].
     */
   def containmentPairsBuilder(args: Seq[Expression]): LogicalPlan = args match {
     case Seq(t, idE, txtE, nE, thrE) =>
       val spark = Lifecycle.activeSession("containment_pairs")
-      graft.ops.Dedup.containmentPairs(spark.table(strArg(t, "table name")),
+      graft.ops.Dedup.containmentRun(spark.table(strArg(t, "table name")),
           strArg(idE, "id column"), strArg(txtE, "text column"),
           shingleN = intArg(nE, "shingleN"), threshold = doubleArg(thrE, "threshold"))
-        .queryExecution.logical
+        .pairs.queryExecution.logical
     case other =>
       throw new IllegalArgumentException(s"containment_pairs expects (table, idCol, textCol, shingleN, threshold), got ${other.size} args")
   }

@@ -1025,6 +1025,15 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("meta.media_type", "meta.width", "meta.height", "meta.byte_len").head()
     assert(m.getString(0) == "png" && m.getInt(1) == 320 && m.getInt(2) == 240 && m.getLong(3) == 45L)
     assert(meta.where(col("id") === 2).select("meta").head().isNullAt(0)) // null payload -> null meta
+    // the metadata probe is a native codegen'd expression, not a UDF
+    val metaPlan = meta.select("meta").queryExecution.analyzed.toString
+    assert(!metaPlan.contains("ScalaUDF"), s"metadata probe is a UDF again:\n$metaPlan")
+    assert(metaPlan.contains("media_probe"))
+    // null declared type reads as "unknown" (unknown container -> fallback)
+    val unkMeta = Multimodal.withMetadata(
+      Seq((1L, "just text".getBytes, null.asInstanceOf[String])).toDF("id", "payload", "mt"),
+      "payload", "mt").select("meta.media_type").head()
+    assert(unkMeta.getString(0) == "unknown")
 
     val featsDf = Multimodal.withFeatures(d, "payload", 16)
     val feats = featsDf.where(col("id") === 1).select("features").head().getSeq[Float](0)
@@ -1067,6 +1076,10 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gm.toSeq == Seq(3L)) // the PNG row is null for gif_frames
     assert(spark.sql("SELECT png_dhash(b) AS h FROM media_sql WHERE png_dhash(b) IS NOT NULL")
       .count() == 1)
+    // media_probe from pure SQL: real header parse for both containers
+    val mp = spark.sql("SELECT media_probe(b, 'unknown').media_type AS t FROM media_sql ORDER BY t")
+      .collect().map(_.getString(0))
+    assert(mp.toSeq == Seq("gif", "png"))
     Seq(Tuple1(graft.ops.MediaCodec.wavPcmFixture(16000, 1, 80, 7L)))
       .toDF("b").createOrReplaceTempView("wav_sql")
     assert(spark.sql("SELECT pcm_fingerprint(b).fingerprint AS f FROM wav_sql")
@@ -1781,6 +1794,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hh = Curation.heavyHitters(docsDf, "text", topN = 3, sketchK = k)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(hh.toSeq == Seq(("alpha", 400L), ("beta", 300L), ("gamma", 200L)))
+  }
+
+  test("heavyHittersByKey checks its driver-read assumptions up front") {
+    val d = Seq(("en", "a a b"), ("fr", "c c d"), ("de", "e f e")).toDF("lang", "text")
+    // happy path: per-key exact top-1
+    val top = Curation.heavyHittersByKey(d, "lang", "text", topN = 1, sketchK = 8)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).sorted
+    assert(top.toSeq == Seq(("de", "e", 2L), ("en", "a", 2L), ("fr", "c", 2L)))
+    // key cardinality above maxKeys fails fast instead of an unbounded collect
+    val wide = (0 until 20).map(i => (s"k$i", "x y")).toDF("lang", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.heavyHittersByKey(wide, "lang", "text", topN = 1, sketchK = 8, maxKeys = 10)
+    }
+    assert(e1.getMessage.contains("maxKeys"))
+    // non-string keys are rejected loudly at the schema check
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.heavyHittersByKey(Seq((1L, "x")).toDF("lang", "text"), "lang", "text", 1, 8)
+    }
+    assert(e2.getMessage.contains("string"))
   }
 
   test("sign_bits fails fast on dim mismatch and NULL lanes") {

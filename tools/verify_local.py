@@ -67,6 +67,25 @@ def main():
             n_fail += 1
             print(f"✗ {name}: row count spark={len(s)} oracle={len(o)}")
             continue
+        # dtype lint: the driver's value hash is type-sensitive (int64 19525
+        # vs float64 19525.0 hash-mismatch even though == is true — the
+        # round-9 unimax_mixture red row). Catch kind-level divergence here
+        # so a DuckDB HUGEINT/DOUBLE sum vs a Spark BIGINT can't slip past
+        # the local mirror's numeric-equality fallback again.
+        kind_clash = None
+        for c in s.columns:
+            sk, ok = s[c].dtype.kind, o[c].dtype.kind
+            sk = "i" if sk == "u" else sk
+            ok = "i" if ok == "u" else ok
+            if sk != ok:
+                kind_clash = (c, str(s[c].dtype), str(o[c].dtype))
+                break
+        if kind_clash:
+            n_fail += 1
+            c, sd, od = kind_clash
+            print(f"✗ {name}: dtype kind mismatch col={c}: spark={sd} oracle={od}"
+                  f" (driver hash is type-sensitive — cast the oracle output)")
+            continue
         mismatch = None
         for c in s.columns:
             sv, ov = s[c].tolist(), o[c].tolist()
