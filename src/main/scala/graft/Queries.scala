@@ -1877,6 +1877,17 @@ object Queries {
     // (scale) path end to end, removal decisions included
     // Exact repeated n-gram spans (token-level exact-substring dedup):
     // per-doc rollup of how many 5-token windows recur corpus-wide
+    // ExactSubstr removal spans (Lee et al. 2022's suffix-array half,
+    // restated as the linear shared-window union — see the scaladoc's
+    // identity argument): maximal (doc, start, len) spans whose every
+    // 20-token window occurs >= 2x corpus-wide. The oracle recomputes on
+    // RAW window strings (no hash restatement), so a fingerprint
+    // collision or off-by-one in the island merge value-fails
+    "exact_substr_spans" -> ((s, dir) =>
+      Dedup.exactSubstrSpans(docs(s, dir), "doc_id", "text", minTokens = 20)
+        .select(col("id").as("doc_id"), col("start"), col("len"))
+        .orderBy("doc_id", "start")),
+
     "repeated_spans" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"),
         greatest(size(Curation.cleanTokens(col("text"))) - 4, lit(0))
@@ -3693,6 +3704,20 @@ object Queries {
     "dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY lang, source""".stripMargin,
+
+    // the whole pipeline on raw window strings: 20-token windows, corpus
+    // occurrence counts, per-doc gaps-and-islands merge of shared starts
+    "exact_substr_spans" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+19], ' ') AS gram
+         |  FROM t, UNNEST(generate_series(1, len(tk) - 19)) AS u(i) WHERE len(tk) >= 20),
+         |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |s AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+         |r AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
+         |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS len
+         |FROM r GROUP BY doc_id, grp ORDER BY doc_id, start""".stripMargin,
 
     // line-level dedup: same 5-doc roll-up, line keys restated with the
     // string_hash61 polynomial (the Spark side's exact key), keep = first

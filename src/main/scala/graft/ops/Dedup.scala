@@ -856,6 +856,69 @@ object Dedup {
       .select(col("id"), col("pos"), col("gram"))
   }
 
+  /** ExactSubstr removal spans — the OTHER half of Lee et al. 2022: for
+    * each document, the maximal token spans covered by some ≥`minTokens`
+    * substring that occurs at least twice in the corpus (any document,
+    * including the same one — self-repeats memorize too). These are the
+    * (doc, start, len) byte-range deletions the reference ExactSubstr
+    * tool computes with a corpus-wide suffix array.
+    *
+    * No suffix array is needed for the REMOVAL SET, because of an exact
+    * identity: a substring of length ≥ L occurs twice iff every one of
+    * its L-token windows occurs twice, and any position under a
+    * duplicated L-window lies inside a duplicated substring of length
+    * exactly L. So
+    *
+    *   union of duplicated ≥L substrings = union of duplicated L-windows,
+    *
+    * and the right-hand side is LINEAR: window fingerprints → corpus
+    * occurrence counts → per-document gaps-and-islands merge of the
+    * shared window starts. Two L-windows duplicated against DIFFERENT
+    * partners chain into one emitted span — correct under union
+    * semantics (every position in the span is inside some duplicated
+    * substring), though the merged span need not occur verbatim anywhere
+    * else; consumers cutting spans get exactly Lee et al.'s deletions.
+    *
+    * Plan ([[repeatedSpans]]' exchange discipline): one posexplode scan
+    * projects each window to its 128-bit fingerprint (two xxhash64
+    * lanes; the window TEXT dies in the mapper — both exchanges move
+    * 16-byte keys), a map-side-combined count rollup keeps fingerprints
+    * with ≥2 occurrences (output-sized, AQE broadcasts it back), and the
+    * island merge `grp = pos − row_number()` runs per document — window
+    * state bounded by doc length, never corpus size. No pair space, no
+    * all-pairs join: cost is linear in corpus tokens at any scale. A
+    * lane collision (< 2⁻⁸⁰ at 10¹² windows) could mark a unique window
+    * shared — the same accepted budget as [[minhashLshRun]].
+    *
+    * Output: (id, start (1-based token index), len (tokens)), one row
+    * per maximal span, len ≥ minTokens.
+    */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
+    val cnt = size(col("_toks")) - (minTokens - 1)
+    val grams = df.select(col(idCol).as("id"), toks.as("_toks"))
+      .select(col("id"),
+        posexplode(when(cnt > 0,
+            transform(sequence(lit(1), cnt),
+              i => array_join(slice(col("_toks"), i, lit(minTokens)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("p0", "gram")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"),
+        xxhash64(col("gram")).as("h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("gram")).as("h2"))
+    val dups = grams.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+    val shared = grams.join(dups.select("h1", "h2"), Seq("h1", "h2"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    shared.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) - min(col("pos")) + minTokens).as("len"))
+      .select(col("id"), col("start"), col("len"))
+  }
+
   /** The end-to-end dedup KEEP decision: near-dup pairs → connected
     * components → per-cluster best-quality representative. This is the
     * step a real pipeline runs after clustering — "which copy survives"

@@ -1332,6 +1332,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 2L, "rep rep rep rep rep")))
   }
 
+  test("exactSubstrSpans merges shared windows into maximal removal spans") {
+    // L=4. doc1/doc2 share a planted 6-token run -> three shared 4-token
+    // windows each, merged into ONE maximal span of len 6; doc3 unique;
+    // doc4 repeats a 4-token window within itself -> two disjoint spans.
+    val docs = Seq(
+      (1L, "a b c d e f tail1 tail2"),
+      (2L, "head a b c d e f"),
+      (3L, "totally unrelated words only here"),
+      (4L, "p q r s gap1 gap2 p q r s")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", minTokens = 4)
+    val got = spans.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 6L), (2L, 2L, 6L), (4L, 1L, 4L), (4L, 7L, 4L)))
+    // linear plan: no pair space anywhere (window text never joins text)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("charEntropy: 0 for empty/uniform, 1 bit for a fair binary alphabet, matches driver calc") {
     val d = Seq((1L, ""), (2L, "aaaa"), (3L, "abab"), (4L, "abcd"), (5L, "hello world"))
       .toDF("doc_id", "text")
