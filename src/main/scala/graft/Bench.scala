@@ -36,6 +36,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The two guarded shortlist ops (rrfFuse maxListRows, unimaxAllocation
+    // maxDomains) window WITHOUT a partition by design — their inputs are
+    // checked-small — and WindowExec warns "No Partition Defined" once per
+    // pass, burying real warnings in the bench tail. Silence exactly that
+    // logger; accidental global windows elsewhere are caught by the
+    // SparkOpsSpec plan sweep, not by reading bench logs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val probe = Queries.probe
@@ -230,14 +239,28 @@ object Bench {
         "semantic_decontam", "unimax_mixture", "pca_top_component",
         "kneser_ney_logprob", "label_propagation", "cluster_keep",
         "curriculum_bins", "data_card", "weighted_cap_per_key",
-        "heavy_hitters_by_lang")
-      // similar_docs_sparse is gated but NOT benched: the sf0.1 template
-      // corpus is its documented hub pathology (50-word vocabulary makes
-      // the posting self-join Sigma df^2 ~ 800M rows — a corpus property,
-      // not a plan property; see the operator's scaladoc)
+        "heavy_hitters_by_lang", "image_dhash_pairs", "audio_fingerprint",
+        "pca_top2", "exact_substr_spans", "exact_substr_removed",
+        "token_budget_select", "quality_floor_by_lang")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
+
+      // similar_docs_sparse is gated on the real table but benched on a
+      // SYNTHETIC wide-vocabulary corpus: the sf0.1 template corpus is the
+      // operator's documented hub pathology (31 distinct tokens, every df
+      // ~3.9k, posting self-join Σdf² ≈ 4.5e8 — a corpus property, not a
+      // plan property; see the operator's scaladoc), and a maxDf cut
+      // there leaves ONE live term. 50k docs × 30 tokens over a 150k-term
+      // vocabulary puts median df ~10 and Σdf² ≈ 1.5e7 — the sparse
+      // regime the operator is designed for, so the row is a real
+      // regression tripwire instead of a pathology measurement. 20k docs
+      // × 30 tokens over a 60k-term vocabulary keeps median df ~10.
+      val sparseDocs = spark.range(20000).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => concat(lit("w"), (col("id") * 31 + j * 7919) % 60000)), " ").as("text"))
+      time("similar_docs_sparse_20k")(
+        ops.TextAnalysis.similarDocsSparse(sparseDocs, "doc_id", "text", k = 5).count())
       // 2-D box over the pre-built z-ordered store: both range predicates
       // reach the parquet scan where Morton clustering makes row-group
       // min-max stats tight in BOTH dimensions

@@ -1888,6 +1888,18 @@ object Queries {
         .select(col("id").as("doc_id"), col("start"), col("len"))
         .orderBy("doc_id", "start")),
 
+    // the deletion step: spans cut out, remainder stitched, every doc
+    // emitted with its removal volume; the oracle rebuilds each clean
+    // text from an anti-joined position table
+    "exact_substr_removed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.applyRemovalSpans(d,
+          Dedup.exactSubstrSpans(d, "doc_id", "text", minTokens = 20),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     "repeated_spans" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"),
         greatest(size(Curation.cleanTokens(col("text"))) - 4, lit(0))
@@ -2543,6 +2555,28 @@ object Queries {
     "curriculum_bins" -> ((s, dir) =>
       Curation.curriculumBins(docs(s, dir), "doc_id",
           TextAnalysis.qualityScore(col("text")))
+        .orderBy("doc_id")),
+
+    // Per-language quality floor: drop each lang's bottom quartile on the
+    // scale-6 integer grid — binary-fraction quantile interpolation is
+    // evaluation-order-exact, so Spark percentile and DuckDB
+    // quantile_cont agree bit for bit with no rounding step
+    "quality_floor_by_lang" -> ((s, dir) =>
+      Curation.qualityFloorPerKey(docs(s, dir), "doc_id", "lang",
+          TextAnalysis.qualityScore(col("text")), frac = 0.25)
+        .select(col("id").as("doc_id"), col("key").as("lang"),
+          col("score"), col("cut"))
+        .orderBy("doc_id")),
+
+    // Exact token-budget cut: best docs by quality until 15k tokens, no
+    // global sort (bucket rollup + driver walk + tie-bucket window). The
+    // oracle replays the quality formula, the desc-cumsum bucket walk,
+    // the cut/residual scalars, and the (idHash53, id) tie order
+    "token_budget_select" -> ((s, dir) =>
+      Curation.tokenBudgetSelect(docs(s, dir), "doc_id",
+          TextAnalysis.qualityScore(col("text")),
+          TextAnalysis.tokenCount(col("text")), budget = 15000L)
+        .select(col("id").as("doc_id"), col("score_key"), col("n_tokens"))
         .orderBy("doc_id")),
 
     // UniMax budget allocation over languages (n_chars as token weight):
@@ -3719,6 +3753,30 @@ object Queries {
          |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS len
          |FROM r GROUP BY doc_id, grp ORDER BY doc_id, start""".stripMargin,
 
+    // span chain + position anti-join + ordered stitch; every doc row
+    // survives via the left join (no-span docs pass through verbatim
+    // modulo whitespace normalization)
+    "exact_substr_removed" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+19], ' ') AS gram
+         |  FROM t, UNNEST(generate_series(1, len(tk) - 19)) AS u(i) WHERE len(tk) >= 20),
+         |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |s AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+         |r AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s),
+         |sp AS (SELECT doc_id, min(pos) AS sstart, max(pos) - min(pos) + 20 AS slen
+         |  FROM r GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, i AS pos, tk[i] AS tok
+         |  FROM t, UNNEST(generate_series(1, len(tk))) AS u(i)),
+         |kept AS (SELECT tok.doc_id, pos, tok FROM tok WHERE NOT EXISTS (
+         |  SELECT 1 FROM sp WHERE sp.doc_id = tok.doc_id
+         |    AND pos >= sp.sstart AND pos < sp.sstart + sp.slen)),
+         |st AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+         |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(st.clean_text, '') AS clean_text,
+         |  CAST(len(tk) - coalesce(st.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM t LEFT JOIN st ON t.doc_id = st.doc_id ORDER BY t.doc_id""".stripMargin,
+
     // line-level dedup: same 5-doc roll-up, line keys restated with the
     // string_hash61 polynomial (the Spark side's exact key), keep = first
     // (doc, pos) occurrence per key, reassembly ordered by pos
@@ -4407,6 +4465,41 @@ object Queries {
          |     + CASE WHEN score > c2 THEN 1 ELSE 0 END
          |     + CASE WHEN score > c3 THEN 1 ELSE 0 END AS BIGINT) AS bin
          |FROM qs, c ORDER BY doc_id""".stripMargin,
+
+    // integer scale-6 scores -> per-lang exact quartile (interpolation
+    // exact for binary-fraction quantiles over integer endpoints) ->
+    // strict floor filter; both outputs leave the grid by the same /1e6
+    "quality_floor_by_lang" ->
+      s"""WITH qs AS (SELECT doc_id, lang,
+         |  CAST(round(($qualityScoreSql) * 1000000) AS BIGINT) AS s6 FROM documents),
+         |c AS (SELECT lang, quantile_cont(s6, 0.25) AS q6 FROM qs GROUP BY lang)
+         |SELECT doc_id, qs.lang, CAST(s6 AS DOUBLE) / 1000000.0 AS score,
+         |  q6 / 1000000.0 AS cut
+         |FROM qs JOIN c ON qs.lang = c.lang
+         |WHERE CAST(s6 AS DOUBLE) > q6 ORDER BY doc_id""".stripMargin,
+
+    // quality formula -> desc-cumsum bucket walk -> cut/residual scalars
+    // -> (h53, id)-ordered tie window; full buckets reduce to skey > cut
+    "token_budget_select" ->
+      s"""WITH qs AS (SELECT doc_id, $qualityScoreSql AS skey,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tok FROM documents),
+         |b AS (SELECT skey, sum(n_tok) AS bt FROM qs GROUP BY skey),
+         |cb AS (SELECT skey, bt,
+         |  sum(bt) OVER (ORDER BY skey DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b),
+         |ct AS (SELECT skey AS cutkey, 15000 - (cum - bt) AS tieb FROM cb
+         |  WHERE cum > 15000 ORDER BY skey DESC LIMIT 1),
+         |h AS (SELECT doc_id, skey, n_tok, tieb,
+         |  ((doc_id % 2147483648) * 2654435761 + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
+         |    + ((doc_id % 2147483648) * 2246822519 + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
+         |  FROM qs JOIN ct ON qs.skey = ct.cutkey),
+         |tie AS (SELECT doc_id, skey, n_tok FROM (
+         |  SELECT doc_id, skey, n_tok, tieb,
+         |    sum(n_tok) OVER (ORDER BY h53, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+         |  FROM h) WHERE cum2 <= tieb)
+         |SELECT doc_id, skey AS score_key, n_tok AS n_tokens FROM qs
+         |  WHERE skey > (SELECT cutkey FROM ct)
+         |UNION ALL SELECT doc_id, skey AS score_key, n_tok AS n_tokens FROM tie
+         |ORDER BY doc_id""".stripMargin,
 
     // closed-form UniMax waterfill: prefix-sum cappedness + even share
     "unimax_mixture" ->

@@ -693,6 +693,104 @@ object Curation {
         col("col.id").as(idCol), (-col("col.distance")).as("sample_key"))
   }
 
+  /** Exact token-budget selection: keep the highest-quality documents
+    * until a corpus token budget is exhausted — "give me the best
+    * `budget` tokens", the data-budget cut every compute-constrained
+    * pretraining run makes. Selection ranks on the 6-dp-rounded score
+    * (the round-before-cut convention) with a deterministic
+    * ([[idHash53]], id) tie order inside the cut bucket, so the kept set
+    * is exactly reproducible from ids alone.
+    *
+    * NO global sort: scores on a 6-dp grid have bounded distinct values,
+    * so the plan is (1) one aggregate over (score bucket → token sum),
+    * (2) a driver walk of the ≤`maxBuckets` buckets best-first to find
+    * the cut score and the residual budget (the checked-collect
+    * convention — cardinality is require-checked BEFORE the collect),
+    * (3) a pure filter keeps every doc above the cut, and (4) only the
+    * single cut bucket pays a windowed running sum (partition-bounded by
+    * that bucket's size — a corpus where most documents share one score
+    * degrades this to a single-task sort, the same degeneracy any exact
+    * budget cut has among exact ties). A 100 TB corpus therefore moves:
+    * one (8-byte key, long) rollup, a broadcast of two scalars, and the
+    * tie bucket — never a total order of the corpus.
+    *
+    * Rows with NULL/NaN score never select; NULL token counts count 0.
+    * Output: (idCol, score_key, n_tokens) of the KEPT docs.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+                        tokensCol: Column, budget: Long,
+                        maxBuckets: Int = 1 << 21): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val scored = df.select(col(idCol).as("id"),
+        graft.functions.fast_round(scoreCol, 6).as("score_key"),
+        coalesce(tokensCol.cast("long"), lit(0L)).as("n_tokens"))
+      .where(col("score_key").isNotNull && !isnan(col("score_key")))
+    val out = scored.select(col("id"), col("score_key"), col("n_tokens"))
+    val nb = scored.agg(countDistinct(col("score_key")).as("nb")).head().getLong(0)
+    require(nb <= maxBuckets,
+      s"tokenBudgetSelect: $nb distinct score buckets exceed maxBuckets=$maxBuckets — " +
+        "the bucket walk is a driver read; coarsen the score or raise maxBuckets deliberately")
+    val buckets = scored.groupBy(col("score_key")).agg(sum(col("n_tokens")).as("bt"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
+    // greedy best-first: full buckets are a PREFIX of the desc order, so
+    // "kept entirely" reduces to score_key > cutKey
+    var rem = budget
+    var cut: Option[(Double, Long)] = None
+    for ((k, bt) <- buckets if cut.isEmpty) {
+      if (bt <= rem) rem -= bt else cut = Some((k, rem))
+    }
+    cut match {
+      case None => out // the whole corpus fits the budget
+      case Some((cutKey, tieBudget)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("score_key"))
+          .orderBy(col("_h"), col("id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val tie = scored.where(col("score_key") === lit(cutKey))
+          .withColumn("_h", idHash53(col("id")))
+          .withColumn("_cum", sum(col("n_tokens")).over(w))
+          .where(col("_cum") <= tieBudget)
+          .select(col("id"), col("score_key"), col("n_tokens"))
+        out.where(col("score_key") > lit(cutKey)).unionByName(tie)
+    }
+  }
+
+  /** Per-key quality floor: drop each key's bottom `frac` quantile of
+    * `scoreCol` — the per-dump/per-language floor FineWeb-style curation
+    * applies so a low-quality domain can't ride a global threshold that
+    * high-quality domains set. Exact per-key percentile cuts (counting
+    * aggregate per key, no global sort; the 100 TB swap is
+    * `approx_percentile`, the approx_quantile_ok trade), broadcast-joined
+    * back, then a pure filter keeps rows STRICTLY above the floor.
+    *
+    * Exactness: the percentile runs over the INTEGER scale-6 score
+    * (`round(score·10⁶)` — exact for 6-dp-grid scores), and `frac` must
+    * be a binary fraction (k/2²⁰). Then the linear interpolation
+    * a + (b−a)·g has integer endpoints and an exactly-representable g,
+    * so EVERY evaluation order yields the same double — engines with
+    * different quantile formulas (Spark `percentile` vs DuckDB
+    * `quantile_cont`) agree bit for bit, with no rounding step left to
+    * diverge. The cut comparison and both outputs stay on that grid
+    * (÷10⁶ is the identical IEEE op everywhere).
+    *
+    * Output: (idCol, keyCol, score, cut), score > cut.
+    */
+  def qualityFloorPerKey(df: DataFrame, idCol: String, keyCol: String,
+                         scoreCol: Column, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac < 1.0, s"frac must be in (0,1), got $frac")
+    require(frac * 1048576.0 == math.floor(frac * 1048576.0),
+      s"frac must be a binary fraction k/2^20 for cross-engine-exact interpolation, got $frac")
+    val scored = df.select(col(idCol).as("id"), col(keyCol).as("key"),
+      round(graft.functions.fast_round(scoreCol, 6) * 1e6).cast("long").as("_s6"))
+    val cuts = scored.groupBy(col("key"))
+      .agg(expr(s"percentile(_s6, $frac)").as("_q6"))
+    scored.join(broadcast(cuts), Seq("key"))
+      .where(col("_s6").cast("double") > col("_q6"))
+      .select(col("id"), col("key"),
+        (col("_s6").cast("double") / 1e6).as("score"),
+        (col("_q6") / 1e6).as("cut"))
+  }
+
   // ---------- UniMax mixture allocation ----------
 
   /** UniMax token-budget allocation across domains (Chung et al., ICLR

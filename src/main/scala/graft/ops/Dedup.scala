@@ -919,6 +919,40 @@ object Dedup {
       .select(col("id"), col("start"), col("len"))
   }
 
+  /** Apply [[exactSubstrSpans]]' removal set: cut the spanned tokens out
+    * of each document and stitch the remainder — the deletion step an
+    * ExactSubstr pipeline actually trains on (Lee et al. 2022 drop the
+    * duplicated bytes, not the documents). Every document comes back
+    * (docs with no spans pass through), with the cut count alongside so
+    * the caller can audit removal volume per doc.
+    *
+    * Plan: spans (output-sized) roll up to one array per doc and join the
+    * corpus on the 8-byte id — AQE broadcasts the span side when small,
+    * and the corpus text never shuffles. Token filtering is an in-row
+    * higher-order `filter`/`exists` over the per-doc span array (spans
+    * per doc are few — bounded by docLen/minTokens — so the per-token
+    * test is cheap even interpreted).
+    *
+    * Output: (id, clean_text, n_removed). `clean_text` is whitespace-
+    * normalized (tokens rejoined with single spaces), the usual
+    * tokenize-then-stitch contract.
+    */
+  def applyRemovalSpans(df: DataFrame, spans: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val sp = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("start"), col("len"))).as("_spans"))
+    df.select(col(idCol).as("id"), graft.ops.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .join(sp, Seq("id"), "left")
+      .withColumn("_spans",
+        coalesce(col("_spans"), array().cast("array<struct<start:long,len:long>>")))
+      .withColumn("_kept", filter(col("_toks"), (t, i) =>
+        !exists(col("_spans"), s =>
+          (i + 1) >= s.getField("start") &&
+            (i + 1) < s.getField("start") + s.getField("len"))))
+      .select(col("id"), array_join(col("_kept"), " ").as("clean_text"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
+
   /** The end-to-end dedup KEEP decision: near-dup pairs → connected
     * components → per-cluster best-quality representative. This is the
     * step a real pipeline runs after clustering — "which copy survives"

@@ -153,6 +153,11 @@ object Pq {
     * every cell and the encode stays a single shuffle-free scan. The
     * residual variant tightens quantization error but couples every code
     * to its cell's centroid; recall here is gated by ivfpq_recall instead.
+    *
+    * `centroids` takes either the hash-sampled seeds ([[Ann.ivfCentroids]])
+    * or the Lloyd-refined cells ([[Ann.refineCentroids]]) — the refined
+    * coarse quantizer is measured against the sampled baseline by the
+    * ivfpq_recall_kmeans gate, mirroring IVF's ivf_recall_kmeans.
     */
   def writeIvfPq(df: DataFrame, idCol: String, vecCol: String, path: String,
                  centroids: Seq[Seq[Float]], cb: PqCodebook): Unit = {

@@ -860,6 +860,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("only guarded shortlist ops window without a partition") {
+    // An unpartitioned window sorts its whole input on one task — fine
+    // for the two ops whose input is a checked-small shortlist (rrfFuse
+    // maxListRows, unimaxAllocation maxDomains), a scale-killer anywhere
+    // else. Bench silences WindowExec's warning for exactly this reason,
+    // so THIS sweep is what catches a new accidental global window.
+    val guarded = Set("rrf_hybrid", "unimax_mixture")
+    Queries.queries.foreach { case (name, fn) =>
+      val globals = fn(spark, sfDir).queryExecution.executedPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      if (!guarded(name))
+        assert(globals.isEmpty,
+          s"$name plans an unpartitioned window: ${globals.map(_.nodeName).mkString(", ")}")
+    }
+  }
+
   test("no gated query plans a cartesian product or nested-loop join") {
     // The r1/r2 scale-killers were cartesian self-joins hiding behind
     // degenerate bucket keys; pin every gated plan against the whole class.
@@ -1348,6 +1366,14 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // linear plan: no pair space anywhere (window text never joins text)
     val plan = spans.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the deletion step: spans cut, remainder stitched, all docs emitted
+    val cleaned = Dedup.applyRemovalSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(cleaned == Set(
+      (1L, "tail1 tail2", 6L),
+      (2L, "head", 6L),
+      (3L, "totally unrelated words only here", 0L),
+      (4L, "gap1 gap2", 8L)))
   }
 
   test("charEntropy: 0 for empty/uniform, 1 bit for a fair binary alphabet, matches driver calc") {
@@ -1812,6 +1838,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hh = Curation.heavyHitters(docsDf, "text", topN = 3, sketchK = k)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(hh.toSeq == Seq(("alpha", 400L), ("beta", 300L), ("gamma", 200L)))
+  }
+
+  test("tokenBudgetSelect keeps the best buckets whole and cuts the tie bucket by prefix") {
+    val d = Seq((1L, 0.9, 5L), (2L, 0.9, 5L), (3L, 0.9, 5L), (4L, 0.5, 3L), (5L, 0.5, 100L))
+      .toDF("id", "score", "tok")
+    def run(budget: Long) =
+      Curation.tokenBudgetSelect(d, "id", col("score"), col("tok"), budget)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // everything fits
+    assert(run(1000L).map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // budget 12 cuts inside the 0.9 bucket: exactly 2 of its 5-token docs
+    val k12 = run(12L)
+    assert(k12.length == 2 && k12.forall(_._2 == 0.9) && k12.map(_._3).sum <= 12L)
+    // deterministic: identical kept set on a re-run
+    assert(run(12L).toSet == k12.toSet)
+    // budget never exceeded, higher buckets always kept whole
+    val k100 = run(100L)
+    assert(k100.map(_._3).sum <= 100L)
+    assert(k100.count(_._2 == 0.9) == 3)
+    // bucket-cardinality guard fails fast before the driver read
+    val wide = (0 until 50).map(i => (i.toLong, i / 1000.0, 1L)).toDF("id", "score", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Curation.tokenBudgetSelect(wide, "id", col("score"), col("tok"), 10L, maxBuckets = 10)
+    }
+    assert(e.getMessage.contains("maxBuckets"))
   }
 
   test("heavyHittersByKey checks its driver-read assumptions up front") {
