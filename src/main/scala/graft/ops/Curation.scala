@@ -760,8 +760,11 @@ object Curation {
     * applies so a low-quality domain can't ride a global threshold that
     * high-quality domains set. Exact per-key percentile cuts (counting
     * aggregate per key, no global sort; the 100 TB swap is
-    * `approx_percentile`, the approx_quantile_ok trade), broadcast-joined
-    * back, then a pure filter keeps rows STRICTLY above the floor.
+    * `approx_percentile`, the approx_quantile_ok trade), joined back
+    * (one row per key — AQE broadcasts it at any sane key count and
+    * falls back to a shuffle join on key-explosion corpora, so no forced
+    * hint caps cardinality), then a pure filter keeps rows STRICTLY
+    * above the floor.
     *
     * Exactness: the percentile runs over the INTEGER scale-6 score
     * (`round(score·10⁶)` — exact for 6-dp-grid scores), and `frac` must
@@ -784,7 +787,7 @@ object Curation {
       round(graft.functions.fast_round(scoreCol, 6) * 1e6).cast("long").as("_s6"))
     val cuts = scored.groupBy(col("key"))
       .agg(expr(s"percentile(_s6, $frac)").as("_q6"))
-    scored.join(broadcast(cuts), Seq("key"))
+    scored.join(cuts, Seq("key"))
       .where(col("_s6").cast("double") > col("_q6"))
       .select(col("id"), col("key"),
         (col("_s6").cast("double") / 1e6).as("score"),
