@@ -1575,6 +1575,32 @@ object Queries {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
 
+    // DYNAMIC partition pruning: the event-type dim table (on storage,
+    // so its filter survives to the optimized plan) is filtered to the
+    // 'conversion' category, and the surviving keys prune the fact
+    // store's partition DIRECTORIES at runtime via the broadcast-reused
+    // IN subquery — the join-driven third file-skipping lever after
+    // static partition filters and buckets. The spec asserts
+    // dynamicpruningexpression in the fact scan + fewer files read than
+    // the store holds; this gate proves the pruned plan loses no rows
+    // (oracle joins the ORIGINAL parquet against the same derived dim)
+    "events_dpp_agg" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      tbl(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(base + "/events")
+      tbl(s, dir, "events").select(col("event_type").as("etype")).distinct()
+        .withColumn("category", when(col("etype").isin("purchase", "signup"),
+          "conversion").otherwise("engagement"))
+        .write.mode("overwrite").parquet(base + "/dim")
+      val fact = s.read.parquet(base + "/events")
+      val dim = s.read.parquet(base + "/dim").where(col("category") === "conversion")
+      graft.ops.Joins.dimPrunedFactJoin(fact, "event_type", dim, "etype")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    }),
+
     // Gap-based sessionization (built-in session_window; diff > gap
     // starts a new session — the close boundary is inclusive — and
     // s_end = last event + gap)
@@ -3414,6 +3440,19 @@ object Queries {
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |GROUP BY event_type""".stripMargin,
+
+    "events_dpp_agg" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type AS etype,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN 'conversion' ELSE 'engagement' END AS category
+        |  FROM events)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MIN(e.event_id) AS min_id, MAX(e.event_id) AS max_id
+        |FROM events e JOIN dim ON e.event_type = dim.etype
+        |WHERE dim.category = 'conversion'
+        |GROUP BY e.event_type""".stripMargin,
 
     "event_sessions" ->
       """WITH b AS (SELECT user_id, event_id, ts, value,

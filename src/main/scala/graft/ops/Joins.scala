@@ -44,6 +44,44 @@ object Joins {
       .select(big.columns.map(b(_)) ++ payload.map(p => r("__p_" + p).as(p)): _*)
   }
 
+  /** Star join against a Hive-partitioned fact store, shaped so Catalyst
+    * inserts DYNAMIC partition pruning: the dim side's filter runs first
+    * and its surviving keys become a runtime `IN` filter on the fact
+    * scan's PARTITION column, so only matching partition directories are
+    * listed and read — the partitions a static planner cannot prune
+    * because the qualifying keys are data (in the dim table), not
+    * literals in the query.
+    *
+    * The 100 TB economics: a type/date-partitioned event log joined to a
+    * filtered dimension ("conversion event types", "holiday dates") reads
+    * only the qualifying partitions' bytes; with the dim side broadcast
+    * (it is, at dim size), the pruning subquery REUSES the broadcast
+    * result, so the filter is free. This is the third file-skipping lever
+    * after static partition filters (events_partitioned_agg) and bucket
+    * pruning — and the only one driven by a JOIN.
+    *
+    * Constraints that make or break the insertion (all checked by the
+    * dpp spec's plan assertion, which requires `dynamicpruningexpression`
+    * in the fact scan's PartitionFilters and fewer files read than the
+    * store holds):
+    *  - `partitionKey` must be a PARTITION column of the fact store —
+    *    pruning a data column prunes nothing at listing time;
+    *  - `dim` must carry a SELECTIVE predicate that survives to the
+    *    optimized plan: a filtered datasource scan qualifies, but a
+    *    filtered in-memory `createDataFrame` does NOT (Catalyst folds the
+    *    filter into the LocalRelation and the pruning rule no longer sees
+    *    a predicate to push) — keep dims on storage, where they live at
+    *    scale anyway.
+    */
+  def dimPrunedFactJoin(fact: DataFrame, partitionKey: String,
+                        dim: DataFrame, dimKey: String): DataFrame = {
+    require(fact.columns.contains(partitionKey),
+      s"dimPrunedFactJoin: fact has no column $partitionKey")
+    require(dim.columns.contains(dimKey),
+      s"dimPrunedFactJoin: dim has no column $dimKey")
+    fact.join(dim, fact(partitionKey) === dim(dimKey))
+  }
+
   /** Bucketed table write — the PRE-SHUFFLED layout for repeated big-big
     * joins. `bucketBy(n, key)` hash-partitions rows into n files per
     * write-task group and records the bucket spec in the catalog;

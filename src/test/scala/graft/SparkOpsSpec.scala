@@ -1810,6 +1810,45 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"numFiles=$numFiles filesPerType=$filesPerType")
   }
 
+  test("dim-filtered join dynamically prunes fact partitions (DPP fires, files skipped)") {
+    val base = java.nio.file.Files.createTempDirectory("dppstore").toString
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type", "value")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(base + "/events")
+    // dim MUST be a datasource scan: a filtered createDataFrame folds to a
+    // LocalRelation and the pruning rule no longer sees a predicate
+    events.select(col("event_type").as("etype")).distinct()
+      .withColumn("category", when(col("etype").isin("purchase", "signup"),
+        "conversion").otherwise("engagement"))
+      .write.mode("overwrite").parquet(base + "/dim")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (q, got) = try {
+      val fact = spark.read.parquet(base + "/events")
+      val dim = spark.read.parquet(base + "/dim").where(col("category") === "conversion")
+      val q0 = graft.ops.Joins.dimPrunedFactJoin(fact, "event_type", dim, "etype")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      (q0, q0.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the runtime IN filter landed in the fact scan's partition filters
+    val factScan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.exists(_.toString.contains("dynamicpruning")) => f
+    }
+    assert(factScan.nonEmpty, q.queryExecution.executedPlan.toString)
+    // and it actually skipped directories: 2 of 5 event_type dirs read
+    val totalFiles = new java.io.File(base + "/events").listFiles()
+      .filter(_.getName.startsWith("event_type="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val numFiles = factScan.head.metrics("numFiles").value
+    assert(numFiles < totalFiles && numFiles >= 1,
+      s"numFiles=$numFiles totalFiles=$totalFiles")
+    // pruning lost no rows
+    val expected = events.where(col("event_type").isin("purchase", "signup"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.size == 2)
+  }
+
   test("freq_items_sketch honors the Misra-Gries n/(k+1) guarantee under eviction + merge") {
     // 5000 noise tokens (vocab 2000 >> k=50) + three heavy hitters
     val rnd = new scala.util.Random(7)
