@@ -123,6 +123,14 @@ object Bench {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.mode("overwrite").partitionBy("event_type").parquet(s"$benchDir/events_by_type")
 
+    // the event-type dim for the DPP row — on storage so its filter
+    // survives to the optimized plan (the insertion precondition)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type").as("etype")).distinct()
+      .withColumn("category", when(col("etype").isin("purchase", "signup"),
+        "conversion").otherwise("engagement"))
+      .write.mode("overwrite").parquet(s"$benchDir/events_dim")
+
     // Untimed page-cache warm: one linear read of every input byte (the
     // pre-built stores and the sf tables the queries scan). The timed
     // passes then measure steady-state compute — the reference's
@@ -241,7 +249,7 @@ object Bench {
         "curriculum_bins", "data_card", "weighted_cap_per_key",
         "heavy_hitters_by_lang", "image_dhash_pairs", "audio_fingerprint",
         "pca_top2", "exact_substr_spans", "exact_substr_removed",
-        "token_budget_select", "quality_floor_by_lang")
+        "token_budget_select", "quality_floor_by_lang", "training_shards")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
@@ -275,6 +283,18 @@ object Bench {
       time("events_partitioned_agg")(
         spark.read.parquet(s"$benchDir/events_by_type")
           .where(col("event_type").isin("purchase", "signup"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .count())
+
+      // join-driven DYNAMIC pruning over the same store: the dim filter's
+      // surviving keys prune fact partition dirs at runtime
+      time("events_dpp_agg")(
+        ops.Joins.dimPrunedFactJoin(
+            spark.read.parquet(s"$benchDir/events_by_type"), "event_type",
+            spark.read.parquet(s"$benchDir/events_dim")
+              .where(col("category") === "conversion"), "etype")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))

@@ -2547,6 +2547,22 @@ object Queries {
         .select(col("doc_id"), col("shuffle_pos"))
         .orderBy("doc_id")),
 
+    // Training-shard store: the deterministic shuffle sliced into 8
+    // contiguous ±1-equal shards, written Hive-partitioned, with the
+    // manifest computed from reading the STORE back — doc counts, token
+    // (n_chars) volume, position ranges, and the order-independent
+    // bit_xor membership fingerprint per shard. The oracle replays the
+    // (h53 % 32, h53, id) order, the (pos·8) // N shard cut, and the
+    // xor — so a row dropped/duplicated anywhere in the write path, or a
+    // shard boundary off by one, value-fails
+    "training_shards" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_shards")
+        .toString + "/shards"
+      Curation.writeTrainingShards(docs(s, dir), "doc_id", col("n_chars"),
+          out, 8, nBuckets = 32)
+        .orderBy("shard")
+    }),
+
     // Corpus novelty: fraction of each doc's distinct 3-grams appearing
     // in no other doc — boilerplate/contamination collapses it to ~0
     "novelty_score" -> ((s, dir) =>
@@ -4707,6 +4723,25 @@ object Queries {
         |SELECT doc_id,
         |  ROW_NUMBER() OVER (ORDER BY h53 % 32, h53, doc_id) - 1 AS shuffle_pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // shard = (pos * 8) // N over the shuffle_positions order; xor of the
+    // same h53 hash is the order-independent membership fingerprint
+    "training_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ((doc_id % 2147483648) * 2654435761 + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
+        |      + ((doc_id % 2147483648) * 2246822519 + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_chars, h53,
+        |    ROW_NUMBER() OVER (ORDER BY h53 % 32, h53, doc_id) - 1 AS pos,
+        |    COUNT(*) OVER () AS n
+        |  FROM h)
+        |SELECT CAST((pos * 8) // n AS INT) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+        |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+        |  bit_xor(h53) AS id_xor
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "pmi_pairs" ->
       s"""WITH t AS (SELECT $tokensSql AS toks FROM documents),

@@ -960,6 +960,54 @@ object Curation {
       .drop("_h", "_bkt", "_base")
   }
 
+  /** Shuffled training-shard writer — the final-mile step that turns a
+    * curated corpus into the N-shard store a training loader streams:
+    * every row gets its [[shufflePositions]] pseudorandom position, shard
+    * `(pos·nShards) div N` slices the order into N CONTIGUOUS, ±1-equal
+    * ranges (global order = shards read in shard order — the loader
+    * never needs a second shuffle pass), and the store is written
+    * Hive-partitioned by shard with rows ordered by position inside each
+    * shard file.
+    *
+    * Returns the MANIFEST, computed by reading the written store back —
+    * it certifies what landed on disk, not what the plan intended: per
+    * shard the doc count, Σ`weightCol` (pass the token count; training
+    * budgets are token-denominated), the position range (contiguity
+    * check: last−first+1 = n_docs), and `bit_xor` of the rows' id
+    * hashes — an order-independent membership fingerprint, so a dropped
+    * or duplicated row anywhere in the write path flips the shard's
+    * fingerprint.
+    *
+    * Scale: one count rollup for N, the [[shufflePositions]] two-level
+    * prefix sum (bucket-keyed shuffle, no global sort), one range
+    * exchange into shard order for the write, and a shard-keyed rollup
+    * over the readback. Everything is deterministic from ids alone:
+    * re-running on the same corpus rewrites byte-identical shard
+    * membership (spec-asserted), which is what makes the manifest an
+    * audit artifact rather than a log line.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, weightCol: Column,
+                          outDir: String, nShards: Int,
+                          nBuckets: Int = 1024): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val n = df.count()
+    require(n > 0, "writeTrainingShards: empty corpus")
+    val pos = shufflePositions(df.withColumn("_w", weightCol), idCol, nBuckets)
+      .withColumn("shard",
+        expr(s"CAST((shuffle_pos * ${nShards}L) DIV ${n}L AS INT)"))
+    pos.repartitionByRange(nShards, col("shard"), col("shuffle_pos"))
+      .sortWithinPartitions(col("shard"), col("shuffle_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .withColumn("_h53", idHash53(col(idCol)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("n_tokens"),
+        min(col("shuffle_pos")).as("first_pos"),
+        max(col("shuffle_pos")).as("last_pos"),
+        expr("bit_xor(_h53)").as("id_xor"))
+  }
+
   /** Content-defined chunking (CDC): split each document at positions
     * where a `window`-char polynomial hash of the trailing window is
     * ≡ 0 mod `divisor` — the rsync/LBFS boundary rule. Unlike

@@ -2243,6 +2243,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sortBy(_._1).map(_._2).toSeq != (0L until 500L))
   }
 
+  test("writeTrainingShards: contiguous ±1-equal shards, ordered files, deterministic manifest") {
+    val df = (0L until 501L).map(i => (i, 10L + i % 7)).toDF("id", "w").repartition(5)
+    val base = java.nio.file.Files.createTempDirectory("shardstore").toString
+    val m1 = Curation.writeTrainingShards(df, "id", col("w"), base + "/a", 4, nBuckets = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(m1.map(_._1) == Seq(0, 1, 2, 3))
+    // ±1-equal sizes covering the whole corpus
+    assert(m1.map(_._2).sum == 501L && m1.map(_._2).forall(n => n == 125L || n == 126L))
+    // contiguous position ranges, shard k ending where k+1 starts
+    m1.foreach { case (_, n, _, first, last, _) => assert(last - first + 1 == n) }
+    assert(m1.sliding(2).forall { case Seq(a, b) => b._4 == a._5 + 1; case _ => true })
+    // token volume conserved
+    assert(m1.map(_._3).sum == (0L until 501L).map(i => 10L + i % 7).sum)
+    // shard files hold rows ORDERED by position (the loader streams them)
+    val s0 = spark.read.parquet(base + "/a").where(col("shard") === 0)
+      .select("shuffle_pos").collect().map(_.getLong(0)).toSeq
+    assert(s0.sorted == (m1.head._4 to m1.head._5).toSeq)
+    // deterministic: a second store produces the identical manifest,
+    // including the xor membership fingerprints
+    val m2 = Curation.writeTrainingShards(df.coalesce(1), "id", col("w"), base + "/b", 4, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(m1 == m2)
+  }
+
   test("rrfFuse: driver-math fusion of two known rankings") {
     // list A ranks (1, 2, 3) by score desc; list B ranks (3, 2, 4) by dist asc
     val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
