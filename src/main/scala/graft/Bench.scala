@@ -249,7 +249,8 @@ object Bench {
         "curriculum_bins", "data_card", "weighted_cap_per_key",
         "heavy_hitters_by_lang", "image_dhash_pairs", "audio_fingerprint",
         "pca_top2", "exact_substr_spans", "exact_substr_removed",
-        "token_budget_select", "quality_floor_by_lang", "training_shards")
+        "token_budget_select", "quality_floor_by_lang", "training_shards",
+        "curation_log")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

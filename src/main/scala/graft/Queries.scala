@@ -1999,6 +1999,23 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Composed curation decision log: every doc (corpus + a 50-doc clone
+    // wave so the exact_dup branch fires) attributed to exactly one
+    // outcome in stage-priority order — quality:<lowest-failing-rule>,
+    // exact_dup (smallest surviving id keeps), key_cap (beyond the
+    // per-lang 200 smallest (h53,id)), kept. The oracle replays all
+    // three stages over raw text
+    "curation_log" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val clones = d.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))
+      Curation.curationLog(d.unionByName(clones), "doc_id", "text", "lang",
+          capN = 200)
+        .select(col("id").as("doc_id"), col("key").as("lang"),
+          col("fail_mask"), col("keep"), col("reason"))
+        .orderBy("doc_id")
+    }),
+
     // Semantic decontamination: min cosine distance to a 10-vector
     // benchmark set (broadcast literal, shuffle-free scan), flagged on
     // the 6-dp rounded distance — catches paraphrase-level eval leakage
@@ -3709,6 +3726,55 @@ object Queries {
          |  round(CAST(top_word AS DOUBLE) / greatest(n_words, 1), 6) AS top_word_frac,
          |  fail_mask, (fail_mask = 0) AS keep
          |FROM k""".stripMargin,
+
+    // the three curation stages replayed over raw text: the quality
+    // bitmask (filter_quality's restatement over the cloned union),
+    // smallest-SURVIVING-id keeper election per text, and the per-lang
+    // (h53, id) rank cut at 200
+    "curation_log" ->
+      s"""WITH u AS (SELECT doc_id, lang, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id < 50),
+         |t AS (SELECT doc_id, lang, text, $cleanAcSql AS ac FROM u),
+         |b AS (SELECT doc_id, lang, text, ac, ${cleanWsSql("ac")} AS ws FROM t),
+         |m AS (SELECT doc_id, lang, text,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(length(replace(ac, ' ', '')) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(ac, '[^a-z0-9 ]')) AS BIGINT) AS n_symbols,
+         |  CAST(length(ac) AS BIGINT) AS n_total,
+         |  CAST(len(list_filter(ws, w -> w IN ($enStopSql))) AS BIGINT) AS n_stop,
+         |  CAST(coalesce(list_max(list_transform(list_distinct(ws),
+         |    w -> len(list_filter(ws, x -> x = w)))), 0) AS BIGINT) AS top_word
+         |  FROM b),
+         |k AS (SELECT doc_id, lang, text,
+         |  CAST((CASE WHEN n_words < 10 OR n_words > 100000 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN n_chars < 3 * n_words OR n_chars > 12 * n_words THEN 2 ELSE 0 END)
+         |     + (CASE WHEN 4 * n_symbols > n_total THEN 4 ELSE 0 END)
+         |     + (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END)
+         |     + (CASE WHEN 10 * top_word > 3 * n_words THEN 16 ELSE 0 END) AS BIGINT) AS fail_mask
+         |  FROM m),
+         |h AS (SELECT k.*,
+         |  ((doc_id % 2147483648) * 2654435761 + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
+         |    + ((doc_id % 2147483648) * 2246822519 + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
+         |  FROM k),
+         |kp AS (SELECT text, MIN(doc_id) AS keeper FROM h WHERE fail_mask = 0 GROUP BY text),
+         |cap AS (SELECT doc_id FROM (
+         |    SELECT h.doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h53, h.doc_id) AS rn
+         |    FROM h JOIN kp ON h.text = kp.text AND h.doc_id = kp.keeper) WHERE rn <= 200),
+         |f AS (SELECT h.doc_id, h.lang, h.fail_mask,
+         |  CASE WHEN h.fail_mask != 0 THEN
+         |         CASE WHEN (h.fail_mask & 1) != 0 THEN 'quality:words'
+         |              WHEN (h.fail_mask & 2) != 0 THEN 'quality:word_length'
+         |              WHEN (h.fail_mask & 4) != 0 THEN 'quality:symbols'
+         |              WHEN (h.fail_mask & 8) != 0 THEN 'quality:stopwords'
+         |              ELSE 'quality:repetition' END
+         |       WHEN h.doc_id != kp.keeper THEN 'exact_dup'
+         |       WHEN cap.doc_id IS NULL THEN 'key_cap'
+         |       ELSE 'kept' END AS reason
+         |  FROM h LEFT JOIN kp ON h.text = kp.text
+         |         LEFT JOIN cap ON h.doc_id = cap.doc_id)
+         |SELECT doc_id, lang, fail_mask, (reason = 'kept') AS keep, reason
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "decontam_overlap" ->
       s"""WITH t AS (SELECT doc_id, ${cleanWsSql(cleanAcSql)} AS ws FROM documents),

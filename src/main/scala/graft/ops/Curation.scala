@@ -67,30 +67,8 @@ object Curation {
     */
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
                     minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
-    val ws = cleanTokens(col(textCol))
-    val ac = cleanText(col(textCol))
-    val base = df.select(
-      col(idCol),
-      size(ws).cast("long").as("n_words"),
-      // sum of token lengths == chars minus spaces (only ' ' survives cleanText)
-      length(regexp_replace(ac, " ", "")).cast("long").as("n_chars"),
-      regexp_count(ac, lit("[^a-z0-9 ]")).cast("long").as("n_symbols"),
-      length(ac).cast("long").as("n_total"),
-      size(filter(ws, t => array_contains(
-        array(TextAnalysis.EnStopwords.map(lit): _*), t))).cast("long").as("n_stop"),
-      TextAnalysis.runStats(sort_array(ws)).getField("best").cast("long").as("top_word"))
-    val failWords = col("n_words") < minWords || col("n_words") > maxWords
-    val failWlen = col("n_chars") < lit(3L) * col("n_words") ||
-      col("n_chars") > lit(12L) * col("n_words")
-    val failSym = lit(4L) * col("n_symbols") > col("n_total")
-    val failStop = col("n_stop") < 2
-    val failRep = lit(10L) * col("top_word") > lit(3L) * col("n_words")
-    val mask =
-      when(failWords, lit(FailTooFewWords)).otherwise(lit(0L)) +
-      when(failWlen, lit(FailWordLength)).otherwise(lit(0L)) +
-      when(failSym, lit(FailSymbolRatio)).otherwise(lit(0L)) +
-      when(failStop, lit(FailNoStopwords)).otherwise(lit(0L)) +
-      when(failRep, lit(FailRepetition)).otherwise(lit(0L))
+    val base = qualityStats(df, idCol, textCol, Nil)
+    val mask = failMaskCol(minWords, maxWords)
     base.select(
       col(idCol), col("n_words"),
       round(col("n_chars").cast("double") / greatest(col("n_words"), lit(1L)), 6).as("mean_wlen"),
@@ -99,6 +77,44 @@ object Curation {
       round(col("top_word").cast("double") / greatest(col("n_words"), lit(1L)), 6).as("top_word_frac"),
       mask.as("fail_mask"),
       (mask === 0L).as("keep"))
+  }
+
+  /** The per-row stat pass shared by [[qualityFilter]] and
+    * [[curationLog]]: one select over the text; `extra` passthrough
+    * columns ride the same scan so composed consumers never pay a join
+    * back onto the corpus.
+    */
+  private def qualityStats(df: DataFrame, idCol: String, textCol: String,
+                           extra: Seq[(String, Column)]): DataFrame = {
+    val ws = cleanTokens(col(textCol))
+    val ac = cleanText(col(textCol))
+    df.select(Seq(
+      col(idCol),
+      size(ws).cast("long").as("n_words"),
+      // sum of token lengths == chars minus spaces (only ' ' survives cleanText)
+      length(regexp_replace(ac, " ", "")).cast("long").as("n_chars"),
+      regexp_count(ac, lit("[^a-z0-9 ]")).cast("long").as("n_symbols"),
+      length(ac).cast("long").as("n_total"),
+      size(filter(ws, t => array_contains(
+        array(TextAnalysis.EnStopwords.map(lit): _*), t))).cast("long").as("n_stop"),
+      TextAnalysis.runStats(sort_array(ws)).getField("best").cast("long").as("top_word")) ++
+      extra.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** [[qualityFilter]]'s five-rule bitmask over [[qualityStats]]' columns
+    * — integer cross-multiplied, never a float comparison. */
+  private def failMaskCol(minWords: Int, maxWords: Int): Column = {
+    val failWords = col("n_words") < minWords || col("n_words") > maxWords
+    val failWlen = col("n_chars") < lit(3L) * col("n_words") ||
+      col("n_chars") > lit(12L) * col("n_words")
+    val failSym = lit(4L) * col("n_symbols") > col("n_total")
+    val failStop = col("n_stop") < 2
+    val failRep = lit(10L) * col("top_word") > lit(3L) * col("n_words")
+    when(failWords, lit(FailTooFewWords)).otherwise(lit(0L)) +
+      when(failWlen, lit(FailWordLength)).otherwise(lit(0L)) +
+      when(failSym, lit(FailSymbolRatio)).otherwise(lit(0L)) +
+      when(failStop, lit(FailNoStopwords)).otherwise(lit(0L)) +
+      when(failRep, lit(FailRepetition)).otherwise(lit(0L))
   }
 
   // ---------------- benchmark decontamination ----------------
@@ -792,6 +808,70 @@ object Curation {
       .select(col("id"), col("key"),
         (col("_s6").cast("double") / 1e6).as("score"),
         (col("_q6") / 1e6).as("cut"))
+  }
+
+  /** The composed per-document curation DECISION LOG — the release
+    * artifact a pipeline run publishes next to its corpus ("kept X%,
+    * dropped Y% by rule Z"): every input document attributed to exactly
+    * one outcome, in stage-priority order:
+    *
+    *  1. `quality:*` — the document failed [[qualityFilter]]'s bitmask;
+    *     the reason names the LOWEST set bit (words → word_length →
+    *     symbols → stopwords → repetition), so attribution is
+    *     deterministic when several rules fail at once;
+    *  2. `exact_dup` — a quality-SURVIVING document whose two-lane
+    *     content fingerprint already has a surviving keeper with a
+    *     smaller id ([[Dedup.exact]]'s smallest-id-wins rule; failed
+    *     docs can't claim first occurrence);
+    *  3. `key_cap` — a surviving keeper beyond the per-key cap, i.e. not
+    *     among its key's `capN` smallest (idHash53, id) — exactly
+    *     [[capPerKey]]'s deterministic selection;
+    *  4. `kept` — everything else; `keep` is true only here.
+    *
+    * Scale: ONE text pass computes the quality stats AND the content
+    * fingerprints ([[qualityStats]]' passthrough — no join back onto the
+    * corpus), materialized behind a localCheckpoint barrier as a narrow
+    * (id, key, fp, mask) table the three decision stages re-read; the
+    * stages exchange 16-byte fingerprints and 8-byte ids only — corpus
+    * text NEVER shuffles. Keeper election is one fingerprint-keyed
+    * rollup + join-back; the cap is the bounded O(capN)-per-key heap.
+    *
+    * Output: (id, key, fail_mask, keep, reason).
+    */
+  def curationLog(df: DataFrame, idCol: String, textCol: String,
+                  keyCol: String, capN: Int, minWords: Int = 10,
+                  maxWords: Int = 100000): DataFrame = {
+    require(capN >= 1, s"capN must be >= 1, got $capN")
+    val base = qualityStats(df, idCol, textCol, Seq(
+        "key" -> col(keyCol),
+        "_ck1" -> xxhash64(col(textCol)),
+        "_ck2" -> xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol))))
+      .withColumn("fail_mask", failMaskCol(minWords, maxWords))
+      .select(col(idCol).as("id"), col("key"), col("_ck1"), col("_ck2"),
+        col("fail_mask"))
+      .localCheckpoint()
+    val survivors = base.where(col("fail_mask") === 0L)
+    val keepers = survivors.groupBy(col("_ck1"), col("_ck2"))
+      .agg(min(col("id")).as("_keeper"))
+    val inCap = capPerKey(
+        survivors.join(keepers, Seq("_ck1", "_ck2"))
+          .where(col("id") === col("_keeper")).select(col("key"), col("id")),
+        "key", "id", capN)
+      .withColumn("_in_cap", lit(true))
+    val qualityReason =
+      when(col("fail_mask").bitwiseAND(lit(FailTooFewWords)) =!= 0L, lit("quality:words"))
+        .when(col("fail_mask").bitwiseAND(lit(FailWordLength)) =!= 0L, lit("quality:word_length"))
+        .when(col("fail_mask").bitwiseAND(lit(FailSymbolRatio)) =!= 0L, lit("quality:symbols"))
+        .when(col("fail_mask").bitwiseAND(lit(FailNoStopwords)) =!= 0L, lit("quality:stopwords"))
+        .otherwise(lit("quality:repetition"))
+    val reason = when(col("fail_mask") =!= 0L, qualityReason)
+      .when(col("id") =!= col("_keeper"), lit("exact_dup"))
+      .when(col("_in_cap").isNull, lit("key_cap"))
+      .otherwise(lit("kept"))
+    base.join(keepers, Seq("_ck1", "_ck2"), "left")
+      .join(inCap, Seq("key", "id"), "left")
+      .select(col("id"), col("key"), col("fail_mask"),
+        (reason === "kept").as("keep"), reason.as("reason"))
   }
 
   // ---------- UniMax mixture allocation ----------

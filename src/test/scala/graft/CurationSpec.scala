@@ -131,4 +131,36 @@ class CurationSpec extends AnyFunSuite {
     val out = Curation.vocabTop(df, "text", 3).collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("a", 4L), ("b", 3L), ("c", 2L))) // "C" lowercased into c
   }
+
+  test("curationLog: one outcome per doc, stage-priority order, cap via the heap selection") {
+    val good = "the quick brown fox jumps over the lazy dog and then it " +
+      "runs far away to the old red barn it likes"
+    val good2 = good + " again and again the story goes on with more words"
+    val bad = "short text here" // fails quality (words + stopwords)
+    val rows = Seq(
+      (1L, "en", good),   // keeper of the good-fp group
+      (2L, "en", good),   // exact_dup (1 is the smaller surviving id)
+      (3L, "en", bad),    // quality:words (bit 0 beats bit 3 in attribution)
+      (4L, "en", bad),    // quality too — a FAILED dup never reads exact_dup
+      (5L, "de", good2),  // keeper, own key
+      (6L, "de", good)    // survivor, DIFFERENT key than 1 — keeps (dedup is key-blind)
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.curationLog(rows, "doc_id", "text", "lang", capN = 2)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(3), r.getString(4))).toMap
+    assert(out(1L) == (true, "kept"))
+    assert(out(2L) == (false, "exact_dup"))
+    assert(out(3L) == (false, "quality:words"))
+    assert(out(4L) == (false, "quality:words"))
+    assert(out(5L) == (true, "kept"))
+    // 6 shares 1's text: the fp group's keeper is 1 (smallest id), so 6 is
+    // an exact_dup even though it sits under another key
+    assert(out(6L) == (false, "exact_dup"))
+    assert(out.size == 6)
+    // capN = 1 on a 2-surviving-keeper key drops the larger (h53, id)
+    val capped = Curation.curationLog(
+        Seq((1L, "en", good), (5L, "en", good2)).toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", capN = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(capped.values.toSeq.sorted == Seq("kept", "key_cap").sorted)
+  }
 }
