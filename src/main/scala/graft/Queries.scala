@@ -1601,6 +1601,25 @@ object Queries {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
 
+    // Tombstone delete sidecar on an immutable store: two takedown waves
+    // append ids, the merge-on-read scan anti-joins them out (AQE
+    // broadcasts the takedown-sized side; the corpus never shuffles or
+    // rewrites). Oracle filters the ORIGINAL parquet by the same id
+    // rules, so a tombstone dropped/over-applied anywhere value-fails
+    "tombstone_scan" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_tomb").toString
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      d.write.mode("overwrite").parquet(base + "/store")
+      graft.ops.Layout.appendTombstones(
+        d.where(col("doc_id") % 7 === 0), "doc_id", base + "/tombs")
+      graft.ops.Layout.appendTombstones(
+        d.where(col("doc_id") % 11 === 0), "doc_id", base + "/tombs")
+      graft.ops.Layout.readWithTombstones(s, base + "/store", base + "/tombs", "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // Gap-based sessionization (built-in session_window; diff > gap
     // starts a new session — the close boundary is inclusive — and
     // s_end = last event + gap)
@@ -3473,6 +3492,12 @@ object Queries {
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |GROUP BY event_type""".stripMargin,
+
+    "tombstone_scan" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE NOT (doc_id % 7 = 0 OR doc_id % 11 = 0)
+        |GROUP BY lang""".stripMargin,
 
     "events_dpp_agg" ->
       """WITH dim AS (

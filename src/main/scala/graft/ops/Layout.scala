@@ -55,6 +55,53 @@ object Layout {
       .sortWithinPartitions("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Tombstone delete sidecar — deletes on an IMMUTABLE corpus store
+    * without rewriting it (the merge-on-read half of Delta/Iceberg
+    * deletion vectors, restated as plain parquet): each delete wave
+    * APPENDS its ids to a sidecar directory; the store's bytes never
+    * move. The opt-out/right-to-be-forgotten shape for a 100 TB training
+    * corpus, where rewriting petabytes per takedown request is not an
+    * option — and where the next training run MUST not see the rows.
+    */
+  def appendTombstones(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode(SaveMode.Append).parquet(path)
+
+  /** The merge-on-read scan: store minus every id in the tombstone
+    * sidecar. One LEFT ANTI join keyed on the 8-byte id; the tombstone
+    * side is takedown-sized (vs the corpus), so AQE broadcasts it and
+    * the corpus never shuffles — the scan costs one pass + a hash probe
+    * per row. Returns an empty-sidecar-safe frame (missing/empty
+    * tombstone dir = the plain store).
+    */
+  def readWithTombstones(spark: SparkSession, storePath: String,
+                         tombstonePath: String, idCol: String): DataFrame = {
+    val store = spark.read.parquet(storePath)
+    val fs = new org.apache.hadoop.fs.Path(tombstonePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tombstonePath))) store
+    else store.join(spark.read.parquet(tombstonePath).select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Compaction: fold the accumulated tombstones into the store ONCE
+    * (rewrite minus deleted rows, then drop the sidecar) — run on the
+    * same cadence as any store compaction, after which reads pay zero
+    * anti-join. The rewrite is the one full-corpus pass the sidecar
+    * design defers and batches.
+    */
+  def compactTombstones(spark: SparkSession, storePath: String,
+                        tombstonePath: String, idCol: String): Unit = {
+    val tmp = storePath + "_compacting"
+    readWithTombstones(spark, storePath, tombstonePath, idCol)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(storePath))
+    fs.delete(new org.apache.hadoop.fs.Path(tombstonePath), true)
+  }
+
   /** Per-file [min,max] stats of `column` from the parquet footers —
     * the exact information the scan's file/row-group skipping uses. Test
     * and diagnostics surface for proving a layout prunes: a file whose

@@ -1849,6 +1849,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected && got.size == 2)
   }
 
+  test("tombstone sidecar: waves accumulate, reads exclude, compaction folds and resets") {
+    import graft.ops.Layout
+    val base = java.nio.file.Files.createTempDirectory("tombstore").toString
+    (0L until 100L).toDF("id").write.mode("overwrite").parquet(base + "/store")
+    def liveIds() = Layout.readWithTombstones(spark, base + "/store", base + "/tombs", "id")
+      .collect().map(_.getLong(0)).toSet
+    // missing sidecar = the plain store
+    assert(liveIds() == (0L until 100L).toSet)
+    Layout.appendTombstones(Seq(3L, 7L).toDF("id"), "id", base + "/tombs")
+    Layout.appendTombstones(Seq(7L, 11L).toDF("id"), "id", base + "/tombs") // overlap ok
+    assert(liveIds() == (0L until 100L).toSet -- Set(3L, 7L, 11L))
+    // plan: merge-on-read is one LEFT ANTI join; store side has no shuffle
+    val q = Layout.readWithTombstones(spark, base + "/store", base + "/tombs", "id")
+    q.count()
+    assert(q.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    // compaction folds the deletes into the store bytes and drops the sidecar
+    Layout.compactTombstones(spark, base + "/store", base + "/tombs", "id")
+    assert(spark.read.parquet(base + "/store").collect().map(_.getLong(0)).toSet ==
+      (0L until 100L).toSet -- Set(3L, 7L, 11L))
+    assert(!new java.io.File(base + "/tombs").exists())
+    // the cycle restarts: post-compaction takedowns apply to the new store
+    Layout.appendTombstones(Seq(20L).toDF("id"), "id", base + "/tombs")
+    assert(liveIds() == (0L until 100L).toSet -- Set(3L, 7L, 11L, 20L))
+  }
+
   test("freq_items_sketch honors the Misra-Gries n/(k+1) guarantee under eviction + merge") {
     // 5000 noise tokens (vocab 2000 >> k=50) + three heavy hitters
     val rnd = new scala.util.Random(7)
