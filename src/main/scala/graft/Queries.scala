@@ -1255,6 +1255,29 @@ object Queries {
       Knn.topK(scored, col("distance"), col("vec_id"), K)
     }),
 
+    // PERMISSIVE corrupt-record ingest: a JSONL delivery where every
+    // doc_id%10==0 line is truncated mid-record. The schema'd read routes
+    // broken lines to _corrupt_record instead of failing the job (the
+    // only sane default when one bad line in a 100 TB delivery must not
+    // kill the ingest), and the gate accounts for EVERY line: valid rows
+    // aggregate, corrupt rows are counted — so a silently dropped or
+    // mis-routed line value-fails against the oracle's replay of the
+    // corruption rule
+    "json_ingest_corrupt" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jcorr").toString + "/in"
+      docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("line",
+          when(col("doc_id") % 10 === 0,
+            lit("{\"doc_id\": ")) // truncated mid-record — unparseable
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars")))))
+        .select("line").write.mode("overwrite").text(tmp)
+      val parsed = s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+        .json(tmp)
+      parsed.groupBy(coalesce(col("lang"), lit("_corrupt")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // F4: vector_as_f32 JSON parse round-trip (values survive exactly)
     "as_f32_json" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
@@ -1599,6 +1622,26 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    }),
+
+    // Schema evolution across append waves: wave 1 lands without
+    // event_type, wave 2 adds the column — the normal life of a 100 TB
+    // store whose upstream grows fields. The mergeSchema read unions the
+    // footer schemas and back-fills NULL for pre-evolution rows; the
+    // aggregate accounts for every row in both waves, so a dropped wave,
+    // a misaligned column, or a non-null backfill value-fails
+    "schema_evolution_agg" -> ((s, dir) => {
+      val store = java.nio.file.Files.createTempDirectory("graft_sev").toString + "/waves"
+      val e = tbl(s, dir, "events")
+      e.where(col("event_id") % 2 === 0).select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(store)
+      e.where(col("event_id") % 2 === 1)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("append").parquet(store)
+      s.read.option("mergeSchema", "true").parquet(store)
+        .groupBy(coalesce(col("event_type"), lit("unknown")).as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     }),
 
     // Tombstone delete sidecar on an immutable store: two takedown waves
@@ -3492,6 +3535,18 @@ object Queries {
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |GROUP BY event_type""".stripMargin,
+
+    "json_ingest_corrupt" ->
+      """SELECT CASE WHEN doc_id % 10 = 0 THEN '_corrupt' ELSE lang END AS lang,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN NULL ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "schema_evolution_agg" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END AS event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "tombstone_scan" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
