@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 /** Relational join patterns for the shapes that break at 100 TB.
   *
   * Catalyst already picks broadcast-hash for a small side and AQE splits
-  * skewed SORT-MERGE partitions at runtime — use those first. This module
-  * covers the case both miss: a join where BOTH sides are too big to
-  * broadcast and the key distribution is so hot (a handful of users/domains
-  * owning a double-digit share of rows) that even AQE's partition splitting
-  * leaves every replica of the hot key's probe side waiting on one
-  * build-side partition.
+  * skewed SORT-MERGE partitions at runtime (spec-asserted in
+  * SparkOpsSpec's "AQE splits a skewed join partition") — use those
+  * first. This module covers the cases AQE misses:
+  *  - a downstream aggregate keyed on the JOIN key: the skew rule
+  *    declines to split rather than break the shared partitioning and
+  *    insert an extra exchange (observed, spec-documented), so the hot
+  *    partition survives exactly when the query shape is
+  *    join-then-group-on-key — salting re-keys both stages;
+  *  - both sides too big to broadcast with a key so hot (a handful of
+  *    users/domains owning a double-digit share of rows) that even
+  *    split replicas of its probe side all wait on one build-side
+  *    partition.
   */
 object Joins {
 
