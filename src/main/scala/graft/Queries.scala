@@ -447,11 +447,19 @@ object Queries {
     * centroids (exactly [[graft.ops.Ann.ivfCentroids]]' BIGINT arithmetic),
     * nearest-centroid assignment (ties to lower cid), probe cells.
     */
-  private val ivfCte: String = {
+  private val ivfCte: String = ivfCteSampledFrom("TRUE")
+
+  /** [[ivfCte]] with the centroid SAMPLE restricted to `sampleFilter`
+    * rows (assignment still runs over every vector) — the frozen-
+    * quantizer restatement for append gates, where centroids were
+    * learned before the wave arrived.
+    */
+  private def ivfCteSampledFrom(sampleFilter: String): String = {
     def cdist(v: String) =
       s"list_sum(list_transform(generate_series(1,$Dim), i -> ($v - CAST(ct.cv[i] AS DOUBLE)) * ($v - CAST(ct.cv[i] AS DOUBLE))))"
     val hashOrder = "(vec_id % 1000003) * 2654435761 % 1000000007"
-    s"""ctv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    s"""ctv AS (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL AND $sampleFilter
        |        ORDER BY $hashOrder, vec_id LIMIT $IvfCells),
        |ct AS (SELECT row_number() OVER (ORDER BY $hashOrder, vec_id) - 1 AS cid, embedding AS cv FROM ctv),
        |ad AS (SELECT e.vec_id, e.embedding, ct.cid,
@@ -2177,6 +2185,22 @@ object Queries {
       val e = emb(s, dir).where(col("embedding").isNotNull)
       val cents = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
       Ann.writeIvf(e, "embedding", path, cents)
+      Ann.ivfTopK(s, path, "vec_id", "embedding", probe, K, "l2", cents, IvfProbes)
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
+    // IVF append: centroids frozen from the initial 2/3, the 1/3 wave
+    // assigned + appended (one wave scan, no rebuild); probing the
+    // appended store must equal the oracle's assignment replay over the
+    // UNION — a wave row mis-assigned, dropped, or double-written
+    // value-fails
+    "ivf_append" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfa").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val initial = e.where(col("vec_id") % 3 =!= 0)
+      val cents = Ann.ivfCentroids(initial, "vec_id", "embedding", IvfCells)
+      Ann.writeIvf(initial, "embedding", path, cents)
+      Ann.appendIvf(e.where(col("vec_id") % 3 === 0), "embedding", path, cents)
       Ann.ivfTopK(s, path, "vec_id", "embedding", probe, K, "l2", cents, IvfProbes)
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))
     }),
@@ -4237,6 +4261,13 @@ object Queries {
 
     "ivf_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCte,
+         |d2 AS (SELECT vec_id, ${distSql("l2")} AS distance
+         |       FROM asg AS embeddings, p WHERE cid IN (SELECT cid FROM pc))
+         |SELECT vec_id, round(distance, 6) AS distance FROM d2
+         |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
+
+    "ivf_append" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), ${ivfCteSampledFrom("vec_id % 3 <> 0")},
          |d2 AS (SELECT vec_id, ${distSql("l2")} AS distance
          |       FROM asg AS embeddings, p WHERE cid IN (SELECT cid FROM pc))
          |SELECT vec_id, round(distance, 6) AS distance FROM d2

@@ -227,6 +227,36 @@ object Ann {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Append an ingest wave to an existing IVF store under its FROZEN
+    * centroids — the [[graft.ops.Quantizer.quantizeAppend]] lifecycle for
+    * the vector index: one scan of the WAVE (assign + partitioned append)
+    * instead of the full rebuild, and because cell assignment is a pure
+    * function of (vector, centroids), the appended store is
+    * byte-equivalent in content to a rebuild under the same centroids —
+    * which is exactly what the ivf_append gate's oracle checks (it
+    * replays assignment over the union).
+    *
+    * What freezing does NOT protect: a drifted wave (new embedding model,
+    * new domain) concentrates into few cells and erodes probe pruning +
+    * recall — IVF's contract is the gated recall harness, not an
+    * exactness bound, so the guard here is observability rather than
+    * rejection: watch [[ivfCellCounts]] after each wave and re-run
+    * [[refineCentroids]] + rebuild when the histogram skews.
+    */
+  def appendIvf(wave: DataFrame, vecCol: String, path: String,
+                centroids: Seq[Seq[Float]]): Unit =
+    withClusters(wave.where(col(vecCol).isNotNull), vecCol, centroids)
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
+  /** Per-cell row counts of an IVF store — the hot-cell health probe
+    * appends are monitored with. Selecting only the PARTITION column, the
+    * scan reads directory names + footer row counts, no vector bytes.
+    */
+  def ivfCellCounts(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+
   /** The probe's `nprobe` nearest cells (ties to the lower index —
     * identical arithmetic to the assignment expression).
     */

@@ -295,4 +295,29 @@ object Streams {
         s"$rightTsCol >= $leftTsCol AND $rightTsCol <= $leftTsCol + INTERVAL $bound"))
       .drop(s"${keyCol}_r")
   }
+
+  /** EXACTLY-ONCE parquet sink for `foreachBatch` — the replay-safe write
+    * every custom streaming sink needs: Structured Streaming guarantees
+    * at-least-once delivery of each (batchId, data) pair across restarts
+    * (a batch that crashed mid-write REPLAYS with the same id), so an
+    * `append` inside `foreachBatch` duplicates whatever the crashed
+    * attempt already flushed. Writing each batch to its own
+    * `batch_id=<id>` partition directory with a dynamic-partition
+    * OVERWRITE makes the replay idempotent: the second attempt replaces
+    * the first's partial files byte-for-byte instead of adding to them,
+    * and untouched batch directories are left alone. Readers just scan
+    * `path` (batch_id is an ordinary partition column they may prune on
+    * or drop).
+    *
+    * Usage: `.writeStream.foreachBatch { (df, id) =>
+    * Streams.idempotentBatchWrite(df, id, path) }`. The overwrite is
+    * scoped by `partitionOverwriteMode=dynamic` session-locally via the
+    * writer option, so no global conf leaks.
+    */
+  def idempotentBatchWrite(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
 }

@@ -476,6 +476,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("appendIvf: appended store content equals a rebuild under the frozen centroids") {
+    val e = emb.where(col("embedding").isNotNull)
+    val initial = e.where(col("vec_id") % 3 =!= 0)
+    val cents = Ann.ivfCentroids(initial, "vec_id", "embedding", 8)
+    val dirA = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/a"
+    Ann.writeIvf(initial, "embedding", dirA, cents)
+    Ann.appendIvf(e.where(col("vec_id") % 3 === 0), "embedding", dirA, cents)
+    val dirB = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/b"
+    Ann.writeIvf(e, "embedding", dirB, cents)
+    def content(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(content(dirA) == content(dirB) && content(dirA).nonEmpty)
+    // the health probe sees every cell, counts match the assignment
+    val counts = Ann.ivfCellCounts(spark, dirA)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == e.count())
+  }
+
   test("IVF-PQ store prunes cells, scans codes only, matches direct ADC on probed cells") {
     import graft.ops.Pq
     val dir = java.nio.file.Files.createTempDirectory("ivfpqstore").toString + "/store"
@@ -694,6 +713,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // left_outer: unmatched keys survive with a null tier
       assert(rows == Map(10L -> Some("gold"), 11L -> Some("silver"), 12L -> None))
     } finally q.stop()
+  }
+
+  test("idempotentBatchWrite: a replayed batch overwrites its own partition, touches no other") {
+    import graft.streaming.Streams
+    val path = java.nio.file.Files.createTempDirectory("eoswrite").toString + "/sink"
+    Streams.idempotentBatchWrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L, path)
+    // batch 1's FIRST attempt dies after flushing one row...
+    Streams.idempotentBatchWrite(Seq((3L, "partial")).toDF("id", "v"), 1L, path)
+    // ...and the replay delivers the full batch under the same id: the
+    // dynamic-partition overwrite must REPLACE the partial files, not append
+    Streams.idempotentBatchWrite(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), 1L, path)
+    val got = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1)))
+    // batch 0's directory was never rewritten by batch 1's attempts
+    assert(new java.io.File(path + "/batch_id=0").exists())
   }
 
   test("incremental dedup accretes across streaming micro-batches (foreachBatch)") {
