@@ -478,11 +478,14 @@ object Queries {
     * side's NearestCentroid/lut arithmetic but bit-identical to it
     * (sequential double accumulation).
     */
-  private val pqCte: String = {
+  private val pqCte: String = pqCteSampledFrom("TRUE")
+
+  private def pqCteSampledFrom(sampleFilter: String): String = {
     val dsub = Dim / PqM
     val hashOrder = "(vec_id % 1000003) * 2654435761 % 1000000007"
     def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-    s"""ctv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    s"""ctv AS (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL AND $sampleFilter
        |        ORDER BY $hashOrder, vec_id LIMIT $PqCodes),
        |ct AS (SELECT row_number() OVER (ORDER BY $hashOrder, vec_id) - 1 AS code, embedding AS cv FROM ctv),
        |sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
@@ -515,11 +518,14 @@ object Queries {
     * to [[ivfCte]]: hash-ordered sampled centroids, argmin assignment with
     * ties to the lower cid, probe cells by centroid distance.
     */
-  private val ivfCellFilterCte: String = {
+  private val ivfCellFilterCte: String = ivfCellFilterCteSampledFrom("TRUE")
+
+  private def ivfCellFilterCteSampledFrom(sampleFilter: String): String = {
     def cdist(v: String) =
       s"list_sum(list_transform(generate_series(1,$Dim), i -> ($v - CAST(ict.cv[i] AS DOUBLE)) * ($v - CAST(ict.cv[i] AS DOUBLE))))"
     val hashOrder = "(vec_id % 1000003) * 2654435761 % 1000000007"
-    s"""ictv AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    s"""ictv AS (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL AND $sampleFilter
        |        ORDER BY $hashOrder, vec_id LIMIT $IvfCells),
        |ict AS (SELECT row_number() OVER (ORDER BY $hashOrder, vec_id) - 1 AS cid, embedding AS cv FROM ictv),
        |icd AS (SELECT e.vec_id, ict.cid, ${cdist("CAST(e.embedding[i] AS DOUBLE)")} AS d
@@ -2296,6 +2302,23 @@ object Queries {
       val cents = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
       val cb = Pq.codebook(e, "vec_id", "embedding", Dim, PqM, PqCodes)
       Pq.writeIvfPq(e, "vec_id", "embedding", path, cents, cb)
+      val (_, cents2, cb2) = Pq.readIvfPq(s, path)
+      Pq.ivfPqTopK(s, path, probe, K, cents2, cb2, IvfProbes)
+        .select(col("id").as("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
+    // IVF-PQ append: sidecars frozen from the initial 2/3, the wave
+    // assigned + ENCODED under them from the store's own sidecar reads
+    // (not caller state) and appended; probing must equal the oracle's
+    // union replay under the pre-wave sample
+    "ivfpq_append" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpqa").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      val initial = e.where(col("vec_id") % 3 =!= 0)
+      val cents = Ann.ivfCentroids(initial, "vec_id", "embedding", IvfCells)
+      val cb = Pq.codebook(initial, "vec_id", "embedding", Dim, PqM, PqCodes)
+      Pq.writeIvfPq(initial, "vec_id", "embedding", path, cents, cb)
+      Pq.appendIvfPq(e.where(col("vec_id") % 3 === 0), "vec_id", "embedding", path)
       val (_, cents2, cb2) = Pq.readIvfPq(s, path)
       Pq.ivfPqTopK(s, path, probe, K, cents2, cb2, IvfProbes)
         .select(col("id").as("vec_id"), round(col("distance"), 6).as("distance"))
@@ -4364,6 +4387,14 @@ object Queries {
 
     "ivfpq_knn" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCellFilterCte, $pqCte, $pqAdcCte
+         |SELECT vec_id, round(adc, 6) AS distance FROM ad
+         |WHERE vec_id IN (SELECT vec_id FROM iasg WHERE cid IN (SELECT cid FROM ipc))
+         |ORDER BY adc, vec_id LIMIT $K""".stripMargin,
+
+    "ivfpq_append" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |${ivfCellFilterCteSampledFrom("vec_id % 3 <> 0")},
+         |${pqCteSampledFrom("vec_id % 3 <> 0")}, $pqAdcCte
          |SELECT vec_id, round(adc, 6) AS distance FROM ad
          |WHERE vec_id IN (SELECT vec_id FROM iasg WHERE cid IN (SELECT cid FROM ipc))
          |ORDER BY adc, vec_id LIMIT $K""".stripMargin,

@@ -185,10 +185,37 @@ object Pq {
   def readIvfPq(spark: SparkSession, path: String): (DataFrame, Seq[Seq[Float]], PqCodebook) = {
     val codes = spark.read.parquet(s"$path/codes")
       .select(col("id"), col("codes").cast("array<int>").as("codes"), col("cluster"))
-    val cents = spark.read.parquet(s"$path/_ivf_centroids")
+    (codes, readCentroids(spark, s"$path/_ivf_centroids"),
+      readCodebook(spark, s"$path/_pq_codebook"))
+  }
+
+  private def readCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] =
+    spark.read.parquet(path)
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toSeq))
       .sortBy(_._1).map(_._2).toSeq
-    (codes, cents, readCodebook(spark, s"$path/_pq_codebook"))
+
+  /** Append an ingest wave to an existing IVF-PQ store under its FROZEN
+    * sidecars — the [[Ann.appendIvf]] lifecycle for the combined store,
+    * completing the append story across all three serving stores (scalar
+    * quant / IVF / IVF-PQ). The wave is assigned and encoded under the
+    * centroids + codebook read from the store's own sidecars (both are
+    * pure functions of the vector, so appended content is byte-equivalent
+    * to a rebuild — gated by ivfpq_append's union replay); one wave scan,
+    * partitioned append, no rebuild. Drift monitoring is
+    * [[Ann.ivfCellCounts]] over `path/codes`, same trade as IVF: recall
+    * is the gated contract, so a drifted wave is observed and answered
+    * with a refine + rebuild, not rejected.
+    */
+  def appendIvfPq(wave: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = wave.sparkSession
+    val cents = readCentroids(spark, s"$path/_ivf_centroids")
+    val cb = readCodebook(spark, s"$path/_pq_codebook")
+    Ann.withClusters(wave.where(col(vecCol).isNotNull), vecCol, cents)
+      .select(col(idCol).as("id"),
+        encodeColumn(col(vecCol), cb).cast("array<tinyint>").as("codes"),
+        col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
   }
 
   /** ADC top-k over the probed cells only: the IN-list on the `cluster`

@@ -495,6 +495,23 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.values.sum == e.count())
   }
 
+  test("appendIvfPq: wave encoded from the store's own sidecars, content equals a rebuild") {
+    import graft.ops.Pq
+    val e = emb.where(col("embedding").isNotNull)
+    val initial = e.where(col("vec_id") % 3 =!= 0)
+    val cents = Ann.ivfCentroids(initial, "vec_id", "embedding", 8)
+    val cb = Pq.codebook(initial, "vec_id", "embedding", Queries.Dim, 8, 16)
+    val dirA = java.nio.file.Files.createTempDirectory("ivfpqapp").toString + "/a"
+    Pq.writeIvfPq(initial, "vec_id", "embedding", dirA, cents, cb)
+    Pq.appendIvfPq(e.where(col("vec_id") % 3 === 0), "vec_id", "embedding", dirA)
+    val dirB = java.nio.file.Files.createTempDirectory("ivfpqapp").toString + "/b"
+    Pq.writeIvfPq(e, "vec_id", "embedding", dirB, cents, cb)
+    def content(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("id"), col("codes").cast("array<int>"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getInt(2))).toSet
+    assert(content(dirA) == content(dirB) && content(dirA).nonEmpty)
+  }
+
   test("IVF-PQ store prunes cells, scans codes only, matches direct ADC on probed cells") {
     import graft.ops.Pq
     val dir = java.nio.file.Files.createTempDirectory("ivfpqstore").toString + "/store"
