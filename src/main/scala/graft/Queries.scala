@@ -2195,6 +2195,21 @@ object Queries {
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))
     }),
 
+    // Filtered vector search: the doc's lang rides IN the IVF store, the
+    // predicate pushes into the probed cells' parquet scan and composes
+    // with directory pruning — nearest ENGLISH docs, post-filter
+    // semantics (exact within probed cells, oracle replays exactly that)
+    "ivf_knn_filtered" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivff").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+        .join(docs(s, dir).select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      val cents = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      Ann.writeIvf(e, "embedding", path, cents)
+      Ann.ivfTopKFiltered(s, path, "vec_id", "embedding", probe, K, "l2",
+          cents, IvfProbes, col("lang") === "en")
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
     // IVF append: centroids frozen from the initial 2/3, the 1/3 wave
     // assigned + appended (one wave scan, no rebuild); probing the
     // appended store must equal the oracle's assignment replay over the
@@ -4286,6 +4301,16 @@ object Queries {
       s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCte,
          |d2 AS (SELECT vec_id, ${distSql("l2")} AS distance
          |       FROM asg AS embeddings, p WHERE cid IN (SELECT cid FROM pc))
+         |SELECT vec_id, round(distance, 6) AS distance FROM d2
+         |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
+
+    "ivf_knn_filtered" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCte,
+         |d2 AS (SELECT vec_id, ${distSql("l2")} AS distance
+         |       FROM asg AS embeddings, p, documents
+         |       WHERE cid IN (SELECT cid FROM pc)
+         |         AND documents.doc_id = embeddings.vec_id
+         |         AND documents.lang = 'en')
          |SELECT vec_id, round(distance, 6) AS distance FROM d2
          |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{hyperplane_signature, vectorLit, vector_distance}
@@ -272,6 +272,35 @@ object Ann {
               centroids: Seq[Seq[Float]], nprobe: Int): DataFrame = {
     val store = spark.read.parquet(path)
       .where(col("cluster").isin(probeClusters(probe, centroids, nprobe): _*))
+    Knn.topK(
+      store.select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
+      col("distance"), col(idCol), k)
+  }
+
+  /** FILTERED vector search over the IVF store — "nearest `lang='en'`
+    * documents", the metadata-constrained retrieval every serving stack
+    * ends up needing. [[writeIvf]] keeps every input column, so metadata
+    * rides IN the store and the predicate composes with cell pruning:
+    * the cluster IN-list prunes partition DIRECTORIES at listing time,
+    * the predicate pushes into the parquet scan of the surviving cells
+    * (PushedFilters), and only rows passing BOTH are distance-ranked.
+    *
+    * This is post-filtering, with its standard recall trade: candidates
+    * come from the `nprobe` probed cells FIRST, so a selective predicate
+    * thins each cell's contribution and the true k-th filtered neighbor
+    * may sit in an unprobed cell. Raise `nprobe` as predicate
+    * selectivity rises (at selectivity s, the probed cells hold ~s× the
+    * usual candidate mass — nprobe/s keeps the candidate volume level);
+    * the exactness-within-probed-cells property is unchanged and the
+    * gate's oracle replays exactly that contract.
+    */
+  def ivfTopKFiltered(spark: SparkSession, path: String, idCol: String, vecCol: String,
+                      probe: Array[Float], k: Int, metric: String,
+                      centroids: Seq[Seq[Float]], nprobe: Int,
+                      predicate: Column): DataFrame = {
+    val store = spark.read.parquet(path)
+      .where(col("cluster").isin(probeClusters(probe, centroids, nprobe): _*))
+      .where(predicate)
     Knn.topK(
       store.select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
       col("distance"), col(idCol), k)

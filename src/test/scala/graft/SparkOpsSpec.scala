@@ -476,6 +476,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("ivfTopKFiltered: metadata predicate pushes into the probed cells' pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivffilt").toString + "/store"
+    val e = emb.where(col("embedding").isNotNull)
+      .withColumn("parity", when(col("vec_id") % 2 === 0, "even").otherwise("odd"))
+    val cents = Ann.ivfCentroids(e, "vec_id", "embedding", 16)
+    Ann.writeIvf(e, "embedding", dir, cents)
+    val q = Ann.ivfTopKFiltered(spark, dir, "vec_id", "embedding",
+      probe, 10, "l2", cents, 4, col("parity") === "even")
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && got.forall(_ % 2 == 0))
+    // BOTH levers in one scan: directory pruning + the pushed predicate
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.metadata("PushedFilters").contains("parity"), scan.metadata("PushedFilters"))
+    // exact within the probed cells: equals brute force over (probed ∩ even)
+    val probed = Ann.probeClusters(probe, cents, 4)
+    val expected = Knn.fullScan(
+        Ann.withClusters(e, "embedding", cents)
+          .where(col("cluster").isin(probed: _*) && col("parity") === "even"),
+        "vec_id", "embedding", probe, 10, "l2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
   test("appendIvf: appended store content equals a rebuild under the frozen centroids") {
     val e = emb.where(col("embedding").isNotNull)
     val initial = e.where(col("vec_id") % 3 =!= 0)
