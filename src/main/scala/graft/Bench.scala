@@ -250,7 +250,7 @@ object Bench {
         "heavy_hitters_by_lang", "image_dhash_pairs", "audio_fingerprint",
         "pca_top2", "exact_substr_spans", "exact_substr_removed",
         "token_budget_select", "quality_floor_by_lang", "training_shards",
-        "curation_log", "tombstone_scan", "json_ingest_corrupt",
+        "curation_log", "tombstone_scan", "upsert_scan", "json_ingest_corrupt",
         "schema_evolution_agg", "ivf_append", "ivfpq_append",
         "ivf_knn_filtered")
       fromQueries.foreach { name =>

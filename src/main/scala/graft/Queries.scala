@@ -1677,6 +1677,27 @@ object Queries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
+    // Upsert sidecar (latest-wins merge-on-read): wave 1 replaces every
+    // doc_id%5==0 row (+1000 chars), wave 2 re-replaces the %10==0
+    // subset (+2000) — the read must resolve the winner per id inside
+    // the recrawl-sized sidecar and never shuffle the base. Oracle
+    // replays the wave precedence as one CASE
+    "upsert_scan" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ups").toString
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      d.write.mode("overwrite").parquet(base + "/store")
+      graft.ops.Layout.appendUpserts(
+        d.where(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L), base + "/ups", wave = 1)
+      graft.ops.Layout.appendUpserts(
+        d.where(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 2000L), base + "/ups", wave = 2)
+      graft.ops.Layout.readWithUpserts(s, base + "/store", base + "/ups", "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // Gap-based sessionization (built-in session_window; diff > gap
     // starts a new session — the close boundary is inclusive — and
     // s_end = last event + gap)
@@ -3609,6 +3630,14 @@ object Queries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "upsert_scan" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN n_chars + 2000
+        |                WHEN doc_id % 5 = 0 THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "tombstone_scan" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

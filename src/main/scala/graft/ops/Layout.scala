@@ -84,6 +84,46 @@ object Layout {
       Seq(idCol), "left_anti")
   }
 
+  /** Upsert sidecar — the UPDATE half of the immutable-store mutation
+    * story next to [[appendTombstones]]' deletes: a recrawl/reprocess
+    * wave appends its replacement rows (full store schema) under a
+    * monotonically increasing `wave` number; the store's bytes never
+    * move. One row per id per wave (a wave is a deduplicated delivery;
+    * ids may recur ACROSS waves — later waves win).
+    */
+  def appendUpserts(rows: DataFrame, path: String, wave: Long): Unit = {
+    require(wave >= 1, s"wave must be >= 1 (0 is the base store), got $wave")
+    rows.withColumn("_wave", lit(wave)).write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Latest-wins merge-on-read: the base store with every superseded row
+    * replaced by its newest upsert. The scalable shape: the winner per
+    * id is resolved INSIDE the upsert sidecar (a window over the
+    * recrawl-sized side only), then the base pays one LEFT ANTI join on
+    * the 8-byte id (AQE broadcasts the sidecar's id set) plus a union —
+    * the base never shuffles and is never rewritten. `asOfWave` reads
+    * the store as it stood after that wave landed (time travel):
+    * `Some(0)` = the base store, `None` = all waves.
+    */
+  def readWithUpserts(spark: SparkSession, storePath: String,
+                      upsertPath: String, idCol: String,
+                      asOfWave: Option[Long] = None): DataFrame = {
+    val store = spark.read.parquet(storePath)
+    val fs = new org.apache.hadoop.fs.Path(upsertPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(upsertPath))) return store
+    val ups0 = spark.read.parquet(upsertPath)
+    val ups = asOfWave.fold(ups0)(w => ups0.where(col("_wave") <= w))
+    if (asOfWave.contains(0L)) return store
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_wave").desc)
+    val latest = ups.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "_wave")
+      .select(store.columns.map(col): _*)
+    store.join(latest.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .unionByName(latest)
+  }
+
   /** Compaction: fold the accumulated tombstones into the store ONCE
     * (rewrite minus deleted rows, then drop the sidecar) — run on the
     * same cadence as any store compaction, after which reads pay zero

@@ -1989,6 +1989,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(liveIds() == (0L until 100L).toSet -- Set(3L, 7L, 11L, 20L))
   }
 
+  test("upsert sidecar: latest wave wins, as-of reads time-travel, base never rewritten") {
+    import graft.ops.Layout
+    val base = java.nio.file.Files.createTempDirectory("upsstore").toString
+    (0L until 20L).map(i => (i, s"v0_$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(base + "/store")
+    def read(asOf: Option[Long] = None) =
+      Layout.readWithUpserts(spark, base + "/store", base + "/ups", "id", asOf)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(read() == (0L until 20L).map(i => i -> s"v0_$i").toMap) // no sidecar yet
+    Layout.appendUpserts(Seq((5L, "v1_5"), (10L, "v1_10")).toDF("id", "v"), base + "/ups", 1)
+    Layout.appendUpserts(Seq((10L, "v2_10"), (21L, "v2_21")).toDF("id", "v"), base + "/ups", 2)
+    val latest = read()
+    assert(latest(5L) == "v1_5" && latest(10L) == "v2_10") // wave 2 beats wave 1
+    assert(latest(21L) == "v2_21" && latest.size == 21)    // upsert of a NEW id inserts
+    assert(latest(3L) == "v0_3")
+    // time travel: as-of wave 1 hasn't seen wave 2; as-of 0 is the base
+    val asOf1 = read(Some(1L))
+    assert(asOf1(10L) == "v1_10" && asOf1.get(21L).isEmpty)
+    assert(read(Some(0L)) == (0L until 20L).map(i => i -> s"v0_$i").toMap)
+  }
+
   test("freq_items_sketch honors the Misra-Gries n/(k+1) guarantee under eviction + merge") {
     // 5000 noise tokens (vocab 2000 >> k=50) + three heavy hitters
     val rnd = new scala.util.Random(7)
