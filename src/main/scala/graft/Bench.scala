@@ -251,7 +251,7 @@ object Bench {
         "pca_top2", "exact_substr_spans", "exact_substr_removed",
         "token_budget_select", "quality_floor_by_lang", "training_shards",
         "curation_log", "tombstone_scan", "upsert_scan", "json_ingest_corrupt",
-        "schema_evolution_agg", "ivf_append", "ivfpq_append",
+        "schema_evolution_agg", "ivf_append", "ivfpq_append", "lsh_append",
         "ivf_knn_filtered")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())

@@ -2180,6 +2180,18 @@ object Queries {
         .select(col("vec_id"), round(col("distance"), 6).as("distance"))
     }),
 
+    // LSH store append: buckets are a pure function of (vector, nBits,
+    // seed), so the wave lands byte-equivalent to a rebuild — probing
+    // the appended store must equal the full-corpus oracle replay
+    "lsh_append" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_lsha").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+      Ann.writeBucketed(e.where(col("vec_id") % 3 =!= 0), "embedding", path, AnnBits, Dim)
+      Ann.appendBucketed(e.where(col("vec_id") % 3 === 0), "embedding", path, AnnBits, Dim)
+      Ann.lshTopKPruned(s, path, "vec_id", "embedding", probe, K, "cosine", AnnBits)
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
     // Table-to-table ANN JOIN: 20 probe rows × full corpus, candidates =
     // shared hamming-1 LSH bucket neighborhood, per-probe top-5 through
     // the bounded knn_topk heap — the "every document's neighbors"
@@ -4193,6 +4205,13 @@ object Queries {
     },
 
     "ann_lsh_topk" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), ${planesCte(AnnBits)}, $bucketSigCte, $probeBucketsCte,
+         |d AS (SELECT vec_id, ${distSql("cosine")} AS distance
+         |      FROM sg, p WHERE bucket IN (SELECT bkt FROM pb))
+         |SELECT vec_id, round(distance, 6) AS distance FROM d
+         |ORDER BY distance, vec_id LIMIT $K""".stripMargin,
+
+    "lsh_append" ->
       s"""WITH p AS (SELECT $probeSqlList AS pv), ${planesCte(AnnBits)}, $bucketSigCte, $probeBucketsCte,
          |d AS (SELECT vec_id, ${distSql("cosine")} AS distance
          |      FROM sg, p WHERE bucket IN (SELECT bkt FROM pb))

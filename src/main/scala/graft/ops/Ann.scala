@@ -61,6 +61,20 @@ object Ann {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Append an ingest wave to an existing LSH store. Unlike
+    * [[appendIvf]]'s frozen centroids, there is no learned state to
+    * freeze at all: the bucket is a pure function of (vector, nBits,
+    * seed), so a wave bucketed with the SAME (nBits, dim, seed) as the
+    * store lands byte-equivalent to a rebuild by construction — the
+    * caller's only obligation is passing the store's own parameters
+    * (gated by lsh_append, whose oracle is the full-corpus replay).
+    */
+  def appendBucketed(wave: DataFrame, vecCol: String, path: String,
+                     nBits: Int, dim: Int, seed: Long = 42L): Unit =
+    withBuckets(wave, vecCol, nBits, dim, seed)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** ANN top-k over a bucket-partitioned store: the IN-list on the
     * partition column prunes directories before any row is read —
     * `.explain` shows PartitionFilters and numFiles ≈ nBits+1 buckets.

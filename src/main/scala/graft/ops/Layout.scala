@@ -124,6 +124,23 @@ object Layout {
       .unionByName(latest)
   }
 
+  /** Fold the accumulated upserts into the store once (rewrite with
+    * latest-wins applied, drop the sidecar) — [[compactTombstones]]' twin;
+    * note compaction FORFEITS time travel for the folded waves, so run it
+    * when the history window ages out, not eagerly.
+    */
+  def compactUpserts(spark: SparkSession, storePath: String,
+                     upsertPath: String, idCol: String): Unit = {
+    val tmp = storePath + "_compacting"
+    readWithUpserts(spark, storePath, upsertPath, idCol)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(storePath))
+    fs.delete(new org.apache.hadoop.fs.Path(upsertPath), true)
+  }
+
   /** Compaction: fold the accumulated tombstones into the store ONCE
     * (rewrite minus deleted rows, then drop the sidecar) — run on the
     * same cadence as any store compaction, after which reads pay zero

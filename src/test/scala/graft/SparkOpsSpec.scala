@@ -2008,6 +2008,11 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val asOf1 = read(Some(1L))
     assert(asOf1(10L) == "v1_10" && asOf1.get(21L).isEmpty)
     assert(read(Some(0L)) == (0L until 20L).map(i => i -> s"v0_$i").toMap)
+    // compaction folds latest-wins into the base and resets the sidecar
+    Layout.compactUpserts(spark, base + "/store", base + "/ups", "id")
+    assert(!new java.io.File(base + "/ups").exists())
+    assert(spark.read.parquet(base + "/store")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == latest)
   }
 
   test("freq_items_sketch honors the Misra-Gries n/(k+1) guarantee under eviction + merge") {
