@@ -830,26 +830,30 @@ object Curation {
     *
     * Scale: ONE text pass computes the quality stats AND the content
     * fingerprints ([[qualityStats]]' passthrough — no join back onto the
-    * corpus), materialized behind a localCheckpoint barrier as a narrow
-    * (id, key, fp, mask) table the three decision stages re-read; the
-    * stages exchange 16-byte fingerprints and 8-byte ids only — corpus
-    * text NEVER shuffles. Keeper election is one fingerprint-keyed
-    * rollup + join-back; the cap is the bounded O(capN)-per-key heap.
+    * corpus), materialized behind the chosen [[Dedup.Barrier]] as a
+    * narrow (id, key, fp, mask) table the three decision stages re-read
+    * (LocalCheckpoint locally; pass `ReliableCheckpoint`/`Stage` on a
+    * cluster — the SCALING.md extrapolation note; the barrier's release
+    * handle is discarded here, the GC-managed contract the TVF builders
+    * document); the stages exchange 16-byte fingerprints and 8-byte ids
+    * only — corpus text NEVER shuffles. Keeper election is one
+    * fingerprint-keyed rollup + join-back; the cap is the bounded
+    * O(capN)-per-key heap.
     *
     * Output: (id, key, fail_mask, keep, reason).
     */
   def curationLog(df: DataFrame, idCol: String, textCol: String,
                   keyCol: String, capN: Int, minWords: Int = 10,
-                  maxWords: Int = 100000): DataFrame = {
+                  maxWords: Int = 100000,
+                  barrier: Dedup.Barrier = Dedup.Barrier.LocalCheckpoint): DataFrame = {
     require(capN >= 1, s"capN must be >= 1, got $capN")
-    val base = qualityStats(df, idCol, textCol, Seq(
+    val base = Dedup.materialize(qualityStats(df, idCol, textCol, Seq(
         "key" -> col(keyCol),
         "_ck1" -> xxhash64(col(textCol)),
         "_ck2" -> xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol))))
       .withColumn("fail_mask", failMaskCol(minWords, maxWords))
       .select(col(idCol).as("id"), col("key"), col("_ck1"), col("_ck2"),
-        col("fail_mask"))
-      .localCheckpoint()
+        col("fail_mask")), barrier)._1
     val survivors = base.where(col("fail_mask") === 0L)
     val keepers = survivors.groupBy(col("_ck1"), col("_ck2"))
       .agg(min(col("id")).as("_keeper"))

@@ -402,7 +402,7 @@ object Dedup {
   /** Materialize `df` once behind the chosen [[Barrier]]; returns the
     * barrier-backed frame plus the matching release action.
     */
-  private def materialize(df: DataFrame, barrier: Barrier,
+  private[ops] def materialize(df: DataFrame, barrier: Barrier,
                           eager: Boolean = true): (DataFrame, () => Unit) =
     barrier match {
       case Barrier.LocalCheckpoint =>
