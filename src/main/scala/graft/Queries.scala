@@ -2355,6 +2355,22 @@ object Queries {
         .select(col("id").as("vec_id"), round(col("distance"), 6).as("distance"))
     }),
 
+    // Filtered IVF-PQ: lang rides next to the 8-byte codes in the
+    // combined store, so the predicate composes with cell-directory
+    // pruning AND the code-column scan in one pass — filtered retrieval
+    // over the store you'd actually deploy
+    "ivfpq_knn_filtered" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpqf").toString + "/store"
+      val e = emb(s, dir).where(col("embedding").isNotNull)
+        .join(docs(s, dir).select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      val cents = Ann.ivfCentroids(e, "vec_id", "embedding", IvfCells)
+      val cb = Pq.codebook(e, "vec_id", "embedding", Dim, PqM, PqCodes)
+      Pq.writeIvfPq(e, "vec_id", "embedding", path, cents, cb, extraCols = Seq("lang"))
+      Pq.ivfPqTopKFiltered(s, path, probe, K, cents, cb, IvfProbes,
+          col("lang") === "en")
+        .select(col("id").as("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
     // IVF-PQ append: sidecars frozen from the initial 2/3, the wave
     // assigned + ENCODED under them from the store's own sidecar reads
     // (not caller state) and appended; probing must equal the oracle's
@@ -4462,6 +4478,13 @@ object Queries {
       s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCellFilterCte, $pqCte, $pqAdcCte
          |SELECT vec_id, round(adc, 6) AS distance FROM ad
          |WHERE vec_id IN (SELECT vec_id FROM iasg WHERE cid IN (SELECT cid FROM ipc))
+         |ORDER BY adc, vec_id LIMIT $K""".stripMargin,
+
+    "ivfpq_knn_filtered" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv), $ivfCellFilterCte, $pqCte, $pqAdcCte
+         |SELECT vec_id, round(adc, 6) AS distance FROM ad
+         |WHERE vec_id IN (SELECT vec_id FROM iasg WHERE cid IN (SELECT cid FROM ipc))
+         |  AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
          |ORDER BY adc, vec_id LIMIT $K""".stripMargin,
 
     "ivfpq_append" ->

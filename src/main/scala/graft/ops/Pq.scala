@@ -159,13 +159,17 @@ object Pq {
     * coarse quantizer is measured against the sampled baseline by the
     * ivfpq_recall_kmeans gate, mirroring IVF's ivf_recall_kmeans.
     */
+  /** `extraCols` ride along in the code store (metadata columns for
+    * [[ivfPqTopKFiltered]] — a few bytes next to the 8-byte codes).
+    */
   def writeIvfPq(df: DataFrame, idCol: String, vecCol: String, path: String,
-                 centroids: Seq[Seq[Float]], cb: PqCodebook): Unit = {
+                 centroids: Seq[Seq[Float]], cb: PqCodebook,
+                 extraCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     Ann.withClusters(df.where(col(vecCol).isNotNull), vecCol, centroids)
-      .select(col(idCol).as("id"),
+      .select(Seq(col(idCol).as("id"),
         encodeColumn(col(vecCol), cb).cast("array<tinyint>").as("codes"),
-        col("cluster"))
+        col("cluster")) ++ extraCols.map(col): _*)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
     val rows = for (s <- 0 until cb.m; j <- 0 until cb.nCodes)
@@ -227,6 +231,26 @@ object Pq {
                 centroids: Seq[Seq[Float]], cb: PqCodebook, nprobe: Int): DataFrame = {
     val store = spark.read.parquet(s"$path/codes")
       .where(col("cluster").isin(Ann.probeClusters(probe, centroids, nprobe): _*))
+    Knn.topK(
+      store.select(col("id"),
+        adcColumn(col("codes").cast("array<int>"), cb.lut(probe)).as("distance")),
+      col("distance"), col("id"), k)
+  }
+
+  /** FILTERED IVF-PQ top-k — [[Ann.ivfTopKFiltered]]'s contract over the
+    * COMBINED store: metadata written via `writeIvfPq(extraCols)` rides
+    * next to the codes, so the predicate composes with both scale levers
+    * (cell-directory pruning × code-column scan) in one pass. Same
+    * post-filter recall trade as the IVF variant: exact-ADC within the
+    * probed cells' predicate-passing rows; raise nprobe with predicate
+    * selectivity.
+    */
+  def ivfPqTopKFiltered(spark: SparkSession, path: String, probe: Array[Float],
+                        k: Int, centroids: Seq[Seq[Float]], cb: PqCodebook,
+                        nprobe: Int, predicate: Column): DataFrame = {
+    val store = spark.read.parquet(s"$path/codes")
+      .where(col("cluster").isin(Ann.probeClusters(probe, centroids, nprobe): _*))
+      .where(predicate)
     Knn.topK(
       store.select(col("id"),
         adcColumn(col("codes").cast("array<int>"), cb.lut(probe)).as("distance")),

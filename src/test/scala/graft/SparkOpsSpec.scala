@@ -521,6 +521,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.values.sum == e.count())
   }
 
+  test("ivfPqTopKFiltered: metadata rides with the codes; equals direct ADC on (probed ∩ predicate)") {
+    import graft.ops.Pq
+    val e = emb.where(col("embedding").isNotNull)
+      .withColumn("parity", when(col("vec_id") % 2 === 0, "even").otherwise("odd"))
+    val cents = Ann.ivfCentroids(e, "vec_id", "embedding", 16)
+    val cb = Pq.codebook(e, "vec_id", "embedding", Queries.Dim, 8, 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqfilt").toString + "/store"
+    Pq.writeIvfPq(e, "vec_id", "embedding", dir, cents, cb, extraCols = Seq("parity"))
+    val q = Pq.ivfPqTopKFiltered(spark, dir, probe, 10, cents, cb, 4,
+      col("parity") === "even")
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got.forall(_._1 % 2 == 0))
+    val probed = Ann.probeClusters(probe, cents, 4)
+    val lut = cb.lut(probe)
+    val expected = Ann.withClusters(e, "embedding", cents)
+      .where(col("cluster").isin(probed: _*) && col("parity") === "even")
+      .select(col("vec_id"), Pq.adcColumn(
+        Pq.encodeColumn(col("embedding"), cb), lut).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+  }
+
   test("appendIvfPq: wave encoded from the store's own sidecars, content equals a rebuild") {
     import graft.ops.Pq
     val e = emb.where(col("embedding").isNotNull)
