@@ -2096,6 +2096,17 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // PSI drift between two corpus snapshots (even vs odd doc ids) over
+    // the quality score: reference-quantile bins, Laplace-smoothed
+    // shares, one identical ln tree per bin — the per-dump QA alarm
+    "psi_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.psiDrift(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        TextAnalysis.qualityScore(col("text")),
+        TextAnalysis.qualityScore(col("text")), nBins = 8)
+    }),
+
     // Composed curation decision log: every doc (corpus + a 50-doc clone
     // wave so the exact_dup branch fires) attributed to exactly one
     // outcome in stage-priority order — quality:<lowest-failing-rule>,
@@ -3925,6 +3936,29 @@ object Queries {
          |  round(CAST(top_word AS DOUBLE) / greatest(n_words, 1), 6) AS top_word_frac,
          |  fail_mask, (fail_mask = 0) AS keep
          |FROM k""".stripMargin,
+
+    // reference-quantile bins over the integer s6 grid, Laplace-smoothed
+    // shares, identical double ln tree per bin
+    "psi_drift" -> {
+      val binExpr = "1 + " + (1 to 7).map(i =>
+        s"(CASE WHEN CAST(s6 AS DOUBLE) > cuts[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH r AS (SELECT CAST(round(($qualityScoreSql) * 1000000) AS BIGINT) AS s6
+         |           FROM documents WHERE doc_id % 2 = 0),
+         |cu AS (SELECT CAST(round(($qualityScoreSql) * 1000000) AS BIGINT) AS s6
+         |       FROM documents WHERE doc_id % 2 = 1),
+         |ct AS (SELECT quantile_cont(s6, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cuts FROM r),
+         |rb AS (SELECT bin, count(*) AS n FROM (SELECT $binExpr AS bin FROM r, ct) GROUP BY 1),
+         |cb AS (SELECT bin, count(*) AS n FROM (SELECT $binExpr AS bin FROM cu, ct) GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM r) AS nr, (SELECT count(*) FROM cu) AS nc),
+         |bins AS (SELECT CAST(unnest(generate_series(1, 8)) AS INT) AS bin)
+         |SELECT bins.bin, coalesce(rb.n, 0) AS n_ref, coalesce(cb.n, 0) AS n_cur,
+         |  round((CAST(coalesce(cb.n, 0) + 1 AS DOUBLE) / (nc + 8)
+         |       - CAST(coalesce(rb.n, 0) + 1 AS DOUBLE) / (nr + 8))
+         |    * ln((CAST(coalesce(cb.n, 0) + 1 AS DOUBLE) / (nc + 8))
+         |       / (CAST(coalesce(rb.n, 0) + 1 AS DOUBLE) / (nr + 8))), 6) AS psi_term
+         |FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin), tot
+         |ORDER BY bin""".stripMargin
+    },
 
     // the three curation stages replayed over raw text: the quality
     // bitmask (filter_quality's restatement over the cloned union),

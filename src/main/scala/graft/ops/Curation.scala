@@ -878,6 +878,58 @@ object Curation {
         (reason === "kept").as("keep"), reason.as("reason"))
   }
 
+  /** Population Stability Index between a REFERENCE corpus snapshot and
+    * a CURRENT one over any per-row score — the per-dump QA monitor a
+    * continuously-fed pipeline alarms on ("did this crawl's quality
+    * distribution drift from last month's?"): `nBins` equal-frequency
+    * bins are cut from the REFERENCE's quantiles, both snapshots are
+    * histogrammed into them, and each bin contributes
+    * `(q−p)·ln(q/p)` with Laplace-smoothed shares `p=(n_ref+1)/(N_ref+B)`,
+    * `q=(n_cur+1)/(N_cur+B)` (smoothing keeps empty bins finite). The
+    * usual reading: Σ psi_term < 0.1 stable, 0.1–0.25 moderate, > 0.25
+    * drifted — re-examine the feed before training on it.
+    *
+    * Exactness: scores land on the scale-6 integer grid first (the
+    * [[qualityFloorPerKey]] convention), `nBins` must be a power of two
+    * so every cut fraction k/B is a binary fraction — quantile
+    * interpolation over integer endpoints is then evaluation-order-exact
+    * across engines — and each term is one identical double tree over
+    * exact BIGINT counts (the pmi_pairs contract), rounded at 6 dp.
+    *
+    * Scale: two counting quantile/histogram aggregations (no global
+    * sort), B−1 cut scalars + two count scalars to the driver, a B-row
+    * result — the corpus-sized sides never shuffle more than (bin, n).
+    *
+    * Output: (bin 1..nBins, n_ref, n_cur, psi_term), ordered by bin.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, refScore: Column,
+               curScore: Column, nBins: Int = 8): DataFrame = {
+    require(nBins >= 2 && (nBins & (nBins - 1)) == 0,
+      s"nBins must be a power of two >= 2 for binary-fraction quantile cuts, got $nBins")
+    def s6(df: DataFrame, c: Column) = df.select(
+      round(graft.functions.fast_round(c, 6) * 1e6).cast("long").as("_s6"))
+    val r = s6(ref, refScore)
+    val q = s6(cur, curScore)
+    val fracs = (1 until nBins).map(k => k.toDouble / nBins)
+    val cuts = r.agg(expr(s"percentile(_s6, array(${fracs.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    val nR = r.count(); val nQ = q.count()
+    require(nR > 0 && nQ > 0, "psiDrift: empty snapshot")
+    def binned(df: DataFrame, outCol: String) = df.select(
+        cuts.foldLeft(lit(1))((acc, cut) =>
+          acc + when(col("_s6").cast("double") > lit(cut), 1).otherwise(0)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(outCol))
+    val p = (col("n_ref") + 1L).cast("double") / lit((nR + nBins).toDouble)
+    val qq = (col("n_cur") + 1L).cast("double") / lit((nQ + nBins).toDouble)
+    ref.sparkSession.range(1, nBins + 1).select(col("id").cast("int").as("bin"))
+      .join(binned(r, "n_ref"), Seq("bin"), "left")
+      .join(binned(q, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((qq - p) * log(qq / p), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
   // ---------- UniMax mixture allocation ----------
 
   /** UniMax token-budget allocation across domains (Chung et al., ICLR

@@ -132,6 +132,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 4L), ("b", 3L), ("c", 2L))) // "C" lowercased into c
   }
 
+  test("psiDrift: identical snapshots ~0, a shifted snapshot alarms, empty bins stay finite") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ref = (0 until 1000).map(i => i.toDouble / 1000).toDF("s")
+    def psi(cur: org.apache.spark.sql.DataFrame): Double =
+      Curation.psiDrift(ref, cur, col("s"), col("s"), nBins = 8)
+        .collect().map(_.getDouble(3)).sum
+    // same distribution: PSI well under the 0.1 "stable" reading
+    assert(math.abs(psi((0 until 1000).map(i => i.toDouble / 1000).toDF("s"))) < 0.01)
+    // hard shift: all current mass above the reference median
+    val shifted = (0 until 1000).map(i => 0.5 + i.toDouble / 2000).toDF("s")
+    assert(psi(shifted) > 0.25)
+    // degenerate current (one value): 7 empty bins, Laplace keeps terms finite
+    val onePoint = Seq.fill(100)(0.99).toDF("s")
+    val terms = Curation.psiDrift(ref, onePoint, col("s"), col("s"), 8)
+      .collect().map(_.getDouble(3))
+    assert(terms.length == 8 && terms.forall(t => !t.isNaN && !t.isInfinite))
+    // non-power-of-two bins rejected (binary-fraction cut contract)
+    val ex = intercept[IllegalArgumentException] {
+      Curation.psiDrift(ref, ref, col("s"), col("s"), nBins = 10)
+    }
+    assert(ex.getMessage.contains("power of two"))
+  }
+
   test("curationLog: one outcome per doc, stage-priority order, cap via the heap selection") {
     val good = "the quick brown fox jumps over the lazy dog and then it " +
       "runs far away to the old red barn it likes"
