@@ -2096,6 +2096,22 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Unicode NFC normalization (UAX #15): planted decomposed accents,
+    // Hangul jamo, and the angstrom sign must land in canonical composed
+    // form. The oracle is DuckDB's nfc_normalize — an INDEPENDENT
+    // implementation (utf8proc) of the same Unicode algorithm, so this
+    // gate cross-checks the JDK's tables against utf8proc's
+    "nfc_normalize_text" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.nfc_normalize(concat(substring(col("text"), 1, 20),
+          element_at(array(
+            lit("é café"), // decomposed: composes to e-acute
+            lit("café"),          // already NFC: passes through
+            lit("가"),       // Hangul jamo: composes to U+AC00
+            lit("Å")),            // angstrom sign: becomes U+00C5
+            (col("doc_id") % 4 + 1).cast("int")))).as("norm"))
+        .orderBy("doc_id")),
+
     // PSI drift between two corpus snapshots (even vs odd doc ids) over
     // the quality score: reference-quantile bins, Laplace-smoothed
     // shares, one identical ln tree per bin — the per-dump QA alarm
@@ -3936,6 +3952,15 @@ object Queries {
          |  round(CAST(top_word AS DOUBLE) / greatest(n_words, 1), 6) AS top_word_frac,
          |  fail_mask, (fail_mask = 0) AS keep
          |FROM k""".stripMargin,
+
+    "nfc_normalize_text" ->
+      """SELECT doc_id, nfc_normalize(substring(text, 1, 20) ||
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'e' || chr(769) || ' cafe' || chr(769)
+        |    WHEN 1 THEN 'caf' || chr(233)
+        |    WHEN 2 THEN chr(4352) || chr(4449)
+        |    ELSE chr(8491) END) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // reference-quantile bins over the integer s6 grid, Laplace-smoothed
     // shares, identical double ln tree per bin

@@ -527,6 +527,37 @@ case class StringHash61(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC canonical composition (UAX #15) — the normalization pass
+  * that runs BEFORE any fingerprint/dedup stage on real-world text:
+  * visually identical strings with different codepoint sequences (`é`
+  * composed U+00E9 vs decomposed U+0065 U+0301) must hash and dedup
+  * together, and NFC is the canonical composed form crawlers disagree
+  * on most. Wraps the JDK's `java.text.Normalizer` as a codegen'd
+  * expression (no UDF, no per-row serialization); the gate's oracle is
+  * DuckDB's `nfc_normalize` — an INDEPENDENT implementation (utf8proc)
+  * of the same Unicode algorithm, so the comparison cross-checks two
+  * codebases against the standard.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = UTF8String.fromString(java.text.Normalizer.normalize(
+         |  $c.toString(), java.text.Normalizer.Form.NFC));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Byte-histogram featurizer for binary payloads: fixed-width
   * `array<float>` with out[i % dim] += byte/256 (see
   * [[graft.kernels.Sketches.byteHistogram]] for the exactness argument).

@@ -73,6 +73,9 @@ object functions {
     */
   def string_hash61(s: Column): Column = col(StringHash61(expr(s)))
 
+  /** Unicode NFC canonical composition; see [[graft.expressions.NfcNormalize]]. */
+  def nfc_normalize(s: Column): Column = col(NfcNormalize(expr(s)))
+
   /** Sign-bit binary quantization: `array<float>` → packed `array<long>`
     * bit signature (1 bit/dim); see [[graft.expressions.SignBits]].
     */
@@ -204,6 +207,10 @@ object functions {
     reg.createOrReplaceTempFunction("string_hash61", {
       case Seq(s) => StringHash61(s)
       case args => throw new IllegalArgumentException(s"string_hash61 expects 1 arg, got ${args.size}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", {
+      case Seq(s) => NfcNormalize(s)
+      case args => throw new IllegalArgumentException(s"nfc_normalize expects 1 arg, got ${args.size}")
     }, "scala_udf")
     reg.createOrReplaceTempFunction("pcm_stats", {
       case Seq(p) => PcmStatsExpr(p)

@@ -1186,6 +1186,12 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 1.0f))).toDF("g", "v").createOrReplaceTempView("va_sql")
     val c = spark.sql("SELECT vector_avg(v, 2) AS c FROM va_sql GROUP BY g").head().getSeq[Double](0)
     assert(c == Seq(2.0, 2.0))
+    // NFC normalization: decomposed and composed forms of the same text
+    // must collapse to identical strings (and identical fingerprints)
+    val nfc = spark.sql(
+      "SELECT nfc_normalize('é') = nfc_normalize('é') AS eq, " +
+      "string_hash61(nfc_normalize('é')) = string_hash61(nfc_normalize('é')) AS heq").head()
+    assert(nfc.getBoolean(0) && nfc.getBoolean(1))
     // media fingerprints reachable from pure SQL
     Seq(Tuple1(graft.ops.MediaCodec.gifAnimFixture(4, 4, 3, 5)),
         Tuple1(graft.ops.MediaCodec.pngPixelFixture(18, 16, 7L, 0)))
