@@ -164,4 +164,24 @@ object KernelProps extends Properties("kernels") {
       val a = fastRound(x, 6); val b = sparkRound(x, 6)
       Prop((a == b) || (a.isNaN && b.isNaN)) :| s"x=$x fast=$a spark=$b"
     }: _*)
+
+  // NFC is a projection: applying it twice is the same as once (UAX #15
+  // guarantees normalized forms are closed under re-normalization), and
+  // canonically-equivalent inputs (decomposed vs composed) converge
+  private def nfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  private val uniChar: Gen[String] = Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString),
+    Gen.oneOf("́", "̈", "é", "Å", "Å",
+      "ᄀ", "ᅡ", "ᆨ", "가", " ", "ñ", "ñ"))
+  private val uniStr: Gen[String] =
+    Gen.listOf(uniChar).map(_.mkString)
+
+  property("NFC normalization is idempotent") =
+    forAll(uniStr) { s => nfc(nfc(s)) == nfc(s) }
+
+  property("NFC collapses canonical equivalents (NFD(x) and x agree)") =
+    forAll(uniStr) { s =>
+      nfc(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)) == nfc(s)
+    }
 }
