@@ -252,7 +252,8 @@ object Bench {
         "token_budget_select", "quality_floor_by_lang", "training_shards",
         "curation_log", "tombstone_scan", "upsert_scan", "json_ingest_corrupt",
         "schema_evolution_agg", "ivf_append", "ivfpq_append", "lsh_append",
-        "ivf_knn_filtered", "ivfpq_knn_filtered", "psi_drift", "nfc_normalize_text")
+        "ivf_knn_filtered", "ivfpq_knn_filtered", "psi_drift", "nfc_normalize_text",
+        "pack_bins_ffd", "snapshot_diff")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

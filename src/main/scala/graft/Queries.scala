@@ -1968,6 +1968,12 @@ object Queries {
       Curation.packSequences(docs(s, dir), "doc_id", "text",
         budget = 2048L, chunkSpan = 64L)),
 
+    // No-split histogram FFD packing at a 256-token budget (docs are
+    // ≤100 subword tokens, so packs mix 2-5 length classes); the oracle
+    // replays the count-space FFD verbatim in a recursive CTE
+    "pack_bins_ffd" -> ((s, dir) =>
+      Curation.packBinsFfd(docs(s, dir), "doc_id", "text", budget = 256L)),
+
     // Corpus vocabulary: top-100 cleaned tokens by (count desc, token) —
     // map-side partial counts, TakeOrdered top-N
     "vocab_top" -> ((s, dir) =>
@@ -2121,6 +2127,21 @@ object Queries {
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
         TextAnalysis.qualityScore(col("text")),
         TextAnalysis.qualityScore(col("text")), nBins = 8)
+    }),
+
+    // Corpus snapshot diff: ref = documents; cur drops every 7th id,
+    // appends " v2" to every 11th id's text, and adds a fresh doc per
+    // 13th id — added/removed/changed classified on (id, fingerprint)
+    "snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val cur = d.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("added doc "), col("doc_id").cast("string")).as("text")))
+      Curation.snapshotDiff(d, cur, "doc_id", "text")
     }),
 
     // Composed curation decision log: every doc (corpus + a 50-doc clone
@@ -3964,6 +3985,24 @@ object Queries {
 
     // reference-quantile bins over the integer s6 grid, Laplace-smoothed
     // shares, identical double ln tree per bin
+    // snapshotDiff's fingerprint equality restated as direct text
+    // equality (hash-equal ⟺ text-equal at gate scale)
+    "snapshot_diff" ->
+      """WITH refs AS (SELECT doc_id, text FROM documents),
+        |curs AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    'added doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(r.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN r.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM refs r FULL OUTER JOIN curs c ON r.doc_id = c.doc_id
+        |WHERE r.doc_id IS NULL OR c.doc_id IS NULL OR r.text <> c.text""".stripMargin,
+
     "psi_drift" -> {
       val binExpr = "1 + " + (1 to 7).map(i =>
         s"(CASE WHEN CAST(s6 AS DOUBLE) > cuts[$i] THEN 1 ELSE 0 END)").mkString(" + ")
@@ -4083,6 +4122,107 @@ object Queries {
          |  CAST(start_offset // 2048 AS BIGINT) AS pack_id,
          |  (n_tokens > 0 AND (start_offset + n_tokens - 1) // 2048 <> start_offset // 2048) AS crosses
          |FROM c""".stripMargin,
+
+    // packBinsFfd's count-space best-fit-decreasing replayed VERBATIM in
+    // a recursive CTE: state = (histogram index, remaining count, next
+    // ord, strategy list); each step is one while-iteration of the
+    // driver loop (best fit = lexicographic min of (rem, ord), full-bin
+    // and partial-bin splits, donor decrement, n=0 eviction). The final
+    // strategies unnest into the same (rank_base, n_slots, occurrences,
+    // pack_base, slot_base) slot table, and the per-length id-ranked
+    // join reproduces (pack_id, slot) by the same arithmetic.
+    "pack_bins_ffd" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |hist AS (SELECT list(struct_pack(ln := ln, cnt := cnt) ORDER BY ln DESC) AS h
+        |  FROM (SELECT n_tokens AS ln, count(*) AS cnt FROM t WHERE n_tokens > 0 GROUP BY 1)),
+        |st AS (
+        |  SELECT 0 AS step, 1 AS hi,
+        |    CASE WHEN len(h) >= 1 THEN h[1].cnt ELSE 0 END AS c,
+        |    CAST(0 AS BIGINT) AS nord,
+        |    CAST([] AS STRUCT(r BIGINT, o BIGINT, n BIGINT, cont STRUCT(ln BIGINT, sl BIGINT)[])[]) AS strats,
+        |    len(h) = 0 AS done
+        |  FROM hist
+        |  UNION ALL
+        |  SELECT step + 1,
+        |    hi + CASE WHEN new_c = 0 THEN 1 ELSE 0 END AS new_hi,
+        |    CASE WHEN new_c <> 0 THEN new_c
+        |         WHEN hi + 1 <= len(h) THEN h[hi + 1].cnt ELSE 0 END,
+        |    new_nord,
+        |    new_strats,
+        |    new_c = 0 AND hi + 1 > len(h)
+        |  FROM (
+        |    SELECT step, hi, c, h,
+        |      CASE WHEN fit IS NULL THEN 0
+        |           WHEN partial_fires THEN 0 ELSE c1 END AS new_c,
+        |      nord + CASE WHEN fb > 0 THEN 1 ELSE 0 END
+        |           + CASE WHEN (fit IS NULL AND c1 > 0) OR (fit IS NOT NULL AND partial_fires) THEN 1 ELSE 0 END AS new_nord,
+        |      list_filter(
+        |        CASE WHEN fit IS NULL THEN strats ELSE
+        |          list_transform(strats, s -> CASE WHEN s.o = fit.o
+        |            THEN struct_pack(r := s.r, o := s.o,
+        |                   n := s.n - greatest(fb, least(use0, fb + 1)), cont := s.cont)
+        |            ELSE s END) END
+        |        || CASE WHEN fb > 0 THEN
+        |             [struct_pack(r := CASE WHEN fit IS NULL THEN 256 ELSE fit.r END - m * L,
+        |                          o := nord, n := fb,
+        |                          cont := CASE WHEN fit IS NULL THEN [struct_pack(ln := L, sl := m)]
+        |                            WHEN len(list_filter(fit.cont, e -> e.ln = L)) > 0
+        |                              THEN list_transform(fit.cont, e -> CASE WHEN e.ln = L
+        |                                THEN struct_pack(ln := e.ln, sl := e.sl + m) ELSE e END)
+        |                            ELSE list_append(fit.cont, struct_pack(ln := L, sl := m)) END)]
+        |           ELSE CAST([] AS STRUCT(r BIGINT, o BIGINT, n BIGINT, cont STRUCT(ln BIGINT, sl BIGINT)[])[]) END
+        |        || CASE WHEN (fit IS NULL AND c1 > 0) OR (fit IS NOT NULL AND partial_fires) THEN
+        |             [struct_pack(r := CASE WHEN fit IS NULL THEN 256 ELSE fit.r END - c1 * L,
+        |                          o := nord + CASE WHEN fb > 0 THEN 1 ELSE 0 END, n := CAST(1 AS BIGINT),
+        |                          cont := CASE WHEN fit IS NULL THEN [struct_pack(ln := L, sl := c1)]
+        |                            WHEN len(list_filter(fit.cont, e -> e.ln = L)) > 0
+        |                              THEN list_transform(fit.cont, e -> CASE WHEN e.ln = L
+        |                                THEN struct_pack(ln := e.ln, sl := e.sl + c1) ELSE e END)
+        |                            ELSE list_append(fit.cont, struct_pack(ln := L, sl := c1)) END)]
+        |           ELSE CAST([] AS STRUCT(r BIGINT, o BIGINT, n BIGINT, cont STRUCT(ln BIGINT, sl BIGINT)[])[]) END,
+        |        s -> s.n > 0) AS new_strats
+        |    FROM (
+        |      SELECT *,
+        |        least(coalesce(fit.n, c), c // m) * m AS placed_full,
+        |        least(coalesce(fit.n, c), c // m) AS fb,
+        |        c - least(coalesce(fit.n, c), c // m) * m AS c1,
+        |        CASE WHEN fit IS NULL THEN NULL ELSE least(fit.n, (c + m - 1) // m) END AS use0,
+        |        CASE WHEN fit IS NULL THEN FALSE
+        |             ELSE least(fit.n, (c + m - 1) // m) > least(fit.n, c // m)
+        |                  AND c - least(fit.n, c // m) * m > 0 END AS partial_fires
+        |      FROM (
+        |        SELECT st.step, st.hi, st.c, st.nord, st.strats, hist.h,
+        |          h[st.hi].ln AS L,
+        |          (list_sort(list_filter(st.strats, s -> s.r >= h[st.hi].ln)))[1] AS fit,
+        |          CASE WHEN (list_sort(list_filter(st.strats, s -> s.r >= h[st.hi].ln)))[1] IS NULL
+        |               THEN 256 // h[st.hi].ln
+        |               ELSE (list_sort(list_filter(st.strats, s -> s.r >= h[st.hi].ln)))[1].r // h[st.hi].ln END AS m
+        |        FROM st, hist WHERE NOT st.done
+        |      ) a
+        |    ) b
+        |  ) d
+        |),
+        |fin AS (SELECT unnest(strats) AS s FROM st WHERE done),
+        |fs AS (SELECT s.r AS r, s.o AS o, s.n AS n, s.cont AS cont FROM fin),
+        |pb AS (SELECT *, coalesce(sum(n) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_base FROM fs),
+        |ce AS (SELECT o, n, pack_base, unnest(cont) AS e FROM pb),
+        |ce2 AS (SELECT o, n, pack_base, e.ln AS ln, e.sl AS sl FROM ce),
+        |slt AS (SELECT *,
+        |    coalesce(sum(sl) OVER (PARTITION BY o ORDER BY ln ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS slot_base,
+        |    coalesce(sum(sl * n) OVER (PARTITION BY ln ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rank_base
+        |  FROM ce2),
+        |rk AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1 AS rnk
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT r.doc_id, r.n_tokens,
+        |  CAST(s.pack_base + (r.rnk - s.rank_base) // s.sl AS BIGINT) AS pack_id,
+        |  CAST(s.slot_base + (r.rnk - s.rank_base) % s.sl AS BIGINT) AS slot
+        |FROM rk r JOIN slt s ON r.n_tokens = s.ln
+        |  AND r.rnk >= s.rank_base AND r.rnk < s.rank_base + s.sl * s.n
+        |ORDER BY doc_id""".stripMargin,
 
     "vocab_top" ->
       s"""WITH w AS (SELECT unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents)

@@ -357,6 +357,126 @@ object Curation {
         expr(s"(start_offset + n_tokens - 1) div $budget") =!= col("pack_id"))
   }
 
+  /** NO-SPLIT sequence packing by first-fit-decreasing over the LENGTH
+    * HISTOGRAM — the padding-minimizing counterpart to [[packSequences]]
+    * (which concatenates and lets documents straddle pack boundaries):
+    * every document lands wholly inside one pack of capacity `budget`,
+    * and the assignment is computed from the length histogram alone, so
+    * the driver never sees per-document state (the idea behind
+    * histogram-based packing in Krell et al. 2021, "Efficient Sequence
+    * Packing without Cross-contamination", arXiv:2107.02027 — there
+    * SPFHP; here count-space best-fit-decreasing, which is the FFD
+    * item order with bins grouped by content).
+    *
+    * Mechanics: one groupBy(n_tokens) histogram (≤ `budget` rows — a
+    * bounded driver read), a count-space FFD producing pack STRATEGIES
+    * (distinct content multisets with occurrence counts — bins never
+    * materialize individually, so corpus size never touches the driver),
+    * then a broadcast slot table maps each document's rank WITHIN its
+    * length class to (pack, slot) by pure arithmetic. Docs longer than
+    * `budget` fail fast (chunk first). Deterministic: ranks order by id,
+    * strategies by construction order — re-running reproduces the same
+    * packing bit for bit (spec-asserted, any partitioning).
+    *
+    * The rank window partitions by the length class; a corpus where one
+    * length dominates serializes that class's ranking into one task —
+    * the known limit; the fix at 100 TB is the [[shufflePositions]]
+    * two-level scheme applied per class. Output: (id, n_tokens, pack_id,
+    * slot); pack_id dense from 0, Σ n_tokens ≤ budget per pack.
+    */
+  def packBinsFfd(df: DataFrame, idCol: String, textCol: String,
+                  budget: Long = 2048L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val lens = df.select(col(idCol),
+      TextAnalysis.subwordTokenCount(col(textCol)).as("n_tokens"))
+    val hist = lens.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    require(hist.isEmpty || hist.head._1 <= budget,
+      s"packBinsFfd: longest document (${hist.headOption.map(_._1).getOrElse(0L)} tokens) " +
+        s"exceeds budget=$budget — chunk before packing")
+    // count-space FFD: strategies are (content multiset, remaining,
+    // occurrence count); placing length l fills the BEST-FIT class
+    // (smallest remaining >= l, ties to oldest strategy) to capacity,
+    // exactly the item-by-item FFD order
+    final case class Strat(content: Map[Long, Long], rem: Long, n: Long, ord: Int)
+    var strats = Vector.empty[Strat]
+    var nextOrd = 0
+    for ((len, count0) <- hist if len > 0) {
+      var c = count0
+      while (c > 0) {
+        val fit = strats.zipWithIndex
+          .filter { case (s, _) => s.rem >= len && s.n > 0 }
+          .sortBy { case (s, _) => (s.rem, s.ord) }.headOption
+        fit match {
+          case None =>
+            // open fresh bins: fill each to capacity m with this length
+            val m = budget / len
+            val fullBins = c / m
+            if (fullBins > 0) {
+              strats :+= Strat(Map(len -> m), budget - m * len, fullBins, nextOrd); nextOrd += 1
+            }
+            val partial = c - fullBins * m
+            if (partial > 0) {
+              strats :+= Strat(Map(len -> partial), budget - partial * len, 1L, nextOrd); nextOrd += 1
+            }
+            c = 0
+          case Some((s, i)) =>
+            val m = s.rem / len                 // capacity per bin of this class
+            val binsNeeded = (c + m - 1) / m
+            val fullBins = math.min(s.n, c / m)
+            val useBins = math.min(s.n, binsNeeded)
+            // full bins take m items; one partial bin (if room in this class)
+            if (fullBins > 0) {
+              strats :+= Strat(s.content.updated(len, s.content.getOrElse(len, 0L) + m),
+                s.rem - m * len, fullBins, nextOrd); nextOrd += 1
+              c -= fullBins * m
+            }
+            if (useBins > fullBins && c > 0) {
+              strats :+= Strat(s.content.updated(len, s.content.getOrElse(len, 0L) + c),
+                s.rem - c * len, 1L, nextOrd); nextOrd += 1
+              c = 0
+            }
+            val used = math.max(fullBins, math.min(useBins, fullBins + 1))
+            strats = strats.updated(i, s.copy(n = s.n - used))
+        }
+        strats = strats.filter(_.n > 0)
+        require(strats.size <= 100000,
+          "packBinsFfd: strategy explosion — raise budget granularity or pre-bucket lengths")
+      }
+    }
+    // freeze: deterministic pack-id bases in strategy order
+    val finalStrats = strats.sortBy(_.ord)
+    val packBases = finalStrats.scanLeft(0L)((acc, s) => acc + s.n)
+    // slot table: per (length, strategy): rank base within the length
+    // class, slots per occurrence, occurrences, pack base
+    val slotRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    val rankBase = scala.collection.mutable.Map.empty[Long, Long]
+    for ((s, si) <- finalStrats.zipWithIndex) {
+      var slotBase = 0L // global slot index within the pack, across lengths
+      for ((len, nSlots) <- s.content.toSeq.sortBy(_._1)) {
+        val base = rankBase.getOrElse(len, 0L)
+        slotRows += ((len, base, nSlots, s.n, packBases(si), slotBase))
+        rankBase(len) = base + nSlots * s.n
+        slotBase += nSlots
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slots = slotRows.toSeq
+      .toDF("n_tokens", "rank_base", "n_slots", "occurrences", "pack_base", "slot_base")
+    val ranked = lens.where(col("n_tokens") > 0)
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col("n_tokens")).orderBy(col(idCol))).cast("long") - 1L)
+    ranked.join(broadcast(slots), Seq("n_tokens"))
+      .where(col("_rank") >= col("rank_base") &&
+        col("_rank") < col("rank_base") + col("n_slots") * col("occurrences"))
+      .select(col(idCol), col("n_tokens"),
+        (col("pack_base") +
+          ((col("_rank") - col("rank_base")) / col("n_slots")).cast("long")).as("pack_id"),
+        (col("slot_base") + pmod(col("_rank") - col("rank_base"), col("n_slots"))).as("slot"))
+  }
+
   // ---------------- vocabulary extraction ----------------
 
   /** Corpus vocabulary: the `topN` most frequent cleaned tokens, ordered
@@ -928,6 +1048,46 @@ object Curation {
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round((qq - p) * log(qq / p), 6).as("psi_term"))
       .orderBy("bin")
+  }
+
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * snapshots as `added` (id only in `cur`), `removed` (id only in
+    * `ref`) or `changed` (present in both with different content);
+    * unchanged ids are dropped so the output is proportional to the
+    * CHANGE volume, not the corpus. The audit primitive for dataset
+    * versioning — which documents moved between two pipeline runs —
+    * complementing [[psiDrift]] (distribution drift) and the store-level
+    * upsert/tombstone lifecycle (row-level merge).
+    *
+    * Scale: each side is projected to (id, xxhash64(text)) BEFORE the
+    * join, so the id-keyed full-outer shuffle carries 16-byte rows — the
+    * document bodies never leave their scan stage. Content equality is
+    * decided on the 64-bit fingerprint (collision odds ~n²/2⁶⁵; at 10⁹
+    * docs that is ~10⁻²), matching the repo's fingerprint-keyed exchange
+    * convention. Ids must be unique per snapshot (it is an id-grain
+    * diff); duplicate ids fail fast rather than silently multiplying
+    * through the join.
+    */
+  def snapshotDiff(ref: DataFrame, cur: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, side: String) = df.select(
+      col(idCol), xxhash64(col(textCol)).as(s"_fp_$side"))
+    val r = fp(ref, "ref"); val c = fp(cur, "cur")
+    val joined = r.join(c, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_fp_ref").isNull, lit("added"))
+          .when(col("_fp_cur").isNull, lit("removed"))
+          .when(col("_fp_ref") =!= col("_fp_cur"), lit("changed"))
+          .as("status"))
+      .where(col("status").isNotNull)
+    // duplicate-id check rides the same pass shape (id-keyed count); a
+    // diff over non-unique ids is a semantic error, not a bigger diff
+    val dup = r.groupBy(idCol).agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1)
+      .union(c.groupBy(idCol).agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1))
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"snapshotDiff: duplicate $idCol ${dup.head.get(0)} — snapshots must be id-unique")
+    joined
   }
 
   // ---------- UniMax mixture allocation ----------

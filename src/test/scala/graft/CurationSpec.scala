@@ -132,6 +132,52 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 4L), ("b", 3L), ("c", 2L))) // "C" lowercased into c
   }
 
+  test("packBinsFfd: no-split packs within budget, every doc once, beats naive padding") {
+    import org.apache.spark.sql.functions.col
+    // token counts == word counts for plain words; craft lengths 6,5,4,3,2
+    def doc(n: Int): String = Seq.fill(n)("word").mkString(" ")
+    val rows = (0 until 40).map { i => (i.toLong, doc(2 + i % 5)) }
+    val df = rows.toDF("doc_id", "text").repartition(7)
+    val out = Curation.packBinsFfd(df, "doc_id", "text", budget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc assigned exactly once
+    assert(out.map(_._1).sorted.toSeq == (0L until 40L).toSeq)
+    // no pack exceeds the budget; packs dense from 0
+    val byPack = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(byPack.values.forall(_ <= 8L))
+    assert(byPack.keys.min == 0L && byPack.keys.max == byPack.size - 1L)
+    // slots are dense per pack
+    out.groupBy(_._3).foreach { case (_, docs) =>
+      assert(docs.map(_._4).sorted.toSeq == docs.indices.map(_.toLong))
+    }
+    // FFD efficiency: total tokens 160, budget 8 → ≥ 20 packs; FFD should
+    // land well under the one-doc-per-pack naive (40) — and in fact under
+    // the first-fit-in-id-order bound for this mix
+    assert(byPack.size <= 22, s"packs=${byPack.size}")
+    // deterministic across partitionings
+    val again = Curation.packBinsFfd(rows.toDF("doc_id", "text").coalesce(1),
+      "doc_id", "text", budget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // over-budget docs fail fast
+    val ex = intercept[IllegalArgumentException] {
+      Curation.packBinsFfd(Seq((1L, doc(9))).toDF("doc_id", "text"), "doc_id", "text", 8)
+    }
+    assert(ex.getMessage.contains("chunk before packing"))
+  }
+
+  test("snapshotDiff: added/removed/changed classified; unchanged dropped; dup ids fail") {
+    val ref = docsDf((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+    val cur = docsDf((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"), (5L, "epsilon"))
+    val out = Curation.snapshotDiff(ref, cur, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "added")) // 1 and 4 unchanged → absent
+    val ex = intercept[IllegalArgumentException] {
+      Curation.snapshotDiff(docsDf((1L, "a"), (1L, "b")), cur, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("id-unique"))
+  }
+
   test("psiDrift: identical snapshots ~0, a shifted snapshot alarms, empty bins stay finite") {
     import org.apache.spark.sql.functions.{col, lit}
     val ref = (0 until 1000).map(i => i.toDouble / 1000).toDF("s")
