@@ -1979,6 +1979,36 @@ object Queries {
     "vocab_top" -> ((s, dir) =>
       Curation.vocabTop(docs(s, dir), "text", topN = 100)),
 
+    // OOV rate against the corpus top-100 vocabulary: the ≤100-row vocab
+    // rides into a per-row array_contains filter; the corpus never
+    // shuffles beyond the (token, count) aggregation
+    "oov_rate" -> ((s, dir) =>
+      Curation.oovRate(docs(s, dir), "doc_id", "text", topN = 100)),
+
+    // HTML markup removal over deterministically injected markup (the
+    // synthetic corpus is plain text): each doc is wrapped in a full
+    // page — script/style/comment blocks, attributed tags, the entity
+    // set incl. a double-escape — and stripped back; both engines run
+    // the identical RE2-safe removal chain
+    "strip_html" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.stripHtml(concat(
+          lit("<html><head><title>t</title><style type=\"text/css\">p { color: red; }</style>"),
+          lit("<script>var x = 1 < 2 && \"</p>\";</script></head>"),
+          lit("<body><!-- note --><p class=\"a\" id=\"p"), col("doc_id").cast("string"), lit("\">"),
+          col("text"),
+          lit("</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>")))
+          .as("clean"))),
+
+    // Rule-based sentence segmentation: a three-sentence tail is appended
+    // so every doc splits; separator-injection regex (no lookaround) is
+    // replayed verbatim by the oracle
+    "split_sentences" -> ((s, dir) =>
+      TextAnalysis.splitSentences(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" Tail one. Tail two! Tail three?")).as("text")),
+        "doc_id", "text")),
+
     // Exact top-20 vocabulary through the Misra-Gries sketch: per-
     // partition ≤200-counter summaries, merge, broadcast the candidates,
     // exact recount — no full-vocabulary shuffle anywhere; the oracle is
@@ -4228,6 +4258,53 @@ object Queries {
       s"""WITH w AS (SELECT unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents)
          |SELECT token, count(*) AS n FROM w GROUP BY token
          |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // oovRate: the vocab_top CTE feeds a list_contains filter; the q20
+    // rounding of the double ratio is the identical IEEE op on both sides
+    "oov_rate" ->
+      s"""WITH w AS (SELECT unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents),
+         |v AS (SELECT token FROM w GROUP BY token ORDER BY count(*) DESC, token LIMIT 100),
+         |vl AS (SELECT list(token) AS vs FROM v),
+         |t AS (SELECT doc_id, ${cleanWsSql(cleanAcSql)} AS ws FROM documents),
+         |o AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(ws, x -> NOT list_contains(vs, x))) AS BIGINT) AS n_oov
+         |  FROM t, vl)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  round(CAST(n_oov AS DOUBLE) / greatest(n_tokens, 1) * 1048576.0) / 1048576.0 AS oov_frac
+         |FROM o""".stripMargin,
+
+    // stripHtml's removal chain replayed step for step: the same RE2-safe
+    // patterns (non-greedy dot-all, no lookaround), the same literal
+    // entity replaces in the same order (&amp; last), the same collapse
+    "strip_html" -> {
+      val wrapped = """'<html><head><title>t</title><style type="text/css">p { color: red; }</style>' ||
+        |  '<script>var x = 1 < 2 && "</p>";</script></head>' ||
+        |  '<body><!-- note --><p class="a" id="p' || CAST(doc_id AS VARCHAR) || '">' ||
+        |  text ||
+        |  '</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'""".stripMargin
+      s"""WITH h AS (SELECT doc_id, $wrapped AS h FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(h, '(?s)<[A-Za-z!/][^>]*>', ' ', 'g') AS h FROM s3),
+         |s5 AS (SELECT doc_id,
+         |  replace(replace(replace(replace(replace(replace(replace(h,
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS h FROM s4)
+         |SELECT doc_id, trim(regexp_replace(h, '\\s+', ' ', 'g')) AS clean FROM s5""".stripMargin
+    },
+
+    // splitSentences: the same separator-injection replace (backref \\1,
+    // chr(1) separator), split, trim, empty-drop, dense ordinals
+    "split_sentences" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(list_transform(
+        |    string_split(regexp_replace(trim(text || ' Tail one. Tail two! Tail three?'),
+        |      '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+        |    s -> trim(s)), s -> s <> '') AS ss FROM documents),
+        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ss)),
+        |  i -> struct_pack(sent_id := CAST(i - 1 AS BIGINT), sentence := ss[i]))) AS u FROM t)
+        |SELECT doc_id, u.sent_id AS sent_id, u.sentence AS sentence FROM e""".stripMargin,
 
     "heavy_hitters" ->
       s"""WITH w AS (SELECT unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents)

@@ -537,6 +537,37 @@ object Curation {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Out-of-vocabulary rate per document against the corpus top-`topN`
+    * vocabulary — the cheap gibberish/foreign-text signal (a doc whose
+    * tokens mostly miss the corpus head vocabulary is noise, code, or
+    * the wrong language; CCNet-style pipelines threshold exactly this).
+    *
+    * Scale shape: [[vocabTop]]'s narrow-key (token, count) aggregation
+    * is the only exchange; the ≤`topN`-row vocabulary (a bounded driver
+    * read, enforced) then rides into a per-row codegen'd
+    * `array_contains` filter — the corpus itself never shuffles and the
+    * scoring pass is one scan. `oov_frac` lands on the q20 binary grid
+    * (round(x·2²⁰)/2²⁰): the scaling is exact IEEE, so both engines
+    * round the identical double and cross-engine hashes match at any SF.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              topN: Int = 100): DataFrame = {
+    require(topN >= 1 && topN <= 100000,
+      s"oovRate: topN must be in [1, 100000], got $topN")
+    val vocab = vocabTop(df, textCol, topN).select("token")
+      .collect().map(_.getString(0)).toSeq
+    val vocabArr =
+      if (vocab.isEmpty) array().cast("array<string>")
+      else array(vocab.map(lit): _*)
+    val toks = cleanTokens(col(textCol))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => !array_contains(vocabArr, t))).cast("long").as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double") * 1048576.0) / 1048576.0)
+  }
+
   /** Per-group z-score normalization — the feature-scaling stage of a
     * curation/mixing pipeline ("normalize quality scores within each
     * language"), with the statistics made engine-exact: Σx and Σx² are

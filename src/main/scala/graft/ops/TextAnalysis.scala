@@ -748,4 +748,68 @@ object TextAnalysis {
         (acc, c) => (acc * 31L + c.cast("long")) % 1000000007L
       ))
   }
+
+  // ---------- markup removal + sentence segmentation ----------
+
+  /** Strip HTML/XML markup down to visible text — the crawl-to-corpus
+    * extraction step (C4/CCNet run this shape over every fetched page
+    * before any quality or dedup pass). Four structural removals, each a
+    * codegen'd `regexp_replace` with RE2-COMPATIBLE patterns (non-greedy
+    * dot-all; no lookaround — Java and RE2 agree leftmost-match by
+    * construction, the property the SQL oracle relies on), then literal
+    * entity decodes, then whitespace collapse:
+    *
+    *  1. `<script …>…</script>` and `<style …>…</style>` blocks drop
+    *     WITH their contents (code/CSS is not corpus text),
+    *  2. `<!-- … -->` comments drop,
+    *  3. remaining tags (`<p class="x">`, `</div>`, `<!DOCTYPE …>`)
+    *     drop structurally: a tag must open with `[A-Za-z!/]`, so a bare
+    *     "a < b" comparison in prose survives,
+    *  4. the six ubiquitous named/numeric entities decode via LITERAL
+    *     `replace` (no regex escaping hazards), `&amp;` deliberately
+    *     LAST so double-escaped text ("&amp;lt;") single-decodes exactly
+    *     as a spec HTML unescaper would,
+    *  5. whitespace (incl. what replaced the blocks) collapses to single
+    *     spaces, trimmed.
+    *
+    * Entities decoded AFTER tag removal stay literal text ("&lt;b&gt;" →
+    * "<b>" is CONTENT, not markup) — the correct one-pass unescape
+    * semantics. Malformed markup degrades gracefully: an unterminated
+    * `<script>` loses only its open tag (contents surface as text),
+    * never errors. Zero shuffle, one pass, whole-stage codegen.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[A-Za-z!/][^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Rule-based sentence segmentation: split after `.`/`!`/`?` followed
+    * by whitespace — the standard cheap segmenter for per-sentence dedup
+    * and decontamination grains. Implemented as separator INJECTION
+    * (capture-group `regexp_replace` keeps the terminator with its
+    * sentence) + split on the injected control byte, so the whole split
+    * is lookaround-free and restatable verbatim in RE2 for the oracle.
+    * Known rule-based limits (abbreviations like "Dr. Smith" split)
+    * are accepted: the op is deterministic and engine-portable, which
+    * the downstream exactness gates need more than linguistic nuance.
+    *
+    * Output: (id, sent_id, sentence) — sent_id dense from 0 in document
+    * order, sentences trimmed, empties dropped. One generator per row
+    * (`posexplode`), zero shuffle.
+    */
+  def splitSentences(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val sep = "\u0001"
+    val marked = regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1" + sep)
+    val sents = filter(transform(split(marked, sep), s => trim(s)), s => s =!= "")
+    df.select(col(idCol), posexplode(sents).as(Seq("sent_id", "sentence")))
+      .withColumn("sent_id", col("sent_id").cast("long"))
+  }
 }

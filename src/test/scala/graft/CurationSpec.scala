@@ -166,6 +166,25 @@ class CurationSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("chunk before packing"))
   }
 
+  test("oovRate: head-vocab hits are in, rare tokens are oov, empty doc is 0/0") {
+    // corpus: 'alpha'/'beta' dominate; topN=2 vocab = {alpha, beta}
+    val df = docsDf(
+      (1L, "alpha beta alpha"), (2L, "alpha beta"), (3L, "alpha zeta qux"),
+      (4L, ""), (5L, "beta beta nu"))
+    val out = Curation.oovRate(df, "doc_id", "text", topN = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(3L)._1 == 3L && out(3L)._2 == 2L)                 // zeta, qux oov
+    assert(out(4L) == ((0L, 0L, 0.0)))                           // empty: 0/0 -> 0
+    assert(out(5L)._2 == 1L)                                     // nu oov
+    // q20 grid: 2/3 rounded on the binary grid
+    assert(out(3L)._3 == math.round(2.0 / 3.0 * 1048576.0) / 1048576.0)
+    val ex = intercept[IllegalArgumentException] {
+      Curation.oovRate(df, "doc_id", "text", topN = 0)
+    }
+    assert(ex.getMessage.contains("topN"))
+  }
+
   test("snapshotDiff: added/removed/changed classified; unchanged dropped; dup ids fail") {
     val ref = docsDf((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
     val cur = docsDf((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"), (5L, "epsilon"))

@@ -1038,6 +1038,40 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L)._3 == expected)
   }
 
+  test("stripHtml: blocks drop with contents, tags drop, entities decode once, prose '<' survives") {
+    val d = Seq(
+      (1L, "<html><head><style>p{color:red}</style><script>var a=\"</p>\";</script></head>" +
+        "<body><!-- c --><p class=\"x\">Hello <b>world</b></p></body></html>"),
+      (2L, "a &lt; b &amp;&amp; c &gt; d &quot;q&quot; &#39;s&#39;&nbsp;&amp;lt;"),
+      (3L, "price: 3 < 5 and 7 > 2"),                    // bare comparisons are NOT tags
+      (4L, "<script>never closed so contents surface"),   // malformed degrades
+      (5L, "")).toDF("id", "text")
+    val got = d.select(col("id"), TextAnalysis.stripHtml(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Hello world")
+    // one-pass decode: &amp;lt; -> &lt; (literal), not <
+    assert(got(2L) == "a < b && c > d \"q\" 's' &lt;")
+    assert(got(3L) == "price: 3 < 5 and 7 > 2")
+    assert(got(4L) == "never closed so contents surface")
+    assert(got(5L) == "")
+  }
+
+  test("splitSentences: terminator kept, dense ids, empties dropped, abbreviation limit accepted") {
+    val d = Seq(
+      (1L, "One sentence. Two! Three? "),
+      (2L, "No terminator here"),
+      (3L, "Trailing dot."),
+      (4L, "Dr. Smith arrived. The end.")).toDF("id", "text")
+    val got = TextAnalysis.splitSentences(d, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) == Seq("One sentence.", "Two!", "Three?"))
+    assert(got(2L) == Seq("No terminator here"))
+    assert(got(3L) == Seq("Trailing dot."))
+    // documented rule-based limit: "Dr. " splits
+    assert(got(4L) == Seq("Dr.", "Smith arrived.", "The end."))
+  }
+
   test("repetition signals: run-length folds match hand counts") {
     // "a a a b c c" : top=a(3)/6, dup = 3(a)+2(c) = 5/6
     // bigrams: "a a","a a","a b","b c","c c" : dup = 2 ("a a")/5
