@@ -253,7 +253,8 @@ object Bench {
         "curation_log", "tombstone_scan", "upsert_scan", "json_ingest_corrupt",
         "schema_evolution_agg", "ivf_append", "ivfpq_append", "lsh_append",
         "ivf_knn_filtered", "ivfpq_knn_filtered", "psi_drift", "nfc_normalize_text",
-        "pack_bins_ffd", "snapshot_diff", "oov_rate", "strip_html", "split_sentences")
+        "pack_bins_ffd", "snapshot_diff", "oov_rate", "strip_html", "split_sentences",
+        "sentence_dedup")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

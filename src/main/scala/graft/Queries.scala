@@ -2084,6 +2084,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Sentence-level dedup: a two-sentence boilerplate tail is appended to
+    // every doc (the C4 "subscribe"/cookie-notice shape — repeats that
+    // don't align to newlines), so keep-first retains it only in the
+    // smallest doc and cuts ~2 sentences everywhere else
+    "sentence_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(". Subscribe to our newsletter today! Cookies are required.")).as("text"))
+      Dedup.sentenceDedup(d, "doc_id", "text", graft.functions.string_hash61)
+        .select(col("doc_id"), col("text").as("text_deduped"),
+          col("n_sentences"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup PAIRS → duplicate CLUSTERS: alternating large-star/small-star
     // connected components (O(log n) rounds, 8-byte keys only) over the
     // exact SimHash hamming≤3 pair set; the oracle recomputes components
@@ -4407,6 +4421,30 @@ object Queries {
          |SELECT doc_id,
          |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_deduped,
          |  count(*) AS n_lines, count(*) FILTER (WHERE NOT keep) AS n_removed
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the line_dedup keep-first replay at the SENTENCE grain: the
+    // separator-injection split, the same string_hash61 key, keep =
+    // first (doc, pos) per key, survivors rejoined with single spaces
+    "sentence_dedup" -> {
+      val chars = "list_transform(generate_series(1, length(line)), i -> CAST(ascii(line[i]) AS BIGINT))"
+      def poly(base: Int, mod: Long) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $chars), (acc, c) -> (acc * $base + c) % $mod)"
+      s"""WITH d AS (SELECT doc_id,
+         |  text || '. Subscribe to our newsletter today! Cookies are required.' AS text FROM documents),
+         |t AS (SELECT doc_id, list_filter(list_transform(
+         |  string_split(regexp_replace(trim(text), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+         |  s -> trim(s)), s -> s <> '') AS ss FROM d),
+         |z AS (SELECT doc_id, unnest(list_zip(ss, generate_series(1, len(ss)))) AS s FROM t),
+         |sn AS (SELECT doc_id, CAST(s[2] AS BIGINT) - 1 AS pos, CAST(s[1] AS VARCHAR) AS line FROM z),
+         |hk AS (SELECT doc_id, pos, line,
+         |  (${poly(31, 1000000007L)} * 2147483648) + ${poly(131, 2147483647L)} AS k FROM sn),
+         |mk AS (SELECT doc_id, pos, line,
+         |  row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) = 1 AS keep FROM hk)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY pos), '') AS text_deduped,
+         |  count(*) AS n_sentences, count(*) FILTER (WHERE NOT keep) AS n_removed
          |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 

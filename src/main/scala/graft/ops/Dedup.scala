@@ -822,6 +822,44 @@ object Dedup {
       .drop("__ld_id", "__ld_rm")
   }
 
+  /** Sentence-level exact dedup — [[lineDedup]]'s keep-first contract at
+    * the SENTENCE grain (the LaMDA/PaLM-style boilerplate pass for text
+    * whose repeats don't align to newlines: "subscribe" calls-to-action,
+    * cookie notices, license sentences). Sentences come from
+    * [[TextAnalysis.splitSentences]]' separator-injection rule (terminator
+    * kept, trimmed, empties dropped), each keeps only its first (doc, pos)
+    * occurrence corpus-wide, and survivors rejoin with single spaces.
+    *
+    * Same one-text-exchange shape as [[lineDedup]]: the sentence-keyed
+    * stages shuffle (id, pos, 8-byte key) rows; only the final rebuild
+    * join moves text. Same `sentKey` collision trade (xxhash64 default;
+    * pass [[graft.functions.string_hash61]] for the SQL-restatable key).
+    * Columns out: input columns with `textCol` rewritten, plus
+    * `n_sentences` and `n_removed`.
+    */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
+                    sentKey: Column => Column = c => xxhash64(c)): DataFrame = {
+    val marked = regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1\u0001")
+    val parts = filter(transform(split(marked, "\u0001"), s => trim(s)), s => s =!= "")
+    val sents = df.select(col(idCol).as("id"), posexplode(parts).as(Seq("pos", "sent")))
+      .select(col("id"), col("pos"), sentKey(col("sent")).as("k"))
+    val firsts = sents.groupBy(col("k"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val removals = sents.join(firsts, "k")
+      .where(col("id") =!= col("f.id") || col("pos") =!= col("f.pos"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__sd_rm"))
+      .withColumnRenamed("id", "__sd_id")
+
+    df.join(removals, df(idCol) === removals("__sd_id"), "left")
+      .withColumn("n_sentences", size(parts).cast("long"))
+      .withColumn("n_removed", coalesce(size(col("__sd_rm")), lit(0)).cast("long"))
+      .withColumn(textCol,
+        array_join(filter(parts, (_, i) =>
+          col("__sd_rm").isNull || !array_contains(col("__sd_rm"), i)), " "))
+      .drop("__sd_id", "__sd_rm")
+  }
+
   // ---------- repeated-span detection (exact-substring dedup, token level) ----------
 
   /** Every position whose n-token window recurs ANYWHERE in the corpus —

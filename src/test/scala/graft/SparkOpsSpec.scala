@@ -390,6 +390,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(raw == out.view.mapValues(_._1).toMap)
   }
 
+  test("sentence dedup: keep-first at sentence grain, boilerplate cut corpus-wide") {
+    val docsDf = Seq(
+      (1L, "Unique one. Subscribe now! Cookies required."),
+      (2L, "Unique two. Subscribe now! Cookies required."),   // boilerplate repeats
+      (3L, "Subscribe now! Fresh content here."),             // repeat at pos 0
+      (4L, "No terminator at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sentenceDedup(docsDf, "doc_id", "text")
+      .select("doc_id", "text", "n_sentences", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("Unique one. Subscribe now! Cookies required.", 3L, 0L)))
+    assert(out(2L) == (("Unique two.", 3L, 2L)))
+    assert(out(3L) == (("Fresh content here.", 2L, 1L)))
+    assert(out(4L) == (("No terminator at all", 1L, 0L)))
+  }
+
   test("exact dedup groups identical keys") {
     val d = Dedup.exact(nearDupDocs, "id", Seq("text")).collect()
     val dupGroup = d.find(_.getLong(1) == 1L).get // keep_id = 1
