@@ -2000,6 +2000,21 @@ object Queries {
           lit("</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>")))
           .as("clean"))),
 
+    // URL + host extraction over deterministically injected links (the
+    // corpus is plain text): two URLs per doc — one ending at whitespace
+    // with mixed-case host and path, one parenthesized with trailing
+    // sentence punctuation — exercise the boundary class, the trailing
+    // strip, and host-only lowercasing
+    "url_hosts" -> ((s, dir) =>
+      TextAnalysis.urlHosts(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://Example"), (col("doc_id") % 10).cast("string"),
+            lit(".com/Path/a?q="), col("doc_id").cast("string"),
+            lit(" and (http://sub.test"), (col("doc_id") % 7).cast("string"),
+            lit(".org/page.html).")).as("text")),
+        "doc_id", "text")),
+
     // Rule-based sentence segmentation: a three-sentence tail is appended
     // so every doc splits; separator-injection regex (no lookaround) is
     // replayed verbatim by the oracle
@@ -4307,6 +4322,17 @@ object Queries {
          |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS h FROM s4)
          |SELECT doc_id, trim(regexp_replace(h, '\\s+', ' ', 'g')) AS clean FROM s5""".stripMargin
     },
+
+    // urlHosts: the same extract-all + trailing-strip + host-group chain
+    "url_hosts" ->
+      s"""WITH d AS (SELECT doc_id, text || ' see https://Example' || CAST(doc_id % 10 AS VARCHAR) ||
+         |  '.com/Path/a?q=' || CAST(doc_id AS VARCHAR) || ' and (http://sub.test' ||
+         |  CAST(doc_id % 7 AS VARCHAR) || '.org/page.html).' AS text FROM documents),
+         |u AS (SELECT doc_id, unnest(list_transform(
+         |  regexp_extract_all(text, 'https?://[^\\s"<>]+'),
+         |  x -> regexp_replace(x, '[.,;:!?)]+$$', ''))) AS url FROM d)
+         |SELECT doc_id, url,
+         |  lower(regexp_extract(url, 'https?://([^/?#]+)', 1)) AS host FROM u""".stripMargin,
 
     // splitSentences: the same separator-injection replace (backref \\1,
     // chr(1) separator), split, trim, empty-drop, dense ordinals

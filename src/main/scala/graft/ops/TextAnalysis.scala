@@ -790,6 +790,31 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Extract absolute http(s) URLs and their lowercased hosts from text —
+    * the crawl-frontier / per-domain-statistics primitive (per-domain
+    * caps, URL-level dedup, domain blocklists all start from this
+    * table; the extraction inverse of [[Curation.redactPii]]).
+    *
+    * One RE2-safe `regexp_extract_all` per row (no lookaround, so Java
+    * and RE2 agree leftmost-longest on the greedy class), trailing
+    * sentence punctuation stripped (prose URLs end "…com/page." far more
+    * often than a real path does), host = the authority up to the first
+    * `/?#`, lowercased (hosts are case-insensitive; paths are NOT and
+    * keep their case). One generator per row, zero shuffle; downstream
+    * per-domain aggregation is the caller's narrow-key groupBy.
+    *
+    * Output: (id, url, host), one row per extracted URL in document
+    * order.
+    */
+  def urlHosts(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String): org.apache.spark.sql.DataFrame = {
+    val raw = regexp_extract_all(col(textCol), lit("https?://[^\\s\"<>]+"), lit(0))
+    val cleaned = transform(raw, u => regexp_replace(u, "[.,;:!?)]+$", ""))
+    df.select(col(idCol), explode(cleaned).as("url"))
+      .select(col(idCol), col("url"),
+        lower(regexp_extract(col("url"), "https?://([^/?#]+)", 1)).as("host"))
+  }
+
   /** Rule-based sentence segmentation: split after `.`/`!`/`?` followed
     * by whitespace — the standard cheap segmenter for per-sentence dedup
     * and decontamination grains. Implemented as separator INJECTION

@@ -1072,6 +1072,23 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == "")
   }
 
+  test("urlHosts: boundary class, trailing punctuation strip, host-only lowercase") {
+    val d = Seq(
+      (1L, "see https://Example.COM/Path?q=1 and (http://a.b.org/x.html). done"),
+      (2L, "no links here"),
+      (3L, "bare http:// is not a url, https://ok.net, tail")).toDF("id", "text")
+    val got = TextAnalysis.urlHosts(d, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSet == Set(
+      (1L, "https://Example.COM/Path?q=1", "example.com"),   // path case KEPT, host lowered
+      (1L, "http://a.b.org/x.html", "a.b.org"),              // ")." stripped
+      (3L, "https://ok.net", "ok.net")))                     // "," stripped
+    // a bare scheme with nothing after "//" is not a URL (the class
+    // requires at least one authority char) — zero rows, not junk
+    val bare = TextAnalysis.urlHosts(Seq((9L, "x http:// y")).toDF("id", "text"), "id", "text")
+    assert(bare.count() == 0)
+  }
+
   test("splitSentences: terminator kept, dense ids, empties dropped, abbreviation limit accepted") {
     val d = Seq(
       (1L, "One sentence. Two! Three? "),
