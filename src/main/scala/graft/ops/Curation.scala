@@ -378,14 +378,20 @@ object Curation {
     * strategies by construction order — re-running reproduces the same
     * packing bit for bit (spec-asserted, any partitioning).
     *
-    * The rank window partitions by the length class; a corpus where one
-    * length dominates serializes that class's ranking into one task —
-    * the known limit; the fix at 100 TB is the [[shufflePositions]]
-    * two-level scheme applied per class. Output: (id, n_tokens, pack_id,
-    * slot); pack_id dense from 0, Σ n_tokens ≤ budget per pack.
+    * Ranking within a length class is TWO-LEVEL (the [[packSequences]]
+    * scheme applied per class): ranks are local to (class, id-chunk)
+    * windows and a broadcast per-(class, chunk) base table lifts them to
+    * class-global — so a corpus where one length dominates (the
+    * fixed-width-chunk corpus: most docs identical length) still ranks
+    * across rows/chunkSpan parallel tasks instead of serializing the
+    * class into one. The base rollup is ≤ #classes × #chunks rows, the
+    * same boundedness argument as packSequences' chunk bases. Output:
+    * (id, n_tokens, pack_id, slot); pack_id dense from 0, Σ n_tokens ≤
+    * budget per pack.
     */
   def packBinsFfd(df: DataFrame, idCol: String, textCol: String,
-                  budget: Long = 2048L): DataFrame = {
+                  budget: Long = 2048L, chunkSpan: Long = 4096L): DataFrame = {
+    require(chunkSpan >= 1, s"chunkSpan must be >= 1, got $chunkSpan")
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val lens = df.select(col(idCol),
       TextAnalysis.subwordTokenCount(col(textCol)).as("n_tokens"))
@@ -465,9 +471,22 @@ object Curation {
     import spark.implicits._
     val slots = slotRows.toSeq
       .toDF("n_tokens", "rank_base", "n_slots", "occurrences", "pack_base", "slot_base")
-    val ranked = lens.where(col("n_tokens") > 0)
-      .withColumn("_rank", row_number().over(
-        Window.partitionBy(col("n_tokens")).orderBy(col(idCol))).cast("long") - 1L)
+    // two-level rank: local row_number within (class, id-chunk), lifted
+    // by broadcast per-(class, chunk) bases — identical to the global
+    // per-class id rank (spec-asserted across chunkSpans), parallel in
+    // rows/chunkSpan tasks even when one length class dominates
+    val lens2 = lens.where(col("n_tokens") > 0)
+      .withColumn("_chunk", expr(s"$idCol div $chunkSpan"))
+    val local = lens2.withColumn("_lr", row_number().over(
+      Window.partitionBy(col("n_tokens"), col("_chunk")).orderBy(col(idCol)))
+        .cast("long") - 1L)
+    val bases = lens2.groupBy("n_tokens", "_chunk").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_cbase", coalesce(sum("_cnt").over(
+        Window.partitionBy("n_tokens").orderBy("_chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("n_tokens", "_chunk", "_cbase")
+    val ranked = local.join(broadcast(bases), Seq("n_tokens", "_chunk"))
+      .withColumn("_rank", col("_cbase") + col("_lr"))
     ranked.join(broadcast(slots), Seq("n_tokens"))
       .where(col("_rank") >= col("rank_base") &&
         col("_rank") < col("rank_base") + col("n_slots") * col("occurrences"))

@@ -154,11 +154,17 @@ class CurationSpec extends AnyFunSuite {
     // land well under the one-doc-per-pack naive (40) — and in fact under
     // the first-fit-in-id-order bound for this mix
     assert(byPack.size <= 22, s"packs=${byPack.size}")
-    // deterministic across partitionings
+    // deterministic across partitionings AND across two-level chunk
+    // widths (chunkSpan=4 forces many (class, chunk) windows; the lifted
+    // rank must equal the global per-class id rank bit for bit)
     val again = Curation.packBinsFfd(rows.toDF("doc_id", "text").coalesce(1),
       "doc_id", "text", budget = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val chunked = Curation.packBinsFfd(rows.toDF("doc_id", "text").repartition(5),
+      "doc_id", "text", budget = 8, chunkSpan = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == chunked.sortBy(_._1).toSeq)
     // over-budget docs fail fast
     val ex = intercept[IllegalArgumentException] {
       Curation.packBinsFfd(Seq((1L, doc(9))).toDF("doc_id", "text"), "doc_id", "text", 8)
