@@ -170,6 +170,12 @@ class CurationSpec extends AnyFunSuite {
       Curation.packBinsFfd(Seq((1L, doc(9))).toDF("doc_id", "text"), "doc_id", "text", 8)
     }
     assert(ex.getMessage.contains("chunk before packing"))
+    // the slot and base tables join BROADCAST (the scaladoc's "corpus
+    // never shuffles for assignment" claim): two broadcast joins, no SMJ
+    val plan = Curation.packBinsFfd(df, "doc_id", "text", budget = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), plan.linesIterator.take(3).mkString("\n"))
   }
 
   test("oovRate: head-vocab hits are in, rare tokens are oov, empty doc is 0/0") {

@@ -1089,6 +1089,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bare.count() == 0)
   }
 
+  test("per-row text ops are shuffle-free: stripHtml, splitSentences, urlHosts plans carry no Exchange") {
+    val d = Seq((1L, "One. <b>Two</b> https://a.io/x. Three!")).toDF("id", "text")
+    val plans = Seq(
+      d.select(TextAnalysis.stripHtml(col("text"))),
+      TextAnalysis.splitSentences(d, "id", "text"),
+      TextAnalysis.urlHosts(d, "id", "text")
+    ).map(_.queryExecution.executedPlan.toString)
+    plans.foreach(p => assert(!p.contains("Exchange"), p.linesIterator.take(3).mkString("\n")))
+  }
+
   test("splitSentences: terminator kept, dense ids, empties dropped, abbreviation limit accepted") {
     val d = Seq(
       (1L, "One sentence. Two! Three? "),
