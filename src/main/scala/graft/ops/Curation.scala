@@ -1120,24 +1120,28 @@ object Curation {
     */
   def snapshotDiff(ref: DataFrame, cur: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
-    def fp(df: DataFrame, side: String) = df.select(
-      col(idCol), xxhash64(col(textCol)).as(s"_fp_$side"))
+    // the duplicate-id guard rides INSIDE the diff's own aggregation (no
+    // pre-flight jobs, no second corpus scan): each side reduces to one
+    // (id, fp) row via the groupBy the join needs anyway, and a duplicate
+    // id trips raise_error AT that aggregate — a diff over non-unique ids
+    // is a semantic error, not a bigger diff, and it fails on execution
+    // of the one pass the operator already pays for
+    def fp(df: DataFrame, side: String) = df
+      .select(col(idCol), xxhash64(col(textCol)).as("_fp"))
+      .groupBy(idCol).agg(count(lit(1)).as("_n"), min(col("_fp")).as("_fp"))
+      .select(col(idCol),
+        when(col("_n") > 1, raise_error(concat(
+          lit(s"snapshotDiff: duplicate $idCol "), col(idCol).cast("string"),
+          lit(s" in $side snapshot — snapshots must be id-unique"))))
+          .otherwise(col("_fp")).as(s"_fp_$side"))
     val r = fp(ref, "ref"); val c = fp(cur, "cur")
-    val joined = r.join(c, Seq(idCol), "full_outer")
+    r.join(c, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("_fp_ref").isNull, lit("added"))
           .when(col("_fp_cur").isNull, lit("removed"))
           .when(col("_fp_ref") =!= col("_fp_cur"), lit("changed"))
           .as("status"))
       .where(col("status").isNotNull)
-    // duplicate-id check rides the same pass shape (id-keyed count); a
-    // diff over non-unique ids is a semantic error, not a bigger diff
-    val dup = r.groupBy(idCol).agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1)
-      .union(c.groupBy(idCol).agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1))
-      .limit(1).collect()
-    require(dup.isEmpty,
-      s"snapshotDiff: duplicate $idCol ${dup.head.get(0)} — snapshots must be id-unique")
-    joined
   }
 
   // ---------- UniMax mixture allocation ----------

@@ -203,10 +203,14 @@ class CurationSpec extends AnyFunSuite {
     val out = Curation.snapshotDiff(ref, cur, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "added")) // 1 and 4 unchanged → absent
-    val ex = intercept[IllegalArgumentException] {
-      Curation.snapshotDiff(docsDf((1L, "a"), (1L, "b")), cur, "doc_id", "text")
+    // the dup guard rides inside the single pass: it fires on EXECUTION
+    // (no pre-flight jobs), surfacing as a raise_error in the aggregate
+    val ex = intercept[Exception] {
+      Curation.snapshotDiff(docsDf((1L, "a"), (1L, "b")), cur, "doc_id", "text").collect()
     }
-    assert(ex.getMessage.contains("id-unique"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("id-unique")))
   }
 
   test("psiDrift: identical snapshots ~0, a shifted snapshot alarms, empty bins stay finite") {
