@@ -563,25 +563,34 @@ object Curation {
     *
     * Scale shape: [[vocabTop]]'s narrow-key (token, count) aggregation
     * is the only exchange; the ≤`topN`-row vocabulary (a bounded driver
-    * read, enforced) then rides into a per-row codegen'd
-    * `array_contains` filter — the corpus itself never shuffles and the
-    * scoring pass is one scan. `oov_frac` lands on the q20 binary grid
-    * (round(x·2²⁰)/2²⁰): the scaling is exact IEEE, so both engines
-    * round the identical double and cross-engine hashes match at any SF.
+    * read, enforced) then rides into the scoring scan as a literal MAP —
+    * `map_contains_key` is an O(1) hash probe per token (an
+    * `array_contains` literal would be an O(topN) linear scan per token,
+    * 10⁴× slower at the cap) — so the corpus never shuffles for scoring
+    * and the pass is one scan. The cap (10⁴) bounds the plan-embedded
+    * literal to ~100 KB (the repo's oversized-literal rule: huge plan
+    * constants make every plan dump unwieldy); a larger head vocabulary
+    * wants the broadcast-join formulation instead. `oov_frac` lands on
+    * the q20 binary grid (round(x·2²⁰)/2²⁰): the scaling is exact IEEE,
+    * so both engines round the identical double and cross-engine hashes
+    * match at any SF.
     */
   def oovRate(df: DataFrame, idCol: String, textCol: String,
               topN: Int = 100): DataFrame = {
-    require(topN >= 1 && topN <= 100000,
-      s"oovRate: topN must be in [1, 100000], got $topN")
+    require(topN >= 1 && topN <= 10000,
+      s"oovRate: topN must be in [1, 10000], got $topN (broadcast-join a bigger vocab)")
     val vocab = vocabTop(df, textCol, topN).select("token")
       .collect().map(_.getString(0)).toSeq
-    val vocabArr =
-      if (vocab.isEmpty) array().cast("array<string>")
-      else array(vocab.map(lit): _*)
+    val inVocab: Column => Column =
+      if (vocab.isEmpty) _ => lit(false)
+      else {
+        val m = map(vocab.flatMap(v => Seq(lit(v), lit(true))): _*)
+        t => coalesce(map_contains_key(m, t), lit(false))
+      }
     val toks = cleanTokens(col(textCol))
     df.select(col(idCol),
         size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => !array_contains(vocabArr, t))).cast("long").as("n_oov"))
+        size(filter(toks, t => !inVocab(t))).cast("long").as("n_oov"))
       .withColumn("oov_frac",
         round(col("n_oov").cast("double") /
           greatest(col("n_tokens"), lit(1L)).cast("double") * 1048576.0) / 1048576.0)
