@@ -1985,6 +1985,13 @@ object Queries {
     "oov_rate" -> ((s, dir) =>
       Curation.oovRate(docs(s, dir), "doc_id", "text", topN = 100)),
 
+    // C4-style blocklist filter at the cleaned-token grain: 'dup' occurs
+    // in ~5% of docs (the cut fires), 'zzzqqq' in none (absent terms are
+    // harmless), 'DUP' exercises the lowercase normalization
+    "blocklist_filter" -> ((s, dir) =>
+      Curation.blocklistFilter(docs(s, dir), "doc_id", "text",
+        Seq("DUP", "zzzqqq"))),
+
     // HTML markup removal over deterministically injected markup (the
     // synthetic corpus is plain text): each doc is wrapped in a full
     // page — script/style/comment blocks, attributed tags, the entity
@@ -4301,6 +4308,14 @@ object Queries {
          |SELECT doc_id, n_tokens, n_oov,
          |  round(CAST(n_oov AS DOUBLE) / greatest(n_tokens, 1) * 1048576.0) / 1048576.0 AS oov_frac
          |FROM o""".stripMargin,
+
+    // blocklistFilter: token-grain membership replay (lowered terms)
+    "blocklist_filter" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanWsSql(cleanAcSql)} AS ws FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(ws, x -> x IN ('dup', 'zzzqqq'))) AS BIGINT) AS n_blocked,
+         |  len(list_filter(ws, x -> x IN ('dup', 'zzzqqq'))) = 0 AS kept
+         |FROM t""".stripMargin,
 
     // stripHtml's removal chain replayed step for step: the same RE2-safe
     // patterns (non-greedy dot-all, no lookaround), the same literal

@@ -596,6 +596,33 @@ object Curation {
           greatest(col("n_tokens"), lit(1L)).cast("double") * 1048576.0) / 1048576.0)
   }
 
+  /** Blocklist ("bad words") document filter — the C4-style step that
+    * drops any document containing a blocklisted WORD (cleaned-token
+    * grain, so "assess" never matches a blocked "ass"; substring matching
+    * is the classic false-positive bug this operator deliberately avoids).
+    * Returns every document with its hit count and the keep verdict so
+    * callers can audit the cut rather than silently lose rows (the same
+    * observability contract as [[qualityFilter]]'s fail-mask).
+    *
+    * Scale shape: the blocklist rides as a literal MAP (O(1) probe per
+    * token, same rationale as [[oovRate]]); one codegen'd pass, zero
+    * shuffle, plan-literal bounded by the 10⁴ term cap.
+    */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 10000,
+      s"blocklistFilter: terms must be in [1, 10000], got ${terms.size}")
+    val cleaned = terms.map(_.toLowerCase)
+    require(cleaned.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      "blocklistFilter: terms must be single non-empty words (the match is token-grain)")
+    val m = map(cleaned.distinct.flatMap(v => Seq(lit(v), lit(true))): _*)
+    val toks = cleanTokens(col(textCol))
+    df.select(col(idCol),
+      size(filter(toks, t => coalesce(map_contains_key(m, t), lit(false))))
+        .cast("long").as("n_blocked"))
+      .withColumn("kept", col("n_blocked") === 0L)
+  }
+
   /** Per-group z-score normalization — the feature-scaling stage of a
     * curation/mixing pipeline ("normalize quality scores within each
     * language"), with the statistics made engine-exact: Σx and Σx² are

@@ -197,6 +197,24 @@ class CurationSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("topN"))
   }
 
+  test("blocklistFilter: token-grain match (no substring hits), case-normalized, audit columns") {
+    val df = docsDf(
+      (1L, "clean text here"),
+      (2L, "contains BADWORD twice badword"),
+      (3L, "assess association passes"),       // superstrings must NOT match
+      (4L, ""))
+    val out = Curation.blocklistFilter(df, "doc_id", "text", Seq("BadWord", "ass"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((0L, true)))
+    assert(out(2L) == ((2L, false)))    // case-insensitive, counted per occurrence
+    assert(out(3L) == ((0L, true)))     // "assess" is not "ass" at token grain
+    assert(out(4L) == ((0L, true)))
+    val ex = intercept[IllegalArgumentException] {
+      Curation.blocklistFilter(df, "doc_id", "text", Seq("two words"))
+    }
+    assert(ex.getMessage.contains("token-grain"))
+  }
+
   test("snapshotDiff: added/removed/changed classified; unchanged dropped; dup ids fail") {
     val ref = docsDf((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
     val cur = docsDf((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"), (5L, "epsilon"))
