@@ -316,6 +316,31 @@ object Queries {
     * before the exact-verification join — it cannot drop a true ≥0.9 pair
     * the 0.8 setting would have kept.
     */
+  /** Shared oracle for sentence_dedup AND its SQL TVF twin: the
+    * separator-injection split, the string_hash61 key, keep = first
+    * (doc, pos) per key, survivors rejoined with single spaces.
+    */
+  private lazy val sentenceDedupOracleSql: String = {
+    val chars = "list_transform(generate_series(1, length(line)), i -> CAST(ascii(line[i]) AS BIGINT))"
+    def poly(base: Int, mod: Long) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $chars), (acc, c) -> (acc * $base + c) % $mod)"
+    s"""WITH d AS (SELECT doc_id,
+       |  text || '. Subscribe to our newsletter today! Cookies are required.' AS text FROM documents),
+       |t AS (SELECT doc_id, list_filter(list_transform(
+       |  string_split(regexp_replace(trim(text), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+       |  s -> trim(s)), s -> s <> '') AS ss FROM d),
+       |z AS (SELECT doc_id, unnest(list_zip(ss, generate_series(1, len(ss)))) AS s FROM t),
+       |sn AS (SELECT doc_id, CAST(s[2] AS BIGINT) - 1 AS pos, CAST(s[1] AS VARCHAR) AS line FROM z),
+       |hk AS (SELECT doc_id, pos, line,
+       |  (${poly(31, 1000000007L)} * 2147483648) + ${poly(131, 2147483647L)} AS k FROM sn),
+       |mk AS (SELECT doc_id, pos, line,
+       |  row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) = 1 AS keep FROM hk)
+       |SELECT doc_id,
+       |  coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY pos), '') AS text_deduped,
+       |  count(*) AS n_sentences, count(*) FILTER (WHERE NOT keep) AS n_removed
+       |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private def jaccardAllPairsSql(n: Int, threshold: Double, limit: Int): String = {
     val span = n - 1
     s"""WITH s AS (SELECT doc_id,
@@ -1022,6 +1047,19 @@ object Queries {
       graft.sql.GraftTableFunctions.register(s)
       s.sql("""SELECT a, b, containment FROM containment_pairs('documents', 'doc_id', 'text', 8, 0.8)
               |ORDER BY containment DESC, a, b LIMIT 100""".stripMargin)
+    }),
+
+    // The sentence-dedup pipeline as pure SQL: the TVF expands to the
+    // same Catalyst tree as Dedup.sentenceDedup (string_hash61 key), so
+    // the identical keep-first oracle gates the SQL surface end-to-end
+    "sql_sentence_dedup" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(". Subscribe to our newsletter today! Cookies are required.")).as("text"))
+        .createOrReplaceTempView("sdocs")
+      graft.sql.GraftTableFunctions.register(s)
+      s.sql("""SELECT doc_id, text AS text_deduped, n_sentences, n_removed
+              |FROM sentence_dedup('sdocs', 'doc_id', 'text') ORDER BY doc_id""".stripMargin)
     }),
 
     // Automatic index selection in pure SQL: vector_scan expands to the
@@ -4468,26 +4506,11 @@ object Queries {
     // the line_dedup keep-first replay at the SENTENCE grain: the
     // separator-injection split, the same string_hash61 key, keep =
     // first (doc, pos) per key, survivors rejoined with single spaces
-    "sentence_dedup" -> {
-      val chars = "list_transform(generate_series(1, length(line)), i -> CAST(ascii(line[i]) AS BIGINT))"
-      def poly(base: Int, mod: Long) =
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $chars), (acc, c) -> (acc * $base + c) % $mod)"
-      s"""WITH d AS (SELECT doc_id,
-         |  text || '. Subscribe to our newsletter today! Cookies are required.' AS text FROM documents),
-         |t AS (SELECT doc_id, list_filter(list_transform(
-         |  string_split(regexp_replace(trim(text), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
-         |  s -> trim(s)), s -> s <> '') AS ss FROM d),
-         |z AS (SELECT doc_id, unnest(list_zip(ss, generate_series(1, len(ss)))) AS s FROM t),
-         |sn AS (SELECT doc_id, CAST(s[2] AS BIGINT) - 1 AS pos, CAST(s[1] AS VARCHAR) AS line FROM z),
-         |hk AS (SELECT doc_id, pos, line,
-         |  (${poly(31, 1000000007L)} * 2147483648) + ${poly(131, 2147483647L)} AS k FROM sn),
-         |mk AS (SELECT doc_id, pos, line,
-         |  row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) = 1 AS keep FROM hk)
-         |SELECT doc_id,
-         |  coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY pos), '') AS text_deduped,
-         |  count(*) AS n_sentences, count(*) FILTER (WHERE NOT keep) AS n_removed
-         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "sentence_dedup" -> sentenceDedupOracleSql,
+
+    // the TVF expands to the SAME Catalyst tree as the Scala API, so the
+    // identical keep-first oracle gates the SQL surface end-to-end
+    "sql_sentence_dedup" -> sentenceDedupOracleSql,
 
     // components via recursive min-label reachability — independent of the
     // star-contraction algorithm the Spark side runs

@@ -438,12 +438,34 @@ object GraftTableFunctions {
       throw new IllegalArgumentException(s"containment_pairs expects (table, idCol, textCol, shingleN, threshold), got ${other.size} args")
   }
 
+  /** `sentence_dedup(tbl, idCol, textCol)` → the input rows with the text
+    * column rewritten to corpus-wide keep-first sentences plus
+    * (n_sentences, n_removed) audit columns
+    * ([[graft.ops.Dedup.sentenceDedup]]) — the boilerplate-sentence pass
+    * in pure SQL (`CREATE TABLE clean AS SELECT * FROM
+    * sentence_dedup('docs','doc_id','text')`). Uses the SQL-restatable
+    * `string_hash61` sentence key so the expansion is oracle-gateable;
+    * the pipeline has no materialization barrier, so unlike the pair
+    * TVFs there is no block-lifetime caveat.
+    */
+  def sentenceDedupBuilder(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(t, idE, txtE) =>
+      val spark = Lifecycle.activeSession("sentence_dedup")
+      graft.ops.Dedup.sentenceDedup(spark.table(strArg(t, "table name")),
+          strArg(idE, "id column"), strArg(txtE, "text column"),
+          graft.functions.string_hash61)
+        .queryExecution.logical
+    case other =>
+      throw new IllegalArgumentException(s"sentence_dedup expects (table, idCol, textCol), got ${other.size} args")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "vector_full_scan" -> (fullScanBuilder _),
     "vector_quantize_scan" -> (quantScanBuilder _),
     "vector_scan" -> (autoScanBuilder _),
     "near_dup_pairs" -> (nearDupPairsBuilder _),
-    "containment_pairs" -> (containmentPairsBuilder _))
+    "containment_pairs" -> (containmentPairsBuilder _),
+    "sentence_dedup" -> (sentenceDedupBuilder _))
 
   private val scalarBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vector_init" -> (initBuilder _),
