@@ -149,6 +149,21 @@ object Bench {
         }
       walk(new java.io.File(path))
     }
+    // Reference-scale XL store (env-gated; the driver's per-round bench
+    // does not pay for it): BASELINE.md's published serving figure is a
+    // PRELOADED 1M × dim-768 quantized scan — SPARK_GRAFT_BENCH_XL=1
+    // builds exactly that shape (~3 GB f32 parquet, deterministic
+    // per-lane hash vectors) so the baseline comparison can be made
+    // like-for-like instead of extrapolated from the 600k×64 rows.
+    val benchXl = sys.env.get("SPARK_GRAFT_BENCH_XL").contains("1")
+    val XlDim = 768
+    if (benchXl) {
+      spark.range(1000000L).select(col("id"),
+        transform(sequence(lit(0), lit(XlDim - 1)),
+          i => (pmod(hash(col("id"), i), lit(1000)) / 1000.0 - 0.5).cast("float")).as("vec"))
+        .write.mode("overwrite").parquet(s"$benchDir/xl_vectors")
+    }
+
     Seq(benchDir, sfDir).foreach(warmDir)
 
     for (_ <- 1 to reps) {
@@ -304,6 +319,29 @@ object Bench {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
           .count())
+
+      // Reference-scale XL rows (see the store build above): the exact
+      // f32 full scan, the one-time quantization build, and the
+      // reference's own serving shape — the PRELOADED i8 code scan —
+      // plus the certified-exact two-stage variant, all at 1M × 768.
+      if (benchXl) {
+        val xlProbe: Array[Float] = Array.tabulate(XlDim)(i => ((i % 7) - 3) / 8.0f)
+        val xlVecs = spark.read.parquet(s"$benchDir/xl_vectors")
+        time("xl_knn_l2_1m768")(
+          ops.Knn.fullScan(xlVecs, "id", "vec", xlProbe, 10, "l2").count())
+        var xlParams: QuantParams = null
+        time("xl_quantize_params_1m768") {
+          xlParams = ops.Quantizer.computeParams(xlVecs, "vec"); xlParams.rows
+        }
+        val xlPre = ops.Quantizer.preload(
+          ops.Quantizer.quantizeCodes(xlVecs, "id", "vec", xlParams))
+        time("xl_quant_knn_1m768")(
+          ops.Quantizer.quantScan(xlPre, xlProbe, xlParams, 10, "sq_l2").count())
+        time("xl_certified_knn_1m768")(
+          ops.Quantizer.certifiedTopK(xlVecs, "id", "vec", xlPre, xlProbe, xlParams,
+            10, "l2").count())
+        ops.Quantizer.cleanup(xlPre)
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
