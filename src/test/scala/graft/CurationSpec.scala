@@ -178,6 +178,34 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.linesIterator.take(3).mkString("\n"))
   }
 
+  test("packBinsFfd invariants hold on randomized corpora (seeded)") {
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    for (seed <- Seq(1, 7, 42, 99, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val budget = 8 + rnd.nextInt(24)                    // 8..31
+      val rows = (0 until 60).map(i => (i.toLong, doc(1 + rnd.nextInt(budget.min(12)))))
+      val lens = rows.map { case (id, t) => id -> t.count(_ == 'w').toLong }.toMap
+      val out = Curation.packBinsFfd(rows.toDF("doc_id", "text").repartition(5),
+        "doc_id", "text", budget = budget.toLong, chunkSpan = 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // every doc exactly once, with its true length
+      assert(out.map(_._1).sorted.toSeq == (0L until 60L).toSeq, s"seed=$seed")
+      out.foreach { case (id, n, _, _) => assert(n == lens(id), s"seed=$seed id=$id") }
+      // capacity respected, pack ids dense from 0, slots dense per pack
+      val byPack = out.groupBy(_._3)
+      assert(byPack.values.forall(_.map(_._2).sum <= budget), s"seed=$seed capacity")
+      assert(byPack.keys.min == 0L && byPack.keys.max == byPack.size - 1L, s"seed=$seed dense")
+      byPack.foreach { case (p, docs) =>
+        assert(docs.map(_._4).sorted.toSeq == docs.indices.map(_.toLong), s"seed=$seed pack=$p slots")
+      }
+      // deterministic across chunk widths
+      val again = Curation.packBinsFfd(rows.toDF("doc_id", "text").coalesce(1),
+        "doc_id", "text", budget = budget.toLong, chunkSpan = 4096L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, s"seed=$seed determinism")
+    }
+  }
+
   test("oovRate: head-vocab hits are in, rare tokens are oov, empty doc is 0/0") {
     // corpus: 'alpha'/'beta' dominate; topN=2 vocab = {alpha, beta}
     val df = docsDf(
