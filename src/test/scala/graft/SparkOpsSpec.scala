@@ -406,6 +406,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == (("No terminator at all", 1L, 0L)))
   }
 
+  test("sentence dedup invariants hold on randomized corpora (seeded)") {
+    val pool = Vector("Alpha one.", "Beta two!", "Gamma three?", "Delta four.",
+      "Epsilon five!", "Zeta six.", "Eta seven?", "Theta eight.")
+    for (seed <- Seq(3, 17, 256)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(4))(pool(rnd.nextInt(pool.size))).mkString(" "))
+      }
+      // expected keep-first computed independently in plain Scala
+      val exploded = rows.flatMap { case (id, t) =>
+        t.split(" (?=[A-Z])").toSeq.zipWithIndex.map { case (s, p) => (id, p, s) }
+      }
+      val keeper = exploded.groupBy(_._3).map { case (s, occ) =>
+        s -> occ.map(o => (o._1, o._2)).min
+      }
+      val expect = rows.map { case (id, t) =>
+        val sents = t.split(" (?=[A-Z])").toSeq
+        val kept = sents.zipWithIndex.collect {
+          case (s, p) if keeper(s) == ((id, p)) => s }
+        id -> ((kept.mkString(" "), sents.size.toLong, (sents.size - kept.size).toLong))
+      }.toMap
+      val got = Dedup.sentenceDedup(rows.toDF("doc_id", "text").repartition(5),
+        "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("exact dedup groups identical keys") {
     val d = Dedup.exact(nearDupDocs, "id", Seq("text")).collect()
     val dupGroup = d.find(_.getLong(1) == 1L).get // keep_id = 1
