@@ -1101,6 +1101,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == "")
   }
 
+  test("stripHtml/splitSentences boundary pins: quoted '>', unclosed comment, ellipsis, ?!") {
+    // these behaviors are part of the ORACLE contract (both engines run
+    // the identical chain) — pin them so a future "fix" on one side
+    // can't silently break cross-engine parity
+    val html = Seq(
+      (1L, """before <img alt="a>b"> after"""),   // '>' inside an attribute ends the tag early
+      (2L, "keep <!-- unclosed forever"),          // unterminated comment: only the tag rule fires
+      (3L, "<p>x</p><p>y</p>")).toDF("id", "text")
+    val got = html.select(col("id"), TextAnalysis.stripHtml(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "before b\"> after")        // documented: naive-tag-end, both engines agree
+    assert(got(2L) == "keep <!-- unclosed forever")
+    assert(got(3L) == "x y")
+    val s = Seq((1L, "Wait... Really?! Yes. done"), (2L, "a.b. c")).toDF("id", "text")
+    val sents = TextAnalysis.splitSentences(s, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(sents(1L) == Seq("Wait...", "Really?!", "Yes.", "done")) // ellipsis/terminator runs split once, after the run
+    assert(sents(2L) == Seq("a.b.", "c"))                          // interior dots don't split
+  }
+
   test("urlHosts: boundary class, trailing punctuation strip, host-only lowercase") {
     val d = Seq(
       (1L, "see https://Example.COM/Path?q=1 and (http://a.b.org/x.html). done"),
