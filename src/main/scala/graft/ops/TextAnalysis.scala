@@ -800,8 +800,12 @@ object TextAnalysis {
     * sentence punctuation stripped (prose URLs end "…com/page." far more
     * often than a real path does), host = the authority up to the first
     * `/?#`, lowercased (hosts are case-insensitive; paths are NOT and
-    * keep their case). One generator per row, zero shuffle; downstream
-    * per-domain aggregation is the caller's narrow-key groupBy.
+    * keep their case). The host keeps an explicit port and bracketed
+    * IPv6 literals verbatim ("example.com:8080", "[::1]:443") — port
+    * stripping is a policy choice the caller applies, not something the
+    * extractor should silently decide. One generator per row, zero
+    * shuffle; downstream per-domain aggregation is the caller's
+    * narrow-key groupBy.
     *
     * Output: (id, url, host), one row per extracted URL in document
     * order.

@@ -1137,6 +1137,12 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // requires at least one authority char) — zero rows, not junk
     val bare = TextAnalysis.urlHosts(Seq((9L, "x http:// y")).toDF("id", "text"), "id", "text")
     assert(bare.count() == 0)
+    // ports and bracketed IPv6 stay in the host verbatim (stripping is
+    // caller policy, pinned so the oracle contract can't drift)
+    val ports = TextAnalysis.urlHosts(
+      Seq((8L, "a http://Example.com:8080/x b https://[::1]:443/y c")).toDF("id", "text"),
+      "id", "text").collect().map(r => r.getString(2)).toSet
+    assert(ports == Set("example.com:8080", "[::1]:443"))
   }
 
   test("per-row text ops are shuffle-free: stripHtml, splitSentences, urlHosts plans carry no Exchange") {
