@@ -327,7 +327,7 @@ object Queries {
     s"""WITH d AS (SELECT doc_id,
        |  text || '. Subscribe to our newsletter today! Cookies are required.' AS text FROM documents),
        |t AS (SELECT doc_id, list_filter(list_transform(
-       |  string_split(regexp_replace(trim(text), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+       |  string_split(regexp_replace(replace(trim(text), chr(1), ''), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
        |  s -> trim(s)), s -> s <> '') AS ss FROM d),
        |z AS (SELECT doc_id, unnest(list_zip(ss, generate_series(1, len(ss)))) AS s FROM t),
        |sn AS (SELECT doc_id, CAST(s[2] AS BIGINT) - 1 AS pos, CAST(s[1] AS VARCHAR) AS line FROM z),
@@ -4392,7 +4392,7 @@ object Queries {
     "split_sentences" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(list_transform(
-        |    string_split(regexp_replace(trim(text || ' Tail one. Tail two! Tail three?'),
+        |    string_split(regexp_replace(replace(trim(text || ' Tail one. Tail two! Tail three?'), chr(1), ''),
         |      '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
         |    s -> trim(s)), s -> s <> '') AS ss FROM documents),
         |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ss)),

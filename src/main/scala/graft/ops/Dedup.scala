@@ -839,7 +839,10 @@ object Dedup {
     */
   def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
                     sentKey: Column => Column = c => xxhash64(c)): DataFrame = {
-    val marked = regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1\u0001")
+    // sentinel made safe like splitSentences: strip pre-existing U+0001
+    // so in-band collisions in crawl text can't create spurious splits
+    val marked = regexp_replace(
+      replace(trim(col(textCol)), lit("\u0001"), lit("")), "([.!?])\\s+", "$1\u0001")
     val parts = filter(transform(split(marked, "\u0001"), s => trim(s)), s => s =!= "")
     val sents = df.select(col(idCol).as("id"), posexplode(parts).as(Seq("pos", "sent")))
       .select(col("id"), col("pos"), sentKey(col("sent")).as("k"))

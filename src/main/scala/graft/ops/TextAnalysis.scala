@@ -825,9 +825,13 @@ object TextAnalysis {
     * (capture-group `regexp_replace` keeps the terminator with its
     * sentence) + split on the injected control byte, so the whole split
     * is lookaround-free and restatable verbatim in RE2 for the oracle.
-    * Known rule-based limits (abbreviations like "Dr. Smith" split)
-    * are accepted: the op is deterministic and engine-portable, which
-    * the downstream exactness gates need more than linguistic nuance.
+    * The sentinel is made SAFE, not assumed: any pre-existing U+0001 in
+    * the text (crawl data carries control bytes) is stripped before
+    * injection on both engines, so in-band collisions cannot create
+    * spurious splits. Known rule-based limits (abbreviations like
+    * "Dr. Smith" split) are accepted: the op is deterministic and
+    * engine-portable, which the downstream exactness gates need more
+    * than linguistic nuance.
     *
     * Output: (id, sent_id, sentence) — sent_id dense from 0 in document
     * order, sentences trimmed, empties dropped. One generator per row
@@ -836,7 +840,8 @@ object TextAnalysis {
   def splitSentences(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val sep = "\u0001"
-    val marked = regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1" + sep)
+    val marked = regexp_replace(
+      replace(trim(col(textCol)), lit(sep), lit("")), "([.!?])\\s+", "$1" + sep)
     val sents = filter(transform(split(marked, sep), s => trim(s)), s => s =!= "")
     df.select(col(idCol), posexplode(sents).as(Seq("sent_id", "sentence")))
       .withColumn("sent_id", col("sent_id").cast("long"))

@@ -1120,6 +1120,15 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     assert(sents(1L) == Seq("Wait...", "Really?!", "Yes.", "done")) // ellipsis/terminator runs split once, after the run
     assert(sents(2L) == Seq("a.b.", "c"))                          // interior dots don't split
+    // the injection sentinel is safe in-band: pre-existing U+0001 in
+    // crawl text is stripped first, never treated as a boundary
+    val dirty = Seq((1L, "One\u0001 piece. Two.")).toDF("id", "text")
+    val ds = TextAnalysis.splitSentences(dirty, "id", "text")
+      .collect().map(_.getString(2)).toSeq
+    assert(ds == Seq("One piece.", "Two."))
+    val dd = Dedup.sentenceDedup(dirty, "id", "text")
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(dd == (("One piece. Two.", 2L)))
   }
 
   test("urlHosts: boundary class, trailing punctuation strip, host-only lowercase") {
