@@ -2069,6 +2069,16 @@ object Queries {
           concat(col("text"), lit(" Tail one. Tail two! Tail three?")).as("text")),
         "doc_id", "text")),
 
+    // Sentence-aligned RAG chunking at a 12-token budget over the same
+    // tailed fixture (doc bodies are one long sentence, so chunks mix
+    // the oversized body with the short tail sentences); the oracle
+    // replays the greedy fold as a per-doc recursive CTE
+    "sentence_chunks" -> ((s, dir) =>
+      TextAnalysis.sentenceChunks(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" Tail one. Tail two! Tail three?")).as("text")),
+        "doc_id", "text", maxTokens = 12)),
+
     // Exact top-20 vocabulary through the Misra-Gries sketch: per-
     // partition ≤200-counter summaries, merge, broadcast the candidates,
     // exact recount — no full-vocabulary shuffle anywhere; the oracle is
@@ -4375,6 +4385,30 @@ object Queries {
          |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS h FROM s4)
          |SELECT doc_id, trim(regexp_replace(h, '\\s+', ' ', 'g')) AS clean FROM s5""".stripMargin
     },
+
+    // sentenceChunks: the same sentence list, the greedy fold replayed as
+    // a per-doc recursive CTE (state = running tokens + chunk ordinal)
+    "sentence_chunks" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  list_filter(list_transform(
+        |    string_split(regexp_replace(replace(trim(text || ' Tail one. Tail two! Tail three?'), chr(1), ''),
+        |      '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+        |    s -> trim(s)), s -> s <> '') AS ss FROM documents),
+        |sn AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ss)),
+        |  i -> struct_pack(pos := i, s := ss[i]))) AS u FROM t),
+        |s2 AS (SELECT doc_id, u.pos AS pos, u.s AS s,
+        |  len(list_filter(regexp_split_to_array(u.s, '\s+'), x -> x <> '')) AS n FROM sn),
+        |rec AS (
+        |  SELECT doc_id, pos, s, n, n AS cur, 0 AS chunk FROM s2 WHERE pos = 1
+        |  UNION ALL
+        |  SELECT s2.doc_id, s2.pos, s2.s, s2.n,
+        |    CASE WHEN rec.cur + s2.n > 12 THEN s2.n ELSE rec.cur + s2.n END,
+        |    CASE WHEN rec.cur + s2.n > 12 THEN rec.chunk + 1 ELSE rec.chunk END
+        |  FROM rec JOIN s2 ON s2.doc_id = rec.doc_id AND s2.pos = rec.pos + 1)
+        |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_id,
+        |  string_agg(s, ' ' ORDER BY pos) AS chunk_text,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM rec GROUP BY doc_id, chunk ORDER BY doc_id, chunk_id""".stripMargin,
 
     // urlHosts: the same extract-all + trailing-strip + host-group chain
     "url_hosts" ->

@@ -790,6 +790,49 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Sentence-ALIGNED context chunking — the RAG/embedding chunker: split
+    * into sentences ([[splitSentences]]' rule), then greedily accumulate
+    * whole sentences into chunks of at most `maxTokens` whitespace
+    * tokens; a sentence never splits across chunks (the property
+    * embedding pipelines need — half sentences embed garbage), so a
+    * single over-long sentence becomes its own over-budget chunk rather
+    * than being cut. Distinct from [[Curation.chunk]] (fixed token
+    * windows, mid-sentence cuts) and the packers (cross-document).
+    *
+    * One per-row `aggregate` fold over the sentence array builds the
+    * chunk list inside codegen'd expression eval — zero shuffle at any
+    * corpus size; the oracle replays the same greedy fold as a
+    * per-document recursive CTE. Output: (id, chunk_id dense from 0,
+    * chunk_text, n_tokens).
+    */
+  def sentenceChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val sep = "\u0001"
+    val marked = regexp_replace(
+      replace(trim(col(textCol)), lit(sep), lit("")), "([.!?])\\s+", "$1" + sep)
+    val sents = filter(transform(split(marked, sep), s => trim(s)), s => s =!= "")
+    val chunks = aggregate(
+      sents,
+      struct(lit(0).as("cur"),
+        array().cast("array<array<string>>").as("chunks")),
+      (acc, s) => {
+        val n = size(split(s, "\\s+"))
+        val cur = acc.getField("cur")
+        val cs = acc.getField("chunks")
+        val needNew = size(cs) === 0 || (cur + n) > maxTokens
+        struct(
+          when(needNew, n).otherwise(cur + n).as("cur"),
+          when(needNew, concat(cs, array(array(s))))
+            .otherwise(concat(slice(cs, lit(1), size(cs) - 1),
+              array(concat(element_at(cs, -1), array(s))))).as("chunks"))
+      },
+      acc => transform(acc.getField("chunks"), c => array_join(c, " ")))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("n_tokens", size(split(col("chunk_text"), "\\s+")).cast("long"))
+  }
+
   /** Extract absolute http(s) URLs and their lowercased hosts from text —
     * the crawl-frontier / per-domain-statistics primitive (per-domain
     * caps, URL-level dedup, domain blocklists all start from this

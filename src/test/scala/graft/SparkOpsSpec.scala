@@ -1131,6 +1131,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dd == (("One piece. Two.", 2L)))
   }
 
+  test("sentenceChunks: sentence-aligned greedy chunks, oversized sentence isolated") {
+    val d = Seq(
+      (1L, "One two three. Four five. Six seven eight nine. Ten."),
+      (2L, "Single"),
+      (3L, "This sentence has seven whole words inside. Tiny.")).toDF("id", "text")
+    val got = TextAnalysis.sentenceChunks(d, "id", "text", maxTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toSeq).toMap
+    // doc1 sentence token counts [3, 2, 4, 1] at budget 5 -> (3+2), (4+1)
+    assert(got(1L) == Seq(("One two three. Four five.", 5L),
+      ("Six seven eight nine. Ten.", 5L)))
+    assert(got(2L) == Seq(("Single", 1L)))
+    // a 7-word sentence exceeds the budget: its own over-budget chunk,
+    // never split mid-sentence
+    assert(got(3L) == Seq(("This sentence has seven whole words inside.", 7L),
+      ("Tiny.", 1L)))
+  }
+
   test("urlHosts: boundary class, trailing punctuation strip, host-only lowercase") {
     val d = Seq(
       (1L, "see https://Example.COM/Path?q=1 and (http://a.b.org/x.html). done"),
