@@ -2025,10 +2025,11 @@ object Queries {
 
     // C4-style blocklist filter at the cleaned-token grain: 'dup' occurs
     // in ~5% of docs (the cut fires), 'zzzqqq' in none (absent terms are
-    // harmless), 'DUP' exercises the lowercase normalization
+    // harmless), 'DUP' exercises the lowercase normalization, and the
+    // two-word phrase 'Slow Key' exercises the adjacent-gram match
     "blocklist_filter" -> ((s, dir) =>
       Curation.blocklistFilter(docs(s, dir), "doc_id", "text",
-        Seq("DUP", "zzzqqq"))),
+        Seq("DUP", "zzzqqq", "Slow Key"))),
 
     // HTML markup removal over deterministically injected markup (the
     // synthetic corpus is plain text): each doc is wrapped in a full
@@ -4357,13 +4358,16 @@ object Queries {
          |  round(CAST(n_oov AS DOUBLE) / greatest(n_tokens, 1) * 1048576.0) / 1048576.0 AS oov_frac
          |FROM o""".stripMargin,
 
-    // blocklistFilter: token-grain membership replay (lowered terms)
+    // blocklistFilter: token-grain membership replay (lowered terms) plus
+    // the adjacent-bigram stream for the phrase entry
     "blocklist_filter" ->
-      s"""WITH t AS (SELECT doc_id, ${cleanWsSql(cleanAcSql)} AS ws FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(list_filter(ws, x -> x IN ('dup', 'zzzqqq'))) AS BIGINT) AS n_blocked,
-         |  len(list_filter(ws, x -> x IN ('dup', 'zzzqqq'))) = 0 AS kept
-         |FROM t""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, ${cleanWsSql(cleanAcSql)} AS ws FROM documents),
+         |g AS (SELECT doc_id, ws,
+         |  list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]) AS bgs FROM t),
+         |c AS (SELECT doc_id,
+         |  len(list_filter(ws, x -> x IN ('dup', 'zzzqqq')))
+         |    + len(list_filter(bgs, x -> x = 'slow key')) AS nb FROM g)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_blocked, nb = 0 AS kept FROM c""".stripMargin,
 
     // stripHtml's removal chain replayed step for step: the same RE2-safe
     // patterns (non-greedy dot-all, no lookaround), the same literal

@@ -597,29 +597,43 @@ object Curation {
   }
 
   /** Blocklist ("bad words") document filter — the C4-style step that
-    * drops any document containing a blocklisted WORD (cleaned-token
-    * grain, so "assess" never matches a blocked "ass"; substring matching
-    * is the classic false-positive bug this operator deliberately avoids).
-    * Returns every document with its hit count and the keep verdict so
+    * drops any document containing a blocklisted word OR PHRASE at the
+    * cleaned-token grain ("assess" never matches a blocked "ass", and a
+    * blocked "slow key" only matches those two tokens ADJACENT; substring
+    * matching is the classic false-positive bug this operator
+    * deliberately avoids). Returns every document with its hit count
+    * (every occurrence of every blocked entry) and the keep verdict so
     * callers can audit the cut rather than silently lose rows (the same
     * observability contract as [[qualityFilter]]'s fail-mask).
     *
-    * Scale shape: the blocklist rides as a literal MAP (O(1) probe per
-    * token, same rationale as [[oovRate]]); one codegen'd pass, zero
-    * shuffle, plan-literal bounded by the 10⁴ term cap.
+    * Scale shape: entries group by word count; each length-k group rides
+    * as a literal MAP probed against the document's k-gram stream (O(1)
+    * per gram, same rationale as [[oovRate]]) — one codegen'd pass over
+    * the token array per distinct phrase length, zero shuffle,
+    * plan-literal bounded by the 10⁴ entry cap.
     */
   def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
                       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.size <= 10000,
       s"blocklistFilter: terms must be in [1, 10000], got ${terms.size}")
-    val cleaned = terms.map(_.toLowerCase)
-    require(cleaned.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
-      "blocklistFilter: terms must be single non-empty words (the match is token-grain)")
-    val m = map(cleaned.distinct.flatMap(v => Seq(lit(v), lit(true))): _*)
+    val cleaned = terms.map(t => t.trim.toLowerCase.split("\\s+").toSeq)
+    require(cleaned.forall(ws => ws.nonEmpty && ws.forall(_.nonEmpty)),
+      "blocklistFilter: each term must be a non-empty word or phrase (token-grain match)")
+    require(cleaned.forall(_.size <= 8),
+      "blocklistFilter: phrases longer than 8 words are unsupported")
     val toks = cleanTokens(col(textCol))
-    df.select(col(idCol),
-      size(filter(toks, t => coalesce(map_contains_key(m, t), lit(false))))
-        .cast("long").as("n_blocked"))
+    val hitCount = cleaned.groupBy(_.size).toSeq.sortBy(_._1).map {
+      case (k, entries) =>
+        val m = map(entries.map(_.mkString(" ")).distinct
+          .flatMap(v => Seq(lit(v), lit(true))): _*)
+        val grams =
+          if (k == 1) toks
+          else when(size(toks) < k, array().cast("array<string>")).otherwise(
+            transform(sequence(lit(1), size(toks) - (k - 1)),
+              i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+        size(filter(grams, g => coalesce(map_contains_key(m, g), lit(false))))
+    }.reduce(_ + _)
+    df.select(col(idCol), hitCount.cast("long").as("n_blocked"))
       .withColumn("kept", col("n_blocked") === 0L)
   }
 

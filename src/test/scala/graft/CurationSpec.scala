@@ -237,10 +237,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, false)))    // case-insensitive, counted per occurrence
     assert(out(3L) == ((0L, true)))     // "assess" is not "ass" at token grain
     assert(out(4L) == ((0L, true)))
+    // phrases match only ADJACENT tokens, at their own gram length
+    val p = docsDf(
+      (1L, "the slow key turns"),       // phrase hit
+      (2L, "slow and key apart"),       // words present but not adjacent
+      (3L, "slow key slow key"))        // two occurrences
+    val pout = Curation.blocklistFilter(p, "doc_id", "text", Seq("Slow Key"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(pout(1L) == ((1L, false)))
+    assert(pout(2L) == ((0L, true)))
+    assert(pout(3L) == ((2L, false)))
     val ex = intercept[IllegalArgumentException] {
-      Curation.blocklistFilter(df, "doc_id", "text", Seq("two words"))
+      Curation.blocklistFilter(df, "doc_id", "text",
+        Seq("a b c d e f g h i"))       // 9-word phrase over the cap
     }
-    assert(ex.getMessage.contains("token-grain"))
+    assert(ex.getMessage.contains("phrases longer"))
   }
 
   test("snapshotDiff: added/removed/changed classified; unchanged dropped; dup ids fail") {
