@@ -269,7 +269,8 @@ object Bench {
         "schema_evolution_agg", "ivf_append", "ivfpq_append", "lsh_append",
         "ivf_knn_filtered", "ivfpq_knn_filtered", "psi_drift", "nfc_normalize_text",
         "pack_bins_ffd", "snapshot_diff", "oov_rate", "strip_html", "split_sentences",
-        "sentence_dedup", "url_hosts", "blocklist_filter", "sentence_chunks")
+        "sentence_dedup", "url_hosts", "blocklist_filter", "sentence_chunks",
+        "sentence_chunks_overlap")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

@@ -2080,6 +2080,15 @@ object Queries {
           concat(col("text"), lit(" Tail one. Tail two! Tail three?")).as("text")),
         "doc_id", "text", maxTokens = 12)),
 
+    // the same chunking with one sentence of overlap: boundaries are
+    // IDENTICAL to the overlap-0 gate (boundary-then-extend semantics);
+    // each later chunk gains the previous chunk's trailing sentence
+    "sentence_chunks_overlap" -> ((s, dir) =>
+      TextAnalysis.sentenceChunks(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" Tail one. Tail two! Tail three?")).as("text")),
+        "doc_id", "text", maxTokens = 12, overlapSentences = 1)),
+
     // Exact top-20 vocabulary through the Misra-Gries sketch: per-
     // partition ≤200-counter summaries, merge, broadcast the candidates,
     // exact recount — no full-vocabulary shuffle anywhere; the oracle is
@@ -4413,6 +4422,35 @@ object Queries {
         |  string_agg(s, ' ' ORDER BY pos) AS chunk_text,
         |  CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM rec GROUP BY doc_id, chunk ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // overlap variant: the SAME recursion finds the boundaries; chunk j's
+    // range extends one sentence back (clamped), then text/tokens
+    // re-aggregate over the range
+    "sentence_chunks_overlap" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  list_filter(list_transform(
+        |    string_split(regexp_replace(replace(trim(text || ' Tail one. Tail two! Tail three?'), chr(1), ''),
+        |      '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+        |    s -> trim(s)), s -> s <> '') AS ss FROM documents),
+        |sn AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ss)),
+        |  i -> struct_pack(pos := i, s := ss[i]))) AS u FROM t),
+        |s2 AS (SELECT doc_id, u.pos AS pos, u.s AS s,
+        |  len(list_filter(regexp_split_to_array(u.s, '\s+'), x -> x <> '')) AS n FROM sn),
+        |rec AS (
+        |  SELECT doc_id, pos, s, n, n AS cur, 0 AS chunk FROM s2 WHERE pos = 1
+        |  UNION ALL
+        |  SELECT s2.doc_id, s2.pos, s2.s, s2.n,
+        |    CASE WHEN rec.cur + s2.n > 12 THEN s2.n ELSE rec.cur + s2.n END,
+        |    CASE WHEN rec.cur + s2.n > 12 THEN rec.chunk + 1 ELSE rec.chunk END
+        |  FROM rec JOIN s2 ON s2.doc_id = rec.doc_id AND s2.pos = rec.pos + 1),
+        |b AS (SELECT doc_id, chunk, min(pos) AS sp FROM rec GROUP BY doc_id, chunk),
+        |b2 AS (SELECT doc_id, chunk, greatest(sp - 1, 1) AS f,
+        |  coalesce(lead(sp) OVER (PARTITION BY doc_id ORDER BY chunk), 1000000000) - 1 AS l FROM b)
+        |SELECT b2.doc_id, CAST(b2.chunk AS BIGINT) AS chunk_id,
+        |  string_agg(s2.s, ' ' ORDER BY s2.pos) AS chunk_text,
+        |  CAST(sum(s2.n) AS BIGINT) AS n_tokens
+        |FROM b2 JOIN s2 ON s2.doc_id = b2.doc_id AND s2.pos BETWEEN b2.f AND b2.l
+        |GROUP BY b2.doc_id, b2.chunk ORDER BY b2.doc_id, chunk_id""".stripMargin,
 
     // urlHosts: the same extract-all + trailing-strip + host-group chain
     "url_hosts" ->

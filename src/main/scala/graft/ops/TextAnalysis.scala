@@ -799,35 +799,57 @@ object TextAnalysis {
     * than being cut. Distinct from [[Curation.chunk]] (fixed token
     * windows, mid-sentence cuts) and the packers (cross-document).
     *
-    * One per-row `aggregate` fold over the sentence array builds the
-    * chunk list inside codegen'd expression eval — zero shuffle at any
-    * corpus size; the oracle replays the same greedy fold as a
+    * `overlapSentences` prepends that many TRAILING sentences of the
+    * previous chunk to each chunk AFTER the boundaries are computed
+    * (boundary-then-extend: boundaries are identical to overlap = 0, the
+    * overlap is pure added context and does not count against the budget
+    * — documented semantics, chosen because they keep chunk boundaries
+    * stable as the overlap knob turns and restate in SQL without a
+    * second recursion).
+    *
+    * One per-row `aggregate` fold over the sentence array finds the
+    * chunk-start indices inside codegen'd expression eval — zero shuffle
+    * at any corpus size; the oracle replays the same greedy fold as a
     * per-document recursive CTE. Output: (id, chunk_id dense from 0,
     * chunk_text, n_tokens).
     */
   def sentenceChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
-                     textCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame = {
+                     textCol: String, maxTokens: Int,
+                     overlapSentences: Int = 0): org.apache.spark.sql.DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlapSentences >= 0 && overlapSentences <= 8,
+      s"overlapSentences must be in [0, 8], got $overlapSentences")
     val sep = "\u0001"
     val marked = regexp_replace(
       replace(trim(col(textCol)), lit(sep), lit("")), "([.!?])\\s+", "$1" + sep)
     val sents = filter(transform(split(marked, sep), s => trim(s)), s => s =!= "")
-    val chunks = aggregate(
-      sents,
-      struct(lit(0).as("cur"),
-        array().cast("array<array<string>>").as("chunks")),
-      (acc, s) => {
-        val n = size(split(s, "\\s+"))
+    // greedy boundary fold: 1-based chunk-start indices
+    // NB: sequence(1, 0) is DESCENDING — guard the empty-document case
+    val starts = aggregate(
+      when(size(sents) === 0,
+        array().cast("array<struct<i:int,s:string>>")).otherwise(
+        transform(sequence(lit(1), size(sents)),
+          i => struct(i.as("i"), element_at(sents, i).as("s")))),
+      struct(lit(0).as("cur"), array().cast("array<int>").as("starts")),
+      (acc, e) => {
+        val n = size(split(e.getField("s"), "\\s+"))
         val cur = acc.getField("cur")
-        val cs = acc.getField("chunks")
-        val needNew = size(cs) === 0 || (cur + n) > maxTokens
+        val st = acc.getField("starts")
+        val needNew = size(st) === 0 || (cur + n) > maxTokens
         struct(
           when(needNew, n).otherwise(cur + n).as("cur"),
-          when(needNew, concat(cs, array(array(s))))
-            .otherwise(concat(slice(cs, lit(1), size(cs) - 1),
-              array(concat(element_at(cs, -1), array(s))))).as("chunks"))
+          when(needNew, concat(st, array(e.getField("i")))).otherwise(st).as("starts"))
       },
-      acc => transform(acc.getField("chunks"), c => array_join(c, " ")))
+      acc => acc.getField("starts"))
+    // chunk j spans [max(1, start_j - overlap), start_{j+1} - 1 (or n)]
+    val chunks = when(size(sents) === 0, array().cast("array<string>")).otherwise(
+      zip_with(
+        starts,
+        concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+          array(size(sents) + 1)),
+        (from, next) => array_join(
+          slice(sents, greatest(from - overlapSentences, lit(1)),
+            next - greatest(from - overlapSentences, lit(1))), " ")))
     df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
       .withColumn("chunk_id", col("chunk_id").cast("long"))
       .withColumn("n_tokens", size(split(col("chunk_text"), "\\s+")).cast("long"))

@@ -1147,6 +1147,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // never split mid-sentence
     assert(got(3L) == Seq(("This sentence has seven whole words inside.", 7L),
       ("Tiny.", 1L)))
+    // overlap is boundary-then-extend: boundaries identical to overlap=0,
+    // each later chunk gains the previous chunk's trailing sentence
+    val ov = TextAnalysis.sentenceChunks(d, "id", "text", maxTokens = 5, overlapSentences = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toSeq).toMap
+    assert(ov(1L) == Seq(("One two three. Four five.", 5L),
+      ("Four five. Six seven eight nine. Ten.", 7L)))
+    assert(ov(2L) == Seq(("Single", 1L)))
+    // empty / whitespace-only docs produce zero chunks, not a crash
+    val empty = TextAnalysis.sentenceChunks(
+      Seq((9L, ""), (10L, "   ")).toDF("id", "text"), "id", "text", 5)
+    assert(empty.count() == 0)
   }
 
   test("urlHosts: boundary class, trailing punctuation strip, host-only lowercase") {
