@@ -4505,15 +4505,20 @@ object Queries {
         |FROM documents GROUP BY lang, source""".stripMargin,
 
     // the whole pipeline on raw window strings: 20-token windows, corpus
-    // occurrence counts, per-doc gaps-and-islands merge of shared starts
+    // occurrence counts, per-doc COVERAGE-island merge of shared starts
+    // (a start within L of the previous continues the island — overlap
+    // or touch — so emitted spans are disjoint maximal covered runs)
     "exact_substr_spans" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
          |g AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+19], ' ') AS gram
          |  FROM t, UNNEST(generate_series(1, len(tk) - 19)) AS u(i) WHERE len(tk) >= 20),
          |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
          |s AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
-         |r AS (SELECT doc_id, pos,
-         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s)
+         |r0 AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+         |       THEN 0 ELSE 1 END AS nw FROM s),
+         |r AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS UNBOUNDED PRECEDING) AS grp FROM r0)
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
          |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS len
          |FROM r GROUP BY doc_id, grp ORDER BY doc_id, start""".stripMargin,
@@ -4527,8 +4532,11 @@ object Queries {
          |  FROM t, UNNEST(generate_series(1, len(tk) - 19)) AS u(i) WHERE len(tk) >= 20),
          |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
          |s AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
-         |r AS (SELECT doc_id, pos,
-         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s),
+         |r0 AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+         |       THEN 0 ELSE 1 END AS nw FROM s),
+         |r AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS UNBOUNDED PRECEDING) AS grp FROM r0),
          |sp AS (SELECT doc_id, min(pos) AS sstart, max(pos) - min(pos) + 20 AS slen
          |  FROM r GROUP BY doc_id, grp),
          |tok AS (SELECT doc_id, i AS pos, tk[i] AS tok

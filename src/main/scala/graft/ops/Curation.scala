@@ -491,8 +491,11 @@ object Curation {
       .where(col("_rank") >= col("rank_base") &&
         col("_rank") < col("rank_base") + col("n_slots") * col("occurrences"))
       .select(col(idCol), col("n_tokens"),
+        // exact integral division: Column `/` on longs detours through
+        // IEEE double, which can truncate to the wrong pack near 2^53 and
+        // silently diverges from the oracle's integral `//`
         (col("pack_base") +
-          ((col("_rank") - col("rank_base")) / col("n_slots")).cast("long")).as("pack_id"),
+          graft.functions.long_div(col("_rank") - col("rank_base"), col("n_slots"))).as("pack_id"),
         (col("slot_base") + pmod(col("_rank") - col("rank_base"), col("n_slots"))).as("slot"))
   }
 
@@ -616,9 +619,17 @@ object Curation {
                       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.size <= 10000,
       s"blocklistFilter: terms must be in [1, 10000], got ${terms.size}")
-    val cleaned = terms.map(t => t.trim.toLowerCase.split("\\s+").toSeq)
-    require(cleaned.forall(ws => ws.nonEmpty && ws.forall(_.nonEmpty)),
-      "blocklistFilter: each term must be a non-empty word or phrase (token-grain match)")
+    // normalize each entry with the SAME chain as the document side
+    // ([[cleanTokens]]: printable-ASCII strip, THEN lowercase — order
+    // matters for chars like U+212A that lowercase INTO ASCII — then
+    // space-split). An entry a document token stream can never produce
+    // (all chars non-printable-ASCII) is rejected rather than silently
+    // dead.
+    val cleaned = terms.map(t =>
+      t.replaceAll("[^ -~]", "").toLowerCase.trim.split(" +").toSeq.filter(_.nonEmpty))
+    require(cleaned.forall(_.nonEmpty),
+      "blocklistFilter: each term must contain at least one printable-ASCII word " +
+        "(entries are matched at the cleaned-token grain and would otherwise never hit)")
     require(cleaned.forall(_.size <= 8),
       "blocklistFilter: phrases longer than 8 words are unsupported")
     val toks = cleanTokens(col(textCol))

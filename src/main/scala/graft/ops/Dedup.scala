@@ -913,26 +913,36 @@ object Dedup {
     *   union of duplicated ≥L substrings = union of duplicated L-windows,
     *
     * and the right-hand side is LINEAR: window fingerprints → corpus
-    * occurrence counts → per-document gaps-and-islands merge of the
+    * occurrence counts → per-document interval-union merge of the
     * shared window starts. Two L-windows duplicated against DIFFERENT
     * partners chain into one emitted span — correct under union
     * semantics (every position in the span is inside some duplicated
     * substring), though the merged span need not occur verbatim anywhere
     * else; consumers cutting spans get exactly Lee et al.'s deletions.
     *
+    * The island rule is COVERAGE-based, not start-adjacency-based: a
+    * shared start within `minTokens` of the previous one continues the
+    * island (its covered range [p, p+L−1] overlaps or touches the
+    * running range), so the emitted spans are pairwise DISJOINT and
+    * non-adjacent — each is a maximal contiguous run of covered tokens.
+    * (A start-consecutive rule would emit two OVERLAPPING rows for
+    * starts at distance 2..L−1, double-counting `len` for any consumer
+    * summing removal volume.)
+    *
     * Plan ([[repeatedSpans]]' exchange discipline): one posexplode scan
     * projects each window to its 128-bit fingerprint (two xxhash64
     * lanes; the window TEXT dies in the mapper — both exchanges move
     * 16-byte keys), a map-side-combined count rollup keeps fingerprints
     * with ≥2 occurrences (output-sized, AQE broadcasts it back), and the
-    * island merge `grp = pos − row_number()` runs per document — window
-    * state bounded by doc length, never corpus size. No pair space, no
-    * all-pairs join: cost is linear in corpus tokens at any scale. A
-    * lane collision (< 2⁻⁸⁰ at 10¹² windows) could mark a unique window
-    * shared — the same accepted budget as [[minhashLshRun]].
+    * island merge (lag-gap flag + running sum) runs per document —
+    * window state bounded by doc length, never corpus size. No pair
+    * space, no all-pairs join: cost is linear in corpus tokens at any
+    * scale. A lane collision (< 2⁻⁸⁰ at 10¹² windows) could mark a
+    * unique window shared — the same accepted budget as
+    * [[minhashLshRun]].
     *
     * Output: (id, start (1-based token index), len (tokens)), one row
-    * per maximal span, len ≥ minTokens.
+    * per maximal covered span, len ≥ minTokens, spans disjoint.
     */
   def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
                        minTokens: Int): DataFrame = {
@@ -953,7 +963,15 @@ object Dedup {
     val shared = grams.join(dups.select("h1", "h2"), Seq("h1", "h2"), "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
-    shared.withColumn("grp", col("pos") - row_number().over(w))
+    // coverage islands: start p extends the island iff p - prev <= L
+    // (ranges [prev, prev+L-1] and [p, p+L-1] overlap or touch); the
+    // first row's NULL lag falls through to the ELSE 1 on both engines
+    shared
+      .withColumn("_new", when(col("pos") - lag(col("pos"), 1).over(w) <= minTokens,
+        lit(0L)).otherwise(lit(1L)))
+      .withColumn("grp", sum(col("_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
       .groupBy(col("id"), col("grp"))
       .agg(min(col("pos")).as("start"),
         (max(col("pos")) - min(col("pos")) + minTokens).as("len"))

@@ -387,11 +387,19 @@ object GraftTableFunctions {
   }
 
   /** `near_dup_pairs(tbl, idCol, textCol, threshold)` → (a, b, jaccard):
-    * the MinHash-LSH exact-Jaccard dedup pipeline
-    * ([[graft.ops.Dedup.ngramJaccard]]) as a SQL table function —
+    * the MinHash-LSH near-dup pipeline ([[graft.ops.Dedup.minhashLshRun]],
+    * 128 hashes / 16 bands / char-3 shingles) as a SQL table function —
     * BEYOND-REFERENCE surface: the reference's TVFs cover vector scans
     * only, while a pipeline user writes `CREATE TABLE dups AS SELECT *
-    * FROM near_dup_pairs('docs','doc_id','text', 0.9)`. The builder
+    * FROM near_dup_pairs('docs','doc_id','text', 0.9)`. Precision is
+    * exact (every emitted pair's jaccard is verified against the true
+    * shingle sets before the threshold cut) but candidate RECALL is
+    * probabilistic: LSH banding can miss true pairs near the threshold
+    * (at 128/16, a pair at jaccard exactly 0.8 is surfaced with
+    * probability ~0.95) — the scale trade that keeps the pair space
+    * bucket-bounded instead of quadratic. Callers needing exhaustive
+    * recall on small corpora should use the all-candidate
+    * [[graft.ops.Dedup.ngramJaccard]] from the Scala API. The builder
     * expands the registered table through the full DataFrame pipeline
     * and returns its analyzed logical plan (the same Catalyst tree the
     * Scala API produces — no second implementation to drift).

@@ -1655,6 +1655,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "gap1 gap2", 8L)))
   }
 
+  test("exactSubstrSpans: non-consecutive shared starts within L emit ONE disjoint span") {
+    // L=4. doc5: "x y x y" recurs at starts 1 and 3 (distance 2, the
+    // 2..L-1 window a start-consecutive island rule turns into two
+    // OVERLAPPING rows); the in-between window "y x y x" is unique. One
+    // merged span [1, 6] must come out, and summed len must equal the
+    // union coverage. doc6: starts at 1 and 5 (distance exactly L) —
+    // covered ranges touch, so one contiguous span of len 8.
+    val docs = Seq(
+      (5L, "x y x y x y z1 z2"),
+      (6L, "m n o p m n o p tailz")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", minTokens = 4)
+    val got = spans.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 1L, 6L), (6L, 1L, 8L)))
+    // spans per doc are pairwise disjoint (the contract consumers
+    // summing len rely on): here trivially, exactly one span per doc
+    val perDoc = spans.collect().groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.length == 1))
+    val cleaned = Dedup.applyRemovalSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(cleaned == Set((5L, "z1 z2", 6L), (6L, "tailz", 8L)))
+  }
+
   test("charEntropy: 0 for empty/uniform, 1 bit for a fair binary alphabet, matches driver calc") {
     val d = Seq((1L, ""), (2L, "aaaa"), (3L, "abab"), (4L, "abcd"), (5L, "hello world"))
       .toDF("doc_id", "text")
