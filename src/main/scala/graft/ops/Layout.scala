@@ -76,6 +76,7 @@ object Layout {
     */
   def readWithTombstones(spark: SparkSession, storePath: String,
                          tombstonePath: String, idCol: String): DataFrame = {
+    StoreSwap.recover(spark, storePath, storePath + "_compacting")
     val store = spark.read.parquet(storePath)
     val fs = new org.apache.hadoop.fs.Path(tombstonePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -108,6 +109,7 @@ object Layout {
   def readWithUpserts(spark: SparkSession, storePath: String,
                       upsertPath: String, idCol: String,
                       asOfWave: Option[Long] = None): DataFrame = {
+    StoreSwap.recover(spark, storePath, storePath + "_compacting")
     val store = spark.read.parquet(storePath)
     val fs = new org.apache.hadoop.fs.Path(upsertPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -128,6 +130,13 @@ object Layout {
     * latest-wins applied, drop the sidecar) — [[compactTombstones]]' twin;
     * note compaction FORFEITS time travel for the folded waves, so run it
     * when the history window ages out, not eagerly.
+    *
+    * Durability: the swap goes through [[StoreSwap.commit]] (rename old
+    * aside, rename staged in, delete old) — a crash at any point leaves a
+    * complete store recoverable by name, and the read paths' recovery
+    * probe finishes an interrupted swap. A crash between the swap and the
+    * sidecar delete merely reapplies the folded waves on read, which
+    * latest-wins makes idempotent (same rows win again).
     */
   def compactUpserts(spark: SparkSession, storePath: String,
                      upsertPath: String, idCol: String): Unit = {
@@ -136,8 +145,8 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(storePath))
+    StoreSwap.commit(fs, new org.apache.hadoop.fs.Path(storePath),
+      new org.apache.hadoop.fs.Path(tmp))
     fs.delete(new org.apache.hadoop.fs.Path(upsertPath), true)
   }
 
@@ -146,6 +155,11 @@ object Layout {
     * same cadence as any store compaction, after which reads pay zero
     * anti-join. The rewrite is the one full-corpus pass the sidecar
     * design defers and batches.
+    *
+    * Durability: [[StoreSwap.commit]], same contract as
+    * [[compactUpserts]]; a crash between swap and sidecar delete
+    * reapplies the folded delete set on read — idempotent (the rows are
+    * already gone).
     */
   def compactTombstones(spark: SparkSession, storePath: String,
                         tombstonePath: String, idCol: String): Unit = {
@@ -154,8 +168,8 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(storePath))
+    StoreSwap.commit(fs, new org.apache.hadoop.fs.Path(storePath),
+      new org.apache.hadoop.fs.Path(tmp))
     fs.delete(new org.apache.hadoop.fs.Path(tombstonePath), true)
   }
 

@@ -176,30 +176,46 @@ object Quantizer {
     * `max_memory/(8+dim)` sizing as [[quantize]]) and swap directories.
     * Codes and params are untouched — this is purely a small-files fix
     * (each append wave adds its own files; a thousand waves would
-    * otherwise make every scan pay a thousand-file listing). The swap is
-    * delete-then-rename, not atomic — run it in the same maintenance
-    * window as the reference's rebuild transaction; a crash between the
-    * two steps loses only the directory, which the `.compact` copy fully
-    * restores.
+    * otherwise make every scan pay a thousand-file listing). The swap
+    * matches the reference's BEGIN/COMMIT-atomic rebuild
+    * (sqlite-vector.c:1418-1453): the staged copy is made COMPLETE first
+    * (codes + `_vector_meta.json` sidecar written INTO the staging dir),
+    * then promoted via [[StoreSwap.commit]] — a crash at any point leaves
+    * a complete store recoverable by name ([[readStore]] runs the
+    * recovery probe).
     *
     * Returns the store's row count.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, quantPath: String,
               maxMemory: Long = 30L * 1024 * 1024, dim: Int = -1): Long = {
-    val p = VectorCatalog.readSidecar(s"$quantPath/_vector_meta.json")
     val tmpPath = quantPath + ".compact"
+    StoreSwap.recover(spark, quantPath, tmpPath)
+    val p = VectorCatalog.readSidecar(s"$quantPath/_vector_meta.json")
     val writer = spark.read.parquet(quantPath)
       .repartition(math.max(1, spark.sparkContext.defaultParallelism))
       .write.mode(SaveMode.Overwrite)
     val sized = if (dim > 0) writer.option("maxRecordsPerFile", math.max(1L, maxMemory / (8L + dim)))
                 else writer
     sized.parquet(tmpPath)
+    // the sidecar joins the staged dir BEFORE any rename, so the promoted
+    // store carries it atomically with the codes (the old post-swap write
+    // had a window where a crash left a store with no params)
+    VectorCatalog.writeSidecar(s"$tmpPath/_vector_meta.json", p)
     val hp = new org.apache.hadoop.fs.Path(quantPath)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(hp, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), hp)
-    VectorCatalog.writeSidecar(s"$quantPath/_vector_meta.json", p)
+    StoreSwap.commit(fs, hp, new org.apache.hadoop.fs.Path(tmpPath))
     p.rows
+  }
+
+  /** Open a quant store for scanning, resolving any crash window an
+    * interrupted [[compact]] swap left behind first (idempotent, a few
+    * filesystem probes). Readers that go straight to
+    * `spark.read.parquet(quantPath)` skip only the recovery, not
+    * correctness — a completed swap is indistinguishable.
+    */
+  def readStore(spark: org.apache.spark.sql.SparkSession, quantPath: String): DataFrame = {
+    StoreSwap.recover(spark, quantPath, quantPath + ".compact")
+    spark.read.parquet(quantPath)
   }
 
   /** Q3: quantize the probe vector with the stored params

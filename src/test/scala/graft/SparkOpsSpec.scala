@@ -2239,6 +2239,55 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == latest)
   }
 
+  test("StoreSwap: a reader sees one complete store at EVERY compaction crash point") {
+    import graft.ops.{Layout, StoreSwap}
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("swapcrash").toString
+    val store = new Path(base + "/store"); val tmp = new Path(base + "/store_compacting")
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    def writeStore(tag: String, path: String): Unit =
+      (0L until 10L).map(i => (i, tag)).toDF("id", "v").write.mode("overwrite").parquet(path)
+    def readTags() = Layout.readWithUpserts(spark, store.toString, base + "/no_ups", "id")
+      .collect().map(_.getString(1)).toSet
+
+    // crash point 1: staged copy fully written, neither rename ran →
+    // reader sees the OLD store; the leftover staging dir is swept
+    writeStore("old", store.toString); writeStore("new", tmp.toString)
+    assert(readTags() == Set("old") && !fs.exists(tmp))
+
+    // crash point 2: between the renames (store stepped aside, staged not
+    // yet promoted — the window the delete-then-rename design LOST the
+    // store in) → recovery rolls FORWARD to the complete staged copy
+    writeStore("new", tmp.toString)
+    assert(fs.rename(store, StoreSwap.oldPath(store)))
+    assert(!fs.exists(store))
+    assert(readTags() == Set("new"))
+    assert(!fs.exists(StoreSwap.oldPath(store)) && !fs.exists(tmp))
+
+    // crash point 3: staged promoted, old not yet deleted → reader sees
+    // the new store; the old copy is garbage-collected
+    writeStore("old2", StoreSwap.oldPath(store).toString)
+    assert(readTags() == Set("new") && !fs.exists(StoreSwap.oldPath(store)))
+
+    // crash DURING the stage write (no _SUCCESS marker) with the store
+    // stepped aside: recovery must roll BACK, never promote a partial
+    writeStore("new2", tmp.toString)
+    fs.delete(new Path(tmp, "_SUCCESS"), false)
+    assert(fs.rename(store, StoreSwap.oldPath(store)))
+    assert(readTags() == Set("new")) // the rolled-back previous store
+    assert(!fs.exists(tmp) && !fs.exists(StoreSwap.oldPath(store)))
+
+    // recover is idempotent on a healthy store
+    assert(!StoreSwap.recover(fs, store, tmp))
+
+    // and the full un-crashed cycle still round-trips end-to-end
+    Layout.appendUpserts(Seq((3L, "up")).toDF("id", "v"), base + "/ups", 1)
+    Layout.compactUpserts(spark, store.toString, base + "/ups", "id")
+    val m = spark.read.parquet(store.toString)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(3L) == "up" && m.size == 10 && !fs.exists(StoreSwap.oldPath(store)))
+  }
+
   test("freq_items_sketch honors the Misra-Gries n/(k+1) guarantee under eviction + merge") {
     // 5000 noise tokens (vocab 2000 >> k=50) + three heavy hitters
     val rnd = new scala.util.Random(7)
