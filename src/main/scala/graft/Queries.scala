@@ -2046,6 +2046,24 @@ object Queries {
           lit("</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>")))
           .as("clean"))),
 
+    // main-content extraction over a full boilerplate gauntlet: nav +
+    // cookie-banner div + link-farm "Related:" row + share aside + footer
+    // all planted around the document text and one legit prose div; only
+    // the article text and the prose div must survive (word-count x
+    // link-density block rule, semantic/attr-blocklist element drops)
+    "extract_main_content" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.extractMainContent(concat(
+          lit("<html><head><title>T</title></head><body>"),
+          lit("<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About us</a></li></ul></nav>"),
+          lit("<div class=\"cookie-banner\">This site uses cookies to improve your browsing experience on every visit. <a href=\"#\">Accept all</a></div>"),
+          lit("<article><p>"), col("text"), lit("</p>"),
+          lit("<p>Related: <a href=\"/a\">read this other very long article right now</a> <a href=\"/b\">and then this one too</a></p></article>"),
+          lit("<div>He said that the project <a href=\"/x\">summary</a> would ship before the deadline and everyone there agreed.</div>"),
+          lit("<aside>Share on <a>Twitter</a> and <a>Facebook</a></aside>"),
+          lit("<footer>Copyright 2026 Example Corp. All rights reserved. <a href=\"/privacy\">Privacy</a></footer></body></html>")))
+          .as("main_text"))),
+
     // URL + host extraction over deterministically injected links (the
     // corpus is plain text): two URLs per doc — one ending at whitespace
     // with mixed-case host and path, one parenthesized with trailing
@@ -4397,6 +4415,56 @@ object Queries {
          |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
          |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS h FROM s4)
          |SELECT doc_id, trim(regexp_replace(h, '\\s+', ' ', 'g')) AS clean FROM s5""".stripMargin
+    },
+
+    // extractMainContent: the identical rule chain replayed — semantic +
+    // attr-blocklisted element drops, block split at block-tag boundaries,
+    // per-block clean, word-count x link-density filter, ordered join
+    "extract_main_content" -> {
+      def clean(x: String): String =
+        "trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(" +
+          s"regexp_replace($x, '(?s)<[A-Za-z!/][^>]*>', ' ', 'g'), " +
+          "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+          "'&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'), '\\s+', ' ', 'g'))"
+      val fixture = """'<html><head><title>T</title></head><body>' ||
+        |  '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About us</a></li></ul></nav>' ||
+        |  '<div class="cookie-banner">This site uses cookies to improve your browsing experience on every visit. <a href="#">Accept all</a></div>' ||
+        |  '<article><p>' || text || '</p>' ||
+        |  '<p>Related: <a href="/a">read this other very long article right now</a> <a href="/b">and then this one too</a></p></article>' ||
+        |  '<div>He said that the project <a href="/x">summary</a> would ship before the deadline and everyone there agreed.</div>' ||
+        |  '<aside>Share on <a>Twitter</a> and <a>Facebook</a></aside>' ||
+        |  '<footer>Copyright 2026 Example Corp. All rights reserved. <a href="/privacy">Privacy</a></footer></body></html>'""".stripMargin
+      val blockTags = "p|div|section|article|main|ul|ol|li|table|thead|tbody|tr|td|th" +
+        "|h1|h2|h3|h4|h5|h6|blockquote|pre|br|hr"
+      val attrWords = "(cookie|consent|banner|breadcrumb|sidebar|menu|social)"
+      s"""WITH h AS (SELECT doc_id, $fixture AS h FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(replace(h, chr(1), ''),
+         |  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |  '(?s)<!--.*?-->', ' ', 'g') AS h FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+         |  '(?is)<nav(\\s[^>]*)?>.*?</nav\\s*>', ' ', 'g'),
+         |  '(?is)<footer(\\s[^>]*)?>.*?</footer\\s*>', ' ', 'g'),
+         |  '(?is)<aside(\\s[^>]*)?>.*?</aside\\s*>', ' ', 'g'),
+         |  '(?is)<header(\\s[^>]*)?>.*?</header\\s*>', ' ', 'g'),
+         |  '(?is)<head(\\s[^>]*)?>.*?</head\\s*>', ' ', 'g'),
+         |  '(?is)<form(\\s[^>]*)?>.*?</form\\s*>', ' ', 'g') AS h FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(h,
+         |  '(?is)<div\\s[^>]*$attrWords[^>]*>.*?</div\\s*>', ' ', 'g'),
+         |  '(?is)<section\\s[^>]*$attrWords[^>]*>.*?</section\\s*>', ' ', 'g'),
+         |  '(?is)<ul\\s[^>]*$attrWords[^>]*>.*?</ul\\s*>', ' ', 'g') AS h FROM s2),
+         |s4 AS (SELECT doc_id, string_split(
+         |  regexp_replace(h, '(?is)</?($blockTags)(\\s[^>]*)?>', chr(1), 'g'), chr(1)) AS bl FROM s3),
+         |s5 AS (SELECT doc_id, list_transform(bl, b -> {
+         |  'txt': ${clean("b")},
+         |  'link_len': coalesce(list_aggregate(list_transform(
+         |    regexp_extract_all(b, '(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 2),
+         |    a -> len(${clean("a")})), 'sum'), 0)}) AS st FROM s4)
+         |SELECT doc_id, array_to_string(list_transform(list_filter(st,
+         |  s -> (CASE WHEN struct_extract(s, 'txt') = '' THEN 0
+         |        ELSE len(string_split(struct_extract(s, 'txt'), ' ')) END) >= 5
+         |    AND struct_extract(s, 'link_len') <= 0.5 * len(struct_extract(s, 'txt'))),
+         |  s -> struct_extract(s, 'txt')), ' ') AS main_text FROM s5""".stripMargin
     },
 
     // sentenceChunks: the same sentence list, the greedy fold replayed as

@@ -790,6 +790,96 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Entity-decode + inline-tag-strip + whitespace-collapse for ONE block
+    * of markup — [[stripHtml]]'s steps 3–5 as a reusable sub-expression
+    * (shared by the per-block and per-anchor passes of
+    * [[extractMainContent]]).
+    */
+  private def cleanFragment(x: Column): Column = {
+    val noTags = regexp_replace(x, "(?s)<[A-Za-z!/][^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** HTML MAIN-CONTENT extraction (boilerplate removal) — the biggest
+    * text-quality lever in a crawl-to-corpus pipeline, and the step
+    * [[stripHtml]] deliberately does not take: markup removal keeps nav
+    * bars, cookie banners, sidebars and footers as prose, which then
+    * pollute every downstream quality / dedup / LM-score pass. This is
+    * the rule-based core of what trafilatura / jusText / Boilerpipe do,
+    * restated as a deterministic, RE2-restatable block rule (no DOM, no
+    * classifier — the oracle replays it verbatim in any SQL engine):
+    *
+    *  1. `<script>`/`<style>`/comments drop with contents ([[stripHtml]]
+    *     steps 1–3);
+    *  2. SEMANTIC boilerplate elements drop whole —
+    *     `<nav> <footer> <aside> <header> <head> <form>` with contents
+    *     (non-greedy to the matching close tag; `<head…` patterns require
+    *     a space-or-`>` after the name so `<head>` never eats `<header>`);
+    *  3. ATTRIBUTE-blocklisted containers drop whole — a `<div>`,
+    *     `<section>` or `<ul>` whose open tag carries one of
+    *     `cookie|consent|banner|breadcrumb|sidebar|menu|social` in any
+    *     attribute (the class/id convention every cookie-consent and
+    *     share widget follows). Expanded per tag name — RE2 has no
+    *     backreferences;
+    *  4. the remainder splits into BLOCKS at block-level tag boundaries
+    *     (`p div section article main ul ol li table … h1-h6 blockquote
+    *     pre br hr td th tr thead tbody`), each block cleans to visible
+    *     text ([[cleanFragment]]), and a block survives iff
+    *       words ≥ `minWords`  AND  anchor-text chars ≤ `maxLinkDensity`
+    *       × total chars
+    *     — the jusText/Boilerpipe word-count × link-density rule. Link
+    *     farms die twice over: each `<li><a>…</a></li>` item is its own
+    *     short block, and longer "Related:" rows exceed the density cap;
+    *  5. survivors join with single spaces in document order.
+    *
+    * Nested same-name elements degrade gracefully (non-greedy close
+    * matches the first close tag — a nested `<div>` inside a blocklisted
+    * `<div>` truncates the removal early, surfacing extra text rather
+    * than losing content). Zero shuffle: one per-row expression tree,
+    * whole-stage codegen, no UDF.
+    */
+  def extractMainContent(text: Column, minWords: Int = 5,
+                         maxLinkDensity: Double = 0.5): Column = {
+    require(minWords >= 1 && minWords <= 1000,
+      s"minWords must be in [1, 1000], got $minWords")
+    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      s"maxLinkDensity must be in [0, 1], got $maxLinkDensity")
+    val sep = ""
+    val noScript = regexp_replace(replace(text, lit(sep), lit("")),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noSemantic = Seq("nav", "footer", "aside", "header", "head", "form")
+      .foldLeft(noComment) { (c, t) =>
+        regexp_replace(c, s"(?is)<$t(\\s[^>]*)?>.*?</$t\\s*>", " ")
+      }
+    val attrWords = "(cookie|consent|banner|breadcrumb|sidebar|menu|social)"
+    val noBlocklisted = Seq("div", "section", "ul")
+      .foldLeft(noSemantic) { (c, t) =>
+        regexp_replace(c, s"(?is)<$t\\s[^>]*$attrWords[^>]*>.*?</$t\\s*>", " ")
+      }
+    val blockTags = "p|div|section|article|main|ul|ol|li|table|thead|tbody|tr|td|th" +
+      "|h1|h2|h3|h4|h5|h6|blockquote|pre|br|hr"
+    val marked = regexp_replace(noBlocklisted, s"(?is)</?($blockTags)(\\s[^>]*)?>", sep)
+    val scored = transform(split(marked, sep), b =>
+      struct(
+        cleanFragment(b).as("txt"),
+        coalesce(aggregate(
+          regexp_extract_all(b, lit("(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>"), lit(2)),
+          lit(0), (acc, a) => acc + length(cleanFragment(a))), lit(0)).as("link_len")))
+    val kept = filter(scored, s => {
+      val txt = s.getField("txt")
+      val words = when(txt === "", lit(0)).otherwise(size(split(txt, " ")))
+      words >= minWords &&
+        s.getField("link_len").cast("double") <= lit(maxLinkDensity) * length(txt)
+    })
+    array_join(transform(kept, s => s.getField("txt")), " ")
+  }
+
   /** Sentence-ALIGNED context chunking — the RAG/embedding chunker: split
     * into sentences ([[splitSentences]]' rule), then greedily accumulate
     * whole sentences into chunks of at most `maxTokens` whitespace

@@ -2239,6 +2239,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == latest)
   }
 
+  test("extractMainContent: boilerplate drops, prose survives the word x link-density rule") {
+    import graft.ops.TextAnalysis
+    val html =
+      "<html><head><title>T</title></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+        "<div id=\"cookie-consent\">We use cookies on this site always. <a href=\"#\">Accept</a></div>" +
+        "<p>one two three four</p>" + // 4 words < minWords=5 -> drops
+        "<p>one two three four five</p>" + // exactly 5 -> keeps
+        "<p>The quick brown fox jumps over the lazy dog near &amp; far.</p>" + // entity decodes
+        "<p>More: <a>a very long anchor text that dominates this block</a> end</p>" + // density -> drops
+        "<p>He linked <a>once</a> inside a paragraph that is mostly prose text.</p>" + // keeps
+        "<header>Site brand tagline repeated on every page</header>" + // <header> dies on ITS OWN pattern
+        "<footer>Copyright 2026 Example Corp all rights reserved</footer></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.extractMainContent(col("h")).as("m")).head().getString(0)
+    assert(out == "one two three four five " +
+      "The quick brown fox jumps over the lazy dog near & far. " +
+      "He linked once inside a paragraph that is mostly prose text.")
+    // <head...> patterns must not eat an <h1> headline or a word like "heading"
+    val h1 = "<body><h1>Primary heading words stay visible here</h1></body>"
+    val got = Seq(h1).toDF("h")
+      .select(TextAnalysis.extractMainContent(col("h"), minWords = 3).as("m")).head().getString(0)
+    assert(got == "Primary heading words stay visible here")
+    // malformed markup degrades, never errors: unterminated div keeps its text
+    val bad = "<div class=\"x\">An unterminated container with plenty of words inside it"
+    val g2 = Seq(bad).toDF("h")
+      .select(TextAnalysis.extractMainContent(col("h")).as("m")).head().getString(0)
+    assert(g2 == "An unterminated container with plenty of words inside it")
+  }
+
   test("StoreSwap: a reader sees one complete store at EVERY compaction crash point") {
     import graft.ops.{Layout, StoreSwap}
     import org.apache.hadoop.fs.Path
