@@ -286,6 +286,83 @@ object Queries {
     "WITH " + ctes.mkString(",\n")
   }
 
+  /** Full independent unigram-LM replay ([[graft.ops.Unigram]]): candidate
+    * init + `rounds` unrolled hard-EM rounds, plus (for the encode gate)
+    * one final Viterbi pass, in pure SQL. The per-word Viterbi DP is a
+    * recursive CTE carrying the packed-BIGINT cell list (the same
+    * `(score+OFF)·4096 + (63−k)·64 + (63−bp)` composite the Spark fold
+    * maximizes — the OFF term cancels in the transition algebra, leaving
+    * `(cells[s]//4096 + w)·4096 + ((cells[s]%4096)//64 − 1)·64 + (63−s)`),
+    * and the backtrack is a second recursion following the bp field. All
+    * comparisons are integer; the only double is `ln(count)` quantized to
+    * the q14 grid, on which DuckDB and the JVM agree bitwise (probed to
+    * 3e6).
+    */
+  private def unigramCtes(rounds: Int, m: Int, k: Int, withEncode: Boolean): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""uw AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(${cleanWsSql(cleanAcSql)}) AS w FROM documents) t
+       |  WHERE len(w) BETWEEN 1 AND 32 GROUP BY w)""".stripMargin
+    ctes += s"""us AS MATERIALIZED (SELECT substr(word, s, l) AS tok, CAST(sum(n) AS BIGINT) AS c
+       |  FROM uw, unnest(generate_series(1, len(word))) ts(s), unnest(generate_series(1, $m)) tl(l)
+       |  WHERE s + l - 1 <= len(word) GROUP BY 1)""".stripMargin
+    ctes += s"""uv0 AS MATERIALIZED (SELECT tok, c FROM us WHERE len(tok) = 1
+       |  UNION ALL SELECT tok, c FROM (
+       |    SELECT tok, c FROM us WHERE len(tok) > 1 ORDER BY c DESC, tok LIMIT $k) tk)""".stripMargin
+    val passes = if (withEncode) rounds + 1 else rounds
+    for (r <- 1 to passes) {
+      val prev = s"uv${r - 1}"
+      ctes += s"""ut$r AS MATERIALIZED (SELECT tok,
+         |  CAST(round(ln(CAST(c AS DOUBLE)) * 16384.0) AS BIGINT)
+         |    - (SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 16384.0) AS BIGINT) FROM $prev) AS w
+         |  FROM $prev)""".stripMargin
+      ctes += s"""ups$r AS MATERIALIZED (SELECT word, any_value(n) AS n, any_value(lw) AS lw,
+         |    list({'start': start, 'plen': plen, 'w': w}) AS ps FROM (
+         |  SELECT p.word, p.n, p.lw, p.start, p.plen, t.w FROM (
+         |    SELECT word, n, len(word) AS lw, s AS start, l AS plen, substr(word, s, l) AS piece
+         |    FROM uw, unnest(generate_series(1, len(word))) ts(s), unnest(generate_series(1, $m)) tl(l)
+         |    WHERE s + l - 1 <= len(word)) p
+         |  JOIN ut$r t ON p.piece = t.tok) j GROUP BY word)""".stripMargin
+      ctes += s"""udp$r AS (
+         |  SELECT word, n, ps, lw, 0 AS i, [CAST(409600004095 AS BIGINT)] AS cells FROM ups$r
+         |  UNION ALL
+         |  SELECT word, n, ps, lw, i + 1,
+         |    list_append(cells, list_aggregate(list_transform(
+         |      list_filter(ps, p -> p.start + p.plen = i + 2 AND cells[p.start] IS NOT NULL),
+         |      p -> (cells[p.start] // 4096 + p.w) * 4096
+         |           + ((cells[p.start] % 4096) // 64 - 1) * 64 + (63 - p.start)), 'max'))
+         |  FROM udp$r WHERE i < lw)""".stripMargin
+      ctes += s"""uwk$r AS (
+         |  SELECT word, n, cells, lw AS cur, CAST([] AS VARCHAR[]) AS ts
+         |  FROM udp$r WHERE i = lw AND cells[lw + 1] IS NOT NULL
+         |  UNION ALL
+         |  SELECT word, n, cells, CAST(63 - cells[cur + 1] % 64 AS INT) - 1 AS cur,
+         |    list_prepend(substr(word, CAST(63 - cells[cur + 1] % 64 AS INT),
+         |      cur - CAST(63 - cells[cur + 1] % 64 AS INT) + 1), ts)
+         |  FROM uwk$r WHERE cur > 0)""".stripMargin
+      ctes += s"useg$r AS MATERIALIZED (SELECT word, n, ts FROM uwk$r WHERE cur = 0)"
+      if (r <= rounds) {
+        ctes += s"""uu$r AS MATERIALIZED (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM (
+           |  SELECT n, unnest(ts) AS tok FROM useg$r) e GROUP BY tok)""".stripMargin
+        ctes += s"""uv$r AS MATERIALIZED (
+           |  SELECT v.tok, CAST(greatest(coalesce(u.c, 0), 1) AS BIGINT) AS c
+           |    FROM uv${r - 1} v LEFT JOIN uu$r u USING (tok) WHERE len(v.tok) = 1
+           |  UNION ALL SELECT tok, c FROM (
+           |    SELECT tok, c FROM uu$r WHERE len(tok) > 1 ORDER BY c DESC, tok LIMIT $k) tk)""".stripMargin
+      }
+    }
+    "WITH RECURSIVE " + ctes.mkString(",\n")
+  }
+
+  private def unigramVocabSql(rounds: Int, m: Int, k: Int): String =
+    unigramCtes(rounds, m, k, withEncode = false) +
+      s"\nSELECT tok, c AS cnt FROM uv$rounds ORDER BY cnt DESC, tok"
+
+  private def unigramEncodeSql(rounds: Int, m: Int, k: Int): String =
+    unigramCtes(rounds, m, k, withEncode = true) +
+      s"""\nSELECT word, n, array_to_string(ts, '|') AS pieces,
+         |  CAST(len(ts) AS BIGINT) AS n_pieces FROM useg${rounds + 1}""".stripMargin
+
   private def bpeSql(rounds: Int): String = {
     val out = (1 to rounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, c AS cnt FROM m$r")
@@ -1483,6 +1560,28 @@ object Queries {
       val ms = graft.ops.Bpe.learn(vocab, "word", "n", 6)
       import s.implicits._
       ms.map { case (r, a, b, c) => (r.toLong, a, b, c) }.toDF("round", "a", "b", "cnt")
+    }),
+
+    // unigram-LM (SentencePiece-style) tokenizer training: 2 hard-EM
+    // rounds over the corpus word vocabulary (pieces <= 4 chars, 40
+    // multi-char candidates kept per round); the oracle replays init +
+    // both rounds with the identical packed-integer Viterbi
+    "unigram_vocab" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(Curation.cleanTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      graft.ops.Unigram.learn(words, "word", "n", maxPieceLen = 4, topKeep = 40, rounds = 2)
+        .select(col("tok"), col("c").as("cnt"))
+    }),
+
+    // encode every trainable corpus word with the trained vocabulary —
+    // the full train-then-apply path; the oracle re-trains AND re-encodes
+    "unigram_encode" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(Curation.cleanTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val vocab = graft.ops.Unigram.learn(words, "word", "n", 4, 40, 2)
+      graft.ops.Unigram.encode(words, "word", "n", vocab, 4)
     }),
 
     // BPE encoding with the learned merges: per-doc symbol totals after
@@ -3750,6 +3849,10 @@ object Queries {
     "bpe_merges" -> bpeSql(6),
 
     "bpe_encode" -> bpeEncodeSql(6),
+
+    "unigram_vocab" -> unigramVocabSql(2, 4, 40),
+
+    "unigram_encode" -> unigramEncodeSql(2, 4, 40),
 
     "zscore_by_lang" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,

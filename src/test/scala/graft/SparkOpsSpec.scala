@@ -2269,6 +2269,54 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2 == "An unterminated container with plenty of words inside it")
   }
 
+  test("Unigram viterbi: probability-driven segmentation with deterministic tie-breaks") {
+    import graft.ops.Unigram
+    def seg(word: String, toks: Seq[(String, Long)]): Seq[String] = {
+      val words = Seq((word, 1L)).toDF("word", "n")
+      val tokens = toks.toDF("tok", "c")
+      Unigram.viterbi(words, "word", "n", tokens, maxPieceLen = 4)
+        .head().getSeq[String](2)
+    }
+    // merged token twice as frequent -> the pair beats four singles
+    assert(seg("abab", Seq(("a", 4L), ("b", 4L), ("ab", 8L))) == Seq("ab", "ab"))
+    // rare merged token -> singles win despite k=4
+    assert(seg("abab", Seq(("a", 8L), ("b", 8L), ("ab", 1L))) == Seq("a", "b", "a", "b"))
+    // equal weights: fewer pieces wins outright
+    assert(seg("abab", Seq(("a", 5L), ("b", 5L), ("ab", 5L), ("abab", 5L))) == Seq("abab"))
+    assert(seg("abab", Seq(("a", 5L), ("b", 5L), ("ab", 5L))) == Seq("ab", "ab"))
+    // same score, same k: the LONGER FINAL piece wins ([a,aa] over [aa,a])
+    assert(seg("aaa", Seq(("a", 5L), ("aa", 5L))) == Seq("a", "aa"))
+    // a word with a character outside the table is dropped, not mangled
+    val dropped = Unigram.viterbi(Seq(("xyz", 1L)).toDF("word", "n"),
+      "word", "n", Seq(("x", 1L), ("y", 1L)).toDF("tok", "c"), 4)
+    assert(dropped.count() == 0)
+  }
+
+  test("Unigram learn: coverage, reconstruction and determinism on a toy corpus") {
+    import graft.ops.Unigram
+    val words = Seq(("banana", 20L), ("bandana", 10L), ("cab", 5L), ("an", 15L))
+      .toDF("word", "n")
+    val vocab = Unigram.learn(words, "word", "n", maxPieceLen = 3, topKeep = 5, rounds = 2)
+    val toks = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every corpus character survives as a single (coverage floor)
+    assert(Set("b", "a", "n", "d", "c").subsetOf(toks.keySet))
+    assert(toks.values.forall(_ >= 1L))
+    // multi-char tokens bounded by topKeep
+    assert(toks.keys.count(_.length > 1) <= 5)
+    // every word still reconstructs under the final vocabulary
+    val enc = Unigram.encode(words, "word", "n", vocab, 3)
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(enc.size == 4)
+    enc.foreach { case (w, p) => assert(p.replace("|", "") == w) }
+    // "an" is the dominant bigram (45 weighted occurrences) - it must be learned
+    assert(toks.contains("an"))
+    assert(enc("an") == "an")
+    // determinism: an independent second run is identical
+    val again = Unigram.learn(words, "word", "n", 3, 5, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == toks)
+  }
+
   test("StoreSwap: a reader sees one complete store at EVERY compaction crash point") {
     import graft.ops.{Layout, StoreSwap}
     import org.apache.hadoop.fs.Path
