@@ -2178,6 +2178,30 @@ object Queries {
             lit(".org/page.html).")).as("text")),
         "doc_id", "text")),
 
+    // URL canonicalization over messy injected links: mixed-case scheme +
+    // host, default ports, tracking params interleaved with real ones, a
+    // fragment, and a bare-slash path whose query dies entirely
+    "url_canon" -> ((s, dir) =>
+      TextAnalysis.canonicalUrls(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" go HTTP://Example"), (col("doc_id") % 10).cast("string"),
+            lit(".COM:80/Path/a?utm_source=news&q="), col("doc_id").cast("string"),
+            lit("&fbclid=xyz#frag and (https://Sub.Test"), (col("doc_id") % 7).cast("string"),
+            lit(".ORG:443/?utm_campaign=c).")).as("text")),
+        "doc_id", "text")),
+
+    // keep-first URL-level dedup: 500 crawl rows collapse to 20 canonical
+    // pages once case, default port and per-row tracking params normalize
+    // away; the min-doc_id row per canonical URL survives
+    "url_dedup" -> ((s, dir) =>
+      TextAnalysis.dedupByCanonicalUrl(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 20).cast("string"),
+            lit(".COM:443/page?id="), (col("doc_id") % 5).cast("string"),
+            lit("&utm_medium=x"), col("doc_id").cast("string")).as("url")),
+        "doc_id", "url")),
+
     // Rule-based sentence segmentation: a three-sentence tail is appended
     // so every doc splits; separator-injection regex (no lookaround) is
     // replayed verbatim by the oracle
@@ -3227,6 +3251,24 @@ object Queries {
 
   private def cleanWsSql(ac: String) =
     s"list_filter(regexp_split_to_array(trim($ac), ' +'), w -> w <> '')"
+
+  /** [[TextAnalysis.canonicalUrl]]'s step chain as shared CTEs: expects a
+    * CTE `u` with (doc_id, url), exposes `p3` with (doc_id, url, scheme,
+    * hostport, host, pth, q).
+    */
+  private val urlCanonCtes: String =
+    s"""p1 AS (SELECT doc_id, url,
+       |  lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme,
+       |  lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS hostport,
+       |  regexp_extract(url, '(?i)^https?://[^/?#]+([^#]*)', 1) AS rest FROM u),
+       |p2 AS (SELECT doc_id, url, scheme, hostport,
+       |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |       ELSE regexp_replace(hostport, ':443$$', '') END AS host,
+       |  regexp_extract(rest, '^([^?]*)', 1) AS pth,
+       |  list_filter(string_split(regexp_extract(rest, '^[^?]*\\?(.*)$$', 1), '&'),
+       |    qp -> qp <> '' AND NOT regexp_matches(qp, '^(utm_[a-z0-9]+|gclid|fbclid)=')) AS params FROM p1),
+       |p3 AS (SELECT doc_id, url, scheme, hostport, host, pth,
+       |  CASE WHEN len(params) = 0 THEN '' ELSE '?' || array_to_string(params, '&') END AS q FROM p2)""".stripMargin
 
   private def langHitsSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -4629,10 +4671,42 @@ object Queries {
          |  '.com/Path/a?q=' || CAST(doc_id AS VARCHAR) || ' and (http://sub.test' ||
          |  CAST(doc_id % 7 AS VARCHAR) || '.org/page.html).' AS text FROM documents),
          |u AS (SELECT doc_id, unnest(list_transform(
-         |  regexp_extract_all(text, 'https?://[^\\s"<>]+'),
+         |  regexp_extract_all(text, '(?i)https?://[^\\s"<>]+'),
          |  x -> regexp_replace(x, '[.,;:!?)]+$$', ''))) AS url FROM d)
          |SELECT doc_id, url,
-         |  lower(regexp_extract(url, 'https?://([^/?#]+)', 1)) AS host FROM u""".stripMargin,
+         |  lower(regexp_extract(url, '(?i)https?://([^/?#]+)', 1)) AS host FROM u""".stripMargin,
+
+    // canonicalUrl replayed step by step: lowercase scheme/host, default
+    // port strip, fragment drop, tracking-param filter on the split
+    // parameter list, bare-path collapse
+    "url_canon" -> {
+      s"""WITH d AS (SELECT doc_id, text || ' go HTTP://Example' || CAST(doc_id % 10 AS VARCHAR) ||
+         |  '.COM:80/Path/a?utm_source=news&q=' || CAST(doc_id AS VARCHAR) ||
+         |  '&fbclid=xyz#frag and (https://Sub.Test' || CAST(doc_id % 7 AS VARCHAR) ||
+         |  '.ORG:443/?utm_campaign=c).' AS text FROM documents),
+         |u AS (SELECT doc_id, unnest(list_transform(
+         |  regexp_extract_all(text, '(?i)https?://[^\\s"<>]+'),
+         |  x -> regexp_replace(x, '[.,;:!?)]+$$', ''))) AS url FROM d),
+         |$urlCanonCtes
+         |SELECT doc_id, url,
+         |  CASE WHEN pth IN ('', '/') AND q = '' THEN scheme || '://' || host
+         |       ELSE scheme || '://' || host || pth || q END AS canon_url,
+         |  hostport AS host FROM p3""".stripMargin
+    },
+
+    // dedupByCanonicalUrl: same chain, keep-first (min doc_id) per
+    // canonical URL string
+    "url_dedup" -> {
+      s"""WITH u AS (SELECT doc_id, 'HTTPS://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) ||
+         |  '.COM:443/page?id=' || CAST(doc_id % 5 AS VARCHAR) ||
+         |  '&utm_medium=x' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+         |$urlCanonCtes,
+         |c AS (SELECT doc_id, url,
+         |  CASE WHEN pth IN ('', '/') AND q = '' THEN scheme || '://' || host
+         |       ELSE scheme || '://' || host || pth || q END AS canon_url FROM p3)
+         |SELECT doc_id, url, canon_url FROM c
+         |WHERE doc_id IN (SELECT min(doc_id) FROM c GROUP BY canon_url)""".stripMargin
+    },
 
     // splitSentences: the same separator-injection replace (backref \\1,
     // chr(1) separator), split, trim, empty-drop, dense ordinals

@@ -987,11 +987,77 @@ object TextAnalysis {
     */
   def urlHosts(df: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String): org.apache.spark.sql.DataFrame = {
-    val raw = regexp_extract_all(col(textCol), lit("https?://[^\\s\"<>]+"), lit(0))
+    // (?i): URL schemes are case-insensitive (RFC 3986 §3.1) — crawl text
+    // carries "HTTP://" often enough that a case-sensitive extractor
+    // silently drops real links
+    val raw = regexp_extract_all(col(textCol), lit("(?i)https?://[^\\s\"<>]+"), lit(0))
     val cleaned = transform(raw, u => regexp_replace(u, "[.,;:!?)]+$", ""))
     df.select(col(idCol), explode(cleaned).as("url"))
       .select(col(idCol), col("url"),
-        lower(regexp_extract(col("url"), "https?://([^/?#]+)", 1)).as("host"))
+        lower(regexp_extract(col("url"), "(?i)https?://([^/?#]+)", 1)).as("host"))
+  }
+
+  /** Canonical form of one extracted URL column — the normalization that
+    * makes URL-level dedup (the cheapest first pass in every crawl
+    * pipeline) actually collapse recrawls of the same page:
+    *
+    *  1. scheme and host lowercase (RFC 3986 §6.2.2.1; path and query
+    *     keep their case — they are case-SENSITIVE),
+    *  2. default ports strip (`:80` for http, `:443` for https; explicit
+    *     non-default ports stay),
+    *  3. the fragment drops entirely (`#…` never reaches the server),
+    *  4. tracking parameters drop from the query — `utm_*`, `gclid`,
+    *     `fbclid` (the split-filter-rejoin runs on the parameter list,
+    *     not a regex loop, so separators heal exactly),
+    *  5. an empty or bare-`/` path with no surviving query collapses to
+    *     `scheme://host` (the `example.com/` = `example.com` identity).
+    *
+    * All RE2-safe (no lookaround; replacement backreferences are not
+    * used), every step a codegen'd expression — zero shuffle.
+    */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = lower(regexp_extract(url, "(?i)^(https?)://", 1))
+    val hostport = lower(regexp_extract(url, "(?i)^https?://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(regexp_replace(hostport, ":443$", ""))
+    val rest = regexp_extract(url, "(?i)^https?://[^/?#]+([^#]*)", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[a-z0-9]+|gclid|fbclid)="))
+    val q = when(size(params) === 0, lit("")).otherwise(
+      concat(lit("?"), array_join(params, "&")))
+    when(path.isin("", "/") && q === "", concat(scheme, lit("://"), host))
+      .otherwise(concat(scheme, lit("://"), host, path, q))
+  }
+
+  /** [[urlHosts]] plus the canonical form: (id, url, canon_url, host),
+    * one row per extracted URL in document order.
+    */
+  def canonicalUrls(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame =
+    urlHosts(df, idCol, textCol)
+      .select(col(idCol), col("url"), canonicalUrl(col("url")).as("canon_url"), col("host"))
+
+  /** Keep-first URL-level dedup over a one-URL-per-row crawl table: the
+    * row with the smallest `idCol` survives per canonical URL. The
+    * exchange is keyed (xxhash64(canon), canon) — the 8-byte hash
+    * prefix spreads skew and makes comparisons cheap while the string
+    * rides along for EXACT grouping (no collision budget at all, unlike
+    * the sketch paths); URLs are short, so the shuffle stays narrow. One
+    * aggregation + one broadcast-friendly semi-join back on the winning
+    * ids; the full-width rows never shuffle.
+    *
+    * Output: the surviving input rows + their `canon_url`.
+    */
+  def dedupByCanonicalUrl(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          urlCol: String): org.apache.spark.sql.DataFrame = {
+    val canon = df.select(col(idCol), canonicalUrl(col(urlCol)).as("canon_url"))
+    val winners = canon
+      .groupBy(xxhash64(col("canon_url")).as("_h"), col("canon_url"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("canon_url"))
+    df.join(winners, Seq(idCol), "inner")
   }
 
   /** Rule-based sentence segmentation: split after `.`/`!`/`?` followed

@@ -2269,6 +2269,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2 == "An unterminated container with plenty of words inside it")
   }
 
+  test("canonicalUrl: scheme/host case, default ports, fragments, tracking params, bare path") {
+    import graft.ops.TextAnalysis
+    def canon(u: String): String = Seq(u).toDF("u")
+      .select(TextAnalysis.canonicalUrl(col("u"))).head().getString(0)
+    assert(canon("HTTP://Example.COM:80/Path/a?utm_source=x&q=1&fbclid=z#f") ==
+      "http://example.com/Path/a?q=1")
+    // path + query case PRESERVED; only scheme/host fold
+    assert(canon("https://A.B/CaseSensitive?Q=V") == "https://a.b/CaseSensitive?Q=V")
+    // https default port strips, explicit non-default port stays
+    assert(canon("https://x.org:443/p") == "https://x.org/p")
+    assert(canon("https://x.org:8443/p") == "https://x.org:8443/p")
+    assert(canon("http://x.org:8080/") == "http://x.org:8080")
+    // bare or slash-only path with no surviving query collapses
+    assert(canon("https://Sub.Test.ORG:443/?utm_campaign=c") == "https://sub.test.org")
+    assert(canon("http://host.com") == "http://host.com")
+    // tracking-only vs mixed queries; separators heal after the filter
+    assert(canon("http://h.co/p?utm_a=1&x=2&gclid=3&y=4") == "http://h.co/p?x=2&y=4")
+    // keep-first dedup keyed on the canonical form
+    val rows = Seq((3L, "http://A.com/p?utm_s=1"), (1L, "HTTP://a.COM:80/p"),
+      (2L, "http://a.com/p#frag"), (9L, "http://b.com/p")).toDF("id", "url")
+    val kept = TextAnalysis.dedupByCanonicalUrl(rows, "id", "url")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(kept == Set((1L, "http://a.com/p"), (9L, "http://b.com/p")))
+  }
+
   test("Unigram viterbi: probability-driven segmentation with deterministic tie-breaks") {
     import graft.ops.Unigram
     def seg(word: String, toks: Seq[(String, Long)]): Seq[String] = {
