@@ -162,6 +162,23 @@ object Bench {
         transform(sequence(lit(0), lit(XlDim - 1)),
           i => (pmod(hash(col("id"), i), lit(1000)) / 1000.0 - 0.5).cast("float")).as("vec"))
         .write.mode("overwrite").parquet(s"$benchDir/xl_vectors")
+      // XL dedup corpus: 1M docs × 30 tokens over a 200k-token vocabulary.
+      // The first 20k ids form near-duplicate pairs (29 of 30 tokens
+      // shared -> 3-shingle jaccard ≈ 0.81), so the MinHash row exercises
+      // the real banding + verification path (not the identical-content
+      // groupBy fast path) and emits an output-proportional 10k pairs;
+      // the same pairs plant duplicated ≥20-token windows for the
+      // ExactSubstr row. Written to parquet so the timed runs measure the
+      // serving path from storage, like every other store here.
+      val xlSeed = when(col("id") < 20000L,
+          floor(col("id") / 2).cast("long") + 2000000L)
+        .otherwise(col("id"))
+      spark.range(1000000L).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => concat(lit("t"), pmod(hash(
+            when(j === 0, col("id")).otherwise(xlSeed), j), lit(200000)))), " ")
+          .as("text"))
+        .write.mode("overwrite").parquet(s"$benchDir/xl_docs")
     }
 
     Seq(benchDir, sfDir).foreach(warmDir)
@@ -270,7 +287,12 @@ object Bench {
         "ivf_knn_filtered", "ivfpq_knn_filtered", "psi_drift", "nfc_normalize_text",
         "pack_bins_ffd", "snapshot_diff", "oov_rate", "strip_html", "split_sentences",
         "sentence_dedup", "url_hosts", "blocklist_filter", "sentence_chunks",
-        "sentence_chunks_overlap")
+        "sentence_chunks_overlap",
+        // regression tripwires for the expensive gates that previously had
+        // no bench row: incremental LSH (two banding passes + anti-join),
+        // the 6-round distributed BPE learner, the banded edit-distance
+        // verifier, and the PQ code projection (256-dim subspace argmin)
+        "near_dup_incremental", "bpe_merges", "edit_pairs", "pq_codes")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
@@ -342,6 +364,28 @@ object Bench {
           ops.Quantizer.certifiedTopK(xlVecs, "id", "vec", xlPre, xlProbe, xlParams,
             10, "l2").count())
         ops.Quantizer.cleanup(xlPre)
+
+        // XL dedup / ANN-join rows — the pair-space plans at 10× the
+        // per-round bench scale, so the 100 TB linearity claim is measured
+        // rather than trend-extrapolated. Threshold 0.7 keeps the planted
+        // jaccard-0.81 near-dups flowing through banding AND surviving the
+        // exact-verification join (threshold 0.9 would measure the same
+        // candidate work but emit zero rows).
+        val xlDocs = spark.read.parquet(s"$benchDir/xl_docs")
+        time("xl_minhash_lsh_1m") {
+          val run = ops.Dedup.minhashLshRun(xlDocs, "doc_id", "text",
+            numHashes = 128, bands = 16, shingleN = 3, threshold = 0.7)
+          val n = run.pairs.count()
+          run.release(); n
+        }
+        time("xl_exact_substr_1m")(
+          ops.Dedup.exactSubstrSpans(xlDocs, "doc_id", "text", minTokens = 20).count())
+        // 64 probes against the 1M × 768 corpus through the hamming-1
+        // bucket neighborhood; 10 bits -> ~1000 rows/bucket, same sizing
+        // rule as the 600k row
+        time("xl_ann_join64_1m768")(
+          ops.Ann.annJoin(broadcast(xlVecs.where(col("id") < 64)), "id", "vec",
+            xlVecs, "id", "vec", 10, "l2", 10, XlDim).count())
       }
     }
 

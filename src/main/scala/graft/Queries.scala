@@ -30,6 +30,15 @@ object Queries {
   val PqCodes = 16  // PQ codes per subspace
   val DupCluster = 1000 // identical-doc cluster size for the dedup skew gate
 
+  /** Planted tail for the abbreviation-aware splitter gate: every
+    * protection class appears mid-sentence (titles, e.g./i.e.,
+    * a.m./p.m., vs/No), and exactly four TRUE boundaries follow the
+    * doc body. Shared verbatim by the Spark query and the oracle.
+    */
+  val SentAbbrevTail: String = " Dr. Smith met Mrs. Jones at 5 p.m. near St. Louis." +
+    " They compared costs, e.g. travel, i.e. flights, etc. and left!" +
+    " Prof. Lee arrived at 9 a.m. sharp. Was it No. 7 vs. No. 9? Yes."
+
   /** Probe vector: values in {-0.375..0.375} — exactly representable in
     * both decimal and binary floating point, and inside the embedding
     * value range so the quantized probe doesn't saturate.
@@ -2209,6 +2218,18 @@ object Queries {
       TextAnalysis.splitSentences(
         docs(s, dir).select(col("doc_id"),
           concat(col("text"), lit(" Tail one. Tail two! Tail three?")).as("text")),
+        "doc_id", "text")),
+
+    // Abbreviation-aware segmentation over a planted tail that hits every
+    // protection class: titles (Dr/Mrs/Prof/St/No/vs), the two-letter
+    // latinisms (e.g./i.e.), and the meridiems (a.m./p.m.). The tail
+    // splits into exactly 4 extra boundaries — the abbreviation dots all
+    // survive inside their sentences; the oracle replays the identical
+    // protect-inject-restore chain in RE2
+    "split_sentences_abbrev" -> ((s, dir) =>
+      TextAnalysis.splitSentencesAbbrev(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(SentAbbrevTail)).as("text")),
         "doc_id", "text")),
 
     // Sentence-aligned RAG chunking at a 12-token budget over the same
@@ -4719,6 +4740,28 @@ object Queries {
         |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ss)),
         |  i -> struct_pack(sent_id := CAST(i - 1 AS BIGINT), sentence := ss[i]))) AS u FROM t)
         |SELECT doc_id, u.sent_id AS sent_id, u.sentence AS sentence FROM e""".stripMargin,
+
+    // identical protect-inject-restore chain, same regex order, RE2
+    // syntax for the group refs; the alternation comes from the shared
+    // SentenceAbbrevs list so the two engines cannot drift
+    "split_sentences_abbrev" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(
+         |    replace(replace(trim(text || '$SentAbbrevTail'), chr(1), ''), chr(2), ''),
+         |    '\\b([eE])\\.([gG])\\.', '\\1' || chr(2) || '\\2' || chr(2), 'g'),
+         |    '\\b([iI])\\.([eE])\\.', '\\1' || chr(2) || '\\2' || chr(2), 'g'),
+         |    '\\b([apAP])\\.([mM])\\.', '\\1' || chr(2) || '\\2' || chr(2), 'g'),
+         |    '\\b(${graft.ops.TextAnalysis.SentenceAbbrevs.mkString("|")})\\.', '\\1' || chr(2), 'g'),
+         |    '([.!?])\\s+', '\\1' || chr(1), 'g') AS m FROM documents),
+         |s AS (SELECT doc_id, list_filter(list_transform(string_split(m, chr(1)),
+         |  x -> replace(trim(x), chr(2), '.')), x -> x <> '') AS ss FROM t),
+         |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ss)),
+         |  i -> struct_pack(sent_id := CAST(i - 1 AS BIGINT), sentence := ss[i]))) AS u FROM s)
+         |SELECT doc_id, u.sent_id AS sent_id, u.sentence AS sentence FROM e""".stripMargin,
 
     "heavy_hitters" ->
       s"""WITH w AS (SELECT unnest(${cleanWsSql(cleanAcSql)}) AS token FROM documents)

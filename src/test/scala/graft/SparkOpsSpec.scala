@@ -1037,12 +1037,13 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Σweights, |V|, the corpus token total for the bigram interpolation
     // floor, the distinct-pair count for the KN continuation, the
     // raw/target token totals for the DSIR LLR, the capped-prefix stats
-    // for the UniMax even share) — output cardinality equals the left
+    // for the UniMax even share, the vocab log-total normalizer in the
+    // unigram-LM Viterbi weighting) — output cardinality equals the left
     // side exactly.
     val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch",
       "lm_logprob", "bigram_logprob", "kneser_ney_logprob", "pmi_pairs",
       "mixture_temperature", "pagerank", "dsir_scores", "dsir_sample",
-      "unimax_mixture")
+      "unimax_mixture", "unigram_vocab", "unigram_encode")
     Queries.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans CartesianProduct:\n$plan")
@@ -1208,6 +1209,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == Seq("Trailing dot."))
     // documented rule-based limit: "Dr. " splits
     assert(got(4L) == Seq("Dr.", "Smith arrived.", "The end."))
+  }
+
+  test("splitSentencesAbbrev: abbreviation dots survive, true boundaries split, sentinels stripped") {
+    val d = Seq(
+      (1L, "Dr. Smith arrived. The end."),
+      (2L, "Costs rose, e.g. travel, i.e. flights. Done."),
+      (3L, "It was 5 p.m. in St. Louis. No. 7 vs. No. 9 won!"),
+      // documented rule limit: an abbreviation at a TRUE sentence end
+      // never splits ("etc. Next" stays joined)
+      (4L, "Apples, pears, etc. Next point."),
+      // in-band sentinels in raw text are stripped, not misparsed
+      (5L, "One two. Three.")).toDF("id", "text")
+    val got = TextAnalysis.splitSentencesAbbrev(d, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) == Seq("Dr. Smith arrived.", "The end."))
+    assert(got(2L) == Seq("Costs rose, e.g. travel, i.e. flights.", "Done."))
+    assert(got(3L) == Seq("It was 5 p.m. in St. Louis.", "No. 7 vs. No. 9 won!"))
+    assert(got(4L) == Seq("Apples, pears, etc. Next point."))
+    assert(got(5L) == Seq("One two.", "Three."))
+    // shuffle-free like the bare splitter
+    val plan = TextAnalysis.splitSentencesAbbrev(d, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(3).mkString("\n"))
   }
 
   test("repetition signals: run-length folds match hand counts") {
