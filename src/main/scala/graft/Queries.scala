@@ -372,6 +372,50 @@ object Queries {
       s"""\nSELECT word, n, array_to_string(ts, '|') AS pieces,
          |  CAST(len(ts) AS BIGINT) AS n_pieces FROM useg${rounds + 1}""".stripMargin
 
+  /** Independent WordPiece replay ([[graft.ops.Wordpiece]]): the
+    * frequency-truncated vocab cut, then (for the encode gate) the greedy
+    * longest-match-first walk — per-position longest matches precomputed
+    * non-recursively, the walk itself a recursive CTE whose chain is
+    * linear (one row per word per position reached); a word whose walk
+    * stalls before the end never reaches `cur = len + 1` and anti-joins
+    * into the whole-word `[UNK]` row. Integer-only, like the Spark side.
+    */
+  private def wordpieceCtes(m: Int, k: Int): String =
+    s"""WITH RECURSIVE ww AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(${cleanWsSql(cleanAcSql)}) AS w FROM documents) t
+       |  WHERE len(w) BETWEEN 1 AND 32 GROUP BY w),
+       |wc AS MATERIALIZED (SELECT word, s, l,
+       |    CASE WHEN s = 1 THEN substr(word, s, l) ELSE '##' || substr(word, s, l) END AS piece, n
+       |  FROM ww, unnest(generate_series(1, len(word))) ts(s), unnest(generate_series(1, $m)) tl(l)
+       |  WHERE s + l - 1 <= len(word)),
+       |wo AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS c,
+       |    CASE WHEN piece LIKE '##%' THEN len(piece) - 2 ELSE len(piece) END AS clen
+       |  FROM wc GROUP BY piece),
+       |wv AS MATERIALIZED (SELECT piece FROM wo WHERE clen = 1
+       |  UNION ALL SELECT piece FROM (
+       |    SELECT piece FROM wo WHERE clen > 1 ORDER BY c DESC, piece LIMIT $k) tk),
+       |wb AS MATERIALIZED (SELECT c.word, c.s, max(c.l) AS bl
+       |  FROM wc c JOIN wv v ON c.piece = v.piece GROUP BY c.word, c.s),
+       |wwk AS (
+       |  SELECT word, n, len(word) AS lw, 1 AS cur, CAST([] AS VARCHAR[]) AS ts FROM ww
+       |  UNION ALL
+       |  SELECT k.word, k.n, k.lw, k.cur + b.bl,
+       |    list_append(k.ts, CASE WHEN k.cur = 1 THEN substr(k.word, k.cur, b.bl)
+       |      ELSE '##' || substr(k.word, k.cur, b.bl) END)
+       |  FROM wwk k JOIN wb b ON b.word = k.word AND b.s = k.cur
+       |  WHERE k.cur <= k.lw),
+       |wseg AS MATERIALIZED (SELECT word, n, ts FROM wwk WHERE cur = lw + 1)""".stripMargin
+
+  private def wordpieceVocabSql(m: Int, k: Int): String =
+    wordpieceCtes(m, k) + "\nSELECT piece FROM wv ORDER BY piece"
+
+  private def wordpieceEncodeSql(m: Int, k: Int): String =
+    wordpieceCtes(m, k) + "\n" +
+      """SELECT w.word, w.n,
+        |  CASE WHEN s.ts IS NULL THEN '[UNK]' ELSE array_to_string(s.ts, '|') END AS pieces,
+        |  CAST(CASE WHEN s.ts IS NULL THEN 1 ELSE len(s.ts) END AS BIGINT) AS n_pieces
+        |FROM ww w LEFT JOIN wseg s ON w.word = s.word""".stripMargin
+
   private def bpeSql(rounds: Int): String = {
     val out = (1 to rounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, c AS cnt FROM m$r")
@@ -1591,6 +1635,33 @@ object Queries {
         .groupBy("word").agg(count(lit(1)).as("n"))
       val vocab = graft.ops.Unigram.learn(words, "word", "n", 4, 40, 2)
       graft.ops.Unigram.encode(words, "word", "n", vocab, 4)
+    }),
+
+    // WordPiece (BERT-style) vocabulary fixture: every single-char piece
+    // (head + ##continuation) plus the top-40 multi-char pieces by
+    // weighted positioned-occurrence count; the oracle restates the
+    // identical cut (the encoder below is the operator under test —
+    // WordPiece vocabs are TRAINED like BPE, so the vocab rule here is a
+    // deterministic fixture, not a training algorithm claim)
+    "wordpiece_vocab" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(Curation.cleanTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      graft.ops.Wordpiece.vocab(words, "word", "n", maxPieceLen = 4, topKeep = 40)
+        .orderBy("piece")
+    }),
+
+    // greedy longest-match-first WordPiece encode of every corpus word
+    // against that vocabulary — whole-word [UNK] on any stall (the
+    // HuggingFace semantics); the oracle rebuilds the vocab and replays
+    // the greedy walk as a recursive CTE over the per-position longest
+    // matches
+    "wordpiece_encode" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(Curation.cleanTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val v = graft.ops.Wordpiece.vocab(words, "word", "n", maxPieceLen = 4, topKeep = 40)
+      graft.ops.Wordpiece.encode(words, "word", "n", v, maxPieceLen = 4)
     }),
 
     // BPE encoding with the learned merges: per-doc symbol totals after
@@ -3916,6 +3987,10 @@ object Queries {
     "unigram_vocab" -> unigramVocabSql(2, 4, 40),
 
     "unigram_encode" -> unigramEncodeSql(2, 4, 40),
+
+    "wordpiece_vocab" -> wordpieceVocabSql(4, 40),
+
+    "wordpiece_encode" -> wordpieceEncodeSql(4, 40),
 
     "zscore_by_lang" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,

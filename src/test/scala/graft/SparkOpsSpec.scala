@@ -2367,6 +2367,37 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == toks)
   }
 
+  test("Wordpiece encode: greedy longest match, ## continuations, whole-word [UNK] on stall") {
+    import graft.ops.Wordpiece
+    val words = Seq(("abcde", 3L), ("abq", 1L), ("zz", 2L), ("a", 1L)).toDF("word", "n")
+    val vocab = Seq("a", "ab", "abc", "##d", "##de", "##c", "##b", "z", "##z").toDF("piece")
+    val got = Wordpiece.encode(words, "word", "n", vocab, maxPieceLen = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    // longest match at EVERY position: abc (not a/ab), then ##de (not ##d)
+    assert(got("abcde") == ((3L, "abc|##de", 2L)))
+    // "ab" matches but "##q" has no piece -> the WHOLE word rejects
+    // (HuggingFace semantics: no per-character fallback)
+    assert(got("abq") == ((1L, "[UNK]", 1L)))
+    // head vs continuation forms are distinct vocabulary entries
+    assert(got("zz") == ((2L, "z|##z", 2L)))
+    assert(got("a") == ((1L, "a", 1L)))
+  }
+
+  test("Wordpiece vocab: all single-char forms kept, multi-char cut at topKeep with (count, piece) order") {
+    import graft.ops.Wordpiece
+    val words = Seq(("aab", 2L), ("ab", 1L)).toDF("word", "n")
+    val v = Wordpiece.vocab(words, "word", "n", maxPieceLen = 3, topKeep = 2)
+      .collect().map(_.getString(0)).toSet
+    // singles always survive (coverage); multi counts: aa 2, aab 2, ##ab 2,
+    // ab 1 -> top-2 by (c desc, piece asc) = ##ab, aa
+    assert(v == Set("a", "##a", "##b", "##ab", "aa"))
+    // encode under that vocab reconstructs both words ## -markers aside
+    val enc = Wordpiece.encode(words, "word", "n",
+      Seq("a", "##a", "##b", "##ab", "aa").toDF("piece"), 3)
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(enc == Map("aab" -> "aa|##b", "ab" -> "a|##b"))
+  }
+
   test("StoreSwap: a reader sees one complete store at EVERY compaction crash point") {
     import graft.ops.{Layout, StoreSwap}
     import org.apache.hadoop.fs.Path
