@@ -2931,6 +2931,20 @@ object Queries {
         .select(col("vec_id"), col("pos").cast("long").as("d"),
           round(col("col"), 6).as("val"))),
 
+    // WARC capture ingestion: a two-record WARC/1.0 blob per document
+    // (response + metadata; every 7th metadata payload embeds the literal
+    // record magic) parsed by the Content-Length-honoring record walk.
+    // The oracle restates the EXPECTED rows from the fixture formulas —
+    // not a second parse — so any framing bug (e.g. splitting on the
+    // magic instead of skipping Content-Length chars) value-fails
+    "warc_records" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Warc.warcRecords(
+        d.select(col("doc_id"),
+          graft.ops.Warc.captureFixture(col("doc_id"), col("text"), col("lang")).as("warc")),
+        "doc_id", "warc")
+    }),
+
     // ---- multimodal: REAL container fixtures (valid PNG/JPEG/WAV bytes
     // built per doc_id) parsed by the real header codec; the oracle checks
     // the dimension formulas, so a parser reading the wrong offsets fails ----
@@ -5400,6 +5414,22 @@ object Queries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    // expected rows derived from the capture-fixture formulas (see the
+    // gate comment): the parser under test never appears here
+    "warc_records" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+        |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  (CASE WHEN doc_id % 7 = 0 THEN 'seen: WARC/1.0' || chr(13) || chr(10)
+        |        ELSE '' END) || 'lang: ' || lang AS mp
+        |  FROM documents)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx, 'response' AS warc_type,
+        |  uri AS target_uri, CAST(len(text) AS BIGINT) AS content_length,
+        |  text AS payload FROM t
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT) AS rec_idx, 'metadata' AS warc_type,
+        |  '' AS target_uri, CAST(len(mp) AS BIGINT) AS content_length,
+        |  mp AS payload FROM t""".stripMargin,
 
     "multimodal_meta" -> {
       val pngLen = MediaCodec.pngFixture(1, 1).length

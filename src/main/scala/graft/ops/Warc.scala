@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500) record extraction — the ingestion
+  * format every large-scale crawl corpus (Common Crawl and its
+  * derivatives) arrives in. One crawl capture file concatenates records
+  * framed as:
+  *
+  * {{{
+  * WARC/1.0\r\n
+  * <header-name>: <value>\r\n ...        (named header block)
+  * \r\n                                  (blank line)
+  * <Content-Length bytes of payload>
+  * \r\n\r\n                              (record terminator)
+  * }}}
+  *
+  * The parser here honors **Content-Length framing**: after each header
+  * block it SKIPS exactly `Content-Length` characters of payload and
+  * resumes at the next record boundary — a payload that itself contains
+  * the `WARC/1.0` magic (any HTML page quoting a WARC spec, any
+  * crawl-of-a-crawl) parses correctly, where a naive split on the magic
+  * string would shear the record. This is the text profile: offsets and
+  * Content-Length are in CHARACTERS of the decoded string column (for
+  * ASCII payloads identical to bytes); a byte-exact binary profile would
+  * swap the column type to binary and the substrings to byte slices
+  * with the same walk.
+  *
+  * Malformed tails stop the walk leniently: a position that doesn't
+  * start with the version magic, a header block with no blank-line
+  * terminator, or a missing/unparseable Content-Length ends the record
+  * list with everything parsed so far (crawl files end in truncated
+  * records routinely; dropping the tail record is the standard recovery).
+  *
+  * Scale shape: one codegen'd in-row fold per capture row — zero
+  * shuffle, no UDF, state bounded by `maxRecords` (a capture blob is a
+  * bounded batch of records by construction; raise the knob for bigger
+  * batches). Everything is `substr`/`locate`/RE2-safe `regexp_extract`,
+  * so a SQL engine restates the walk verbatim.
+  */
+object Warc {
+
+  private val Magic = "WARC/1.0\r\n"
+
+  /** One row per record: (idCol, rec_idx, warc_type, target_uri,
+    * content_length, payload). `rec_idx` is the record's 0-based
+    * position in the capture blob. Absent headers parse as empty
+    * strings (`WARC-Target-URI` is optional on `warcinfo`/`metadata`
+    * records).
+    */
+  def warcRecords(df: DataFrame, idCol: String, warcCol: String,
+                  maxRecords: Int = 16): DataFrame = {
+    require(maxRecords >= 1 && maxRecords <= 4096,
+      s"maxRecords must be in [1, 4096], got $maxRecords")
+    val s = col(warcCol)
+    val recType = "array<struct<warc_type:string,target_uri:string," +
+      "content_length:long,payload:string>>"
+    val walked = aggregate(
+      sequence(lit(1), lit(maxRecords)),
+      struct(lit(1L).as("off"), array().cast(recType).as("rs")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val stopped = struct((length(s).cast("long") + lit(2L)).as("off"),
+          acc.getField("rs").as("rs"))
+        // relative position of the header-terminating blank line
+        val rel = locate("\r\n\r\n", s.substr(off, length(s) - off + 1)).cast("long")
+        val he = rel + off - 1L // absolute 1-based start of "\r\n\r\n"
+        val header = s.substr(off, he - off)
+        // lazy CASE keeps ANSI mode happy on a header with no
+        // Content-Length (the empty extract must not reach the cast)
+        val clenS = regexp_extract(header, "Content-Length: ([0-9]+)", 1)
+        val clen = when(clenS === "", lit(null).cast("long"))
+          .otherwise(clenS.cast("long"))
+        val rec = struct(
+          regexp_extract(header, "WARC-Type: ([^\r]*)", 1).as("warc_type"),
+          regexp_extract(header, "WARC-Target-URI: ([^\r]*)", 1).as("target_uri"),
+          clen.as("content_length"),
+          s.substr(he + 4, clen).as("payload"))
+        when(off > length(s), acc).otherwise(
+          when(s.substr(off, lit(Magic.length)) =!= Magic || rel === 0 || clen.isNull,
+            stopped)
+          .otherwise(struct((he + 4 + clen + 4).as("off"),
+            concat(acc.getField("rs"), array(rec)).as("rs"))))
+      },
+      acc => acc.getField("rs"))
+    df.select(col(idCol), posexplode(walked).as(Seq("rec_idx", "r")))
+      .select(col(idCol), col("rec_idx").cast("long").as("rec_idx"),
+        col("r.warc_type").as("warc_type"), col("r.target_uri").as("target_uri"),
+        col("r.content_length").as("content_length"), col("r.payload").as("payload"))
+  }
+
+  /** Deterministic capture fixture for the gate: a two-record WARC blob
+    * per document — a `response` record carrying the document text and a
+    * `metadata` record whose payload, for every 7th document, embeds the
+    * literal `WARC/1.0` magic (the case that shears a naive
+    * split-on-magic parser; the oracle's expected rows are derived from
+    * THIS formula, not from a second parse, so framing bugs value-fail).
+    * Pure column expressions — the identical construction restates in SQL.
+    */
+  def captureFixture(idCol: Column, textCol: Column, langCol: Column): Column = {
+    val uri = concat(lit("https://example.com/doc/"), idCol.cast("string"))
+    val metaPayload = concat(
+      when(idCol % 7 === 0, lit("seen: WARC/1.0\r\n")).otherwise(lit("")),
+      lit("lang: "), langCol)
+    def record(wtype: String, payload: Column, withUri: Boolean): Column = concat(
+      lit(Magic),
+      lit(s"WARC-Type: $wtype\r\n"),
+      if (withUri) concat(lit("WARC-Target-URI: "), uri, lit("\r\n")) else lit(""),
+      lit("Content-Length: "), length(payload).cast("string"), lit("\r\n"),
+      lit("\r\n"), payload, lit("\r\n\r\n"))
+    concat(record("response", textCol, withUri = true),
+      record("metadata", metaPayload, withUri = false))
+  }
+}

@@ -2367,6 +2367,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == toks)
   }
 
+  test("Warc records: Content-Length framing survives embedded magic; malformed tail stops leniently") {
+    import graft.ops.Warc
+    val p1 = "see WARC/1.0\r\nnested" // 20 chars INCLUDING the record magic
+    val rec1 = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/b\r\n" +
+      s"Content-Length: ${p1.length}\r\n\r\n$p1\r\n\r\n"
+    val rec2 = "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    val brokenTail = "WARC/1.0\r\nWARC-Type: broken\r\n\r\n" // no Content-Length
+    val d = Seq((1L, rec1 + rec2 + brokenTail), (2L, "not a warc")).toDF("id", "warc")
+    val got = Warc.warcRecords(d, "id", "warc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getString(5)))
+    // a split-on-magic parser would shear rec1 at the embedded "WARC/1.0"
+    assert(got.toSeq == Seq(
+      (1L, 0L, "response", "http://a/b", 20L, p1),
+      (1L, 1L, "metadata", "", 2L, "hi")))
+    // shuffle-free per-row walk
+    val plan = Warc.warcRecords(d, "id", "warc").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(3).mkString("\n"))
+  }
+
   test("Wordpiece encode: greedy longest match, ## continuations, whole-word [UNK] on stall") {
     import graft.ops.Wordpiece
     val words = Seq(("abcde", 3L), ("abq", 1L), ("zz", 2L), ("a", 1L)).toDF("word", "n")
