@@ -809,6 +809,17 @@ object Queries {
           col("col.id").as("vec_id"), col("col.distance").as("distance"))
     }),
 
+    // Hard-negative mining: per anchor, the 5 nearest DIFFERENT-label
+    // corpus vectors (the contrastive-training companion op) — bounded
+    // anchor broadcast, one corpus scan into per-anchor top-k heaps; the
+    // oracle brute-forces the anchor×corpus distances with the label cut
+    "hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ops.Embeddings.hardNegatives(
+        e.where(col("vec_id") % 50 === 0), "vec_id", "embedding", "label",
+        e, "vec_id", "embedding", "label", k = 5, metric = "l2", roundDp = 6)
+    }),
+
     // Per-label embedding centroids via the exact fixed-point vector_avg
     // aggregate: one (dim+1)-long buffer per group per task crosses the
     // shuffle — order-independent integer sums, so the result is
@@ -3414,6 +3425,19 @@ object Queries {
          |r AS (SELECT probe_id, vec_id, distance,
          |  row_number() OVER (PARTITION BY probe_id ORDER BY distance, vec_id) AS rn FROM d)
          |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, distance FROM r WHERE rn <= 5""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH pr AS (SELECT vec_id AS anchor_id, embedding AS pv, label AS al FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+         |d AS (SELECT pr.anchor_id, e.vec_id,
+         |  round(sqrt(list_sum(list_transform(generate_series(1,$Dim),
+         |    i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(pr.pv[i] AS DOUBLE))
+         |       * (CAST(e.embedding[i] AS DOUBLE) - CAST(pr.pv[i] AS DOUBLE))))), 6) AS distance
+         |  FROM embeddings e, pr WHERE e.embedding IS NOT NULL AND e.label <> pr.al),
+         |r AS (SELECT anchor_id, vec_id, distance,
+         |  row_number() OVER (PARTITION BY anchor_id ORDER BY distance, vec_id) AS rn FROM d)
+         |SELECT anchor_id, CAST(rn AS BIGINT) AS rank, vec_id AS neg_id, distance
+         |FROM r WHERE rn <= 5""".stripMargin,
 
     // the pure-SQL form computes the identical result
     "sql_knn_batch" ->

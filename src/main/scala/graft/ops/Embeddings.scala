@@ -214,4 +214,44 @@ object Embeddings {
           (col("x").cast("double") - element_at(muLit, col("p0") + 1))
             - col("_d") * element_at(vLit, col("p0") + 1), 6).as("component"))
   }
+
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the k nearest corpus vectors carrying a DIFFERENT label —
+    * the examples a contrastive objective (InfoNCE, triplet) learns the
+    * most from, and the standard retrieval-training companion to the
+    * positive pairs a labeled corpus already gives.
+    *
+    * Plan shape (the [[graft.ops.Knn]] batch idiom): the anchor side —
+    * bounded by construction, it is a training batch or a sampled probe
+    * set — BROADCASTS; the corpus streams through ONE scan computing
+    * every anchor×corpus distance into per-anchor bounded top-k heaps
+    * (the `knn_topk` partial aggregate), so no corpus shuffle, no pair
+    * materialization, memory `O(anchors · k)` per task. Anchor×corpus
+    * distances ARE the workload; the pair space is bounded by the
+    * broadcast side, never corpus².
+    *
+    * `roundDp ≥ 0` rounds the distance before the heap — the
+    * deterministic tie-break grid (round, then id-ordered ties) the
+    * correctness gate needs to hash-match an independent engine; -1
+    * (default) keeps raw doubles. Output: (anchor_id, rank, neg_id,
+    * distance), rank 1-based by (distance asc, neg_id asc).
+    */
+  def hardNegatives(anchors: DataFrame, aId: String, aVec: String, aLabel: String,
+                    corpus: DataFrame, cId: String, cVec: String, cLabel: String,
+                    k: Int, metric: String = "l2", roundDp: Int = -1): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val a = broadcast(anchors.where(col(aVec).isNotNull)
+      .select(col(aId).as("anchor_id"), col(aVec).as("_av"), col(aLabel).as("_al")))
+    val d0 = graft.functions.vector_distance(col(cVec), col("_av"), metric)
+    val d = if (roundDp >= 0) round(d0, roundDp) else d0
+    corpus.where(col(cVec).isNotNull)
+      .crossJoin(a)
+      .where(col(cLabel) =!= col("_al"))
+      .select(col("anchor_id"), col(cId).as("neg_id"), d.as("distance"))
+      .groupBy("anchor_id")
+      .agg(graft.functions.knn_topk(col("distance"), col("neg_id"), k).as("tk"))
+      .select(col("anchor_id"), posexplode(col("tk")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neg_id"), col("col.distance").as("distance"))
+  }
 }

@@ -1043,7 +1043,11 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch",
       "lm_logprob", "bigram_logprob", "kneser_ney_logprob", "pmi_pairs",
       "mixture_temperature", "pagerank", "dsir_scores", "dsir_sample",
-      "unimax_mixture", "unigram_vocab", "unigram_encode")
+      "unimax_mixture", "unigram_vocab", "unigram_encode",
+      // hard_negatives: the anchor batch broadcasts against one corpus
+      // scan — anchor×corpus distances are the workload (the
+      // knn_batch_probes rationale), bounded by the broadcast side
+      "hard_negatives")
     Queries.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans CartesianProduct:\n$plan")
