@@ -2942,6 +2942,34 @@ object Queries {
         .select(col("vec_id"), col("pos").cast("long").as("d"),
           round(col("col"), 6).as("val"))),
 
+    // robots.txt policy evaluation (RFC 9309 literal-prefix subset):
+    // 20 synthetic hosts with planted rule sets covering every decision
+    // class — longest-match override (/public/x allow beats /public
+    // disallow), plain block, per-host conditional allow, the
+    // equal-length tie (Allow wins), no-match default, AND a non-*
+    // group that must be ignored. The oracle restates the DECISION
+    // TABLE from the fixture formulas — parser or matcher bugs
+    // value-fail against it
+    "robots_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val host = concat(lit("h"), (col("doc_id") % 20).cast("string"), lit(".example.com"))
+      val m = col("doc_id") % 5
+      val path = concat(
+        when(m === 0, lit("/public/x/")).when(m === 1, lit("/public/"))
+          .when(m === 2, lit("/private/open/")).when(m === 3, lit("/t/a/"))
+          .otherwise(lit("/")),
+        col("doc_id").cast("string"))
+      val urls = d.select(col("doc_id"), host.as("host"), path.as("path"))
+      val robotsTxt = concat(
+        lit("User-agent: gptbot\nDisallow: /\n\nUser-agent: *\nAllow: /public/x\n" +
+          "Disallow: /public\nDisallow: /private\nAllow: /t/a\nDisallow: /t/a\n"),
+        when(col("k") % 3 === 0, lit("Allow: /private/open\n")).otherwise(lit("")))
+      val hosts = urls.select(col("host"), (col("doc_id") % 20).as("k")).distinct()
+      val rules = graft.ops.Robots.parseRules(
+        hosts.select(col("host"), robotsTxt.as("txt")), "host", "txt")
+      graft.ops.Robots.robotsFilter(urls, "doc_id", "host", "path", rules, "host")
+    }),
+
     // WARC capture ingestion: a two-record WARC/1.0 blob per document
     // (response + metadata; every 7th metadata payload embeds the literal
     // record magic) parsed by the Content-Length-honoring record walk.
@@ -5438,6 +5466,19 @@ object Queries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    // the decision table derived from the fixture formulas (see the gate
+    // comment): neither the parser nor the matcher appears here
+    "robots_filter" ->
+      """SELECT doc_id,
+        |  'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+        |  (CASE doc_id % 5 WHEN 0 THEN '/public/x/' WHEN 1 THEN '/public/'
+        |    WHEN 2 THEN '/private/open/' WHEN 3 THEN '/t/a/' ELSE '/' END)
+        |    || CAST(doc_id AS VARCHAR) AS path,
+        |  CASE doc_id % 5 WHEN 0 THEN TRUE WHEN 1 THEN FALSE
+        |    WHEN 2 THEN (doc_id % 20) % 3 = 0 WHEN 3 THEN TRUE
+        |    ELSE TRUE END AS allowed
+        |FROM documents""".stripMargin,
 
     // expected rows derived from the capture-fixture formulas (see the
     // gate comment): the parser under test never appears here

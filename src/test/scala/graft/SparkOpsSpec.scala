@@ -2371,6 +2371,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == toks)
   }
 
+  test("Robots: *-group selection, CRLF, empty-rule drop, longest-match/tie verdicts, no-rules default") {
+    import graft.ops.Robots
+    val robots = Seq(
+      // CRLF endings, a non-* group that must be ignored, an empty
+      // Disallow (matches nothing, dropped), two * groups that merge
+      ("a.io", "User-agent: gptbot\r\nDisallow: /\r\n\r\nUser-agent: *\r\nDisallow: /x\r\n" +
+        "Disallow:\r\n\r\nUser-agent: *\r\nAllow: /x/pub\r\n"),
+      ("b.io", "User-agent: other\nDisallow: /\n")).toDF("host", "txt")
+    val rules = Robots.parseRules(robots, "host", "txt")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(rules == Set(("a.io", false, "/x"), ("a.io", true, "/x/pub")))
+    val urls = Seq(
+      (1L, "a.io", "/x/priv"),   // only Disallow /x matches -> blocked
+      (2L, "a.io", "/x/pub/1"),  // Allow /x/pub (6) beats Disallow /x (2)
+      (3L, "a.io", "/ok"),       // no rule matches -> allowed
+      (4L, "b.io", "/x/priv"),   // no *-rules for host -> allowed
+      (5L, "c.io", "/anything")  // host absent entirely -> allowed
+    ).toDF("id", "host", "path")
+    val got = Robots.robotsFilter(urls, "id", "host", "path",
+      Robots.parseRules(robots, "host", "txt"), "host")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
+  }
+
   test("Warc records: Content-Length framing survives embedded magic; malformed tail stops leniently") {
     import graft.ops.Warc
     val p1 = "see WARC/1.0\r\nnested" // 20 chars INCLUDING the record magic
