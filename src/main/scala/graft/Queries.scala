@@ -39,6 +39,13 @@ object Queries {
     " They compared costs, e.g. travel, i.e. flights, etc. and left!" +
     " Prof. Lee arrived at 9 a.m. sharp. Was it No. 7 vs. No. 9? Yes."
 
+  /** Planted tail for the mojibake-repair gate: every entry of
+    * [[graft.ops.TextAnalysis.MojibakeTable]] appears at least once.
+    * Shared verbatim by the Spark query and the oracle.
+    */
+  val MojibakeTail: String = " Ã©lÃ¨ve dÃ©cidÃ© hÃ´tel fÃªte schÃ¶n strÃ¤ÃŸe" +
+    " grÃ¼n faÃ§ade niÃ±o Ã¡ Ã³ Ãº â€” â€“ thatâ€™s â€œfineâ€¦ 25Â° Â«okÂ»"
+
   /** Probe vector: values in {-0.375..0.375} — exactly representable in
     * both decimal and binary floating point, and inside the embedding
     * value range so the quantized probe doesn't saturate.
@@ -2942,6 +2949,14 @@ object Queries {
         .select(col("vec_id"), col("pos").cast("long").as("d"),
           round(col("col"), 6).as("val"))),
 
+    // one round of UTF-8/CP1252 mojibake repair over a planted tail
+    // hitting every table entry; the oracle replays the identical
+    // replacement chain generated from the SAME table constant, so the
+    // two engines cannot drift
+    "fix_mojibake" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fixMojibake(concat(col("text"), lit(MojibakeTail))).as("fixed"))),
+
     // robots.txt policy evaluation (RFC 9309 literal-prefix subset):
     // 20 synthetic hosts with planted rule sets covering every decision
     // class — longest-match override (/public/x allow beats /public
@@ -5466,6 +5481,15 @@ object Queries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    // the replacement chain generated from the shared MojibakeTable
+    "fix_mojibake" -> {
+      val base = s"text || '$MojibakeTail'"
+      val chain = graft.ops.TextAnalysis.MojibakeTable.foldLeft(base) {
+        case (acc, (b, g)) => s"replace($acc, '$b', '$g')"
+      }
+      s"SELECT doc_id, $chain AS fixed FROM documents"
+    },
 
     // the decision table derived from the fixture formulas (see the gate
     // comment): neither the parser nor the matcher appears here

@@ -1139,4 +1139,39 @@ object TextAnalysis {
     df.select(col(idCol), posexplode(sents).as(Seq("sent_id", "sentence")))
       .withColumn("sent_id", col("sent_id").cast("long"))
   }
+
+  /** The UTF-8-read-as-CP1252 mojibake table: each left-hand sequence is
+    * the EXACT CP1252 misdecode of the right-hand character's UTF-8
+    * bytes (é = C3 A9 → "Ã©", ’ = E2 80 99 → "â€™", « = C2 AB → "Â«") —
+    * the single most common text corruption in crawled corpora (a page
+    * served as UTF-8, labeled or transcoded as Latin-1/CP1252 somewhere
+    * upstream). Entries are restricted to sequences whose CP1252 bytes
+    * are all PRINTABLE (no NBSP/soft-hyphen/undefined-byte forms, which
+    * would put invisible characters in this table and in the oracle
+    * restatement). All left-hand sides start with Ã/â/Â and have
+    * distinct continuations; no right-hand side contains a left-hand
+    * side — so the replacement chain is order-independent and
+    * single-pass confluent. The table is the single source of truth for
+    * both [[fixMojibake]] and the gate's SQL restatement.
+    */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú", "Ã±" -> "ñ",
+    "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "ÃŸ" -> "ß", "Ã§" -> "ç",
+    "Ã¨" -> "è", "Ãª" -> "ê", "Ã´" -> "ô",
+    "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–",
+    "â€”" -> "—", "â€¦" -> "…",
+    "Â«" -> "«", "Â»" -> "»", "Â°" -> "°")
+
+  /** Repair one round of UTF-8/CP1252 mojibake (the ftfy core case,
+    * restricted to the deterministic printable table above): a chain of
+    * literal `replace` passes, no regex, no charset round-trip (a real
+    * `encode(…, 'CP1252')` repair is lossy on characters outside CP1252
+    * and unrestatable in a SQL oracle — the table IS the contract).
+    * Doubly-encoded text (mojibake of mojibake) needs one call per
+    * round, by design. Codegen'd per-row pass, zero shuffle.
+    */
+  def fixMojibake(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    MojibakeTable.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
 }

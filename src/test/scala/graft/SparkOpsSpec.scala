@@ -2371,6 +2371,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == toks)
   }
 
+  test("fixMojibake repairs the CP1252 digraph table; clean text is untouched") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      (1L, "Ã©lÃ¨ve dÃ©jÃ¡ â€” itâ€™s â€œfineâ€¦ 25Â° Â«okÂ» grÃ¼n faÃ§ade niÃ±o"),
+      (2L, "already clean: élève — it’s “fine… 25° «ok»"),
+      (3L, "")).toDF("id", "text")
+    val got = d.select(col("id"), TextAnalysis.fixMojibake(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "élève déjá — it’s “fine… 25° «ok» grün façade niño")
+    // right-hand sides never re-match: repaired text is a fixed point
+    assert(got(2L) == "already clean: élève — it’s “fine… 25° «ok»")
+    assert(got(3L) == "")
+  }
+
   test("Robots: *-group selection, CRLF, empty-rule drop, longest-match/tie verdicts, no-rules default") {
     import graft.ops.Robots
     val robots = Seq(
