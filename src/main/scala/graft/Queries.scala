@@ -46,6 +46,15 @@ object Queries {
   val MojibakeTail: String = " Ã©lÃ¨ve dÃ©cidÃ© hÃ´tel fÃªte schÃ¶n strÃ¤ÃŸe" +
     " grÃ¼n faÃ§ade niÃ±o Ã¡ Ã³ Ãº â€” â€“ thatâ€™s â€œfineâ€¦ 25Â° Â«okÂ»"
 
+  /** Planted tail for the Luhn card-redaction gate: a valid 16-digit PAN
+    * with dash separators (the classic 4111… test number), a
+    * card-SHAPED but Luhn-invalid 16-digit run that must survive, an
+    * 11-digit run below the candidate floor, and a valid 13-digit PAN.
+    * Shared verbatim by the Spark query and the oracle.
+    */
+  val CardTail: String = " pay 4111-1111-1111-1111 or 1234 5678 9012 3456" +
+    " ref 79927398713 alt 4222222222222"
+
   /** Probe vector: values in {-0.375..0.375} — exactly representable in
     * both decimal and binary floating point, and inside the embedding
     * value range so the quantized probe doesn't saturate.
@@ -2949,6 +2958,16 @@ object Queries {
         .select(col("vec_id"), col("pos").cast("long").as("d"),
           round(col("col"), 6).as("val"))),
 
+    // Luhn-validated card redaction: only mod-10-valid 13-19-digit runs
+    // mask (card-shaped order numbers survive); planted tail covers
+    // valid/invalid/too-short/13-digit classes; the oracle replays the
+    // identical candidate + Luhn + in-order replace chain
+    "card_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Curation.redactCards(concat(col("text"), lit(CardTail))).as("r"))
+        .select(col("doc_id"), col("r.n_cards").as("n_cards"),
+          col("r.clean").as("clean"))),
+
     // one round of UTF-8/CP1252 mojibake repair over a planted tail
     // hitting every table entry; the oracle replays the identical
     // replacement chain generated from the SAME table constant, so the
@@ -5481,6 +5500,25 @@ object Queries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    // full-chain replay: candidates, per-candidate Luhn fold, in-order
+    // string-level replacement (list_reduce seeded with the text)
+    "card_redact" -> {
+      val dg = "regexp_replace(c, '[ -]', '', 'g')"
+      val v = s"CAST(substr($dg, len($dg) - i + 1, 1) AS INT)"
+      s"""WITH t AS (SELECT doc_id, text || '$CardTail' AS tx FROM documents),
+         |cc AS (SELECT doc_id, tx,
+         |  regexp_extract_all(tx, '\\b(?:[0-9][ -]?){12,18}[0-9]\\b') AS cands FROM t),
+         |vv AS (SELECT doc_id, tx, list_filter(cands, c ->
+         |    len($dg) BETWEEN 13 AND 19 AND
+         |    list_sum(list_transform(generate_series(1, len($dg)),
+         |      i -> CASE WHEN i % 2 = 0 THEN
+         |             CASE WHEN 2 * $v > 9 THEN 2 * $v - 9 ELSE 2 * $v END
+         |           ELSE $v END)) % 10 = 0) AS valid FROM cc)
+         |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cards,
+         |  list_reduce(list_prepend(tx, valid),
+         |    (acc, x) -> replace(acc, x, '<CARD>')) AS clean FROM vv""".stripMargin
+    },
 
     // the replacement chain generated from the shared MojibakeTable
     "fix_mojibake" -> {

@@ -749,6 +749,40 @@ object Curation {
       ip, "<IP>"), phone, "<PHONE>")
   }
 
+  /** Luhn-validated payment-card redaction — the precision upgrade over
+    * pattern-only masking ([[redactPii]]'s class of rule): a 13-19-digit
+    * run (optional space/dash separators) is masked ONLY if it passes
+    * the Luhn mod-10 check (ISO/IEC 7812), so order numbers, tracking
+    * ids and timestamps that merely look card-shaped survive. Chain:
+    * candidates via one RE2-safe `regexp_extract_all` (word-bounded, so
+    * longer digit runs never half-match), per-candidate Luhn arithmetic
+    * as an in-row integer fold, then an in-row fold replacing each valid
+    * match (in extraction order) with `<CARD>`.
+    *
+    * Application is STRING-level: every occurrence of a validated card
+    * string redacts, including one embedded in a longer non-matching
+    * digit run — over-redaction is the safe failure mode for PII.
+    * Returns struct(n_cards, clean); n_cards counts valid MATCHES.
+    * Codegen'd per-row pass, zero shuffle, restatable verbatim in
+    * DuckDB (`regexp_extract_all` + `list_filter` + `list_reduce`).
+    */
+  def redactCards(text: Column): Column = {
+    val cands = regexp_extract_all(text,
+      lit("\\b(?:[0-9][ -]?){12,18}[0-9]\\b"), lit(0))
+    val valid = filter(cands, c => {
+      val d = regexp_replace(c, "[ -]", "")
+      val n = length(d)
+      val luhn = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+        val v = d.substr(n - i + 1, lit(1)).cast("int")
+        acc + when(i % 2 === 0,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      })
+      n.between(13, 19) && luhn % 10 === 0
+    })
+    val clean = aggregate(valid, text, (acc, c) => replace(acc, c, lit("<CARD>")))
+    struct(size(valid).cast("long").as("n_cards"), clean.as("clean"))
+  }
+
   /** Context-window chunking: each document's token sequence split into
     * width-`width` windows starting every `stride` tokens (overlapping
     * when stride < width) — the training-prep stage that turns documents

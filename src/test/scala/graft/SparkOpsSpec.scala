@@ -2371,6 +2371,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == toks)
   }
 
+  test("redactCards: Luhn gate separates real PANs from card-shaped noise") {
+    import graft.ops.Curation
+    val d = Seq(
+      (1L, "pay 4111-1111-1111-1111 now"),        // valid 16-digit, separators
+      (2L, "order 1234 5678 9012 3456 shipped"),   // Luhn-invalid, survives
+      (3L, "id 79927398713"),                      // 11 digits: below floor
+      (4L, "visa13 4222222222222 ok"),             // valid 13-digit
+      (5L, "4111111111111111 and 4111111111111111"), // both occurrences mask
+      (6L, "digits 12345678901234567890")           // 20-run: no candidate
+    ).toDF("id", "text")
+    val got = d.select(col("id"), Curation.redactCards(col("text")).as("r"))
+      .select(col("id"), col("r.n_cards"), col("r.clean"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((1L, "pay <CARD> now")))
+    assert(got(2L) == ((0L, "order 1234 5678 9012 3456 shipped")))
+    assert(got(3L) == ((0L, "id 79927398713")))
+    assert(got(4L) == ((1L, "visa13 <CARD> ok")))
+    assert(got(5L) == ((2L, "<CARD> and <CARD>")))
+    assert(got(6L) == ((0L, "digits 12345678901234567890")))
+  }
+
   test("fixMojibake repairs the CP1252 digraph table; clean text is untouched") {
     import graft.ops.TextAnalysis
     val d = Seq(
