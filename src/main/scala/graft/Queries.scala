@@ -2958,6 +2958,23 @@ object Queries {
         .select(col("vec_id"), col("pos").cast("long").as("d"),
           round(col("col"), 6).as("val"))),
 
+    // Unicode script profile over planted multilingual tails (Cyrillic /
+    // Greek / CJK by doc_id class): per-script counts by explicit
+    // code-point ranges + the (max count, min name) dominant; both
+    // engines interpolate the SAME ScriptClasses ranges
+    "script_mix" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val tail = when(m === 0, lit(" привет мир широкий"))
+        .when(m === 1, lit(" αλφα βητα γαμμα"))
+        .when(m === 2, lit(" 中文处理系统"))
+        .otherwise(lit(""))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.scriptMix(concat(col("text"), tail)).as("r"))
+        .select(col("doc_id") +:
+          TextAnalysis.ScriptClasses.map { case (nm, _) => col(s"r.n_$nm") } :+
+          col("r.dominant").as("dominant"): _*)
+    }),
+
     // Luhn-validated card redaction: only mod-10-valid 13-19-digit runs
     // mask (card-shaped order numbers survive); planted tail covers
     // valid/invalid/too-short/13-digit classes; the oracle replays the
@@ -5500,6 +5517,31 @@ object Queries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    // counts from the SAME ScriptClasses ranges; dominant replayed as the
+    // identical seedless list_reduce argmax
+    "script_mix" -> {
+      val classes = graft.ops.TextAnalysis.ScriptClasses
+      val cnt = classes.map { case (nm, cls) =>
+        s"CAST(len(regexp_replace(tx, '[^$cls]', '', 'g')) AS BIGINT) AS n_$nm"
+      }.mkString(",\n  ")
+      val entries = classes.map { case (nm, _) =>
+        s"{'n': n_$nm, 'script': '$nm'}"
+      }.mkString("[", ", ", "]")
+      val total = classes.map { case (nm, _) => s"n_$nm" }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |  text || (CASE doc_id % 4 WHEN 0 THEN ' привет мир широкий'
+         |    WHEN 1 THEN ' αλφα βητα γαμμα' WHEN 2 THEN ' 中文处理系统'
+         |    ELSE '' END) AS tx FROM documents),
+         |c AS (SELECT doc_id,
+         |  $cnt FROM t)
+         |SELECT doc_id, ${classes.map { case (nm, _) => s"n_$nm" }.mkString(", ")},
+         |  CASE WHEN $total = 0 THEN 'und' ELSE
+         |    list_reduce($entries, (a, e) ->
+         |      CASE WHEN e.n > a.n OR (e.n = a.n AND e.script < a.script)
+         |           THEN e ELSE a END).script END AS dominant
+         |FROM c""".stripMargin
+    },
 
     // full-chain replay: candidates, per-candidate Luhn fold, in-order
     // string-level replacement (list_reduce seeded with the text)

@@ -1174,4 +1174,57 @@ object TextAnalysis {
     MojibakeTable.foldLeft(c) { case (acc, (bad, good)) =>
       replace(acc, lit(bad), lit(good))
     }
+
+  /** Script classes as EXPLICIT code-point ranges (regex character-class
+    * bodies), deliberately not `\p{Script=…}` properties: property
+    * tables differ across regex engines and Unicode versions, while
+    * literal BMP ranges mean the Spark pass and the SQL restatement
+    * classify every character identically forever. Ranges cover the
+    * dominant block of each script (Latin incl. the 00C0-024F extended
+    * letters; CJK = the unified-ideograph block); characters outside
+    * every class — punctuation, digits, astral-plane symbols — simply
+    * don't count. Single source of truth for [[scriptMix]] and the
+    * gate's oracle.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-zÀ-ɏ",
+    "greek" -> "Ͱ-Ͽ",
+    "cyrillic" -> "Ѐ-ӿ",
+    "arabic" -> "؀-ۿ",
+    "devanagari" -> "ऀ-ॿ",
+    "kana" -> "぀-ヿ",
+    "cjk" -> "一-鿿",
+    "hangul" -> "가-힯")
+
+  /** Per-document script profile — the language-ID companion a
+    * multilingual crawl needs BEFORE n-gram language models apply (a
+    * Cyrillic page scored by Latin-trained n-grams is noise; script is
+    * the cheap, exact first split): one count per [[ScriptClasses]]
+    * entry (strip-and-measure — `length` after deleting the class
+    * complement, one RE2-safe regex per script) plus the dominant
+    * script under (max count, then first-in-table/min-name tie-break;
+    * `und` when no class matched). One codegen'd per-row pass, zero
+    * shuffle. Returns struct(n_latin, …, n_hangul, dominant).
+    */
+  def scriptMix(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val counts = ScriptClasses.map { case (nm, cls) =>
+      nm -> length(regexp_replace(text, s"[^$cls]", "")).cast("long")
+    }
+    val entries = array(counts.map { case (nm, c) =>
+      struct(c.as("n"), lit(nm).as("script"))
+    }: _*)
+    // seedless argmax (first entry is the seed) so the SQL restatement's
+    // list_reduce — which has no init parameter — is the identical fold
+    val best = aggregate(
+      slice(entries, 2, ScriptClasses.length - 1),
+      element_at(entries, 1),
+      (acc, e) => when(e.getField("n") > acc.getField("n") ||
+          (e.getField("n") === acc.getField("n") &&
+            e.getField("script") < acc.getField("script")), e)
+        .otherwise(acc))
+    val total = counts.map(_._2).reduce(_ + _)
+    struct((counts.map { case (nm, c) => c.as(s"n_$nm") } :+
+      when(total === 0L, lit("und")).otherwise(best.getField("script"))
+        .as("dominant")): _*)
+  }
 }

@@ -2371,6 +2371,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == toks)
   }
 
+  test("scriptMix: range classification, dominant tie-breaks, und on no-script text") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      (1L, "hello мир"),          // 5 latin vs 3 cyrillic -> latin
+      (2L, "режим on"),           // 5 cyrillic vs 2 latin -> cyrillic
+      (3L, "αβ 中文 ab"),          // 2 greek, 2 cjk, 2 latin -> tie: min name = cjk
+      (4L, "123 !?"),             // nothing classifies -> und
+      (5L, "")).toDF("id", "text")
+    val got = d.select(col("id"), TextAnalysis.scriptMix(col("text")).as("r"))
+      .select(col("id"), col("r.n_latin"), col("r.n_cyrillic"), col("r.n_cjk"),
+        col("r.n_greek"), col("r.dominant"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got(1L) == ((5L, 3L, 0L, 0L, "latin")))
+    assert(got(2L) == ((2L, 5L, 0L, 0L, "cyrillic")))
+    assert(got(3L) == ((2L, 0L, 2L, 2L, "cjk")))
+    assert(got(4L) == ((0L, 0L, 0L, 0L, "und")))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, "und")))
+  }
+
   test("redactCards: Luhn gate separates real PANs from card-shaped noise") {
     import graft.ops.Curation
     val d = Seq(
