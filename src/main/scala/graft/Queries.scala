@@ -2958,6 +2958,22 @@ object Queries {
         .select(col("vec_id"), col("pos").cast("long").as("d"),
           round(col("col"), 6).as("val"))),
 
+    // sitemap.xml frontier extraction: a 3-entry sitemap per document
+    // (entry 1 full, entry 2 without lastmod/priority, entry 3 malformed
+    // empty loc -> dropped); the oracle restates the EXPECTED rows from
+    // the fixture formulas, never the extractor
+    "sitemap_urls" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>https://example.com/p/"), id,
+        lit("</loc><lastmod>2026-0"), (col("doc_id") % 9 + 1).cast("string"),
+        lit("-01</lastmod><priority>0."), (col("doc_id") % 10).cast("string"),
+        lit("</priority></url><url><loc>https://example.com/q/"), id,
+        lit("</loc></url><url><loc></loc></url></urlset>"))
+      graft.ops.Robots.sitemapUrls(
+        docs(s, dir).select(col("doc_id"), xml.as("xml")), "doc_id", "xml")
+    }),
+
     // Unicode script profile over planted multilingual tails (Cyrillic /
     // Greek / CJK by doc_id class): per-script counts by explicit
     // code-point ranges + the (max count, min name) dominant; both
@@ -5517,6 +5533,20 @@ object Queries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    // expected rows from the sitemap fixture formulas (dropped-entry
+    // reindexing included): the extractor never appears here
+    "sitemap_urls" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS entry_idx,
+        |  'https://example.com/p/' || CAST(doc_id AS VARCHAR) AS loc,
+        |  '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod,
+        |  '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT) AS entry_idx,
+        |  'https://example.com/q/' || CAST(doc_id AS VARCHAR) AS loc,
+        |  '' AS lastmod, '' AS priority
+        |FROM documents""".stripMargin,
 
     // counts from the SAME ScriptClasses ranges; dominant replayed as the
     // identical seedless list_reduce argmax

@@ -80,4 +80,31 @@ object Robots {
       .select(col(idCol), col(hostCol), col(pathCol),
         coalesce(col("_match_allowed"), lit(true)).as("allowed"))
   }
+
+  /** Sitemap (sitemaps.org XML) URL extraction — the crawl-frontier
+    * seeding companion to [[parseRules]]: one row per `<url>` entry with
+    * its `<loc>`, optional `<lastmod>` and optional `<priority>` (kept
+    * as the raw string — a priority is a protocol token, not a number
+    * to re-float). The walk is structural-lite, the right tool for a
+    * machine-generated format: split on `<url>`, one RE2-safe
+    * `regexp_extract` per field within the entry (`[^<]*` bodies, so a
+    * malformed entry yields empty fields rather than crossing entry
+    * boundaries). Entries with an empty `<loc>` are dropped, per the
+    * protocol. Sitemap-INDEX files (`<sitemap>` entries pointing at
+    * child sitemaps) are out of scope here — they are frontier
+    * recursion, not row extraction. One codegen'd per-row pass, zero
+    * shuffle. Output: (idCol, entry_idx, loc, lastmod, priority).
+    */
+  def sitemapUrls(sitemaps: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val entries = filter(
+      transform(slice(split(col(xmlCol), "<url>"), 2, 1000000), seg => struct(
+        regexp_extract(seg, "<loc>([^<]*)</loc>", 1).as("loc"),
+        regexp_extract(seg, "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"),
+        regexp_extract(seg, "<priority>([^<]*)</priority>", 1).as("priority"))),
+      e => e.getField("loc") =!= "")
+    sitemaps.select(col(idCol), posexplode(entries).as(Seq("entry_idx", "e")))
+      .select(col(idCol), col("entry_idx").cast("long").as("entry_idx"),
+        col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+        col("e.priority").as("priority"))
+  }
 }

@@ -2371,6 +2371,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == toks)
   }
 
+  test("sitemapUrls: field extraction, optional fields empty, empty-loc dropped and reindexed") {
+    import graft.ops.Robots
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://a.io/1</loc><lastmod>2026-01-02</lastmod><priority>0.8</priority></url>" +
+      "<url><loc></loc><priority>0.9</priority></url>" + // no loc -> dropped
+      "<url><lastmod>x</lastmod></url>" +                 // no loc at all -> dropped
+      "<url><loc>https://a.io/2</loc></url></urlset>"
+    val got = Robots.sitemapUrls(Seq((7L, xml), (8L, "not xml")).toDF("id", "xml"), "id", "xml")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (7L, 0L, "https://a.io/1", "2026-01-02", "0.8"),
+      (7L, 1L, "https://a.io/2", "", "")))
+  }
+
   test("scriptMix: range classification, dominant tie-breaks, und on no-script text") {
     import graft.ops.TextAnalysis
     val d = Seq(
