@@ -425,6 +425,52 @@ object Queries {
   private def wordpieceVocabSql(m: Int, k: Int): String =
     wordpieceCtes(m, k) + "\nSELECT piece FROM wv ORDER BY piece"
 
+  /** Shared oracle fragments for the text-cleaning scalar surface — used
+    * by both the Scala-API gates and the pure-SQL gate so the two
+    * restatements cannot drift.
+    */
+  private def mojibakeChainSql(base: String): String =
+    graft.ops.TextAnalysis.MojibakeTable.foldLeft(base) {
+      case (acc, (b, g)) => s"replace($acc, '$b', '$g')"
+    }
+
+  /** `list_filter` keeping the Luhn-valid candidates of a list named
+    * `cands` (see the card_redact gate).
+    */
+  private val cardValidSql: String = {
+    val dg = "regexp_replace(c, '[ -]', '', 'g')"
+    val v = s"CAST(substr($dg, len($dg) - i + 1, 1) AS INT)"
+    s"""list_filter(cands, c ->
+       |    len($dg) BETWEEN 13 AND 19 AND
+       |    list_sum(list_transform(generate_series(1, len($dg)),
+       |      i -> CASE WHEN i % 2 = 0 THEN
+       |             CASE WHEN 2 * $v > 9 THEN 2 * $v - 9 ELSE 2 * $v END
+       |           ELSE $v END)) % 10 = 0)""".stripMargin
+  }
+
+  private val cardCandsSql: String =
+    """regexp_extract_all(tx, '\b(?:[0-9][ -]?){12,18}[0-9]\b')"""
+
+  /** Per-script count projections + the dominant-script argmax, over a
+    * text expression aliased `tx` (see the script_mix gate).
+    */
+  private def scriptCountsSql: String =
+    graft.ops.TextAnalysis.ScriptClasses.map { case (nm, cls) =>
+      s"CAST(len(regexp_replace(tx, '[^$cls]', '', 'g')) AS BIGINT) AS n_$nm"
+    }.mkString(",\n  ")
+
+  private def scriptDominantSql: String = {
+    val classes = graft.ops.TextAnalysis.ScriptClasses
+    val entries = classes.map { case (nm, _) =>
+      s"{'n': n_$nm, 'script': '$nm'}"
+    }.mkString("[", ", ", "]")
+    val total = classes.map { case (nm, _) => s"n_$nm" }.mkString(" + ")
+    s"""CASE WHEN $total = 0 THEN 'und' ELSE
+       |    list_reduce($entries, (a, e) ->
+       |      CASE WHEN e.n > a.n OR (e.n = a.n AND e.script < a.script)
+       |           THEN e ELSE a END).script END""".stripMargin
+  }
+
   private def wordpieceEncodeSql(m: Int, k: Int): String =
     wordpieceCtes(m, k) + "\n" +
       """SELECT w.word, w.n,
@@ -2957,6 +3003,19 @@ object Queries {
           posexplode(random_projection(col("embedding"), 8, Dim).as("p")))
         .select(col("vec_id"), col("pos").cast("long").as("d"),
           round(col("col"), 6).as("val"))),
+
+    // the text-cleaning scalar surface in PURE SQL through the
+    // registered functions (fix_mojibake / card_redact / script_mix) —
+    // same column chains, SQL front door
+    "sql_text_clean" -> ((s, dir) => {
+      graft.functions.registerSql(s)
+      docs(s, dir).createOrReplaceTempView("tdocs")
+      s.sql(s"""SELECT doc_id,
+               |  fix_mojibake(text || '$MojibakeTail') AS fixed,
+               |  (card_redact(text || '$CardTail')).n_cards AS n_cards,
+               |  (script_mix(text)).dominant AS dominant
+               |FROM tdocs""".stripMargin)
+    }),
 
     // sitemap.xml frontier extraction: a 3-entry sitemap per document
     // (entry 1 full, entry 2 without lastmod/priority, entry 3 malformed
@@ -5551,55 +5610,47 @@ object Queries {
     // counts from the SAME ScriptClasses ranges; dominant replayed as the
     // identical seedless list_reduce argmax
     "script_mix" -> {
-      val classes = graft.ops.TextAnalysis.ScriptClasses
-      val cnt = classes.map { case (nm, cls) =>
-        s"CAST(len(regexp_replace(tx, '[^$cls]', '', 'g')) AS BIGINT) AS n_$nm"
-      }.mkString(",\n  ")
-      val entries = classes.map { case (nm, _) =>
-        s"{'n': n_$nm, 'script': '$nm'}"
-      }.mkString("[", ", ", "]")
-      val total = classes.map { case (nm, _) => s"n_$nm" }.mkString(" + ")
+      val names = graft.ops.TextAnalysis.ScriptClasses.map { case (nm, _) => s"n_$nm" }
       s"""WITH t AS (SELECT doc_id,
          |  text || (CASE doc_id % 4 WHEN 0 THEN ' привет мир широкий'
          |    WHEN 1 THEN ' αλφα βητα γαμμα' WHEN 2 THEN ' 中文处理系统'
          |    ELSE '' END) AS tx FROM documents),
          |c AS (SELECT doc_id,
-         |  $cnt FROM t)
-         |SELECT doc_id, ${classes.map { case (nm, _) => s"n_$nm" }.mkString(", ")},
-         |  CASE WHEN $total = 0 THEN 'und' ELSE
-         |    list_reduce($entries, (a, e) ->
-         |      CASE WHEN e.n > a.n OR (e.n = a.n AND e.script < a.script)
-         |           THEN e ELSE a END).script END AS dominant
+         |  $scriptCountsSql FROM t)
+         |SELECT doc_id, ${names.mkString(", ")},
+         |  $scriptDominantSql AS dominant
          |FROM c""".stripMargin
     },
 
     // full-chain replay: candidates, per-candidate Luhn fold, in-order
     // string-level replacement (list_reduce seeded with the text)
-    "card_redact" -> {
-      val dg = "regexp_replace(c, '[ -]', '', 'g')"
-      val v = s"CAST(substr($dg, len($dg) - i + 1, 1) AS INT)"
+    "card_redact" ->
       s"""WITH t AS (SELECT doc_id, text || '$CardTail' AS tx FROM documents),
-         |cc AS (SELECT doc_id, tx,
-         |  regexp_extract_all(tx, '\\b(?:[0-9][ -]?){12,18}[0-9]\\b') AS cands FROM t),
-         |vv AS (SELECT doc_id, tx, list_filter(cands, c ->
-         |    len($dg) BETWEEN 13 AND 19 AND
-         |    list_sum(list_transform(generate_series(1, len($dg)),
-         |      i -> CASE WHEN i % 2 = 0 THEN
-         |             CASE WHEN 2 * $v > 9 THEN 2 * $v - 9 ELSE 2 * $v END
-         |           ELSE $v END)) % 10 = 0) AS valid FROM cc)
+         |cc AS (SELECT doc_id, tx, $cardCandsSql AS cands FROM t),
+         |vv AS (SELECT doc_id, tx, $cardValidSql AS valid FROM cc)
          |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cards,
          |  list_reduce(list_prepend(tx, valid),
-         |    (acc, x) -> replace(acc, x, '<CARD>')) AS clean FROM vv""".stripMargin
-    },
+         |    (acc, x) -> replace(acc, x, '<CARD>')) AS clean FROM vv""".stripMargin,
 
     // the replacement chain generated from the shared MojibakeTable
-    "fix_mojibake" -> {
-      val base = s"text || '$MojibakeTail'"
-      val chain = graft.ops.TextAnalysis.MojibakeTable.foldLeft(base) {
-        case (acc, (b, g)) => s"replace($acc, '$b', '$g')"
-      }
-      s"SELECT doc_id, $chain AS fixed FROM documents"
-    },
+    "fix_mojibake" ->
+      s"SELECT doc_id, ${mojibakeChainSql(s"text || '$MojibakeTail'")} AS fixed FROM documents",
+
+    // the same three scalar chains through the registered SQL functions —
+    // one implementation, two front doors; the oracle reuses the same
+    // generated fragments as the Scala-API gates
+    "sql_text_clean" ->
+      s"""WITH t AS (SELECT doc_id, text || '$CardTail' AS tx FROM documents),
+         |cc AS (SELECT doc_id, tx, $cardCandsSql AS cands FROM t),
+         |vv AS (SELECT doc_id, $cardValidSql AS valid FROM cc),
+         |sc AS (SELECT doc_id, $scriptCountsSql FROM (
+         |  SELECT doc_id, text AS tx FROM documents) s0)
+         |SELECT d.doc_id,
+         |  ${mojibakeChainSql(s"d.text || '$MojibakeTail'")} AS fixed,
+         |  CAST(len(vv.valid) AS BIGINT) AS n_cards,
+         |  $scriptDominantSql AS dominant
+         |FROM documents d JOIN vv ON d.doc_id = vv.doc_id
+         |JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
 
     // the decision table derived from the fixture formulas (see the gate
     // comment): neither the parser nor the matcher appears here

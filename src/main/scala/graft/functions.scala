@@ -228,6 +228,20 @@ object functions {
       case Seq(p, d) => MediaProbeExpr(p, d)
       case args => throw new IllegalArgumentException(s"media_probe expects 2 args, got ${args.size}")
     }, "scala_udf")
+    // text-cleaning scalar surface: the column chains ARE the
+    // registration (one implementation, two front doors)
+    reg.createOrReplaceTempFunction("fix_mojibake", {
+      case Seq(t) => GraftColumnShim.eagerExpression(ops.TextAnalysis.fixMojibake(col(t)))
+      case args => throw new IllegalArgumentException(s"fix_mojibake expects 1 arg, got ${args.size}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("script_mix", {
+      case Seq(t) => GraftColumnShim.eagerExpression(ops.TextAnalysis.scriptMix(col(t)))
+      case args => throw new IllegalArgumentException(s"script_mix expects 1 arg, got ${args.size}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("card_redact", {
+      case Seq(t) => GraftColumnShim.eagerExpression(ops.Curation.redactCards(col(t)))
+      case args => throw new IllegalArgumentException(s"card_redact expects 1 arg, got ${args.size}")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("pcm_fingerprint", {
       case Seq(p) => PcmFingerprintExpr(p, 8)
       case args => throw new IllegalArgumentException(s"pcm_fingerprint expects 1 arg, got ${args.size}")

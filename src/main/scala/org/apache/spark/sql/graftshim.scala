@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER ColumnNode→Expression conversion — for Column chains handed to
+    * the FunctionRegistry, where the lazy `ColumnNodeExpression`
+    * placeholder `expression` returns would reach the analyzer unresolved
+    * (its dataType is VOID until the classic converter runs, so e.g.
+    * struct-field extraction on a registered function's result fails).
+    */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
