@@ -3050,6 +3050,20 @@ object Queries {
           col("r.dominant").as("dominant"): _*)
     }),
 
+    // C4 line-wise cleaning over a planted multi-line fixture: nav bar
+    // (no terminal punct), short line, JavaScript banner and a code line
+    // drop; real sentences survive; page-level brace/lorem signals ride
+    // as audit flags on doc_id%7 / doc_id%9 docs. Oracle replays the
+    // identical rule chain
+    "c4_line_filter" -> ((s, dir) => {
+      val lined = concat(col("text"), lit(".\nHOME | ABOUT | CONTACT\nShort line.\n" +
+        "Enable JavaScript to view this content.\nThis sentence has six real words here."),
+        when(col("doc_id") % 7 === 0, lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit("\nlorem ipsum dolor sit amet text.")).otherwise(lit("")))
+      Curation.c4LineFilter(
+        docs(s, dir).select(col("doc_id"), lined.as("text")), "doc_id", "text")
+    }),
+
     // Luhn-validated card redaction: only mod-10-valid 13-19-digit runs
     // mask (card-shaped order numbers survive); planted tail covers
     // valid/invalid/too-short/13-digit classes; the oracle replays the
@@ -5621,6 +5635,26 @@ object Queries {
          |  $scriptDominantSql AS dominant
          |FROM c""".stripMargin
     },
+
+    // the identical line-rule chain in RE2/DuckDB list ops
+    "c4_line_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || '.' || chr(10) || 'HOME | ABOUT | CONTACT' || chr(10) || 'Short line.'
+        |    || chr(10) || 'Enable JavaScript to view this content.'
+        |    || chr(10) || 'This sentence has six real words here.'
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet text.' ELSE '' END)
+        |    AS tx FROM documents),
+        |k AS (SELECT doc_id, tx, string_split(tx, chr(10)) AS ls,
+        |  list_filter(string_split(tx, chr(10)), l ->
+        |    regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |    AND NOT contains(lower(trim(l)), 'javascript')) AS kept FROM t)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  contains(tx, '{') AS has_brace,
+        |  contains(lower(tx), 'lorem ipsum') AS has_lorem
+        |FROM k""".stripMargin,
 
     // full-chain replay: candidates, per-candidate Luhn fold, in-order
     // string-level replacement (list_reduce seeded with the text)

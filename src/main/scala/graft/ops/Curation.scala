@@ -749,6 +749,40 @@ object Curation {
       ip, "<IP>"), phone, "<PHONE>")
   }
 
+  /** C4-style line-wise cleaning (Raffel et al. 2020 §2.2, the documented
+    * deterministic subset): a line survives only if it (a) ends in a
+    * terminal punctuation mark (`.` `!` `?` `"`), (b) carries at least
+    * `minWords` whitespace-separated words, and (c) does not contain
+    * `javascript` (case-insensitive substring — the "enable JavaScript"
+    * banner class). The two PAGE-level C4 signals ride along as audit
+    * flags rather than a silent drop: `has_brace` (any `{` — the code
+    * heuristic) and `has_lorem` (`lorem ipsum` placeholder text); the
+    * caller decides whether flagged docs die. Output: (idCol,
+    * clean_text, n_lines, n_kept, has_brace, has_lorem).
+    *
+    * One codegen'd per-row pass (split → filter → rejoin), zero shuffle,
+    * RE2-restatable (anchored character class, no lookaround). Distinct
+    * from [[graft.ops.Dedup.lineDedup]] (cross-document repeats) — this
+    * is the PER-document structural cleaner that runs before it.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 5): DataFrame = {
+    require(minWords >= 1 && minWords <= 100, s"minWords must be in [1, 100], got $minWords")
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !lower(t).contains("javascript")
+    })
+    df.select(col(idCol),
+      array_join(kept, "\n").as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      col(textCol).contains("{").as("has_brace"),
+      lower(col(textCol)).contains("lorem ipsum").as("has_lorem"))
+  }
+
   /** Luhn-validated payment-card redaction — the precision upgrade over
     * pattern-only masking ([[redactPii]]'s class of rule): a 13-19-digit
     * run (optional space/dash separators) is masked ONLY if it passes

@@ -2405,6 +2405,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == ((0L, 0L, 0L, 0L, "und")))
   }
 
+  test("c4LineFilter: terminal-punct/min-words/javascript line rules; page flags ride along") {
+    import graft.ops.Curation
+    val d = Seq(
+      (1L, "A good first sentence right here.\nHOME | ABOUT\ntiny.\n" +
+        "Please enable JavaScript to continue loading.\nAnother fine sentence survives the cut!"),
+      (2L, "var x = { a: 1 };\nlorem ipsum filler text goes here."),
+      (3L, "")).toDF("id", "text")
+    val got = Curation.c4LineFilter(d, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == (("A good first sentence right here.\nAnother fine sentence survives the cut!",
+      5L, 2L, false, false)))
+    // the code line fails the punct rule; the lorem line is a REAL
+    // sentence (kept) — the page-level signal is a flag, not a drop
+    assert(got(2L) == (("lorem ipsum filler text goes here.", 2L, 1L, true, true)))
+    assert(got(3L) == (("", 1L, 0L, false, false)))
+  }
+
   test("redactCards: Luhn gate separates real PANs from card-shaped noise") {
     import graft.ops.Curation
     val d = Seq(
