@@ -3050,6 +3050,26 @@ object Queries {
           col("r.dominant").as("dominant"): _*)
     }),
 
+    // Registered-domain (eTLD+1) extraction under a planted PSL
+    // snapshot: multi-label suffix, single-label suffixes, a BARE
+    // suffix (no registrable domain) and an unlisted TLD (default
+    // rule) — the oracle restates the decision table from the host
+    // formulas, never the matcher
+    "registered_domain" -> ((s, dir) => {
+      val k = (col("doc_id") % 20).cast("string")
+      val m = col("doc_id") % 5
+      val host = when(m === 0, concat(lit("www.shop"), k, lit(".co.uk")))
+        .when(m === 1, concat(lit("blog.example"), k, lit(".com")))
+        .when(m === 2, concat(lit("example"), k, lit(".org")))
+        .when(m === 3, lit("co.uk"))
+        .otherwise(concat(lit("weird"), k, lit(".zz")))
+      docs(s, dir).select(col("doc_id"), host.as("host"),
+          TextAnalysis.registeredDomain(host,
+            Seq("com", "org", "net", "co.uk", "uk")).as("r"))
+        .select(col("doc_id"), col("host"), col("r.suffix").as("suffix"),
+          col("r.registered_domain").as("registered_domain"))
+    }),
+
     // C4 line-wise cleaning over a planted multi-line fixture: nav bar
     // (no terminal punct), short line, JavaScript banner and a code line
     // drop; real sentences survive; page-level brace/lorem signals ride
@@ -5635,6 +5655,24 @@ object Queries {
          |  $scriptDominantSql AS dominant
          |FROM c""".stripMargin
     },
+
+    // the eTLD+1 decision table from the host formulas
+    "registered_domain" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k, doc_id % 5 AS m FROM documents)
+        |SELECT doc_id,
+        |  CASE m WHEN 0 THEN 'www.shop' || k || '.co.uk'
+        |         WHEN 1 THEN 'blog.example' || k || '.com'
+        |         WHEN 2 THEN 'example' || k || '.org'
+        |         WHEN 3 THEN 'co.uk'
+        |         ELSE 'weird' || k || '.zz' END AS host,
+        |  CASE m WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'org'
+        |         WHEN 3 THEN 'co.uk' ELSE 'zz' END AS suffix,
+        |  CASE m WHEN 0 THEN 'shop' || k || '.co.uk'
+        |         WHEN 1 THEN 'example' || k || '.com'
+        |         WHEN 2 THEN 'example' || k || '.org'
+        |         WHEN 3 THEN ''
+        |         ELSE 'weird' || k || '.zz' END AS registered_domain
+        |FROM t""".stripMargin,
 
     // the identical line-rule chain in RE2/DuckDB list ops
     "c4_line_filter" ->

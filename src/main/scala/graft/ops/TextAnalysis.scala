@@ -1175,6 +1175,38 @@ object TextAnalysis {
       replace(acc, lit(bad), lit(good))
     }
 
+  /** Registered-domain (eTLD+1) extraction under a caller-supplied
+    * public-suffix snapshot — the grain per-domain crawl policy actually
+    * wants: `www.shop.example.co.uk` and `cdn.example.co.uk` are the
+    * same SITE (`example.co.uk`), and host-grain caps/stats would treat
+    * a multi-label suffix's subdomains as unrelated. Matching follows
+    * the Public Suffix List algorithm's core: the LONGEST listed suffix
+    * that is the host or a `.`-anchored suffix of it wins; an unlisted
+    * TLD falls back to the PSL default rule (the last label is the
+    * suffix); the registered domain is the suffix plus one label, and a
+    * BARE suffix has none (empty). The suffix list is a parameter — a
+    * PSL snapshot is data, not code, and planting it keeps both engines
+    * on the identical table. Wildcard/exception PSL rules (`*.ck`,
+    * `!www.ck`) are out of scope, documented.
+    *
+    * One in-row fold over the literal suffix array — zero shuffle, no
+    * UDF, restatable in SQL list ops. Returns
+    * struct(suffix, registered_domain).
+    */
+  def registeredDomain(host: org.apache.spark.sql.Column,
+                       suffixes: Seq[String]): org.apache.spark.sql.Column = {
+    require(suffixes.nonEmpty && suffixes.size <= 100000, "suffixes must be non-empty")
+    val suf = array(suffixes.map(lit): _*)
+    val best = aggregate(suf, lit(""), (acc, s) =>
+      when((host === s || host.endsWith(concat(lit("."), s))) &&
+        length(s) > length(acc), s).otherwise(acc))
+    val suffix = when(best === "", element_at(split(host, "\\."), -1)).otherwise(best)
+    val stem = host.substr(lit(1), length(host) - length(suffix) - 1)
+    val reg = when(host === suffix, lit(""))
+      .otherwise(concat(element_at(split(stem, "\\."), -1), lit("."), suffix))
+    struct(suffix.as("suffix"), reg.as("registered_domain"))
+  }
+
   /** Script classes as EXPLICIT code-point ranges (regex character-class
     * bodies), deliberately not `\p{Script=…}` properties: property
     * tables differ across regex engines and Unicode versions, while

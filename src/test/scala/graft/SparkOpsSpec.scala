@@ -2405,6 +2405,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == ((0L, 0L, 0L, 0L, "und")))
   }
 
+  test("registeredDomain: longest-suffix wins, bare suffix empty, unlisted TLD default rule") {
+    import graft.ops.TextAnalysis
+    val psl = Seq("com", "co.uk", "uk", "github.io")
+    val d = Seq((1L, "www.shop.example.co.uk"), (2L, "a.b.example.com"),
+      (3L, "co.uk"), (4L, "site.zz"), (5L, "user.github.io"),
+      // "scom.com"-style trap: suffix must anchor at a dot, so host
+      // "notcom" must NOT match suffix "com" by substring
+      (6L, "notcom")).toDF("id", "host")
+    val got = d.select(col("id"), TextAnalysis.registeredDomain(col("host"), psl).as("r"))
+      .select(col("id"), col("r.suffix"), col("r.registered_domain"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L) == (("co.uk", "example.co.uk")))   // co.uk beats uk
+    assert(got(2L) == (("com", "example.com")))
+    assert(got(3L) == (("co.uk", "")))                // bare suffix
+    assert(got(4L) == (("zz", "site.zz")))            // default rule
+    assert(got(5L) == (("github.io", "user.github.io"))) // private-suffix entry
+    assert(got(6L) == (("notcom", "")))               // own last label = whole host
+  }
+
   test("c4LineFilter: terminal-punct/min-words/javascript line rules; page flags ride along") {
     import graft.ops.Curation
     val d = Seq(
