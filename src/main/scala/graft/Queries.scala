@@ -3050,6 +3050,16 @@ object Queries {
           col("r.dominant").as("dominant"): _*)
     }),
 
+    // Flesch Reading Ease over the tailed fixture (multi-sentence docs):
+    // integer word/sentence/syllable counts + one fixed-order double
+    // tree snapped to the q20 grid; the oracle replays the vowel-group
+    // syllable heuristic and the splitSentences boundary rule
+    "flesch_score" -> ((s, dir) =>
+      TextAnalysis.fleschScore(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" Tail one. Tail two! Tail three?")).as("text")),
+        "doc_id", "text")),
+
     // Registered-domain (eTLD+1) extraction under a planted PSL
     // snapshot: multi-label suffix, single-label suffixes, a BARE
     // suffix (no registrable domain) and an unlisted TLD (default
@@ -5655,6 +5665,26 @@ object Queries {
          |  $scriptDominantSql AS dominant
          |FROM c""".stripMargin
     },
+
+    // syllable heuristic + boundary rule + the identical double tree
+    "flesch_score" ->
+      s"""WITH t AS (SELECT doc_id, text || ' Tail one. Tail two! Tail three?' AS tx FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(${cleanWsSql("lower(regexp_replace(tx, '[^ -~]', '', 'g'))")}) AS BIGINT) AS n_words,
+         |  CAST(greatest(len(list_filter(
+         |    string_split(regexp_replace(trim(tx), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+         |    x -> trim(x) <> '')), 1) AS BIGINT) AS n_sentences,
+         |  CAST(list_sum(list_transform(${cleanWsSql("lower(regexp_replace(tx, '[^ -~]', '', 'g'))")},
+         |    w -> greatest(1, CASE WHEN w LIKE '%e' AND NOT w LIKE '%le'
+         |           AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
+         |         THEN len(regexp_extract_all(w, '[aeiouy]+')) - 1
+         |         ELSE len(regexp_extract_all(w, '[aeiouy]+')) END))) AS BIGINT) AS n_syllables
+         |  FROM t)
+         |SELECT doc_id, n_words, n_sentences, coalesce(n_syllables, 0) AS n_syllables,
+         |  round((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |    - 84.6 * (CAST(coalesce(n_syllables, 0) AS DOUBLE)
+         |        / CAST(greatest(n_words, 1) AS DOUBLE))) * 1048576.0) / 1048576.0 AS flesch
+         |FROM c""".stripMargin,
 
     // the eTLD+1 decision table from the host formulas
     "registered_domain" ->

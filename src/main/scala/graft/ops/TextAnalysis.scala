@@ -1175,6 +1175,47 @@ object TextAnalysis {
       replace(acc, lit(bad), lit(good))
     }
 
+  /** Flesch Reading Ease (Flesch 1948; the readability score reading-age
+    * curricula and several published pretraining filters use): `206.835
+    * − 1.015·(words/sentences) − 84.6·(syllables/words)`. Syllables use
+    * the classic deterministic heuristic — count `[aeiouy]+` vowel
+    * groups, drop one for a silent final `e` (not `le`), floor at 1 —
+    * which is what every practical implementation ships (true syllable
+    * counts need a pronunciation dictionary); sentences reuse
+    * [[splitSentences]]' separator-injection rule so the two operators
+    * can't disagree about boundaries; words are the cleaned-token count.
+    *
+    * Exactness: counts are integers; the score is one fixed-order IEEE
+    * double tree over them (division → multiply-by-literal → subtract),
+    * bit-identical across engines, snapped to the q20 binary grid for
+    * the hash compare (the oov_rate convention — decimal 6-dp halves are
+    * engine-ambiguous, binary halves are not). One codegen'd per-row
+    * pass, zero shuffle. Output: (idCol, n_words, n_sentences,
+    * n_syllables, flesch); an empty document scores with the
+    * greatest(1, ·) floors rather than dividing by zero.
+    */
+  def fleschScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val sep = ""
+    val marked = regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1" + sep)
+    val nSent = size(filter(split(marked, sep), s => trim(s) =!= ""))
+    val toks = Curation.cleanTokens(col(textCol))
+    val syll = (w: org.apache.spark.sql.Column) => {
+      val g = size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+      greatest(lit(1),
+        when(w.endsWith("e") && !w.endsWith("le") && g > 1, g - 1).otherwise(g))
+    }
+    val q20 = (c: org.apache.spark.sql.Column) => round(c * 1048576.0) / 1048576.0
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        greatest(nSent, lit(1)).cast("long").as("n_sentences"),
+        aggregate(toks, lit(0), (acc, w) => acc + syll(w)).cast("long").as("n_syllables"))
+      .withColumn("flesch", q20(lit(206.835)
+        - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+        - lit(84.6) * (col("n_syllables").cast("double") /
+            greatest(col("n_words"), lit(1L)).cast("double"))))
+  }
+
   /** Registered-domain (eTLD+1) extraction under a caller-supplied
     * public-suffix snapshot — the grain per-domain crawl policy actually
     * wants: `www.shop.example.co.uk` and `cdn.example.co.uk` are the

@@ -2405,6 +2405,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == ((0L, 0L, 0L, 0L, "und")))
   }
 
+  test("fleschScore: hand-counted syllables/sentences/words; silent-e rule; empty floors") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      // tokens keep punctuation (cleanTokens contract): the(1) cat(1)
+      // sat(1) "here."(e,e = 2 — the '.' blocks the silent-e rule, as
+      // documented: the heuristic sees surface tokens) "ok!"(1)
+      // sentences: 2; syllables: 6
+      (1L, "The cat sat here. Ok!"),
+      // "table": groups a,e = 2; ends 'le' -> NOT dropped -> 2
+      // "see": groups ee = 1; ends 'e' but g=1 -> floor keeps 1
+      (2L, "table see"),
+      (3L, "")).toDF("id", "text")
+    val m = TextAnalysis.fleschScore(d, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m(1L)._1 == 5L && m(1L)._2 == 2L && m(1L)._3 == 6L)
+    assert(math.abs(m(1L)._4 - (206.835 - 1.015 * 2.5 - 84.6 * 1.2)) < 2e-6)
+    assert(m(2L)._1 == 2L && m(2L)._2 == 1L && m(2L)._3 == 3L)
+    assert(math.abs(m(2L)._4 - (206.835 - 1.015 * 2 - 84.6 * 1.5)) < 2e-6)
+    assert(m(3L)._1 == 0L && m(3L)._2 == 1L && m(3L)._3 == 0L)
+  }
+
   test("registeredDomain: longest-suffix wins, bare suffix empty, unlisted TLD default rule") {
     import graft.ops.TextAnalysis
     val psl = Seq("com", "co.uk", "uk", "github.io")
