@@ -3050,6 +3050,25 @@ object Queries {
           col("r.dominant").as("dominant"): _*)
     }),
 
+    // The crawl-pipeline composition: registeredDomain -> capPerKey at
+    // the eTLD+1 grain — "at most N pages per SITE", the cap every
+    // large crawl applies (host-grain caps would treat one site's
+    // subdomains as unrelated). Deterministic idHash53 selection, so the
+    // oracle replays domain table + priority + rank
+    "domain_cap" -> ((s, dir) => {
+      val k = (col("doc_id") % 20).cast("string")
+      val m = col("doc_id") % 5
+      val host = when(m === 0, concat(lit("www.shop"), k, lit(".co.uk")))
+        .when(m === 1, concat(lit("blog.example"), k, lit(".com")))
+        .when(m === 2, concat(lit("example"), k, lit(".org")))
+        .when(m === 3, lit("co.uk"))
+        .otherwise(concat(lit("weird"), k, lit(".zz")))
+      val withDom = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.registeredDomain(host, Seq("com", "org", "net", "co.uk", "uk"))
+          .getField("registered_domain").as("domain"))
+      Curation.capPerKey(withDom, "domain", "doc_id", n = 10)
+    }),
+
     // Flesch Reading Ease over the tailed fixture (multi-sentence docs):
     // integer word/sentence/syllable counts + one fixed-order double
     // tree snapped to the q20 grid; the oracle replays the vowel-group
@@ -5665,6 +5684,22 @@ object Queries {
          |  $scriptDominantSql AS dominant
          |FROM c""".stripMargin
     },
+
+    // eTLD+1 decision table + the idHash53 priority replay + rank cut
+    "domain_cap" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k, doc_id % 5 AS m FROM documents),
+        |d AS (SELECT doc_id,
+        |  CASE m WHEN 0 THEN 'shop' || k || '.co.uk' WHEN 1 THEN 'example' || k || '.com'
+        |         WHEN 2 THEN 'example' || k || '.org' WHEN 3 THEN ''
+        |         ELSE 'weird' || k || '.zz' END AS domain FROM t),
+        |h AS (SELECT domain, doc_id,
+        |  doc_id % 2147483648 AS lo, CAST(doc_id // 2147483648 AS BIGINT) AS hi FROM d),
+        |p AS (SELECT domain, doc_id,
+        |  ((lo * 2654435761 + hi * 40503) % 1000000007) * 8388608
+        |    + ((lo * 2246822519 + hi * 69069) % 8388593) AS priority FROM h),
+        |r AS (SELECT domain, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY domain ORDER BY priority, doc_id) AS rn FROM p)
+        |SELECT domain, doc_id FROM r WHERE rn <= 10""".stripMargin,
 
     // syllable heuristic + boundary rule + the identical double tree
     "flesch_score" ->
