@@ -164,7 +164,8 @@ object Bench {
         .write.mode("overwrite").parquet(s"$benchDir/xl_vectors")
       // XL dedup corpus: 1M docs × 30 tokens over a 200k-token vocabulary.
       // The first 20k ids form near-duplicate pairs (29 of 30 tokens
-      // shared -> 3-shingle jaccard ≈ 0.81), so the MinHash row exercises
+      // shared, differing at position 0, so only 1 of 28 3-shingles
+      // differs -> jaccard = 27/29 ≈ 0.93), so the MinHash row exercises
       // the real banding + verification path (not the identical-content
       // groupBy fast path) and emits an output-proportional 10k pairs;
       // the same pairs plant duplicated ≥20-token windows for the

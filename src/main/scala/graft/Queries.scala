@@ -3159,6 +3159,45 @@ object Queries {
       graft.ops.Robots.robotsFilter(urls, "doc_id", "host", "path", rules, "host")
     }),
 
+    // robots.txt RFC 9309 WILDCARD rules: lowercase/mixed-case field
+    // names with inline # comments (the RFC-required normalizations),
+    // mid-pattern `*` (/*?sessionid=), `$` end anchors (/download/
+    // *.html$ overriding /download/; /tmp$ blocking /tmp but not
+    // /tmping...), a wildcard-pattern length tie (allow+disallow /t*a
+    // -> Allow wins), longest-pattern override (/a*b allow beats /a
+    // disallow), and the no-match fail-open default. The oracle
+    // restates the DECISION TABLE from the fixture formulas — neither
+    // the parser, the regex compiler, nor the matcher appears in it
+    "robots_filter_wildcard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val host = concat(lit("w"), (col("doc_id") % 10).cast("string"), lit(".example.com"))
+      val m = col("doc_id") % 8
+      val path = when(m === 0, concat(lit("/page?sessionid="), col("doc_id").cast("string")))
+        .when(m === 1, concat(lit("/download/f"), col("doc_id").cast("string"), lit(".html")))
+        .when(m === 2, concat(lit("/download/f"), col("doc_id").cast("string"), lit(".pdf")))
+        .when(m === 3, lit("/tmp"))
+        .when(m === 4, concat(lit("/tmping"), col("doc_id").cast("string")))
+        .when(m === 5, concat(lit("/tXa"), col("doc_id").cast("string")))
+        .when(m === 6, concat(lit("/axxb/c"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/anything"), col("doc_id").cast("string")))
+      val urls = d.select(col("doc_id"), host.as("host"), path.as("path"))
+      val robotsTxt = lit(
+        "user-agent: gptbot # blocked bot\ndisallow: /\n\n" +
+          "user-agent: * # main group\n" +
+          "disallow: /*?sessionid=\n" +
+          "allow: /download/*.html$\n" +
+          "DisAllow: /download/\n" +
+          "disallow: /tmp$\n" +
+          "allow: /t*a # tie test\n" +
+          "disallow: /t*a\n" +
+          "allow: /a*b\n" +
+          "disallow: /a\n")
+      val hosts = urls.select(col("host")).distinct()
+      val rules = graft.ops.Robots.parseRules(
+        hosts.select(col("host"), robotsTxt.as("txt")), "host", "txt")
+      graft.ops.Robots.robotsFilter(urls, "doc_id", "host", "path", rules, "host")
+    }),
+
     // WARC capture ingestion: a two-record WARC/1.0 blob per document
     // (response + metadata; every 7th metadata payload embeds the literal
     // record magic) parsed by the Content-Length-honoring record walk.
@@ -5800,6 +5839,25 @@ object Queries {
         |  CASE doc_id % 5 WHEN 0 THEN TRUE WHEN 1 THEN FALSE
         |    WHEN 2 THEN (doc_id % 20) % 3 = 0 WHEN 3 THEN TRUE
         |    ELSE TRUE END AS allowed
+        |FROM documents""".stripMargin,
+
+    // the wildcard decision table from the fixture formulas (see the
+    // gate comment): parser, regex compilation and matcher never appear
+    "robots_filter_wildcard" ->
+      """SELECT doc_id,
+        |  'w' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN '/page?sessionid=' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN '/download/f' || CAST(doc_id AS VARCHAR) || '.html'
+        |    WHEN 2 THEN '/download/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |    WHEN 3 THEN '/tmp'
+        |    WHEN 4 THEN '/tmping' || CAST(doc_id AS VARCHAR)
+        |    WHEN 5 THEN '/tXa' || CAST(doc_id AS VARCHAR)
+        |    WHEN 6 THEN '/axxb/c' || CAST(doc_id AS VARCHAR)
+        |    ELSE '/anything' || CAST(doc_id AS VARCHAR) END AS path,
+        |  CASE doc_id % 8 WHEN 0 THEN FALSE WHEN 1 THEN TRUE
+        |    WHEN 2 THEN FALSE WHEN 3 THEN FALSE WHEN 4 THEN TRUE
+        |    WHEN 5 THEN TRUE WHEN 6 THEN TRUE ELSE FALSE END AS allowed
         |FROM documents""".stripMargin,
 
     // expected rows derived from the capture-fixture formulas (see the

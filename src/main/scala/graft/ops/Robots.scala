@@ -9,19 +9,26 @@ import org.apache.spark.sql.functions._
   * after the fact ("which of these captured URLs were actually
   * crawlable?").
   *
-  * Supported subset, documented rather than hidden: the merged
-  * `User-agent: *` group(s), `Allow:` / `Disallow:` rules with LITERAL
-  * path prefixes. RFC wildcards (`*` mid-pattern, `$` anchor) are out of
-  * scope — they are a regex engine on the match path; the literal-prefix
-  * rule covers the overwhelming majority of real robots.txt lines and
-  * keeps every step a codegen'd string op an independent SQL engine
-  * restates verbatim.
+  * Coverage: the merged `User-agent: *` group(s), `Allow:` /
+  * `Disallow:` rules with literal path prefixes AND the RFC's two
+  * wildcard forms — `*` matching any character run mid-pattern and a
+  * trailing `$` anchoring the end of the path. Field names are
+  * case-insensitive and `#` comments strip before parsing, per the RFC.
+  * Literal rules (the overwhelming majority in the wild) stay on the
+  * codegen'd `startsWith` fast path; only rules that actually carry a
+  * wildcard compile to an RE2-safe anchored regex (escape the literal
+  * part, `*` -> `.*`, trailing `$` -> end anchor).
   *
-  * Decision rule (RFC 9309 §2.2.2): among the group's rules whose prefix
-  * is a prefix of the URL path, the LONGEST prefix wins; on a
+  * Decision rule (RFC 9309 §2.2.2): among the group's rules that match
+  * the URL path, the one with the LONGEST pattern (most-specific =
+  * longest octet count, wildcards counting as written) wins; on a
   * length tie `Allow` wins; no matching rule (or no rules at all for the
-  * host) means allowed. An empty-path rule (`Disallow:` with nothing
-  * after it) matches nothing and is dropped at parse time, per the RFC.
+  * host) means allowed — the protocol's documented FAIL-OPEN default,
+  * which also means a host whose robots.txt failed to fetch or parse
+  * admits everything (callers wanting fail-closed should left-anti-join
+  * the no-rules hosts instead). An empty-path rule (`Disallow:` with
+  * nothing after it) matches nothing and is dropped at parse time, per
+  * the RFC.
   *
   * Scale shape: rule parsing is one in-row pass over each robots.txt
   * (split + filter + transform, zero shuffle); evaluation is ONE
@@ -39,12 +46,23 @@ object Robots {
     * `User-agent:`, keep segments whose first line names `*`, then keep
     * that segment's lines up to the segment end (the next `User-agent:`
     * began the next split segment by construction). Multiple `*` groups
-    * merge, per the RFC. Line endings tolerate `\r\n`. One further
-    * documented subset: a group that STACKS several `User-agent:` lines
-    * before its rules attributes the rules to the last-listed agent only.
+    * merge, per the RFC. Line endings tolerate `\r\n`; field names are
+    * case-normalized and `#` comments strip (both RFC-required) before
+    * the split. One documented subset: a group that STACKS several
+    * `User-agent:` lines before its rules attributes the rules to the
+    * last-listed agent only.
     */
   def parseRules(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
-    val segs = split(regexp_replace(col(textCol), "\r", ""), "User-agent:")
+    // RFC 9309: field names are case-insensitive and '#' starts a
+    // comment running to end-of-line. Normalize both up front so the
+    // structural split below sees one canonical spelling.
+    val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(col(textCol), "\r", ""),
+      "#[^\n]*", ""),
+      "(?im)^[ \t]*user-agent[ \t]*:", "User-agent:"),
+      "(?im)^[ \t]*disallow[ \t]*:", "Disallow:"),
+      "(?im)^[ \t]*allow[ \t]*:", "Allow:")
+    val segs = split(canon, "User-agent:")
     // a segment applies iff its first line is exactly "*"
     val starSegs = filter(segs, seg => trim(element_at(split(seg, "\n"), 1)) === "*")
     val ruleLines = flatten(transform(starSegs, seg =>
@@ -60,18 +78,37 @@ object Robots {
       .select(col(hostCol), col("r.allow").as("allow"), col("r.prefix").as("prefix"))
   }
 
+  /** Compile one RFC 9309 path pattern to an RE2-safe anchored regex:
+    * a trailing `$` becomes an end anchor, every other regex
+    * metacharacter in the pattern escapes to its literal self, and `*`
+    * becomes `.*`. `^` is prepended — RFC patterns always match from the
+    * start of the path. Pure column expressions, so an independent SQL
+    * engine can restate the identical compilation.
+    */
+  def compiledPattern(p: Column): Column = {
+    val hasEnd = p.endsWith("$")
+    val body = when(hasEnd, p.substr(lit(1), length(p) - 1)).otherwise(p)
+    val escaped = regexp_replace(body, "([.^+?(){}\\[\\]\\\\|$])", "\\\\$1")
+    val starred = regexp_replace(escaped, "\\*", ".*")
+    concat(lit("^"), starred, when(hasEnd, lit("$")).otherwise(lit("")))
+  }
+
   /** Evaluate URLs against parsed rules (the output of [[parseRules]]):
     * one row per input URL with the longest-match verdict. Output:
     * (idCol, hostCol, pathCol, allowed). URLs of hosts with no rules —
-    * or matching no rule — are allowed.
+    * or matching no rule — are allowed (the RFC's fail-open default).
+    * Literal rules match on the codegen'd `startsWith` fast path;
+    * wildcard rules (`*` / trailing `$`) match their compiled regex.
     */
   def robotsFilter(urls: DataFrame, idCol: String, hostCol: String, pathCol: String,
                    rules: DataFrame, ruleHostCol: String): DataFrame = {
+    val isLiteral = !col("prefix").contains("*") && !col("prefix").endsWith("$")
     val matched = urls
       .join(rules.select(col(ruleHostCol).as(hostCol), col("allow"), col("prefix")),
         Seq(hostCol))
-      .where(col(pathCol).startsWith(col("prefix")))
-      // longest prefix wins; tie -> Allow: exactly max over (len, allow)
+      .where(when(isLiteral, col(pathCol).startsWith(col("prefix")))
+        .otherwise(regexp_like(col(pathCol), compiledPattern(col("prefix")))))
+      // longest pattern wins; tie -> Allow: exactly max over (len, allow)
       .groupBy(col(idCol))
       .agg(max(struct(length(col("prefix")).as("plen"),
         col("allow").cast("int").as("a"))).as("best"))

@@ -68,13 +68,18 @@ object Warc {
         val he = rel + off - 1L // absolute 1-based start of "\r\n\r\n"
         val header = s.substr(off, he - off)
         // lazy CASE keeps ANSI mode happy on a header with no
-        // Content-Length (the empty extract must not reach the cast)
-        val clenS = regexp_extract(header, "Content-Length: ([0-9]+)", 1)
+        // Content-Length (the empty extract must not reach the cast).
+        // All three extracts anchor to a line START (\r\n prefix — the
+        // field can never be the first line, the version magic is), so a
+        // header NAME or VALUE embedding the literal "Content-Length: N"
+        // (an X-Content-Length extension, a URI quoting it) cannot
+        // supply the wrong length and shear every later record.
+        val clenS = regexp_extract(header, "\r\nContent-Length: ([0-9]+)", 1)
         val clen = when(clenS === "", lit(null).cast("long"))
           .otherwise(clenS.cast("long"))
         val rec = struct(
-          regexp_extract(header, "WARC-Type: ([^\r]*)", 1).as("warc_type"),
-          regexp_extract(header, "WARC-Target-URI: ([^\r]*)", 1).as("target_uri"),
+          regexp_extract(header, "\r\nWARC-Type: ([^\r]*)", 1).as("warc_type"),
+          regexp_extract(header, "\r\nWARC-Target-URI: ([^\r]*)", 1).as("target_uri"),
           clen.as("content_length"),
           s.substr(he + 4, clen).as("payload"))
         when(off > length(s), acc).otherwise(
