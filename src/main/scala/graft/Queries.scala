@@ -3212,6 +3212,21 @@ object Queries {
         "doc_id", "warc")
     }),
 
+    // WARC gzip BYTE profile (the Common Crawl .warc.gz layout): each
+    // record its own gzip member, Content-Length counting payload BYTES.
+    // The response payload repeats multi-byte "café " so byte length
+    // (6/repeat) ≠ char length (5/repeat) — a character-offset walk
+    // shears and value-fails; every 7th metadata payload embeds the
+    // record magic (the split-on-magic trap). Oracle = the fixture
+    // formulas; the decompressor and walker never appear in it
+    "warc_records_gz" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fx = udf((id: Long, lang: String) => graft.ops.Warc.gzCaptureFixture(id, lang))
+      graft.ops.Warc.warcRecordsGz(
+        d.select(col("doc_id"), fx(col("doc_id"), col("lang")).as("warc")),
+        "doc_id", "warc")
+    }),
+
     // ---- multimodal: REAL container fixtures (valid PNG/JPEG/WAV bytes
     // built per doc_id) parsed by the real header codec; the oracle checks
     // the dimension formulas, so a parser reading the wrong offsets fails ----
@@ -5874,6 +5889,26 @@ object Queries {
         |UNION ALL
         |SELECT doc_id, CAST(1 AS BIGINT) AS rec_idx, 'metadata' AS warc_type,
         |  '' AS target_uri, CAST(len(mp) AS BIGINT) AS content_length,
+        |  mp AS payload FROM t""".stripMargin,
+
+    // expected rows from the gz-fixture formulas: content_length is the
+    // BYTE count (6 per 'café ' repeat — é is two bytes; 16 bytes for
+    // the embedded-magic prefix), payload the decoded string
+    "warc_records_gz" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  (CASE WHEN doc_id % 7 = 0 THEN 'seen: WARC/1.0' || chr(13) || chr(10)
+        |        ELSE '' END) || 'lang: ' || lang AS mp,
+        |  repeat('café ', CAST(1 + doc_id % 5 AS INTEGER)) AS rp
+        |  FROM documents)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx, 'response' AS warc_type,
+        |  uri AS target_uri, CAST(6 * (1 + doc_id % 5) AS BIGINT) AS content_length,
+        |  rp AS payload FROM t
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT) AS rec_idx, 'metadata' AS warc_type,
+        |  '' AS target_uri,
+        |  CAST((CASE WHEN doc_id % 7 = 0 THEN 16 ELSE 0 END) + 6 + len(lang) AS BIGINT)
+        |    AS content_length,
         |  mp AS payload FROM t""".stripMargin,
 
     "multimodal_meta" -> {

@@ -841,6 +841,41 @@ case class PngPixelStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `warc_records_gz(blob)` — byte-exact WARC record extraction over a
+  * `.warc.gz` binary column (per-record gzip members, Content-Length in
+  * BYTES — [[graft.ops.Warc.gzRecordRows]]). Codegen'd static call; NULL
+  * for payloads that are not gzip at all; lenient tail inside.
+  */
+case class WarcRecordsGzExpr(child: Expression, maxRecords: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", StringType, nullable = false))), containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "warc_records_gz"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.Warc.gzRecordRows(v.asInstanceOf[Array[Byte]], maxRecords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.ops.Warc.gzRecordRows($c, $maxRecords);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `bpe_merge(syms, 'a', 'b')` — one byte-pair-encoding merge round:
   * every non-overlapping (a, b) adjacency in the symbol array becomes the
   * concatenated symbol, greedy left-to-right on the original sequence

@@ -95,6 +95,141 @@ object Warc {
         col("r.content_length").as("content_length"), col("r.payload").as("payload"))
   }
 
+  // ---------- byte-exact gzip profile (the Common Crawl layout) ----------
+
+  /** Decompressed-size cap for [[gzRecordRows]]: a crafted kilobyte-sized
+    * gzip bomb would otherwise allocate the executor to death before the
+    * walk even starts (same rationale as MediaCodec's pixel cap).
+    */
+  private val MaxInflated: Int = 1 << 28 // 256 MB
+
+  private val MagicBytes = Magic.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val BlankBytes = "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val ClenRe = "\r\nContent-Length: ([0-9]+)".r
+  private val TypeRe = "\r\nWARC-Type: ([^\r]*)".r
+  private val UriRe = "\r\nWARC-Target-URI: ([^\r]*)".r
+
+  /** Static entry point for [[graft.expressions.WarcRecordsGzExpr]]'s
+    * generated code: decompress a `.warc.gz` blob (each record its own
+    * gzip member, members concatenated — the Common Crawl layout;
+    * `GZIPInputStream` walks the member chain natively) and then walk the
+    * records BYTE-exactly: `Content-Length` counts payload BYTES, not
+    * characters, so a multi-byte-UTF-8 payload frames correctly where a
+    * character-offset walk would shear. Headers decode as ISO-8859-1
+    * (byte-transparent; WARC named headers are ASCII), payloads as UTF-8.
+    * Lenient tail like the text profile: a truncated gzip stream, a
+    * position without the version magic, a header without terminator or
+    * Content-Length ends the walk with everything parsed so far.
+    */
+  def gzRecordRows(blob: Array[Byte], maxRecords: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (blob == null || blob.length < 2 ||
+      (blob(0) & 0xff) != 0x1f || (blob(1) & 0xff) != 0x8b) return null
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(blob))
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n > 0 && out.size() <= MaxInflated) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+    } catch { case _: java.io.IOException => () } // truncated member: keep the parsed prefix
+    if (out.size() > MaxInflated) return null
+    val b = out.toByteArray
+
+    def matchesAt(off: Int, pat: Array[Byte]): Boolean = {
+      if (off + pat.length > b.length) return false
+      var i = 0
+      while (i < pat.length) { if (b(off + i) != pat(i)) return false; i += 1 }
+      true
+    }
+    def indexOf(from: Int, pat: Array[Byte]): Int = {
+      var i = from
+      while (i + pat.length <= b.length) { if (matchesAt(i, pat)) return i; i += 1 }
+      -1
+    }
+
+    val recs = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var off = 0
+    var ok = true
+    while (ok && recs.length < maxRecords && off < b.length) {
+      if (!matchesAt(off, MagicBytes)) ok = false
+      else {
+        val he = indexOf(off, BlankBytes) // start of the \r\n\r\n terminator
+        if (he < 0) ok = false
+        else {
+          val header = new String(b, off, he - off,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          ClenRe.findFirstMatchIn(header).map(_.group(1).toLong) match {
+            case Some(clen) if clen <= Int.MaxValue && he + 4 + clen + 4 <= b.length =>
+              val wt = TypeRe.findFirstMatchIn(header).map(_.group(1)).getOrElse("")
+              val uri = UriRe.findFirstMatchIn(header).map(_.group(1)).getOrElse("")
+              recs += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](
+                  org.apache.spark.unsafe.types.UTF8String.fromString(wt),
+                  org.apache.spark.unsafe.types.UTF8String.fromString(uri),
+                  clen,
+                  org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                    java.util.Arrays.copyOfRange(b, he + 4, he + 4 + clen.toInt))))
+              off = he + 4 + clen.toInt + 4
+            case _ => ok = false
+          }
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(recs.toArray)
+  }
+
+  /** One row per record of a binary `.warc.gz` column — the byte-exact
+    * companion to [[warcRecords]] (same output schema; `content_length`
+    * counts payload bytes). Per-row codegen'd decompress + walk, zero
+    * shuffle.
+    */
+  def warcRecordsGz(df: DataFrame, idCol: String, warcCol: String,
+                    maxRecords: Int = 16): DataFrame = {
+    require(maxRecords >= 1 && maxRecords <= 4096,
+      s"maxRecords must be in [1, 4096], got $maxRecords")
+    val walked = org.apache.spark.sql.GraftColumnShim.column(
+      graft.expressions.WarcRecordsGzExpr(
+        org.apache.spark.sql.GraftColumnShim.expression(col(warcCol)), maxRecords))
+    df.select(col(idCol), posexplode(walked).as(Seq("rec_idx", "r")))
+      .select(col(idCol), col("rec_idx").cast("long").as("rec_idx"),
+        col("r.warc_type").as("warc_type"), col("r.target_uri").as("target_uri"),
+        col("r.content_length").as("content_length"), col("r.payload").as("payload"))
+  }
+
+  /** Deterministic `.warc.gz` fixture for the gate (JVM-side, wrapped in
+    * a fixture-synthesis udf by the caller): two records, EACH its own
+    * gzip member, concatenated — the Common Crawl layout [[gzRecordRows]]
+    * decompresses across. The response payload repeats the multi-byte
+    * string "café " (6 bytes, 5 chars per repeat), so `content_length`
+    * (bytes) ≠ `length(payload)` (chars) and a character-offset walk
+    * would shear every subsequent record; every 7th metadata payload
+    * embeds the record magic (the split-on-magic trap). The oracle's
+    * expected rows derive from THESE formulas, never from a second parse.
+    */
+  def gzCaptureFixture(id: Long, lang: String): Array[Byte] = {
+    val uri = s"https://example.com/doc/$id"
+    val respPayload = "café " * (1 + (id % 5).toInt)
+    val metaPayload = (if (id % 7 == 0) "seen: WARC/1.0\r\n" else "") + "lang: " + lang
+    def member(wtype: String, payload: String, withUri: Boolean): Array[Byte] = {
+      val pb = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val head = new StringBuilder(Magic)
+      head.append(s"WARC-Type: $wtype\r\n")
+      if (withUri) head.append(s"WARC-Target-URI: $uri\r\n")
+      head.append(s"Content-Length: ${pb.length}\r\n\r\n")
+      val rec = head.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        pb ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec); gz.finish(); gz.close()
+      bos.toByteArray
+    }
+    member("response", respPayload, withUri = true) ++
+      member("metadata", metaPayload, withUri = false)
+  }
+
   /** Deterministic capture fixture for the gate: a two-record WARC blob
     * per document — a `response` record carrying the document text and a
     * `metadata` record whose payload, for every 7th document, embeds the
