@@ -55,6 +55,43 @@ object Queries {
   val CardTail: String = " pay 4111-1111-1111-1111 or 1234 5678 9012 3456" +
     " ref 79927398713 alt 4222222222222"
 
+  /** One planted sentence per language for the `lang_id_script` gate,
+    * built from each language's own function words in its own script
+    * (doc_id % 25 selects). Order is [[LangExpected]]'s — the oracle's
+    * decision table maps index → expected code and never sees the text.
+    */
+  val LangSentences: Seq[String] = Seq(
+    "the cat and the dog of it is that for with to",       // en
+    "der die das und ist nicht ein mit sich auf",          // de
+    "le les et est une dans pour que pas vous",            // fr
+    "el los una es por que no para con más",               // es
+    "não uma os das em para com mais são do",              // pt
+    "il di che la per con del si sono non",                // it
+    "de het een van en niet dat met voor zijn",            // nl
+    "nie się na do że jest po jak ale co",                 // pl
+    "och att det som en på är av för med",                 // sv
+    "og det at en den til er som på ikke",                 // da
+    "bir ve bu için ile gibi çok ama daha kadar",          // tr
+    "și la cu un este pentru nu care mai din",             // ro
+    "yang dan di itu dengan untuk tidak dari ini akan",    // id
+    "je se na že to pro jako ale tak když",                // cs
+    "của và các có được trong là cho không một",           // vi
+    "это как что не на его но из при был",                 // ru
+    "це як що не на його але із при був",                  // uk
+    "това като че не на се да от при той",                 // bg
+    "في من على أن إلى هذا عن كان مع التي",                 // ar
+    "در که از به را است این با برای آن",                   // fa
+    "και το να είναι αυτό με για",                         // el (script-mapped)
+    "यह एक है और के लिए से पर",                            // hi
+    "これ は です の に を と",                             // ja
+    "这 是 的 在 有 和 了",                                 // zh
+    "이것 은 있다 의 에 를 과")                             // ko
+
+  /** Expected language code per [[LangSentences]] index. */
+  val LangExpected: Seq[String] = Seq("en", "de", "fr", "es", "pt", "it", "nl",
+    "pl", "sv", "da", "tr", "ro", "id", "cs", "vi", "ru", "uk", "bg", "ar", "fa",
+    "el", "hi", "ja", "zh", "ko")
+
   /** Probe vector: values in {-0.375..0.375} — exactly representable in
     * both decimal and binary floating point, and inside the embedding
     * value range so the quantized probe doesn't saturate.
@@ -2176,6 +2213,19 @@ object Queries {
 
     "lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // script-gated lang ID over 25 languages: one planted sentence per
+    // language (built from that language's function words in its own
+    // script), doc_id % 25 selects it. The oracle is the DECISION TABLE
+    // from the fixture formula — scriptMix, the marker tables and the
+    // argmax never appear in it, so a wrong script split or a
+    // cross-language marker collision value-fails
+    "lang_id_script" -> ((s, dir) => {
+      val sent = element_at(array(LangSentences.map(lit): _*),
+        (col("doc_id") % 25 + 1).cast("int"))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langIdScript(sent).as("lang_pred"))
+    }),
 
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -4571,6 +4621,14 @@ object Queries {
       val best = hits.map(_._2).mkString("greatest(", ", ", ")")
       val cases = hits.map { case (l, h) => s"WHEN $best > 0 AND $h = $best THEN '$l'" }.mkString(" ")
       s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM documents"
+    },
+
+    // the index → language decision table from the fixture: the planted
+    // sentences, the script profile and the marker vote never appear
+    "lang_id_script" -> {
+      val cases = LangExpected.zipWithIndex
+        .map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+      s"SELECT doc_id, CASE doc_id % 25 $cases END AS lang_pred FROM documents"
     },
 
     "fingerprint" ->

@@ -85,13 +85,43 @@ object TextAnalysis {
 
   /** N-gram-free language ID: stopword-hit voting over a per-language
     * marker list; deterministic argmax with fixed priority order.
+    * 20 voted languages across three scripts (15 Latin, 3 Cyrillic,
+    * 2 Arabic-script); the single-language scripts (Greek, Devanagari,
+    * kana, Han, Hangul) need no markers — [[langIdScript]] maps them
+    * straight from the script profile. Function-word markers chosen to
+    * minimize cross-language collisions within a script (e.g. ru его /
+    * uk його, es con / pt com, sv att / da at).
     */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it", "that", "for"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "it", "that", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"),
-    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "por", "que", "no")
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour", "que", "pas", "vous"),
+    "es" -> Seq("el", "los", "una", "es", "por", "que", "no", "para", "con", "más"),
+    "pt" -> Seq("não", "uma", "os", "das", "em", "para", "com", "mais", "são", "do"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "si", "sono", "non"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "niet", "dat", "met", "voor", "zijn"),
+    "pl" -> Seq("nie", "się", "na", "do", "że", "jest", "po", "jak", "ale", "co"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för", "med"),
+    "da" -> Seq("og", "det", "at", "en", "den", "til", "er", "som", "på", "ikke"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "gibi", "çok", "ama", "daha", "kadar"),
+    "ro" -> Seq("și", "la", "cu", "un", "este", "pentru", "nu", "care", "mai", "din"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "dari", "ini", "akan"),
+    "cs" -> Seq("je", "se", "na", "že", "to", "pro", "jako", "ale", "tak", "když"),
+    "vi" -> Seq("của", "và", "các", "có", "được", "trong", "là", "cho", "không", "một"),
+    "ru" -> Seq("это", "как", "что", "не", "на", "его", "но", "из", "при", "был"),
+    "uk" -> Seq("це", "як", "що", "не", "на", "його", "але", "із", "при", "був"),
+    "bg" -> Seq("това", "като", "че", "не", "на", "се", "да", "от", "при", "той"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "هذا", "عن", "كان", "مع", "التي"),
+    "fa" -> Seq("در", "که", "از", "به", "را", "است", "این", "با", "برای", "آن")
   )
+
+  /** Which voted languages compete within each multi-language script —
+    * the [[langIdScript]] candidate sets. */
+  val ScriptLangs: Map[String, Seq[String]] = Map(
+    "latin" -> Seq("en", "de", "fr", "es", "pt", "it", "nl", "pl", "sv", "da",
+      "tr", "ro", "id", "cs", "vi"),
+    "cyrillic" -> Seq("ru", "uk", "bg"),
+    "arabic" -> Seq("ar", "fa"))
 
   def langHits(text: Column, lang: String): Column = {
     val words = LangMarkers.toMap.apply(lang)
@@ -108,6 +138,38 @@ object TextAnalysis {
     hits.foldRight(lit("und"): Column) { case ((l, h), elseCol) =>
       when(best > 0 && h === best, lit(l)).otherwise(elseCol)
     }
+  }
+
+  /** Script-gated language ID — the breadth path: [[scriptMix]]'s
+    * dominant script first splits the decision exactly (a Cyrillic page
+    * never competes against Latin marker lists), then only the
+    * single-script candidate set votes. Single-language scripts map
+    * directly (Greek → el, Devanagari → hi, kana → ja, Han → zh,
+    * Hangul → ko); kana dominance beats Han in mixed Japanese text only
+    * when kana characters outnumber kanji — a kanji-heavy Japanese page
+    * reads zh here, the documented limit of a script-level split.
+    * All per-row codegen'd string work, zero shuffle; Catalyst's
+    * subexpression elimination shares the tokenize across the per-lang
+    * hit counts.
+    */
+  def langIdScript(text: Column): Column = {
+    val dom = scriptMix(text).getField("dominant")
+    def vote(langs: Seq[String]): Column = {
+      val hits = langs.map(l => (l, langHits(text, l)))
+      val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+      hits.foldRight(lit("und"): Column) { case ((l, h), elseCol) =>
+        when(best > 0 && h === best, lit(l)).otherwise(elseCol)
+      }
+    }
+    when(dom === "greek", lit("el"))
+      .when(dom === "devanagari", lit("hi"))
+      .when(dom === "kana", lit("ja"))
+      .when(dom === "cjk", lit("zh"))
+      .when(dom === "hangul", lit("ko"))
+      .when(dom === "cyrillic", vote(ScriptLangs("cyrillic")))
+      .when(dom === "arabic", vote(ScriptLangs("arabic")))
+      .when(dom === "latin", vote(ScriptLangs("latin")))
+      .otherwise(lit("und"))
   }
 
   // ---------- repetition signals (Gopher-style quality filters) ----------
