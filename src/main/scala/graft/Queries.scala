@@ -1152,6 +1152,24 @@ object Queries {
         .select(col("id").as("vec_id"), col("distance").as("dist_sq"))
     }),
 
+    // Q1 over a PACKED f16 SOURCE column: grid-exact embeddings packed
+    // to f16 blobs, then quantized END-TO-END from the blob (decode →
+    // params → codes → store + sidecar → quantized scan over the
+    // re-read store) — the reference's rebuild decodes every stored
+    // element type (sqlite-vector.c:1199-1255). The 1/256 grid makes the
+    // f16 round-trip the identity, so the oracle quantizes the SAME
+    // gridded values: a decode bug (byte order, half-precision rounding)
+    // shifts params and codes and value-fails
+    "quant_lifecycle_f16" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qf16").toString + "/store"
+      val packed = emb(s, dir).select(col("vec_id"),
+        pack_vector(grid256(col("embedding")), "f16").as("vecf16"))
+      Quantizer.quantizeFrom(packed, "vec_id", "vecf16", graft.ElemType.F16, tmp, dim = Dim)
+      val p = graft.catalog.VectorCatalog.readSidecar(s"$tmp/_vector_meta.json")
+      Quantizer.quantScan(s.read.parquet(tmp), probe, p, K, "sq_l2")
+        .select(col("id").as("vec_id"), col("distance").as("dist_sq"))
+    }),
+
     // Incremental maintenance: quantize the even half (store + sidecar),
     // APPEND the odd half under the frozen sidecar params, scan the
     // combined store. The odd half's extrema may exceed the even half's
@@ -4027,6 +4045,29 @@ object Queries {
     "quant_certified_knn" -> knnSql("l2"),
 
     "quant_lifecycle" -> quantKnnSql,
+
+    // the identical AUTO-param + code + knn replay, but over the GRIDDED
+    // values (the f16 round-trip is the identity on the 1/256 grid, so
+    // the pack/decode under test never appears here)
+    "quant_lifecycle_f16" ->
+      s"""WITH p AS (SELECT $probeSqlList AS pv),
+         |ge AS (SELECT vec_id, list_transform(generate_series(1,$Dim),
+         |    i -> CAST($gridSql AS DOUBLE)) AS gv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |mm AS (SELECT min(u.x) AS mn, max(u.x) AS mx
+         |  FROM ge, UNNEST(gv) AS u(x) WHERE NOT isnan(u.x)),
+         |par AS (SELECT
+         |  CASE WHEN mn < 0 THEN (CASE WHEN greatest(abs(mn),abs(mx)) = 0 THEN 1.0 ELSE 127.0/greatest(abs(mn),abs(mx)) END)
+         |       ELSE (CASE WHEN mx - mn = 0 THEN 1.0 ELSE 255.0/(mx - mn) END) END AS q_scale,
+         |  CASE WHEN mn < 0 THEN 0.0 ELSE mn END AS q_offset,
+         |  CASE WHEN mn < 0 THEN -128 ELSE 0 END AS lo,
+         |  CASE WHEN mn < 0 THEN 127 ELSE 255 END AS hi
+         |  FROM mm),
+         |qc AS (SELECT vec_id, list_transform(gv, x -> $codeSqlExpr) AS c FROM ge, par),
+         |qp AS (SELECT list_transform(pv, x -> $codeSqlExpr) AS c FROM par, p)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1,$Dim), i -> (qc.c[i] - qp.c[i]) * (qc.c[i] - qp.c[i]))) AS BIGINT) AS dist_sq
+         |FROM qc, qp ORDER BY dist_sq, vec_id LIMIT $K""".stripMargin,
 
     "quant_cleanup" ->
       s"""SELECT vec_id, dist_sq, TRUE AS store_dropped, TRUE AS params_dropped

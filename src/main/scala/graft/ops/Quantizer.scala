@@ -89,6 +89,38 @@ object Quantizer {
                cfg: graft.VectorConfig, table: String, column: String): (QuantParams, Long) =
     quantize(df, idCol, vecCol, quantPath, cfg.qType, table, column, cfg.maxMemory, cfg.dim)
 
+  /** Decode a PACKED blob column of the given element type to the
+    * canonical `array<float>` — the same ToVector path as the scalar
+    * `vector_as_*` surface (dim-checked when dim > 0).
+    */
+  private def decodePacked(c: org.apache.spark.sql.Column, srcType: graft.ElemType,
+                           dim: Int): org.apache.spark.sql.Column = srcType match {
+    case graft.ElemType.F32 => graft.functions.vector_as_f32(c, dim)
+    case graft.ElemType.F16 => graft.functions.vector_as_f16(c, dim)
+    case graft.ElemType.BF16 => graft.functions.vector_as_bf16(c, dim)
+    case graft.ElemType.I8 => graft.functions.vector_as_i8(c, dim)
+    case graft.ElemType.U8 => graft.functions.vector_as_u8(c, dim)
+  }
+
+  /** Q1 over a PACKED source column (f32/f16/bf16/i8/u8 blobs): the
+    * reference's rebuild decodes EVERY stored element type before
+    * re-quantizing (sqlite-vector.c:1199-1255); the Spark equivalent
+    * composes the codegen'd ToVector decode into both passes — the
+    * min/max pass and the code projection each read the blob column once
+    * and unpack in-row, so the two-scan shape (and the zero-shuffle
+    * property) is unchanged from [[quantize]].
+    */
+  def quantizeFrom(df: DataFrame, idCol: String, vecCol: String,
+                   srcType: graft.ElemType, quantPath: String,
+                   qType: QType = QType.Auto, table: String = "", column: String = "",
+                   maxMemory: Long = 30L * 1024 * 1024, dim: Int = -1): (QuantParams, Long) = {
+    // ToVector is null-safe: a NULL blob decodes to a NULL vector, which
+    // both passes already skip
+    val decoded = df.select(col(idCol),
+      decodePacked(col(vecCol), srcType, dim).as(vecCol))
+    quantize(decoded, idCol, vecCol, quantPath, qType, table, column, maxMemory, dim)
+  }
+
   /** Incremental maintenance — APPEND newly ingested vectors to an
     * existing quant store under its FROZEN params (read from the sidecar),
     * skipping both the global min/max pass and the full rewrite. The
