@@ -670,6 +670,49 @@ object Queries {
        |SELECT node AS doc_id, CAST(pr AS DOUBLE) AS pagerank FROM p$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Logistic-regression training replay ([[graft.ops.Curation.logregTrain]]'s
+    * exact arithmetic): feature CTE `f` (binary-grid features + the
+    * stopword-density label), count CTE `n`, zero-weights CTE `w0`, then
+    * `rounds` unrolled GD rounds each = per-doc logit (z), 9-dp decimal
+    * gradient sums, re-rounded weight update. The final weights live in
+    * CTE `w{rounds}`; `f` stays in scope for inference replays.
+    */
+  private def logregCtes(rounds: Int): String = {
+    val sig = "0.5 + (0.5 * z) / (1.0 + abs(z))"
+    val cols = Seq("x0" -> "wa", "x1" -> "wb", "x2" -> "wc", "x3" -> "wd")
+    val roundCtes = (1 to rounds).map { i =>
+      val gs = cols.map { case (x, w) =>
+        s"SUM(CAST(round(($sig - y) * $x, 9) AS DECIMAL(38,9))) AS g_$w"
+      }.mkString(",\n    ")
+      val ups = cols.map { case (_, w) =>
+        s"CAST(round(CAST(p.$w AS DOUBLE) - 0.5 * (CAST(g.g_$w AS DOUBLE) / n.n), 9) AS DECIMAL(38,9)) AS $w"
+      }.mkString(",\n    ")
+      s"""zz$i AS (SELECT f.*,
+         |    CAST(w.wa AS DOUBLE) * x0 + CAST(w.wb AS DOUBLE) * x1 +
+         |    CAST(w.wc AS DOUBLE) * x2 + CAST(w.wd AS DOUBLE) * x3 AS z
+         |  FROM f, w${i - 1} w),
+         |g$i AS (SELECT
+         |    $gs
+         |  FROM zz$i),
+         |w$i AS (SELECT
+         |    $ups
+         |  FROM w${i - 1} p, g$i g, n)""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT doc_id, $cleanAcSql AS ac FROM documents),
+       |b AS (SELECT doc_id, ac, ${cleanWsSql("ac")} AS ws FROM t),
+       |f AS (SELECT doc_id, 1.0 AS x0,
+       |  CAST(len(ws) AS DOUBLE) / 128.0 AS x1,
+       |  CAST(len(list_filter(ws, w -> w IN ($enStopSql))) AS DOUBLE) / 32.0 AS x2,
+       |  CAST(len(regexp_extract_all(ac, '[^a-z0-9 ]')) AS DOUBLE) / 64.0 AS x3,
+       |  CASE WHEN 4 * len(list_filter(ws, w -> w IN ($enStopSql))) >= len(ws)
+       |       THEN 1.0 ELSE 0.0 END AS y
+       |  FROM b),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |w0 AS (SELECT CAST(0 AS DECIMAL(38,9)) AS wa, CAST(0 AS DECIMAL(38,9)) AS wb,
+       |  CAST(0 AS DECIMAL(38,9)) AS wc, CAST(0 AS DECIMAL(38,9)) AS wd),
+       |$roundCtes""".stripMargin
+  }
+
   // ---------------- hyperplane-LSH SQL restatement ----------------
 
   /** The plane matrix as a SQL literal VALUES table `(b, plv)` — planes are
@@ -2196,6 +2239,27 @@ object Queries {
     // and the accept decision is sign-exact (no exp() on either engine)
     "quality_classifier" -> ((s, dir) =>
       Curation.scoreLinear(docs(s, dir), "doc_id", "text")),
+
+    // distributed logistic-regression TRAINING (3 batch-GD rounds,
+    // softsign sigmoid surrogate, 9-dp decimal gradient sums — the
+    // pagerank round-replay recipe): the oracle replays every round
+    // independently, so a wrong gradient, wrong feature grid, wrong
+    // label rule or lost round value-fails on the final weights
+    "logreg_train" -> ((s, dir) => {
+      val w = Curation.logregTrain(docs(s, dir), "doc_id", "text")
+      s.range(1).select(
+        lit(w(0).doubleValue).as("w_bias"), lit(w(1).doubleValue).as("w_words"),
+        lit(w(2).doubleValue).as("w_stop"), lit(w(3).doubleValue).as("w_symbols"))
+    }),
+
+    // inference with the freshly TRAINED model (train + score in one
+    // gate): per-doc softsign probability at 6 dp and the sign-exact
+    // accept; the oracle replays training then scores independently
+    "quality_classifier_learned" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = Curation.logregTrain(d, "doc_id", "text")
+      Curation.logregScore(d, "doc_id", "text", w)
+    }),
 
     // Full outer join: both dangling sides preserved — customers without
     // orders and (none in this data) orders without customers — reduced
@@ -4612,6 +4676,26 @@ object Queries {
          |  -3000000 + 40000 * n_words + 300000 * n_stop - 200000 * n_symbols AS logit_micro,
          |  (-3000000 + 40000 * n_words + 300000 * n_stop - 200000 * n_symbols) > 0 AS accept
          |FROM m""".stripMargin,
+
+    // full 3-round GD replay: binary-grid features, softsign surrogate,
+    // per-doc 9-dp decimal gradient terms, decimal sums, re-rounded
+    // update — Curation.logregTrain's exact arithmetic, restated
+    "logreg_train" ->
+      s"""WITH ${logregCtes(3)}
+         |SELECT CAST(wa AS DOUBLE) AS w_bias, CAST(wb AS DOUBLE) AS w_words,
+         |  CAST(wc AS DOUBLE) AS w_stop, CAST(wd AS DOUBLE) AS w_symbols
+         |FROM w3""".stripMargin,
+
+    // training replay, then the identical inference tree per document
+    "quality_classifier_learned" ->
+      s"""WITH ${logregCtes(3)},
+         |zf AS (SELECT f.doc_id,
+         |    CAST(w.wa AS DOUBLE) * x0 + CAST(w.wb AS DOUBLE) * x1 +
+         |    CAST(w.wc AS DOUBLE) * x2 + CAST(w.wd AS DOUBLE) * x3 AS z
+         |  FROM f, w3 w)
+         |SELECT doc_id, round(0.5 + (0.5 * z) / (1.0 + abs(z)), 6) AS score,
+         |  z > 0.0 AS accept
+         |FROM zf""".stripMargin,
 
     "outer_join_counts" ->
       """SELECT COUNT(*) AS n_rows,

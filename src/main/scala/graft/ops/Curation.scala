@@ -732,6 +732,98 @@ object Curation {
         (col("logit_micro") > 0).as("accept"))
   }
 
+  /** Distributed training for the quality classifier — the half of the
+    * fastText-style pipeline [[scoreLinear]] only infers: batch
+    * gradient-descent logistic regression over exact per-document text
+    * features, FineWeb-class pipelines train such classifiers on-corpus.
+    *
+    * Engine-exact by construction, the [[Graph.pageRank]] round-replay
+    * recipe: features sit on binary grids (counts / 2^k — exact in
+    * double), the sigmoid is the softsign surrogate
+    * `σ̃(z) = 0.5 + 0.5·z/(1+|z|)` (only +,*,/,abs — IEEE-identical on
+    * every engine, where exp() is not required to be correctly rounded),
+    * per-document gradient terms `(σ̃(w·x) − y)·x_j` are rounded to 9 dp
+    * and summed as DECIMAL(38,9) (exact, order-independent — the
+    * distributed reduce cannot jitter), and the weight update
+    * `w_j − lr·(G_j/n)` re-rounds to 9 dp. A fixed round count replays
+    * verbatim on an independent SQL engine.
+    *
+    * Labels are the stopword-density rule `4·n_stop ≥ n_words` — the
+    * weak-supervision signal a curation pipeline would bootstrap from
+    * (any engine-exact labeling rule slots in via `labelCol` logic
+    * below). Scale shape: the feature projection is one scan
+    * (materialized once via localCheckpoint — swap for a parquet stage
+    * on a real cluster); each round is ONE aggregation job whose shuffle
+    * is 4 decimals per partition, plus a driver-side 4-scalar update.
+    *
+    * Returns the weight vector [bias, w_words/128, w_stop/32,
+    * w_symbols/64] as 9-dp decimals.
+    */
+  def logregTrain(df: DataFrame, idCol: String, textCol: String,
+                  rounds: Int = 3, lr: Double = 0.5): Array[java.math.BigDecimal] = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    val spark = df.sparkSession
+    val ws = cleanTokens(col(textCol))
+    val ac = cleanText(col(textCol))
+    val feats = df.select(
+        size(ws).cast("long").as("n_words"),
+        regexp_count(ac, lit("[^a-z0-9 ]")).cast("long").as("n_symbols"),
+        size(filter(ws, t => array_contains(
+          array(TextAnalysis.EnStopwords.map(lit): _*), t))).cast("long").as("n_stop"))
+      .select(
+        lit(1.0).as("x0"),
+        (col("n_words").cast("double") / 128.0).as("x1"),
+        (col("n_stop").cast("double") / 32.0).as("x2"),
+        (col("n_symbols").cast("double") / 64.0).as("x3"),
+        when(col("n_stop") * 4L >= col("n_words"), 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint()
+    var w = Array.fill(4)(java.math.BigDecimal.ZERO.setScale(9))
+    for (_ <- 1 to rounds) {
+      val z = lit(w(0).doubleValue) * col("x0") + lit(w(1).doubleValue) * col("x1") +
+        lit(w(2).doubleValue) * col("x2") + lit(w(3).doubleValue) * col("x3")
+      val e = lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z)) - col("y")
+      def g(xj: String) =
+        sum(graft.functions.fast_round(e * col(xj), 9).cast("decimal(38,9)"))
+      val row = feats.agg(g("x0"), g("x1"), g("x2"), g("x3"), count(lit(1))).head()
+      val n = row.getLong(4).toDouble
+      // the 4-scalar update runs through the SAME fast_round expression
+      // the per-row terms used, so driver and oracle round identically
+      val upd = spark.range(1).select((0 to 3).map { j =>
+        graft.functions.fast_round(
+          lit(w(j).doubleValue) - lit(lr) * (lit(row.getDecimal(j).doubleValue) / lit(n)),
+          9).cast("decimal(38,9)").as(s"w$j")
+      }: _*).head()
+      w = Array.tabulate(4)(j => upd.getDecimal(j))
+    }
+    w
+  }
+
+  /** Inference with a [[logregTrain]] model: per-document softsign
+    * probability (6 dp) and the sign-exact accept decision
+    * (`σ̃(z) > 0.5 ⇔ z > 0`, no transcendental — same guarantee as
+    * [[scoreLinear]]). One codegen'd scan, zero shuffle.
+    */
+  def logregScore(df: DataFrame, idCol: String, textCol: String,
+                  w: Array[java.math.BigDecimal]): DataFrame = {
+    require(w.length == 4, s"expected 4 weights, got ${w.length}")
+    val ws = cleanTokens(col(textCol))
+    val ac = cleanText(col(textCol))
+    df.select(col(idCol),
+        size(ws).cast("long").as("n_words"),
+        regexp_count(ac, lit("[^a-z0-9 ]")).cast("long").as("n_symbols"),
+        size(filter(ws, t => array_contains(
+          array(TextAnalysis.EnStopwords.map(lit): _*), t))).cast("long").as("n_stop"))
+      .select(col(idCol),
+        (lit(w(0).doubleValue) * lit(1.0) +
+          lit(w(1).doubleValue) * (col("n_words").cast("double") / 128.0) +
+          lit(w(2).doubleValue) * (col("n_stop").cast("double") / 32.0) +
+          lit(w(3).doubleValue) * (col("n_symbols").cast("double") / 64.0)).as("z"))
+      .select(col(idCol),
+        graft.functions.fast_round(
+          lit(0.5) + (lit(0.5) * col("z")) / (lit(1.0) + abs(col("z"))), 6).as("score"),
+        (col("z") > 0.0).as("accept"))
+  }
+
   /** PII redaction: masks email addresses, IPv4 addresses and
     * international-format phone numbers with typed placeholders. A chain
     * of codegen'd `regexp_replace` calls — no UDF — restricted to
