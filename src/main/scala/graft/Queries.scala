@@ -92,6 +92,10 @@ object Queries {
     "pl", "sv", "da", "tr", "ro", "id", "cs", "vi", "ru", "uk", "bg", "ar", "fa",
     "el", "hi", "ja", "zh", "ko")
 
+  /** The planted eval-leak sentence for the `pipeline_e2e` gate's
+    * decontamination stage (and its one-row benchmark table). */
+  val PipeBench = "the secret benchmark answer is forty two exactly here today."
+
   /** Probe vector: values in {-0.375..0.375} — exactly representable in
     * both decimal and binary floating point, and inside the embedding
     * value range so the quantized probe doesn't saturate.
@@ -2721,6 +2725,147 @@ object Queries {
         .select(col("id").as("doc_id"), col("key").as("lang"),
           col("fail_mask"), col("keep"), col("reason"))
         .orderBy("doc_id")
+    }),
+
+    // ================= END-TO-END CRAWL → TRAINING-SHARDS PIPELINE =====
+    // The product claim as ONE gate: 14 REAL stages chained over a
+    // planted crawl fixture — WARC ingest → robots → main-content
+    // extraction → mojibake repair → C4 line cleaning → script/lang
+    // gate → URL dedup → doc-level near-dup → sentence-level dedup →
+    // decontamination → quality filter → per-site cap → sequence pack →
+    // shard write + readback. Per-operator gates cover each stage's
+    // SEMANTICS; this gate covers their COMPOSITION (column threading,
+    // id identity, text hand-off, null conventions). The fixture plants
+    // one drop-class per stage (robots-blocked paths, German pages,
+    // URL twins, content clones, shared boilerplate + eval-leak
+    // sentences, repetition junk, domain overflow), and the oracle
+    // replays every stage DECISION over CTEs — survivor sets, dedup
+    // keep-first rules, the idHash53 cap, the token-packing prefix sum
+    // and the shard shuffle — then derives the exact surviving text
+    // from the fixture formulas. A wrong join key, lost column, or
+    // stage-order bug shifts the survivor set or the final text and
+    // value-fails.
+    "pipeline_e2e" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"))
+      val did = col("doc_id")
+      val e = when(did % 31 === 17, did - 1).otherwise(did) // content-clone source
+      val u = when(did % 17 === 1, did - 1).otherwise(did)  // URL-twin source
+      val eS = e.cast("string")
+      val core = when(e % 29 === 13,
+          concat(lit("der hund und die katze nr"), eS,
+            lit(" ist nicht auf dem tisch und so weiter heute.")))
+        .when(e % 23 === 11,
+          concat(lit("the the the the the the the spam spam spam spam word word " +
+            "word page p"), eS, lit(" here there.")))
+        .otherwise(concat(
+          lit("the quick brown fox number "), eS, lit(" jumps over one lazy dog. "),
+          lit("it runs near town t"), (e % 7).cast("string"),
+          lit(" beside marker m"), eS, lit("a and m"), eS, lit("b then m"), eS,
+          lit("c every single day with speed.")))
+      val body = concat(core,
+        when(e % 19 === 7, lit(" " + PipeBench)).otherwise(lit("")),
+        lit(" we met at the cafÃ© yesterday." +
+          " please enable javascript to view this content now"))
+      val url = concat(lit("https://site"), (u % 10).cast("string"), lit(".com"),
+        when(u % 7 === 3, lit("/blocked/")).otherwise(lit("/ok/")), u.cast("string"),
+        lit("?utm_source=feed"))
+      val html = concat(
+        lit("<html><head><title>T</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/x\">About</a></nav><article><p>"),
+        body,
+        lit("</p></article><footer>Copyright 2026 Example." +
+          " <a href=\"/p\">Privacy</a></footer></body></html>"))
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        lit("\r\nContent-Length: "), length(html).cast("string"),
+        lit("\r\n\r\n"), html, lit("\r\n\r\n"))
+      // S1: WARC ingest
+      val recs = graft.ops.Warc.warcRecords(
+          d0.select(did, warc.as("warc")), "doc_id", "warc")
+        .where(col("warc_type") === "response")
+        .select(col("doc_id"), col("target_uri").as("url"), col("payload"))
+      // S2: robots.txt policy
+      val withHp = recs
+        .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+        .withColumn("path", regexp_extract(col("url"), "https://[^/]+(/.*)$", 1))
+      val rules = graft.ops.Robots.parseRules(
+        withHp.select(col("host")).distinct()
+          .select(col("host"), lit("User-agent: *\nDisallow: /blocked/\n").as("txt")),
+        "host", "txt")
+      val verdicts = graft.ops.Robots.robotsFilter(
+        withHp.select(col("doc_id"), col("host"), col("path")),
+        "doc_id", "host", "path", rules, "host")
+      val allowed = withHp.join(
+        verdicts.where(col("allowed")).select("doc_id"), "doc_id")
+      // S3+S4: main-content extraction, mojibake repair
+      val extracted = allowed.select(col("doc_id"), col("url"), col("host"),
+        TextAnalysis.fixMojibake(
+          TextAnalysis.extractMainContent(col("payload"))).as("t1"))
+      // S5: sentence-line rendering + C4 line cleaning
+      val lined = extracted.withColumn("t1",
+        regexp_replace(col("t1"), "([.!?]) +", "$1\n"))
+      // stage-boundary materialization: the per-stage expression trees
+      // (extraction regex chain, 20-language vote) are heavy; without a
+      // barrier every downstream self-join and action would replay the
+      // WHOLE upstream lineage. Same localCheckpoint tradeoff as
+      // minhashLshRun's internal barrier; a cluster pipeline would use
+      // parquet stages here.
+      val c4 = Curation.c4LineFilter(lined, "doc_id", "t1")
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(extracted.select("doc_id", "url", "host"), "doc_id")
+        .localCheckpoint()
+      // S6: language gate
+      val en = c4.where(TextAnalysis.langIdScript(col("text")) === "en")
+        .localCheckpoint()
+      // S7: URL-level dedup
+      val urld = TextAnalysis.dedupByCanonicalUrl(en, "doc_id", "url")
+        .drop("canon_url")
+      // S8: document-level near-dup (MinHash-LSH), drop every pair's b
+      // side. Char-12 shingles at 0.9: the template sentences shared by
+      // every fixture doc put char-3 jaccard at ~0.84, while the planted
+      // ids spread through ~45% of the 12-char windows — clones sit at
+      // 1.0, distinct docs at ~0.4, so only clone pairs emit
+      val run = Dedup.minhashLshRun(urld, "doc_id", "text",
+        numHashes = 128, bands = 16, shingleN = 12, threshold = 0.9)
+      val nd = urld.join(run.pairs.select(col("b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").localCheckpoint()
+      // S9: sentence-level exact dedup (keep-first corpus-wide)
+      val sd = Dedup.sentenceDedup(nd, "doc_id", "text")
+        .drop("n_sentences", "n_removed").localCheckpoint()
+      // S10: benchmark decontamination
+      val bench = s.range(1).select(lit(PipeBench).as("text"))
+      val dec = sd.join(
+        Curation.decontaminate(sd, bench, "doc_id", "text")
+          .where(!col("contaminated")).select("doc_id"), "doc_id")
+      // S11: quality filter
+      val q = dec.join(
+        Curation.qualityFilter(dec, "doc_id", "text")
+          .where(col("keep")).select("doc_id"), "doc_id")
+      // S12: per-site (eTLD+1) cap
+      val dom = q.withColumn("domain",
+        TextAnalysis.registeredDomain(col("host"), Seq("com", "org", "net"))
+          .getField("registered_domain"))
+      val capped = dom.join(
+        Curation.capPerKey(dom, "domain", "doc_id", 25).select("doc_id"), "doc_id")
+      // S13: sequence packing
+      val packed = capped.join(
+        Curation.packSequences(capped, "doc_id", "text", budget = 512), "doc_id")
+        .localCheckpoint()
+      // S14: shard write + READBACK (the output's shard/pos come from disk)
+      val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString + "/shards"
+      Curation.writeTrainingShards(packed, "doc_id", col("n_tokens"), out, 4,
+        nBuckets = 32)
+      val onDisk = s.read.parquet(out)
+        .select(col("doc_id"), col("shuffle_pos"), col("shard"))
+      val result = packed.join(onDisk, "doc_id")
+        .select(col("doc_id"), col("domain"), col("text"), col("n_tokens"),
+          col("start_offset"), col("pack_id"), col("crosses"),
+          col("shuffle_pos").cast("long").as("shuffle_pos"),
+          col("shard").cast("int").as("shard"))
+        .orderBy("doc_id")
+      val rows = result.collect()
+      run.release()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     }),
 
     // Semantic decontamination: min cosine distance to a 10-vector
@@ -6038,6 +6183,67 @@ object Queries {
         |    WHEN 2 THEN (doc_id % 20) % 3 = 0 WHEN 3 THEN TRUE
         |    ELSE TRUE END AS allowed
         |FROM documents""".stripMargin,
+
+    // staged replay of every pipeline decision over CTEs: the robots,
+    // lang, dedup, decontam, quality, cap, pack and shard stages each
+    // re-decide the survivor set independently; the surviving text comes
+    // from the fixture formulas (the parsers/extractors under test never
+    // appear). See the gate comment for the stage ↔ CTE mapping.
+    "pipeline_e2e" ->
+      s"""WITH ids AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 31 = 17 THEN doc_id - 1 ELSE doc_id END AS e,
+         |    CASE WHEN doc_id % 17 = 1 THEN doc_id - 1 ELSE doc_id END AS u
+         |  FROM documents),
+         |rob AS (SELECT * FROM ids WHERE u % 7 <> 3),
+         |lng AS (SELECT * FROM rob WHERE e % 29 <> 13),
+         |urld AS (SELECT * FROM lng
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM lng GROUP BY u)),
+         |nd AS (SELECT * FROM urld t WHERE NOT (t.doc_id % 31 = 17
+         |  AND EXISTS (SELECT 1 FROM urld p WHERE p.doc_id = t.doc_id - 1))),
+         |sd AS (SELECT doc_id, e, u,
+         |    (doc_id = (SELECT min(doc_id) FROM nd)) AS keep_moji,
+         |    (e % 19 = 7 AND doc_id = (SELECT min(doc_id) FROM nd WHERE e % 19 = 7))
+         |      AS keep_contam
+         |  FROM nd),
+         |dec AS (SELECT * FROM sd WHERE NOT keep_contam),
+         |q AS (SELECT * FROM dec WHERE e % 23 <> 11),
+         |txt AS (SELECT doc_id, e, u,
+         |    'site' || CAST(u % 10 AS VARCHAR) || '.com' AS domain,
+         |    'the quick brown fox number ' || CAST(e AS VARCHAR)
+         |      || ' jumps over one lazy dog.'
+         |      || ' it runs near town t' || CAST(e % 7 AS VARCHAR)
+         |      || ' beside marker m' || CAST(e AS VARCHAR) || 'a and m'
+         |      || CAST(e AS VARCHAR) || 'b then m' || CAST(e AS VARCHAR)
+         |      || 'c every single day with speed.'
+         |      || (CASE WHEN keep_moji THEN ' we met at the café yesterday.'
+         |          ELSE '' END) AS text
+         |  FROM q),
+         |pri AS (SELECT *,
+         |    ((doc_id % 2147483648) * 2654435761
+         |      + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
+         |    + ((doc_id % 2147483648) * 2246822519
+         |      + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
+         |  FROM txt),
+         |cap AS (SELECT * FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h53, doc_id) AS rn
+         |  FROM pri) WHERE rn <= 25),
+         |tok AS (SELECT doc_id, domain, text, h53,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]'))
+         |      AS BIGINT) AS n_tokens
+         |  FROM cap),
+         |pk AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS start_offset FROM tok),
+         |sp AS (SELECT *,
+         |    ROW_NUMBER() OVER (ORDER BY h53 % 32, h53, doc_id) - 1 AS shuffle_pos,
+         |    COUNT(*) OVER () AS n FROM pk)
+         |SELECT doc_id, domain, text, n_tokens, start_offset,
+         |  CAST(start_offset // 512 AS BIGINT) AS pack_id,
+         |  (n_tokens > 0 AND (start_offset + n_tokens - 1) // 512 <> start_offset // 512)
+         |    AS crosses,
+         |  CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+         |  CAST((shuffle_pos * 4) // n AS INT) AS shard
+         |FROM sp""".stripMargin,
 
     // the wildcard decision table from the fixture formulas (see the
     // gate comment): parser, regex compilation and matcher never appear
