@@ -293,7 +293,14 @@ object Bench {
         // no bench row: incremental LSH (two banding passes + anti-join),
         // the 6-round distributed BPE learner, the banded edit-distance
         // verifier, and the PQ code projection (256-dim subspace argmin)
-        "near_dup_incremental", "bpe_merges", "edit_pairs", "pq_codes")
+        "near_dup_incremental", "bpe_merges", "edit_pairs", "pq_codes",
+        // round-12 tripwires: the remaining distributed-shuffle gates
+        // without bench rows (unigram hard-EM rounds, WordPiece vocab
+        // fold, anchor-broadcast negative mining, per-domain cap heaps),
+        // the 3-round distributed GD trainer, the packed-source quantize
+        // lifecycle, and the 14-stage end-to-end pipeline composition
+        "unigram_vocab", "wordpiece_vocab", "hard_negatives", "domain_cap",
+        "logreg_train", "quant_lifecycle_f16", "pipeline_e2e")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

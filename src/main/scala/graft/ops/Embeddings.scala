@@ -238,10 +238,23 @@ object Embeddings {
     */
   def hardNegatives(anchors: DataFrame, aId: String, aVec: String, aLabel: String,
                     corpus: DataFrame, cId: String, cVec: String, cLabel: String,
-                    k: Int, metric: String = "l2", roundDp: Int = -1): DataFrame = {
+                    k: Int, metric: String = "l2", roundDp: Int = -1,
+                    maxAnchors: Long = 100000L): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
-    val a = broadcast(anchors.where(col(aVec).isNotNull)
-      .select(col(aId).as("anchor_id"), col(aVec).as("_av"), col(aLabel).as("_al")))
+    require(maxAnchors >= 1, s"maxAnchors must be >= 1, got $maxAnchors")
+    val aRows = anchors.where(col(aVec).isNotNull)
+      .select(col(aId).as("anchor_id"), col(aVec).as("_av"), col(aLabel).as("_al"))
+    // the broadcast-boundedness contract, ENFORCED like every other
+    // broadcast-literal op here (oovRate's topN cap, unimaxAllocation's
+    // maxDomains): an unbounded anchor frame would OOM the broadcast,
+    // and per-task heap memory is O(anchors · k). One count of the
+    // (small) anchor side, never the corpus.
+    val nAnchors = aRows.count()
+    require(nAnchors <= maxAnchors,
+      s"hardNegatives: $nAnchors anchors exceed maxAnchors=$maxAnchors; " +
+        "the anchor side broadcasts and holds O(anchors * k) heap state per " +
+        "task - sample the anchors or raise the knob consciously")
+    val a = broadcast(aRows)
     val d0 = graft.functions.vector_distance(col(cVec), col("_av"), metric)
     val d = if (roundDp >= 0) round(d0, roundDp) else d0
     corpus.where(col(cVec).isNotNull)
