@@ -376,9 +376,9 @@ object Bench {
         // XL dedup / ANN-join rows — the pair-space plans at 10× the
         // per-round bench scale, so the 100 TB linearity claim is measured
         // rather than trend-extrapolated. Threshold 0.7 keeps the planted
-        // jaccard-0.81 near-dups flowing through banding AND surviving the
-        // exact-verification join (threshold 0.9 would measure the same
-        // candidate work but emit zero rows).
+        // jaccard-0.93 near-dups flowing through banding AND surviving the
+        // exact-verification join (threshold above 0.93 would measure the
+        // same candidate work but emit zero rows).
         val xlDocs = spark.read.parquet(s"$benchDir/xl_docs")
         time("xl_minhash_lsh_1m") {
           val run = ops.Dedup.minhashLshRun(xlDocs, "doc_id", "text",

@@ -323,9 +323,19 @@ object Quantizer {
     // can only widen, never narrow
     val thr = math.ceil(s * s * (1.0 + 1e-12)).toLong
     val cand = codeD.where(col("cd") <= thr).select(col("id").as("_cand_id"))
+    // The shortlist join must never shuffle the full-precision side: a
+    // sort-merge plan here exchanges the whole f32 corpus to rerank a
+    // k-adjacent candidate set (measured 2-3× the cost of the plain
+    // exact scan at 1M×768, with GC-driven variance). Candidate ids are
+    // 8 bytes each, so broadcast them explicitly; the count guard (one
+    // cheap job over the code store, usually cached/preloaded) keeps a
+    // degenerate certificate — codes so collapsed the threshold admits
+    // the corpus — on the planner's shuffle join instead of an OOM.
+    val nCand = cand.count()
+    val candSide = if (nCand <= 10000000L) broadcast(cand) else cand
     Knn.topK(
       base.where(col(vecCol).isNotNull)
-        .join(cand, col(idCol) === col("_cand_id"))
+        .join(candSide, col(idCol) === col("_cand_id"))
         .select(col(idCol),
           graft.functions.vector_distance(col(vecCol), graft.functions.vectorLit(probe), metric).as("distance")),
       col("distance"), col(idCol), k)
