@@ -2728,8 +2728,9 @@ object Queries {
     }),
 
     // ================= END-TO-END CRAWL → TRAINING-SHARDS PIPELINE =====
-    // The product claim as ONE gate: 14 REAL stages chained over a
-    // planted crawl fixture — WARC ingest → robots → main-content
+    // The product claim as ONE gate: the LIBRARY composition
+    // (ops/Pipeline.curateCrawl) run end-to-end over a planted crawl
+    // fixture — WARC ingest → robots → main-content
     // extraction → mojibake repair → C4 line cleaning → script/lang
     // gate → URL dedup → doc-level near-dup → sentence-level dedup →
     // decontamination → quality filter → per-site cap → sequence pack →
@@ -2779,93 +2780,18 @@ object Queries {
         lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
         lit("\r\nContent-Length: "), length(html).cast("string"),
         lit("\r\n\r\n"), html, lit("\r\n\r\n"))
-      // S1: WARC ingest
-      val recs = graft.ops.Warc.warcRecords(
-          d0.select(did, warc.as("warc")), "doc_id", "warc")
-        .where(col("warc_type") === "response")
-        .select(col("doc_id"), col("target_uri").as("url"), col("payload"))
-      // S2: robots.txt policy
-      val withHp = recs
-        .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
-        .withColumn("path", regexp_extract(col("url"), "https://[^/]+(/.*)$", 1))
-      val rules = graft.ops.Robots.parseRules(
-        withHp.select(col("host")).distinct()
-          .select(col("host"), lit("User-agent: *\nDisallow: /blocked/\n").as("txt")),
-        "host", "txt")
-      val verdicts = graft.ops.Robots.robotsFilter(
-        withHp.select(col("doc_id"), col("host"), col("path")),
-        "doc_id", "host", "path", rules, "host")
-      val allowed = withHp.join(
-        verdicts.where(col("allowed")).select("doc_id"), "doc_id")
-      // S3+S4: main-content extraction, mojibake repair
-      val extracted = allowed.select(col("doc_id"), col("url"), col("host"),
-        TextAnalysis.fixMojibake(
-          TextAnalysis.extractMainContent(col("payload"))).as("t1"))
-      // S5: sentence-line rendering + C4 line cleaning
-      val lined = extracted.withColumn("t1",
-        regexp_replace(col("t1"), "([.!?]) +", "$1\n"))
-      // stage-boundary materialization: the per-stage expression trees
-      // (extraction regex chain, 20-language vote) are heavy; without a
-      // barrier every downstream self-join and action would replay the
-      // WHOLE upstream lineage. Same localCheckpoint tradeoff as
-      // minhashLshRun's internal barrier; a cluster pipeline would use
-      // parquet stages here.
-      val c4 = Curation.c4LineFilter(lined, "doc_id", "t1")
-        .select(col("doc_id"), col("clean_text").as("text"))
-        .join(extracted.select("doc_id", "url", "host"), "doc_id")
-        .localCheckpoint()
-      // S6: language gate
-      val en = c4.where(TextAnalysis.langIdScript(col("text")) === "en")
-        .localCheckpoint()
-      // S7: URL-level dedup
-      val urld = TextAnalysis.dedupByCanonicalUrl(en, "doc_id", "url")
-        .drop("canon_url")
-      // S8: document-level near-dup (MinHash-LSH), drop every pair's b
-      // side. Char-12 shingles at 0.9: the template sentences shared by
-      // every fixture doc put char-3 jaccard at ~0.84, while the planted
-      // ids spread through ~45% of the 12-char windows — clones sit at
-      // 1.0, distinct docs at ~0.4, so only clone pairs emit
-      val run = Dedup.minhashLshRun(urld, "doc_id", "text",
-        numHashes = 128, bands = 16, shingleN = 12, threshold = 0.9)
-      val nd = urld.join(run.pairs.select(col("b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti").localCheckpoint()
-      // S9: sentence-level exact dedup (keep-first corpus-wide)
-      val sd = Dedup.sentenceDedup(nd, "doc_id", "text")
-        .drop("n_sentences", "n_removed").localCheckpoint()
-      // S10: benchmark decontamination
-      val bench = s.range(1).select(lit(PipeBench).as("text"))
-      val dec = sd.join(
-        Curation.decontaminate(sd, bench, "doc_id", "text")
-          .where(!col("contaminated")).select("doc_id"), "doc_id")
-      // S11: quality filter
-      val q = dec.join(
-        Curation.qualityFilter(dec, "doc_id", "text")
-          .where(col("keep")).select("doc_id"), "doc_id")
-      // S12: per-site (eTLD+1) cap
-      val dom = q.withColumn("domain",
-        TextAnalysis.registeredDomain(col("host"), Seq("com", "org", "net"))
-          .getField("registered_domain"))
-      val capped = dom.join(
-        Curation.capPerKey(dom, "domain", "doc_id", 25).select("doc_id"), "doc_id")
-      // S13: sequence packing
-      val packed = capped.join(
-        Curation.packSequences(capped, "doc_id", "text", budget = 512), "doc_id")
-        .localCheckpoint()
-      // S14: shard write + READBACK (the output's shard/pos come from disk)
+      val robotsDf = s.range(10).select(
+        concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+        lit("User-agent: *\nDisallow: /blocked/\n").as("txt"))
       val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString + "/shards"
-      Curation.writeTrainingShards(packed, "doc_id", col("n_tokens"), out, 4,
-        nBuckets = 32)
-      val onDisk = s.read.parquet(out)
-        .select(col("doc_id"), col("shuffle_pos"), col("shard"))
-      val result = packed.join(onDisk, "doc_id")
-        .select(col("doc_id"), col("domain"), col("text"), col("n_tokens"),
-          col("start_offset"), col("pack_id"), col("crosses"),
-          col("shuffle_pos").cast("long").as("shuffle_pos"),
-          col("shard").cast("int").as("shard"))
+      graft.ops.Pipeline.curateCrawl(
+          d0.select(did, warc.as("warc")), "doc_id", "warc",
+          robotsDf, "host", "txt",
+          s.range(1).select(lit(PipeBench).as("text")), "text",
+          out,
+          graft.ops.Pipeline.CurateConfig(capPerDomain = 25, packBudget = 512,
+            nShards = 4, shardBuckets = 32))
         .orderBy("doc_id")
-      val rows = result.collect()
-      run.release()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     }),
 
     // Semantic decontamination: min cosine distance to a 10-vector
