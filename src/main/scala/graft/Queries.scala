@@ -910,6 +910,56 @@ object Queries {
 
   // ---------------- the inventory ----------------
 
+  /** Shared crawl fixture for the `pipeline_e2e` / `pipeline_funnel`
+    * gates: per-document WARC captures with one planted drop-class per
+    * stage (see the pipeline_e2e gate comment), the per-host robots.txt
+    * table and the one-row benchmark corpus.
+    */
+  private def pipeFixture(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val d0 = docs(s, dir).select(col("doc_id"))
+    val did = col("doc_id")
+    val e = when(did % 31 === 17, did - 1).otherwise(did) // content-clone source
+    val u = when(did % 17 === 1, did - 1).otherwise(did)  // URL-twin source
+    val eS = e.cast("string")
+    val core = when(e % 29 === 13,
+        concat(lit("der hund und die katze nr"), eS,
+          lit(" ist nicht auf dem tisch und so weiter heute.")))
+      .when(e % 23 === 11,
+        concat(lit("the the the the the the the spam spam spam spam word word " +
+          "word page p"), eS, lit(" here there.")))
+      .otherwise(concat(
+        lit("the quick brown fox number "), eS, lit(" jumps over one lazy dog. "),
+        lit("it runs near town t"), (e % 7).cast("string"),
+        lit(" beside marker m"), eS, lit("a and m"), eS, lit("b then m"), eS,
+        lit("c every single day with speed.")))
+    val body = concat(core,
+      when(e % 19 === 7, lit(" " + PipeBench)).otherwise(lit("")),
+      lit(" we met at the caf\u00c3\u00a9 yesterday." +
+        " please enable javascript to view this content now"))
+    val url = concat(lit("https://site"), (u % 10).cast("string"), lit(".com"),
+      when(u % 7 === 3, lit("/blocked/")).otherwise(lit("/ok/")), u.cast("string"),
+      lit("?utm_source=feed"))
+    val html = concat(
+      lit("<html><head><title>T</title></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/x\">About</a></nav><article><p>"),
+      body,
+      lit("</p></article><footer>Copyright 2026 Example." +
+        " <a href=\"/p\">Privacy</a></footer></body></html>"))
+    val warc = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+      lit("\r\nContent-Length: "), length(html).cast("string"),
+      lit("\r\n\r\n"), html, lit("\r\n\r\n"))
+    val robotsDf = s.range(10).select(
+      concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+      lit("User-agent: *\nDisallow: /blocked/\n").as("txt"))
+    (d0.select(did, warc.as("warc")), robotsDf,
+      s.range(1).select(lit(PipeBench).as("text")))
+  }
+
+  private val PipeConfig = graft.ops.Pipeline.CurateConfig(
+    capPerDomain = 25, packBudget = 512, nShards = 4, shardBuckets = 32)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++
       packedGridCombos.map { case (m, et) =>
@@ -2747,51 +2797,22 @@ object Queries {
     // stage-order bug shifts the survivor set or the final text and
     // value-fails.
     "pipeline_e2e" -> ((s, dir) => {
-      val d0 = docs(s, dir).select(col("doc_id"))
-      val did = col("doc_id")
-      val e = when(did % 31 === 17, did - 1).otherwise(did) // content-clone source
-      val u = when(did % 17 === 1, did - 1).otherwise(did)  // URL-twin source
-      val eS = e.cast("string")
-      val core = when(e % 29 === 13,
-          concat(lit("der hund und die katze nr"), eS,
-            lit(" ist nicht auf dem tisch und so weiter heute.")))
-        .when(e % 23 === 11,
-          concat(lit("the the the the the the the spam spam spam spam word word " +
-            "word page p"), eS, lit(" here there.")))
-        .otherwise(concat(
-          lit("the quick brown fox number "), eS, lit(" jumps over one lazy dog. "),
-          lit("it runs near town t"), (e % 7).cast("string"),
-          lit(" beside marker m"), eS, lit("a and m"), eS, lit("b then m"), eS,
-          lit("c every single day with speed.")))
-      val body = concat(core,
-        when(e % 19 === 7, lit(" " + PipeBench)).otherwise(lit("")),
-        lit(" we met at the cafÃ© yesterday." +
-          " please enable javascript to view this content now"))
-      val url = concat(lit("https://site"), (u % 10).cast("string"), lit(".com"),
-        when(u % 7 === 3, lit("/blocked/")).otherwise(lit("/ok/")), u.cast("string"),
-        lit("?utm_source=feed"))
-      val html = concat(
-        lit("<html><head><title>T</title></head><body>" +
-          "<nav><a href=\"/\">Home</a> <a href=\"/x\">About</a></nav><article><p>"),
-        body,
-        lit("</p></article><footer>Copyright 2026 Example." +
-          " <a href=\"/p\">Privacy</a></footer></body></html>"))
-      val warc = concat(
-        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
-        lit("\r\nContent-Length: "), length(html).cast("string"),
-        lit("\r\n\r\n"), html, lit("\r\n\r\n"))
-      val robotsDf = s.range(10).select(
-        concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
-        lit("User-agent: *\nDisallow: /blocked/\n").as("txt"))
+      val (captures, robotsDf, bench) = pipeFixture(s, dir)
       val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString + "/shards"
-      graft.ops.Pipeline.curateCrawl(
-          d0.select(did, warc.as("warc")), "doc_id", "warc",
-          robotsDf, "host", "txt",
-          s.range(1).select(lit(PipeBench).as("text")), "text",
-          out,
-          graft.ops.Pipeline.CurateConfig(capPerDomain = 25, packBudget = 512,
-            nShards = 4, shardBuckets = 32))
+      graft.ops.Pipeline.curateCrawl(captures, "doc_id", "warc",
+          robotsDf, "host", "txt", bench, "text", out, PipeConfig)
         .orderBy("doc_id")
+    }),
+
+    // the same pipeline's per-stage audit FUNNEL (the observability
+    // artifact a production run logs): one row per drop stage with the
+    // surviving count; the oracle re-counts each stage's survivor CTE
+    "pipeline_funnel" -> ((s, dir) => {
+      val (captures, robotsDf, bench) = pipeFixture(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_pipef").toString + "/shards"
+      graft.ops.Pipeline.curateCrawlAudited(captures, "doc_id", "warc",
+          robotsDf, "host", "txt", bench, "text", out, PipeConfig)
+        .funnel.orderBy("stage_idx")
     }),
 
     // Semantic decontamination: min cosine distance to a 10-vector
@@ -3865,6 +3886,62 @@ object Queries {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ($list)))"
   }
+
+  /** The pipeline gates' shared staged-replay CTE chain (see the
+    * pipeline_e2e gate comment for the stage ↔ CTE mapping): survivor
+    * sets per stage, the fixture-formula text, idHash53 cap, packing
+    * prefix sum and shard shuffle. Final per-doc CTE = `sp`; stage
+    * survivor CTEs (ids/rob/lng/urld/nd/dec/q/cap) stay in scope for
+    * the funnel restatement.
+    */
+  private val pipeCtes: String =
+    s"""ids AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 31 = 17 THEN doc_id - 1 ELSE doc_id END AS e,
+         |    CASE WHEN doc_id % 17 = 1 THEN doc_id - 1 ELSE doc_id END AS u
+         |  FROM documents),
+         |rob AS (SELECT * FROM ids WHERE u % 7 <> 3),
+         |lng AS (SELECT * FROM rob WHERE e % 29 <> 13),
+         |urld AS (SELECT * FROM lng
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM lng GROUP BY u)),
+         |nd AS (SELECT * FROM urld t WHERE NOT (t.doc_id % 31 = 17
+         |  AND EXISTS (SELECT 1 FROM urld p WHERE p.doc_id = t.doc_id - 1))),
+         |sd AS (SELECT doc_id, e, u,
+         |    (doc_id = (SELECT min(doc_id) FROM nd)) AS keep_moji,
+         |    (e % 19 = 7 AND doc_id = (SELECT min(doc_id) FROM nd WHERE e % 19 = 7))
+         |      AS keep_contam
+         |  FROM nd),
+         |dec AS (SELECT * FROM sd WHERE NOT keep_contam),
+         |q AS (SELECT * FROM dec WHERE e % 23 <> 11),
+         |txt AS (SELECT doc_id, e, u,
+         |    'site' || CAST(u % 10 AS VARCHAR) || '.com' AS domain,
+         |    'the quick brown fox number ' || CAST(e AS VARCHAR)
+         |      || ' jumps over one lazy dog.'
+         |      || ' it runs near town t' || CAST(e % 7 AS VARCHAR)
+         |      || ' beside marker m' || CAST(e AS VARCHAR) || 'a and m'
+         |      || CAST(e AS VARCHAR) || 'b then m' || CAST(e AS VARCHAR)
+         |      || 'c every single day with speed.'
+         |      || (CASE WHEN keep_moji THEN ' we met at the café yesterday.'
+         |          ELSE '' END) AS text
+         |  FROM q),
+         |pri AS (SELECT *,
+         |    ((doc_id % 2147483648) * 2654435761
+         |      + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
+         |    + ((doc_id % 2147483648) * 2246822519
+         |      + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
+         |  FROM txt),
+         |cap AS (SELECT * FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h53, doc_id) AS rn
+         |  FROM pri) WHERE rn <= 25),
+         |tok AS (SELECT doc_id, domain, text, h53,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]'))
+         |      AS BIGINT) AS n_tokens
+         |  FROM cap),
+         |pk AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS start_offset FROM tok),
+         |sp AS (SELECT *,
+         |    ROW_NUMBER() OVER (ORDER BY h53 % 32, h53, doc_id) - 1 AS shuffle_pos,
+         |    COUNT(*) OVER () AS n FROM pk)"""
 
   def oracleSql: Map[String, String] = Map(
     "knn_l2" -> knnSql("l2"),
@@ -6116,53 +6193,7 @@ object Queries {
     // from the fixture formulas (the parsers/extractors under test never
     // appear). See the gate comment for the stage ↔ CTE mapping.
     "pipeline_e2e" ->
-      s"""WITH ids AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 31 = 17 THEN doc_id - 1 ELSE doc_id END AS e,
-         |    CASE WHEN doc_id % 17 = 1 THEN doc_id - 1 ELSE doc_id END AS u
-         |  FROM documents),
-         |rob AS (SELECT * FROM ids WHERE u % 7 <> 3),
-         |lng AS (SELECT * FROM rob WHERE e % 29 <> 13),
-         |urld AS (SELECT * FROM lng
-         |  WHERE doc_id IN (SELECT min(doc_id) FROM lng GROUP BY u)),
-         |nd AS (SELECT * FROM urld t WHERE NOT (t.doc_id % 31 = 17
-         |  AND EXISTS (SELECT 1 FROM urld p WHERE p.doc_id = t.doc_id - 1))),
-         |sd AS (SELECT doc_id, e, u,
-         |    (doc_id = (SELECT min(doc_id) FROM nd)) AS keep_moji,
-         |    (e % 19 = 7 AND doc_id = (SELECT min(doc_id) FROM nd WHERE e % 19 = 7))
-         |      AS keep_contam
-         |  FROM nd),
-         |dec AS (SELECT * FROM sd WHERE NOT keep_contam),
-         |q AS (SELECT * FROM dec WHERE e % 23 <> 11),
-         |txt AS (SELECT doc_id, e, u,
-         |    'site' || CAST(u % 10 AS VARCHAR) || '.com' AS domain,
-         |    'the quick brown fox number ' || CAST(e AS VARCHAR)
-         |      || ' jumps over one lazy dog.'
-         |      || ' it runs near town t' || CAST(e % 7 AS VARCHAR)
-         |      || ' beside marker m' || CAST(e AS VARCHAR) || 'a and m'
-         |      || CAST(e AS VARCHAR) || 'b then m' || CAST(e AS VARCHAR)
-         |      || 'c every single day with speed.'
-         |      || (CASE WHEN keep_moji THEN ' we met at the café yesterday.'
-         |          ELSE '' END) AS text
-         |  FROM q),
-         |pri AS (SELECT *,
-         |    ((doc_id % 2147483648) * 2654435761
-         |      + CAST(doc_id // 2147483648 AS BIGINT) * 40503) % 1000000007 * 8388608
-         |    + ((doc_id % 2147483648) * 2246822519
-         |      + CAST(doc_id // 2147483648 AS BIGINT) * 69069) % 8388593 AS h53
-         |  FROM txt),
-         |cap AS (SELECT * FROM (SELECT *,
-         |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h53, doc_id) AS rn
-         |  FROM pri) WHERE rn <= 25),
-         |tok AS (SELECT doc_id, domain, text, h53,
-         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]'))
-         |      AS BIGINT) AS n_tokens
-         |  FROM cap),
-         |pk AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |    AS start_offset FROM tok),
-         |sp AS (SELECT *,
-         |    ROW_NUMBER() OVER (ORDER BY h53 % 32, h53, doc_id) - 1 AS shuffle_pos,
-         |    COUNT(*) OVER () AS n FROM pk)
+      s"""WITH $pipeCtes
          |SELECT doc_id, domain, text, n_tokens, start_offset,
          |  CAST(start_offset // 512 AS BIGINT) AS pack_id,
          |  (n_tokens > 0 AND (start_offset + n_tokens - 1) // 512 <> start_offset // 512)
@@ -6170,6 +6201,20 @@ object Queries {
          |  CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
          |  CAST((shuffle_pos * 4) // n AS INT) AS shard
          |FROM sp""".stripMargin,
+
+    // per-stage survivor counts over the SAME replay chain
+    "pipeline_funnel" ->
+      s"""WITH $pipeCtes
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM ids
+         |  UNION ALL SELECT 1, 'robots', count(*) FROM rob
+         |  UNION ALL SELECT 2, 'lang', count(*) FROM lng
+         |  UNION ALL SELECT 3, 'url_dedup', count(*) FROM urld
+         |  UNION ALL SELECT 4, 'near_dup', count(*) FROM nd
+         |  UNION ALL SELECT 5, 'decontam', count(*) FROM dec
+         |  UNION ALL SELECT 6, 'quality', count(*) FROM q
+         |  UNION ALL SELECT 7, 'domain_cap', count(*) FROM cap)
+         |ORDER BY stage_idx""".stripMargin,
 
     // the wildcard decision table from the fixture formulas (see the
     // gate comment): parser, regex compilation and matcher never appear

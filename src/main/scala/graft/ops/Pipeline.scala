@@ -49,6 +49,14 @@ object Pipeline {
       nShards: Int = 8,
       shardBuckets: Int = 1024)
 
+  /** [[curateCrawlAudited]]'s result pair: the curated per-document
+    * frame and the stage FUNNEL — one row per drop stage with the
+    * surviving document count, the audit artifact a production run logs
+    * (a stage that silently eats the corpus shows up as a cliff here
+    * long before anyone reads shard sizes).
+    */
+  final case class Curated(docs: DataFrame, funnel: DataFrame)
+
   /** Run the full chain. `captures` is (idCol, warcCol: WARC text
     * blob); `robots` is (hostCol, txtCol: robots.txt body); `bench` is
     * the benchmark corpus (benchTextCol). Training shards land under
@@ -63,7 +71,20 @@ object Pipeline {
                   robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
                   bench: DataFrame, benchTextCol: String,
                   shardDir: String,
-                  cfg: CurateConfig = CurateConfig()): DataFrame = {
+                  cfg: CurateConfig = CurateConfig()): DataFrame =
+    curateCrawlAudited(captures, idCol, warcCol, robots, robotsHostCol,
+      robotsTxtCol, bench, benchTextCol, shardDir, cfg).docs
+
+  /** [[curateCrawl]] plus the stage funnel: (stage_idx, stage, n_docs)
+    * for the eight document-dropping stages. Counts run against the
+    * stage-boundary frames (checkpointed or one scan deep), so the
+    * audit costs a handful of count jobs, never a lineage replay.
+    */
+  def curateCrawlAudited(captures: DataFrame, idCol: String, warcCol: String,
+                         robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         shardDir: String,
+                         cfg: CurateConfig = CurateConfig()): Curated = {
     val spark = captures.sparkSession
 
     // S1: WARC ingest — response records only
@@ -156,6 +177,16 @@ object Pipeline {
         col("shard").cast("int").as("shard"))
       .localCheckpoint()
     run.release()
-    result
+
+    val funnelRows = Seq(
+      ("ingest", recs.count()), ("robots", allowed.count()),
+      ("lang", en.count()), ("url_dedup", urld.count()),
+      ("near_dup", nd.count()), ("decontam", dec.count()),
+      ("quality", q.count()), ("domain_cap", result.count()))
+    import spark.implicits._
+    val funnel = funnelRows.zipWithIndex
+      .map { case ((st, n), i) => (i.toLong, st, n) }
+      .toDF("stage_idx", "stage", "n_docs")
+    Curated(result, funnel)
   }
 }
