@@ -6202,7 +6202,10 @@ object Queries {
          |  CAST((shuffle_pos * 4) // n AS INT) AS shard
          |FROM sp""".stripMargin,
 
-    // per-stage survivor counts over the SAME replay chain
+    // per-stage survivor counts over the SAME replay chain; `domain_cap`
+    // counts the cap stage itself and `written` the on-disk readback, so
+    // a row lost between cap and shard store would show as a cliff
+    // between the two instead of hiding inside either
     "pipeline_funnel" ->
       s"""WITH $pipeCtes
          |SELECT * FROM (
@@ -6213,7 +6216,8 @@ object Queries {
          |  UNION ALL SELECT 4, 'near_dup', count(*) FROM nd
          |  UNION ALL SELECT 5, 'decontam', count(*) FROM dec
          |  UNION ALL SELECT 6, 'quality', count(*) FROM q
-         |  UNION ALL SELECT 7, 'domain_cap', count(*) FROM cap)
+         |  UNION ALL SELECT 7, 'domain_cap', count(*) FROM cap
+         |  UNION ALL SELECT 8, 'written', count(*) FROM sp)
          |ORDER BY stage_idx""".stripMargin,
 
     // the wildcard decision table from the fixture formulas (see the

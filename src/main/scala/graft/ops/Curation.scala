@@ -103,18 +103,46 @@ object Curation {
 
   /** [[qualityFilter]]'s five-rule bitmask over [[qualityStats]]' columns
     * — integer cross-multiplied, never a float comparison. */
-  private def failMaskCol(minWords: Int, maxWords: Int): Column = {
-    val failWords = col("n_words") < minWords || col("n_words") > maxWords
-    val failWlen = col("n_chars") < lit(3L) * col("n_words") ||
-      col("n_chars") > lit(12L) * col("n_words")
-    val failSym = lit(4L) * col("n_symbols") > col("n_total")
-    val failStop = col("n_stop") < 2
-    val failRep = lit(10L) * col("top_word") > lit(3L) * col("n_words")
+  private def failMaskCol(minWords: Int, maxWords: Int): Column =
+    failMask(col("n_words"), col("n_chars"), col("n_symbols"),
+      col("n_total"), col("n_stop"), col("top_word"), minWords, maxWords)
+
+  private def failMask(nWords: Column, nChars: Column, nSymbols: Column,
+                       nTotal: Column, nStop: Column, topWord: Column,
+                       minWords: Int, maxWords: Int): Column = {
+    val failWords = nWords < minWords || nWords > maxWords
+    val failWlen = nChars < lit(3L) * nWords || nChars > lit(12L) * nWords
+    val failSym = lit(4L) * nSymbols > nTotal
+    val failStop = nStop < 2
+    val failRep = lit(10L) * topWord > lit(3L) * nWords
     when(failWords, lit(FailTooFewWords)).otherwise(lit(0L)) +
       when(failWlen, lit(FailWordLength)).otherwise(lit(0L)) +
       when(failSym, lit(FailSymbolRatio)).otherwise(lit(0L)) +
       when(failStop, lit(FailNoStopwords)).otherwise(lit(0L)) +
       when(failRep, lit(FailRepetition)).otherwise(lit(0L))
+  }
+
+  /** [[qualityFilter]]'s decision as a pure COLUMN — the same five-rule
+    * bitmask computed inline on the text, so a composed pipeline threads
+    * quality as a flag (`qualityFailMask(text) === 0` to keep) on the
+    * frame it already has, instead of running [[qualityFilter]] and
+    * joining its survivor ids back onto the corpus. Per-row, zero
+    * shuffle, zero joins; Catalyst's subexpression elimination shares the
+    * tokenize across the rule terms.
+    */
+  def qualityFailMask(text: Column, minWords: Int = 10,
+                      maxWords: Int = 100000): Column = {
+    val ws = cleanTokens(text)
+    val ac = cleanText(text)
+    failMask(
+      size(ws).cast("long"),
+      length(regexp_replace(ac, " ", "")).cast("long"),
+      regexp_count(ac, lit("[^a-z0-9 ]")).cast("long"),
+      length(ac).cast("long"),
+      size(filter(ws, t => array_contains(
+        array(TextAnalysis.EnStopwords.map(lit): _*), t))).cast("long"),
+      TextAnalysis.runStats(sort_array(ws)).getField("best").cast("long"),
+      minWords, maxWords)
   }
 
   // ---------------- benchmark decontamination ----------------
@@ -126,12 +154,15 @@ object Curation {
     * Scale design: the benchmark side (eval suites — thousands of
     * documents) is reduced to its distinct n-gram set and BROADCAST, so
     * the corpus scan never shuffles to find hits; the per-document hit
-    * counts then aggregate on the narrow id key, and that hit frame —
-    * only the contaminated documents, typically a sliver of the corpus —
-    * broadcasts back onto the base projection. Net corpus shuffles: zero.
-    * If the contaminated fraction is ever large enough to break the
-    * second broadcast, drop the hint and pay one id-keyed shuffle — the
-    * semantics don't change.
+    * counts then aggregate on the narrow id key. The hits-to-base join
+    * back is deliberately UNHINTED: with word n-grams against a realistic
+    * benchmark suite the overlapping-document fraction of a web corpus is
+    * unbounded (boilerplate phrases alone hit), so a forced broadcast of
+    * the hits frame is an OOM waiting for real data — AQE broadcasts it
+    * at runtime when it measures small and falls back to one id-keyed
+    * shuffle when it doesn't, which is exactly the trade the semantics
+    * allow. Net corpus shuffles: zero when the contaminated set is small,
+    * one narrow id-keyed exchange worst-case.
     */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3): DataFrame = {
@@ -141,7 +172,7 @@ object Curation {
       .join(broadcast(benchSet), "ng")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
-    base.join(broadcast(hits), Seq(idCol), "left")
+    base.join(hits, Seq(idCol), "left")
       .select(
         col(idCol),
         size(col("ngs")).cast("long").as("n_ngrams"),
@@ -149,6 +180,21 @@ object Curation {
       .withColumn("contam_frac",
         round(col("n_overlap").cast("double") / greatest(col("n_ngrams"), lit(1L)), 6))
       .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** [[decontaminate]]'s hit SIDE only: the ids of training documents
+    * sharing at least one word n-gram with the benchmark corpus — the
+    * frame a composed pipeline anti-joins against its corpus (one
+    * benchmark-set broadcast + one narrow id aggregation; the per-doc
+    * n_ngrams denominator, which would force a second corpus pass, never
+    * computes).
+    */
+  def contaminatedIds(train: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, n: Int = 3): DataFrame = {
+    val benchSet = bench.select(explode(wordNgrams(col(textCol), n)).as("ng")).distinct()
+    train.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ng"))
+      .join(broadcast(benchSet), "ng")
+      .select(col(idCol)).distinct()
   }
 
   // ---------------- deterministic stratified sampling ----------------
@@ -240,6 +286,31 @@ object Curation {
         idHash53(col(idCol)).cast("double"), col(idCol), n).as("_kept"))
       .select(col(keyCol), explode(col("_kept")).as("_k"))
       .select(col(keyCol), col("_k.id").as(idCol))
+
+  /** [[capPerKey]]'s decision as a THRESHOLD table: one row per key with
+    * the n-th smallest ([[idHash53]], id) pair — `(cut_h, cut_id)` — so a
+    * composed pipeline keeps a row iff its own (hash, id) pair is
+    * lexicographically ≤ its key's cutoff. Selects exactly
+    * [[capPerKey]]'s rows (a key with fewer than n rows gets its max
+    * pair, which keeps everything), but the frame joined back onto the
+    * corpus is one row per KEY instead of n — broadcastable n× longer,
+    * and the corpus text never exchanges while it is.
+    */
+  def capThresholds(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(graft.functions.knn_topk(
+        idHash53(col(idCol)).cast("double"), col(idCol), n).as("_kept"))
+      .select(col(keyCol), element_at(col("_kept"), size(col("_kept"))).as("_cut"))
+      .select(col(keyCol), col("_cut.distance").as("cut_h"), col("_cut.id").as("cut_id"))
+
+  /** The row-side keep predicate matching [[capThresholds]]' cutoff
+    * columns: (idHash53(id), id) ≤ (cut_h, cut_id) lexicographically.
+    * Exact in double — idHash53 < 2^53.
+    */
+  def capKeepCol(id: Column, cutH: Column, cutId: Column): Column = {
+    val h = idHash53(id).cast("double")
+    h < cutH || (h === cutH && id <= cutId)
+  }
 
   /** Weighted resampling WITH repetition — the data-mixing step that
     * up-samples low-resource strata (weights > 1000‰ replicate rows) and
@@ -355,6 +426,35 @@ object Curation {
       .withColumn("pack_id", expr(s"start_offset div $budget"))
       .withColumn("crosses", col("n_tokens") > 0 &&
         expr(s"(start_offset + n_tokens - 1) div $budget") =!= col("pack_id"))
+  }
+
+  /** [[packSequences]] with the input frame's columns CARRIED through the
+    * prefix-sum window — the composed-pipeline form: the corpus crosses
+    * exactly ONE chunk-keyed exchange (the window partitioning) and never
+    * joins back by id to reattach its payload (the bases rollup is a
+    * narrow second scan feeding a broadcast). Output = df's columns +
+    * (n_tokens, start_offset, pack_id, crosses), same values as
+    * [[packSequences]].
+    */
+  def packSequencesCarry(df: DataFrame, idCol: String, textCol: String,
+                         budget: Long = 2048L, chunkSpan: Long = 4096L): DataFrame = {
+    val t = df.withColumn("n_tokens", TextAnalysis.subwordTokenCount(col(textCol)))
+      .withColumn("_chunk", expr(s"$idCol div $chunkSpan"))
+    val w = Window.partitionBy("_chunk").orderBy(idCol)
+    val cum = t.withColumn("_cum_incl", sum(col("n_tokens")).over(w))
+    val bases = t.groupBy("_chunk").agg(sum("n_tokens").as("_chunk_tot"))
+      .withColumn("_chunk_base",
+        coalesce(sum("_chunk_tot").over(
+          Window.partitionBy(pmod(col("_chunk"), lit(1L))).orderBy("_chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_chunk"), col("_chunk_base"))
+    cum.join(broadcast(bases), "_chunk")
+      .withColumn("start_offset",
+        col("_chunk_base") + col("_cum_incl") - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_offset div $budget"))
+      .withColumn("crosses", col("n_tokens") > 0 &&
+        expr(s"(start_offset + n_tokens - 1) div $budget") =!= col("pack_id"))
+      .drop("_chunk", "_cum_incl", "_chunk_base")
   }
 
   /** NO-SPLIT sequence packing by first-fit-decreasing over the LENGTH
@@ -765,7 +865,7 @@ object Curation {
     val spark = df.sparkSession
     val ws = cleanTokens(col(textCol))
     val ac = cleanText(col(textCol))
-    val feats = df.select(
+    val (feats, releaseFeats) = Dedup.materialize(df.select(
         size(ws).cast("long").as("n_words"),
         regexp_count(ac, lit("[^a-z0-9 ]")).cast("long").as("n_symbols"),
         size(filter(ws, t => array_contains(
@@ -775,8 +875,8 @@ object Curation {
         (col("n_words").cast("double") / 128.0).as("x1"),
         (col("n_stop").cast("double") / 32.0).as("x2"),
         (col("n_symbols").cast("double") / 64.0).as("x3"),
-        when(col("n_stop") * 4L >= col("n_words"), 1.0).otherwise(0.0).as("y"))
-      .localCheckpoint()
+        when(col("n_stop") * 4L >= col("n_words"), 1.0).otherwise(0.0).as("y")),
+      Dedup.Barrier.LocalCheckpoint)
     var w = Array.fill(4)(java.math.BigDecimal.ZERO.setScale(9))
     for (_ <- 1 to rounds) {
       val z = lit(w(0).doubleValue) * col("x0") + lit(w(1).doubleValue) * col("x1") +
@@ -795,6 +895,7 @@ object Curation {
       }: _*).head()
       w = Array.tabulate(4)(j => upd.getDecimal(j))
     }
+    releaseFeats() // free the feature checkpoint's executor blocks
     w
   }
 
@@ -861,18 +962,30 @@ object Curation {
                    minWords: Int = 5): DataFrame = {
     require(minWords >= 1 && minWords <= 100, s"minWords must be in [1, 100], got $minWords")
     val lines = split(col(textCol), "\n")
-    val kept = filter(lines, l => {
-      val t = trim(l)
-      t.rlike("[.!?\"]$") &&
-        size(split(t, "\\s+")) >= minWords &&
-        !lower(t).contains("javascript")
-    })
+    val kept = c4KeptLines(col(textCol), minWords)
     df.select(col(idCol),
       array_join(kept, "\n").as("clean_text"),
       size(lines).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_kept"),
       col(textCol).contains("{").as("has_brace"),
       lower(col(textCol)).contains("lorem ipsum").as("has_lorem"))
+  }
+
+  private def c4KeptLines(text: Column, minWords: Int): Column =
+    filter(split(text, "\n"), l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !lower(t).contains("javascript")
+    })
+
+  /** [[c4LineFilter]]'s cleaned text as a pure COLUMN — the
+    * composed-pipeline form: the cleaner rides the frame the caller
+    * already has (no survivor select, no join back for carried columns).
+    */
+  def c4CleanText(text: Column, minWords: Int = 5): Column = {
+    require(minWords >= 1 && minWords <= 100, s"minWords must be in [1, 100], got $minWords")
+    array_join(c4KeptLines(text, minWords), "\n")
   }
 
   /** Luhn-validated payment-card redaction — the precision upgrade over

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** The end-to-end crawl → training-shards composition as ONE library
   * call — the product claim the per-operator surface adds up to. A user
-  * hands in raw WARC captures, per-host robots.txt, and a benchmark
-  * corpus; out come curated, packed, shard-written documents.
+  * hands in raw WARC captures (text blobs or per-record-gzip `.warc.gz`
+  * binaries), per-host robots.txt, and a benchmark corpus; out come
+  * curated, packed, shard-written documents.
   *
   * Fourteen stages, every one an operator with its own correctness gate:
   * WARC ingest → robots.txt policy → main-content extraction → mojibake
@@ -14,15 +15,25 @@ import org.apache.spark.sql.functions._
   * near-dup → sentence-level dedup → benchmark decontamination →
   * quality filter → per-site (eTLD+1) cap → sequence packing → shard
   * write with readback. The composition itself is gated end-to-end
-  * (`pipeline_e2e`, staged-replay oracle).
+  * (`pipeline_e2e` text profile, `pipeline_e2e_gz` gzip profile, both
+  * with staged-replay oracles).
   *
-  * Scale shape: each stage keeps its own documented shape (zero-shuffle
-  * per-row chains, narrow-keyed exchanges, bounded heaps); the chain
-  * MATERIALIZES at five boundaries so downstream self-joins (sentence
-  * dedup, minhash banding) and the multi-action shard write never replay
-  * the upstream lineage. Local runs use `localCheckpoint` (executor
-  * block storage); on a multi-executor cluster swap the barrier for
-  * parquet stages — the stage list is the natural restart boundary set.
+  * Scale shape — where the corpus TEXT travels: the per-row stages
+  * (extract/mojibake/C4/language) are zero-shuffle column chains; the
+  * dedup stages (URL keep-first, minhash banding, sentence dedup) pay
+  * their own documented narrow-keyed exchanges; and the DECISION stages
+  * after sentence dedup are threaded as flag columns on the frame the
+  * text already rides — contaminated-id anti-flag (count-guarded
+  * broadcast), the quality bitmask (pure column), the per-domain cap as
+  * a one-row-per-domain threshold join (count-guarded broadcast) — so
+  * after S9 the text crosses exactly TWO exchanges: the packing
+  * prefix-sum window (chunk-keyed) and the shard-range write. The chain
+  * MATERIALIZES at stage boundaries (ingest, C4, language, near-dup,
+  * sentence-dedup, flags, packing) so self-joins and the multi-action
+  * shard write never replay upstream lineage; local runs use
+  * `localCheckpoint` (released before return), on a multi-executor
+  * cluster swap the barrier for parquet stages — the stage list is the
+  * natural restart boundary set.
   */
 object Pipeline {
 
@@ -32,6 +43,19 @@ object Pipeline {
     * that share boilerplate STRUCTURE (same template, different
     * entities) sit near char-3-shingle jaccard 0.8 — 12-char windows
     * keep entity-level differences visible to the banding.
+    *
+    * `warcProfile` selects the ingest reader: "text" =
+    * [[Warc.warcRecords]] over a string WARC column, "gz" =
+    * [[Warc.warcRecordsGz]] over a binary per-record-gzip `.warc.gz`
+    * column (the Common Crawl layout; Content-Length counts payload
+    * BYTES there). `warcMaxRecords` bounds the per-capture record walk;
+    * captures that hit it are surfaced by [[Curated.cappedCaptures]] —
+    * never a silent cap.
+    *
+    * `maxBroadcastRows` is the count guard on the two decision-frame
+    * broadcasts (contaminated ids, per-domain cap thresholds): at or
+    * under it they broadcast explicitly (the corpus text crosses no
+    * exchange); over it they fall back to the planner's shuffle join.
     */
   final case class CurateConfig(
       keepLangs: Set[String] = Set("en"),
@@ -47,50 +71,132 @@ object Pipeline {
       capPerDomain: Int = 25,
       packBudget: Long = 2048L,
       nShards: Int = 8,
-      shardBuckets: Int = 1024)
+      shardBuckets: Int = 1024,
+      warcProfile: String = "text",
+      warcMaxRecords: Int = 16,
+      maxBroadcastRows: Long = 1000000L)
 
-  /** [[curateCrawlAudited]]'s result pair: the curated per-document
-    * frame and the stage FUNNEL — one row per drop stage with the
-    * surviving document count, the audit artifact a production run logs
-    * (a stage that silently eats the corpus shows up as a cliff here
-    * long before anyone reads shard sizes).
+  /** [[curateCrawlAudited]]'s result: the curated per-document frame,
+    * the stage FUNNEL — one row per drop stage plus the final `written`
+    * row (the audit artifact a production run logs: a stage that
+    * silently eats the corpus shows up as a cliff here long before
+    * anyone reads shard sizes) — and the WARC over-cap observer
+    * (`cappedCaptures()` — captures whose record walk hit
+    * `warcMaxRecords`; lazy, replays the ingest parse when called).
     */
-  final case class Curated(docs: DataFrame, funnel: DataFrame)
+  final case class Curated(docs: DataFrame, funnel: DataFrame,
+                           cappedCaptures: () => Long)
 
-  /** Run the full chain. `captures` is (idCol, warcCol: WARC text
-    * blob); `robots` is (hostCol, txtCol: robots.txt body); `bench` is
-    * the benchmark corpus (benchTextCol). Training shards land under
-    * `shardDir` (Hive-partitioned by shard, deterministic membership —
-    * see [[Curation.writeTrainingShards]]); the returned frame is the
+  /** Run the full chain. `captures` is (idCol, warcCol: WARC text blob,
+    * or `.warc.gz` binary under `warcProfile = "gz"`); `robots` is
+    * (hostCol, txtCol: robots.txt body); `bench` is the benchmark corpus
+    * (benchTextCol). Training shards land under `shardDir`
+    * (Hive-partitioned by shard, deterministic membership — see
+    * [[Curation.writeTrainingShards]]); the returned frame is the
     * per-document result read BACK from that store: (idCol, domain,
     * text, n_tokens, start_offset, pack_id, crosses, shuffle_pos,
-    * shard). The frame is materialized before return, so the internal
-    * minhash resources are already released.
+    * shard). No funnel count jobs run on this path.
     */
   def curateCrawl(captures: DataFrame, idCol: String, warcCol: String,
                   robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
                   bench: DataFrame, benchTextCol: String,
                   shardDir: String,
                   cfg: CurateConfig = CurateConfig()): DataFrame =
-    curateCrawlAudited(captures, idCol, warcCol, robots, robotsHostCol,
-      robotsTxtCol, bench, benchTextCol, shardDir, cfg).docs
+    run(captures, idCol, warcCol, robots, robotsHostCol,
+      robotsTxtCol, bench, benchTextCol, shardDir, cfg, audit = false).docs
 
   /** [[curateCrawl]] plus the stage funnel: (stage_idx, stage, n_docs)
-    * for the eight document-dropping stages. Counts run against the
-    * stage-boundary frames (checkpointed or one scan deep), so the
-    * audit costs a handful of count jobs, never a lineage replay.
+    * for the eight document-dropping stages and the final on-disk
+    * `written` count. Every count runs against a materialized stage
+    * boundary (a checkpointed frame, one narrow scan off one, or the
+    * shard store itself) — the audit costs a handful of cheap count
+    * jobs, never a WARC-parse or dedup replay.
     */
   def curateCrawlAudited(captures: DataFrame, idCol: String, warcCol: String,
                          robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
                          bench: DataFrame, benchTextCol: String,
                          shardDir: String,
-                         cfg: CurateConfig = CurateConfig()): Curated = {
-    val spark = captures.sparkSession
+                         cfg: CurateConfig = CurateConfig()): Curated =
+    run(captures, idCol, warcCol, robots, robotsHostCol,
+      robotsTxtCol, bench, benchTextCol, shardDir, cfg, audit = true)
 
-    // S1: WARC ingest — response records only
-    val recs = Warc.warcRecords(captures, idCol, warcCol)
+  /** Explicit broadcast at or under `maxRows`, planner's choice above —
+    * the certifiedTopK count-guard pattern (Quantizer.scala): a small
+    * decision frame joined to the corpus must never pull the corpus into
+    * a sort-merge exchange, and an unbounded decision frame must never
+    * be forced into a driver-built broadcast.
+    */
+  private def guardedBroadcast(df: DataFrame, maxRows: Long): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
+  /** S10-S13 over the sentence-deduped frame: decisions threaded as FLAG
+    * columns (the curationLog pattern) on the frame the text already
+    * rides — contaminated ids as a count-guarded broadcast anti-flag,
+    * the quality bitmask and the eTLD+1 domain as pure per-row columns,
+    * the per-site cap as a one-row-per-DOMAIN threshold join (selects
+    * exactly capPerKey's rows without shipping the kept-id list back
+    * through the corpus) — then sequence packing with the columns
+    * carried through the prefix-sum window. While the two broadcast
+    * guards hold, the corpus text crosses exactly ONE exchange in this
+    * whole span: the packing window's chunk key. Returns (flagged,
+    * packed); `packed` is row-identical to the cap output (packing adds
+    * columns, drops nothing), so it doubles as the domain-cap funnel
+    * boundary. Package-private so the plan-shape spec can run it
+    * barrier-free and count the text exchanges.
+    */
+  private[graft] def decisionAndPack(sd: DataFrame, bench: DataFrame,
+      benchTextCol: String, idCol: String, cfg: CurateConfig,
+      materialize: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val contam = Curation.contaminatedIds(
+      sd, bench.select(col(benchTextCol).as("text")), idCol, "text",
+      cfg.decontamNgram)
+    val flagged = materialize(sd
+      .join(guardedBroadcast(contam.withColumn("_contam", lit(true)),
+        cfg.maxBroadcastRows), Seq(idCol), "left")
+      .withColumn("_keep_dec", coalesce(col("_contam"), lit(false)) === false)
+      .withColumn("_keep_q", Curation.qualityFailMask(col("text"),
+        cfg.qualityMinWords, cfg.qualityMaxWords) === 0L)
+      .withColumn("domain",
+        TextAnalysis.registeredDomain(col("host"), cfg.domainSuffixes)
+          .getField("registered_domain"))
+      .drop("_contam"))
+    val dom = flagged.where(col("_keep_dec") && col("_keep_q"))
+    val thr = Curation.capThresholds(
+      dom.select(col("domain"), col(idCol)), "domain", idCol, cfg.capPerDomain)
+    val capped = dom
+      .join(guardedBroadcast(thr, cfg.maxBroadcastRows), Seq("domain"))
+      .where(Curation.capKeepCol(col(idCol), col("cut_h"), col("cut_id")))
+      .drop("cut_h", "cut_id", "_keep_dec", "_keep_q", "url", "host")
+    val packed = materialize(
+      Curation.packSequencesCarry(capped, idCol, "text", budget = cfg.packBudget))
+    (flagged, packed)
+  }
+
+  private def run(captures: DataFrame, idCol: String, warcCol: String,
+                  robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
+                  bench: DataFrame, benchTextCol: String,
+                  shardDir: String, cfg: CurateConfig, audit: Boolean): Curated = {
+    require(cfg.warcProfile == "text" || cfg.warcProfile == "gz",
+      s"warcProfile must be 'text' or 'gz', got '${cfg.warcProfile}'")
+    val spark = captures.sparkSession
+    val barrier = Dedup.Barrier.LocalCheckpoint
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    def materialized(df: DataFrame): DataFrame = {
+      val (g, rel) = Dedup.materialize(df, barrier)
+      releases += rel
+      g
+    }
+
+    // S1: WARC ingest — response records only. Checkpointed: the robots
+    // stage scans its input three times (filter verdicts + two join
+    // sides), and the parse is the chain's heaviest per-row walk.
+    val allRecs = cfg.warcProfile match {
+      case "gz" => Warc.warcRecordsGz(captures, idCol, warcCol, cfg.warcMaxRecords)
+      case _    => Warc.warcRecords(captures, idCol, warcCol, cfg.warcMaxRecords)
+    }
+    val recs = materialized(allRecs
       .where(col("warc_type") === "response")
-      .select(col(idCol), col("target_uri").as("url"), col("payload"))
+      .select(col(idCol), col("target_uri").as("url"), col("payload")))
 
     // S2: robots.txt policy (fail-open for hosts without rules)
     val withHp = recs
@@ -105,88 +211,78 @@ object Pipeline {
       idCol, "host", "path", rules, "host")
     val allowed = withHp.join(verdicts.where(col("allowed")).select(idCol), idCol)
 
-    // S3+S4: main-content extraction, mojibake repair
-    val extracted = allowed.select(col(idCol), col("url"), col("host"),
-      TextAnalysis.fixMojibake(
-        TextAnalysis.extractMainContent(col("payload"))).as("t1"))
-
-    // S5: sentence-line rendering + C4 line cleaning. extractMainContent
-    // joins blocks with single spaces, so line structure is re-derived
-    // at sentence boundaries before the line rules apply.
-    val lined = extracted.withColumn("t1",
-      regexp_replace(col("t1"), "([.!?]) +", "$1\n"))
-    val c4 = Curation.c4LineFilter(lined, idCol, "t1", cfg.c4MinWords)
-      .select(col(idCol), col("clean_text").as("text"))
-      .join(extracted.select(idCol, "url", "host"), idCol)
-      .localCheckpoint()
+    // S3+S4+S5: main-content extraction, mojibake repair, sentence-line
+    // rendering + C4 line cleaning — one per-row column chain, ONE scan
+    // of the ingest store (extractMainContent joins blocks with single
+    // spaces, so line structure is re-derived at sentence boundaries
+    // before the line rules apply).
+    val t1 = TextAnalysis.fixMojibake(
+      TextAnalysis.extractMainContent(col("payload")))
+    val c4 = materialized(allowed.select(col(idCol), col("url"), col("host"),
+      Curation.c4CleanText(
+        regexp_replace(t1, "([.!?]) +", "$1\n"), cfg.c4MinWords).as("text")))
 
     // S6: language gate
-    val en = c4.where(TextAnalysis.langIdScript(col("text"))
-        .isin(cfg.keepLangs.toSeq: _*))
-      .localCheckpoint()
+    val en = materialized(c4.where(TextAnalysis.langIdScript(col("text"))
+      .isin(cfg.keepLangs.toSeq: _*)))
 
     // S7: URL-level keep-first dedup
     val urld = TextAnalysis.dedupByCanonicalUrl(en, idCol, "url").drop("canon_url")
 
     // S8: document-level near-dup — drop every verified pair's b side
-    val run = Dedup.minhashLshRun(urld, idCol, "text",
+    val mh = Dedup.minhashLshRun(urld, idCol, "text",
       numHashes = cfg.minhashNumHashes, bands = cfg.minhashBands,
       shingleN = cfg.minhashShingleN, threshold = cfg.minhashThreshold)
-    val nd = urld.join(run.pairs.select(col("b").as(idCol)).distinct(),
-      Seq(idCol), "left_anti").localCheckpoint()
+    releases += mh.release
+    val nd = materialized(urld.join(
+      mh.pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti"))
 
     // S9: sentence-level exact dedup (keep-first corpus-wide)
-    val sd = Dedup.sentenceDedup(nd, idCol, "text")
-      .drop("n_sentences", "n_removed").localCheckpoint()
+    val sd = materialized(Dedup.sentenceDedup(nd, idCol, "text")
+      .drop("n_sentences", "n_removed"))
 
-    // S10: benchmark decontamination
-    val dec = sd.join(
-      Curation.decontaminate(sd, bench.select(col(benchTextCol).as("text")),
-          idCol, "text", cfg.decontamNgram)
-        .where(!col("contaminated")).select(idCol), idCol)
+    val (flagged, packed) =
+      decisionAndPack(sd, bench, benchTextCol, idCol, cfg, materialized)
 
-    // S11: quality filter
-    val q = dec.join(
-      Curation.qualityFilter(dec, idCol, "text",
-          cfg.qualityMinWords, cfg.qualityMaxWords)
-        .where(col("keep")).select(idCol), idCol)
-
-    // S12: per-site (eTLD+1) cap
-    val dom = q.withColumn("domain",
-      TextAnalysis.registeredDomain(col("host"), cfg.domainSuffixes)
-        .getField("registered_domain"))
-    val capped = dom.join(
-      Curation.capPerKey(dom, "domain", idCol, cfg.capPerDomain)
-        .select(idCol), idCol)
-
-    // S13: sequence packing
-    val packed = capped.join(
-      Curation.packSequences(capped, idCol, "text", budget = cfg.packBudget),
-      idCol).localCheckpoint()
-
-    // S14: shard write + READBACK — the output's shard/pos certify what
+    // S14: shard write + READBACK — the result is read straight off the
+    // store (no join back onto the plan), so its rows certify what
     // landed on disk, not what the plan intended
     Curation.writeTrainingShards(packed, idCol, col("n_tokens"), shardDir,
       cfg.nShards, nBuckets = cfg.shardBuckets)
-    val onDisk = spark.read.parquet(shardDir)
-      .select(col(idCol), col("shuffle_pos"), col("shard"))
-    val result = packed.join(onDisk, idCol)
+    val result = spark.read.parquet(shardDir)
       .select(col(idCol), col("domain"), col("text"), col("n_tokens"),
         col("start_offset"), col("pack_id"), col("crosses"),
         col("shuffle_pos").cast("long").as("shuffle_pos"),
         col("shard").cast("int").as("shard"))
-      .localCheckpoint()
-    run.release()
 
-    val funnelRows = Seq(
-      ("ingest", recs.count()), ("robots", allowed.count()),
-      ("lang", en.count()), ("url_dedup", urld.count()),
-      ("near_dup", nd.count()), ("decontam", dec.count()),
-      ("quality", q.count()), ("domain_cap", result.count()))
-    import spark.implicits._
-    val funnel = funnelRows.zipWithIndex
-      .map { case ((st, n), i) => (i.toLong, st, n) }
-      .toDF("stage_idx", "stage", "n_docs")
-    Curated(result, funnel)
+    // Funnel (audited path only): every count runs against a
+    // materialized boundary — a checkpointed frame, one narrow scan off
+    // one (robots verdict join, URL-dedup groupBy), or the shard store.
+    // domain_cap counts the checkpointed packed frame, which is
+    // row-identical to the cap output (packing adds columns, drops
+    // nothing); `written` separately counts the store readback, so a row
+    // lost in the shard write shows up as its own funnel cliff instead
+    // of hiding inside the cap row.
+    val funnel = if (!audit) {
+      import spark.implicits._
+      Seq.empty[(Long, String, Long)].toDF("stage_idx", "stage", "n_docs")
+    } else {
+      val rows = Seq(
+        ("ingest", recs.count()), ("robots", allowed.count()),
+        ("lang", en.count()), ("url_dedup", urld.count()),
+        ("near_dup", nd.count()),
+        ("decontam", flagged.where(col("_keep_dec")).count()),
+        ("quality", flagged.where(col("_keep_dec") && col("_keep_q")).count()),
+        ("domain_cap", packed.count()), ("written", result.count()))
+      import spark.implicits._
+      rows.zipWithIndex.map { case ((st, n), i) => (i.toLong, st, n) }
+        .toDF("stage_idx", "stage", "n_docs")
+    }
+
+    // the result lives on disk and the funnel is a literal local frame —
+    // every intermediate barrier block can go
+    releases.foreach(r => r())
+    Curated(result, funnel,
+      () => Warc.cappedCaptures(allRecs, idCol, cfg.warcMaxRecords))
   }
 }

@@ -299,7 +299,8 @@ object Quantizer {
     */
   def certifiedTopK(base: DataFrame, idCol: String, vecCol: String,
                     quantDF: DataFrame, probe: Array[Float], p: QuantParams,
-                    k: Int, metric: String): DataFrame = {
+                    k: Int, metric: String,
+                    maxBroadcastCand: Long = 1000000L): DataFrame = {
     if (metric != "l2" && metric != "sq_l2")
       return Knn.fullScan(base, idCol, vecCol, probe, k, metric)
     if (k <= 0)
@@ -331,8 +332,10 @@ object Quantizer {
     // cheap job over the code store, usually cached/preloaded) keeps a
     // degenerate certificate — codes so collapsed the threshold admits
     // the corpus — on the planner's shuffle join instead of an OOM.
+    // `maxBroadcastCand` defaults to 1M rows (~10-20 MB hashed relation,
+    // normal broadcast sizing); raise it only with driver memory to match.
     val nCand = cand.count()
-    val candSide = if (nCand <= 10000000L) broadcast(cand) else cand
+    val candSide = if (nCand <= maxBroadcastCand) broadcast(cand) else cand
     Knn.topK(
       base.where(col(vecCol).isNotNull)
         .join(candSide, col(idCol) === col("_cand_id"))

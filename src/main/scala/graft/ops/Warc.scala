@@ -199,6 +199,18 @@ object Warc {
         col("r.content_length").as("content_length"), col("r.payload").as("payload"))
   }
 
+  /** Over-cap observer for either record reader (the repo's
+    * no-silent-caps rule): captures whose parsed record count REACHED
+    * `maxRecords` — a conservative upper bound on silently truncated
+    * captures (a capture holding exactly `maxRecords` records counts
+    * too; one holding more parsed only the first `maxRecords`). Feed it
+    * the reader's own output frame; one narrow per-capture count, no
+    * payload shuffle.
+    */
+  def cappedCaptures(records: DataFrame, idCol: String, maxRecords: Int): Long =
+    records.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= maxRecords).count()
+
   /** Deterministic `.warc.gz` fixture for the gate (JVM-side, wrapped in
     * a fixture-synthesis udf by the caller): two records, EACH its own
     * gzip member, concatenated — the Common Crawl layout [[gzRecordRows]]

@@ -72,4 +72,101 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(7)).sorted.toSeq === (0L until rows.length).toSeq)
     res.unpersist()
   }
+
+  test("decisionAndPack: text crosses exactly ONE exchange (the packing window)") {
+    val sd = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("https://site"), (col("id") % 5).cast("string"),
+        lit(".com/x/"), col("id").cast("string")).as("url"),
+      concat(lit("site"), (col("id") % 5).cast("string"), lit(".com")).as("host"),
+      concat(lit("the quick brown fox jumps over one lazy dog number "),
+        col("id").cast("string"), lit(" and it runs for that every day.")).as("text"))
+      .localCheckpoint()
+    val bench = spark.range(1)
+      .select(lit("completely unrelated benchmark sentence").as("text"))
+    // identity materialize: the whole S10-S13 span lands in one plan
+    val (_, packed) = Pipeline.decisionAndPack(sd, bench, "text", "doc_id",
+      Pipeline.CurateConfig(capPerDomain = 30, packBudget = 128), identity)
+    val plan = packed.queryExecution.executedPlan
+    // collect through the AQE wrapper (plain collect stops at its boundary)
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
+      val here = p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "text") => Seq(e)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(exchanges)
+    }
+    val textExchanges = exchanges(plan)
+    assert(textExchanges.size == 1,
+      s"expected exactly one text-carrying exchange (the pack window), got " +
+        s"${textExchanges.size}:\n$plan")
+    // the decision frames (contam ids, cap thresholds) must ride
+    // broadcasts, never pull the corpus into a sort-merge exchange
+    assert(!plan.toString.contains("SortMergeJoin"), plan.toString)
+    assert(packed.count() > 0)
+  }
+
+  test("decontaminate: the hits-to-base join carries no forced broadcast hint") {
+    val train = spark.range(50).select(col("id"),
+      concat(lit("alpha beta gamma delta epsilon zeta "),
+        col("id").cast("string")).as("text"))
+    val bench = spark.range(1).select(lit("alpha beta gamma").as("text"))
+    val out = graft.ops.Curation.decontaminate(train, bench, "id", "text")
+    val outer = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j
+    }
+    assert(outer.nonEmpty, "expected the hits left join in the plan")
+    assert(outer.forall(j => j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty),
+      "the unbounded hits frame must be left to AQE, not force-broadcast")
+    // the bounded benchmark n-gram set DOES keep its explicit broadcast
+    assert(out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.rightHint.exists(_.strategy.nonEmpty) ||
+          j.hint.leftHint.exists(_.strategy.nonEmpty) => j
+    }.nonEmpty)
+  }
+
+  test("audited funnel: nine monotone stages ending in the on-disk written count") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pfun").toString + "/shards"
+    val robots = spark.range(3).select(
+      concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+      lit("user-agent: *\ndisallow: /blocked/\n").as("txt"))
+    val bench = spark.range(1)
+      .select(lit("completely unrelated benchmark sentence").as("text"))
+    val cur = Pipeline.curateCrawlAudited(crawl(60), "doc_id", "warc",
+      robots, "host", "txt", bench, "text", out,
+      Pipeline.CurateConfig(capPerDomain = 12, packBudget = 128,
+        nShards = 2, shardBuckets = 8))
+    val f = cur.funnel.orderBy("stage_idx").collect()
+    assert(f.map(_.getString(1)).toSeq === Seq("ingest", "robots", "lang",
+      "url_dedup", "near_dup", "decontam", "quality", "domain_cap", "written"))
+    // survivor counts never increase stage-over-stage
+    assert(f.sliding(2).forall(p => p(1).getLong(2) <= p(0).getLong(2)))
+    // the shard write is lossless here: written == domain_cap == result rows
+    assert(f.last.getLong(2) === f(7).getLong(2))
+    assert(f.last.getLong(2) === cur.docs.count())
+    // two records per capture, far under the default cap
+    assert(cur.cappedCaptures() === 0L)
+  }
+
+  test("cappedCaptures: captures hitting warcMaxRecords are surfaced, never silent") {
+    // four records per capture blob (crawl() emits one response record each)
+    val four = crawl(8).select(col("doc_id"),
+      concat(col("warc"), col("warc"), col("warc"), col("warc")).as("warc"))
+    val recs = graft.ops.Warc.warcRecords(four, "doc_id", "warc", maxRecords = 3)
+    // the walk stops at 3 records per capture...
+    assert(recs.groupBy("doc_id").count().collect().forall(_.getLong(1) === 3L))
+    // ...and the observer reports every capture that hit the cap
+    assert(graft.ops.Warc.cappedCaptures(recs, "doc_id", 3) === 8L)
+    assert(graft.ops.Warc.cappedCaptures(
+      graft.ops.Warc.warcRecords(four, "doc_id", "warc", maxRecords = 16),
+      "doc_id", 16) === 0L)
+  }
 }
