@@ -915,9 +915,17 @@ object Queries {
     * stage (see the pipeline_e2e gate comment), the per-host robots.txt
     * table and the one-row benchmark corpus.
     */
-  private def pipeFixture(s: SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val d0 = docs(s, dir).select(col("doc_id"))
+  /** The per-host robots table of the pipeline fixtures. */
+  private[graft] def pipeRobots(s: SparkSession): org.apache.spark.sql.DataFrame =
+    s.range(10).select(
+      concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+      lit("User-agent: *\nDisallow: /blocked/\n").as("txt"))
+
+  /** Text-profile WARC captures over an id frame (`doc_id`), pure column
+    * formulas \u2014 shared by the pipeline gates and the XL bench row (which
+    * feeds `spark.range(1M)` instead of the gate's documents table).
+    */
+  private[graft] def pipeCaptures(d0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val did = col("doc_id")
     val e = when(did % 31 === 17, did - 1).otherwise(did) // content-clone source
     val u = when(did % 17 === 1, did - 1).otherwise(did)  // URL-twin source
@@ -950,11 +958,48 @@ object Queries {
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
       lit("\r\nContent-Length: "), length(html).cast("string"),
       lit("\r\n\r\n"), html, lit("\r\n\r\n"))
-    val robotsDf = s.range(10).select(
-      concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
-      lit("User-agent: *\nDisallow: /blocked/\n").as("txt"))
-    (d0.select(did, warc.as("warc")), robotsDf,
+    d0.select(did, warc.as("warc"))
+  }
+
+  private def pipeFixture(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    (pipeCaptures(docs(s, dir).select(col("doc_id"))), pipeRobots(s),
       s.range(1).select(lit(PipeBench).as("text")))
+
+  /** JVM-side mirror of [[pipeCaptures]]' per-document capture as a
+    * per-record-gzip `.warc.gz` BINARY (fixture synthesis for the
+    * pipeline_e2e_gz gate; wrapped in a udf like the other binary
+    * fixtures): identical url/html formulas \u2014 so the pipeline_e2e oracle
+    * replays this gate verbatim \u2014 plus a metadata member exercising the
+    * gzip member chain and the response filter. The html embeds
+    * multi-byte UTF-8 (the mojibake marker \u00c3\u00a9), so `Content-Length`
+    * (bytes) \u2260 chars and a char-offset walk would shear the record and
+    * value-fail.
+    */
+  private def pipeGzCapture(docId: Long): Array[Byte] = {
+    val e = if (docId % 31 == 17) docId - 1 else docId
+    val u = if (docId % 17 == 1) docId - 1 else docId
+    val core =
+      if (e % 29 == 13)
+        s"der hund und die katze nr$e ist nicht auf dem tisch und so weiter heute."
+      else if (e % 23 == 11)
+        s"the the the the the the the spam spam spam spam word word word page p$e here there."
+      else
+        s"the quick brown fox number $e jumps over one lazy dog. " +
+          s"it runs near town t${e % 7} beside marker m${e}a and m${e}b then m${e}c " +
+          "every single day with speed."
+    val body = core + (if (e % 19 == 7) " " + PipeBench else "") +
+      " we met at the caf\u00c3\u00a9 yesterday." +
+      " please enable javascript to view this content now"
+    val url = s"https://site${u % 10}.com" +
+      (if (u % 7 == 3) "/blocked/" else "/ok/") + s"$u?utm_source=feed"
+    val html = "<html><head><title>T</title></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/x\">About</a></nav><article><p>" +
+      body + "</p></article><footer>Copyright 2026 Example." +
+      " <a href=\"/p\">Privacy</a></footer></body></html>"
+    graft.ops.Warc.gzMember("response", Some(url), html) ++
+      graft.ops.Warc.gzMember("metadata", None,
+        (if (docId % 7 == 0) "seen: WARC/1.0\r\n" else "") + "lang: en")
   }
 
   private val PipeConfig = graft.ops.Pipeline.CurateConfig(
@@ -2804,6 +2849,25 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the same pipeline ingesting the format it was built for: captures
+    // arrive as per-record-gzip `.warc.gz` BINARIES (the Common Crawl
+    // layout) and S1 routes through the byte-exact reader
+    // (CurateConfig.warcProfile = "gz"). The fixture mirrors the text
+    // profile's formulas exactly, so the oracle is the SAME staged
+    // replay — a byte/char framing bug, a broken member chain, or a
+    // profile mis-route shifts the survivor text and value-fails.
+    "pipeline_e2e_gz" -> ((s, dir) => {
+      val gz = udf((i: Long) => pipeGzCapture(i))
+      val captures = docs(s, dir).select(col("doc_id"),
+        gz(col("doc_id")).as("warc"))
+      val out = java.nio.file.Files.createTempDirectory("graft_pipegz").toString + "/shards"
+      graft.ops.Pipeline.curateCrawl(captures, "doc_id", "warc",
+          pipeRobots(s), "host", "txt",
+          s.range(1).select(lit(PipeBench).as("text")), "text", out,
+          PipeConfig.copy(warcProfile = "gz"))
+        .orderBy("doc_id")
+    }),
+
     // the same pipeline's per-stage audit FUNNEL (the observability
     // artifact a production run logs): one row per drop stage with the
     // surviving count; the oracle re-counts each stage's survivor CTE
@@ -3942,6 +4006,18 @@ object Queries {
          |sp AS (SELECT *,
          |    ROW_NUMBER() OVER (ORDER BY h53 % 32, h53, doc_id) - 1 AS shuffle_pos,
          |    COUNT(*) OVER () AS n FROM pk)"""
+
+  /** The pipeline gates' shared result restatement (text and gz profiles
+    * replay identically — the fixtures share their formulas). */
+  private val pipeE2eSql: String =
+    s"""WITH $pipeCtes
+       |SELECT doc_id, domain, text, n_tokens, start_offset,
+       |  CAST(start_offset // 512 AS BIGINT) AS pack_id,
+       |  (n_tokens > 0 AND (start_offset + n_tokens - 1) // 512 <> start_offset // 512)
+       |    AS crosses,
+       |  CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+       |  CAST((shuffle_pos * 4) // n AS INT) AS shard
+       |FROM sp""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "knn_l2" -> knnSql("l2"),
@@ -6192,15 +6268,10 @@ object Queries {
     // re-decide the survivor set independently; the surviving text comes
     // from the fixture formulas (the parsers/extractors under test never
     // appear). See the gate comment for the stage ↔ CTE mapping.
-    "pipeline_e2e" ->
-      s"""WITH $pipeCtes
-         |SELECT doc_id, domain, text, n_tokens, start_offset,
-         |  CAST(start_offset // 512 AS BIGINT) AS pack_id,
-         |  (n_tokens > 0 AND (start_offset + n_tokens - 1) // 512 <> start_offset // 512)
-         |    AS crosses,
-         |  CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
-         |  CAST((shuffle_pos * 4) // n AS INT) AS shard
-         |FROM sp""".stripMargin,
+    "pipeline_e2e" -> pipeE2eSql,
+
+    // byte-identical fixture formulas -> the identical staged replay
+    "pipeline_e2e_gz" -> pipeE2eSql,
 
     // per-stage survivor counts over the SAME replay chain; `domain_cap`
     // counts the cap stage itself and `written` the on-disk readback, so

@@ -225,21 +225,27 @@ object Warc {
     val uri = s"https://example.com/doc/$id"
     val respPayload = "café " * (1 + (id % 5).toInt)
     val metaPayload = (if (id % 7 == 0) "seen: WARC/1.0\r\n" else "") + "lang: " + lang
-    def member(wtype: String, payload: String, withUri: Boolean): Array[Byte] = {
-      val pb = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val head = new StringBuilder(Magic)
-      head.append(s"WARC-Type: $wtype\r\n")
-      if (withUri) head.append(s"WARC-Target-URI: $uri\r\n")
-      head.append(s"Content-Length: ${pb.length}\r\n\r\n")
-      val rec = head.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
-        pb ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      val bos = new java.io.ByteArrayOutputStream()
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(rec); gz.finish(); gz.close()
-      bos.toByteArray
-    }
-    member("response", respPayload, withUri = true) ++
-      member("metadata", metaPayload, withUri = false)
+    gzMember("response", Some(uri), respPayload) ++
+      gzMember("metadata", None, metaPayload)
+  }
+
+  /** One WARC record as its OWN gzip member (the Common Crawl layout
+    * [[gzRecordRows]] walks member-by-member) — the fixture builder the
+    * gz gates share. `Content-Length` counts payload BYTES of the UTF-8
+    * encoding, so multi-byte payloads frame byte-exactly.
+    */
+  def gzMember(wtype: String, uri: Option[String], payload: String): Array[Byte] = {
+    val pb = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val head = new StringBuilder(Magic)
+    head.append(s"WARC-Type: $wtype\r\n")
+    uri.foreach(u => head.append(s"WARC-Target-URI: $u\r\n"))
+    head.append(s"Content-Length: ${pb.length}\r\n\r\n")
+    val rec = head.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      pb ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec); gz.finish(); gz.close()
+    bos.toByteArray
   }
 
   /** Deterministic capture fixture for the gate: a two-record WARC blob
