@@ -85,12 +85,15 @@ object Queries {
     "यह एक है और के लिए से पर",                            // hi
     "これ は です の に を と",                             // ja
     "这 是 的 在 有 和 了",                                 // zh
-    "이것 은 있다 의 에 를 과")                             // ko
+    "이것 은 있다 의 에 를 과",                             // ko
+    "東京都の会議で経済政策を発表した",                     // ja: kanji-HEAVY (11 Han > 5 kana — Han dominates; kana presence decides)
+    "駅 峠 畑 込 働 円 気 枠 様 変",                        // ja: zero kana — kokuji/shinjitai marker vote decides
+    "我们的经济政策在这个国家发展很快")                     // zh: simplified particles/forms — marker vote
 
   /** Expected language code per [[LangSentences]] index. */
   val LangExpected: Seq[String] = Seq("en", "de", "fr", "es", "pt", "it", "nl",
     "pl", "sv", "da", "tr", "ro", "id", "cs", "vi", "ru", "uk", "bg", "ar", "fa",
-    "el", "hi", "ja", "zh", "ko")
+    "el", "hi", "ja", "zh", "ko", "ja", "ja", "zh")
 
   /** The planted eval-leak sentence for the `pipeline_e2e` gate's
     * decontamination stage (and its one-row benchmark table). */
@@ -2403,7 +2406,7 @@ object Queries {
     // cross-language marker collision value-fails
     "lang_id_script" -> ((s, dir) => {
       val sent = element_at(array(LangSentences.map(lit): _*),
-        (col("doc_id") % 25 + 1).cast("int"))
+        (col("doc_id") % LangSentences.length + 1).cast("int"))
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langIdScript(sent).as("lang_pred"))
     }),
@@ -4977,7 +4980,7 @@ object Queries {
     "lang_id_script" -> {
       val cases = LangExpected.zipWithIndex
         .map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ")
-      s"SELECT doc_id, CASE doc_id % 25 $cases END AS lang_pred FROM documents"
+      s"SELECT doc_id, CASE doc_id % ${LangExpected.length} $cases END AS lang_pred FROM documents"
     },
 
     "fingerprint" ->

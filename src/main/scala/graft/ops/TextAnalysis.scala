@@ -140,14 +140,45 @@ object TextAnalysis {
     }
   }
 
+  /** Japanese-only kanji markers for [[hanLang]]: kokuji (characters
+    * coined in Japan — 込 働 峠 畑 枠) and shinjitai simplifications that
+    * differ from BOTH simplified and traditional Chinese forms (駅 円 気
+    * 様 変). A Chinese page contains none of these.
+    */
+  val JaKanjiMarkers: String = "込働峠畑枠駅円気様変"
+
+  /** Chinese-side markers for [[hanLang]]: the highest-frequency written
+    * particles (的 了 是 不 我) plus simplified-only forms Japanese never
+    * uses (们 这 个 没 说). A few appear in Japanese compounds at low
+    * frequency — the decision is a count VOTE, not a presence test, and
+    * kana presence short-circuits to ja before the vote.
+    */
+  val ZhHanMarkers: String = "的了是不我们这个没说"
+
+  /** zh/ja discrimination WITHIN Han-dominant text (the top practical
+    * lang-id failure a script split alone can't resolve): any kana at
+    * Han dominance is decisive for Japanese (Chinese text contains
+    * none); an all-kanji page (headlines, lists) falls to a marker-count
+    * vote over [[JaKanjiMarkers]] vs [[ZhHanMarkers]], Chinese on ties —
+    * the unmarked-Han default. Korean never reaches here (Hangul
+    * dominates its own script class). Per-row strip-and-count, zero
+    * shuffle, RE2-restatable.
+    */
+  def hanLang(text: Column): Column = {
+    val kana = length(regexp_replace(text, "[^぀-ヿ]", "")).cast("long")
+    val ja = length(regexp_replace(text, s"[^$JaKanjiMarkers]", "")).cast("long")
+    val zh = length(regexp_replace(text, s"[^$ZhHanMarkers]", "")).cast("long")
+    when(kana > 0, lit("ja")).when(ja > zh, lit("ja")).otherwise(lit("zh"))
+  }
+
   /** Script-gated language ID — the breadth path: [[scriptMix]]'s
     * dominant script first splits the decision exactly (a Cyrillic page
     * never competes against Latin marker lists), then only the
     * single-script candidate set votes. Single-language scripts map
-    * directly (Greek → el, Devanagari → hi, kana → ja, Han → zh,
-    * Hangul → ko); kana dominance beats Han in mixed Japanese text only
-    * when kana characters outnumber kanji — a kanji-heavy Japanese page
-    * reads zh here, the documented limit of a script-level split.
+    * directly (Greek → el, Devanagari → hi, kana → ja, Hangul → ko);
+    * Han dominance — where Japanese and Chinese share a script — falls
+    * to [[hanLang]]'s kana-presence + kanji/hanzi marker vote, so a
+    * kanji-heavy Japanese page with even one particle of kana reads ja.
     * All per-row codegen'd string work, zero shuffle; Catalyst's
     * subexpression elimination shares the tokenize across the per-lang
     * hit counts.
@@ -164,7 +195,7 @@ object TextAnalysis {
     when(dom === "greek", lit("el"))
       .when(dom === "devanagari", lit("hi"))
       .when(dom === "kana", lit("ja"))
-      .when(dom === "cjk", lit("zh"))
+      .when(dom === "cjk", hanLang(text))
       .when(dom === "hangul", lit("ko"))
       .when(dom === "cyrillic", vote(ScriptLangs("cyrillic")))
       .when(dom === "arabic", vote(ScriptLangs("arabic")))
