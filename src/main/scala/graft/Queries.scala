@@ -3324,6 +3324,55 @@ object Queries {
         docs(s, dir).select(col("doc_id"), xml.as("xml")), "doc_id", "xml")
     }),
 
+    // sitemap-INDEX recursion: a two-level tree (root index -> 5 child
+    // indexes -> 10 leaf urlsets holding the documents), plus a cycle
+    // (child 0 references the root again) and a dangling reference
+    // (missing.xml is listed but never fetched) — the frontier walk must
+    // terminate on the former and skip the latter. The oracle restates
+    // the leaf assignment + per-leaf entry order from the fixture
+    // formulas; the walk, the anti-join and the XML never appear.
+    "sitemap_index" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val leafUrl = concat(lit("https://ex.com/sm/leaf"),
+        (col("doc_id") % 5).cast("string"), lit("_"),
+        (expr("doc_id div 5") % 2).cast("string"), lit(".xml"))
+      val entry = concat(
+        lit("<url><loc>https://ex.com/p/"), col("doc_id").cast("string"),
+        lit("</loc><lastmod>2026-01-0"), (col("doc_id") % 9 + 1).cast("string"),
+        lit("</lastmod><priority>0."), (col("doc_id") % 10).cast("string"),
+        lit("</priority></url>"))
+      val leaves = d.select(leafUrl.as("url"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy("url")
+        .agg(concat(lit("<urlset>"),
+          array_join(transform(array_sort(collect_list(col("se"))),
+            x => x.getField("e")), ""),
+          lit("</urlset>")).as("xml"))
+      val children = s.range(5).select(
+        concat(lit("https://ex.com/sm/idx"), col("id").cast("string"),
+          lit(".xml")).as("url"),
+        concat(lit("<sitemapindex><sitemap><loc>https://ex.com/sm/leaf"),
+          col("id").cast("string"), lit("_0.xml</loc></sitemap>"),
+          lit("<sitemap><loc>https://ex.com/sm/leaf"),
+          col("id").cast("string"), lit("_1.xml</loc></sitemap>"),
+          when(col("id") === 0,
+            lit("<sitemap><loc>https://ex.com/sm/root.xml</loc></sitemap>"))
+            .otherwise(lit("")),
+          lit("</sitemapindex>")).as("xml"))
+      val root = s.range(1).select(
+        lit("https://ex.com/sm/root.xml").as("url"),
+        concat(lit("<sitemapindex>"),
+          lit((0 until 5).map(k =>
+            s"<sitemap><loc>https://ex.com/sm/idx$k.xml</loc></sitemap>").mkString),
+          lit("<sitemap><loc>https://ex.com/sm/missing.xml</loc></sitemap>"),
+          lit("</sitemapindex>")).as("xml"))
+      val fetched = root.unionByName(children).unionByName(leaves)
+      val roots = s.range(1).select(lit("https://ex.com/sm/root.xml").as("r"))
+      graft.ops.Robots.sitemapFrontier(fetched, "url", "xml", roots, "r",
+          maxDepth = 4)
+        .orderBy("sitemap_url", "entry_idx")
+    }),
+
     // Unicode script profile over planted multilingual tails (Cyrillic /
     // Greek / CJK by doc_id class): per-script counts by explicit
     // code-point ranges + the (max count, min name) dominant; both
@@ -6133,6 +6182,23 @@ object Queries {
         |  'https://example.com/q/' || CAST(doc_id AS VARCHAR) AS loc,
         |  '' AS lastmod, '' AS priority
         |FROM documents""".stripMargin,
+
+    // the two-level tree's leaf assignment + per-leaf entry order from
+    // the fixture formulas: every document surfaces exactly once, at
+    // depth 2, from its leaf file — the walk itself never appears
+    "sitemap_index" ->
+      """WITH e AS (SELECT doc_id,
+        |  'https://ex.com/sm/leaf' || CAST(doc_id % 5 AS VARCHAR) || '_'
+        |    || CAST((doc_id // 5) % 2 AS VARCHAR) || '.xml' AS sitemap_url,
+        |  'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS loc,
+        |  '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod,
+        |  '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+        |FROM documents)
+        |SELECT sitemap_url, CAST(2 AS BIGINT) AS depth,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY sitemap_url ORDER BY doc_id) - 1
+        |    AS BIGINT) AS entry_idx,
+        |  loc, lastmod, priority
+        |FROM e""".stripMargin,
 
     // counts from the SAME ScriptClasses ranges; dominant replayed as the
     // identical seedless list_reduce argmax

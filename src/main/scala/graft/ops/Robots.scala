@@ -128,9 +128,10 @@ object Robots {
     * malformed entry yields empty fields rather than crossing entry
     * boundaries). Entries with an empty `<loc>` are dropped, per the
     * protocol. Sitemap-INDEX files (`<sitemap>` entries pointing at
-    * child sitemaps) are out of scope here — they are frontier
-    * recursion, not row extraction. One codegen'd per-row pass, zero
-    * shuffle. Output: (idCol, entry_idx, loc, lastmod, priority).
+    * child sitemaps) are handled by [[sitemapIndexRefs]] +
+    * [[sitemapFrontier]] — frontier recursion over this row extractor.
+    * One codegen'd per-row pass, zero shuffle. Output: (idCol,
+    * entry_idx, loc, lastmod, priority).
     */
   def sitemapUrls(sitemaps: DataFrame, idCol: String, xmlCol: String): DataFrame = {
     val entries = filter(
@@ -143,5 +144,67 @@ object Robots {
       .select(col(idCol), col("entry_idx").cast("long").as("entry_idx"),
         col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
         col("e.priority").as("priority"))
+  }
+
+  /** Sitemap-INDEX reference extraction — [[sitemapUrls]]' recursion
+    * companion: one row per `<sitemap><loc>` child reference of an index
+    * file (sitemaps.org `<sitemapindex>`), same structural-lite walk
+    * (entries with an empty `<loc>` drop; a plain urlset yields no rows
+    * because it has no `<sitemap>` entries, and the `</sitemap>` closer
+    * never matches the split token). Output: (idCol, ref_idx, loc).
+    */
+  def sitemapIndexRefs(sitemaps: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val refs = filter(
+      transform(slice(split(col(xmlCol), "<sitemap>"), 2, 1000000),
+        seg => regexp_extract(seg, "<loc>([^<]*)</loc>", 1)),
+      l => l =!= "")
+    sitemaps.select(col(idCol), posexplode(refs).as(Seq("ref_idx", "loc")))
+      .select(col(idCol), col("ref_idx").cast("long").as("ref_idx"), col("loc"))
+  }
+
+  /** Full crawl-frontier seeding over NESTED sitemaps — real frontiers
+    * are mostly index files pointing at child sitemaps, often two levels
+    * deep. `fetched` is the caller's fetch store (sitemap URL → XML
+    * body); `roots` seeds the walk. Each level joins the frontier to the
+    * store, emits that level's `<url>` entries, and derives the next
+    * frontier from `<sitemap><loc>` references anti-joined against the
+    * visited set — cycles terminate, references missing from the store
+    * contribute nothing (fetch-what-you-have semantics). Bounded-depth
+    * driver loop (the pageRank pattern): ≤ `maxDepth` levels (require
+    * ≤ 8 — live trees are 2-3), one narrow URL-keyed join + anti-join
+    * per level, XML bodies never shuffle beyond their frontier join.
+    * Output: (sitemap_url = the file the entry came from, depth,
+    * entry_idx, loc, lastmod, priority).
+    */
+  def sitemapFrontier(fetched: DataFrame, urlCol: String, xmlCol: String,
+                      roots: DataFrame, rootUrlCol: String,
+                      maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 8,
+      s"maxDepth must be in [1, 8], got $maxDepth")
+    val fx = fetched.select(col(urlCol).as("sitemap_url"), col(xmlCol).as("_xml"))
+    var frontier = roots.select(col(rootUrlCol).as("sitemap_url")).distinct()
+    var visited = frontier
+    var out: DataFrame = null
+    var depth = 0
+    var exhausted = false
+    while (!exhausted && depth < maxDepth) {
+      val level = frontier.join(fx, "sitemap_url")
+      val entries = sitemapUrls(level, "sitemap_url", "_xml")
+        .withColumn("depth", lit(depth.toLong))
+        .select(col("sitemap_url"), col("depth"), col("entry_idx"),
+          col("loc"), col("lastmod"), col("priority"))
+      out = if (out == null) entries else out.unionByName(entries)
+      depth += 1
+      if (depth < maxDepth) {
+        // next frontier: unvisited child references (visited and frontier
+        // are disjoint by construction, so the union stays a set)
+        frontier = sitemapIndexRefs(level, "sitemap_url", "_xml")
+          .select(col("loc").as("sitemap_url")).distinct()
+          .join(visited, Seq("sitemap_url"), "left_anti")
+        visited = visited.unionByName(frontier)
+        exhausted = frontier.isEmpty
+      }
+    }
+    out
   }
 }
