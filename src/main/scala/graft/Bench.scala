@@ -57,12 +57,25 @@ object Bench {
     // them — back-to-back per-query reps would both sit inside the burst.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Self-adjudicating artifact: besides the min-merged map, the JSON
+    // records every pass's per-query times plus a /proc/loadavg sample
+    // taken as the pass starts — so a contended window shows up IN the
+    // artifact (uniform inflation of one pass at high load) instead of
+    // needing an out-of-band narrative to distinguish regression from
+    // co-tenant noise.
+    val passes = scala.collection.mutable.ArrayBuffer
+      .empty[(String, scala.collection.mutable.LinkedHashMap[String, Double])]
+    var current: scala.collection.mutable.LinkedHashMap[String, Double] = null
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       body
       val sec = (System.nanoTime() - t0) / 1e9
+      current(name) = sec
       results(name) = results.get(name).fold(sec)(math.min(_, sec))
     }
+    def loadavg(): String = scala.util.Try(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim).getOrElse("")
 
     // Untimed setup: materialize the synthetic vector table to parquet so
     // the timed k-NN queries measure the actual serving path — parquet
@@ -180,11 +193,18 @@ object Bench {
             when(j === 0, col("id")).otherwise(xlSeed), j), lit(200000)))), " ")
           .as("text"))
         .write.mode("overwrite").parquet(s"$benchDir/xl_docs")
+      // XL pipeline corpus: the pipeline_e2e gate's own WARC fixture
+      // formulas over 1M doc ids, written to parquet so the timed
+      // composition reads captures from storage like a real run
+      Queries.pipeCaptures(spark.range(1000000L).select(col("id").as("doc_id")))
+        .write.mode("overwrite").parquet(s"$benchDir/xl_captures")
     }
 
     Seq(benchDir, sfDir).foreach(warmDir)
 
     for (_ <- 1 to reps) {
+      current = scala.collection.mutable.LinkedHashMap[String, Double]()
+      passes += ((loadavg(), current))
       // 1. exact brute-force k-NN over ~600k dim-64 vectors (K1 at scale)
       time("knn_l2_600k")(ops.Knn.fullScan(vecs, "id", "vec", probe, 10, "l2").count())
       time("knn_cosine_600k")(ops.Knn.fullScan(vecs, "id", "vec", probe, 10, "cosine").count())
@@ -394,12 +414,30 @@ object Bench {
         time("xl_ann_join64_1m768")(
           ops.Ann.annJoin(broadcast(xlVecs.where(col("id") < 64)), "id", "vec",
             xlVecs, "id", "vec", 10, "l2", 10, XlDim).count())
+
+        // the 14-stage crawl -> shards composition at the 1M-doc shape
+        // (the per-round bench times it at 5k docs as pipeline_e2e).
+        // capPerDomain raised so the fixture's 10 domains keep ~all
+        // survivors — the default 25 would reduce the run to 250 docs
+        // and measure only stage overhead
+        time("xl_pipeline_e2e_1m")(
+          ops.Pipeline.curateCrawl(
+            spark.read.parquet(s"$benchDir/xl_captures"), "doc_id", "warc",
+            Queries.pipeRobots(spark), "host", "txt",
+            spark.range(1).select(lit(Queries.PipeBench).as("text")), "text",
+            s"$benchDir/xl_shards",
+            ops.Pipeline.CurateConfig(capPerDomain = 200000,
+              packBudget = 2048, nShards = 8, shardBuckets = 1024)).count())
       }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passesJson = passes.map { case (load, times) =>
+      val t = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      s"""{"loadavg":"$load","queries":$t}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
