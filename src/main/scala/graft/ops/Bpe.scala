@@ -34,6 +34,14 @@ object Bpe {
   /** Learn `rounds` merges from a weighted vocabulary `(word, n)`.
     * Returns (round, a, b, weighted count) in learn order; stops early if
     * no adjacency remains.
+    *
+    * Corpus regime: like [[Unigram.learn]], the input is the DISTINCT
+    * weighted vocabulary and each round's shuffle carries (pair, count)
+    * rows only — but the per-round pair explode scales with total symbol
+    * count across that vocabulary, the one unbounded dimension.
+    * Tokenizer training is a sampled-corpus job by convention; hand in a
+    * sampled or frequency-cut vocabulary at web scale and alarm on
+    * [[pairRows]] before launching.
     */
   def learn(vocab: DataFrame, wordCol: String, weightCol: String,
             rounds: Int): Seq[(Int, String, String, Long)] = {
@@ -63,6 +71,18 @@ object Bpe {
       }
     }
     merges.toSeq
+  }
+
+  /** Size observer for [[learn]]'s per-round pair explode (the repo's
+    * no-silent-caps companion): Σ over the vocabulary of (word length −
+    * 1) — the round-1 adjacency volume, an upper bound for every later
+    * round (merges only shrink symbol arrays). One narrow aggregation,
+    * no explode.
+    */
+  def pairRows(vocab: DataFrame, wordCol: String): Long = {
+    val r = vocab.where(length(col(wordCol)) > 1)
+      .agg(sum(length(col(wordCol)).cast("long") - 1L)).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Apply a learned merge table to a symbol-array column, in learn order

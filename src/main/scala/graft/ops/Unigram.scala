@@ -168,6 +168,17 @@ object Unigram {
 
   /** Full training: candidate init + `rounds` hard-EM rounds. Output:
     * the final (tok, c) vocabulary.
+    *
+    * Corpus regime: the input is the DISTINCT weighted vocabulary (the
+    * corpus enters through one word-count shuffle upstream), and every
+    * table the rounds shuffle is bounded by `topKeep` — but the
+    * candidate INIT explodes each vocabulary word into its ≤maxPieceLen
+    * substrings, so the one unbounded dimension is the vocabulary size
+    * itself. Tokenizer training is a sampled-corpus job by convention
+    * (SentencePiece defaults to 10M sentences); hand in a sampled or
+    * frequency-cut vocabulary at web scale and alarm on
+    * [[candidateRows]] — the explode volume — rather than discovering
+    * it as a slow first stage.
     */
   def learn(words: DataFrame, wordCol: String, weightCol: String,
             maxPieceLen: Int, topKeep: Int, rounds: Int): DataFrame = {
@@ -182,6 +193,21 @@ object Unigram {
       r += 1
     }
     toks
+  }
+
+  /** Size observer for [[learn]]'s candidate init (the repo's
+    * no-silent-caps companion): the substring rows the init pass will
+    * explode — Σ over vocabulary words of the ≤`maxPieceLen` windows.
+    * One narrow aggregation, no explode; the number a web-scale caller
+    * checks before launching training on an unsampled vocabulary.
+    */
+  def candidateRows(words: DataFrame, wordCol: String, maxPieceLen: Int): Long = {
+    val l = length(col(wordCol)).cast("long")
+    val windows = (1 to maxPieceLen)
+      .map(n => greatest(l - (n - 1), lit(0L)))
+      .reduce(_ + _)
+    val r = words.agg(sum(windows)).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Encode a word list with a trained vocabulary: the same Viterbi pass,

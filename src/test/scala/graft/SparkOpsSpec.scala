@@ -2346,6 +2346,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped.count() == 0)
   }
 
+  test("tokenizer-training volume observers match the explode arithmetic") {
+    val v = Seq(("banana", 20L), ("ab", 10L), ("x", 5L)).toDF("word", "n")
+    // banana: 6+5+4 windows; ab: 2+1; x: 1 -> 19 at maxPieceLen=3
+    assert(graft.ops.Unigram.candidateRows(v, "word", 3) === 19L)
+    // pair adjacencies: banana 5, ab 1, x excluded -> 6
+    assert(graft.ops.Bpe.pairRows(v, "word") === 6L)
+    // empty vocabulary: zero, not a null crash
+    assert(graft.ops.Unigram.candidateRows(v.limit(0), "word", 3) === 0L)
+    assert(graft.ops.Bpe.pairRows(v.limit(0), "word") === 0L)
+  }
+
   test("Unigram learn: coverage, reconstruction and determinism on a toy corpus") {
     import graft.ops.Unigram
     val words = Seq(("banana", 20L), ("bandana", 10L), ("cab", 5L), ("an", 15L))
