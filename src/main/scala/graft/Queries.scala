@@ -3356,18 +3356,22 @@ object Queries {
           lit("<sitemap><loc>https://ex.com/sm/leaf"),
           col("id").cast("string"), lit("_1.xml</loc></sitemap>"),
           when(col("id") === 0,
-            lit("<sitemap><loc>https://ex.com/sm/root.xml</loc></sitemap>"))
+            lit("<sitemap><loc>https://ex.com/sm/root0.xml</loc></sitemap>"))
             .otherwise(lit("")),
           lit("</sitemapindex>")).as("xml"))
       val root = s.range(1).select(
-        lit("https://ex.com/sm/root.xml").as("url"),
+        lit("https://ex.com/sm/root0.xml").as("url"),
         concat(lit("<sitemapindex>"),
           lit((0 until 5).map(k =>
             s"<sitemap><loc>https://ex.com/sm/idx$k.xml</loc></sitemap>").mkString),
           lit("<sitemap><loc>https://ex.com/sm/missing.xml</loc></sitemap>"),
           lit("</sitemapindex>")).as("xml"))
       val fetched = root.unionByName(children).unionByName(leaves)
-      val roots = s.range(1).select(lit("https://ex.com/sm/root.xml").as("r"))
+      // a non-foldable seed, like a real frontier table's: a LITERAL root
+      // would constant-fold the depth-0 join key and degrade the store
+      // join to a nested loop
+      val roots = s.range(1).select(concat(lit("https://ex.com/sm/root"),
+        pmod(col("id"), lit(1L)).cast("string"), lit(".xml")).as("r"))
       graft.ops.Robots.sitemapFrontier(fetched, "url", "xml", roots, "r",
           maxDepth = 4)
         .orderBy("sitemap_url", "entry_idx")
