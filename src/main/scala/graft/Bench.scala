@@ -194,9 +194,10 @@ object Bench {
           .as("text"))
         .write.mode("overwrite").parquet(s"$benchDir/xl_docs")
       // XL pipeline corpus: the pipeline_e2e gate's own WARC fixture
-      // formulas over 1M doc ids, written to parquet so the timed
-      // composition reads captures from storage like a real run
-      Queries.pipeCaptures(spark.range(1000000L).select(col("id").as("doc_id")))
+      // formulas over 250k doc ids (50x the per-round row), written to
+      // parquet so the timed composition reads captures from storage
+      // like a real run
+      Queries.pipeCaptures(spark.range(250000L).select(col("id").as("doc_id")))
         .write.mode("overwrite").parquet(s"$benchDir/xl_captures")
     }
 
@@ -415,18 +416,22 @@ object Bench {
           ops.Ann.annJoin(broadcast(xlVecs.where(col("id") < 64)), "id", "vec",
             xlVecs, "id", "vec", 10, "l2", 10, XlDim).count())
 
-        // the 14-stage crawl -> shards composition at the 1M-doc shape
-        // (the per-round bench times it at 5k docs as pipeline_e2e).
-        // capPerDomain raised so the fixture's 10 domains keep ~all
-        // survivors — the default 25 would reduce the run to 250 docs
-        // and measure only stage overhead
-        time("xl_pipeline_e2e_1m")(
+        // the 14-stage crawl -> shards composition at 50x the per-round
+        // row's scale (pipeline_e2e times 5k docs). capPerDomain raised
+        // so the fixture's 10 domains keep ~all survivors (default 25
+        // would cut the run to 250 docs and measure only overhead);
+        // minhashBands=8 because the fixture's shared template sits at
+        // char-12-shingle jaccard ~0.4, where the default 16-band
+        // (r=8) s-curve admits corpus-quadratic candidate pairs — r=16
+        // keeps band collisions output-proportional while the planted
+        // exact clones still dedup via the identical-content fast path
+        time("xl_pipeline_e2e_250k")(
           ops.Pipeline.curateCrawl(
             spark.read.parquet(s"$benchDir/xl_captures"), "doc_id", "warc",
             Queries.pipeRobots(spark), "host", "txt",
             spark.range(1).select(lit(Queries.PipeBench).as("text")), "text",
             s"$benchDir/xl_shards",
-            ops.Pipeline.CurateConfig(capPerDomain = 200000,
+            ops.Pipeline.CurateConfig(capPerDomain = 200000, minhashBands = 8,
               packBudget = 2048, nShards = 8, shardBuckets = 1024)).count())
       }
     }

