@@ -3542,6 +3542,39 @@ object Queries {
       graft.ops.Robots.robotsFilter(urls, "doc_id", "host", "path", rules, "host")
     }),
 
+    // robots.txt non-rule DIRECTIVES (the crawl-scheduler fields):
+    // Sitemap: is file-scope — mixed-case spelling, inline comments, a
+    // second one inside a group, an empty-value one that must drop;
+    // Crawl-delay: is group-scope — a wrong-group 99 that must be
+    // ignored, fractional/integer/unparseable star-group values, and a
+    // second star group whose larger delay wins (max = politest). The
+    // oracle restates the DECISION TABLE from the fixture formulas
+    "robots_directives" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hosts = d.select((col("doc_id") % 20).as("k")).distinct()
+      val kS = col("k").cast("string")
+      val txt = concat(
+        lit("# corpus robots fixture\n"),
+        lit("SiteMAP: https://h"), kS, lit(".example.com/sitemap.xml\n"),
+        lit("User-agent: gptbot\nCrawl-delay: 99\nDisallow: /\n\nUser-agent: *\n"),
+        when(col("k") % 4 === 1, lit("Crawl-delay: 1.5\n"))
+          .when(col("k") % 4 === 2, lit("crawl-delay: 2\n"))
+          .when(col("k") % 4 === 3, lit("Crawl-delay: soon\n"))
+          .otherwise(lit("")),
+        lit("Disallow: /blocked\n"),
+        when(col("k") % 3 === 0, lit("\nUser-agent: *\nCrawl-delay: 7\n"))
+          .otherwise(lit("")),
+        when(col("k") % 5 === 0,
+          concat(lit("Sitemap: https://h"), kS, lit(".example.com/s2.xml # weekly\n")))
+          .otherwise(lit("")),
+        when(col("k") % 7 === 0, lit("Sitemap:\n")).otherwise(lit("")))
+      graft.ops.Robots.directives(
+        hosts.select(concat(lit("h"), kS, lit(".example.com")).as("host"),
+          txt.as("txt")), "host", "txt")
+        .select(col("host"), array_join(col("sitemaps"), "|").as("sitemaps"),
+          col("crawl_delay"))
+    }),
+
     // WARC capture ingestion: a two-record WARC/1.0 blob per document
     // (response + metadata; every 7th metadata payload embeds the literal
     // record magic) parsed by the Content-Length-honoring record walk.
@@ -3569,6 +3602,24 @@ object Queries {
       graft.ops.Warc.warcRecordsGz(
         d.select(col("doc_id"), fx(col("doc_id"), col("lang")).as("warc")),
         "doc_id", "warc")
+    }),
+
+    // HTTP response parsing — what a WARC `response` payload actually
+    // holds (status line + header block + blank line + body). The
+    // fixture varies status / Content-Type casing / quoted charsets,
+    // plants an X-Content-Type trap header (line-start anchoring), a
+    // body embedding its own \r\n\r\n (first-blank-line framing), a
+    // truncated header block and a non-HTTP payload; the oracle's
+    // expected values come from the fixture formulas, never a re-parse
+    "http_parse" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Warc.httpResponses(
+        d.select(col("doc_id"),
+          graft.ops.Warc.httpPayloadFixture(
+            col("doc_id"), col("text"), col("lang")).as("payload")),
+        "payload")
+        .select(col("doc_id"), col("http_status"), col("mime"),
+          col("charset"), col("headers"), col("body"))
     }),
 
     // ---- multimodal: REAL container fixtures (valid PNG/JPEG/WAV bytes
@@ -6385,6 +6436,22 @@ object Queries {
 
     // expected rows derived from the capture-fixture formulas (see the
     // gate comment): the parser under test never appears here
+    // decision table from the robots-directives fixture formulas: the
+    // parser/segment walk never appears. Second star group's 7 beats
+    // every base delay (max rule); k%4∈{0,3} without it stays NULL
+    "robots_directives" ->
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents)
+        |SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+        |  'https://h' || CAST(k AS VARCHAR) || '.example.com/sitemap.xml'
+        |    || CASE WHEN k % 5 = 0
+        |         THEN '|https://h' || CAST(k AS VARCHAR) || '.example.com/s2.xml'
+        |         ELSE '' END AS sitemaps,
+        |  CASE WHEN k % 3 = 0 THEN 7.0
+        |       WHEN k % 4 = 1 THEN 1.5
+        |       WHEN k % 4 = 2 THEN 2.0
+        |       ELSE NULL END AS crawl_delay
+        |FROM k""".stripMargin,
+
     "warc_records" ->
       """WITH t AS (SELECT doc_id, text, lang,
         |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
@@ -6418,6 +6485,52 @@ object Queries {
         |  CAST((CASE WHEN doc_id % 7 = 0 THEN 16 ELSE 0 END) + 6 + len(lang) AS BIGINT)
         |    AS content_length,
         |  mp AS payload FROM t""".stripMargin,
+
+    // expected rows from the http-fixture formulas: the decision table
+    // per doc_id (status precedence 404 > 301 > 200, mime/charset per
+    // the Content-Type variant, headers = the constructed block — plus
+    // its dangling CRLF in the truncated case, body = text + the
+    // embedded-blank tail). The parse chain never appears here.
+    "http_parse" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  doc_id % 19 = 6 AS non_http,
+        |  doc_id % 29 = 9 AS trunc,
+        |  doc_id % 23 <> 3 AS has_ct,
+        |  CASE WHEN doc_id % 13 = 5 THEN '404 Not Found'
+        |       WHEN doc_id % 17 = 2 THEN '301 Moved Permanently'
+        |       ELSE '200 OK' END AS codephrase,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'Content-Type: text/html; charset=UTF-8'
+        |    WHEN 1 THEN 'content-type: TEXT/HTML;charset="utf-8"'
+        |    WHEN 2 THEN 'Content-Type: application/json'
+        |    ELSE 'Content-Type: text/plain; charset=ISO-8859-1' END AS ctline
+        |  FROM documents),
+        |h AS (SELECT *,
+        |  'HTTP/1.1 ' || codephrase || chr(13) || chr(10)
+        |    || 'X-Content-Type: evil/mime; charset=evil-x' || chr(13) || chr(10)
+        |    || 'Server: srv' || CAST(doc_id % 5 AS VARCHAR)
+        |    || CASE WHEN has_ct THEN chr(13) || chr(10) || ctline ELSE '' END
+        |    AS hdrblock,
+        |  text || CASE WHEN doc_id % 7 = 1
+        |    THEN ' tail' || chr(13) || chr(10) || chr(13) || chr(10) || 'after blank'
+        |    ELSE '' END AS fullbody
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN non_http THEN NULL
+        |       WHEN doc_id % 13 = 5 THEN 404
+        |       WHEN doc_id % 17 = 2 THEN 301 ELSE 200 END AS INT) AS http_status,
+        |  CASE WHEN non_http OR NOT has_ct THEN NULL
+        |       WHEN doc_id % 4 = 2 THEN 'application/json'
+        |       WHEN doc_id % 4 = 3 THEN 'text/plain'
+        |       ELSE 'text/html' END AS mime,
+        |  CASE WHEN non_http OR NOT has_ct OR doc_id % 4 = 2 THEN NULL
+        |       WHEN doc_id % 4 = 3 THEN 'iso-8859-1'
+        |       ELSE 'utf-8' END AS charset,
+        |  CASE WHEN non_http THEN NULL
+        |       ELSE hdrblock || CASE WHEN trunc THEN chr(13) || chr(10) ELSE '' END
+        |       END AS headers,
+        |  CASE WHEN non_http OR trunc THEN NULL ELSE fullbody END AS body
+        |FROM h""".stripMargin,
 
     "multimodal_meta" -> {
       val pngLen = MediaCodec.pngFixture(1, 1).length

@@ -52,16 +52,23 @@ object Robots {
     * `User-agent:` lines before its rules attributes the rules to the
     * last-listed agent only.
     */
-  def parseRules(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
-    // RFC 9309: field names are case-insensitive and '#' starts a
-    // comment running to end-of-line. Normalize both up front so the
-    // structural split below sees one canonical spelling.
-    val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(col(textCol), "\r", ""),
+  /** RFC 9309 line canonicalization shared by [[parseRules]] and
+    * [[directives]]: field names are case-insensitive and `#` starts a
+    * comment running to end-of-line — normalize both up front so the
+    * structural walks see one canonical spelling per field.
+    */
+  private def canonText(textCol: String): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(col(textCol), "\r", ""),
       "#[^\n]*", ""),
       "(?im)^[ \t]*user-agent[ \t]*:", "User-agent:"),
       "(?im)^[ \t]*disallow[ \t]*:", "Disallow:"),
-      "(?im)^[ \t]*allow[ \t]*:", "Allow:")
+      "(?im)^[ \t]*allow[ \t]*:", "Allow:"),
+      "(?im)^[ \t]*crawl-delay[ \t]*:", "Crawl-delay:"),
+      "(?im)^[ \t]*sitemap[ \t]*:", "Sitemap:")
+
+  def parseRules(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val canon = canonText(textCol)
     val segs = split(canon, "User-agent:")
     // a segment applies iff its first line is exactly "*"
     val starSegs = filter(segs, seg => trim(element_at(split(seg, "\n"), 1)) === "*")
@@ -76,6 +83,44 @@ object Robots {
       r => r.getField("prefix") =!= "")
     robots.select(col(hostCol), explode(rules).as("r"))
       .select(col(hostCol), col("r.allow").as("allow"), col("r.prefix").as("prefix"))
+  }
+
+  /** Non-rule robots.txt directives — the two fields a crawl SCHEDULER
+    * needs beyond allow/deny verdicts: `Sitemap:` (a file-scope field
+    * per sitemaps.org — valid anywhere, independent of agent groups;
+    * these seed [[sitemapFrontier]]'s roots) and `Crawl-delay:` (a
+    * de-facto field honored per agent GROUP; only the merged
+    * `User-agent: *` groups' values apply here, an agent-specific
+    * group's delay is correctly ignored). One row per host:
+    * (hostCol, sitemaps: array of URLs in file order, crawl_delay:
+    * double — the MAX across the `*` groups' parseable values, the
+    * politest reading when a file disagrees with itself; null when
+    * absent or unparseable). Same normalization as [[parseRules]]
+    * (case-insensitive fields, `#` comments), one in-row pass per
+    * robots.txt, zero shuffle.
+    */
+  def directives(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val canon = canonText(textCol)
+    val sitemaps = filter(
+      transform(regexp_extract_all(canon, lit("(?m)^Sitemap:[ \t]*([^\n]*)"), lit(1)),
+        v => trim(v)),
+      v => v =!= "")
+    // Crawl-delay lines of the merged `User-agent: *` group(s) — the
+    // same segment walk as parseRules' rule extraction.
+    val segs = split(canon, "User-agent:")
+    val starSegs = filter(segs, seg => trim(element_at(split(seg, "\n"), 1)) === "*")
+    val delayLines = flatten(transform(starSegs, seg =>
+      filter(transform(slice(split(seg, "\n"), 2, 100000), l => trim(l)),
+        l => l.startsWith("Crawl-delay:"))))
+    val delays = filter(
+      transform(delayLines, l =>
+        when(trim(l.substr(lit(13), length(l) - 12)).rlike("^[0-9]+(\\.[0-9]+)?$"),
+          trim(l.substr(lit(13), length(l) - 12)).cast("double"))
+          .otherwise(lit(null).cast("double"))),
+      d => d.isNotNull)
+    robots.select(col(hostCol), sitemaps.as("sitemaps"),
+      when(size(delays) > 0, array_max(delays))
+        .otherwise(lit(null).cast("double")).as("crawl_delay"))
   }
 
   /** Compile one RFC 9309 path pattern to an RE2-safe anchored regex:

@@ -211,6 +211,65 @@ object Warc {
     records.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
       .where(col("_n") >= maxRecords).count()
 
+  // ---------- HTTP response payloads (what `response` records carry) ----------
+
+  /** Parse a WARC `response` record payload as an HTTP/1.x response —
+    * the actual content of every Common Crawl `response` record is not
+    * bare HTML but `status line + header block + \r\n\r\n + body`, and a
+    * pipeline that hands the raw payload to an HTML extractor feeds it
+    * header noise and keeps 404 bodies and JSON blobs it should have
+    * dropped.
+    *
+    * Returns a struct: `status` (the 3-digit code, null when the payload
+    * is not an HTTP response), `mime` (the Content-Type media type,
+    * lowercased and parameter-stripped; null when absent), `charset`
+    * (the Content-Type charset parameter, lowercased, quotes tolerated;
+    * null when absent), `headers` (the raw header block), `body`
+    * (everything after the FIRST blank line — a body containing its own
+    * `\r\n\r\n` stays intact; null when the header block never
+    * terminates, the truncated-capture case).
+    *
+    * Parsing contracts: the Content-Type match anchors to a line START
+    * (`\r\n` prefix — the field can never be the first line, the status
+    * line is), so an `X-Content-Type:` extension header cannot supply
+    * the wrong media type; field names match case-insensitively per RFC
+    * 9110. Everything is `locate`/`substr`/RE2-safe `regexp_extract`
+    * column expressions — one codegen'd per-row pass, zero shuffle, and
+    * an independent SQL engine restates the identical chain.
+    */
+  def httpResponse(payload: Column): Column = {
+    val isHttp = payload.startsWith("HTTP/")
+    val he = locate("\r\n\r\n", payload) // 1-based start of the blank line; 0 = absent
+    val headers = when(he > 0, payload.substr(lit(1), he - 1)).otherwise(payload)
+    val statusS = regexp_extract(payload, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    val ct = regexp_extract(headers, "(?i)\r\ncontent-type:[ \t]*([^\r\n]*)", 1)
+    val mimeS = lower(trim(regexp_extract(ct, "^([^;]*)", 1)))
+    val charsetS = lower(regexp_extract(ct, "(?i)charset=\"?([A-Za-z0-9._-]+)", 1))
+    struct(
+      when(isHttp && statusS =!= "", statusS.cast("int")).as("status"),
+      when(isHttp && ct =!= "", mimeS).as("mime"),
+      when(isHttp && charsetS =!= "", charsetS).as("charset"),
+      when(isHttp, headers).as("headers"),
+      when(isHttp && he > 0,
+        payload.substr(he + 4, length(payload) - he - 3)).as("body"))
+  }
+
+  /** One row per input row with the HTTP parse exploded next to it —
+    * the frame-level companion to [[httpResponse]] for a record frame
+    * from [[warcRecords]]/[[warcRecordsGz]]: adds (http_status, mime,
+    * charset, body); non-HTTP payloads yield nulls. Per-row, zero
+    * shuffle; the struct is projected once so the parse chain is not
+    * re-evaluated per extracted field.
+    */
+  def httpResponses(records: DataFrame, payloadCol: String): DataFrame =
+    records.withColumn("_h", httpResponse(col(payloadCol)))
+      .withColumn("http_status", col("_h.status"))
+      .withColumn("mime", col("_h.mime"))
+      .withColumn("charset", col("_h.charset"))
+      .withColumn("headers", col("_h.headers"))
+      .withColumn("body", col("_h.body"))
+      .drop("_h")
+
   /** Deterministic `.warc.gz` fixture for the gate (JVM-side, wrapped in
     * a fixture-synthesis udf by the caller): two records, EACH its own
     * gzip member, concatenated — the Common Crawl layout [[gzRecordRows]]
@@ -246,6 +305,37 @@ object Warc {
     val gz = new java.util.zip.GZIPOutputStream(bos)
     gz.write(rec); gz.finish(); gz.close()
     bos.toByteArray
+  }
+
+  /** Deterministic HTTP-response payload fixture for the `http_parse`
+    * gate: per-document status/Content-Type/body variations chosen so
+    * every parse branch fires — 404/301 statuses, case-varied field
+    * names, a quoted charset, a parameter-free media type, a missing
+    * Content-Type, an `X-Content-Type:` trap header (the line-start
+    * anchor test), a body embedding its own `\r\n\r\n` (first-blank-line
+    * framing test), a truncated header block and a non-HTTP payload.
+    * Pure column expressions; the oracle's expected values derive from
+    * THESE formulas — the parse chain never appears in it.
+    */
+  def httpPayloadFixture(idCol: Column, textCol: Column, langCol: Column): Column = {
+    val codephrase = when(idCol % 13 === 5, lit("404 Not Found"))
+      .when(idCol % 17 === 2, lit("301 Moved Permanently"))
+      .otherwise(lit("200 OK"))
+    val ctLine = when(idCol % 4 === 0, lit("Content-Type: text/html; charset=UTF-8"))
+      .when(idCol % 4 === 1, lit("content-type: TEXT/HTML;charset=\"utf-8\""))
+      .when(idCol % 4 === 2, lit("Content-Type: application/json"))
+      .otherwise(lit("Content-Type: text/plain; charset=ISO-8859-1"))
+    val hdrBlock = concat(
+      lit("HTTP/1.1 "), codephrase, lit("\r\n"),
+      lit("X-Content-Type: evil/mime; charset=evil-x\r\n"),
+      lit("Server: srv"), (idCol % 5).cast("string"),
+      when(idCol % 23 === 3, lit("")).otherwise(concat(lit("\r\n"), ctLine)))
+    val body = concat(textCol,
+      when(idCol % 7 === 1, lit(" tail\r\n\r\nafter blank")).otherwise(lit("")))
+    when(idCol % 19 === 6, concat(lit("plain metadata lang: "), langCol))
+      .otherwise(concat(hdrBlock,
+        when(idCol % 29 === 9, lit("\r\n"))
+          .otherwise(concat(lit("\r\n\r\n"), body))))
   }
 
   /** Deterministic capture fixture for the gate: a two-record WARC blob

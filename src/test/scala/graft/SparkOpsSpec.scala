@@ -2553,6 +2553,48 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan.linesIterator.take(3).mkString("\n"))
   }
 
+  test("Warc httpResponse: status/mime/charset/body split, trap header, embedded blank line, truncation") {
+    import graft.ops.Warc
+    val ok = "HTTP/1.1 200 OK\r\nX-Content-Type: evil/x\r\n" +
+      "content-type: TEXT/HTML;charset=\"UTF-8\"\r\n\r\n<html>a\r\n\r\nb</html>"
+    val noCt = "HTTP/1.0 404 Not Found\r\nServer: s\r\n\r\nmissing"
+    val trunc = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" // no blank line
+    val notHttp = "lang: en"
+    val d = Seq((1L, ok), (2L, noCt), (3L, trunc), (4L, notHttp)).toDF("id", "payload")
+    val got = Warc.httpResponses(d, "payload")
+      .select("id", "http_status", "mime", "charset", "body")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4))).toSeq
+    assert(got == Seq(
+      // case-folded mime, quoted charset, body keeps ITS OWN blank line,
+      // and the X-Content-Type trap never supplies the media type
+      (1L, 200, "text/html", "utf-8", "<html>a\r\n\r\nb</html>"),
+      (2L, 404, null, null, "missing"),
+      (3L, 200, "text/plain", null, null), // unterminated headers: no body
+      (4L, -1, null, null, null)))         // not an HTTP response at all
+    // shuffle-free per-row parse
+    val plan = Warc.httpResponses(d, "payload").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("Robots directives: file-scope Sitemap, star-group Crawl-delay max, wrong-group/unparseable ignored") {
+    import graft.ops.Robots
+    val robots = Seq(
+      ("a.io", "sitemap: https://a.io/s1.xml # weekly\nUser-agent: gptbot\n" +
+        "Crawl-delay: 99\nDisallow: /\n\nUser-agent: *\nCrawl-delay: 1.5\n" +
+        "Disallow: /x\n\nUser-agent: *\nCrawl-delay: 3\nSitemap: https://a.io/s2.xml\n" +
+        "Sitemap:\n"),
+      ("b.io", "User-agent: *\nCrawl-delay: soon\nDisallow: /y\n")).toDF("host", "txt")
+    val got = Robots.directives(robots, "host", "txt")
+      .collect().map(r => r.getString(0) -> ((r.getSeq[String](1).toList,
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))).toMap
+    assert(got("a.io") == ((List("https://a.io/s1.xml", "https://a.io/s2.xml"), 3.0)))
+    assert(got("b.io") == ((List(), -1.0))) // unparseable delay -> null
+  }
+
   test("Wordpiece encode: greedy longest match, ## continuations, whole-word [UNK] on stall") {
     import graft.ops.Wordpiece
     val words = Seq(("abcde", 3L), ("abq", 1L), ("zz", 2L), ("a", 1L)).toDF("word", "n")
