@@ -927,8 +927,13 @@ object Queries {
   /** Text-profile WARC captures over an id frame (`doc_id`), pure column
     * formulas \u2014 shared by the pipeline gates and the XL bench row (which
     * feeds `spark.range(1M)` instead of the gate's documents table).
+    * `httpWrap` = true wraps each html payload in an HTTP response
+    * envelope (the real crawl shape) with two new ingest drop classes:
+    * a 404 status every 13th doc and an application/json media type
+    * every 11th \u2014 the pipeline_e2e_http gate's S1.5 filter targets.
     */
-  private[graft] def pipeCaptures(d0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def pipeCaptures(d0: org.apache.spark.sql.DataFrame,
+      httpWrap: Boolean = false): org.apache.spark.sql.DataFrame = {
     val did = col("doc_id")
     val e = when(did % 31 === 17, did - 1).otherwise(did) // content-clone source
     val u = when(did % 17 === 1, did - 1).otherwise(did)  // URL-twin source
@@ -957,10 +962,17 @@ object Queries {
       body,
       lit("</p></article><footer>Copyright 2026 Example." +
         " <a href=\"/p\">Privacy</a></footer></body></html>"))
+    val payload = if (!httpWrap) html else concat(
+      lit("HTTP/1.1 "),
+      when(did % 13 === 6, lit("404 Not Found")).otherwise(lit("200 OK")),
+      lit("\r\nContent-Type: "),
+      when(did % 11 === 4, lit("application/json"))
+        .otherwise(lit("text/html; charset=UTF-8")),
+      lit("\r\n\r\n"), html)
     val warc = concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
-      lit("\r\nContent-Length: "), length(html).cast("string"),
-      lit("\r\n\r\n"), html, lit("\r\n\r\n"))
+      lit("\r\nContent-Length: "), length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
     d0.select(did, warc.as("warc"))
   }
 
@@ -2871,6 +2883,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the same pipeline with httpParse = true over HTTP-ENVELOPED
+    // payloads (the real crawl shape: status line + Content-Type +
+    // blank line + html): S1.5 must strip the envelope byte-exactly
+    // (a parser leaving header residue shifts every downstream stage's
+    // text) and drop the planted 404s (doc_id%13=6) and JSON media
+    // types (doc_id%11=4) — the oracle is the SAME staged replay with
+    // the two ingest drop classes applied before robots
+    "pipeline_e2e_http" -> ((s, dir) => {
+      val captures = pipeCaptures(docs(s, dir).select(col("doc_id")), httpWrap = true)
+      val out = java.nio.file.Files.createTempDirectory("graft_pipeh").toString + "/shards"
+      graft.ops.Pipeline.curateCrawl(captures, "doc_id", "warc",
+          pipeRobots(s), "host", "txt",
+          s.range(1).select(lit(PipeBench).as("text")), "text", out,
+          PipeConfig.copy(httpParse = true))
+        .orderBy("doc_id")
+    }),
+
     // the same pipeline's per-stage audit FUNNEL (the observability
     // artifact a production run logs): one row per drop stage with the
     // surviving count; the oracle re-counts each stage's survivor CTE
@@ -4063,14 +4092,15 @@ object Queries {
     * sets per stage, the fixture-formula text, idHash53 cap, packing
     * prefix sum and shard shuffle. Final per-doc CTE = `sp`; stage
     * survivor CTEs (ids/rob/lng/urld/nd/dec/q/cap) stay in scope for
-    * the funnel restatement.
+    * the funnel restatement. `ingWhere` injects the http profile's two
+    * S1.5 ingest drop classes ahead of robots (default: keep all).
     */
-  private val pipeCtes: String =
+  private def pipeCtes(ingWhere: String = "TRUE"): String =
     s"""ids AS (SELECT doc_id,
          |    CASE WHEN doc_id % 31 = 17 THEN doc_id - 1 ELSE doc_id END AS e,
          |    CASE WHEN doc_id % 17 = 1 THEN doc_id - 1 ELSE doc_id END AS u
          |  FROM documents),
-         |rob AS (SELECT * FROM ids WHERE u % 7 <> 3),
+         |rob AS (SELECT * FROM ids WHERE ($ingWhere) AND u % 7 <> 3),
          |lng AS (SELECT * FROM rob WHERE e % 29 <> 13),
          |urld AS (SELECT * FROM lng
          |  WHERE doc_id IN (SELECT min(doc_id) FROM lng GROUP BY u)),
@@ -4115,9 +4145,10 @@ object Queries {
          |    COUNT(*) OVER () AS n FROM pk)"""
 
   /** The pipeline gates' shared result restatement (text and gz profiles
-    * replay identically — the fixtures share their formulas). */
-  private val pipeE2eSql: String =
-    s"""WITH $pipeCtes
+    * replay identically — the fixtures share their formulas; the http
+    * profile adds its two ingest drop classes via `ingWhere`). */
+  private def pipeE2eSql(ingWhere: String = "TRUE"): String =
+    s"""WITH ${pipeCtes(ingWhere)}
        |SELECT doc_id, domain, text, n_tokens, start_offset,
        |  CAST(start_offset // 512 AS BIGINT) AS pack_id,
        |  (n_tokens > 0 AND (start_offset + n_tokens - 1) // 512 <> start_offset // 512)
@@ -6392,17 +6423,21 @@ object Queries {
     // re-decide the survivor set independently; the surviving text comes
     // from the fixture formulas (the parsers/extractors under test never
     // appear). See the gate comment for the stage ↔ CTE mapping.
-    "pipeline_e2e" -> pipeE2eSql,
+    "pipeline_e2e" -> pipeE2eSql(),
 
     // byte-identical fixture formulas -> the identical staged replay
-    "pipeline_e2e_gz" -> pipeE2eSql,
+    "pipeline_e2e_gz" -> pipeE2eSql(),
+
+    // http profile: the staged replay with the two S1.5 ingest drop
+    // classes (404 status, JSON media type) applied before robots
+    "pipeline_e2e_http" -> pipeE2eSql("doc_id % 13 <> 6 AND doc_id % 11 <> 4"),
 
     // per-stage survivor counts over the SAME replay chain; `domain_cap`
     // counts the cap stage itself and `written` the on-disk readback, so
     // a row lost between cap and shard store would show as a cliff
     // between the two instead of hiding inside either
     "pipeline_funnel" ->
-      s"""WITH $pipeCtes
+      s"""WITH ${pipeCtes()}
          |SELECT * FROM (
          |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM ids
          |  UNION ALL SELECT 1, 'robots', count(*) FROM rob

@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * curated, packed, shard-written documents.
   *
   * Fourteen stages, every one an operator with its own correctness gate:
-  * WARC ingest → robots.txt policy → main-content extraction → mojibake
+  * WARC ingest (+ optional HTTP response split, `httpParse`) →
+  * robots.txt policy → main-content extraction → mojibake
   * repair → C4 line cleaning → language gate → URL dedup → MinHash
   * near-dup → sentence-level dedup → benchmark decontamination →
   * quality filter → per-site (eTLD+1) cap → sequence packing → shard
   * write with readback. The composition itself is gated end-to-end
-  * (`pipeline_e2e` text profile, `pipeline_e2e_gz` gzip profile, both
-  * with staged-replay oracles).
+  * (`pipeline_e2e` text profile, `pipeline_e2e_gz` gzip profile,
+  * `pipeline_e2e_http` HTTP-envelope profile, all with staged-replay
+  * oracles).
   *
   * Scale shape — where the corpus TEXT travels: the per-row stages
   * (extract/mojibake/C4/language) are zero-shuffle column chains; the
@@ -52,6 +54,14 @@ object Pipeline {
     * captures that hit it are surfaced by [[Curated.cappedCaptures]] —
     * never a silent cap.
     *
+    * `httpParse` = true treats each `response` payload as what it
+    * actually is on a real crawl — an HTTP response (status line +
+    * headers + body, see [[Warc.httpResponse]]) — keeping only status
+    * 200 with a media type in `httpAllowedMimes` and handing the BODY
+    * to extraction; false (default) hands the raw payload through
+    * (pre-stripped corpora). A per-row projection inside the same
+    * ingest scan, zero extra shuffle.
+    *
     * `maxBroadcastRows` is the count guard on the two decision-frame
     * broadcasts (contaminated ids, per-domain cap thresholds): at or
     * under it they broadcast explicitly (the corpus text crosses no
@@ -74,6 +84,8 @@ object Pipeline {
       shardBuckets: Int = 1024,
       warcProfile: String = "text",
       warcMaxRecords: Int = 16,
+      httpParse: Boolean = false,
+      httpAllowedMimes: Seq[String] = Seq("text/html"),
       maxBroadcastRows: Long = 1000000L)
 
   /** [[curateCrawlAudited]]'s result: the curated per-document frame,
@@ -194,9 +206,18 @@ object Pipeline {
       case "gz" => Warc.warcRecordsGz(captures, idCol, warcCol, cfg.warcMaxRecords)
       case _    => Warc.warcRecords(captures, idCol, warcCol, cfg.warcMaxRecords)
     }
-    val recs = materialized(allRecs
+    val respRecs = allRecs
       .where(col("warc_type") === "response")
-      .select(col(idCol), col("target_uri").as("url"), col("payload")))
+      .select(col(idCol), col("target_uri").as("url"), col("payload"))
+    // S1.5 (httpParse): the payload of a real crawl's response record is
+    // an HTTP response — split it, gate on status 200 + allowed media
+    // type, and carry the BODY forward as the document payload.
+    val recs = materialized(if (cfg.httpParse) {
+      Warc.httpResponses(respRecs, "payload")
+        .where(col("http_status") === 200 &&
+          col("mime").isin(cfg.httpAllowedMimes: _*))
+        .select(col(idCol), col("url"), col("body").as("payload"))
+    } else respRecs)
 
     // S2: robots.txt policy (fail-open for hosts without rules)
     val withHp = recs
