@@ -529,6 +529,82 @@ object Queries {
     bpeCtes(rounds) + "\n" + out
   }
 
+  /** Fixture tail for the byte-level BPE gates: contractions, a
+    * double-space run (the lookahead-rule case), multi-byte UTF-8
+    * (2-byte é, 3-byte …), digits, a punctuation run, an "llll" run
+    * (greedy non-overlap) and trailing whitespace.
+    */
+  private val ByteBpeExtra = " don't all the café 42… llll x!!  "
+
+  /** Literal merge table for `bytebpe_encode` ("Ġ" = byte-mapped
+    * space): rank order matters (Ġt must exist before Ġt+h
+    * fires), and l+l over "llll" exercises odd-rank selection.
+    */
+  private val ByteBpeMerges = Seq(
+    ("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e"), ("h", "e"), ("l", "l"))
+
+  /** Byte-level pretokenize + byte→unicode mapping restatement shared by
+    * the bytebpe gates: the injection replace (the lookahead-free form
+    * of GPT-2's `\s+(?!\S)` rule), the per-segment token regex, and the
+    * byte walk through the alphabet map — the 256 code points generated
+    * from the SAME bytes_to_unicode formula the Spark side uses
+    * ([[graft.ops.Bpe.ByteAlphabet]]). Ends with CTE `bpx` =
+    * (doc_id, tok_idx, piece).
+    */
+  private def byteBpePxCtes: String = {
+    val cps = graft.ops.Bpe.ByteAlphabet.mkString("[", ", ", "]")
+    val extra = ByteBpeExtra.replace("'", "''")
+    s"""bm AS (SELECT map(
+       |    list_transform(generate_series(0, 255), b -> lpad(upper(to_hex(b)), 2, '0')),
+       |    list_transform($cps, c -> chr(c))) AS m),
+       |bt AS (SELECT doc_id, text || '$extra' AS text FROM documents),
+       |binj AS (SELECT doc_id,
+       |    regexp_replace(text, '(\\s+)(\\s\\S)', '\\1' || chr(1) || '\\2', 'g') AS it
+       |  FROM bt),
+       |btk AS (SELECT doc_id, flatten(list_transform(string_split(it, chr(1)),
+       |    seg -> regexp_extract_all(seg,
+       |      '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))) AS toks
+       |  FROM binj),
+       |bpx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tok_idx,
+       |    array_to_string(list_transform(
+       |      generate_series(1, CAST(octet_length(encode(toks[i])) AS INTEGER)),
+       |      j -> map_extract(m, substr(hex(encode(toks[i])), 2 * j - 1, 2))[1]), '') AS piece
+       |  FROM btk, bm, unnest(generate_series(1, len(toks))) u(i))""".stripMargin
+  }
+
+  /** `bytebpe_encode` restatement: the pretokenize CTEs, then one
+    * e/isl/sel/dp round per literal merge (the bpeCtes greedy
+    * non-overlap idiom over the DISTINCT piece set), joined back to
+    * positions.
+    */
+  private def byteBpeEncodeSql(merges: Seq[(String, String)]): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String](byteBpePxCtes)
+    ctes += """bdp1 AS MATERIALIZED (SELECT piece,
+      |    list_transform(generate_series(1, len(piece)), i -> piece[i]) AS syms
+      |  FROM (SELECT DISTINCT piece FROM bpx))""".stripMargin
+    merges.zipWithIndex.foreach { case ((a, b), idx) =>
+      val r = idx + 1
+      val (qa, qb) = (a.replace("'", "''"), b.replace("'", "''"))
+      ctes += s"""be$r AS MATERIALIZED (SELECT piece, i, syms[i] AS sym,
+         |    coalesce(syms[i] = '$qa' AND syms[i + 1] = '$qb', FALSE) AS ispair
+         |  FROM bdp$r, unnest(generate_series(1, len(syms))) t(i))""".stripMargin
+      ctes += s"bisl$r AS MATERIALIZED (SELECT piece, i, i - row_number() OVER (PARTITION BY piece ORDER BY i) AS g FROM be$r WHERE ispair)"
+      ctes += s"""bsel$r AS MATERIALIZED (SELECT piece, i FROM (
+         |  SELECT piece, i, row_number() OVER (PARTITION BY piece, g ORDER BY i) AS rn FROM bisl$r) WHERE rn % 2 = 1)""".stripMargin
+      ctes += s"""bdp${r + 1} AS MATERIALIZED (SELECT e.piece,
+         |    list(CASE WHEN sl.i IS NOT NULL THEN '$qa$qb' ELSE e.sym END ORDER BY e.i) AS syms
+         |  FROM be$r e
+         |  LEFT JOIN bsel$r sl ON e.piece = sl.piece AND e.i = sl.i
+         |  LEFT JOIN bsel$r sp ON e.piece = sp.piece AND e.i = sp.i + 1
+         |  WHERE sp.i IS NULL GROUP BY e.piece)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT bpx.doc_id, bpx.tok_idx, bpx.piece,
+         |  array_to_string(bdp${merges.size + 1}.syms, '|') AS tokens
+         |FROM bpx JOIN bdp${merges.size + 1} USING (piece)""".stripMargin
+  }
+
   /** Encode restatement: per-doc symbol totals after `rounds` merges —
     * each doc's words looked up in the replayed final symbol table.
     */
@@ -1898,6 +1974,30 @@ object Queries {
       val ms = graft.ops.Bpe.learn(vocab, "word", "n", 6)
       import s.implicits._
       ms.map { case (r, a, b, c) => (r.toLong, a, b, c) }.toDF("round", "a", "b", "cnt")
+    }),
+
+    // byte-level (GPT-2-family) pretokenization + byte→unicode mapping:
+    // the appended tail plants contractions, a double-space run (the
+    // lookahead rule: run yields its last space to the next token),
+    // multi-byte UTF-8 (é = 2 bytes, … = 3 — each byte maps to its own
+    // visible char), a digit run and a punctuation run. The oracle
+    // replays the injection split and walks the same byte alphabet
+    // (generated from the shared bytes_to_unicode formula)
+    "bytebpe_pretokenize" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(ByteBpeExtra)).as("text"))
+      graft.ops.Bpe.byteLevelPretokens(d, "doc_id", "text")
+    }),
+
+    // byte-level BPE ENCODE under a literal merge table (rank order,
+    // chained merges Ġ+t → Ġt+h → Ġth+e, and an l+l merge whose "llll"
+    // run exercises greedy non-overlap odd-rank selection); the oracle
+    // replays pretokenize + mapping + every merge round over the
+    // distinct-piece working set and joins back to positions
+    "bytebpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(ByteBpeExtra)).as("text"))
+      graft.ops.Bpe.byteLevelEncode(d, "doc_id", "text", ByteBpeMerges)
     }),
 
     // unigram-LM (SentencePiece-style) tokenizer training: 2 hard-EM
@@ -4807,6 +4907,12 @@ object Queries {
         |FROM documents GROUP BY lang""".stripMargin,
 
     "bpe_merges" -> bpeSql(6),
+
+    "bytebpe_pretokenize" ->
+      s"""WITH $byteBpePxCtes
+         |SELECT doc_id, tok_idx, piece FROM bpx""".stripMargin,
+
+    "bytebpe_encode" -> byteBpeEncodeSql(ByteBpeMerges),
 
     "bpe_encode" -> bpeEncodeSql(6),
 

@@ -93,4 +93,91 @@ object Bpe {
     merges.foldLeft(df) { case (d, (a, b)) =>
       d.withColumn(symsCol, graft.functions.bpe_merge(col(symsCol), a, b))
     }
+
+  // ---------- byte-level profile (the GPT-2/Llama tokenizer family) ----------
+
+  /** The GPT-2 byte→unicode alphabet (Radford et al. 2019, the
+    * `bytes_to_unicode` table every byte-level BPE implementation
+    * shares): printable bytes [33,126] ∪ [161,172] ∪ [174,255] map to
+    * their own code points; the remaining 68 (whitespace, controls,
+    * 0xAD) map to 256+n in byte order — so every byte is a VISIBLE
+    * single character (space = 'Ġ'), merges never have to reason about
+    * whitespace, and any UTF-8 byte sequence round-trips. Index = byte
+    * value, entry = the mapped code point.
+    */
+  private[graft] val ByteAlphabet: IndexedSeq[Int] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 to 255).map { b =>
+      if (direct(b)) b else { val cp = 256 + n; n += 1; cp }
+    }
+  }
+
+  /** GPT-2 pretokenization regex, lookahead-free. The original rule
+    * `\s+(?!\S)` (a whitespace run yields its LAST space to the next
+    * ` ?<class>` token) is not RE2-restatable; [[pretokenize]] gets the
+    * identical split by INJECTING a separator between the first n−1
+    * whitespace chars and a final `space+non-space` pair, after which
+    * plain greedy `\s+` is exact within each segment. ASCII-whitespace
+    * profile (`\s` = Java/RE2 common subset); contractions, ` ?letters`,
+    * ` ?digits`, ` ?punctuation-runs` as in the original.
+    */
+  private val TokRe = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** GPT-2-style pretokens of a text column, in order: array<string> of
+    * raw (unmapped) pretokens. One codegen'd per-row pass — injection
+    * replace, split on the injected separator, `regexp_extract_all` per
+    * segment, flatten — zero shuffle; an independent SQL engine restates
+    * the identical chain (the injection is what makes that possible).
+    */
+  def pretokenize(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(
+      split(regexp_replace(text, "(\\s+)(\\s\\S)", "$1\u0001$2"), "\u0001"),
+      seg => regexp_extract_all(seg, lit(TokRe), lit(0))))
+
+  /** Map a pretoken through [[ByteAlphabet]]: UTF-8 bytes → one visible
+    * char each (multi-byte code points become several mapped chars —
+    * byte-level BPE merges across them like any other pair). Pure
+    * codegen'd chain: hex of the UTF-8 encoding walked two chars at a
+    * time through a 256-entry literal array, zero shuffle.
+    */
+  def byteMapped(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val cps = array(ByteAlphabet.map(cp =>
+      lit(new String(Character.toChars(cp)))): _*)
+    val bin = encode(tok, "UTF-8")
+    val hx = hex(bin)
+    array_join(transform(sequence(lit(1), octet_length(bin)),
+      i => element_at(cps,
+        conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1)), "")
+  }
+
+  /** One row per pretoken occurrence: (idCol, tok_idx, piece) with
+    * `piece` byte-mapped — the working grain of byte-level BPE. Feed
+    * `groupBy(piece).count()` into [[learn]] to train byte-level merges
+    * (the mapped chars ARE the initial symbols), or the whole frame into
+    * [[byteLevelEncode]] to apply learned ones.
+    */
+  def byteLevelPretokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(pretokenize(col(textCol))).as(Seq("tok_idx", "_raw")))
+      .select(col(idCol), col("tok_idx").cast("long").as("tok_idx"),
+        byteMapped(col("_raw")).as("piece"))
+
+  /** Byte-level BPE encode: pretokenize + byte-map + apply `merges` in
+    * rank order within each pretoken (merges never cross pretoken
+    * boundaries — the pretokenizer IS the boundary rule). Output:
+    * (idCol, tok_idx, piece, tokens = '|'-joined merged symbols). The
+    * merge application is the per-row codegen'd [[applyMerges]] chain;
+    * the only exchange is the input's own partitioning.
+    */
+  def byteLevelEncode(df: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val pre = byteLevelPretokens(df, idCol, textCol)
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("piece"))),
+          i => col("piece").substr(i, lit(1))))
+    applyMerges(pre, "syms", merges)
+      .select(col(idCol), col("tok_idx"), col("piece"),
+        array_join(col("syms"), "|").as("tokens"))
+  }
 }

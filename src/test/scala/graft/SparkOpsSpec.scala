@@ -2595,6 +2595,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("b.io") == ((List(), -1.0))) // unparseable delay -> null
   }
 
+  test("Bpe byte-level: lookahead-equivalent whitespace split, byte alphabet, merge application") {
+    import graft.ops.Bpe
+    // "a   b" under GPT-2's \s+(?!\S): 'a', '  ' (run minus last), ' b';
+    // trailing run stays whole; contraction splits; multi-byte é -> 2 chars
+    val d = Seq((1L, "a   b"), (2L, "don't  "), (3L, "café 42!!")).toDF("id", "text")
+    val toks = Bpe.byteLevelPretokens(d, "id", "text")
+      .orderBy("id", "tok_idx").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(2)).toList }
+    val G = "Ġ" // byte-mapped space
+    assert(toks(1L) == List("a", G + G, G + "b"))
+    assert(toks(2L) == List("don", "'t", G + G))
+    // é = C3 A9 -> 'Ã' (0xC3 maps to itself) + '©' (0xA9 maps to itself)
+    assert(toks(3L) == List("cafÃ©", G + "42", "!!"))
+    // space (0x20) is the 33rd remapped byte: 256 + 32 = U+0120
+    assert(Bpe.ByteAlphabet(32) == 0x120 && Bpe.ByteAlphabet(65) == 65)
+    // merges apply in rank order and never cross pretoken boundaries
+    val enc = Bpe.byteLevelEncode(Seq((1L, " the llll")).toDF("id", "text"),
+      "id", "text", Seq((G, "t"), (G + "t", "h"), (G + "th", "e"), ("l", "l")))
+      .orderBy("tok_idx").collect().map(_.getString(3)).toList
+    assert(enc == List(G + "the", G + "|ll|ll"))
+  }
+
   test("Wordpiece encode: greedy longest match, ## continuations, whole-word [UNK] on stall") {
     import graft.ops.Wordpiece
     val words = Seq(("abcde", 3L), ("abq", 1L), ("zz", 2L), ("a", 1L)).toDF("word", "n")
