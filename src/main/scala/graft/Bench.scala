@@ -321,7 +321,14 @@ object Bench {
         // the 3-round distributed GD trainer, the packed-source quantize
         // lifecycle, and the 14-stage end-to-end pipeline composition
         "unigram_vocab", "wordpiece_vocab", "hard_negatives", "domain_cap",
-        "logreg_train", "quant_lifecycle_f16", "pipeline_e2e")
+        "logreg_train", "quant_lifecycle_f16", "pipeline_e2e",
+        // round-13 tripwires: the sitemap frontier walk and redirect
+        // resolution (bounded driver loops), the 5-round byte-BPE merge
+        // chain, the HTTP parse + link-extraction per-row chains, the
+        // script-gated language ID decider, and the per-language ntile
+        // bucketing window
+        "sitemap_index", "redirect_resolve", "bytebpe_encode", "http_parse",
+        "extract_links", "lang_id_script", "ccnet_buckets")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

@@ -2412,6 +2412,50 @@ object Queries {
     "lm_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
 
+    // CCNet-style per-language head/middle/tail thirds over the unigram
+    // LM score (train-on-the-head stratification): rank-based equal
+    // thirds on the deterministic (mean_logp desc, doc_id) order; the
+    // oracle recomputes the LM replay AND the split with DuckDB's own
+    // ntile — an independent engine's implementation of the same
+    // standard SQL bucketing, the asof_join pattern
+    "ccnet_buckets" -> ((s, dir) => {
+      val lp = TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+      graft.ops.Curation.ccnetBuckets(
+        lp.join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id"),
+        "doc_id", "lang", col("mean_logp"))
+        .select(col("doc_id"), col("lang"), col("mean_logp"), col("bucket"))
+    }),
+
+    // HTTP redirect-chain resolution over a planted alias web: per host
+    // a 4-hop 301/302/308 chain onto a terminal page, a 2-cycle that
+    // must stop at maxHops with terminal=false, a 200 WITH a Location
+    // header (must contribute no edge — the status filter trap) and a
+    // 301 WITHOUT one (dropped). Oracle = the chain decision table from
+    // the fixture formulas; neither the parser nor the walk appears
+    "redirect_resolve" -> ((s, dir) => {
+      val f = s.range(80).select((col("id") / 8).cast("long").as("k"),
+        (col("id") % 8).as("j"))
+      val kS = col("k").cast("string")
+      def u(path: Column) = concat(lit("https://h"), kS, lit(".com/"), path)
+      val url = u(when(col("j") <= 4, concat(lit("p"), col("j").cast("string")))
+        .when(col("j") === 5, lit("c0"))
+        .when(col("j") === 6, lit("c1")).otherwise(lit("n0")))
+      val status = when(col("j") === 4, lit("200 OK"))
+        .when(col("j") === 3, lit("308 Permanent Redirect"))
+        .when(col("j") % 2 === 0 || col("j") === 7, lit("301 Moved Permanently"))
+        .otherwise(lit("302 Found"))
+      val dst = u(when(col("j") <= 3, concat(lit("p"), (col("j") + 1).cast("string")))
+        .when(col("j") === 4, lit("bogus"))
+        .when(col("j") === 5, lit("c1")).otherwise(lit("c0")))
+      val payload = concat(lit("HTTP/1.1 "), status, lit("\r\nServer: x\r\n"),
+        when(col("j") =!= 7, concat(lit("Location: "), dst, lit("\r\n")))
+          .otherwise(lit("")),
+        lit("\r\nbody"))
+      val edges = graft.ops.Warc.redirectEdges(
+        f.select(url.as("url"), payload.as("payload")), "url", "payload")
+      graft.ops.Warc.resolveRedirects(edges, "src", "dst", maxHops = 4)
+    }),
+
     // Bloom-prefiltered incremental dedup: same semantics as
     // dedup_incremental on a source-parity split, but the anti-join input
     // is shrunk by a distributed-built Bloom filter (no false negatives →
@@ -2676,6 +2720,30 @@ object Queries {
             lit(" and (http://sub.test"), (col("doc_id") % 7).cast("string"),
             lit(".org/page.html).")).as("text")),
         "doc_id", "text")),
+
+    // HTML hyperlink extraction (the web-graph builder): uppercase <A
+    // HREF>, a fragment href, double- AND single-quoted values,
+    // attributes before/after href, an anchor with nested <b> markup
+    // and an embedded newline, an href-less <a name=> that must yield
+    // nothing, and an empty href every 5th doc. The oracle restates the
+    // DECISION TABLE from the fixture formulas — the regex never
+    // appears in it
+    "extract_links" -> ((s, dir) => {
+      val idS = col("doc_id").cast("string")
+      val k = (col("doc_id") % 10).cast("string")
+      val html = concat(
+        lit("<html><body><nav><A CLASS=\"n\" HREF=\"/\">Home</A> " +
+          "<a href=\"/about#f\">About<b>Us</b></a></nav><p>see "),
+        lit("<a href=\"https://site"), k, lit(".com/page"), idS,
+        lit("?x=1\" rel=\"x\">page "), idS, lit("\n here</a> and "),
+        lit("<a href='https://alt"), k, lit(".org/p"), idS, lit("'>alt "), idS,
+        lit("</a> <a name=\"n\">not a link</a>"),
+        when(col("doc_id") % 5 === 0, lit(" <a href=\"\">empty</a>"))
+          .otherwise(lit("")),
+        lit("</p></body></html>"))
+      TextAnalysis.extractLinks(
+        docs(s, dir).select(col("doc_id"), html.as("html")), "doc_id", "html")
+    }),
 
     // URL canonicalization over messy injected links: mixed-case scheme +
     // host, default ports, tracking params interleaved with real ones, a
@@ -5132,6 +5200,38 @@ object Queries {
          |  count(*) AS n_tokens
          |FROM lp GROUP BY doc_id""".stripMargin,
 
+    // the lm_logprob replay + DuckDB's OWN ntile over the same
+    // deterministic order — two engines' implementations of standard
+    // SQL bucketing must agree row-for-row
+    "ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |lm AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM toks),
+         |lp AS (SELECT doc_id,
+         |         CAST(round(ln(tf) - ln(n_total), 9) AS DECIMAL(38,9)) AS logp
+         |       FROM toks JOIN lm USING (term) CROSS JOIN tot),
+         |ml AS (SELECT doc_id, round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS mean_logp
+         |       FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, ml.mean_logp,
+         |  CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY ml.mean_logp DESC, d.doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM documents d JOIN ml ON d.doc_id = ml.doc_id""".stripMargin,
+
+    // chain decision table from the redirect fixture formulas: 4-hop
+    // chains land on p4 with hops = 4 - j; the 2-cycle walks to
+    // maxHops = 4 and reports terminal = false at its start node
+    "redirect_resolve" ->
+      """WITH f AS (SELECT CAST(id // 8 AS BIGINT) AS k, id % 8 AS j
+        |  FROM range(80) t(id) WHERE id % 8 <= 3 OR id % 8 IN (5, 6))
+        |SELECT 'https://h' || CAST(k AS VARCHAR) || '.com/' ||
+        |    CASE WHEN j <= 3 THEN 'p' || CAST(j AS VARCHAR)
+        |         WHEN j = 5 THEN 'c0' ELSE 'c1' END AS src,
+        |  'https://h' || CAST(k AS VARCHAR) || '.com/' ||
+        |    CASE WHEN j <= 3 THEN 'p4' WHEN j = 5 THEN 'c0' ELSE 'c1' END AS final_url,
+        |  CAST(CASE WHEN j <= 3 THEN 4 - j ELSE 4 END AS BIGINT) AS hops,
+        |  j <= 3 AS terminal
+        |FROM f""".stripMargin,
+
     "quality_classifier" ->
       s"""WITH t AS (SELECT doc_id, $cleanAcSql AS ac FROM documents),
          |b AS (SELECT doc_id, ac, ${cleanWsSql("ac")} AS ws FROM t),
@@ -6577,6 +6677,19 @@ object Queries {
 
     // expected rows derived from the capture-fixture formulas (see the
     // gate comment): the parser under test never appears here
+    // link decision table from the extract_links fixture formulas: the
+    // regex chain never appears; anchors arrive markup-stripped and
+    // whitespace-collapsed
+    "extract_links" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS k,
+        |    CAST(doc_id AS VARCHAR) AS i FROM documents)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS link_idx, '/' AS href, 'Home' AS anchor FROM b
+        |UNION ALL SELECT doc_id, 1, '/about#f', 'About Us' FROM b
+        |UNION ALL SELECT doc_id, 2,
+        |  'https://site' || k || '.com/page' || i || '?x=1', 'page ' || i || ' here' FROM b
+        |UNION ALL SELECT doc_id, 3, 'https://alt' || k || '.org/p' || i, 'alt ' || i FROM b
+        |UNION ALL SELECT doc_id, 4, '', 'empty' FROM b WHERE doc_id % 5 = 0""".stripMargin,
+
     // decision table from the robots-directives fixture formulas: the
     // parser/segment walk never appears. Second star group's 7 beats
     // every base delay (max rule); k%4∈{0,3} without it stays NULL

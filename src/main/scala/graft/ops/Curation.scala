@@ -1320,6 +1320,38 @@ object Curation {
         (col("_q6") / 1e6).as("cut"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into equal-count head / middle / tail thirds
+    * by LM score — the canonical "train on the head, inspect the tail"
+    * quality stratification. Feed the score from
+    * [[TextAnalysis.unigramLogProb]] (HIGHER mean logprob = more
+    * LM-typical = head, matching CCNet's lower-perplexity-is-better
+    * orientation).
+    *
+    * Buckets are rank-based (`ntile`) over the deterministic
+    * (score desc, id) order — exactly engine-restatable where a 1/3
+    * quantile interpolation is not (1/3 has no finite binary form), and
+    * exactly CCNet's equal-thirds split. Output: df's columns +
+    * `bucket` ∈ {head, middle, tail}.
+    *
+    * Scale: one shuffle on the language key + a per-key sort (the
+    * window). At 100 TB swap the window for per-key `approx_percentile`
+    * cuts and a broadcast threshold join — the same plan-shape swap
+    * `token_percentiles` documents; the thirds then hold approximately
+    * instead of exactly, which is what CCNet itself does.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, keyCol: String,
+                   scoreCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(scoreCol.desc, col(idCol))
+    df.withColumn("_nt", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("_nt") === 1, lit("head"))
+          .when(col("_nt") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_nt")
+  }
+
   /** The composed per-document curation DECISION LOG — the release
     * artifact a pipeline run publishes next to its corpus ("kept X%,
     * dropped Y% by rule Z"): every input document attributed to exactly

@@ -1113,6 +1113,37 @@ object TextAnalysis {
         lower(regexp_extract(col("url"), "(?i)https?://([^/?#]+)", 1)).as("host"))
   }
 
+  /** HTML hyperlink extraction — the web-GRAPH builder ([[urlHosts]]
+    * finds URLs in prose; this walks `<a href>` markup): one row per
+    * anchor element with its href target and the visible anchor text,
+    * in document order. The edge list (page URL → href) is what link
+    * graphs, anchor-text retrieval corpora and crawl frontiers are
+    * built from.
+    *
+    * Matching contracts: `(?is)` — tag and attribute names are
+    * case-insensitive, anchors span lines; href values in double OR
+    * single quotes (the quoted group strips its own delimiters);
+    * `<a>` elements without an href (anchors, `name=` targets) yield
+    * nothing; anchor text drops nested markup and collapses whitespace.
+    * Documented subset: unquoted href values and (invalid) nested `<a>`
+    * elements are out of profile — the non-greedy body stops at the
+    * FIRST `</a>`. One codegen'd per-row pass (two aligned
+    * `regexp_extract_all` over the same pattern — RE2-safe, no
+    * lookaround), zero shuffle. Output: (id, link_idx, href, anchor).
+    */
+  def extractLinks(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val linkRe = "(?is)<a\\s[^>]*href[ \t]*=[ \t]*(\"[^\"]*\"|'[^']*')[^>]*>(.*?)</a>"
+    val hrefs = transform(regexp_extract_all(col(htmlCol), lit(linkRe), lit(1)),
+      h => h.substr(lit(2), length(h) - 2))
+    val anchors = transform(regexp_extract_all(col(htmlCol), lit(linkRe), lit(2)),
+      a => trim(regexp_replace(regexp_replace(a, "<[^>]*>", " "), "\\s+", " ")))
+    df.select(col(idCol), posexplode(zip_with(hrefs, anchors,
+        (h, a) => struct(h.as("href"), a.as("anchor")))).as(Seq("link_idx", "l")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        col("l.href").as("href"), col("l.anchor").as("anchor"))
+  }
+
   /** Canonical form of one extracted URL column — the normalization that
     * makes URL-level dedup (the cheapest first pass in every crawl
     * pipeline) actually collapse recrawls of the same page:

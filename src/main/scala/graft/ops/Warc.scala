@@ -270,6 +270,84 @@ object Warc {
       .withColumn("body", col("_h.body"))
       .drop("_h")
 
+  /** Redirect edges from response records: one (src, dst) row per 3xx
+    * redirect (301/302/307/308) whose header block carries a `Location:`
+    * field — the alias edges URL canonicalization alone cannot see (a
+    * recrawl corpus keys the same page under every hop of its redirect
+    * chain until these collapse). Same line-start-anchored,
+    * case-insensitive header extraction as [[httpResponse]]; non-HTTP
+    * payloads, non-redirect statuses and Location-less redirects yield
+    * nothing. Per-row, zero shuffle.
+    */
+  def redirectEdges(records: DataFrame, urlCol: String,
+                    payloadCol: String): DataFrame =
+    records.withColumn("_h", httpResponse(col(payloadCol)))
+      .where(col("_h.status").isin(301, 302, 307, 308))
+      .withColumn("dst", regexp_extract(col("_h.headers"),
+        "(?i)\r\nlocation:[ \t]*([^\r\n]*)", 1))
+      .where(col("dst") =!= "")
+      .select(col(urlCol).as("src"), col("dst"))
+
+  /** Resolve redirect chains to their final targets: for every source
+    * URL in `edges`, follow (src → dst) hops until a URL with no
+    * outgoing edge (`terminal` = true) or until `maxHops` (`terminal` =
+    * false — the cycle / over-long-chain verdict; `final_url` is then
+    * wherever the walk stopped, deterministically). A source with
+    * several recorded targets (conflicting recrawls) follows the
+    * smallest dst — deterministic; callers wanting the conflict count
+    * can `groupBy(src).count()` the edge frame first.
+    *
+    * Scale shape (the [[Robots.sitemapFrontier]] / pageRank pattern):
+    * a bounded driver loop — `maxHops` ≤ 16 rounds, each ONE equi-join
+    * of the live chains against the edge table on the 8-byte-hashable
+    * URL key, finished chains dropping out; per-round materialization
+    * barriers truncate the growing lineage and release once the final
+    * frame lands behind its own barrier. Real chains are 1-3 hops, so
+    * the loop exits early when every chain lands. Output:
+    * (src, final_url, hops, terminal).
+    */
+  def resolveRedirects(edges: DataFrame, srcCol: String, dstCol: String,
+                       maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16,
+      s"maxHops must be in [1, 16], got $maxHops")
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    // materialize the (deduplicated) edge table once: every round joins it
+    val (e, eRel) = Dedup.materialize(
+      edges.groupBy(col(srcCol).as("_es")).agg(min(col(dstCol)).as("_ed")),
+      Dedup.Barrier.LocalCheckpoint)
+    releases += eRel
+    var live = e.select(col("_es").as("src"), col("_ed").as("cur"),
+      lit(1L).as("hops"))
+    var done: DataFrame = null
+    var hop = 1
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      val stepped = live.join(e, live("cur") === e("_es"), "left")
+      val landed = stepped.where(col("_ed").isNull)
+        .select(col("src"), col("cur").as("final_url"), col("hops"),
+          lit(true).as("terminal"))
+      done = if (done == null) landed else done.unionByName(landed)
+      val (next, rel) = Dedup.materialize(
+        stepped.where(col("_ed").isNotNull)
+          .select(col("src"), col("_ed").as("cur"), (col("hops") + 1L).as("hops")),
+        Dedup.Barrier.LocalCheckpoint)
+      releases += rel
+      live = next
+      hop += 1
+      exhausted = live.isEmpty
+    }
+    // chains still live after maxHops-1 steps: one last probe decides
+    // terminal (no outgoing edge at the final position) vs cut-off
+    val tail = live.join(e, live("cur") === e("_es"), "left")
+      .select(col("src"), col("cur").as("final_url"), col("hops"),
+        col("_ed").isNull.as("terminal"))
+    val all = if (done == null) tail else done.unionByName(tail)
+    // land the result behind its own barrier, then free every round's blocks
+    val (result, _) = Dedup.materialize(all, Dedup.Barrier.LocalCheckpoint)
+    releases.foreach(r => r())
+    result
+  }
+
   /** Deterministic `.warc.gz` fixture for the gate (JVM-side, wrapped in
     * a fixture-synthesis udf by the caller): two records, EACH its own
     * gzip member, concatenated — the Common Crawl layout [[gzRecordRows]]

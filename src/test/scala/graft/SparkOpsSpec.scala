@@ -2595,6 +2595,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("b.io") == ((List(), -1.0))) // unparseable delay -> null
   }
 
+  test("extractLinks: quote styles, nested markup, href-less anchors, zero-shuffle plan") {
+    import graft.ops.TextAnalysis
+    val html = "<A HREF=\"/a\">One</A><a name=\"x\">skip</a>" +
+      "<a rel=\"y\" href='/b' id=\"z\">Two <i>three</i>\nfour</a>"
+    val d = Seq((1L, html)).toDF("id", "html")
+    val got = TextAnalysis.extractLinks(d, "id", "html")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == Seq((0L, "/a", "One"), (1L, "/b", "Two three four")))
+    val plan = TextAnalysis.extractLinks(d, "id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("resolveRedirects: early exit, conflict takes min dst, cycle stops at maxHops") {
+    import graft.ops.Warc
+    val edges = Seq(
+      ("a", "b"), ("b", "c"),          // 2-hop chain, shorter than maxHops
+      ("d", "z"), ("d", "y"),          // conflicting targets -> min ("y")
+      ("p", "q"), ("q", "p")           // 2-cycle
+    ).toDF("src", "dst")
+    val got = Warc.resolveRedirects(edges, "src", "dst", maxHops = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("a") == (("c", 2L, true)))
+    assert(got("b") == (("c", 1L, true)))
+    assert(got("d") == (("y", 1L, true)))
+    assert(got("p") == (("p", 6L, false))) // even walk lands back home
+    assert(got("q") == (("q", 6L, false)))
+  }
+
   test("Bpe byte-level: lookahead-equivalent whitespace split, byte alphabet, merge application") {
     import graft.ops.Bpe
     // "a   b" under GPT-2's \s+(?!\S): 'a', '  ' (run minus last), ' b';
