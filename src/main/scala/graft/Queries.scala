@@ -3068,6 +3068,26 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the INCREMENTAL pipeline: wave 1 (even doc_ids) runs first and
+    // accretes its post-URL-dedup content fingerprints into the seen
+    // store; wave 2 (odd doc_ids) must drop every page whose content an
+    // earlier wave already carried (the fixture's %31 clones straddle
+    // the parity split in both directions) while keeping its own
+    // fresh pages. Result = wave 2's shards; the oracle replays BOTH
+    // waves' survivor chains and the cross-wave NOT EXISTS screen
+    "pipeline_incremental" -> ((s, dir) => {
+      val (captures, robotsDf, bench) = pipeFixture(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_pipei").toString
+      val cfg = PipeConfig.copy(seenDir = base + "/seen")
+      graft.ops.Pipeline.curateCrawl(
+        captures.where(col("doc_id") % 2 === 0), "doc_id", "warc",
+        robotsDf, "host", "txt", bench, "text", base + "/shards1", cfg)
+      graft.ops.Pipeline.curateCrawl(
+        captures.where(col("doc_id") % 2 === 1), "doc_id", "warc",
+        robotsDf, "host", "txt", bench, "text", base + "/shards2", cfg)
+        .orderBy("doc_id")
+    }),
+
     // the same pipeline's per-stage audit FUNNEL (the observability
     // artifact a production run logs): one row per drop stage with the
     // surviving count; the oracle re-counts each stage's survivor CTE
@@ -4263,17 +4283,34 @@ object Queries {
     * the funnel restatement. `ingWhere` injects the http profile's two
     * S1.5 ingest drop classes ahead of robots (default: keep all).
     */
-  private def pipeCtes(ingWhere: String = "TRUE"): String =
-    s"""ids AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 31 = 17 THEN doc_id - 1 ELSE doc_id END AS e,
-         |    CASE WHEN doc_id % 17 = 1 THEN doc_id - 1 ELSE doc_id END AS u
-         |  FROM documents),
-         |rob AS (SELECT * FROM ids WHERE ($ingWhere) AND u % 7 <> 3),
-         |lng AS (SELECT * FROM rob WHERE e % 29 <> 13),
-         |urld AS (SELECT * FROM lng
-         |  WHERE doc_id IN (SELECT min(doc_id) FROM lng GROUP BY u)),
-         |nd AS (SELECT * FROM urld t WHERE NOT (t.doc_id % 31 = 17
-         |  AND EXISTS (SELECT 1 FROM urld p WHERE p.doc_id = t.doc_id - 1))),
+  /** The ingest-through-URL-dedup CTE prefix (stages S1-S7), wave- and
+    * prefix-parameterizable so the incremental oracle can instantiate a
+    * second (earlier) wave's survivor set next to the main chain.
+    */
+  private def pipeIngestCtes(p: String, docWhere: String, ingWhere: String): String =
+    s"""${p}ids AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 31 = 17 THEN doc_id - 1 ELSE doc_id END AS e,
+       |    CASE WHEN doc_id % 17 = 1 THEN doc_id - 1 ELSE doc_id END AS u
+       |  FROM documents WHERE $docWhere),
+       |${p}rob AS (SELECT * FROM ${p}ids WHERE ($ingWhere) AND u % 7 <> 3),
+       |${p}lng AS (SELECT * FROM ${p}rob WHERE e % 29 <> 13),
+       |${p}urld AS (SELECT * FROM ${p}lng
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM ${p}lng GROUP BY u))""".stripMargin
+
+  private def pipeCtes(ingWhere: String = "TRUE", docWhere: String = "TRUE",
+                       seenWave: Option[String] = None): String = {
+    // incremental: the screen drops wave docs whose post-clean text an
+    // earlier wave's URL-dedup survivor already carried; at the fixture's
+    // formulas text equality ⟺ e equality (the snapshot_diff argument)
+    val w1 = seenWave.map(w =>
+      pipeIngestCtes("w1", w, ingWhere) + ",\n" +
+        """inc AS (SELECT * FROM urld t
+          |  WHERE NOT EXISTS (SELECT 1 FROM w1urld w WHERE w.e = t.e)),"""
+          .stripMargin + "\n").getOrElse("")
+    val ndSrc = if (seenWave.isDefined) "inc" else "urld"
+    s"""${pipeIngestCtes("", docWhere, ingWhere)},
+         |${w1}nd AS (SELECT * FROM $ndSrc t WHERE NOT (t.doc_id % 31 = 17
+         |  AND EXISTS (SELECT 1 FROM $ndSrc p WHERE p.doc_id = t.doc_id - 1))),
          |sd AS (SELECT doc_id, e, u,
          |    (doc_id = (SELECT min(doc_id) FROM nd)) AS keep_moji,
          |    (e % 19 = 7 AND doc_id = (SELECT min(doc_id) FROM nd WHERE e % 19 = 7))
@@ -4311,12 +4348,16 @@ object Queries {
          |sp AS (SELECT *,
          |    ROW_NUMBER() OVER (ORDER BY h53 % 32, h53, doc_id) - 1 AS shuffle_pos,
          |    COUNT(*) OVER () AS n FROM pk)"""
+  }
 
   /** The pipeline gates' shared result restatement (text and gz profiles
     * replay identically — the fixtures share their formulas; the http
-    * profile adds its two ingest drop classes via `ingWhere`). */
-  private def pipeE2eSql(ingWhere: String = "TRUE"): String =
-    s"""WITH ${pipeCtes(ingWhere)}
+    * profile adds its two ingest drop classes via `ingWhere`; the
+    * incremental gate restricts to a wave via `docWhere` and screens
+    * against `seenWave`'s survivors). */
+  private def pipeE2eSql(ingWhere: String = "TRUE", docWhere: String = "TRUE",
+                         seenWave: Option[String] = None): String =
+    s"""WITH ${pipeCtes(ingWhere, docWhere, seenWave)}
        |SELECT doc_id, domain, text, n_tokens, start_offset,
        |  CAST(start_offset // 512 AS BIGINT) AS pack_id,
        |  (n_tokens > 0 AND (start_offset + n_tokens - 1) // 512 <> start_offset // 512)
@@ -6637,6 +6678,11 @@ object Queries {
     // http profile: the staged replay with the two S1.5 ingest drop
     // classes (404 status, JSON media type) applied before robots
     "pipeline_e2e_http" -> pipeE2eSql("doc_id % 13 <> 6 AND doc_id % 11 <> 4"),
+
+    // incremental: wave 2 (odd ids) replayed with the cross-wave screen
+    // against wave 1's (even ids) URL-dedup survivors
+    "pipeline_incremental" ->
+      pipeE2eSql(docWhere = "doc_id % 2 = 1", seenWave = Some("doc_id % 2 = 0")),
 
     // per-stage survivor counts over the SAME replay chain; `domain_cap`
     // counts the cap stage itself and `written` the on-disk readback, so

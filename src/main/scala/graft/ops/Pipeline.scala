@@ -62,6 +62,20 @@ object Pipeline {
     * (pre-stripped corpora). A per-row projection inside the same
     * ingest scan, zero extra shuffle.
     *
+    * `seenDir` (non-empty = on) makes the run INCREMENTAL — the
+    * continuous-ingest loop as one knob: after URL dedup each wave
+    * anti-joins its content fingerprints (the 16-byte two-lane
+    * [[Dedup.fingerprints]] keys) against the store at `seenDir`, and
+    * the accepted wave's fingerprints append back — so a page SEEN by
+    * any earlier wave never re-enters the corpus, including pages an
+    * earlier wave later dropped for quality (the decision was already
+    * made on that content). The screen sits post-URL-dedup so the store
+    * accretes one row per distinct surviving page; the seen side never
+    * shuffles corpus text — the anti-join carries fingerprints only
+    * (swap in [[Dedup.dedupAgainstBloom]]'s prefilter at 100 TB).
+    * In the audited funnel the screen's drop shows up between the
+    * `url_dedup` and `near_dup` rows.
+    *
     * `maxBroadcastRows` is the count guard on the two decision-frame
     * broadcasts (contaminated ids, per-domain cap thresholds): at or
     * under it they broadcast explicitly (the corpus text crosses no
@@ -86,6 +100,7 @@ object Pipeline {
       warcMaxRecords: Int = 16,
       httpParse: Boolean = false,
       httpAllowedMimes: Seq[String] = Seq("text/html"),
+      seenDir: String = "",
       maxBroadcastRows: Long = 1000000L)
 
   /** [[curateCrawlAudited]]'s result: the curated per-document frame,
@@ -250,12 +265,32 @@ object Pipeline {
     // S7: URL-level keep-first dedup
     val urld = TextAnalysis.dedupByCanonicalUrl(en, idCol, "url").drop("canon_url")
 
+    // S7.5 (incremental, seenDir non-empty): screen the wave against the
+    // persisted seen-fingerprint store, then accrete the accepted wave's
+    // fingerprints. The screened frame is materialized FIRST so the
+    // append and the continuing chain share one computation of the
+    // upstream lineage.
+    val screened = if (cfg.seenDir.isEmpty) urld else {
+      val hp = new org.apache.hadoop.fs.Path(cfg.seenDir)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val withFp = urld
+        .withColumn("ck1", xxhash64(col("text")))
+        .withColumn("ck2", xxhash64(lit(0x9E3779B97F4A7C15L), col("text")))
+      val fresh = materialized(
+        if (fs.exists(hp))
+          withFp.join(spark.read.parquet(cfg.seenDir), Seq("ck1", "ck2"), "left_anti")
+        else withFp)
+      fresh.select(col("ck1"), col("ck2")).distinct()
+        .write.mode("append").parquet(cfg.seenDir)
+      fresh.drop("ck1", "ck2")
+    }
+
     // S8: document-level near-dup — drop every verified pair's b side
-    val mh = Dedup.minhashLshRun(urld, idCol, "text",
+    val mh = Dedup.minhashLshRun(screened, idCol, "text",
       numHashes = cfg.minhashNumHashes, bands = cfg.minhashBands,
       shingleN = cfg.minhashShingleN, threshold = cfg.minhashThreshold)
     releases += mh.release
-    val nd = materialized(urld.join(
+    val nd = materialized(screened.join(
       mh.pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti"))
 
     // S9: sentence-level exact dedup (keep-first corpus-wide)

@@ -156,6 +156,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(cur.cappedCaptures() === 0L)
   }
 
+  test("incremental seenDir: the store accretes across waves; earlier content never re-enters") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pinc").toString
+    import spark.implicits._
+    val robots = Seq(("site0.com", ""), ("site1.com", ""), ("site2.com", ""))
+      .toDF("host", "txt")
+    val bench = spark.range(1).select(lit("zzz never matches zzz").as("text"))
+    val cfg = Pipeline.CurateConfig(seenDir = base + "/seen",
+      qualityMinWords = 1, capPerDomain = 100, packBudget = 256, nShards = 2,
+      shardBuckets = 8)
+    def wave(ids: Seq[Long], n: Int): DataFrame = {
+      // re-key the SAME content (crawl's body is a function of doc_id) under
+      // fresh ids so later waves recrawl earlier pages under new capture ids
+      val c = crawl(64).where(col("doc_id").isin(ids: _*))
+        .withColumn("doc_id", col("doc_id") + lit(1000L * n))
+      Pipeline.curateCrawl(c, "doc_id", "warc", robots, "host", "txt",
+        bench, "text", base + s"/shards$n", cfg)
+    }
+    assert(wave(Seq(1L, 2L, 3L), 0).count() === 3)
+    // wave 1: one fresh page + two recrawls of wave-0 content -> 1 survives
+    assert(wave(Seq(2L, 3L, 6L), 1).count() === 1)
+    // wave 2: recrawls of wave-0 AND wave-1 content -> only 8 is fresh
+    val w2 = wave(Seq(1L, 6L, 8L), 2)
+    assert(w2.select("text").collect().map(_.getString(0)).toSeq
+      .forall(_.contains("number 8")))
+    assert(w2.count() === 1)
+  }
+
   test("cappedCaptures: captures hitting warcMaxRecords are surfaced, never silent") {
     // four records per capture blob (crawl() emits one response record each)
     val four = crawl(8).select(col("doc_id"),
