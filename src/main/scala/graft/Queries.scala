@@ -2745,6 +2745,33 @@ object Queries {
         docs(s, dir).select(col("doc_id"), html.as("html")), "doc_id", "html")
     }),
 
+    // RFC 3986 relative-reference resolution (the extractLinks →
+    // frontier bridge): absolute / protocol-relative / root-relative /
+    // directory-relative / dot-segment / empty / query-only reference
+    // classes over bases with and without paths, queries and fragments.
+    // Oracle = the resolution DECISION TABLE from the fixture formulas
+    "resolve_url" -> ((s, dir) => {
+      val k = col("doc_id") % 10
+      val kS = k.cast("string"); val idS = col("doc_id").cast("string")
+      val base = concat(lit("https://h"), kS, lit(".com"),
+        when(k % 4 === 0, lit("")).otherwise(lit("/a/b/index.html")),
+        when(k % 5 === 2, lit("?v=1")).otherwise(lit("")),
+        when(k % 3 === 1, lit("#bfrag")).otherwise(lit("")))
+      val m = col("doc_id") % 9
+      val ref = when(m === 0, concat(lit("https://other.org/x"), idS, lit("?q=1#f")))
+        .when(m === 1, concat(lit("//cdn"), kS, lit(".com/lib.js")))
+        .when(m === 2, concat(lit("/root/p"), idS))
+        .when(m === 3, concat(lit("img"), idS, lit(".png")))
+        .when(m === 4, lit("../up.html"))
+        .when(m === 5, concat(lit("./same.html?x="), idS, lit("#g")))
+        .when(m === 6, lit(""))
+        .when(m === 7, lit("?only=q"))
+        .otherwise(concat(lit("b/../c/./d"), idS, lit(".html")))
+      docs(s, dir).select(col("doc_id"), base.as("base"), ref.as("ref"))
+        .withColumn("resolved",
+          TextAnalysis.resolveUrl(col("base"), col("ref")))
+    }),
+
     // URL canonicalization over messy injected links: mixed-case scheme +
     // host, default ports, tracking params interleaved with real ones, a
     // fragment, and a bare-slash path whose query dies entirely
@@ -6723,6 +6750,45 @@ object Queries {
 
     // expected rows derived from the capture-fixture formulas (see the
     // gate comment): the parser under test never appears here
+    // resolution decision table from the resolve_url fixture formulas:
+    // neither the merge, the dot-segment fold nor the branch logic
+    // appears — each (base-class, ref-class) pair's expected absolute
+    // URL is written out from the RFC by hand
+    "resolve_url" ->
+      """WITH b AS (SELECT doc_id,
+        |    doc_id % 10 AS k, doc_id % 9 AS m,
+        |    CAST(doc_id % 10 AS VARCHAR) AS ks, CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents),
+        |c AS (SELECT doc_id, k, m, ks, i,
+        |    'https://h' || ks || '.com' AS hostp,
+        |    k % 4 <> 0 AS haspath,
+        |    CASE WHEN k % 4 <> 0 THEN '/a/b/index.html' ELSE '/' END AS basepath,
+        |    CASE WHEN k % 4 <> 0 THEN '/a/b/' ELSE '/' END AS dirp,
+        |    CASE WHEN k % 5 = 2 THEN '?v=1' ELSE '' END AS bq
+        |  FROM b)
+        |SELECT doc_id,
+        |  hostp || CASE WHEN haspath THEN '/a/b/index.html' ELSE '' END
+        |    || bq || CASE WHEN k % 3 = 1 THEN '#bfrag' ELSE '' END AS base,
+        |  CASE m WHEN 0 THEN 'https://other.org/x' || i || '?q=1#f'
+        |    WHEN 1 THEN '//cdn' || ks || '.com/lib.js'
+        |    WHEN 2 THEN '/root/p' || i
+        |    WHEN 3 THEN 'img' || i || '.png'
+        |    WHEN 4 THEN '../up.html'
+        |    WHEN 5 THEN './same.html?x=' || i || '#g'
+        |    WHEN 6 THEN ''
+        |    WHEN 7 THEN '?only=q'
+        |    ELSE 'b/../c/./d' || i || '.html' END AS ref,
+        |  CASE m WHEN 0 THEN 'https://other.org/x' || i || '?q=1'
+        |    WHEN 1 THEN 'https://cdn' || ks || '.com/lib.js'
+        |    WHEN 2 THEN hostp || '/root/p' || i
+        |    WHEN 3 THEN hostp || dirp || 'img' || i || '.png'
+        |    WHEN 4 THEN hostp || CASE WHEN haspath THEN '/a/up.html' ELSE '/up.html' END
+        |    WHEN 5 THEN hostp || dirp || 'same.html?x=' || i
+        |    WHEN 6 THEN hostp || basepath || bq
+        |    WHEN 7 THEN hostp || basepath || '?only=q'
+        |    ELSE hostp || dirp || 'c/d' || i || '.html' END AS resolved
+        |FROM c""".stripMargin,
+
     // link decision table from the extract_links fixture formulas: the
     // regex chain never appears; anchors arrive markup-stripped and
     // whitespace-collapsed

@@ -1144,6 +1144,62 @@ object TextAnalysis {
         col("l.href").as("href"), col("l.anchor").as("anchor"))
   }
 
+  /** RFC 3986 §5 relative-reference resolution for crawl frontiers —
+    * the step between [[extractLinks]]' raw hrefs (mostly relative:
+    * `/about`, `img.png`, `../up`, `?page=2`, `//cdn.example/lib.js`)
+    * and an absolute URL a frontier can fetch or
+    * [[canonicalUrl]] can key.
+    *
+    * Covered forms: absolute references pass through; protocol-relative
+    * `//host/...` takes the base's scheme; root-relative `/...`
+    * replaces the path; `?...` replaces the query; the empty reference
+    * returns the base; relative paths merge with the base DIRECTORY and
+    * then dot segments (`.` / `..`) remove via an in-row fold (`..` at
+    * the root is a no-op, a trailing `.`/`..` leaves the RFC's trailing
+    * slash). Crawl profile: FRAGMENTS DROP from every output (they
+    * never reach the server — the same contract as [[canonicalUrl]]);
+    * bases are hierarchical http(s) URLs. Pure column expressions, one
+    * codegen'd per-row pass, zero shuffle.
+    */
+  def resolveUrl(base: org.apache.spark.sql.Column,
+                 ref: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val host = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val bp0 = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val basePath = when(bp0 === "", lit("/")).otherwise(bp0)
+    val baseQ = regexp_extract(base, "^[^?#]*(\\?[^#]*)", 1)
+    val r = regexp_replace(ref, "#.*$", "") // crawl profile: fragments drop
+    val isAbs = r.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    val isProtoRel = r.startsWith("//")
+    val isRoot = r.startsWith("/") && !isProtoRel
+    val rPath = regexp_extract(r, "^([^?]*)", 1)
+    val rQ = when(locate("?", r) > 0,
+      r.substr(locate("?", r), length(r))).otherwise(lit(""))
+    // merge (RFC 3986 §5.3): root-relative keeps its own path, otherwise
+    // the reference extends the base path's directory
+    val dir = regexp_replace(basePath, "[^/]*$", "")
+    val merged = when(isRoot, rPath).otherwise(concat(dir, rPath))
+    // remove_dot_segments (§5.2.4) as a fold over "/"-split segments:
+    // "." drops, ".." pops (never past the leading root marker), empty
+    // mid segments (a//b) are kept verbatim per the RFC
+    val folded = aggregate(split(merged, "/"),
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(s === ".", acc)
+          .when(s === "..",
+            when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1)).otherwise(acc))
+          .otherwise(concat(acc, array(s))))
+    val joined0 = array_join(folded, "/")
+    val joined = when(joined0 === "", lit("/"))
+      .otherwise(when(rPath.rlike("(^|/)\\.\\.?$"), concat(joined0, lit("/")))
+        .otherwise(joined0))
+    when(isAbs, r)
+      .when(isProtoRel, concat(scheme, lit(":"), r))
+      .when(r === "", concat(scheme, lit("://"), host, basePath, baseQ))
+      .when(r.startsWith("?"), concat(scheme, lit("://"), host, basePath, r))
+      .otherwise(concat(scheme, lit("://"), host, joined, rQ))
+  }
+
   /** Canonical form of one extracted URL column — the normalization that
     * makes URL-level dedup (the cheapest first pass in every crawl
     * pipeline) actually collapse recrawls of the same page:

@@ -1041,7 +1041,9 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unigram-LM Viterbi weighting) — output cardinality equals the left
     // side exactly.
     val boundedBroadcastCross = Set("knn_batch_probes", "sql_knn_batch",
-      "lm_logprob", "bigram_logprob", "kneser_ney_logprob", "pmi_pairs",
+      // ccnet_buckets composes lm_logprob's scoring chain, so it carries
+      // the same one-row corpus-total broadcast cross
+      "lm_logprob", "ccnet_buckets", "bigram_logprob", "kneser_ney_logprob", "pmi_pairs",
       "mixture_temperature", "pagerank", "dsir_scores", "dsir_sample",
       "unimax_mixture", "unigram_vocab", "unigram_encode",
       // hard_negatives: the anchor batch broadcasts against one corpus
@@ -2606,6 +2608,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = TextAnalysis.extractLinks(d, "id", "html")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("resolveUrl: dot-segment corners — root .., trailing .., a//b kept, fragment-only ref") {
+    import graft.ops.TextAnalysis
+    val cases = Seq(
+      (1L, "https://a.io/x/y/z.html", "../../../../up"),   // .. past root is a no-op
+      (2L, "https://a.io/x/y/z.html", ".."),               // trailing .. keeps the RFC slash
+      (3L, "https://a.io/x/y/z.html", "m//n.html"),        // empty mid segment preserved
+      (4L, "https://a.io/x/y/z.html?q=1#old", "#new"),     // fragment-only -> base sans fragment
+      (5L, "https://a.io", "p.html")                       // pathless base -> root directory
+    ).toDF("id", "base", "ref")
+    val got = cases.withColumn("r", TextAnalysis.resolveUrl(col("base"), col("ref")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(1L) == "https://a.io/up")
+    assert(got(2L) == "https://a.io/x/")
+    assert(got(3L) == "https://a.io/x/y/m//n.html")
+    assert(got(4L) == "https://a.io/x/y/z.html?q=1")
+    assert(got(5L) == "https://a.io/p.html")
   }
 
   test("resolveRedirects: early exit, conflict takes min dst, cycle stops at maxHops") {
