@@ -328,7 +328,8 @@ object Bench {
         // script-gated language ID decider, and the per-language ntile
         // bucketing window
         "sitemap_index", "redirect_resolve", "bytebpe_encode", "http_parse",
-        "extract_links", "lang_id_script", "ccnet_buckets", "resolve_url")
+        "extract_links", "lang_id_script", "ccnet_buckets", "resolve_url",
+        "web_link_graph")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

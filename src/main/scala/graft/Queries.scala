@@ -2728,21 +2728,35 @@ object Queries {
     // nothing, and an empty href every 5th doc. The oracle restates the
     // DECISION TABLE from the fixture formulas — the regex never
     // appears in it
-    "extract_links" -> ((s, dir) => {
-      val idS = col("doc_id").cast("string")
-      val k = (col("doc_id") % 10).cast("string")
-      val html = concat(
-        lit("<html><body><nav><A CLASS=\"n\" HREF=\"/\">Home</A> " +
-          "<a href=\"/about#f\">About<b>Us</b></a></nav><p>see "),
-        lit("<a href=\"https://site"), k, lit(".com/page"), idS,
-        lit("?x=1\" rel=\"x\">page "), idS, lit("\n here</a> and "),
-        lit("<a href='https://alt"), k, lit(".org/p"), idS, lit("'>alt "), idS,
-        lit("</a> <a name=\"n\">not a link</a>"),
-        when(col("doc_id") % 5 === 0, lit(" <a href=\"\">empty</a>"))
-          .otherwise(lit("")),
-        lit("</p></body></html>"))
+    "extract_links" -> ((s, dir) =>
       TextAnalysis.extractLinks(
-        docs(s, dir).select(col("doc_id"), html.as("html")), "doc_id", "html")
+        docs(s, dir).select(col("doc_id"),
+          linkHtmlFixture(col("doc_id")).as("html")), "doc_id", "html")),
+
+    // the session's crawl ops COMPOSED into the web-graph builder:
+    // extractLinks → resolveUrl against each page's own URL → host
+    // extraction → host-level edge aggregation. Relative hrefs ("/",
+    // "/about#f", the empty self-reference) must land on the page's own
+    // host, absolute ones on theirs; the oracle is the edge-count
+    // decision table from the fixture formulas — extraction, resolution
+    // and hosting never appear in it
+    "web_link_graph" -> ((s, dir) => {
+      val idS = col("doc_id").cast("string")
+      val pageUrl = concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
+        lit(".com/a/page"), idS, lit(".html"))
+      val pages = docs(s, dir).select(col("doc_id"), pageUrl.as("page_url"),
+        linkHtmlFixture(col("doc_id")).as("html"))
+      TextAnalysis.extractLinks(pages, "doc_id", "html")
+        .join(pages.select(col("doc_id"), col("page_url")), "doc_id")
+        .withColumn("dst_url",
+          TextAnalysis.resolveUrl(col("page_url"), col("href")))
+        .select(
+          lower(regexp_extract(col("page_url"), "(?i)https?://([^/?#]+)", 1))
+            .as("src_host"),
+          lower(regexp_extract(col("dst_url"), "(?i)https?://([^/?#]+)", 1))
+            .as("dst_host"))
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
     }),
 
     // RFC 3986 relative-reference resolution (the extractLinks →
@@ -4296,6 +4310,25 @@ object Queries {
        |    qp -> qp <> '' AND NOT regexp_matches(qp, '^(utm_[a-z0-9]+|gclid|fbclid)=')) AS params FROM p1),
        |p3 AS (SELECT doc_id, url, scheme, hostport, host, pth,
        |  CASE WHEN len(params) = 0 THEN '' ELSE '?' || array_to_string(params, '&') END AS q FROM p2)""".stripMargin
+
+  /** Shared HTML fixture for the extract_links / web_link_graph gates:
+    * case-varied tags, both quote styles, nested markup, an href-less
+    * anchor, and an empty (self-referencing) href every 5th doc.
+    */
+  private def linkHtmlFixture(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val idS = idCol.cast("string")
+    val k = (idCol % 10).cast("string")
+    concat(
+      lit("<html><body><nav><A CLASS=\"n\" HREF=\"/\">Home</A> " +
+        "<a href=\"/about#f\">About<b>Us</b></a></nav><p>see "),
+      lit("<a href=\"https://site"), k, lit(".com/page"), idS,
+      lit("?x=1\" rel=\"x\">page "), idS, lit("\n here</a> and "),
+      lit("<a href='https://alt"), k, lit(".org/p"), idS, lit("'>alt "), idS,
+      lit("</a> <a name=\"n\">not a link</a>"),
+      when(idCol % 5 === 0, lit(" <a href=\"\">empty</a>"))
+        .otherwise(lit("")),
+      lit("</p></body></html>"))
+  }
 
   private def langHitsSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -6801,6 +6834,21 @@ object Queries {
         |  'https://site' || k || '.com/page' || i || '?x=1', 'page ' || i || ' here' FROM b
         |UNION ALL SELECT doc_id, 3, 'https://alt' || k || '.org/p' || i, 'alt ' || i FROM b
         |UNION ALL SELECT doc_id, 4, '', 'empty' FROM b WHERE doc_id % 5 = 0""".stripMargin,
+
+    // edge-count decision table from the link fixture formulas: each
+    // page contributes two self-host edges ("/", "/about#f"), one to
+    // site{k}.com, one to alt{k}.org, plus the empty self-reference on
+    // every-5th docs (doc ≡ k mod 10 ⇒ the whole k-class when k%5=0)
+    "web_link_graph" ->
+      """WITH k AS (SELECT doc_id % 10 AS k, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT 'h' || CAST(k AS VARCHAR) || '.com' AS src_host,
+        |  'h' || CAST(k AS VARCHAR) || '.com' AS dst_host,
+        |  CAST(2 * n + CASE WHEN k % 5 = 0 THEN n ELSE 0 END AS BIGINT) AS n_links
+        |FROM k
+        |UNION ALL SELECT 'h' || CAST(k AS VARCHAR) || '.com',
+        |  'site' || CAST(k AS VARCHAR) || '.com', CAST(n AS BIGINT) FROM k
+        |UNION ALL SELECT 'h' || CAST(k AS VARCHAR) || '.com',
+        |  'alt' || CAST(k AS VARCHAR) || '.org', CAST(n AS BIGINT) FROM k""".stripMargin,
 
     // decision table from the robots-directives fixture formulas: the
     // parser/segment walk never appears. Second star group's 7 beats
