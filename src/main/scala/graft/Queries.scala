@@ -3109,6 +3109,36 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the pipeline with a domain BLOCKLIST (the UT1-class URL filter):
+    // site9.com is blocked at the eTLD+1 grain, so every page whose
+    // URL-twin-adjusted host lands there (u%10=9) must vanish before
+    // robots — the oracle applies the same predicate in the rob CTE
+    // (pre-language filters commute, so placement is oracle-exact)
+    "pipeline_e2e_blocked" -> ((s, dir) => {
+      val (captures, robotsDf, bench) = pipeFixture(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_pipeb").toString + "/shards"
+      graft.ops.Pipeline.curateCrawl(captures, "doc_id", "warc",
+          robotsDf, "host", "txt", bench, "text", out,
+          PipeConfig.copy(blockedDomains = Seq("site9.com")))
+        .orderBy("doc_id")
+    }),
+
+    // the incremental run's audit funnel: ten rows — the seen-screen
+    // drop surfaces as its OWN stage between url_dedup and near_dup
+    // instead of hiding inside the minhash row
+    "pipeline_funnel_incremental" -> ((s, dir) => {
+      val (captures, robotsDf, bench) = pipeFixture(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_pipefi").toString
+      val cfg = PipeConfig.copy(seenDir = base + "/seen")
+      graft.ops.Pipeline.curateCrawl(
+        captures.where(col("doc_id") % 2 === 0), "doc_id", "warc",
+        robotsDf, "host", "txt", bench, "text", base + "/shards1", cfg)
+      graft.ops.Pipeline.curateCrawlAudited(
+        captures.where(col("doc_id") % 2 === 1), "doc_id", "warc",
+        robotsDf, "host", "txt", bench, "text", base + "/shards2", cfg)
+        .funnel.orderBy("stage_idx")
+    }),
+
     // the INCREMENTAL pipeline: wave 1 (even doc_ids) runs first and
     // accretes its post-URL-dedup content fingerprints into the seen
     // store; wave 2 (odd doc_ids) must drop every page whose content an
@@ -6743,6 +6773,26 @@ object Queries {
     // against wave 1's (even ids) URL-dedup survivors
     "pipeline_incremental" ->
       pipeE2eSql(docWhere = "doc_id % 2 = 1", seenWave = Some("doc_id % 2 = 0")),
+
+    // blocklist: site9.com blocked at eTLD+1 ⟺ the fixture's u%10=9 hosts
+    "pipeline_e2e_blocked" -> pipeE2eSql("u % 10 <> 9"),
+
+    // the incremental funnel: wave-2 stage counts with the seen-screen
+    // row re-counted from the cross-wave NOT EXISTS CTE
+    "pipeline_funnel_incremental" ->
+      s"""WITH ${pipeCtes(docWhere = "doc_id % 2 = 1", seenWave = Some("doc_id % 2 = 0"))}
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM ids
+         |  UNION ALL SELECT 1, 'robots', count(*) FROM rob
+         |  UNION ALL SELECT 2, 'lang', count(*) FROM lng
+         |  UNION ALL SELECT 3, 'url_dedup', count(*) FROM urld
+         |  UNION ALL SELECT 4, 'seen_screen', count(*) FROM inc
+         |  UNION ALL SELECT 5, 'near_dup', count(*) FROM nd
+         |  UNION ALL SELECT 6, 'decontam', count(*) FROM dec
+         |  UNION ALL SELECT 7, 'quality', count(*) FROM q
+         |  UNION ALL SELECT 8, 'domain_cap', count(*) FROM cap
+         |  UNION ALL SELECT 9, 'written', count(*) FROM sp)
+         |ORDER BY stage_idx""".stripMargin,
 
     // per-stage survivor counts over the SAME replay chain; `domain_cap`
     // counts the cap stage itself and `written` the on-disk readback, so

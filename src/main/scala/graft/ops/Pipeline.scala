@@ -101,6 +101,7 @@ object Pipeline {
       httpParse: Boolean = false,
       httpAllowedMimes: Seq[String] = Seq("text/html"),
       seenDir: String = "",
+      blockedDomains: Seq[String] = Nil,
       maxBroadcastRows: Long = 1000000L)
 
   /** [[curateCrawlAudited]]'s result: the curated per-document frame,
@@ -235,11 +236,21 @@ object Pipeline {
     } else respRecs)
 
     // S2: robots.txt policy (fail-open for hosts without rules)
-    val withHp = recs
+    val withHp0 = recs
       .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)", 1))
       .withColumn("path",
         when(regexp_extract(col("url"), "https?://[^/]+(/.*)$", 1) === "", "/")
           .otherwise(regexp_extract(col("url"), "https?://[^/]+(/.*)$", 1)))
+    // S2.1 (blockedDomains non-empty): the UT1-class URL blocklist at the
+    // registered-domain (eTLD+1) grain — subdomains of a blocked site
+    // fall with it — applied before the robots join and every text stage
+    // so blocked pages never cost parsing. Hosts without a registrable
+    // domain (bare suffixes) pass through to the later stages' rules.
+    val withHp = if (cfg.blockedDomains.isEmpty) withHp0 else
+      withHp0.where(coalesce(
+        !TextAnalysis.registeredDomain(col("host"), cfg.domainSuffixes)
+          .getField("registered_domain").isin(cfg.blockedDomains: _*),
+        lit(true)))
     val rules = Robots.parseRules(robots.select(
       col(robotsHostCol).as("host"), col(robotsTxtCol).as("txt")), "host", "txt")
     val verdicts = Robots.robotsFilter(
@@ -325,7 +336,11 @@ object Pipeline {
     } else {
       val rows = Seq(
         ("ingest", recs.count()), ("robots", allowed.count()),
-        ("lang", en.count()), ("url_dedup", urld.count()),
+        ("lang", en.count()), ("url_dedup", urld.count())) ++
+        // the incremental screen gets its OWN funnel row (its frame is
+        // already materialized) so its drop never hides inside near_dup's
+        (if (cfg.seenDir.nonEmpty) Seq(("seen_screen", screened.count()))
+         else Seq.empty) ++ Seq(
         ("near_dup", nd.count()),
         ("decontam", flagged.where(col("_keep_dec")).count()),
         ("quality", flagged.where(col("_keep_dec") && col("_keep_q")).count()),
