@@ -329,7 +329,7 @@ object Bench {
         // bucketing window
         "sitemap_index", "redirect_resolve", "bytebpe_encode", "http_parse",
         "extract_links", "lang_id_script", "ccnet_buckets", "resolve_url",
-        "web_link_graph")
+        "web_link_graph", "anchor_texts")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

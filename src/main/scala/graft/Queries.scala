@@ -2733,6 +2733,21 @@ object Queries {
         docs(s, dir).select(col("doc_id"),
           linkHtmlFixture(col("doc_id")).as("html")), "doc_id", "html")),
 
+    // anchor-text corpus over the same link fixture: per TARGET URL, the
+    // incoming-anchor count and sorted distinct anchors — '/' and
+    // '/about' aggregate a whole host-class's pages, per-page targets
+    // get their single anchor, the k%5=0 empty self-reference lands on
+    // the page's own URL. Oracle = the per-target decision table
+    "anchor_texts" -> ((s, dir) => {
+      val idS = col("doc_id").cast("string")
+      val pageUrl = concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
+        lit(".com/a/page"), idS, lit(".html"))
+      TextAnalysis.anchorTexts(
+        docs(s, dir).select(col("doc_id"), pageUrl.as("page_url"),
+          linkHtmlFixture(col("doc_id")).as("html")),
+        "doc_id", "page_url", "html")
+    }),
+
     // the session's crawl ops COMPOSED into the web-graph builder:
     // extractLinks → resolveUrl against each page's own URL → host
     // extraction → host-level edge aggregation. Relative hrefs ("/",
@@ -6884,6 +6899,26 @@ object Queries {
         |  'https://site' || k || '.com/page' || i || '?x=1', 'page ' || i || ' here' FROM b
         |UNION ALL SELECT doc_id, 3, 'https://alt' || k || '.org/p' || i, 'alt ' || i FROM b
         |UNION ALL SELECT doc_id, 4, '', 'empty' FROM b WHERE doc_id % 5 = 0""".stripMargin,
+
+    // per-target decision table from the link fixture formulas: '/' and
+    // '/about' collect one host-class's pages (anchors 'Home' /
+    // 'About Us'), per-page site/alt targets carry their one anchor,
+    // empty self-references land on the page's own URL
+    "anchor_texts" ->
+      """WITH b AS (SELECT doc_id, doc_id % 10 AS k,
+        |    CAST(doc_id % 10 AS VARCHAR) AS ks, CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents),
+        |kk AS (SELECT k, CAST(k AS VARCHAR) AS ks, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT 'https://h' || ks || '.com/' AS dst_url,
+        |  CAST(n AS BIGINT) AS n_anchors, 'Home' AS anchors FROM kk
+        |UNION ALL SELECT 'https://h' || ks || '.com/about',
+        |  CAST(n AS BIGINT), 'About Us' FROM kk
+        |UNION ALL SELECT 'https://site' || ks || '.com/page' || i || '?x=1',
+        |  CAST(1 AS BIGINT), 'page ' || i || ' here' FROM b
+        |UNION ALL SELECT 'https://alt' || ks || '.org/p' || i,
+        |  CAST(1 AS BIGINT), 'alt ' || i FROM b
+        |UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html',
+        |  CAST(1 AS BIGINT), 'empty' FROM b WHERE doc_id % 5 = 0""".stripMargin,
 
     // edge-count decision table from the link fixture formulas: each
     // page contributes two self-host edges ("/", "/about#f"), one to

@@ -1144,6 +1144,32 @@ object TextAnalysis {
         col("l.href").as("href"), col("l.anchor").as("anchor"))
   }
 
+  /** Anchor-text corpus — the classic weak-supervision signal for
+    * retrieval training (anchor text ≈ a query for the page it points
+    * at): every page's links extract ([[extractLinks]]), resolve against
+    * the page's own URL ([[resolveUrl]]), and group by TARGET — one row
+    * per linked-to URL with its incoming-anchor count and the sorted
+    * distinct anchor strings. Empty anchors (image links) drop.
+    *
+    * Scale shape: link extraction + resolution are the per-row chains;
+    * the one aggregation keys on the target URL and carries
+    * (dst_url, anchor) pairs — anchor strings are short and the
+    * distinct-set state is bounded per target by vocabulary, not by
+    * in-degree (collect_set); at 100 TB swap the raw URL key for its
+    * 8-byte hash and keep a sampled anchor set per hot target.
+    * Output: (dst_url, n_anchors, anchors '|'-joined sorted distinct).
+    */
+  def anchorTexts(pages: org.apache.spark.sql.DataFrame, idCol: String,
+                  urlCol: String, htmlCol: String): org.apache.spark.sql.DataFrame =
+    extractLinks(pages, idCol, htmlCol)
+      .join(pages.select(col(idCol), col(urlCol).as("_page_url")), idCol)
+      .select(resolveUrl(col("_page_url"), col("href")).as("dst_url"),
+        col("anchor"))
+      .where(col("anchor") =!= "")
+      .groupBy(col("dst_url"))
+      .agg(count(lit(1)).as("n_anchors"),
+        array_join(sort_array(collect_set(col("anchor"))), "|").as("anchors"))
+
   /** RFC 3986 §5 relative-reference resolution for crawl frontiers —
     * the step between [[extractLinks]]' raw hrefs (mostly relative:
     * `/about`, `img.png`, `../up`, `?page=2`, `//cdn.example/lib.js`)
