@@ -2610,6 +2610,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan.linesIterator.take(3).mkString("\n"))
   }
 
+  test("anchorTexts: image-only links drop, anchors aggregate per resolved target") {
+    import graft.ops.TextAnalysis
+    val pages = Seq(
+      (1L, "https://a.io/p1.html",
+        "<a href=\"/t\">go</a> <a href=\"/img\"><img src=\"i.png\"/></a>"),
+      (2L, "https://a.io/p2.html", "<a href=\"/t\">GO there</a>")
+    ).toDF("id", "url", "html")
+    val got = TextAnalysis.anchorTexts(pages, "id", "url", "html")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // the image-only link's anchor strips to empty and DROPS — /img never appears
+    assert(got == Set(("https://a.io/t", 2L, "GO there|go")))
+  }
+
   test("resolveUrl: dot-segment corners — root .., trailing .., a//b kept, fragment-only ref") {
     import graft.ops.TextAnalysis
     val cases = Seq(
