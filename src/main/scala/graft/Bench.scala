@@ -4,7 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Headline benchmark: one JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * (also written to `bench/BENCH_LATEST.json`), followed by ONE compact
+  * `{"adjudicate":...}` line sized to survive a truncated stdout tail —
+  * per-pass loadavgs, per-pass totals and min-merged anchor times, so the
+  * preserved artifact itself distinguishes co-tenant contention (one pass
+  * uniformly inflated at high load) from a real regression.
   *
   * The vector workload at bench scale comes from a synthetic dim-64
   * embedding table derived from lineitem keys (FIXTURES.md): ~600k vectors
@@ -329,7 +334,12 @@ object Bench {
         // bucketing window
         "sitemap_index", "redirect_resolve", "bytebpe_encode", "http_parse",
         "extract_links", "lang_id_script", "ccnet_buckets", "resolve_url",
-        "web_link_graph", "anchor_texts")
+        "web_link_graph", "anchor_texts",
+        // round-14 tripwires: the 7-stage frontier composition (flags +
+        // distinct + robots + bounded per-site cap), the capped anchor
+        // aggregation (the bounded-heap collect_set replacement), and
+        // the baseline-JPEG luma decode (Huffman + islow IDCT per row)
+        "frontier_e2e", "anchor_texts_capped", "jpeg_luma_decode")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
@@ -450,7 +460,34 @@ object Bench {
       val t = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       s"""{"loadavg":"$load","queries":$t}"""
     }.mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}""")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The full JSON above runs tens of KB and any stdout tail capture can
+    // cut it mid-line — rounds 11-13 each needed out-of-band evidence to
+    // separate co-tenant contention from regression. Two transports fix
+    // that: (1) the full self-adjudicating JSON lands in a repo-tracked
+    // file, and (2) the LAST stdout line is a compact (<1500 chars)
+    // adjudication record — per-pass loadavgs + per-pass suite totals +
+    // min-merged anchor times — that survives any tail window verbatim.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_LATEST.json")
+    val wrote = scala.util.Try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+      p.toAbsolutePath.toString
+    }.getOrElse("unwritable:" + outPath)
+    val anchorNames = Seq("knn_l2_600k", "quant_knn_600k", "ann_join64_600k",
+      "q1_pricing", "pagerank", "vocab_top", "minhash_lsh_pairs",
+      "wordpiece_vocab", "unigram_vocab", "logreg_train", "pipeline_e2e",
+      "domain_cap", "xl_quant_knn_1m768", "xl_minhash_lsh_1m")
+    val anchors = anchorNames.filter(results.contains)
+      .map(n => "\"" + n + "\":" + f"${results(n)}%.3f").mkString("{", ",", "}")
+    val loads = passes.map(p => "\"" + p._1 + "\"").mkString("[", ",", "]")
+    val passTotals = passes.map(p => f"${p._2.values.sum}%.1f").mkString("[", ",", "]")
+    println(s"""{"adjudicate":{"loads":$loads,"pass_totals":$passTotals,""" +
+      f""""total_min":$total%.3f,"n_queries":${results.size},""" +
+      s""""artifact":"$wrote","anchors":$anchors}}""")
     spark.stop()
   }
 }

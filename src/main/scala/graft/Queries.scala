@@ -532,9 +532,11 @@ object Queries {
   /** Fixture tail for the byte-level BPE gates: contractions, a
     * double-space run (the lookahead-rule case), multi-byte UTF-8
     * (2-byte é, 3-byte …), digits, a punctuation run, an "llll" run
-    * (greedy non-overlap) and trailing whitespace.
+    * (greedy non-overlap), a PRE-EXISTING U+0001 control char (the
+    * injected-separator collision — it must strip, not split the "x!!zz"
+    * run), and trailing whitespace.
     */
-  private val ByteBpeExtra = " don't all the café 42… llll x!!  "
+  private val ByteBpeExtra = " don't all the café 42… llll x!!\u0001zz  "
 
   /** Literal merge table for `bytebpe_encode` ("Ġ" = byte-mapped
     * space): rank order matters (Ġt must exist before Ġt+h
@@ -559,7 +561,8 @@ object Queries {
        |    list_transform($cps, c -> chr(c))) AS m),
        |bt AS (SELECT doc_id, text || '$extra' AS text FROM documents),
        |binj AS (SELECT doc_id,
-       |    regexp_replace(text, '(\\s+)(\\s\\S)', '\\1' || chr(1) || '\\2', 'g') AS it
+       |    regexp_replace(replace(text, chr(1), ''),
+       |      '(\\s+)(\\s\\S)', '\\1' || chr(1) || '\\2', 'g') AS it
        |  FROM bt),
        |btk AS (SELECT doc_id, flatten(list_transform(string_split(it, chr(1)),
        |    seg -> regexp_extract_all(seg,
@@ -995,6 +998,31 @@ object Queries {
     * table and the one-row benchmark corpus.
     */
   /** The per-host robots table of the pipeline fixtures. */
+  /** Pages frame for the frontier gates: the link fixture under each
+    * page's own URL (the anchor_texts shape). */
+  private def frontierPages(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val pageUrl = concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
+      lit(".com/a/page"), idS, lit(".html"))
+    docs(s, dir).select(col("doc_id"), pageUrl.as("page_url"),
+      linkHtmlFixture(col("doc_id")).as("html"))
+  }
+
+  /** robots.txt for the frontier gates: rules for the site{k}.com hosts
+    * only (h{k}.com and alt{k}.org stay rule-less → fail-open): odd k
+    * disallows /page (killing that whole class), every k carries a
+    * Crawl-delay of k seconds.
+    */
+  private def frontierRobots(s: SparkSession): org.apache.spark.sql.DataFrame =
+    s.range(10).select(
+      concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+      concat(lit("User-agent: *\n"),
+        when(col("id") % 2 === 1, lit("Disallow: /page\n")).otherwise(lit("")),
+        lit("Crawl-delay: "), col("id").cast("string"), lit("\n")).as("txt"))
+
+  private val FrontierCfg = graft.ops.Pipeline.FrontierConfig(
+    blockedDomains = Seq("alt3.org"), maxPerSite = 30)
+
   private[graft] def pipeRobots(s: SparkSession): org.apache.spark.sql.DataFrame =
     s.range(10).select(
       concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
@@ -1004,9 +1032,12 @@ object Queries {
     * formulas \u2014 shared by the pipeline gates and the XL bench row (which
     * feeds `spark.range(1M)` instead of the gate's documents table).
     * `httpWrap` = true wraps each html payload in an HTTP response
-    * envelope (the real crawl shape) with two new ingest drop classes:
-    * a 404 status every 13th doc and an application/json media type
-    * every 11th \u2014 the pipeline_e2e_http gate's S1.5 filter targets.
+    * envelope (the real crawl shape) with three ingest drop classes:
+    * a 404 status every 13th doc, an application/json media type every
+    * 11th, and an UNTERMINATED header block (no blank line \u2014 the
+    * truncated-capture shape, which parses status 200 + an allowed mime
+    * but a NULL body) every 23rd \u2014 the pipeline_e2e_http gate's S1.5
+    * filter targets.
     */
   private[graft] def pipeCaptures(d0: org.apache.spark.sql.DataFrame,
       httpWrap: Boolean = false): org.apache.spark.sql.DataFrame = {
@@ -1044,7 +1075,7 @@ object Queries {
       lit("\r\nContent-Type: "),
       when(did % 11 === 4, lit("application/json"))
         .otherwise(lit("text/html; charset=UTF-8")),
-      lit("\r\n\r\n"), html)
+      when(did % 23 === 15, lit("\r\n")).otherwise(lit("\r\n\r\n")), html)
     val warc = concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
       lit("\r\nContent-Length: "), length(payload).cast("string"),
@@ -1091,6 +1122,70 @@ object Queries {
     graft.ops.Warc.gzMember("response", Some(url), html) ++
       graft.ops.Warc.gzMember("metadata", None,
         (if (docId % 7 == 0) "seen: WARC/1.0\r\n" else "") + "lang: en")
+  }
+
+  /** Fixture for the jpeg_luma_decode gate: a 72×64 grayscale and a
+    * 72×64 color BufferedImage from deterministic per-doc pixel
+    * formulas, encoded by the JDK's OWN ImageIO JPEG writer (an
+    * INDEPENDENT implementation), then decoded back by ImageIO to give
+    * reference luma stats + dHash. Returns (grayJpg, colorJpg,
+    * gRefSum, gRefMax, gRefDhash, cRefSum, cRefDhash). The gate then
+    * runs OUR decoder over the same bytes and asserts agreement —
+    * dimensions exactly, sums/max/dhash within the documented
+    * IDCT/color-roundtrip tolerances. Color uses the writer's default
+    * 4:2:0 subsampling, so MCU padding + crop is exercised (72 is not a
+    * multiple of 16).
+    */
+  private[graft] def jpegGateFixture(id: Long)
+      : (Array[Byte], Array[Byte], Long, Long, Long, Long, Long) = {
+    import java.awt.image.BufferedImage
+    val w = 72; val h = 64
+    def encode(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val c = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gv = ((x * 3 + y * 2 + (id % 64)).toInt) % 256
+        g.getRaster.setSample(x, y, 0, gv)
+        val r = ((x * 4 + id) % 256).toInt
+        val gg = (y * 4 % 256)
+        val b = ((x + y) * 2 % 256)
+        c.setRGB(x, y, (r << 16) | (gg << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val gJpg = encode(g); val cJpg = encode(c)
+    // reference decode by the SAME independent implementation
+    val gBack = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gJpg))
+    val cBack = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cJpg))
+    val gLuma = new Array[Int](w * h); val cLuma = new Array[Int](w * h)
+    var gSum = 0L; var gMax = 0L; var cSum = 0L
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gv = gBack.getRaster.getSample(x, y, 0)
+        gLuma(y * w + x) = gv
+        gSum += gv; if (gv > gMax) gMax = gv
+        val rgb = cBack.getRGB(x, y)
+        val cv = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000
+        cLuma(y * w + x) = cv
+        cSum += cv
+        x += 1
+      }
+      y += 1
+    }
+    val gDh = graft.ops.Jpeg.dhashOfLuma(w, h, gLuma).get
+    val cDh = graft.ops.Jpeg.dhashOfLuma(w, h, cLuma).get
+    (gJpg, cJpg, gSum, gMax, gDh, cSum, cDh)
   }
 
   private val PipeConfig = graft.ops.Pipeline.CurateConfig(
@@ -2442,6 +2537,7 @@ object Queries {
         .when(col("j") === 6, lit("c1")).otherwise(lit("n0")))
       val status = when(col("j") === 4, lit("200 OK"))
         .when(col("j") === 3, lit("308 Permanent Redirect"))
+        .when(col("j") === 5, lit("303 See Other")) // c0→c1 cycle edge rides a 303
         .when(col("j") % 2 === 0 || col("j") === 7, lit("301 Moved Permanently"))
         .otherwise(lit("302 Found"))
       val dst = u(when(col("j") <= 3, concat(lit("p"), (col("j") + 1).cast("string")))
@@ -2685,7 +2781,9 @@ object Queries {
           lit("<script>var x = 1 < 2 && \"</p>\";</script></head>"),
           lit("<body><!-- note --><p class=\"a\" id=\"p"), col("doc_id").cast("string"), lit("\">"),
           col("text"),
-          lit("</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>")))
+          lit("</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;" +
+            "num &#77;&#x6d; nb&#160;sp amp&#38;amp; big&#2000000; " +
+            "sur&#xD801; nul&#0; tab&#9;t end</div></body></html>")))
           .as("clean"))),
 
     // main-content extraction over a full boilerplate gauntlet: nav +
@@ -2746,6 +2844,28 @@ object Queries {
         docs(s, dir).select(col("doc_id"), pageUrl.as("page_url"),
           linkHtmlFixture(col("doc_id")).as("html")),
         "doc_id", "page_url", "html")
+    }),
+
+    // the CAPPED anchor corpus: every doc links one hub target under a
+    // per-doc anchor ('tag i') plus a shared one ('common') — ~501
+    // distinct anchors on ONE target — and its own per-doc self target.
+    // maxAnchorsPerTarget = 5 must (a) keep the hub's 5 smallest by the
+    // deterministic (fingerprint-hash, anchor) priority, (b) raise the
+    // EXACT anchors_capped flag on the hub only, (c) leave the complete
+    // self targets unflagged; the cap sits far under the fixture
+    // cardinality so the cut itself is value-gated
+    "anchor_texts_capped" -> ((s, dir) => {
+      val idS = col("doc_id").cast("string")
+      val pageUrl = concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
+        lit(".com/p"), idS)
+      val html = concat(
+        lit("<a href=\"https://hub.example.com/\">tag "), idS, lit("</a>"),
+        lit("<a href=\"https://hub.example.com/\">common</a>"),
+        lit("<a href=\"/s/"), idS, lit("\">self "), idS, lit("</a>"))
+      TextAnalysis.anchorTexts(
+        docs(s, dir).select(col("doc_id"), pageUrl.as("page_url"),
+          html.as("html")),
+        "doc_id", "page_url", "html", maxAnchorsPerTarget = 5)
     }),
 
     // the session's crawl ops COMPOSED into the web-graph builder:
@@ -3151,7 +3271,7 @@ object Queries {
       graft.ops.Pipeline.curateCrawlAudited(
         captures.where(col("doc_id") % 2 === 1), "doc_id", "warc",
         robotsDf, "host", "txt", bench, "text", base + "/shards2", cfg)
-        .funnel.orderBy("stage_idx")
+        .funnel.select("stage_idx", "stage", "n_docs").orderBy("stage_idx")
     }),
 
     // the INCREMENTAL pipeline: wave 1 (even doc_ids) runs first and
@@ -3174,6 +3294,60 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the SAME two waves with the seen screen routed through the Bloom
+    // prefilter (the documented 100 TB swap, now a CurateConfig knob):
+    // identical oracle — Bloom has no false negatives and might-be-seen
+    // rows pay the exact confirm join, so results must hash-match the
+    // exact-screen gate byte for byte
+    "pipeline_incremental_bloom" -> ((s, dir) => {
+      val (captures, robotsDf, bench) = pipeFixture(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_pipeib").toString
+      val cfg = PipeConfig.copy(seenDir = base + "/seen", seenBloom = true,
+        seenBloomItems = 1L << 10, seenBloomBits = 1L << 14)
+      graft.ops.Pipeline.curateCrawl(
+        captures.where(col("doc_id") % 2 === 0), "doc_id", "warc",
+        robotsDf, "host", "txt", bench, "text", base + "/shards1", cfg)
+      graft.ops.Pipeline.curateCrawl(
+        captures.where(col("doc_id") % 2 === 1), "doc_id", "warc",
+        robotsDf, "host", "txt", bench, "text", base + "/shards2", cfg)
+        .orderBy("doc_id")
+    }),
+
+    // the crawl-frontier COMPOSITION (the crawling half of the product
+    // claim, the curateCrawl of fetching): fetched pages → extracted
+    // links → resolved → canonicalized → alt3.org blocked at eTLD+1 →
+    // already-fetched screen (the every-5th self-reference) → distinct →
+    // robots verdicts (odd-k site hosts disallow /page; rule-less hosts
+    // fail open) → Crawl-delay annotation → per-site cap of 30 by the
+    // deterministic (fingerprint, url) priority with the exact
+    // site_capped flag. Oracle = the per-stage decision table + the
+    // replayed priority cut — no operator internals appear
+    "frontier_e2e" -> ((s, dir) =>
+      graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
+        "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg)),
+
+    // the frontier's audited funnel: seven monotone stage counts from
+    // the same decision chain
+    "frontier_funnel" -> ((s, dir) =>
+      graft.ops.Pipeline.buildFrontierAudited(frontierPages(s, dir), "doc_id",
+        "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg)
+        .funnel.orderBy("stage_idx")),
+
+    // the http profile's funnel: pins WHERE the three envelope drop
+    // classes (404, wrong mime, unterminated-header NULL body) fall —
+    // the ingest row must already exclude all three, so a NULL-body
+    // capture that silently rode into extraction and died at the
+    // language gate would shift the ingest/lang counts and value-fail
+    "pipeline_funnel_http" -> ((s, dir) => {
+      val captures = pipeCaptures(docs(s, dir).select(col("doc_id")), httpWrap = true)
+      val out = java.nio.file.Files.createTempDirectory("graft_pipefh").toString + "/shards"
+      graft.ops.Pipeline.curateCrawlAudited(captures, "doc_id", "warc",
+          pipeRobots(s), "host", "txt",
+          s.range(1).select(lit(PipeBench).as("text")), "text", out,
+          PipeConfig.copy(httpParse = true))
+        .funnel.select("stage_idx", "stage", "n_docs").orderBy("stage_idx")
+    }),
+
     // the same pipeline's per-stage audit FUNNEL (the observability
     // artifact a production run logs): one row per drop stage with the
     // surviving count; the oracle re-counts each stage's survivor CTE
@@ -3182,7 +3356,7 @@ object Queries {
       val out = java.nio.file.Files.createTempDirectory("graft_pipef").toString + "/shards"
       graft.ops.Pipeline.curateCrawlAudited(captures, "doc_id", "warc",
           robotsDf, "host", "txt", bench, "text", out, PipeConfig)
-        .funnel.orderBy("stage_idx")
+        .funnel.select("stage_idx", "stage", "n_docs").orderBy("stage_idx")
     }),
 
     // Semantic decontamination: min cosine distance to a 10-vector
@@ -3947,6 +4121,35 @@ object Queries {
           col("meta.byte_len").as("byte_len"))
     }),
 
+    // REAL baseline-JPEG luma decode (Huffman + dequant + islow IDCT)
+    // adjudicated against the JDK's OWN ImageIO codec: the fixture
+    // encodes deterministic 72×64 gray + color images with ImageIO,
+    // ImageIO decodes them back for the reference luma, and OUR decoder
+    // must agree — dimensions exactly; sums/max/dhash within the
+    // documented tolerances (gray: ≤1/px IDCT spread; color: ≤2/px for
+    // the RGB→luma round-trip through the writer's 4:2:0 color convert,
+    // which also exercises MCU padding + crop since 16 ∤ 72). The
+    // oracle is the all-TRUE decision table — the recall_l2 pattern:
+    // DuckDB cannot decode JPEG, but the gate still value-fails the
+    // moment our decoder drifts from the independent implementation
+    "jpeg_luma_decode" -> ((s, dir) => {
+      val fx = udf((id: Long) => jpegGateFixture(id))
+      val f = docs(s, dir).select(col("doc_id"), fx(col("doc_id")).as("fx"))
+      val g = graft.functions.jpeg_luma_stats(col("fx._1"))
+      val c = graft.functions.jpeg_luma_stats(col("fx._2"))
+      val area = lit(72L * 64L)
+      f.select(col("doc_id"),
+        g.getField("width").as("g_w"), g.getField("height").as("g_h"),
+        (abs(g.getField("sum_luma") - col("fx._3")) <= area).as("g_sum_ok"),
+        (abs(g.getField("max_luma") - col("fx._4")) <= lit(1L)).as("g_max_ok"),
+        (bit_count(graft.functions.jpeg_dhash(col("fx._1"))
+          .bitwiseXOR(col("fx._5"))) <= lit(2)).as("g_dhash_ok"),
+        c.getField("width").as("c_w"), c.getField("height").as("c_h"),
+        (abs(c.getField("sum_luma") - col("fx._6")) <= area * 2).as("c_sum_ok"),
+        (bit_count(graft.functions.jpeg_dhash(col("fx._2"))
+          .bitwiseXOR(col("fx._7"))) <= lit(4)).as("c_dhash_ok"))
+    }),
+
     // Frame sampling over real WAV headers: every 7th sample frame of each
     // audio payload becomes a row (the per-frame rows a real decoder slots
     // into); the oracle restates the stride arithmetic from the fixture's
@@ -4358,7 +4561,10 @@ object Queries {
 
   /** Shared HTML fixture for the extract_links / web_link_graph gates:
     * case-varied tags, both quote styles, nested markup, an href-less
-    * anchor, and an empty (self-referencing) href every 5th doc.
+    * anchor, an empty (self-referencing) href every 5th doc, and an
+    * anchor carrying numeric + named entities (`alt&#32;&#77;&amp;x` →
+    * "alt M&x") — the entity-decode path every anchor inherits from
+    * cleanFragment.
     */
   private def linkHtmlFixture(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val idS = idCol.cast("string")
@@ -4368,11 +4574,46 @@ object Queries {
         "<a href=\"/about#f\">About<b>Us</b></a></nav><p>see "),
       lit("<a href=\"https://site"), k, lit(".com/page"), idS,
       lit("?x=1\" rel=\"x\">page "), idS, lit("\n here</a> and "),
-      lit("<a href='https://alt"), k, lit(".org/p"), idS, lit("'>alt "), idS,
+      lit("<a href='https://alt"), k, lit(".org/p"), idS,
+      lit("'>alt&#32;&#77;&amp;x "), idS,
       lit("</a> <a name=\"n\">not a link</a>"),
       when(idCol % 5 === 0, lit(" <a href=\"\">empty</a>"))
         .otherwise(lit("")),
       lit("</p></body></html>"))
+  }
+
+  /** Shared decision-table CTEs for the frontier gates: `ext` = one row
+    * per extracted link with its resolved+canonical URL and the
+    * blocklist / already-fetched flags (all derived from the fixture
+    * formulas), `d` = the distinct candidate set, `alw` = post-robots
+    * survivors (odd-k site hosts disallow /page), `sel` = the per-domain
+    * (rolling-hash, url) priority ranking for the cap.
+    */
+  private def frontierCtes: String = {
+    val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, length(url)), " +
+      "j -> CAST(ascii(url[j]) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    s"""b AS (SELECT doc_id, doc_id % 10 AS k, CAST(doc_id % 10 AS VARCHAR) AS ks,
+       |    CAST(doc_id AS VARCHAR) AS i FROM documents),
+       |ext AS (
+       |  -- '/' canonicalizes to the bare host (the example.com/ = example.com identity)
+       |  SELECT 'https://h' || ks || '.com' AS url, k, FALSE AS blocked, FALSE AS fetched FROM b
+       |  UNION ALL SELECT 'https://h' || ks || '.com/about', k, FALSE, FALSE FROM b
+       |  UNION ALL SELECT 'https://site' || ks || '.com/page' || i || '?x=1', k, FALSE, FALSE FROM b
+       |  UNION ALL SELECT 'https://alt' || ks || '.org/p' || i, k, k = 3, FALSE FROM b
+       |  UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html', k, FALSE, TRUE FROM b
+       |    WHERE doc_id % 5 = 0),
+       |cand AS (SELECT url, k FROM ext WHERE NOT blocked AND NOT fetched),
+       |d AS (SELECT DISTINCT url, k FROM cand),
+       |alw AS (SELECT url, k FROM d WHERE NOT (url LIKE 'https://site%' AND k % 2 = 1)),
+       |pr AS (SELECT url, k,
+       |    CASE WHEN url LIKE 'https://site%' THEN 'site' || CAST(k AS VARCHAR) || '.com'
+       |         WHEN url LIKE 'https://alt%' THEN 'alt' || CAST(k AS VARCHAR) || '.org'
+       |         ELSE 'h' || CAST(k AS VARCHAR) || '.com' END AS domain,
+       |    $fp AS fp
+       |  FROM alw),
+       |sel AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY fp, url) AS rn,
+       |    count(*) OVER (PARTITION BY domain) AS nd FROM pr)""".stripMargin
   }
 
   private def langHitsSql(words: Seq[String]): String = {
@@ -5851,17 +6092,40 @@ object Queries {
         |  '<script>var x = 1 < 2 && "</p>";</script></head>' ||
         |  '<body><!-- note --><p class="a" id="p' || CAST(doc_id AS VARCHAR) || '">' ||
         |  text ||
-        |  '</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'""".stripMargin
+        |  '</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;' ||
+        |  'num &#77;&#x6d; nb&#160;sp amp&#38;amp; big&#2000000; ' ||
+        |  'sur&#xD801; nul&#0; tab&#9;t end</div></body></html>'""".stripMargin
+      // numeric-reference decode replay: the injected-separator split,
+      // the decimal/hex code-point fold, the BMP profile guard, the
+      // chr(2) ampersand placeholder — TextAnalysis.decodeEntities
+      // restated verbatim (chr(cp) in DuckDB = the UTF-16BE byte path)
+      val hexd = "(regexp_extract(s, '^&#[xX]([0-9a-fA-F]+);$', 1))"
+      val cp = "(CASE WHEN regexp_matches(s, '^&#[0-9]+;$') THEN CAST(s[3:-2] AS BIGINT) " +
+        "ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($hexd)), " +
+        s"j -> CAST(strpos('0123456789abcdef', lower($hexd[j])) - 1 AS BIGINT))), " +
+        "(acc, d) -> acc * 16 + d) END)"
       s"""WITH h AS (SELECT doc_id, $wrapped AS h FROM documents),
          |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM h),
          |s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
          |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
          |s4 AS (SELECT doc_id, regexp_replace(h, '(?s)<[A-Za-z!/][^>]*>', ' ', 'g') AS h FROM s3),
+         |s4n AS (SELECT doc_id, array_to_string(list_transform(string_split(
+         |    regexp_replace(regexp_replace(h, chr(1) || '|' || chr(2), '', 'g'),
+         |      '(&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});)', chr(1) || '\\1' || chr(1), 'g'),
+         |    chr(1)),
+         |  s -> CASE WHEN NOT regexp_matches(s, '^&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});$$') THEN s
+         |       WHEN $cp IN (9, 10, 13) OR ($cp BETWEEN 32 AND 65533
+         |           AND $cp NOT BETWEEN 55296 AND 57343)
+         |         THEN CASE WHEN $cp = 38 THEN chr(2) WHEN $cp = 160 THEN ' '
+         |              ELSE chr(CAST($cp AS INTEGER)) END
+         |       ELSE s END), '') AS h FROM s4),
          |s5 AS (SELECT doc_id,
-         |  replace(replace(replace(replace(replace(replace(replace(h,
+         |  replace(replace(replace(replace(replace(replace(h,
          |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-         |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS h FROM s4)
-         |SELECT doc_id, trim(regexp_replace(h, '\\s+', ' ', 'g')) AS clean FROM s5""".stripMargin
+         |    '&apos;', chr(39)), '&amp;', '&') AS h FROM s4n),
+         |s6 AS (SELECT doc_id, replace(h, chr(2), '&') AS h FROM s5)
+         |SELECT doc_id, trim(regexp_replace(h, '\\s+', ' ', 'g')) AS clean FROM s6""".stripMargin
     },
 
     // extractMainContent: the identical rule chain replayed — semantic +
@@ -6782,11 +7046,18 @@ object Queries {
 
     // http profile: the staged replay with the two S1.5 ingest drop
     // classes (404 status, JSON media type) applied before robots
-    "pipeline_e2e_http" -> pipeE2eSql("doc_id % 13 <> 6 AND doc_id % 11 <> 4"),
+    "pipeline_e2e_http" -> pipeE2eSql(
+      "doc_id % 13 <> 6 AND doc_id % 11 <> 4 AND doc_id % 23 <> 15"),
 
     // incremental: wave 2 (odd ids) replayed with the cross-wave screen
     // against wave 1's (even ids) URL-dedup survivors
     "pipeline_incremental" ->
+      pipeE2eSql(docWhere = "doc_id % 2 = 1", seenWave = Some("doc_id % 2 = 0")),
+
+    // Bloom-routed screen: the oracle is IDENTICAL to the exact-screen
+    // gate's — the prefilter may only change join input size, never the
+    // result set
+    "pipeline_incremental_bloom" ->
       pipeE2eSql(docWhere = "doc_id % 2 = 1", seenWave = Some("doc_id % 2 = 0")),
 
     // blocklist: site9.com blocked at eTLD+1 ⟺ the fixture's u%10=9 hosts
@@ -6807,6 +7078,50 @@ object Queries {
          |  UNION ALL SELECT 7, 'quality', count(*) FROM q
          |  UNION ALL SELECT 8, 'domain_cap', count(*) FROM cap
          |  UNION ALL SELECT 9, 'written', count(*) FROM sp)
+         |ORDER BY stage_idx""".stripMargin,
+
+    // frontier decision table: each stage's survivor set restated from
+    // the fixture formulas (extraction, resolution, canonicalization,
+    // the PSL walk, the robots matcher and the heap never appear); the
+    // cap replays the (rolling-hash, url) priority cut
+    "frontier_e2e" ->
+      s"""WITH $frontierCtes
+         |SELECT url, domain AS host, domain,
+         |  CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
+         |       ELSE CAST(NULL AS DOUBLE) END AS crawl_delay,
+         |  nd > 30 AS site_capped
+         |FROM sel WHERE rn <= 30""".stripMargin,
+
+    // the frontier funnel: seven stage counts off the same CTE chain
+    "frontier_funnel" ->
+      s"""WITH $frontierCtes
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'extracted' AS stage, CAST(count(*) AS BIGINT) AS n_urls FROM ext
+         |  UNION ALL SELECT 1, 'resolved_http', count(*) FROM ext
+         |  UNION ALL SELECT 2, 'blocklist', count(*) FROM ext WHERE NOT blocked
+         |  UNION ALL SELECT 3, 'not_fetched', count(*) FROM ext WHERE NOT blocked AND NOT fetched
+         |  UNION ALL SELECT 4, 'distinct_url', count(*) FROM d
+         |  UNION ALL SELECT 5, 'robots_allowed', count(*) FROM alw
+         |  UNION ALL SELECT 6, 'site_cap', count(*) FROM sel WHERE rn <= 30)
+         |ORDER BY stage_idx""".stripMargin,
+
+    // http-profile funnel: the ingest row applies all three envelope
+    // drop classes (the NULL-body class included), pinning the drops to
+    // S1.5 rather than a later stage
+    "pipeline_funnel_http" ->
+      s"""WITH ${pipeCtes(ingWhere =
+             "doc_id % 13 <> 6 AND doc_id % 11 <> 4 AND doc_id % 23 <> 15")}
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM ids
+         |    WHERE doc_id % 13 <> 6 AND doc_id % 11 <> 4 AND doc_id % 23 <> 15
+         |  UNION ALL SELECT 1, 'robots', count(*) FROM rob
+         |  UNION ALL SELECT 2, 'lang', count(*) FROM lng
+         |  UNION ALL SELECT 3, 'url_dedup', count(*) FROM urld
+         |  UNION ALL SELECT 4, 'near_dup', count(*) FROM nd
+         |  UNION ALL SELECT 5, 'decontam', count(*) FROM dec
+         |  UNION ALL SELECT 6, 'quality', count(*) FROM q
+         |  UNION ALL SELECT 7, 'domain_cap', count(*) FROM cap
+         |  UNION ALL SELECT 8, 'written', count(*) FROM sp)
          |ORDER BY stage_idx""".stripMargin,
 
     // per-stage survivor counts over the SAME replay chain; `domain_cap`
@@ -6897,7 +7212,7 @@ object Queries {
         |UNION ALL SELECT doc_id, 1, '/about#f', 'About Us' FROM b
         |UNION ALL SELECT doc_id, 2,
         |  'https://site' || k || '.com/page' || i || '?x=1', 'page ' || i || ' here' FROM b
-        |UNION ALL SELECT doc_id, 3, 'https://alt' || k || '.org/p' || i, 'alt ' || i FROM b
+        |UNION ALL SELECT doc_id, 3, 'https://alt' || k || '.org/p' || i, 'alt M&x ' || i FROM b
         |UNION ALL SELECT doc_id, 4, '', 'empty' FROM b WHERE doc_id % 5 = 0""".stripMargin,
 
     // per-target decision table from the link fixture formulas: '/' and
@@ -6910,15 +7225,47 @@ object Queries {
         |  FROM documents),
         |kk AS (SELECT k, CAST(k AS VARCHAR) AS ks, count(*) AS n FROM b GROUP BY 1, 2)
         |SELECT 'https://h' || ks || '.com/' AS dst_url,
-        |  CAST(n AS BIGINT) AS n_anchors, 'Home' AS anchors FROM kk
+        |  CAST(n AS BIGINT) AS n_anchors, 'Home' AS anchors,
+        |  FALSE AS anchors_capped FROM kk
         |UNION ALL SELECT 'https://h' || ks || '.com/about',
-        |  CAST(n AS BIGINT), 'About Us' FROM kk
+        |  CAST(n AS BIGINT), 'About Us', FALSE FROM kk
         |UNION ALL SELECT 'https://site' || ks || '.com/page' || i || '?x=1',
-        |  CAST(1 AS BIGINT), 'page ' || i || ' here' FROM b
+        |  CAST(1 AS BIGINT), 'page ' || i || ' here', FALSE FROM b
         |UNION ALL SELECT 'https://alt' || ks || '.org/p' || i,
-        |  CAST(1 AS BIGINT), 'alt ' || i FROM b
+        |  CAST(1 AS BIGINT), 'alt M&x ' || i, FALSE FROM b
         |UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html',
-        |  CAST(1 AS BIGINT), 'empty' FROM b WHERE doc_id % 5 = 0""".stripMargin,
+        |  CAST(1 AS BIGINT), 'empty', FALSE FROM b WHERE doc_id % 5 = 0""".stripMargin,
+
+    // capped anchor corpus: the hub target's ~501 distinct anchors cut to
+    // the 5 smallest by (rolling-hash, anchor) with the EXACT over-cap
+    // flag; the per-doc self targets stay complete and unflagged. The
+    // oracle replays the identical priority cut over the distinct pairs —
+    // the heap never appears
+    "anchor_texts_capped" ->
+      """WITH b AS (SELECT doc_id, doc_id % 10 AS k, CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, 'https://hub.example.com/' AS dst_url, 'tag ' || i AS anchor FROM b
+        |  UNION ALL SELECT doc_id, 'https://hub.example.com/', 'common' FROM b
+        |  UNION ALL SELECT doc_id,
+        |    'https://h' || CAST(k AS VARCHAR) || '.com/s/' || i, 'self ' || i FROM b),
+        |cnt AS (SELECT dst_url, count(*) AS n_anchors FROM pairs GROUP BY 1),
+        |d AS (SELECT DISTINCT dst_url, anchor FROM pairs),
+        |pr AS (SELECT dst_url, anchor,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(anchor)),
+        |        j -> CAST(ascii(anchor[j]) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |  FROM d),
+        |sel AS (SELECT dst_url, anchor,
+        |    row_number() OVER (PARTITION BY dst_url ORDER BY fp, anchor) AS rn,
+        |    count(*) OVER (PARTITION BY dst_url) AS nd
+        |  FROM pr)
+        |SELECT c.dst_url, CAST(c.n_anchors AS BIGINT) AS n_anchors,
+        |  string_agg(s.anchor, '|' ORDER BY s.anchor) AS anchors,
+        |  max(s.nd) > 5 AS anchors_capped
+        |FROM cnt c JOIN sel s ON c.dst_url = s.dst_url AND s.rn <= 5
+        |GROUP BY c.dst_url, c.n_anchors""".stripMargin,
 
     // edge-count decision table from the link fixture formulas: each
     // page contributes two self-host edges ("/", "/about#f"), one to
@@ -7030,6 +7377,18 @@ object Queries {
         |       END AS headers,
         |  CASE WHEN non_http OR trunc THEN NULL ELSE fullbody END AS body
         |FROM h""".stripMargin,
+
+    // the recall_l2 oracle pattern: the expected DECISION table is
+    // all-TRUE with the exact fixture dimensions — the JDK codec the
+    // booleans compare against cannot be restated in SQL, but any drift
+    // of our decoder past the tolerances flips a boolean and hash-fails
+    "jpeg_luma_decode" ->
+      """SELECT doc_id,
+        |  CAST(72 AS BIGINT) AS g_w, CAST(64 AS BIGINT) AS g_h,
+        |  TRUE AS g_sum_ok, TRUE AS g_max_ok, TRUE AS g_dhash_ok,
+        |  CAST(72 AS BIGINT) AS c_w, CAST(64 AS BIGINT) AS c_h,
+        |  TRUE AS c_sum_ok, TRUE AS c_dhash_ok
+        |FROM documents""".stripMargin,
 
     "multimodal_meta" -> {
       val pngLen = MediaCodec.pngFixture(1, 1).length

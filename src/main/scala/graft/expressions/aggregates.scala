@@ -158,6 +158,132 @@ final class TopKHeap(k: Int) {
   }
 }
 
+/** Bounded DISTINCT top-k strings by (priority, value) — the skew-proof
+  * `collect_set` replacement: a per-group set aggregate whose state never
+  * exceeds k entries regardless of the group's cardinality. A hot key
+  * (homepage-scale in-degree in an anchor-text corpus) feeds millions of
+  * distinct strings into ONE group; `collect_set` accumulates them all on
+  * one reducer, this keeps the k smallest by the caller's deterministic
+  * (priority, value) order — a reproducible uniform sample when the
+  * priority is a hash of the value.
+  *
+  * Distinctness and the bound compose: duplicates of a KEPT value are
+  * recognized set-membership-style and ignored; a value outside the kept
+  * window is rejected (or evicts the worst) and sets the `capped` flag.
+  * The flag is EXACT for "group has more than k distinct values": if no
+  * insert was ever rejected and no merge ever overflowed, every distinct
+  * value that arrived is still in the final set — so `capped = false`
+  * proves the set is complete, and `capped = true` proves at least k+1
+  * distinct (priority, value) pairs existed. Never a silent cap.
+  *
+  * NaN priorities are skipped (the TopKPairs convention); NULL values
+  * likewise. Result: struct(kept array<string> in (priority, value)
+  * order, capped boolean). Map-side partial aggregation: only ≤ k
+  * strings per group per task cross the shuffle.
+  */
+case class TopKDistinctStrings(priExpr: Expression, valExpr: Expression, k: Int,
+                               mutableAggBufferOffset: Int = 0,
+                               inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DistinctTopK] with ExpectsInputTypes {
+
+  require(k > 0, s"topk_distinct_strings requires k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(priExpr, valExpr)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("kept", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("capped", BooleanType, nullable = false)))
+  override def prettyName: String = "topk_distinct_strings"
+
+  override def createAggregationBuffer(): DistinctTopK = new DistinctTopK(k)
+
+  override def update(buffer: DistinctTopK, input: InternalRow): DistinctTopK = {
+    val p = priExpr.eval(input)
+    val v = valExpr.eval(input)
+    if (p != null && v != null && !p.asInstanceOf[Double].isNaN)
+      buffer.insert(p.asInstanceOf[Double], v.toString)
+    buffer
+  }
+
+  override def merge(buffer: DistinctTopK, other: DistinctTopK): DistinctTopK = {
+    other.set.foreach { case (p, v) => buffer.insert(p, v) }
+    if (other.capped) buffer.capped = true
+    buffer
+  }
+
+  override def eval(buffer: DistinctTopK): Any = {
+    val vals = new Array[Any](buffer.set.size)
+    var i = 0
+    buffer.set.foreach { case (_, v) =>
+      vals(i) = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      i += 1
+    }
+    InternalRow(new GenericArrayData(vals), buffer.capped)
+  }
+
+  override def serialize(buffer: DistinctTopK): Array[Byte] = {
+    val enc = buffer.set.toSeq.map { case (p, v) =>
+      (p, v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val bb = ByteBuffer.allocate(5 + enc.map(e => 12 + e._2.length).sum)
+    bb.put(if (buffer.capped) 1.toByte else 0.toByte)
+    bb.putInt(enc.size)
+    enc.foreach { case (p, b) => bb.putDouble(p); bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): DistinctTopK = {
+    val bb = ByteBuffer.wrap(bytes)
+    val h = new DistinctTopK(k)
+    val capped = bb.get() == 1.toByte
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val p = bb.getDouble
+      val b = new Array[Byte](bb.getInt)
+      bb.get(b)
+      h.insert(p, new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    h.capped = capped
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(priExpr = c(0), valExpr = c(1))
+}
+
+/** Ordered bounded set over (priority, value) pairs: a TreeSet kept at
+  * ≤ k entries — O(log k) membership + worst-eviction. `capped` records
+  * that an insert was rejected or an eviction happened, i.e. the group
+  * held more than k distinct pairs (exactness argued at
+  * [[TopKDistinctStrings]]).
+  */
+final class DistinctTopK(k: Int) {
+  val set: scala.collection.mutable.TreeSet[(Double, String)] =
+    scala.collection.mutable.TreeSet.empty[(Double, String)]
+  var capped = false
+
+  def insert(p: Double, v: String): Unit = {
+    val key = (p, v)
+    if (!set.contains(key)) {
+      if (set.size < k) set += key
+      else {
+        capped = true
+        if (Ordering[(Double, String)].lt(key, set.last)) {
+          set -= set.last
+          set += key
+        }
+      }
+    }
+  }
+}
+
 /** Per-group vector centroid in exact fixed-point: each lane is scaled by
   * 10⁶ and rounded half-away-from-zero to a Long (NaN and null lanes
   * contribute 0 — the same convention the quantizer's rounding uses,

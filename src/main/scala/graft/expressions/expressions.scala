@@ -841,6 +841,73 @@ case class PngPixelStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `jpeg_luma_stats(payload)` — REAL baseline-JPEG decode (Huffman +
+  * dequant + islow IDCT, luma plane only — [[graft.ops.Jpeg.decodeLuma]])
+  * folded to exact integer stats: struct(width, height, sum_luma,
+  * max_luma). NULL for undecodable / out-of-profile payloads.
+  */
+case class JpegLumaStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("sum_luma", LongType, nullable = false),
+    StructField("max_luma", LongType, nullable = false)))
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_luma_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.Jpeg.jpegLumaStatsRow(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.ops.Jpeg.jpegLumaStatsRow($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `jpeg_dhash(payload)` — the [[PngDhashExpr]] contract over decoded
+  * JPEG luma ([[graft.ops.Jpeg.jpegDhash63]]): PNG and JPEG variants of
+  * an image hash into ONE perceptual space. NULL when undecodable or the
+  * 9×8 pool does not divide the dimensions.
+  */
+case class JpegDhashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_dhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = graft.ops.Jpeg.jpegDhashBoxed(v.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r = graft.ops.Jpeg.jpegDhashBoxed($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `warc_records_gz(blob)` — byte-exact WARC record extraction over a
   * `.warc.gz` binary column (per-record gzip members, Content-Length in
   * BYTES — [[graft.ops.Warc.gzRecordRows]]). Codegen'd static call; NULL

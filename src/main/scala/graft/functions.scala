@@ -106,6 +106,16 @@ object functions {
     */
   def png_dhash(payload: Column): Column = col(PngDhashExpr(expr(payload)))
 
+  /** Exact luma stats over a REAL baseline-JPEG decode (Huffman + islow
+    * IDCT, luma-only); see [[graft.expressions.JpegLumaStatsExpr]].
+    */
+  def jpeg_luma_stats(payload: Column): Column = col(JpegLumaStatsExpr(expr(payload)))
+
+  /** Perceptual 63-bit dHash over decoded JPEG luma — one hash space with
+    * [[png_dhash]]; see [[graft.expressions.JpegDhashExpr]].
+    */
+  def jpeg_dhash(payload: Column): Column = col(JpegDhashExpr(expr(payload)))
+
   /** Energy-envelope audio fingerprint over decoded PCM16 — see
     * [[graft.expressions.PcmFingerprintExpr]].
     */
@@ -164,6 +174,14 @@ object functions {
     */
   def knn_topk(distance: Column, id: Column, k: Int): Column =
     col(TopKPairs(expr(distance), expr(id), k).toAggregateExpression())
+
+  /** Bounded per-group DISTINCT top-k strings by (priority, value) — the
+    * skew-proof `collect_set` with an exact over-cap flag; see
+    * [[graft.expressions.TopKDistinctStrings]]. Returns
+    * struct(kept array<string>, capped boolean).
+    */
+  def topk_distinct_strings(priority: Column, value: Column, k: Int): Column =
+    col(TopKDistinctStrings(expr(priority), expr(value), k).toAggregateExpression())
 
   /** Per-group embedding centroid in exact (order-independent) fixed-point
     * arithmetic; see [[graft.expressions.VectorAvgFixed]].

@@ -129,10 +129,19 @@ object Bpe {
     * replace, split on the injected separator, `regexp_extract_all` per
     * segment, flatten — zero shuffle; an independent SQL engine restates
     * the identical chain (the injection is what makes that possible).
+    *
+    * Pre-existing U+0001 bytes are STRIPPED first: raw crawl text can
+    * carry control chars all the way to tokenization (C4 cleaning is a
+    * later pipeline stage), and a pre-existing separator byte would
+    * split a segment mid-run and diverge from the GPT-2 rule. The strip
+    * is the documented profile -- one C0 control char, which no
+    * tokenizer should emit as corpus signal, maps to nothing -- rather
+    * than a silent precondition on clean text.
     */
   def pretokenize(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     flatten(transform(
-      split(regexp_replace(text, "(\\s+)(\\s\\S)", "$1\u0001$2"), "\u0001"),
+      split(regexp_replace(regexp_replace(text, "\u0001", ""),
+        "(\\s+)(\\s\\S)", "$1\u0001$2"), "\u0001"),
       seg => regexp_extract_all(seg, lit(TokRe), lit(0))))
 
   /** Map a pretoken through [[ByteAlphabet]]: UTF-8 bytes → one visible

@@ -69,12 +69,28 @@ object Pipeline {
     * the accepted wave's fingerprints append back — so a page SEEN by
     * any earlier wave never re-enters the corpus, including pages an
     * earlier wave later dropped for quality (the decision was already
-    * made on that content). The screen sits post-URL-dedup so the store
-    * accretes one row per distinct surviving page; the seen side never
-    * shuffles corpus text — the anti-join carries fingerprints only
-    * (swap in [[Dedup.dedupAgainstBloom]]'s prefilter at 100 TB).
-    * In the audited funnel the screen's drop shows up between the
-    * `url_dedup` and `near_dup` rows.
+    * made on that content). The append is DEFERRED until the shard
+    * store's write has committed and been read back: a crash anywhere
+    * between the screen and the shard write leaves `seenDir` untouched,
+    * so the retried wave re-enters cleanly instead of being screened out
+    * by its own orphaned fingerprints (silent permanent wave loss — the
+    * failure mode an append-at-screen-time ordering has). The shard
+    * write itself is an idempotent full overwrite, so a crash between
+    * the shard commit and the fingerprint append re-runs to the same
+    * store state. The screen sits post-URL-dedup so the store accretes
+    * one row per distinct surviving page; the seen side never shuffles
+    * corpus text — the anti-join carries fingerprints only. In the
+    * audited funnel the screen's drop shows up between the `url_dedup`
+    * and `near_dup` rows.
+    *
+    * `seenBloom` = true routes the screen through the
+    * [[Dedup.dedupAgainstBloom]] shape — the 100 TB swap: the seen
+    * store's first fingerprint lane folds into one Bloom filter
+    * (distributed build, `seenBloomItems`/`seenBloomBits` sizing, ~10
+    * bits/item for fpp ≈ 1%), rows the filter rejects are PROVABLY fresh
+    * (no false negatives) and bypass the join entirely, and only the
+    * might-be-seen sliver pays the exact two-lane anti-join. Results are
+    * identical under both settings; only the join input size changes.
     *
     * `maxBroadcastRows` is the count guard on the two decision-frame
     * broadcasts (contaminated ids, per-domain cap thresholds): at or
@@ -101,6 +117,9 @@ object Pipeline {
       httpParse: Boolean = false,
       httpAllowedMimes: Seq[String] = Seq("text/html"),
       seenDir: String = "",
+      seenBloom: Boolean = false,
+      seenBloomItems: Long = 1L << 20,
+      seenBloomBits: Long = 1L << 23,
       blockedDomains: Seq[String] = Nil,
       maxBroadcastRows: Long = 1000000L)
 
@@ -111,6 +130,19 @@ object Pipeline {
     * anyone reads shard sizes) — and the WARC over-cap observer
     * (`cappedCaptures()` — captures whose record walk hit
     * `warcMaxRecords`; lazy, replays the ingest parse when called).
+    *
+    * The funnel carries a `seconds` column: the wall-clock of the work
+    * NEWLY EXECUTED to reach that stage's materialization boundary
+    * (ingest = WARC parse [+ HTTP split]; lang = extraction + cleaning +
+    * language gate; seen_screen = the incremental anti-join; near_dup =
+    * MinHash banding + verification + the anti-join; decontam = sentence
+    * dedup + the decision flags; domain_cap = cap + packing; written =
+    * shard write + readback). Stages counted off a shared upstream
+    * barrier (robots, url_dedup, quality) are NULL — their work is
+    * inside the next timed boundary. This is the stage budget a 100 TB
+    * run tunes against: at gate SF `xl_pipeline_e2e_250k`-class
+    * questions ("which of the 14 stages dominates?") read straight off
+    * this column instead of a Spark UI archaeology session.
     */
   final case class Curated(docs: DataFrame, funnel: DataFrame,
                            cappedCaptures: () => Long)
@@ -174,11 +206,11 @@ object Pipeline {
     */
   private[graft] def decisionAndPack(sd: DataFrame, bench: DataFrame,
       benchTextCol: String, idCol: String, cfg: CurateConfig,
-      materialize: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+      materialize: (String, DataFrame) => DataFrame): (DataFrame, DataFrame) = {
     val contam = Curation.contaminatedIds(
       sd, bench.select(col(benchTextCol).as("text")), idCol, "text",
       cfg.decontamNgram)
-    val flagged = materialize(sd
+    val flagged = materialize("decontam", sd
       .join(guardedBroadcast(contam.withColumn("_contam", lit(true)),
         cfg.maxBroadcastRows), Seq(idCol), "left")
       .withColumn("_keep_dec", coalesce(col("_contam"), lit(false)) === false)
@@ -195,7 +227,7 @@ object Pipeline {
       .join(guardedBroadcast(thr, cfg.maxBroadcastRows), Seq("domain"))
       .where(Curation.capKeepCol(col(idCol), col("cut_h"), col("cut_id")))
       .drop("cut_h", "cut_id", "_keep_dec", "_keep_q", "url", "host")
-    val packed = materialize(
+    val packed = materialize("domain_cap",
       Curation.packSequencesCarry(capped, idCol, "text", budget = cfg.packBudget))
     (flagged, packed)
   }
@@ -209,11 +241,24 @@ object Pipeline {
     val spark = captures.sparkSession
     val barrier = Dedup.Barrier.LocalCheckpoint
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    def materialized(df: DataFrame): DataFrame = {
+    // per-stage wall time of the work newly executed at each
+    // materialization boundary (see Curated's scaladoc for the stage ↔
+    // label mapping); surfaces in the funnel's `seconds` column
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageSecs(label) =
+        stageSecs.getOrElse(label, 0.0) + (System.nanoTime() - t0) / 1e9
+      r
+    }
+    def materializedRaw(df: DataFrame): DataFrame = {
       val (g, rel) = Dedup.materialize(df, barrier)
       releases += rel
       g
     }
+    def materialized(label: String)(df: DataFrame): DataFrame =
+      timed(label)(materializedRaw(df))
 
     // S1: WARC ingest — response records only. Checkpointed: the robots
     // stage scans its input three times (filter verdicts + two join
@@ -227,11 +272,16 @@ object Pipeline {
       .select(col(idCol), col("target_uri").as("url"), col("payload"))
     // S1.5 (httpParse): the payload of a real crawl's response record is
     // an HTTP response — split it, gate on status 200 + allowed media
-    // type, and carry the BODY forward as the document payload.
-    val recs = materialized(if (cfg.httpParse) {
+    // type, and carry the BODY forward as the document payload. A capture
+    // whose header block never terminates (truncated response) parses
+    // with body = NULL while still showing status 200 + an allowed mime —
+    // it drops HERE, at ingest, instead of riding a NULL payload into
+    // extraction.
+    val recs = materialized("ingest")(if (cfg.httpParse) {
       Warc.httpResponses(respRecs, "payload")
         .where(col("http_status") === 200 &&
-          col("mime").isin(cfg.httpAllowedMimes: _*))
+          col("mime").isin(cfg.httpAllowedMimes: _*) &&
+          col("body").isNotNull)
         .select(col(idCol), col("url"), col("body").as("payload"))
     } else respRecs)
 
@@ -265,33 +315,60 @@ object Pipeline {
     // before the line rules apply).
     val t1 = TextAnalysis.fixMojibake(
       TextAnalysis.extractMainContent(col("payload")))
-    val c4 = materialized(allowed.select(col(idCol), col("url"), col("host"),
+    val c4 = materialized("lang")(allowed.select(col(idCol), col("url"), col("host"),
       Curation.c4CleanText(
         regexp_replace(t1, "([.!?]) +", "$1\n"), cfg.c4MinWords).as("text")))
 
     // S6: language gate
-    val en = materialized(c4.where(TextAnalysis.langIdScript(col("text"))
+    val en = materialized("lang")(c4.where(TextAnalysis.langIdScript(col("text"))
       .isin(cfg.keepLangs.toSeq: _*)))
 
     // S7: URL-level keep-first dedup
     val urld = TextAnalysis.dedupByCanonicalUrl(en, idCol, "url").drop("canon_url")
 
     // S7.5 (incremental, seenDir non-empty): screen the wave against the
-    // persisted seen-fingerprint store, then accrete the accepted wave's
-    // fingerprints. The screened frame is materialized FIRST so the
-    // append and the continuing chain share one computation of the
-    // upstream lineage.
+    // persisted seen-fingerprint store. The screened frame is
+    // materialized so the deferred append and the continuing chain share
+    // one computation of the upstream lineage; the append itself runs
+    // only AFTER the shard store commits (see S14) — never here —
+    // closing the crash window where orphaned fingerprints would screen
+    // out the wave's own documents on retry.
+    var seenAppend: () => Unit = () => ()
     val screened = if (cfg.seenDir.isEmpty) urld else {
       val hp = new org.apache.hadoop.fs.Path(cfg.seenDir)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val withFp = urld
         .withColumn("ck1", xxhash64(col("text")))
         .withColumn("ck2", xxhash64(lit(0x9E3779B97F4A7C15L), col("text")))
-      val fresh = materialized(
-        if (fs.exists(hp))
-          withFp.join(spark.read.parquet(cfg.seenDir), Seq("ck1", "ck2"), "left_anti")
-        else withFp)
-      fresh.select(col("ck1"), col("ck2")).distinct()
+      val fresh = materialized("seen_screen")(
+        if (!fs.exists(hp)) withFp
+        else {
+          val seen = spark.read.parquet(cfg.seenDir)
+          if (!cfg.seenBloom)
+            withFp.join(seen, Seq("ck1", "ck2"), "left_anti")
+          else {
+            // the dedupAgainstBloom shape over the store's first lane:
+            // filter-rejected rows are provably fresh (no false
+            // negatives) and skip the join; only the might-be-seen
+            // sliver pays the exact two-lane anti-join
+            import org.apache.spark.sql.GraftColumnShim.{column, expression}
+            import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+            import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+            import org.apache.spark.sql.types.BinaryType
+            val bloom = seen.select(column(new BloomFilterAggregate(
+                expression(col("ck1")), Literal(cfg.seenBloomItems),
+                Literal(cfg.seenBloomBits)).toAggregateExpression()).as("bf"))
+              .head.getAs[Array[Byte]](0)
+            if (bloom == null) withFp // empty store: everything is fresh
+            else {
+              val maybe = column(BloomFilterMightContain(
+                Literal(bloom, BinaryType), expression(col("ck1"))))
+              withFp.where(maybe).join(seen, Seq("ck1", "ck2"), "left_anti")
+                .unionByName(withFp.where(!maybe))
+            }
+          }
+        })
+      seenAppend = () => fresh.select(col("ck1"), col("ck2")).distinct()
         .write.mode("append").parquet(cfg.seenDir)
       fresh.drop("ck1", "ck2")
     }
@@ -301,26 +378,35 @@ object Pipeline {
       numHashes = cfg.minhashNumHashes, bands = cfg.minhashBands,
       shingleN = cfg.minhashShingleN, threshold = cfg.minhashThreshold)
     releases += mh.release
-    val nd = materialized(screened.join(
+    val nd = materialized("near_dup")(screened.join(
       mh.pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti"))
 
     // S9: sentence-level exact dedup (keep-first corpus-wide)
-    val sd = materialized(Dedup.sentenceDedup(nd, idCol, "text")
+    val sd = materialized("decontam")(Dedup.sentenceDedup(nd, idCol, "text")
       .drop("n_sentences", "n_removed"))
 
-    val (flagged, packed) =
-      decisionAndPack(sd, bench, benchTextCol, idCol, cfg, materialized)
+    val (flagged, packed) = decisionAndPack(sd, bench, benchTextCol, idCol,
+      cfg, (label, df) => materialized(label)(df))
 
     // S14: shard write + READBACK — the result is read straight off the
     // store (no join back onto the plan), so its rows certify what
     // landed on disk, not what the plan intended
-    Curation.writeTrainingShards(packed, idCol, col("n_tokens"), shardDir,
-      cfg.nShards, nBuckets = cfg.shardBuckets)
-    val result = spark.read.parquet(shardDir)
-      .select(col(idCol), col("domain"), col("text"), col("n_tokens"),
-        col("start_offset"), col("pack_id"), col("crosses"),
-        col("shuffle_pos").cast("long").as("shuffle_pos"),
-        col("shard").cast("int").as("shard"))
+    val result = timed("written") {
+      Curation.writeTrainingShards(packed, idCol, col("n_tokens"), shardDir,
+        cfg.nShards, nBuckets = cfg.shardBuckets)
+      spark.read.parquet(shardDir)
+        .select(col(idCol), col("domain"), col("text"), col("n_tokens"),
+          col("start_offset"), col("pack_id"), col("crosses"),
+          col("shuffle_pos").cast("long").as("shuffle_pos"),
+          col("shard").cast("int").as("shard"))
+    }
+
+    // S7.5b (incremental): the shard store has committed — the write
+    // above either succeeded or threw before reaching this line, and the
+    // readback's schema inference has certified the store exists — so
+    // the wave's fingerprints may now accrete. Runs off the screened
+    // frame's materialization barrier, no lineage replay.
+    seenAppend()
 
     // Funnel (audited path only): every count runs against a
     // materialized boundary — a checkpointed frame, one narrow scan off
@@ -332,7 +418,8 @@ object Pipeline {
     // of hiding inside the cap row.
     val funnel = if (!audit) {
       import spark.implicits._
-      Seq.empty[(Long, String, Long)].toDF("stage_idx", "stage", "n_docs")
+      Seq.empty[(Long, String, Long, Option[Double])]
+        .toDF("stage_idx", "stage", "n_docs", "seconds")
     } else {
       val rows = Seq(
         ("ingest", recs.count()), ("robots", allowed.count()),
@@ -346,8 +433,11 @@ object Pipeline {
         ("quality", flagged.where(col("_keep_dec") && col("_keep_q")).count()),
         ("domain_cap", packed.count()), ("written", result.count()))
       import spark.implicits._
-      rows.zipWithIndex.map { case ((st, n), i) => (i.toLong, st, n) }
-        .toDF("stage_idx", "stage", "n_docs")
+      // seconds = the stage's newly-executed wall time (Curated scaladoc);
+      // NULL for rows counted off a shared upstream barrier
+      rows.zipWithIndex.map { case ((st, n), i) =>
+        (i.toLong, st, n, stageSecs.get(st).map(x => math.rint(x * 1000) / 1000))
+      }.toDF("stage_idx", "stage", "n_docs", "seconds")
     }
 
     // the result lives on disk and the funnel is a literal local frame —
@@ -355,5 +445,167 @@ object Pipeline {
     releases.foreach(r => r())
     Curated(result, funnel,
       () => Warc.cappedCaptures(allRecs, idCol, cfg.warcMaxRecords))
+  }
+
+  /** [[buildFrontier]]'s knobs. `maxPerSite` is the politeness cap —
+    * at most that many frontier URLs per registered domain per wave,
+    * selected deterministically (smallest ([[TextAnalysis.fingerprint]]
+    * hash, url)); domains that lost candidates to it are flagged
+    * `site_capped` (exact, never silent).
+    */
+  final case class FrontierConfig(
+      domainSuffixes: Seq[String] = Seq("com", "org", "net"),
+      blockedDomains: Seq[String] = Nil,
+      maxPerSite: Int = 1000)
+
+  /** [[buildFrontier]]'s result: the next fetch list and its audited
+    * funnel — (stage_idx, stage, n_urls) for the seven decision stages.
+    */
+  final case class Frontier(urls: DataFrame, funnel: DataFrame)
+
+  /** The CRAWLING half of the product claim, composed the way
+    * [[curateCrawl]] composes the curation half: fetched pages in, the
+    * next wave's fetch list out. Seven stages, every one an operator
+    * with its own green gate:
+    *
+    *  F1 link extraction + RFC 3986 resolution against each page's own
+    *     URL ([[TextAnalysis.extractLinks]] / [[TextAnalysis.resolveUrl]]),
+    *  F2 http(s)-scheme gate (mailto:/javascript:/ftp: links drop),
+    *  F3 canonicalization ([[TextAnalysis.canonicalUrl]] — case, default
+    *     ports, fragments, tracking params),
+    *  F4 eTLD+1 blocklist ([[TextAnalysis.registeredDomain]], subdomains
+    *     fall with their site),
+    *  F5 already-fetched screen (anti-join against the input pages' own
+    *     canonical URLs — a frontier must not refetch what it just got),
+    *  F6 distinct-URL fold + robots verdicts ([[Robots.robotsFilter]],
+    *     fail-open for rule-less hosts) + Crawl-delay annotation
+    *     ([[Robots.directives]], the scheduler's politeness input),
+    *  F7 per-site cap (the bounded
+    *     [[graft.functions.topk_distinct_strings]] heap keyed on the
+    *     registered domain — deterministic hash-priority selection, an
+    *     exact `site_capped` flag, O(maxPerSite) state per domain).
+    *
+    * Scale shape: F1-F4 are zero-shuffle per-row chains; the decision
+    * flags for the funnel ride ONE materialized frame (the
+    * decisionAndPack pattern — counts are filters on flags, never
+    * recomputation); the screen is one url-keyed equi-join; the distinct
+    * fold and the domain cap are each one narrow keyed exchange carrying
+    * URL strings only — page text never enters this composition. At
+    * 100 TB swap the url join keys for their 8-byte hashes (documented
+    * at the anchor-text corpus, same shape). Output: (url, host,
+    * domain, crawl_delay, site_capped).
+    */
+  def buildFrontier(pages: DataFrame, idCol: String, urlCol: String,
+                    htmlCol: String,
+                    robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
+                    cfg: FrontierConfig = FrontierConfig()): DataFrame =
+    frontierRun(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
+      robotsTxtCol, cfg, audit = false).urls
+
+  /** [[buildFrontier]] plus the seven-stage audited funnel (the
+    * curateCrawlAudited split: the unaudited path pays zero count
+    * jobs; the audited one counts FILTERS over the one materialized
+    * flag frame, never recomputation).
+    */
+  def buildFrontierAudited(pages: DataFrame, idCol: String, urlCol: String,
+                           htmlCol: String,
+                           robots: DataFrame, robotsHostCol: String,
+                           robotsTxtCol: String,
+                           cfg: FrontierConfig = FrontierConfig()): Frontier =
+    frontierRun(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
+      robotsTxtCol, cfg, audit = true)
+
+  private def frontierRun(pages: DataFrame, idCol: String, urlCol: String,
+                    htmlCol: String,
+                    robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
+                    cfg: FrontierConfig, audit: Boolean): Frontier = {
+    val spark = pages.sparkSession
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    def materializedF(df: DataFrame): DataFrame = {
+      val (g, rel) = Dedup.materialize(df, Dedup.Barrier.LocalCheckpoint)
+      releases += rel
+      g
+    }
+
+    // F1-F5 as FLAG columns on one frame: the funnel's early counts are
+    // filters over one materialization, and the surviving candidate set
+    // is the same frame filtered — extraction never replays
+    val abs = TextAnalysis.extractLinks(pages, idCol, htmlCol)
+      .join(pages.select(col(idCol), col(urlCol).as("_page_url")), Seq(idCol))
+      .select(TextAnalysis.resolveUrl(col("_page_url"), col("href")).as("_abs"))
+    val fetched = pages
+      .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url")).distinct()
+      .withColumn("_fetched0", lit(true))
+    val flagged = materializedF(abs
+      .withColumn("_http", col("_abs").rlike("^(?i)https?://"))
+      .withColumn("url", TextAnalysis.canonicalUrl(col("_abs")))
+      .withColumn("host",
+        lower(regexp_extract(col("url"), "(?i)https?://([^/?#]+)", 1)))
+      .withColumn("domain",
+        TextAnalysis.registeredDomain(col("host"), cfg.domainSuffixes)
+          .getField("registered_domain"))
+      .withColumn("_blocked",
+        if (cfg.blockedDomains.isEmpty) lit(false)
+        else coalesce(col("domain").isin(cfg.blockedDomains: _*), lit(false)))
+      .join(fetched, Seq("url"), "left")
+      .withColumn("_fetched", coalesce(col("_fetched0"), lit(false)))
+      .drop("_fetched0", "_abs"))
+
+    // F6: distinct URLs, robots verdicts (the URL itself is the verdict
+    // key — already distinct), Crawl-delay per host
+    val dist = materializedF(flagged
+      .where(col("_http") && !col("_blocked") && !col("_fetched"))
+      .select(col("url"), col("host"), col("domain"))
+      .distinct()
+      .withColumn("path",
+        when(regexp_extract(col("url"), "(?i)https?://[^/?#]+(/[^?#]*)", 1) === "",
+          "/").otherwise(
+          regexp_extract(col("url"), "(?i)https?://[^/?#]+(/[^?#]*)", 1))))
+    val rules = Robots.parseRules(robots.select(
+      col(robotsHostCol).as("host"), col(robotsTxtCol).as("txt")), "host", "txt")
+    val verdicts = Robots.robotsFilter(
+      dist.select(col("url"), col("host"), col("path")),
+      "url", "host", "path", rules, "host")
+    val allowed = materializedF(dist
+      .join(verdicts.where(col("allowed")).select("url"), Seq("url")))
+
+    // F7: the bounded per-site cap, then host re-derivation + the
+    // per-host Crawl-delay annotation (the robots frame is per-host
+    // small — AQE broadcasts it)
+    val delays = Robots.directives(robots.select(
+        col(robotsHostCol).as("host"), col(robotsTxtCol).as("txt")),
+      "host", "txt").select(col("host"), col("crawl_delay"))
+    val out = materializedF(allowed
+      .groupBy(col("domain"))
+      .agg(graft.functions.topk_distinct_strings(
+        TextAnalysis.fingerprint(col("url")).cast("double"), col("url"),
+        cfg.maxPerSite).as("_tk"))
+      .select(col("domain"), col("_tk.capped").as("site_capped"),
+        explode(col("_tk.kept")).as("url"))
+      .withColumn("host",
+        lower(regexp_extract(col("url"), "(?i)https?://([^/?#]+)", 1)))
+      .join(delays, Seq("host"), "left")
+      .select(col("url"), col("host"), col("domain"), col("crawl_delay"),
+        col("site_capped")))
+
+    import spark.implicits._
+    val funnel = if (!audit)
+      Seq.empty[(Long, String, Long)].toDF("stage_idx", "stage", "n_urls")
+    else Seq(
+      ("extracted", flagged.count()),
+      ("resolved_http", flagged.where(col("_http")).count()),
+      ("blocklist", flagged.where(col("_http") && !col("_blocked")).count()),
+      ("not_fetched",
+        flagged.where(col("_http") && !col("_blocked") && !col("_fetched")).count()),
+      ("distinct_url", dist.count()),
+      ("robots_allowed", allowed.count()),
+      ("site_cap", out.count()))
+      .zipWithIndex.map { case ((st, n), i) => (i.toLong, st, n) }
+      .toDF("stage_idx", "stage", "n_urls")
+
+    // the fetch list is checkpointed and the funnel is a literal frame;
+    // keep only the final barrier alive for the caller
+    releases.dropRight(1).foreach(r => r())
+    Frontier(out, funnel)
   }
 }

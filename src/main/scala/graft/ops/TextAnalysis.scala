@@ -881,10 +881,13 @@ object TextAnalysis {
     *  3. remaining tags (`<p class="x">`, `</div>`, `<!DOCTYPE …>`)
     *     drop structurally: a tag must open with `[A-Za-z!/]`, so a bare
     *     "a < b" comparison in prose survives,
-    *  4. the six ubiquitous named/numeric entities decode via LITERAL
-    *     `replace` (no regex escaping hazards), `&amp;` deliberately
-    *     LAST so double-escaped text ("&amp;lt;") single-decodes exactly
-    *     as a spec HTML unescaper would,
+    *  4. entities decode ([[decodeEntities]]): numeric character
+    *     references (`&#NNN;`/`&#xHH;`, BMP profile, RE2-safe
+    *     separator-injection split) plus the named table via LITERAL
+    *     `replace`, `&amp;` deliberately LAST and `&#38;` routed through
+    *     a placeholder so double-escaped text ("&amp;lt;", "&#38;amp;")
+    *     single-decodes exactly as a spec HTML unescaper's one pass
+    *     would,
     *  5. whitespace (incl. what replaced the blocks) collapses to single
     *     spaces, trimmed.
     *
@@ -899,25 +902,64 @@ object TextAnalysis {
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[A-Za-z!/][^>]*>", " ")
-    val decoded = Seq(
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+  }
+
+  /** NUMERIC character references (`&#NNN;` / `&#xHH;`, BMP profile) +
+    * the named-entity table, with one-pass unescape semantics — real HTML
+    * uses numeric forms constantly, and a decoder without them leaves
+    * `&#8217;`-class residue in every extracted corpus.
+    *
+    * RE2-safe mechanism (no lookaround, replayable verbatim in any SQL
+    * engine): numeric references are bracketed with an injected U+0001
+    * separator, the string splits on it, and each entity segment decodes
+    * via `cp → 2 UTF-16BE bytes → decode` (Spark's `chr` is mod-256; the
+    * byte path is exact for the whole BMP). Profile: cp ∈ {9, 10, 13} ∪
+    * [32, 0xFFFD] minus surrogates decodes; 160 (nbsp) maps to a plain
+    * space like the named `&nbsp;`; anything else (NUL, C0/C1 controls,
+    * astral planes, malformed) stays LITERAL — graceful, never an error.
+    * Pre-existing U+0001/U+0002 control bytes strip first (the injected
+    * separator and the `&` placeholder must not collide with raw crawl
+    * control bytes; C0 controls carry no corpus signal).
+    *
+    * One-pass semantics across BOTH decoders: numeric decode runs first
+    * but emits `&#38;`/`&#x26;` as a U+0002 PLACEHOLDER, the named fold
+    * runs with `&amp;` last, and the placeholder resolves to `&` at the
+    * very end — so `&#38;amp;` yields the literal text "&amp;" and
+    * `&amp;#65;` yields "&#65;", exactly as a spec HTML unescaper's
+    * single left-to-right pass would.
+    */
+  private def decodeEntities(x: Column): Column = {
+    val clean = regexp_replace(x, "[\u0001\u0002]", "")
+    val marked = regexp_replace(clean,
+      "(&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});)", "\u0001$1\u0001")
+    val numeric = array_join(transform(split(marked, "\u0001"), s => {
+      val dec = regexp_extract(s, "^&#([0-9]{1,7});$", 1)
+      val hx = regexp_extract(s, "^&#[xX]([0-9a-fA-F]{1,6});$", 1)
+      val cp = when(dec =!= "", dec.cast("long"))
+        .when(hx =!= "", conv(hx, 16, 10).cast("long"))
+      val decodable = cp.isNotNull && (cp === 9 || cp === 10 || cp === 13 ||
+        (cp >= 32 && cp <= 65533 && !(cp >= 55296 && cp <= 57343)))
+      when(!decodable, s)
+        .when(cp === 38, lit("\u0002"))
+        .when(cp === 160, lit(" "))
+        .otherwise(decode(unhex(lpad(hex(cp), 4, "0")), "UTF-16BE"))
+    }), "")
+    val named = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&"
-    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+      "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&"
+    ).foldLeft(numeric) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    replace(named, lit("\u0002"), lit("&"))
   }
 
   /** Entity-decode + inline-tag-strip + whitespace-collapse for ONE block
     * of markup — [[stripHtml]]'s steps 3–5 as a reusable sub-expression
     * (shared by the per-block and per-anchor passes of
-    * [[extractMainContent]]).
+    * [[extractMainContent]] and by [[extractLinks]]' anchor text).
     */
   private def cleanFragment(x: Column): Column = {
     val noTags = regexp_replace(x, "(?s)<[A-Za-z!/][^>]*>", " ")
-    val decoded = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&"
-    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
   }
 
   /** HTML MAIN-CONTENT extraction (boilerplate removal) — the biggest
@@ -964,7 +1006,7 @@ object TextAnalysis {
       s"minWords must be in [1, 1000], got $minWords")
     require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
       s"maxLinkDensity must be in [0, 1], got $maxLinkDensity")
-    val sep = ""
+    val sep = "\u0001"
     val noScript = regexp_replace(replace(text, lit(sep), lit("")),
       "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
@@ -1124,7 +1166,9 @@ object TextAnalysis {
     * case-insensitive, anchors span lines; href values in double OR
     * single quotes (the quoted group strips its own delimiters);
     * `<a>` elements without an href (anchors, `name=` targets) yield
-    * nothing; anchor text drops nested markup and collapses whitespace.
+    * nothing; anchor text drops nested markup, decodes entities (named
+    * AND numeric — [[cleanFragment]], the same chain main-content blocks
+    * get) and collapses whitespace.
     * Documented subset: unquoted href values and (invalid) nested `<a>`
     * elements are out of profile — the non-greedy body stops at the
     * FIRST `</a>`. One codegen'd per-row pass (two aligned
@@ -1137,7 +1181,7 @@ object TextAnalysis {
     val hrefs = transform(regexp_extract_all(col(htmlCol), lit(linkRe), lit(1)),
       h => h.substr(lit(2), length(h) - 2))
     val anchors = transform(regexp_extract_all(col(htmlCol), lit(linkRe), lit(2)),
-      a => trim(regexp_replace(regexp_replace(a, "<[^>]*>", " "), "\\s+", " ")))
+      a => cleanFragment(a))
     df.select(col(idCol), posexplode(zip_with(hrefs, anchors,
         (h, a) => struct(h.as("href"), a.as("anchor")))).as(Seq("link_idx", "l")))
       .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
@@ -1152,15 +1196,24 @@ object TextAnalysis {
     * distinct anchor strings. Empty anchors (image links) drop.
     *
     * Scale shape: link extraction + resolution are the per-row chains;
-    * the one aggregation keys on the target URL and carries
-    * (dst_url, anchor) pairs — anchor strings are short and the
-    * distinct-set state is bounded per target by vocabulary, not by
-    * in-degree (collect_set); at 100 TB swap the raw URL key for its
-    * 8-byte hash and keep a sampled anchor set per hot target.
-    * Output: (dst_url, n_anchors, anchors '|'-joined sorted distinct).
+    * the one aggregation keys on the target URL, and the per-target
+    * anchor-set state is BOUNDED at `maxAnchorsPerTarget` by the
+    * [[graft.functions.topk_distinct_strings]] heap — the common case at
+    * 100 TB is a homepage-scale hot target whose in-degree (and distinct
+    * anchor vocabulary) is corpus-sized, which an unbounded
+    * `collect_set` would concentrate onto one reducer. Selection is the
+    * deterministic smallest-k by ([[fingerprint]] hash, anchor) — a
+    * reproducible uniform sample of the target's distinct anchors, and
+    * any SQL engine replays the cut. Targets that lost anchors to the
+    * cap carry `anchors_capped` = true (exact, never silent); the
+    * incoming-anchor COUNT stays exact regardless. At extreme URL-length
+    * skew, additionally key on the URL's 8-byte hash and join the string
+    * back for survivors. Output: (dst_url, n_anchors, anchors
+    * '|'-joined sorted distinct-capped, anchors_capped).
     */
   def anchorTexts(pages: org.apache.spark.sql.DataFrame, idCol: String,
-                  urlCol: String, htmlCol: String): org.apache.spark.sql.DataFrame =
+                  urlCol: String, htmlCol: String,
+                  maxAnchorsPerTarget: Int = 64): org.apache.spark.sql.DataFrame =
     extractLinks(pages, idCol, htmlCol)
       .join(pages.select(col(idCol), col(urlCol).as("_page_url")), idCol)
       .select(resolveUrl(col("_page_url"), col("href")).as("dst_url"),
@@ -1168,7 +1221,12 @@ object TextAnalysis {
       .where(col("anchor") =!= "")
       .groupBy(col("dst_url"))
       .agg(count(lit(1)).as("n_anchors"),
-        array_join(sort_array(collect_set(col("anchor"))), "|").as("anchors"))
+        graft.functions.topk_distinct_strings(
+          fingerprint(col("anchor")).cast("double"), col("anchor"),
+          maxAnchorsPerTarget).as("_tk"))
+      .select(col("dst_url"), col("n_anchors"),
+        array_join(sort_array(col("_tk.kept")), "|").as("anchors"),
+        col("_tk.capped").as("anchors_capped"))
 
   /** RFC 3986 §5 relative-reference resolution for crawl frontiers —
     * the step between [[extractLinks]]' raw hrefs (mostly relative:
@@ -1354,8 +1412,8 @@ object TextAnalysis {
     */
   def splitSentencesAbbrev(df: org.apache.spark.sql.DataFrame, idCol: String,
                            textCol: String): org.apache.spark.sql.DataFrame = {
-    val sep = ""
-    val dot = ""
+    val sep = "\u0001"
+    val dot = "\u0002"
     val t0 = replace(replace(trim(col(textCol)), lit(sep), lit("")), lit(dot), lit(""))
     val t1 = regexp_replace(t0, "\\b([eE])\\.([gG])\\.", "$1" + dot + "$2" + dot)
     val t2 = regexp_replace(t1, "\\b([iI])\\.([eE])\\.", "$1" + dot + "$2" + dot)
@@ -1425,7 +1483,7 @@ object TextAnalysis {
     */
   def fleschScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String): org.apache.spark.sql.DataFrame = {
-    val sep = ""
+    val sep = "\u0001"
     val marked = regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1" + sep)
     val nSent = size(filter(split(marked, sep), s => trim(s) =!= ""))
     val toks = Curation.cleanTokens(col(textCol))

@@ -271,8 +271,11 @@ object Warc {
       .drop("_h")
 
   /** Redirect edges from response records: one (src, dst) row per 3xx
-    * redirect (301/302/307/308) whose header block carries a `Location:`
-    * field — the alias edges URL canonicalization alone cannot see (a
+    * redirect (301/302/303/307/308 — 303 "See Other" occurs in real crawl
+    * corpora after form posts and content-negotiation hops, and its
+    * Location is an alias edge like any other; 300/304/305 stay excluded:
+    * they are not location-following redirects) whose header block
+    * carries a `Location:` field — the alias edges URL canonicalization alone cannot see (a
     * recrawl corpus keys the same page under every hop of its redirect
     * chain until these collapse). Same line-start-anchored,
     * case-insensitive header extraction as [[httpResponse]]; non-HTTP
@@ -282,7 +285,7 @@ object Warc {
   def redirectEdges(records: DataFrame, urlCol: String,
                     payloadCol: String): DataFrame =
     records.withColumn("_h", httpResponse(col(payloadCol)))
-      .where(col("_h.status").isin(301, 302, 307, 308))
+      .where(col("_h.status").isin(301, 302, 303, 307, 308))
       .withColumn("dst", regexp_extract(col("_h.headers"),
         "(?i)\r\nlocation:[ \t]*([^\r\n]*)", 1))
       .where(col("dst") =!= "")

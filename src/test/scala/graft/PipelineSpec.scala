@@ -85,7 +85,7 @@ class PipelineSpec extends AnyFunSuite {
       .select(lit("completely unrelated benchmark sentence").as("text"))
     // identity materialize: the whole S10-S13 span lands in one plan
     val (_, packed) = Pipeline.decisionAndPack(sd, bench, "text", "doc_id",
-      Pipeline.CurateConfig(capPerDomain = 30, packBudget = 128), identity)
+      Pipeline.CurateConfig(capPerDomain = 30, packBudget = 128), (_, df) => df)
     val plan = packed.queryExecution.executedPlan
     // collect through the AQE wrapper (plain collect stops at its boundary)
     def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
@@ -152,6 +152,14 @@ class PipelineSpec extends AnyFunSuite {
     // the shard write is lossless here: written == domain_cap == result rows
     assert(f.last.getLong(2) === f(7).getLong(2))
     assert(f.last.getLong(2) === cur.docs.count())
+    // the seconds column: every timed boundary is non-negative, the
+    // shared-barrier rows (robots, url_dedup, quality) are NULL, and the
+    // timed set is exactly the documented one
+    val secs = f.map(r => r.getString(1) -> (if (r.isNullAt(3)) None
+      else Some(r.getDouble(3)))).toMap
+    assert(Seq("ingest", "lang", "near_dup", "decontam", "domain_cap",
+      "written").forall(st => secs(st).exists(_ >= 0.0)), secs.toString)
+    assert(Seq("robots", "url_dedup", "quality").forall(st => secs(st).isEmpty))
     // two records per capture, far under the default cap
     assert(cur.cappedCaptures() === 0L)
   }
@@ -181,6 +189,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(w2.select("text").collect().map(_.getString(0)).toSeq
       .forall(_.contains("number 8")))
     assert(w2.count() === 1)
+  }
+
+  test("incremental seenDir: a crash between screen and shard write loses nothing on retry") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pcrash").toString
+    import spark.implicits._
+    val robots = Seq(("site0.com", ""), ("site1.com", ""), ("site2.com", ""))
+      .toDF("host", "txt")
+    val bench = spark.range(1).select(lit("zzz never matches zzz").as("text"))
+    val cfg = Pipeline.CurateConfig(seenDir = base + "/seen",
+      qualityMinWords = 1, capPerDomain = 100, packBudget = 256, nShards = 2,
+      shardBuckets = 8)
+    def run(ids: Seq[Long], n: Int, shardDir: String): DataFrame = {
+      val c = crawl(64).where(col("doc_id").isin(ids: _*))
+        .withColumn("doc_id", col("doc_id") + lit(1000L * n))
+      Pipeline.curateCrawl(c, "doc_id", "warc", robots, "host", "txt",
+        bench, "text", shardDir, cfg)
+    }
+    // wave 0 seeds the store with content 1, 2, 3
+    assert(run(Seq(1L, 2L, 3L), 0, base + "/shards0").count() === 3)
+    val seenAfter0 = spark.read.parquet(base + "/seen").count()
+    // wave 1 (content 6 is fresh) CRASHES at the shard write: the shard
+    // path sits under a regular FILE, so the parquet commit throws after
+    // the seen screen already ran
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + "/blockfile"),
+      "x".getBytes)
+    intercept[Exception] {
+      run(Seq(2L, 6L), 1, base + "/blockfile/shards")
+    }
+    // the store did NOT advance past the crash — the wave's own
+    // fingerprints were never persisted...
+    assert(spark.read.parquet(base + "/seen").count() === seenAfter0)
+    // ...so the RETRIED wave lands its documents instead of being
+    // screened out by them (the silent-wave-loss failure mode)
+    val retry = run(Seq(2L, 6L), 1, base + "/shards1")
+    assert(retry.count() === 1)
+    assert(retry.select("text").head.getString(0).contains("number 6"))
+    // and the retry's append did run: wave 2 recrawling content 6 is
+    // fully screened — the pipeline surfaces the empty wave loudly (the
+    // writeTrainingShards empty-corpus require), never a silent 0-row
+    // shard store
+    val e = intercept[IllegalArgumentException] {
+      run(Seq(6L), 2, base + "/shards2")
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
+  test("incremental seenDir: seenBloom prefilter yields identical results") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pbloom").toString
+    import spark.implicits._
+    val robots = Seq(("site0.com", ""), ("site1.com", ""), ("site2.com", ""))
+      .toDF("host", "txt")
+    val bench = spark.range(1).select(lit("zzz never matches zzz").as("text"))
+    def cfg(dir: String, bloom: Boolean) = Pipeline.CurateConfig(
+      seenDir = base + dir, seenBloom = bloom, seenBloomItems = 1L << 10,
+      seenBloomBits = 1L << 14, qualityMinWords = 1, capPerDomain = 100,
+      packBudget = 256, nShards = 2, shardBuckets = 8)
+    def wave(ids: Seq[Long], n: Int, dir: String, bloom: Boolean): DataFrame = {
+      val c = crawl(64).where(col("doc_id").isin(ids: _*))
+        .withColumn("doc_id", col("doc_id") + lit(1000L * n))
+      Pipeline.curateCrawl(c, "doc_id", "warc", robots, "host", "txt",
+        bench, "text", base + s"/sh$dir$n", cfg(dir, bloom))
+    }
+    // same two waves under both settings: identical surviving ids
+    def ids(df: DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    wave(Seq(1L, 2L, 3L), 0, "/exact", bloom = false)
+    wave(Seq(1L, 2L, 3L), 0, "/bloom", bloom = true)
+    val exact = ids(wave(Seq(2L, 3L, 6L, 8L), 1, "/exact", bloom = false))
+    val bloom = ids(wave(Seq(2L, 3L, 6L, 8L), 1, "/bloom", bloom = true))
+    assert(exact === bloom)
+    assert(exact.nonEmpty) // 6 and 8 are fresh
   }
 
   test("cappedCaptures: captures hitting warcMaxRecords are surfaced, never silent") {

@@ -2621,6 +2621,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     // the image-only link's anchor strips to empty and DROPS — /img never appears
     assert(got == Set(("https://a.io/t", 2L, "GO there|go")))
+    // under the default cap nothing is flagged
+    assert(TextAnalysis.anchorTexts(pages, "id", "url", "html")
+      .collect().forall(!_.getBoolean(3)))
+  }
+
+  test("anchorTexts: maxAnchorsPerTarget bounds hot-target state, flags exactly") {
+    import graft.ops.TextAnalysis
+    // a hot target fed 10 distinct anchors (+ repeats) and a cold one with 2
+    val hot = (0 until 10).map(j =>
+      s"""<a href="/hot">anchor nr $j</a><a href="/hot">anchor nr $j</a>""").mkString
+    val pages = Seq(
+      (1L, "https://a.io/p1.html", hot),
+      (2L, "https://a.io/p2.html", """<a href="/cold">one</a><a href="/cold">two</a>""")
+    ).toDF("id", "url", "html")
+    val got = TextAnalysis.anchorTexts(pages, "id", "url", "html",
+        maxAnchorsPerTarget = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    val (nHot, keptHot, cappedHot) = got("https://a.io/hot")
+    assert(nHot === 20L)               // the COUNT stays exact past the cap
+    assert(cappedHot, "10 distinct > 3 must flag")
+    assert(keptHot.split('|').length === 3)
+    // the kept set is the deterministic smallest-3 by (fingerprint, anchor)
+    val expect = (0 until 10).map(j => s"anchor nr $j")
+      .sortBy(a => (a.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L), a))
+      .take(3).sorted.mkString("|")
+    assert(keptHot === expect)
+    assert(got("https://a.io/cold") === ((2L, "one|two", false)))
   }
 
   test("resolveUrl: dot-segment corners — root .., trailing .., a//b kept, fragment-only ref") {
