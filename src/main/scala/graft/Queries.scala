@@ -1188,6 +1188,32 @@ object Queries {
     (gJpg, cJpg, gSum, gMax, gDh, cSum, cDh)
   }
 
+  /** Fixture for image_dhash_cross_format: the SAME deterministic
+    * grayscale pattern — a gentle gradient plus a 32-count checkerboard
+    * aligned with BOTH the dHash pool grid and the JPEG block grid, so
+    * pool margins are ≥24 counts and compression ringing cannot flip a
+    * comparison — rendered losslessly into PNG (all five scanline
+    * filters via doc_id%5) and lossily into JPEG via ImageIO.
+    */
+  private[graft] def crossFormatFixture(id: Long): (Array[Byte], Array[Byte]) = {
+    val w = 72; val h = 64
+    def v(y: Int, x: Int): Int =
+      x + y + (if (((x / 8) + (y / 8)) % 2 == 0) 0 else 32) + (id % 64).toInt
+    val png = MediaCodec.pngPixelFixture(w, h, id, (id % 5).toInt,
+      channels = 1, pixel = (y, x, _) => v(y, x))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, v(y, x)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    (png, bos.toByteArray)
+  }
+
   private val PipeConfig = graft.ops.Pipeline.CurateConfig(
     capPerDomain = 25, packBudget = 512, nShards = 4, shardBuckets = 32)
 
@@ -4148,6 +4174,22 @@ object Queries {
         (abs(c.getField("sum_luma") - col("fx._6")) <= area * 2).as("c_sum_ok"),
         (bit_count(graft.functions.jpeg_dhash(col("fx._2"))
           .bitwiseXOR(col("fx._7"))) <= lit(4)).as("c_dhash_ok"))
+    }),
+
+    // CROSS-FORMAT perceptual dedup: the same image rendered losslessly
+    // (PNG) and lossily (JPEG) must land in the SAME dHash space —
+    // png_dhash is value-exact against the formula-restated oracle, and
+    // the PNG↔JPEG hamming distance stays within the pool-margin budget
+    // (the fixture's ≥24-count margins make the lossy hash provably
+    // stable, so cross_ok is a real decision, not a tautology)
+    "image_dhash_cross_format" -> ((s, dir) => {
+      val fx = udf((id: Long) => crossFormatFixture(id))
+      docs(s, dir).select(col("doc_id"), fx(col("doc_id")).as("fx"))
+        .select(col("doc_id"),
+          graft.functions.png_dhash(col("fx._1")).as("png_dhash"),
+          (bit_count(graft.functions.png_dhash(col("fx._1"))
+            .bitwiseXOR(graft.functions.jpeg_dhash(col("fx._2")))) <= lit(4))
+            .as("cross_ok"))
     }),
 
     // Frame sampling over real WAV headers: every 7th sample frame of each
@@ -7389,6 +7431,26 @@ object Queries {
         |  CAST(72 AS BIGINT) AS c_w, CAST(64 AS BIGINT) AS c_h,
         |  TRUE AS c_sum_ok, TRUE AS c_dhash_ok
         |FROM documents""".stripMargin,
+
+    // png_dhash restated exactly from the fixture formula (72×64 grid,
+    // 8×8 pools, bit 63 dropped); cross_ok is the all-TRUE column the
+    // JPEG side must earn at decode time
+    "image_dhash_cross_format" ->
+      """WITH cells AS (SELECT doc_id, gx.x AS x, gy.y AS y,
+        |    x + y + CASE WHEN ((x // 8) + (y // 8)) % 2 = 0 THEN 0 ELSE 32 END
+        |      + doc_id % 64 AS l
+        |  FROM documents,
+        |    UNNEST(generate_series(0, 71)) gx(x),
+        |    UNNEST(generate_series(0, 63)) gy(y)),
+        |pool AS (SELECT doc_id, x // 8 AS px, y // 8 AS py, sum(l) // 64 AS pv
+        |  FROM cells GROUP BY 1, 2, 3),
+        |hb AS (SELECT pa.doc_id,
+        |  CAST(sum(CASE WHEN pa.pv < pb.pv AND (pa.py * 8 + pa.px) < 63
+        |       THEN (CAST(1 AS BIGINT) << (pa.py * 8 + pa.px)) ELSE 0 END) AS BIGINT) AS png_dhash
+        |  FROM pool pa JOIN pool pb
+        |    ON pa.doc_id = pb.doc_id AND pa.py = pb.py AND pb.px = pa.px + 1
+        |  GROUP BY pa.doc_id)
+        |SELECT doc_id, png_dhash, TRUE AS cross_ok FROM hb""".stripMargin,
 
     "multimodal_meta" -> {
       val pngLen = MediaCodec.pngFixture(1, 1).length

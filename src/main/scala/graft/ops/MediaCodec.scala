@@ -632,11 +632,14 @@ object MediaCodec {
 
   /** PNG fixture with REAL zlib-compressed 8-bit pixel data (greyscale,
     * RGB or RGBA by `channels` ∈ {1,3,4}): v(y,x,c) = (seed + 7x + 13y +
-    * 29c) mod 256, scanlines written under `filterType` (0-4 — the
+    * 29c) mod 256 by default, or the caller's `pixel(y, x, c)` (masked
+    * to a byte) — the cross-format gates render the SAME pattern into
+    * PNG and JPEG. Scanlines written under `filterType` (0-4 — the
     * decoder must reverse it), chunk CRCs real.
     */
   def pngPixelFixture(w: Int, h: Int, seed: Long, filterType: Int = 0,
-                      channels: Int = 3): Array[Byte] = {
+                      channels: Int = 3,
+                      pixel: (Int, Int, Int) => Int = null): Array[Byte] = {
     require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
     val ch = channels
     val colorType = ch match {
@@ -648,7 +651,8 @@ object MediaCodec {
     val stride = 1 + w * ch
     val px = Array.tabulate(h, w * ch) { (y, i) =>
       val x = i / ch; val c = i % ch
-      (((seed + 7 * x + 13 * y + 29 * c) % 256).toInt)
+      if (pixel != null) pixel(y, x, c) & 0xff
+      else (((seed + 7 * x + 13 * y + 29 * c) % 256).toInt)
     }
     val raw = new Array[Byte](stride * h)
     for (y <- 0 until h) {

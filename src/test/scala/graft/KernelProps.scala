@@ -16,6 +16,27 @@ object KernelProps extends Properties("kernels") {
   private val vec: Gen[Array[Float]] =
     Gen.chooseNum(1, 96).flatMap(n => Gen.containerOfN[Array, Float](n, finiteFloat))
 
+  property("DistinctTopK: partition-split invariant, exact kept set, exact capped flag") =
+    forAll(Gen.chooseNum(1, 12), Gen.listOf(Gen.chooseNum(0, 40)), Gen.long) {
+      (k, xs0, seed) =>
+        val vals = xs0.map(i => s"v$i")
+        val pairs = vals.map(v => ((v.hashCode & 0x7fffffff).toDouble, v))
+        // expected: distinct pairs, smallest k by (priority, value)
+        val distinct = pairs.distinct.sorted
+        val expectKept = distinct.take(k).map(_._2)
+        val expectCapped = distinct.size > k
+        // fold through a random 3-way partition split + merges
+        val rnd = new scala.util.Random(seed)
+        val parts = Array.fill(3)(new graft.expressions.DistinctTopK(k))
+        pairs.foreach { case (p, v) => parts(rnd.nextInt(3)).insert(p, v) }
+        val merged = parts.reduce { (a, b) =>
+          b.set.foreach { case (p, v) => a.insert(p, v) }
+          if (b.capped) a.capped = true
+          a
+        }
+        merged.set.toSeq.map(_._2) == expectKept && merged.capped == expectCapped
+    }
+
   property("sortedIntersectCount == set intersection size") =
     forAll { (a0: List[Long], b0: List[Long]) =>
       val a = a0.distinct.sorted.toArray
