@@ -204,6 +204,12 @@ object Bench {
       // like a real run
       Queries.pipeCaptures(spark.range(250000L).select(col("id").as("doc_id")))
         .write.mode("overwrite").parquet(s"$benchDir/xl_captures")
+      // XL frontier corpus: the frontier fixture formulas over 250k page
+      // ids (50x the gate row) — ~1.05M extracted links, ~25k distinct
+      // URLs per site domain, so the 10k per-site cap heap runs at real
+      // size instead of the gate's toy 30
+      Queries.frontierPagesFrom(spark.range(250000L).select(col("id").as("doc_id")))
+        .write.mode("overwrite").parquet(s"$benchDir/xl_pages")
     }
 
     Seq(benchDir, sfDir).foreach(warmDir)
@@ -451,6 +457,16 @@ object Bench {
             s"$benchDir/xl_shards",
             ops.Pipeline.CurateConfig(capPerDomain = 200000, minhashBands = 8,
               packBudget = 2048, nShards = 8, shardBuckets = 1024)).count())
+
+        // the crawling half at 50x the gate scale: ~1.05M links through
+        // extract -> resolve -> canon -> blocklist -> fetched screen ->
+        // distinct -> robots -> the 10k-per-site bounded cap heap
+        time("xl_frontier_250k")(
+          ops.Pipeline.buildFrontier(
+            spark.read.parquet(s"$benchDir/xl_pages"), "doc_id", "page_url",
+            "html", Queries.frontierRobots(spark), "host", "txt",
+            ops.Pipeline.FrontierConfig(blockedDomains = Seq("alt3.org"),
+              maxPerSite = 10000)).count())
       }
     }
 

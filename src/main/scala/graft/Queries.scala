@@ -998,22 +998,27 @@ object Queries {
     * table and the one-row benchmark corpus.
     */
   /** The per-host robots table of the pipeline fixtures. */
-  /** Pages frame for the frontier gates: the link fixture under each
-    * page's own URL (the anchor_texts shape). */
-  private def frontierPages(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** Pages frame for the frontier gates and the XL bench row: the link
+    * fixture under each page's own URL (the anchor_texts shape), over an
+    * arbitrary doc_id frame. */
+  private[graft] def frontierPagesFrom(d0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val idS = col("doc_id").cast("string")
     val pageUrl = concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
       lit(".com/a/page"), idS, lit(".html"))
-    docs(s, dir).select(col("doc_id"), pageUrl.as("page_url"),
+    d0.select(col("doc_id"), pageUrl.as("page_url"),
       linkHtmlFixture(col("doc_id")).as("html"))
   }
+
+  private def frontierPages(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    frontierPagesFrom(docs(s, dir).select(col("doc_id")))
 
   /** robots.txt for the frontier gates: rules for the site{k}.com hosts
     * only (h{k}.com and alt{k}.org stay rule-less → fail-open): odd k
     * disallows /page (killing that whole class), every k carries a
     * Crawl-delay of k seconds.
     */
-  private def frontierRobots(s: SparkSession): org.apache.spark.sql.DataFrame =
+  private[graft] def frontierRobots(s: SparkSession): org.apache.spark.sql.DataFrame =
     s.range(10).select(
       concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
       concat(lit("User-agent: *\n"),

@@ -930,10 +930,17 @@ object TextAnalysis {
     * single left-to-right pass would.
     */
   private def decodeEntities(x: Column): Column = {
-    val clean = regexp_replace(x, "[\u0001\u0002]", "")
+    // fast paths, semantics-preserving: the control-byte strip and the
+    // numeric split/transform are identities on text without those
+    // bytes — and the pipeline's extraction chain calls this per BLOCK,
+    // so the guards (two codegen'd contains scans) reclaim the full
+    // split/transform cost on the overwhelmingly common entity-free
+    // fragment. Oracles replay the unguarded chain: values identical.
+    val clean = when(x.contains("\u0001") || x.contains("\u0002"),
+      regexp_replace(x, "[\u0001\u0002]", "")).otherwise(x)
     val marked = regexp_replace(clean,
       "(&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});)", "\u0001$1\u0001")
-    val numeric = array_join(transform(split(marked, "\u0001"), s => {
+    val numericFull = array_join(transform(split(marked, "\u0001"), s => {
       val dec = regexp_extract(s, "^&#([0-9]{1,7});$", 1)
       val hx = regexp_extract(s, "^&#[xX]([0-9a-fA-F]{1,6});$", 1)
       val cp = when(dec =!= "", dec.cast("long"))
@@ -945,6 +952,7 @@ object TextAnalysis {
         .when(cp === 160, lit(" "))
         .otherwise(decode(unhex(lpad(hex(cp), 4, "0")), "UTF-16BE"))
     }), "")
+    val numeric = when(!clean.contains("&#"), clean).otherwise(numericFull)
     val named = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&"
