@@ -2814,7 +2814,8 @@ object Queries {
           col("text"),
           lit("</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;" +
             "num &#77;&#x6d; nb&#160;sp amp&#38;amp; big&#2000000; " +
-            "sur&#xD801; nul&#0; tab&#9;t end</div></body></html>")))
+            "sur&#xD801; nul&#0; tab&#9;t " +
+            "w1&#146;q c1&#129;r tm&#153;s del&#127;d end</div></body></html>")))
           .as("clean"))),
 
     // main-content extraction over a full boilerplate gauntlet: nav +
@@ -6141,17 +6142,24 @@ object Queries {
         |  text ||
         |  '</p><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;' ||
         |  'num &#77;&#x6d; nb&#160;sp amp&#38;amp; big&#2000000; ' ||
-        |  'sur&#xD801; nul&#0; tab&#9;t end</div></body></html>'""".stripMargin
+        |  'sur&#xD801; nul&#0; tab&#9;t ' ||
+        |  'w1&#146;q c1&#129;r tm&#153;s del&#127;d end</div></body></html>'""".stripMargin
       // numeric-reference decode replay: the injected-separator split,
       // the decimal/hex code-point fold, the BMP profile guard, the
       // chr(2) ampersand placeholder — TextAnalysis.decodeEntities
       // restated verbatim (chr(cp) in DuckDB = the UTF-16BE byte path)
       val hexd = "(regexp_extract(s, '^&#[xX]([0-9a-fA-F]+);$', 1))"
+      // the shared windows-1252 C1 remap, generated from the SAME table
+      // the Spark expression uses (TextAnalysis.Win1252Refs)
+      val w1252Keys = graft.ops.TextAnalysis.Win1252Refs.map(_._1).mkString(", ")
       val cp = "(CASE WHEN regexp_matches(s, '^&#[0-9]+;$') THEN CAST(s[3:-2] AS BIGINT) " +
         "ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(generate_series(1, length($hexd)), " +
         s"j -> CAST(strpos('0123456789abcdef', lower($hexd[j])) - 1 AS BIGINT))), " +
         "(acc, d) -> acc * 16 + d) END)"
+      val w1252Case = graft.ops.TextAnalysis.Win1252Refs
+        .map { case (k, u) => s"WHEN $k THEN chr($u)" }
+        .mkString(s"(CASE $cp ", " ", " END)")
       s"""WITH h AS (SELECT doc_id, $wrapped AS h FROM documents),
          |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM h),
          |s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
@@ -6162,10 +6170,13 @@ object Queries {
          |      '(&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});)', chr(1) || '\\1' || chr(1), 'g'),
          |    chr(1)),
          |  s -> CASE WHEN NOT regexp_matches(s, '^&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});$$') THEN s
-         |       WHEN $cp IN (9, 10, 13) OR ($cp BETWEEN 32 AND 65533
-         |           AND $cp NOT BETWEEN 55296 AND 57343)
-         |         THEN CASE WHEN $cp = 38 THEN chr(2) WHEN $cp = 160 THEN ' '
-         |              ELSE chr(CAST($cp AS INTEGER)) END
+         |       WHEN $cp = 38 THEN chr(2)
+         |       WHEN $cp = 160 THEN ' '
+         |       WHEN $cp IN ($w1252Keys) THEN $w1252Case
+         |       WHEN $cp IN (9, 10, 13) OR ($cp BETWEEN 32 AND 126)
+         |           OR ($cp BETWEEN 160 AND 65533
+         |               AND $cp NOT BETWEEN 55296 AND 57343)
+         |         THEN chr(CAST($cp AS INTEGER))
          |       ELSE s END), '') AS h FROM s4),
          |s5 AS (SELECT doc_id,
          |  replace(replace(replace(replace(replace(replace(h,

@@ -310,13 +310,23 @@ object Jpeg {
             w = ((b(d + 3) & 0xff) << 8) | (b(d + 4) & 0xff)
             val nc = b(d + 5) & 0xff
             if (w <= 0 || h <= 0 || nc < 1 || nc > 4 || d + 6 + 3 * nc > dEnd) return None
-            if (w.toLong * h > (1L << 28)) return None // 256 MB luma cap
+            // 256 MB luma cap in BYTES (the pngDecodePixels rule): the
+            // plane is Array[Int], 4 bytes/pixel, so cap pixels at 2^26
+            if (w.toLong * h > (1L << 26)) return None
             comps = Array.tabulate(nc) { i =>
               val o = d + 6 + 3 * i
               new Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f, b(o + 2) & 0x0f)
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3))
               return None
+            // T.81 A.2.3: a NON-INTERLEAVED scan (one component per scan,
+            // which for a single-component frame is the only form) uses
+            // one data unit per MCU in plain raster order — the declared
+            // sampling factors are inter-component ratios and do not
+            // change the single component's own block layout. Normalize
+            // so the MCU walk below is the raster walk.
+            if (nc == 1 && (comps(0).h != 1 || comps(0).v != 1))
+              comps = Array(new Comp(comps(0).id, 1, 1, comps(0).tq))
           case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // progressive/lossless/arithmetic/hierarchical: out of profile
           case 0xdd => // DRI

@@ -340,7 +340,11 @@ object Pipeline {
       val withFp = urld
         .withColumn("ck1", xxhash64(col("text")))
         .withColumn("ck2", xxhash64(lit(0x9E3779B97F4A7C15L), col("text")))
-      val fresh = materialized("seen_screen")(
+      // timed() wraps the WHOLE screen construction: the Bloom build is
+      // a full scan of the seen store executed eagerly (head()), and it
+      // must land in the seen_screen stage budget, not evaluate as a
+      // strict argument before the clock starts
+      val fresh = timed("seen_screen")(materializedRaw(
         if (!fs.exists(hp)) withFp
         else {
           val seen = spark.read.parquet(cfg.seenDir)
@@ -367,7 +371,7 @@ object Pipeline {
                 .unionByName(withFp.where(!maybe))
             }
           }
-        })
+        }))
       seenAppend = () => fresh.select(col("ck1"), col("ck2")).distinct()
         .write.mode("append").parquet(cfg.seenDir)
       fresh.drop("ck1", "ck2")
@@ -557,10 +561,13 @@ object Pipeline {
       .where(col("_http") && !col("_blocked") && !col("_fetched"))
       .select(col("url"), col("host"), col("domain"))
       .distinct()
+      // the robots path keeps the QUERY (curateCrawl's S2 convention and
+      // RFC 9309's: rules like "Disallow: /search?" must match) — only
+      // the host splits off
       .withColumn("path",
-        when(regexp_extract(col("url"), "(?i)https?://[^/?#]+(/[^?#]*)", 1) === "",
+        when(regexp_extract(col("url"), "(?i)https?://[^/]+(/.*)$", 1) === "",
           "/").otherwise(
-          regexp_extract(col("url"), "(?i)https?://[^/?#]+(/[^?#]*)", 1))))
+          regexp_extract(col("url"), "(?i)https?://[^/]+(/.*)$", 1))))
     val rules = Robots.parseRules(robots.select(
       col(robotsHostCol).as("host"), col(robotsTxtCol).as("txt")), "host", "txt")
     val verdicts = Robots.robotsFilter(

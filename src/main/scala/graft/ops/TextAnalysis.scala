@@ -882,7 +882,8 @@ object TextAnalysis {
     *     drop structurally: a tag must open with `[A-Za-z!/]`, so a bare
     *     "a < b" comparison in prose survives,
     *  4. entities decode ([[decodeEntities]]): numeric character
-    *     references (`&#NNN;`/`&#xHH;`, BMP profile, RE2-safe
+    *     references (`&#NNN;`/`&#xHH;`, BMP profile with the HTML5
+    *     windows-1252 C1 remap, RE2-safe
     *     separator-injection split) plus the named table via LITERAL
     *     `replace`, `&amp;` deliberately LAST and `&#38;` routed through
     *     a placeholder so double-escaped text ("&amp;lt;", "&#38;amp;")
@@ -915,12 +916,20 @@ object TextAnalysis {
     * separator, the string splits on it, and each entity segment decodes
     * via `cp → 2 UTF-16BE bytes → decode` (Spark's `chr` is mod-256; the
     * byte path is exact for the whole BMP). Profile: cp ∈ {9, 10, 13} ∪
-    * [32, 0xFFFD] minus surrogates decodes; 160 (nbsp) maps to a plain
-    * space like the named `&nbsp;`; anything else (NUL, C0/C1 controls,
-    * astral planes, malformed) stays LITERAL — graceful, never an error.
+    * [32, 126] ∪ [160, 0xFFFD] minus surrogates decodes; 160 (nbsp)
+    * maps to a plain space like the named `&nbsp;`; anything else (NUL,
+    * other C0 controls, DEL, unmapped C1, astral planes, malformed)
+    * stays LITERAL — graceful, never an error.
     * Pre-existing U+0001/U+0002 control bytes strip first (the injected
     * separator and the `&` placeholder must not collide with raw crawl
     * control bytes; C0 controls carry no corpus signal).
+    *
+    * C1-range references (`&#128;`-`&#159;`) follow the HTML5
+    * numeric-character-reference rule: they remap through the
+    * windows-1252 table ([[Win1252Refs]] — `&#146;` is the curly
+    * apostrophe every legacy CMS emits, not a control char); the five
+    * code points windows-1252 leaves unmapped (129/141/143/144/157) and
+    * DEL (127) stay LITERAL like the other controls.
     *
     * One-pass semantics across BOTH decoders: numeric decode runs first
     * but emits `&#38;`/`&#x26;` as a U+0002 PLACEHOLDER, the named fold
@@ -929,6 +938,20 @@ object TextAnalysis {
     * `&amp;#65;` yields "&#65;", exactly as a spec HTML unescaper's
     * single left-to-right pass would.
     */
+  /** The HTML5 windows-1252 remap for numeric references in the C1
+    * range (WHATWG HTML numeric-character-reference end state) — shared
+    * with the oracle SQL generator so both engines decode from the SAME
+    * table.
+    */
+  private[graft] val Win1252Refs: Seq[(Int, Int)] = Seq(
+    128 -> 0x20AC, 130 -> 0x201A, 131 -> 0x0192, 132 -> 0x201E,
+    133 -> 0x2026, 134 -> 0x2020, 135 -> 0x2021, 136 -> 0x02C6,
+    137 -> 0x2030, 138 -> 0x0160, 139 -> 0x2039, 140 -> 0x0152,
+    142 -> 0x017D, 145 -> 0x2018, 146 -> 0x2019, 147 -> 0x201C,
+    148 -> 0x201D, 149 -> 0x2022, 150 -> 0x2013, 151 -> 0x2014,
+    152 -> 0x02DC, 153 -> 0x2122, 154 -> 0x0161, 155 -> 0x203A,
+    156 -> 0x0153, 158 -> 0x017E, 159 -> 0x0178)
+
   private def decodeEntities(x: Column): Column = {
     // fast paths, semantics-preserving: the control-byte strip and the
     // numeric split/transform are identities on text without those
@@ -945,12 +968,20 @@ object TextAnalysis {
       val hx = regexp_extract(s, "^&#[xX]([0-9a-fA-F]{1,6});$", 1)
       val cp = when(dec =!= "", dec.cast("long"))
         .when(hx =!= "", conv(hx, 16, 10).cast("long"))
-      val decodable = cp.isNotNull && (cp === 9 || cp === 10 || cp === 13 ||
-        (cp >= 32 && cp <= 65533 && !(cp >= 55296 && cp <= 57343)))
-      when(!decodable, s)
+      // general profile: tab/LF/CR, printable ASCII, and the BMP above
+      // nbsp minus surrogates; 127 and the C1 range are NOT general —
+      // C1 goes through the windows-1252 remap, leftovers stay literal
+      val gen = cp === 9 || cp === 10 || cp === 13 ||
+        (cp >= 32 && cp <= 126) ||
+        (cp >= 160 && cp <= 65533 && !(cp >= 55296 && cp <= 57343))
+      val head = when(cp.isNull, s)
         .when(cp === 38, lit("\u0002"))
         .when(cp === 160, lit(" "))
-        .otherwise(decode(unhex(lpad(hex(cp), 4, "0")), "UTF-16BE"))
+      Win1252Refs.foldLeft(head) { case (acc, (k, u)) =>
+          acc.when(cp === k, lit(new String(Character.toChars(u))))
+        }
+        .when(gen, decode(unhex(lpad(hex(cp), 4, "0")), "UTF-16BE"))
+        .otherwise(s)
     }), "")
     val numeric = when(!clean.contains("&#"), clean).otherwise(numericFull)
     val named = Seq(
