@@ -1015,15 +1015,73 @@ object Queries {
 
   /** robots.txt for the frontier gates: rules for the site{k}.com hosts
     * only (h{k}.com and alt{k}.org stay rule-less → fail-open): odd k
-    * disallows /page (killing that whole class), every k carries a
-    * Crawl-delay of k seconds.
+    * disallows /page (killing that whole class — including the sitemap-
+    * seeded /page-sm URLs, by prefix), every k carries a Crawl-delay of
+    * k seconds and a `Sitemap:` root seeding the frontier's index walk.
     */
   private[graft] def frontierRobots(s: SparkSession): org.apache.spark.sql.DataFrame =
     s.range(10).select(
       concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
       concat(lit("User-agent: *\n"),
         when(col("id") % 2 === 1, lit("Disallow: /page\n")).otherwise(lit("")),
-        lit("Crawl-delay: "), col("id").cast("string"), lit("\n")).as("txt"))
+        lit("Crawl-delay: "), col("id").cast("string"), lit("\n"),
+        lit("Sitemap: https://site"), col("id").cast("string"),
+        lit(".com/sm.xml\n")).as("txt"))
+
+  /** Sitemap fetch store for the frontier gates: each site{k}.com root
+    * is an INDEX pointing at one fetched child and one never-fetched
+    * ref (contributes nothing — fetch-what-you-have); the child urlset
+    * plants one leaf per downstream decision class: a tracking-param
+    * URL under the robots-disallowed /page prefix (canonicalization +
+    * robots on seeded URLs), a clean /sm/{k} survivor, a blocklisted
+    * alt3.org row, a link-duplicated h{k}.com/about (source = 'both'),
+    * and an already-fetched page URL (the wave screen on seeded URLs).
+    */
+  private[graft] def frontierSitemaps(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val ks = col("id").cast("string")
+    val idx = s.range(10).select(
+      concat(lit("https://site"), ks, lit(".com/sm.xml")).as("sitemap_url"),
+      concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        lit("<sitemap><loc>https://site"), ks,
+        lit(".com/sm-child.xml</loc></sitemap>"),
+        lit("<sitemap><loc>https://site"), ks,
+        lit(".com/missing.xml</loc></sitemap>"),
+        lit("</sitemapindex>")).as("xml"))
+    val child = s.range(10).select(
+      concat(lit("https://site"), ks, lit(".com/sm-child.xml")).as("sitemap_url"),
+      concat(lit("<urlset>"),
+        lit("<url><loc>https://site"), ks,
+        lit(".com/page-sm?utm_source=z</loc></url>"),
+        lit("<url><loc>https://site"), ks, lit(".com/sm/"), ks,
+        lit("</loc><lastmod>2026-01-02</lastmod></url>"),
+        lit("<url><loc>https://alt"), ks, lit(".org/sm</loc></url>"),
+        lit("<url><loc>https://h"), ks, lit(".com/about</loc></url>"),
+        lit("<url><loc>https://h"), ks, lit(".com/a/page"), ks,
+        lit(".html</loc></url>"),
+        lit("</urlset>")).as("xml"))
+    idx.unionByName(child)
+  }
+
+  /** Pages for the INCREMENTAL frontier gates: each doc's html carries
+    * two links — the PREVIOUS doc's page URL (doc 0 self-links: its own
+    * page, screened by the wave's own fetched set) and a never-fetched
+    * fresh URL — so a wave-2 candidate drops iff its target was fetched
+    * by wave 1, the exact cross-wave NOT EXISTS the oracle replays.
+    */
+  private[graft] def frontierIncPages(d0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val prev = when(col("doc_id") === 0, lit(0L)).otherwise(col("doc_id") - 1)
+    val pageUrl = concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
+      lit(".com/a/page"), idS, lit(".html"))
+    val prevUrl = concat(lit("https://h"), (prev % 10).cast("string"),
+      lit(".com/a/page"), prev.cast("string"), lit(".html"))
+    val html = concat(
+      lit("<html><body><a href=\""), prevUrl, lit("\">prev</a> "),
+      lit("<a href=\"https://x"), (col("doc_id") % 10).cast("string"),
+      lit(".net/f"), idS, lit("\">fresh</a></body></html>"))
+    d0.select(col("doc_id"), pageUrl.as("page_url"), html.as("html"))
+  }
 
   private val FrontierCfg = graft.ops.Pipeline.FrontierConfig(
     blockedDomains = Seq("alt3.org"), maxPerSite = 30)
@@ -2818,6 +2876,19 @@ object Queries {
             "w1&#146;q c1&#129;r tm&#153;s del&#127;d end</div></body></html>")))
           .as("clean"))),
 
+    // the decodeEntities control-byte observability metric: planted raw
+    // U+0001/U+0002 bytes (the separator/placeholder collision class the
+    // decoder documents stripping) are COUNTED per document, so the
+    // data-loss profile is measurable at corpus scale instead of silent.
+    // Oracle = the planting formula (the corpus text itself is clean)
+    "control_byte_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.collisionByteCount(concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\u0001a\u0002b\u0001"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 2, lit("\u0002")).otherwise(lit(""))))
+          .as("n_control"))),
+
     // main-content extraction over a full boilerplate gauntlet: nav +
     // cookie-banner div + link-farm "Related:" row + share aside + footer
     // all planted around the document text and one legit prose div; only
@@ -3356,14 +3427,76 @@ object Queries {
     // replayed priority cut — no operator internals appear
     "frontier_e2e" -> ((s, dir) =>
       graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
-        "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg)),
+        "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg,
+        sitemaps = Some(frontierSitemaps(s)))),
 
-    // the frontier's audited funnel: seven monotone stage counts from
-    // the same decision chain
+    // the frontier's audited funnel: stage counts from the same decision
+    // chain — the `seeded` row (sitemap union) is the one that may
+    // exceed its predecessor; `seconds` is wall-time, projected out
     "frontier_funnel" -> ((s, dir) =>
       graft.ops.Pipeline.buildFrontierAudited(frontierPages(s, dir), "doc_id",
-        "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg)
-        .funnel.orderBy("stage_idx")),
+        "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg,
+        sitemaps = Some(frontierSitemaps(s)))
+        .funnel.select("stage_idx", "stage", "n_urls").orderBy("stage_idx")),
+
+    // the INCREMENTAL frontier: wave 1 (doc_id % 4 = 0) fetches and its
+    // canonical URLs accrete into the persistent fetchedDir store
+    // (two-lane 8-byte hashes, deferred-commit append); wave 2 (odd
+    // doc_ids) must drop every candidate wave 1 already fetched (prev
+    // links of doc_id % 4 = 1) while keeping candidates nobody fetched
+    // (prev links of % 4 = 3, all fresh x{k}.net links). Rule-less
+    // robots — the store screen is the ONLY cross-wave dropper, and the
+    // oracle replays it as a literal cross-wave NOT EXISTS
+    "frontier_incremental" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_fri").toString
+      val cfg = graft.ops.Pipeline.FrontierConfig(
+        maxPerSite = 1000000, fetchedDir = base + "/fetched")
+      val emptyRobots = s.range(0).select(
+        lit("h").as("host"), lit("").as("txt"))
+      graft.ops.Pipeline.buildFrontier(
+        frontierIncPages(docs(s, dir).where(col("doc_id") % 4 === 0)
+          .select(col("doc_id"))), "doc_id",
+        "page_url", "html", emptyRobots, "host", "txt", cfg)
+      graft.ops.Pipeline.buildFrontier(
+        frontierIncPages(docs(s, dir).where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"))), "doc_id",
+        "page_url", "html", emptyRobots, "host", "txt", cfg)
+        .orderBy("url")
+    }),
+
+    // the incremental frontier's audited funnel: the cross-wave store
+    // screen surfaces as its OWN `seen_store` row between `not_fetched`
+    // and `distinct_url` instead of hiding inside the distinct fold
+    "frontier_funnel_incremental" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_frfi").toString
+      val cfg = graft.ops.Pipeline.FrontierConfig(
+        maxPerSite = 1000000, fetchedDir = base + "/fetched")
+      val emptyRobots = s.range(0).select(
+        lit("h").as("host"), lit("").as("txt"))
+      graft.ops.Pipeline.buildFrontier(
+        frontierIncPages(docs(s, dir).where(col("doc_id") % 4 === 0)
+          .select(col("doc_id"))), "doc_id",
+        "page_url", "html", emptyRobots, "host", "txt", cfg)
+      graft.ops.Pipeline.buildFrontierAudited(
+        frontierIncPages(docs(s, dir).where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"))), "doc_id",
+        "page_url", "html", emptyRobots, "host", "txt", cfg)
+        .funnel.select("stage_idx", "stage", "n_urls").orderBy("stage_idx")
+    }),
+
+    // the politeness SCHEDULER over the frontier's own output: per-host
+    // fetch slots in the deterministic (fingerprint, url) priority
+    // order, start offsets = slot × the host's Crawl-delay (2.0 s where
+    // the host declared none). Oracle = the replayed per-host
+    // ROW_NUMBER assignment over the frontier restatement
+    "frontier_schedule" -> ((s, dir) => {
+      val f = graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
+        "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg,
+        sitemaps = Some(frontierSitemaps(s)))
+      graft.ops.Pipeline.scheduleFrontier(f, "url", "host", "crawl_delay",
+          defaultDelaySec = 2.0)
+        .select("url", "host", "slot", "start_sec")
+    }),
 
     // the http profile's funnel: pins WHERE the three envelope drop
     // classes (404, wrong mime, unterminated-header NULL body) fall —
@@ -4643,18 +4776,29 @@ object Queries {
       "j -> CAST(ascii(url[j]) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
     s"""b AS (SELECT doc_id, doc_id % 10 AS k, CAST(doc_id % 10 AS VARCHAR) AS ks,
        |    CAST(doc_id AS VARCHAR) AS i FROM documents),
+       |rng AS (SELECT CAST(range AS BIGINT) AS k, CAST(range AS VARCHAR) AS ks FROM range(10)),
        |ext AS (
        |  -- '/' canonicalizes to the bare host (the example.com/ = example.com identity)
-       |  SELECT 'https://h' || ks || '.com' AS url, k, FALSE AS blocked, FALSE AS fetched FROM b
-       |  UNION ALL SELECT 'https://h' || ks || '.com/about', k, FALSE, FALSE FROM b
-       |  UNION ALL SELECT 'https://site' || ks || '.com/page' || i || '?x=1', k, FALSE, FALSE FROM b
-       |  UNION ALL SELECT 'https://alt' || ks || '.org/p' || i, k, k = 3, FALSE FROM b
-       |  UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html', k, FALSE, TRUE FROM b
-       |    WHERE doc_id % 5 = 0),
-       |cand AS (SELECT url, k FROM ext WHERE NOT blocked AND NOT fetched),
-       |d AS (SELECT DISTINCT url, k FROM cand),
-       |alw AS (SELECT url, k FROM d WHERE NOT (url LIKE 'https://site%' AND k % 2 = 1)),
-       |pr AS (SELECT url, k,
+       |  SELECT 'https://h' || ks || '.com' AS url, k, FALSE AS blocked, FALSE AS fetched, 'link' AS src FROM b
+       |  UNION ALL SELECT 'https://h' || ks || '.com/about', k, FALSE, FALSE, 'link' FROM b
+       |  UNION ALL SELECT 'https://site' || ks || '.com/page' || i || '?x=1', k, FALSE, FALSE, 'link' FROM b
+       |  UNION ALL SELECT 'https://alt' || ks || '.org/p' || i, k, k = 3, FALSE, 'link' FROM b
+       |  UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html', k, FALSE, TRUE, 'link' FROM b
+       |    WHERE doc_id % 5 = 0
+       |  -- sitemap leaves, one set per k host: the index root and the
+       |  -- missing child ref contribute no rows; the tracking param on
+       |  -- /page-sm dies at canonicalization (query becomes empty)
+       |  UNION ALL SELECT 'https://site' || ks || '.com/page-sm', k, FALSE, FALSE, 'sitemap' FROM rng
+       |  UNION ALL SELECT 'https://site' || ks || '.com/sm/' || ks, k, FALSE, FALSE, 'sitemap' FROM rng
+       |  UNION ALL SELECT 'https://alt' || ks || '.org/sm', k, k = 3, FALSE, 'sitemap' FROM rng
+       |  UNION ALL SELECT 'https://h' || ks || '.com/about', k, FALSE, FALSE, 'sitemap' FROM rng
+       |  UNION ALL SELECT 'https://h' || ks || '.com/a/page' || ks || '.html', k, FALSE, TRUE, 'sitemap' FROM rng),
+       |cand AS (SELECT url, k, src FROM ext WHERE NOT blocked AND NOT fetched),
+       |d AS (SELECT url, k, bool_or(src = 'link') AS fl, bool_or(src = 'sitemap') AS fs
+       |  FROM cand GROUP BY url, k),
+       |alw AS (SELECT url, k, fl, fs FROM d
+       |  WHERE NOT (k % 2 = 1 AND url LIKE 'https://site' || CAST(k AS VARCHAR) || '.com/page%')),
+       |pr AS (SELECT url, k, fl, fs,
        |    CASE WHEN url LIKE 'https://site%' THEN 'site' || CAST(k AS VARCHAR) || '.com'
        |         WHEN url LIKE 'https://alt%' THEN 'alt' || CAST(k AS VARCHAR) || '.org'
        |         ELSE 'h' || CAST(k AS VARCHAR) || '.com' END AS domain,
@@ -6132,6 +6276,15 @@ object Queries {
          |    + len(list_filter(bgs, x -> x = 'slow key')) AS nb FROM g)
          |SELECT doc_id, CAST(nb AS BIGINT) AS n_blocked, nb = 0 AS kept FROM c""".stripMargin,
 
+    // the control-byte metric's planting formula restated directly (the
+    // corpus text is clean, so the count is pure doc_id arithmetic)
+    "control_byte_count" ->
+      """SELECT doc_id,
+        |  CAST((CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 0 END)
+        |     + (CASE WHEN doc_id % 7 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_control
+        |FROM documents""".stripMargin,
+
     // stripHtml's removal chain replayed step for step: the same RE2-safe
     // patterns (non-greedy dot-all, no lookaround), the same literal
     // entity replaces in the same order (&amp; last), the same collapse
@@ -7147,21 +7300,82 @@ object Queries {
          |SELECT url, domain AS host, domain,
          |  CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
          |       ELSE CAST(NULL AS DOUBLE) END AS crawl_delay,
-         |  nd > 30 AS site_capped
+         |  nd > 30 AS site_capped,
+         |  CASE WHEN fl AND fs THEN 'both' WHEN fs THEN 'sitemap'
+         |       ELSE 'link' END AS source
          |FROM sel WHERE rn <= 30""".stripMargin,
 
-    // the frontier funnel: seven stage counts off the same CTE chain
+    // the frontier funnel: stage counts off the same CTE chain (seeded =
+    // links ∪ sitemap leaves, the one count that may exceed its
+    // predecessor)
     "frontier_funnel" ->
       s"""WITH $frontierCtes
          |SELECT * FROM (
-         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'extracted' AS stage, CAST(count(*) AS BIGINT) AS n_urls FROM ext
-         |  UNION ALL SELECT 1, 'resolved_http', count(*) FROM ext
-         |  UNION ALL SELECT 2, 'blocklist', count(*) FROM ext WHERE NOT blocked
-         |  UNION ALL SELECT 3, 'not_fetched', count(*) FROM ext WHERE NOT blocked AND NOT fetched
-         |  UNION ALL SELECT 4, 'distinct_url', count(*) FROM d
-         |  UNION ALL SELECT 5, 'robots_allowed', count(*) FROM alw
-         |  UNION ALL SELECT 6, 'site_cap', count(*) FROM sel WHERE rn <= 30)
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'extracted' AS stage, CAST(count(*) AS BIGINT) AS n_urls FROM ext WHERE src = 'link'
+         |  UNION ALL SELECT 1, 'seeded', count(*) FROM ext
+         |  UNION ALL SELECT 2, 'resolved_http', count(*) FROM ext
+         |  UNION ALL SELECT 3, 'blocklist', count(*) FROM ext WHERE NOT blocked
+         |  UNION ALL SELECT 4, 'not_fetched', count(*) FROM ext WHERE NOT blocked AND NOT fetched
+         |  UNION ALL SELECT 5, 'distinct_url', count(*) FROM d
+         |  UNION ALL SELECT 6, 'robots_allowed', count(*) FROM alw
+         |  UNION ALL SELECT 7, 'site_cap', count(*) FROM sel WHERE rn <= 30)
          |ORDER BY stage_idx""".stripMargin,
+
+    // the incremental frontier: wave-2 candidates minus the literal
+    // cross-wave NOT EXISTS over wave-1's fetched page URLs — the prev
+    // link of doc_id % 4 = 1 dies (its target doc_id - 1 % 4 = 0 was
+    // wave-1-fetched), the % 4 = 3 prev link and every fresh x{k}.net
+    // link survive; rule-less robots, cap never binds
+    "frontier_incremental" ->
+      """WITH w2 AS (SELECT doc_id, doc_id % 10 AS k FROM documents WHERE doc_id % 2 = 1),
+        |out AS (
+        |  SELECT 'https://x' || CAST(k AS VARCHAR) || '.net/f' || CAST(doc_id AS VARCHAR) AS url,
+        |    'x' || CAST(k AS VARCHAR) || '.net' AS hd FROM w2
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST((doc_id - 1) % 10 AS VARCHAR) || '.com/a/page'
+        |      || CAST(doc_id - 1 AS VARCHAR) || '.html',
+        |    'h' || CAST((doc_id - 1) % 10 AS VARCHAR) || '.com' FROM w2 t
+        |  WHERE NOT EXISTS (SELECT 1 FROM documents w
+        |    WHERE w.doc_id % 4 = 0 AND w.doc_id = t.doc_id - 1))
+        |SELECT url, hd AS host, hd AS domain, CAST(NULL AS DOUBLE) AS crawl_delay,
+        |  FALSE AS site_capped, 'link' AS source
+        |FROM out ORDER BY url""".stripMargin,
+
+    // the incremental frontier's funnel: nine rows, the store screen's
+    // drop pinned to its own seen_store stage
+    "frontier_funnel_incremental" ->
+      """WITH w2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w2),
+        |surv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w2 t
+        |  WHERE NOT EXISTS (SELECT 1 FROM documents w
+        |    WHERE w.doc_id % 4 = 0 AND w.doc_id = t.doc_id - 1))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'extracted' AS stage, 2 * n AS n_urls FROM n2
+        |  UNION ALL SELECT 1, 'seeded', 2 * n FROM n2
+        |  UNION ALL SELECT 2, 'resolved_http', 2 * n FROM n2
+        |  UNION ALL SELECT 3, 'blocklist', 2 * n FROM n2
+        |  UNION ALL SELECT 4, 'not_fetched', 2 * n FROM n2
+        |  UNION ALL SELECT 5, 'seen_store', n2.n + surv.n FROM n2, surv
+        |  UNION ALL SELECT 6, 'distinct_url', n2.n + surv.n FROM n2, surv
+        |  UNION ALL SELECT 7, 'robots_allowed', n2.n + surv.n FROM n2, surv
+        |  UNION ALL SELECT 8, 'site_cap', n2.n + surv.n FROM n2, surv)
+        |ORDER BY stage_idx""".stripMargin,
+
+    // the politeness scheduler: the frontier restatement re-windowed per
+    // HOST in the same (fingerprint, url) priority order; start offsets
+    // replay slot × coalesce(Crawl-delay, 2.0)
+    "frontier_schedule" ->
+      s"""WITH $frontierCtes,
+         |fr AS (SELECT url, domain AS host,
+         |    CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
+         |         ELSE CAST(NULL AS DOUBLE) END AS crawl_delay, fp
+         |  FROM sel WHERE rn <= 30),
+         |sch AS (SELECT url, host, crawl_delay,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY fp, url) - 1 AS BIGINT) AS slot
+         |  FROM fr)
+         |SELECT url, host, slot,
+         |  slot * coalesce(crawl_delay, 2.0) AS start_sec
+         |FROM sch""".stripMargin,
 
     // http-profile funnel: the ingest row applies all three envelope
     // drop classes (the NULL-body class included), pinning the drops to

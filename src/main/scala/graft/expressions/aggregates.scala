@@ -266,7 +266,7 @@ case class TopKDistinctStrings(priExpr: Expression, valExpr: Expression, k: Int,
   */
 final class DistinctTopK(k: Int) {
   val set: scala.collection.mutable.TreeSet[(Double, String)] =
-    scala.collection.mutable.TreeSet.empty[(Double, String)]
+    scala.collection.mutable.TreeSet.empty[(Double, String)](DistinctTopK.PairOrd)
   var capped = false
 
   def insert(p: Double, v: String): Unit = {
@@ -275,11 +275,29 @@ final class DistinctTopK(k: Int) {
       if (set.size < k) set += key
       else {
         capped = true
-        if (Ordering[(Double, String)].lt(key, set.last)) {
+        if (DistinctTopK.PairOrd.lt(key, set.last)) {
           set -= set.last
           set += key
         }
       }
+    }
+  }
+}
+
+object DistinctTopK {
+  /** Tie-break strings by UTF-8 BYTE order (UTF8String.compareTo), not
+    * JVM UTF-16 code-unit order — so an independent SQL engine's
+    * `ORDER BY priority, value` over UTF-8 text replays the identical
+    * cut even when values contain supplementary-plane characters (where
+    * the two orders diverge: surrogates sort above U+E000..U+FFFF in
+    * UTF-16 but below in UTF-8 bytes).
+    */
+  val PairOrd: Ordering[(Double, String)] = new Ordering[(Double, String)] {
+    def compare(a: (Double, String), b: (Double, String)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c
+      else org.apache.spark.unsafe.types.UTF8String.fromString(a._2)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._2))
     }
   }
 }

@@ -309,7 +309,12 @@ object Jpeg {
             h = ((b(d + 1) & 0xff) << 8) | (b(d + 2) & 0xff)
             w = ((b(d + 3) & 0xff) << 8) | (b(d + 4) & 0xff)
             val nc = b(d + 5) & 0xff
-            if (w <= 0 || h <= 0 || nc < 1 || nc > 4 || d + 6 + 3 * nc > dEnd) return None
+            // grayscale or YCbCr only: a 4-component frame is Adobe
+            // CMYK/YCCK (often APP14-inverted), where component 0 is the
+            // CYAN channel, not luma — decoding it would feed semantically
+            // wrong values into the shared PNG/JPEG perceptual-hash space,
+            // so those streams return None instead of a wrong answer
+            if (w <= 0 || h <= 0 || (nc != 1 && nc != 3) || d + 6 + 3 * nc > dEnd) return None
             // 256 MB luma cap in BYTES (the pngDecodePixels rule): the
             // plane is Array[Int], 4 bytes/pixel, so cap pixels at 2^26
             if (w.toLong * h > (1L << 26)) return None

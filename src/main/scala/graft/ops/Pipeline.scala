@@ -232,15 +232,53 @@ object Pipeline {
     (flagged, packed)
   }
 
+  /** Owns the checkpoint-release buffer around [[runStages]]: a stage
+    * that throws (shard-write failure, a crashed incremental wave — the
+    * exact path the crash-retry spec exercises repeatedly) must not leak
+    * the chain's localCheckpoint RDD blocks for the life of the session,
+    * so every accumulated release runs before the rethrow.
+    */
   private def run(captures: DataFrame, idCol: String, warcCol: String,
                   robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
                   bench: DataFrame, benchTextCol: String,
                   shardDir: String, cfg: CurateConfig, audit: Boolean): Curated = {
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    try runStages(captures, idCol, warcCol, robots, robotsHostCol, robotsTxtCol,
+      bench, benchTextCol, shardDir, cfg, audit, releases)
+    catch { case t: Throwable =>
+      releases.foreach(r => scala.util.Try(r()))
+      throw t
+    }
+  }
+
+  private def runStages(captures: DataFrame, idCol: String, warcCol: String,
+                  robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
+                  bench: DataFrame, benchTextCol: String,
+                  shardDir: String, cfg: CurateConfig, audit: Boolean,
+                  releases: scala.collection.mutable.ArrayBuffer[() => Unit]): Curated = {
     require(cfg.warcProfile == "text" || cfg.warcProfile == "gz",
       s"warcProfile must be 'text' or 'gz', got '${cfg.warcProfile}'")
     val spark = captures.sparkSession
+    if (cfg.seenDir.nonEmpty && cfg.seenBloom) {
+      // Spark validates BloomFilterAggregate's (items, bits) against
+      // these session confs at ANALYSIS time — surface the dependency as
+      // a clear error here instead of a mid-pipeline AnalysisException,
+      // so 100 TB sizing (items ≈ store rows, bits ≈ 10×items) knows to
+      // raise the confs alongside the knobs
+      val maxItems = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val maxBits = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      require(cfg.seenBloomItems > 0 && cfg.seenBloomItems <= maxItems,
+        s"seenBloomItems=${cfg.seenBloomItems} exceeds " +
+          s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems — " +
+          "raise that conf to size the seen-store Bloom filter this large")
+      require(cfg.seenBloomBits > 0 && cfg.seenBloomBits <= maxBits,
+        s"seenBloomBits=${cfg.seenBloomBits} exceeds " +
+          s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits — " +
+          "raise that conf to size the seen-store Bloom filter this large")
+    }
     val barrier = Dedup.Barrier.LocalCheckpoint
-    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     // per-stage wall time of the work newly executed at each
     // materialization boundary (see Curated's scaladoc for the stage ↔
     // label mapping); surfaces in the funnel's `seconds` column
@@ -456,22 +494,49 @@ object Pipeline {
     * selected deterministically (smallest ([[TextAnalysis.fingerprint]]
     * hash, url)); domains that lost candidates to it are flagged
     * `site_capped` (exact, never silent).
+    *
+    * `fetchedDir` (non-empty = on) makes the frontier INCREMENTAL — the
+    * continuous-crawl loop as one knob, the crawling half's analogue of
+    * [[CurateConfig]]'s `seenDir`: candidates additionally screen
+    * against the persistent store of every canonical URL fetched by ANY
+    * earlier wave, and the current wave's fetched URLs append back
+    * AFTER the frontier has fully materialized (deferred-commit — a
+    * crash anywhere mid-composition leaves the store untouched, so a
+    * retried wave recomputes identically instead of inheriting an
+    * aborted run's rows). The store carries two 8-byte xxhash64 lanes
+    * of the canonical URL — never the strings — so at 100 TB the screen
+    * join's build side is 16 bytes/URL and the exchange keys are
+    * fixed-width (a false collision needs BOTH independent 64-bit lanes
+    * to collide: ~2⁻¹²⁸ per pair, the [[Dedup.fingerprints]] argument).
+    *
+    * `sitemapMaxDepth` bounds [[Robots.sitemapFrontier]]'s index-tree
+    * walk when sitemap seeding is composed in (see [[buildFrontier]]'s
+    * `sitemaps` parameter).
     */
   final case class FrontierConfig(
       domainSuffixes: Seq[String] = Seq("com", "org", "net"),
       blockedDomains: Seq[String] = Nil,
-      maxPerSite: Int = 1000)
+      maxPerSite: Int = 1000,
+      fetchedDir: String = "",
+      sitemapMaxDepth: Int = 4)
 
   /** [[buildFrontier]]'s result: the next fetch list and its audited
-    * funnel — (stage_idx, stage, n_urls) for the seven decision stages.
+    * funnel — (stage_idx, stage, n_urls, seconds) per decision stage.
     */
   final case class Frontier(urls: DataFrame, funnel: DataFrame)
 
   /** The CRAWLING half of the product claim, composed the way
     * [[curateCrawl]] composes the curation half: fetched pages in, the
-    * next wave's fetch list out. Seven stages, every one an operator
-    * with its own green gate:
+    * next wave's fetch list out. Stages, every one an operator with its
+    * own green gate:
     *
+    *  F0 sitemap seeding (when `sitemaps` is given): `Sitemap:` roots
+    *     from the hosts' robots.txt ([[Robots.directives]]) walk their
+    *     index trees ([[Robots.sitemapFrontier]], fetch-what-you-have,
+    *     cycle-safe, ≤ `sitemapMaxDepth` levels) and the leaf `<loc>`
+    *     URLs UNION into the candidate set — a real frontier is
+    *     link-graph ∪ sitemap, and every seeded URL passes the same
+    *     downstream gates as a link-discovered one,
     *  F1 link extraction + RFC 3986 resolution against each page's own
     *     URL ([[TextAnalysis.extractLinks]] / [[TextAnalysis.resolveUrl]]),
     *  F2 http(s)-scheme gate (mailto:/javascript:/ftp: links drop),
@@ -479,11 +544,16 @@ object Pipeline {
     *     ports, fragments, tracking params),
     *  F4 eTLD+1 blocklist ([[TextAnalysis.registeredDomain]], subdomains
     *     fall with their site),
-    *  F5 already-fetched screen (anti-join against the input pages' own
-    *     canonical URLs — a frontier must not refetch what it just got),
-    *  F6 distinct-URL fold + robots verdicts ([[Robots.robotsFilter]],
+    *  F5 already-fetched screen, two grains: the input wave's own
+    *     canonical URLs (a frontier must not refetch what it just got),
+    *     and — under `fetchedDir` — the PERSISTENT cross-wave store
+    *     (16-byte two-lane anti-join, appended back deferred-commit
+    *     after the frontier materializes; see [[FrontierConfig]]),
+    *  F6 distinct-URL fold carrying source PROVENANCE (`link` /
+    *     `sitemap` / `both`) + robots verdicts ([[Robots.robotsFilter]],
     *     fail-open for rule-less hosts) + Crawl-delay annotation
-    *     ([[Robots.directives]], the scheduler's politeness input),
+    *     ([[Robots.directives]], [[scheduleFrontier]]'s politeness
+    *     input),
     *  F7 per-site cap (the bounded
     *     [[graft.functions.topk_distinct_strings]] heap keyed on the
     *     registered domain — deterministic hash-priority selection, an
@@ -492,55 +562,126 @@ object Pipeline {
     * Scale shape: F1-F4 are zero-shuffle per-row chains; the decision
     * flags for the funnel ride ONE materialized frame (the
     * decisionAndPack pattern — counts are filters on flags, never
-    * recomputation); the screen is one url-keyed equi-join; the distinct
-    * fold and the domain cap are each one narrow keyed exchange carrying
-    * URL strings only — page text never enters this composition. At
-    * 100 TB swap the url join keys for their 8-byte hashes (documented
-    * at the anchor-text corpus, same shape). Output: (url, host,
-    * domain, crawl_delay, site_capped).
+    * recomputation); the wave screen is one url equi-join and the store
+    * screen one hash-keyed anti-join whose build side never carries
+    * strings; the distinct fold and the domain cap are each one narrow
+    * keyed exchange carrying URL strings only — page text never enters
+    * this composition. Output: (url, host, domain, crawl_delay,
+    * site_capped, source).
     */
   def buildFrontier(pages: DataFrame, idCol: String, urlCol: String,
                     htmlCol: String,
                     robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
-                    cfg: FrontierConfig = FrontierConfig()): DataFrame =
+                    cfg: FrontierConfig = FrontierConfig(),
+                    sitemaps: Option[DataFrame] = None,
+                    sitemapUrlCol: String = "sitemap_url",
+                    sitemapXmlCol: String = "xml"): DataFrame =
     frontierRun(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
-      robotsTxtCol, cfg, audit = false).urls
+      robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol, cfg,
+      audit = false).urls
 
-  /** [[buildFrontier]] plus the seven-stage audited funnel (the
-    * curateCrawlAudited split: the unaudited path pays zero count
-    * jobs; the audited one counts FILTERS over the one materialized
-    * flag frame, never recomputation).
+  /** [[buildFrontier]] plus the audited funnel (the curateCrawlAudited
+    * split: the unaudited path pays zero count jobs; the audited one
+    * counts FILTERS over the one materialized flag frame, never
+    * recomputation). Funnel rows, in order: `extracted` (link-discovered
+    * candidates), `seeded` (∪ sitemap leaves — the one count that can
+    * EXCEED its predecessor, discovery not filtering), `resolved_http`,
+    * `blocklist`, `not_fetched`, `seen_store` (only under `fetchedDir`),
+    * `distinct_url`, `robots_allowed`, `site_cap`. The `seconds` column
+    * carries the wall-clock of the work newly executed at that stage's
+    * materialization boundary (seeded = the sitemap index-tree walk;
+    * extracted = extraction + resolution + flags; seen_store = the
+    * cross-wave hash anti-join; distinct_url / robots_allowed /
+    * site_cap = their own exchanges); filter-only rows are NULL — the
+    * stage budget a 100 TB crawl tunes against, the same instrument as
+    * [[Curated]]'s funnel.
     */
   def buildFrontierAudited(pages: DataFrame, idCol: String, urlCol: String,
                            htmlCol: String,
                            robots: DataFrame, robotsHostCol: String,
                            robotsTxtCol: String,
-                           cfg: FrontierConfig = FrontierConfig()): Frontier =
+                           cfg: FrontierConfig = FrontierConfig(),
+                           sitemaps: Option[DataFrame] = None,
+                           sitemapUrlCol: String = "sitemap_url",
+                           sitemapXmlCol: String = "xml"): Frontier =
     frontierRun(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
-      robotsTxtCol, cfg, audit = true)
+      robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol, cfg,
+      audit = true)
 
+  /** Release-on-failure wrapper around [[frontierStages]] — same
+    * contract as [[run]]: a stage that throws must not leak the chain's
+    * localCheckpoint blocks for the life of the session.
+    */
   private def frontierRun(pages: DataFrame, idCol: String, urlCol: String,
                     htmlCol: String,
                     robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
+                    sitemaps: Option[DataFrame], sitemapUrlCol: String,
+                    sitemapXmlCol: String,
                     cfg: FrontierConfig, audit: Boolean): Frontier = {
-    val spark = pages.sparkSession
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    def materializedF(df: DataFrame): DataFrame = {
+    try frontierStages(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
+      robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol, cfg, audit, releases)
+    catch { case t: Throwable =>
+      releases.foreach(r => scala.util.Try(r()))
+      throw t
+    }
+  }
+
+  private def frontierStages(pages: DataFrame, idCol: String, urlCol: String,
+                    htmlCol: String,
+                    robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
+                    sitemaps: Option[DataFrame], sitemapUrlCol: String,
+                    sitemapXmlCol: String,
+                    cfg: FrontierConfig, audit: Boolean,
+                    releases: scala.collection.mutable.ArrayBuffer[() => Unit])
+      : Frontier = {
+    val spark = pages.sparkSession
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageSecs(label) =
+        stageSecs.getOrElse(label, 0.0) + (System.nanoTime() - t0) / 1e9
+      r
+    }
+    def materializedRawF(df: DataFrame): DataFrame = {
       val (g, rel) = Dedup.materialize(df, Dedup.Barrier.LocalCheckpoint)
       releases += rel
       g
     }
+    def materializedF(label: String)(df: DataFrame): DataFrame =
+      timed(label)(materializedRawF(df))
 
-    // F1-F5 as FLAG columns on one frame: the funnel's early counts are
-    // filters over one materialization, and the surviving candidate set
-    // is the same frame filtered — extraction never replays
+    // F1: links extracted + resolved; F0: sitemap leaves unioned in with
+    // their provenance tag. The sitemap walk materializes on its own
+    // boundary so the `seeded` funnel row carries ITS wall time, not the
+    // extraction chain's.
     val abs = TextAnalysis.extractLinks(pages, idCol, htmlCol)
       .join(pages.select(col(idCol), col(urlCol).as("_page_url")), Seq(idCol))
-      .select(TextAnalysis.resolveUrl(col("_page_url"), col("href")).as("_abs"))
+      .select(TextAnalysis.resolveUrl(col("_page_url"), col("href")).as("_abs"),
+        lit("link").as("_src"))
+    val cand = sitemaps match {
+      case None => abs
+      case Some(sm) =>
+        val roots = Robots.directives(
+            robots.select(col(robotsHostCol).as("host"),
+              col(robotsTxtCol).as("txt")), "host", "txt")
+          .select(explode(col("sitemaps")).as("sitemap_url"))
+        val leaves = materializedF("seeded")(Robots.sitemapFrontier(
+            sm.select(col(sitemapUrlCol).as("sitemap_url"),
+              col(sitemapXmlCol).as("_xml")),
+            "sitemap_url", "_xml", roots, "sitemap_url", cfg.sitemapMaxDepth)
+          .select(col("loc").as("_abs"), lit("sitemap").as("_src")))
+        abs.unionByName(leaves)
+    }
+
+    // F2-F5a as FLAG columns on one frame: the funnel's early counts are
+    // filters over one materialization, and the surviving candidate set
+    // is the same frame filtered — extraction never replays
     val fetched = pages
       .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url")).distinct()
       .withColumn("_fetched0", lit(true))
-    val flagged = materializedF(abs
+    val flagged = materializedF("extracted")(cand
       .withColumn("_http", col("_abs").rlike("^(?i)https?://"))
       .withColumn("url", TextAnalysis.canonicalUrl(col("_abs")))
       .withColumn("host",
@@ -554,13 +695,45 @@ object Pipeline {
       .join(fetched, Seq("url"), "left")
       .withColumn("_fetched", coalesce(col("_fetched0"), lit(false)))
       .drop("_fetched0", "_abs"))
+    val pass = flagged.where(col("_http") && !col("_blocked") && !col("_fetched"))
 
-    // F6: distinct URLs, robots verdicts (the URL itself is the verdict
-    // key — already distinct), Crawl-delay per host
-    val dist = materializedF(flagged
-      .where(col("_http") && !col("_blocked") && !col("_fetched"))
-      .select(col("url"), col("host"), col("domain"))
-      .distinct()
+    // F5b (incremental, fetchedDir non-empty): screen against the
+    // persistent cross-wave store — a hash-keyed ANTI-join (the store
+    // never carries URL strings), so a URL fetched by waves 1..N-1 never
+    // re-enters the fetch list. The wave's own append is DEFERRED until
+    // the frontier has materialized (see FrontierConfig).
+    var fetchedAppend: () => Unit = () => ()
+    val screened = if (cfg.fetchedDir.isEmpty) pass else {
+      val hp = new org.apache.hadoop.fs.Path(cfg.fetchedDir)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val withH = pass
+        .withColumn("_uh1", xxhash64(col("url")))
+        .withColumn("_uh2", xxhash64(lit(0x9E3779B97F4A7C15L), col("url")))
+      val fresh = materializedF("seen_store")(
+        if (!fs.exists(hp)) withH
+        else withH.join(spark.read.parquet(cfg.fetchedDir),
+          withH("_uh1") === col("uh1") && withH("_uh2") === col("uh2"),
+          "left_anti"))
+      fetchedAppend = () => pages
+        .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url")).distinct()
+        .select(xxhash64(col("url")).as("uh1"),
+          xxhash64(lit(0x9E3779B97F4A7C15L), col("url")).as("uh2"))
+        .write.mode("append").parquet(cfg.fetchedDir)
+      fresh.drop("_uh1", "_uh2")
+    }
+
+    // F6: distinct URLs with source provenance (bool-or over the
+    // discovery tags — 'both' when link graph and sitemap agree), robots
+    // verdicts (the URL itself is the verdict key — already distinct),
+    // Crawl-delay per host
+    val dist = materializedF("distinct_url")(screened
+      .groupBy(col("url"), col("host"), col("domain"))
+      .agg(max(when(col("_src") === "link", 1).otherwise(0)).as("_fl"),
+        max(when(col("_src") === "sitemap", 1).otherwise(0)).as("_fs"))
+      .withColumn("source",
+        when(col("_fl") === 1 && col("_fs") === 1, "both")
+          .when(col("_fs") === 1, "sitemap").otherwise("link"))
+      .drop("_fl", "_fs")
       // the robots path keeps the QUERY (curateCrawl's S2 convention and
       // RFC 9309's: rules like "Disallow: /search?" must match) — only
       // the host splits off
@@ -573,16 +746,17 @@ object Pipeline {
     val verdicts = Robots.robotsFilter(
       dist.select(col("url"), col("host"), col("path")),
       "url", "host", "path", rules, "host")
-    val allowed = materializedF(dist
+    val allowed = materializedF("robots_allowed")(dist
       .join(verdicts.where(col("allowed")).select("url"), Seq("url")))
 
     // F7: the bounded per-site cap, then host re-derivation + the
-    // per-host Crawl-delay annotation (the robots frame is per-host
-    // small — AQE broadcasts it)
+    // per-host Crawl-delay annotation and the source join-back (the
+    // robots frame is per-host small — AQE broadcasts it; the provenance
+    // join is one narrow equi-join on the ≤ maxPerSite×domains output)
     val delays = Robots.directives(robots.select(
         col(robotsHostCol).as("host"), col(robotsTxtCol).as("txt")),
       "host", "txt").select(col("host"), col("crawl_delay"))
-    val out = materializedF(allowed
+    val out = materializedF("site_cap")(allowed
       .groupBy(col("domain"))
       .agg(graft.functions.topk_distinct_strings(
         TextAnalysis.fingerprint(col("url")).cast("double"), col("url"),
@@ -592,27 +766,74 @@ object Pipeline {
       .withColumn("host",
         lower(regexp_extract(col("url"), "(?i)https?://([^/?#]+)", 1)))
       .join(delays, Seq("host"), "left")
+      .join(allowed.select(col("url"), col("source")), Seq("url"))
       .select(col("url"), col("host"), col("domain"), col("crawl_delay"),
-        col("site_capped")))
+        col("site_capped"), col("source")))
+
+    // the frontier is fully materialized — the wave's fetched URLs may
+    // now accrete into the persistent store (deferred commit: a crash
+    // anywhere above left the store untouched)
+    fetchedAppend()
 
     import spark.implicits._
     val funnel = if (!audit)
-      Seq.empty[(Long, String, Long)].toDF("stage_idx", "stage", "n_urls")
-    else Seq(
-      ("extracted", flagged.count()),
-      ("resolved_http", flagged.where(col("_http")).count()),
-      ("blocklist", flagged.where(col("_http") && !col("_blocked")).count()),
-      ("not_fetched",
-        flagged.where(col("_http") && !col("_blocked") && !col("_fetched")).count()),
-      ("distinct_url", dist.count()),
-      ("robots_allowed", allowed.count()),
-      ("site_cap", out.count()))
-      .zipWithIndex.map { case ((st, n), i) => (i.toLong, st, n) }
-      .toDF("stage_idx", "stage", "n_urls")
+      Seq.empty[(Long, String, Long, Option[Double])]
+        .toDF("stage_idx", "stage", "n_urls", "seconds")
+    else {
+      val rows = Seq(
+        ("extracted", flagged.where(col("_src") === "link").count()),
+        ("seeded", flagged.count()),
+        ("resolved_http", flagged.where(col("_http")).count()),
+        ("blocklist",
+          flagged.where(col("_http") && !col("_blocked")).count()),
+        ("not_fetched", pass.count())) ++
+        (if (cfg.fetchedDir.nonEmpty) Seq(("seen_store", screened.count()))
+         else Seq.empty) ++ Seq(
+        ("distinct_url", dist.count()),
+        ("robots_allowed", allowed.count()),
+        ("site_cap", out.count()))
+      rows.zipWithIndex.map { case ((st, n), i) =>
+        (i.toLong, st, n, stageSecs.get(st).map(x => math.rint(x * 1000) / 1000))
+      }.toDF("stage_idx", "stage", "n_urls", "seconds")
+    }
 
     // the fetch list is checkpointed and the funnel is a literal frame;
     // keep only the final barrier alive for the caller
     releases.dropRight(1).foreach(r => r())
+    releases.remove(0, releases.size - 1)
     Frontier(out, funnel)
+  }
+
+  /** Politeness SCHEDULER — the consumer of [[buildFrontier]]'s
+    * (url, crawl_delay) output and the last piece of the crawling half:
+    * turn a frontier into per-host fetch SLOTS that respect each host's
+    * Crawl-delay. Every URL gets `slot` (its position in the host's
+    * fetch sequence: 0, 1, 2, … in deterministic
+    * ([[TextAnalysis.fingerprint]] hash, url) order — the same priority
+    * convention as the per-site cap, so any SQL engine replays the
+    * assignment) and `start_sec` = slot × the host's delay (`delayCol`,
+    * `defaultDelaySec` where the host declared none) — the earliest
+    * politeness-compliant fetch offset within the wave. A fetch executor
+    * maps slot r of every host to its r-th request round; hosts with
+    * more URLs simply extend further into the wave.
+    *
+    * Scale shape: ONE narrow keyed exchange on the host (the window's
+    * partition key); per-host state is the window sort, bounded by the
+    * upstream `maxPerSite` cap. Output: the input columns + (slot,
+    * start_sec).
+    */
+  def scheduleFrontier(frontier: DataFrame, urlCol: String, hostCol: String,
+                       delayCol: String,
+                       defaultDelaySec: Double = 1.0): DataFrame = {
+    require(defaultDelaySec >= 0.0,
+      s"defaultDelaySec must be >= 0, got $defaultDelaySec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol))
+      .orderBy(TextAnalysis.fingerprint(col(urlCol)).cast("double").asc,
+        col(urlCol).asc)
+    frontier
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("start_sec",
+        col("slot") * coalesce(col(delayCol), lit(defaultDelaySec)))
   }
 }

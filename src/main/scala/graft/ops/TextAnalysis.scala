@@ -952,6 +952,19 @@ object TextAnalysis {
     152 -> 0x02DC, 153 -> 0x2122, 154 -> 0x0161, 155 -> 0x203A,
     156 -> 0x0153, 158 -> 0x017E, 159 -> 0x0178)
 
+  /** Occurrences of the two separator/placeholder control bytes
+    * (U+0001/U+0002) that [[decodeEntities]] strips from raw markup
+    * before decoding — the OBSERVABILITY metric for that documented
+    * data-loss class: genuine C0 control bytes in crawl content do not
+    * survive extraction byte-exactly, and a corpus audit sums this
+    * column over the raw captures to measure exactly how much text the
+    * profile touched (almost always zero — C0 bytes carry no corpus
+    * signal and most decoders reject them outright). One codegen'd
+    * per-row length diff, zero shuffle.
+    */
+  def collisionByteCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\u0001\u0002]", ""))).cast("long")
+
   private def decodeEntities(x: Column): Column = {
     // fast paths, semantics-preserving: the control-byte strip and the
     // numeric split/transform are identities on text without those
