@@ -275,4 +275,82 @@ class PipelineSpec extends AnyFunSuite {
       graft.ops.Warc.warcRecords(four, "doc_id", "warc", maxRecords = 16),
       "doc_id", 16) === 0L)
   }
+
+  private def frontierPagesFor(ids: Seq[Long]): DataFrame = {
+    // each page links the NEXT page (mod 16) — a cross-wave target when
+    // the next id sits in an earlier wave — plus a never-fetched f.net URL
+    val next = (col("doc_id") + 1) % 16
+    spark.range(16).select(col("id").as("doc_id"))
+      .where(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"),
+        concat(lit("https://h0.com/p"), col("doc_id").cast("string"))
+          .as("page_url"),
+        concat(lit("<a href=\"https://h0.com/p"), next.cast("string"),
+          lit("\">next</a> <a href=\"https://f.net/x"),
+          col("doc_id").cast("string"), lit("\">f</a>")).as("html"))
+  }
+
+  test("frontier fetchedDir: a crash mid-composition leaves the store untouched; retry loses nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fcrash").toString
+    import spark.implicits._
+    val robots = Seq(("h0.com", "")).toDF("host", "txt")
+    val store = base + "/fetched"
+    val persisted0 = spark.sparkContext.getPersistentRDDs.size
+    // wave 0 with an invalid cap CRASHES at the site-cap stage — after
+    // extraction and the (empty-store) screen already ran, before the
+    // deferred append
+    intercept[IllegalArgumentException] {
+      Pipeline.buildFrontier(frontierPagesFor(Seq(0L, 1L, 2L)), "doc_id",
+        "page_url", "html", robots, "host", "txt",
+        Pipeline.FrontierConfig(maxPerSite = 0, fetchedDir = store))
+    }
+    // deferred commit: the aborted run never touched the store, and the
+    // release-on-failure path freed every checkpoint block
+    assert(!new java.io.File(store).exists())
+    assert(spark.sparkContext.getPersistentRDDs.size === persisted0)
+    // the RETRIED wave loses nothing: its in-wave screen drops p1/p2
+    // (this wave fetched them), the store screen drops nothing
+    val cfg = Pipeline.FrontierConfig(maxPerSite = 10, fetchedDir = store)
+    val w0 = Pipeline.buildFrontier(frontierPagesFor(Seq(0L, 1L, 2L)), "doc_id",
+      "page_url", "html", robots, "host", "txt", cfg)
+    assert(w0.select("url").collect().map(_.getString(0)).toSet ===
+      Set("https://h0.com/p3", "https://f.net/x0", "https://f.net/x1",
+        "https://f.net/x2"))
+    // wave 1: doc 15's next link targets p0 — fetched by wave 0, so the
+    // STORE screen (not the in-wave one) must drop it; doc 3's next
+    // link p4 was never fetched and survives
+    val w1 = Pipeline.buildFrontier(frontierPagesFor(Seq(3L, 15L)), "doc_id",
+      "page_url", "html", robots, "host", "txt", cfg)
+    assert(w1.select("url").collect().map(_.getString(0)).toSet ===
+      Set("https://h0.com/p4", "https://f.net/x3", "https://f.net/x15"))
+    // the store accreted both waves' fetched URLs (3 + 2 hash pairs)
+    assert(spark.read.parquet(store).count() === 5)
+  }
+
+  test("frontier funnel: seconds on timed boundaries only; seen_store row appears with fetchedDir") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ffsec").toString
+    import spark.implicits._
+    val robots = Seq(("h0.com", "")).toDF("host", "txt")
+    val cfg = Pipeline.FrontierConfig(maxPerSite = 10,
+      fetchedDir = base + "/fetched")
+    val f = Pipeline.buildFrontierAudited(frontierPagesFor(Seq(0L, 1L, 2L)),
+      "doc_id", "page_url", "html", robots, "host", "txt", cfg)
+      .funnel.orderBy("stage_idx").collect()
+    assert(f.map(_.getString(1)).toSeq === Seq("extracted", "seeded",
+      "resolved_http", "blocklist", "not_fetched", "seen_store",
+      "distinct_url", "robots_allowed", "site_cap"))
+    val secs = f.map(r => r.getString(1) -> (if (r.isNullAt(3)) None
+      else Some(r.getDouble(3)))).toMap
+    // timed = the materialization boundaries; filter-only rows are NULL
+    // (seeded is NULL here — no sitemaps were composed in)
+    assert(Seq("extracted", "seen_store", "distinct_url", "robots_allowed",
+      "site_cap").forall(st => secs(st).exists(_ >= 0.0)), secs.toString)
+    assert(Seq("seeded", "resolved_http", "blocklist", "not_fetched")
+      .forall(st => secs(st).isEmpty), secs.toString)
+    // counts: 6 candidates -> the wave's own 2 drop -> no store rows yet
+    assert(f.map(r => r.getString(1) -> r.getLong(2)).toMap ===
+      Map("extracted" -> 6L, "seeded" -> 6L, "resolved_http" -> 6L,
+        "blocklist" -> 6L, "not_fetched" -> 4L, "seen_store" -> 4L,
+        "distinct_url" -> 4L, "robots_allowed" -> 4L, "site_cap" -> 4L))
+  }
 }
