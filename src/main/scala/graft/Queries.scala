@@ -2978,24 +2978,23 @@ object Queries {
     // host, absolute ones on theirs; the oracle is the edge-count
     // decision table from the fixture formulas — extraction, resolution
     // and hosting never appear in it
-    "web_link_graph" -> ((s, dir) => {
-      val idS = col("doc_id").cast("string")
-      val pageUrl = concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
-        lit(".com/a/page"), idS, lit(".html"))
-      val pages = docs(s, dir).select(col("doc_id"), pageUrl.as("page_url"),
-        linkHtmlFixture(col("doc_id")).as("html"))
-      TextAnalysis.extractLinks(pages, "doc_id", "html")
-        .join(pages.select(col("doc_id"), col("page_url")), "doc_id")
-        .withColumn("dst_url",
-          TextAnalysis.resolveUrl(col("page_url"), col("href")))
-        .select(
-          lower(regexp_extract(col("page_url"), "(?i)https?://([^/?#]+)", 1))
-            .as("src_host"),
-          lower(regexp_extract(col("dst_url"), "(?i)https?://([^/?#]+)", 1))
-            .as("dst_host"))
-        .groupBy(col("src_host"), col("dst_host"))
-        .agg(count(lit(1)).as("n_links"))
-    }),
+    "web_link_graph" -> ((s, dir) =>
+      TextAnalysis.webLinkGraph(frontierPages(s, dir), "doc_id",
+        "page_url", "html")),
+
+    // the SAME graph with the aggregation exchange keyed on the hosts'
+    // 8-byte hash pair instead of the strings (the 100 TB exchange-key
+    // swap, now a knob): identical oracle — results must match the
+    // string-keyed gate byte for byte
+    "web_link_graph_hashkeys" -> ((s, dir) =>
+      TextAnalysis.webLinkGraph(frontierPages(s, dir), "doc_id",
+        "page_url", "html", hashKeys = true)),
+
+    // anchorTexts with the target key hashed (the same swap on the
+    // anchor corpus's one aggregation): identical oracle to anchor_texts
+    "anchor_texts_hashkeys" -> ((s, dir) =>
+      TextAnalysis.anchorTexts(frontierPages(s, dir), "doc_id",
+        "page_url", "html", hashKeys = true)),
 
     // RFC 3986 relative-reference resolution (the extractLinks →
     // frontier bridge): absolute / protocol-relative / root-relative /
@@ -4903,6 +4902,38 @@ object Queries {
        |  CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
        |  CAST((shuffle_pos * 4) // n AS INT) AS shard
        |FROM sp""".stripMargin
+
+  /** Shared by the string-keyed gates and their `hashKeys` twins — one
+    * SQL string, so a value drift between the two variants is impossible
+    * to hide in a restatement diff.
+    */
+  private val AnchorTextsSql: String =
+    """WITH b AS (SELECT doc_id, doc_id % 10 AS k,
+      |    CAST(doc_id % 10 AS VARCHAR) AS ks, CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents),
+      |kk AS (SELECT k, CAST(k AS VARCHAR) AS ks, count(*) AS n FROM b GROUP BY 1, 2)
+      |SELECT 'https://h' || ks || '.com/' AS dst_url,
+      |  CAST(n AS BIGINT) AS n_anchors, 'Home' AS anchors,
+      |  FALSE AS anchors_capped FROM kk
+      |UNION ALL SELECT 'https://h' || ks || '.com/about',
+      |  CAST(n AS BIGINT), 'About Us', FALSE FROM kk
+      |UNION ALL SELECT 'https://site' || ks || '.com/page' || i || '?x=1',
+      |  CAST(1 AS BIGINT), 'page ' || i || ' here', FALSE FROM b
+      |UNION ALL SELECT 'https://alt' || ks || '.org/p' || i,
+      |  CAST(1 AS BIGINT), 'alt M&x ' || i, FALSE FROM b
+      |UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html',
+      |  CAST(1 AS BIGINT), 'empty', FALSE FROM b WHERE doc_id % 5 = 0""".stripMargin
+
+  private val WebLinkGraphSql: String =
+    """WITH k AS (SELECT doc_id % 10 AS k, count(*) AS n FROM documents GROUP BY 1)
+      |SELECT 'h' || CAST(k AS VARCHAR) || '.com' AS src_host,
+      |  'h' || CAST(k AS VARCHAR) || '.com' AS dst_host,
+      |  CAST(2 * n + CASE WHEN k % 5 = 0 THEN n ELSE 0 END AS BIGINT) AS n_links
+      |FROM k
+      |UNION ALL SELECT 'h' || CAST(k AS VARCHAR) || '.com',
+      |  'site' || CAST(k AS VARCHAR) || '.com', CAST(n AS BIGINT) FROM k
+      |UNION ALL SELECT 'h' || CAST(k AS VARCHAR) || '.com',
+      |  'alt' || CAST(k AS VARCHAR) || '.org', CAST(n AS BIGINT) FROM k""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "knn_l2" -> knnSql("l2"),
@@ -7491,22 +7522,7 @@ object Queries {
     // '/about' collect one host-class's pages (anchors 'Home' /
     // 'About Us'), per-page site/alt targets carry their one anchor,
     // empty self-references land on the page's own URL
-    "anchor_texts" ->
-      """WITH b AS (SELECT doc_id, doc_id % 10 AS k,
-        |    CAST(doc_id % 10 AS VARCHAR) AS ks, CAST(doc_id AS VARCHAR) AS i
-        |  FROM documents),
-        |kk AS (SELECT k, CAST(k AS VARCHAR) AS ks, count(*) AS n FROM b GROUP BY 1, 2)
-        |SELECT 'https://h' || ks || '.com/' AS dst_url,
-        |  CAST(n AS BIGINT) AS n_anchors, 'Home' AS anchors,
-        |  FALSE AS anchors_capped FROM kk
-        |UNION ALL SELECT 'https://h' || ks || '.com/about',
-        |  CAST(n AS BIGINT), 'About Us', FALSE FROM kk
-        |UNION ALL SELECT 'https://site' || ks || '.com/page' || i || '?x=1',
-        |  CAST(1 AS BIGINT), 'page ' || i || ' here', FALSE FROM b
-        |UNION ALL SELECT 'https://alt' || ks || '.org/p' || i,
-        |  CAST(1 AS BIGINT), 'alt M&x ' || i, FALSE FROM b
-        |UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html',
-        |  CAST(1 AS BIGINT), 'empty', FALSE FROM b WHERE doc_id % 5 = 0""".stripMargin,
+    "anchor_texts" -> AnchorTextsSql,
 
     // capped anchor corpus: the hub target's ~501 distinct anchors cut to
     // the 5 smallest by (rolling-hash, anchor) with the EXACT over-cap
@@ -7543,16 +7559,12 @@ object Queries {
     // page contributes two self-host edges ("/", "/about#f"), one to
     // site{k}.com, one to alt{k}.org, plus the empty self-reference on
     // every-5th docs (doc ≡ k mod 10 ⇒ the whole k-class when k%5=0)
-    "web_link_graph" ->
-      """WITH k AS (SELECT doc_id % 10 AS k, count(*) AS n FROM documents GROUP BY 1)
-        |SELECT 'h' || CAST(k AS VARCHAR) || '.com' AS src_host,
-        |  'h' || CAST(k AS VARCHAR) || '.com' AS dst_host,
-        |  CAST(2 * n + CASE WHEN k % 5 = 0 THEN n ELSE 0 END AS BIGINT) AS n_links
-        |FROM k
-        |UNION ALL SELECT 'h' || CAST(k AS VARCHAR) || '.com',
-        |  'site' || CAST(k AS VARCHAR) || '.com', CAST(n AS BIGINT) FROM k
-        |UNION ALL SELECT 'h' || CAST(k AS VARCHAR) || '.com',
-        |  'alt' || CAST(k AS VARCHAR) || '.org', CAST(n AS BIGINT) FROM k""".stripMargin,
+    "web_link_graph" -> WebLinkGraphSql,
+
+    // the hash-keyed exchange variants: same oracles as their
+    // string-keyed twins — the knob must not change a single value
+    "web_link_graph_hashkeys" -> WebLinkGraphSql,
+    "anchor_texts_hashkeys" -> AnchorTextsSql,
 
     // decision table from the robots-directives fixture formulas: the
     // parser/segment walk never appears. Second star group's 7 beats

@@ -1258,27 +1258,78 @@ object TextAnalysis {
     * reproducible uniform sample of the target's distinct anchors, and
     * any SQL engine replays the cut. Targets that lost anchors to the
     * cap carry `anchors_capped` = true (exact, never silent); the
-    * incoming-anchor COUNT stays exact regardless. At extreme URL-length
-    * skew, additionally key on the URL's 8-byte hash and join the string
-    * back for survivors. Output: (dst_url, n_anchors, anchors
+    * incoming-anchor COUNT stays exact regardless.
+    *
+    * `hashKeys` = true is the 100 TB exchange-key swap: the aggregation
+    * keys on the target URL's 8-byte xxhash64 instead of the string —
+    * the shuffle's partitioning keys and sort comparisons are
+    * fixed-width, and URL-length skew stops mattering to the exchange —
+    * while ONE representative string per group rides as `min(dst_url)`
+    * payload (strictly cheaper than a separate name-carrier aggregation
+    * + hash join-back, which ships the identical strings once more).
+    * Results are identical unless two distinct target URLs share a
+    * 64-bit hash (~2⁻⁶⁴ per pair — the documented sketch-free grain;
+    * the exact path has none). Output: (dst_url, n_anchors, anchors
     * '|'-joined sorted distinct-capped, anchors_capped).
     */
   def anchorTexts(pages: org.apache.spark.sql.DataFrame, idCol: String,
                   urlCol: String, htmlCol: String,
-                  maxAnchorsPerTarget: Int = 64): org.apache.spark.sql.DataFrame =
-    extractLinks(pages, idCol, htmlCol)
+                  maxAnchorsPerTarget: Int = 64,
+                  hashKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val pairs = extractLinks(pages, idCol, htmlCol)
       .join(pages.select(col(idCol), col(urlCol).as("_page_url")), idCol)
       .select(resolveUrl(col("_page_url"), col("href")).as("dst_url"),
         col("anchor"))
       .where(col("anchor") =!= "")
-      .groupBy(col("dst_url"))
-      .agg(count(lit(1)).as("n_anchors"),
-        graft.functions.topk_distinct_strings(
-          fingerprint(col("anchor")).cast("double"), col("anchor"),
-          maxAnchorsPerTarget).as("_tk"))
-      .select(col("dst_url"), col("n_anchors"),
-        array_join(sort_array(col("_tk.kept")), "|").as("anchors"),
-        col("_tk.capped").as("anchors_capped"))
+    val grouped =
+      if (!hashKeys)
+        pairs.groupBy(col("dst_url"))
+          .agg(count(lit(1)).as("n_anchors"),
+            graft.functions.topk_distinct_strings(
+              fingerprint(col("anchor")).cast("double"), col("anchor"),
+              maxAnchorsPerTarget).as("_tk"))
+      else
+        pairs.groupBy(xxhash64(col("dst_url")).as("_uh"))
+          .agg(count(lit(1)).as("n_anchors"),
+            graft.functions.topk_distinct_strings(
+              fingerprint(col("anchor")).cast("double"), col("anchor"),
+              maxAnchorsPerTarget).as("_tk"),
+            min(col("dst_url")).as("dst_url"))
+    grouped.select(col("dst_url"), col("n_anchors"),
+      array_join(sort_array(col("_tk.kept")), "|").as("anchors"),
+      col("_tk.capped").as("anchors_capped"))
+  }
+
+  /** Host-level web link graph — the crawl-analytics aggregate over
+    * [[extractLinks]] + [[resolveUrl]]: one row per (src_host,
+    * dst_host) pair with the link count; relative hrefs land on the
+    * page's own host. `hashKeys` = true keys the aggregation exchange
+    * on the hosts' 8-byte xxhash64 pair instead of the strings (the
+    * anchorTexts swap: fixed-width partitioning keys, one
+    * representative string payload per group, ~2⁻¹²⁸ per-pair collision
+    * grain since BOTH lanes must collide). Output: (src_host, dst_host,
+    * n_links).
+    */
+  def webLinkGraph(pages: org.apache.spark.sql.DataFrame, idCol: String,
+                   urlCol: String, htmlCol: String,
+                   hashKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
+    def hostOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lower(regexp_extract(c, "(?i)https?://([^/?#]+)", 1))
+    val edges = extractLinks(pages, idCol, htmlCol)
+      .join(pages.select(col(idCol), col(urlCol).as("_page_url")), Seq(idCol))
+      .select(hostOf(col("_page_url")).as("src_host"),
+        hostOf(resolveUrl(col("_page_url"), col("href"))).as("dst_host"))
+    if (!hashKeys)
+      edges.groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
+    else
+      edges.groupBy(xxhash64(col("src_host")).as("_h1"),
+          xxhash64(col("dst_host")).as("_h2"))
+        .agg(min(col("src_host")).as("src_host"),
+          min(col("dst_host")).as("dst_host"),
+          count(lit(1)).as("n_links"))
+        .select(col("src_host"), col("dst_host"), col("n_links"))
+  }
 
   /** RFC 3986 §5 relative-reference resolution for crawl frontiers —
     * the step between [[extractLinks]]' raw hrefs (mostly relative:

@@ -3524,4 +3524,60 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(!top.contains(3L), s"worst doc sampled into top-3: $top")
   }
+
+  test("hashKeys: anchorTexts/webLinkGraph exchanges carry no string-typed partitioning keys") {
+    val pages = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("https://h"), (col("id") % 5).cast("string"),
+        lit(".com/p"), col("id").cast("string")).as("page_url"),
+      concat(lit("<a href=\"https://t"), (col("id") % 7).cast("string"),
+        lit(".org/x"), (col("id") % 11).cast("string"), lit("\">anchor "),
+        col("id").cast("string"), lit("</a>")).as("html"))
+    def shufflePartitionings(df: DataFrame)
+        : Seq[org.apache.spark.sql.catalyst.plans.physical.Partitioning] = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.catalyst.plans.physical.Partitioning] = {
+        val here = p match {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            Seq(e.outputPartitioning)
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def stringKeyed(ps: Seq[org.apache.spark.sql.catalyst.plans.physical.Partitioning])
+        : Boolean = ps.exists {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.exists(_.dataType ==
+          org.apache.spark.sql.types.StringType)
+      case _ => false
+    }
+    // the string-keyed variants DO key an exchange on a string (the
+    // contrast that proves the assertion below bites)
+    assert(stringKeyed(shufflePartitionings(
+      TextAnalysis.anchorTexts(pages, "doc_id", "page_url", "html"))))
+    assert(stringKeyed(shufflePartitionings(
+      TextAnalysis.webLinkGraph(pages, "doc_id", "page_url", "html"))))
+    // the hashKeys variants never do: every exchange key is fixed-width
+    val at = TextAnalysis.anchorTexts(pages, "doc_id", "page_url", "html",
+      hashKeys = true)
+    val wg = TextAnalysis.webLinkGraph(pages, "doc_id", "page_url", "html",
+      hashKeys = true)
+    assert(shufflePartitionings(at).nonEmpty && !stringKeyed(shufflePartitionings(at)))
+    assert(shufflePartitionings(wg).nonEmpty && !stringKeyed(shufflePartitionings(wg)))
+    // and the knob changes no values
+    val a0 = TextAnalysis.anchorTexts(pages, "doc_id", "page_url", "html")
+      .orderBy("dst_url").collect().toSeq
+    val a1 = at.orderBy("dst_url").collect().toSeq
+    assert(a0 === a1)
+    val g0 = TextAnalysis.webLinkGraph(pages, "doc_id", "page_url", "html")
+      .orderBy("src_host", "dst_host").collect().toSeq
+    val g1 = wg.orderBy("src_host", "dst_host").collect().toSeq
+    assert(g0 === g1)
+  }
 }
