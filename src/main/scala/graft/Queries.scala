@@ -1197,15 +1197,29 @@ object Queries {
     * dimensions exactly, sums/max/dhash within the documented
     * IDCT/color-roundtrip tolerances. Color uses the writer's default
     * 4:2:0 subsampling, so MCU padding + crop is exercised (72 is not a
-    * multiple of 16).
+    * multiple of 16). The gray image is additionally encoded
+    * PROGRESSIVE (SOF2, the writer's default multi-scan script with
+    * successive approximation) — fields 8-10: (progJpg, pRefSum,
+    * pRefDhash) — so the multi-scan coefficient-accretion path earns
+    * the same agreement.
     */
   private[graft] def jpegGateFixture(id: Long)
-      : (Array[Byte], Array[Byte], Long, Long, Long, Long, Long) = {
+      : (Array[Byte], Array[Byte], Long, Long, Long, Long, Long,
+         Array[Byte], Long, Long) = {
     import java.awt.image.BufferedImage
     val w = 72; val h = 64
-    def encode(img: BufferedImage): Array[Byte] = {
+    def encode(img: BufferedImage, progressive: Boolean = false): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
+      if (!progressive) javax.imageio.ImageIO.write(img, "jpg", bos)
+      else {
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val pr = wr.getDefaultWriteParam
+        pr.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+        wr.setOutput(out)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), pr)
+        out.close(); wr.dispose()
+      }
       bos.toByteArray
     }
     val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -1248,7 +1262,25 @@ object Queries {
     }
     val gDh = graft.ops.Jpeg.dhashOfLuma(w, h, gLuma).get
     val cDh = graft.ops.Jpeg.dhashOfLuma(w, h, cLuma).get
-    (gJpg, cJpg, gSum, gMax, gDh, cSum, cDh)
+    // progressive twin of the gray image, reference-decoded from its OWN
+    // bytes (coefficient-identical to baseline, but earned independently)
+    val pJpg = encode(g, progressive = true)
+    val pBack = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pJpg))
+    val pLuma = new Array[Int](w * h)
+    var pSum = 0L
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pv = pBack.getRaster.getSample(x, y, 0)
+        pLuma(y * w + x) = pv
+        pSum += pv
+        x += 1
+      }
+      y += 1
+    }
+    val pDh = graft.ops.Jpeg.dhashOfLuma(w, h, pLuma).get
+    (gJpg, cJpg, gSum, gMax, gDh, cSum, cDh, pJpg, pSum, pDh)
   }
 
   /** Fixture for image_dhash_cross_format: the SAME deterministic
@@ -1256,7 +1288,9 @@ object Queries {
     * aligned with BOTH the dHash pool grid and the JPEG block grid, so
     * pool margins are ≥24 counts and compression ringing cannot flip a
     * comparison — rendered losslessly into PNG (all five scanline
-    * filters via doc_id%5) and lossily into JPEG via ImageIO.
+    * filters via doc_id%5) and lossily into JPEG via ImageIO — odd
+    * doc_ids as PROGRESSIVE (SOF2) encodes, so the one dHash space
+    * provably spans PNG ↔ baseline-JPEG ↔ progressive-JPEG.
     */
   private[graft] def crossFormatFixture(id: Long): (Array[Byte], Array[Byte]) = {
     val w = 72; val h = 64
@@ -1273,7 +1307,16 @@ object Queries {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
+    if (id % 2 == 0) javax.imageio.ImageIO.write(img, "jpg", bos)
+    else {
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val pr = wr.getDefaultWriteParam
+      pr.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(out)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), pr)
+      out.close(); wr.dispose()
+    }
     (png, bos.toByteArray)
   }
 
@@ -4301,6 +4344,7 @@ object Queries {
       val f = docs(s, dir).select(col("doc_id"), fx(col("doc_id")).as("fx"))
       val g = graft.functions.jpeg_luma_stats(col("fx._1"))
       val c = graft.functions.jpeg_luma_stats(col("fx._2"))
+      val pg = graft.functions.jpeg_luma_stats(col("fx._8"))
       val area = lit(72L * 64L)
       f.select(col("doc_id"),
         g.getField("width").as("g_w"), g.getField("height").as("g_h"),
@@ -4311,7 +4355,13 @@ object Queries {
         c.getField("width").as("c_w"), c.getField("height").as("c_h"),
         (abs(c.getField("sum_luma") - col("fx._6")) <= area * 2).as("c_sum_ok"),
         (bit_count(graft.functions.jpeg_dhash(col("fx._2"))
-          .bitwiseXOR(col("fx._7"))) <= lit(4)).as("c_dhash_ok"))
+          .bitwiseXOR(col("fx._7"))) <= lit(4)).as("c_dhash_ok"),
+        // the progressive (SOF2) twin: the multi-scan accretion path
+        // must earn the same grayscale agreement as the baseline scan
+        pg.getField("width").as("p_w"), pg.getField("height").as("p_h"),
+        (abs(pg.getField("sum_luma") - col("fx._9")) <= area).as("p_sum_ok"),
+        (bit_count(graft.functions.jpeg_dhash(col("fx._8"))
+          .bitwiseXOR(col("fx._10"))) <= lit(2)).as("p_dhash_ok"))
     }),
 
     // CROSS-FORMAT perceptual dedup: the same image rendered losslessly
@@ -7671,7 +7721,9 @@ object Queries {
         |  CAST(72 AS BIGINT) AS g_w, CAST(64 AS BIGINT) AS g_h,
         |  TRUE AS g_sum_ok, TRUE AS g_max_ok, TRUE AS g_dhash_ok,
         |  CAST(72 AS BIGINT) AS c_w, CAST(64 AS BIGINT) AS c_h,
-        |  TRUE AS c_sum_ok, TRUE AS c_dhash_ok
+        |  TRUE AS c_sum_ok, TRUE AS c_dhash_ok,
+        |  CAST(72 AS BIGINT) AS p_w, CAST(64 AS BIGINT) AS p_h,
+        |  TRUE AS p_sum_ok, TRUE AS p_dhash_ok
         |FROM documents""".stripMargin,
 
     // png_dhash restated exactly from the fixture formula (72×64 grid,

@@ -21,12 +21,20 @@ package graft.ops
   * whenever its sampling factors equal the maxima (4:4:4, 4:2:2, 4:2:0
   * all qualify), so no upsampling exists on this path at all.
   *
-  * Profile: baseline sequential DCT, 8-bit samples (SOF0; SOF1 with
-  * 8-bit precision also decodes — extended-sequential uses the same
-  * scan structure), 1-4 components, interleaved single scan, optional
-  * restart intervals. Progressive (SOF2), arithmetic coding, 12-bit and
-  * hierarchical streams return None — gracefully, never an error. A
-  * 256 MB output cap guards crafted headers (the pngDecodePixels rule).
+  * Profile: baseline sequential DCT (SOF0; SOF1 with 8-bit precision
+  * also decodes — extended-sequential uses the same scan structure) AND
+  * progressive DCT (SOF2, T.81 Annex G.1.2: spectral selection +
+  * successive approximation, DC first/refine, AC first/refine with
+  * EOB-run tracking). 8-bit samples, grayscale or YCbCr, optional
+  * restart intervals. On the progressive path the LUMA component's
+  * coefficients accrete across scans into one buffer; scans that do not
+  * include luma (chroma AC and chroma-only DC scans) are SKIPPED
+  * without entropy decoding — their data is self-delimiting — so the
+  * luma-only contract costs even less than on the baseline path.
+  * Arithmetic coding, 12-bit and hierarchical streams return None —
+  * gracefully, never an error. A 256 MB output cap guards crafted
+  * headers (the pngDecodePixels rule); progressive halves it (2²⁵
+  * pixels) because the coefficient buffer and the plane are both live.
   *
   * Scale shape: one self-contained per-row decode (no allocation shared
   * across rows, no global state), invoked from codegen'd expressions —
@@ -256,13 +264,244 @@ object Jpeg {
     var p = 2
     var sosAt = -1
 
-    while (sosAt < 0 && p + 3 < b.length) {
+    // ---- progressive (SOF2) state: luma coefficients accrete across
+    // scans in block-contiguous natural order; pbW×pbH is the luma block
+    // grid at the interleaved (MCU-padded) extent, which contains every
+    // non-interleaved scan's own raster ----
+    var progressive = false
+    var progDone = false
+    var progScanSeen = false
+    var progCoefs: Array[Int] = null
+    var pbW = 0; var pbH = 0
+    var eobrun = 0
+
+    /** Advance past self-delimiting entropy data (stuffed 0xFF00 bytes
+      * and RSTn markers included) to the next true marker.
+      */
+    def skipEntropy(from: Int): Int = {
+      var q = from
+      while (q < b.length) {
+        if ((b(q) & 0xff) == 0xff && q + 1 < b.length) {
+          val m2 = b(q + 1) & 0xff
+          if (m2 == 0 || (m2 >= 0xd0 && m2 <= 0xd7)) q += 2 else return q
+        } else q += 1
+      }
+      b.length
+    }
+
+    /** One progressive scan (T.81 G.1.2): returns the next marker
+      * position, or -1 on malformed data. Scans without the luma
+      * component skip without entropy decoding.
+      */
+    def progScan(scanComps: Array[Comp], ss: Int, se: Int, ah: Int, al: Int,
+                 start: Int): Int = {
+      val hmaxI = comps.map(_.h).max; val vmaxI = comps.map(_.v).max
+      val mX = (w + 8 * hmaxI - 1) / (8 * hmaxI)
+      val mY = (h + 8 * vmaxI - 1) / (8 * vmaxI)
+      if (progCoefs == null) {
+        val yc = comps(0)
+        if (yc.h != hmaxI || yc.v != vmaxI) return -1 // Y must be full-res
+        if (w.toLong * h > (1L << 25)) return -1      // progressive cap
+        pbW = mX * yc.h; pbH = mY * yc.v
+        progCoefs = new Array[Int](pbW * pbH * 64)
+      }
+      if (ss > se || se > 63 || al > 13 || ah > 13) return -1
+      if (ss == 0 && se != 0) return -1              // DC scans: band {0}
+      if (ss > 0 && scanComps.length != 1) return -1 // AC scans: one comp
+      if (!scanComps.exists(_ eq comps(0))) return skipEntropy(start)
+      val r = new BitReader(b, start)
+      eobrun = 0
+      scanComps.foreach(_.pred = 0)
+      var units = 0 // restart cadence: MCUs (interleaved) / blocks (single)
+
+      def checkRestart(): Boolean = {
+        if (restartInterval > 0 && units > 0 && units % restartInterval == 0) {
+          if (!r.restart()) return false
+          scanComps.foreach(_.pred = 0)
+          eobrun = 0
+        }
+        true
+      }
+
+      // DC first pass (diff at precision al) / refinement (one bit)
+      def dcBlock(c: Comp, blockIdx: Int): Boolean = {
+        val store = (c eq comps(0)) && blockIdx >= 0
+        if (ah == 0) {
+          val t = dcTabs(c.td)
+          if (t == null) return false
+          val s = decodeSym(r, t)
+          if (s < 0 || s > 15) return false
+          val diffBits = r.bits(s)
+          if (diffBits < 0) return false
+          c.pred += extend(diffBits, s)
+          if (store) progCoefs(blockIdx * 64) = c.pred << al
+        } else {
+          val bit = r.bit()
+          if (bit < 0) return false
+          if (store && bit == 1) progCoefs(blockIdx * 64) |= 1 << al
+        }
+        true
+      }
+
+      // AC first pass over band [ss, se] with EOB-run carry across blocks
+      def acFirstBlock(off: Int): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true }
+        val t = acTabs(scanComps(0).ta)
+        if (t == null) return false
+        var k = ss
+        while (k <= se) {
+          val rs = decodeSym(r, t)
+          if (rs < 0) return false
+          val r4 = rs >> 4; val s4 = rs & 0x0f
+          if (s4 == 0) {
+            if (r4 == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r4) - 1
+              if (r4 > 0) {
+                val x = r.bits(r4)
+                if (x < 0) return false
+                eobrun += x
+              }
+              return true
+            }
+          } else {
+            k += r4
+            if (k > se) return false
+            val vb = r.bits(s4)
+            if (vb < 0) return false
+            progCoefs(off + ZigZag(k)) = extend(vb, s4) << al
+            k += 1
+          }
+        }
+        true
+      }
+
+      // AC refinement (G.1.2.3): new ±1·2^al coefficients interleaved
+      // with correction bits for already-nonzero ones; EOB runs append
+      // correction bits only
+      def acRefineBlock(off: Int): Boolean = {
+        val p1 = 1 << al; val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          val t = acTabs(scanComps(0).ta)
+          if (t == null) return false
+          var breakEob = false
+          while (!breakEob && k <= se) {
+            val rs = decodeSym(r, t)
+            if (rs < 0) return false
+            var r4 = rs >> 4; val s4 = rs & 0x0f
+            var newVal = 0
+            if (s4 == 0) {
+              if (r4 != 15) {
+                eobrun = 1 << r4
+                if (r4 > 0) {
+                  val x = r.bits(r4)
+                  if (x < 0) return false
+                  eobrun += x
+                }
+                breakEob = true
+              }
+            } else {
+              if (s4 != 1) return false // refinement magnitudes are ±1
+              val sb = r.bit()
+              if (sb < 0) return false
+              newVal = if (sb == 1) p1 else m1
+            }
+            if (!breakEob) {
+              // advance over r4 zero-history positions, appending
+              // correction bits to nonzero ones; place the new value at
+              // the (r4+1)-th zero slot
+              var placed = false
+              while (!placed && k <= se) {
+                val z = off + ZigZag(k)
+                if (progCoefs(z) != 0) {
+                  val cb = r.bit()
+                  if (cb < 0) return false
+                  if (cb == 1 && (progCoefs(z) & p1) == 0)
+                    progCoefs(z) += (if (progCoefs(z) >= 0) p1 else m1)
+                  k += 1
+                } else if (r4 == 0) {
+                  if (newVal != 0) progCoefs(z) = newVal
+                  k += 1
+                  placed = true
+                } else { r4 -= 1; k += 1 }
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val z = off + ZigZag(k)
+            if (progCoefs(z) != 0) {
+              val cb = r.bit()
+              if (cb < 0) return false
+              if (cb == 1 && (progCoefs(z) & p1) == 0)
+                progCoefs(z) += (if (progCoefs(z) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+
+      if (scanComps.length > 1) { // interleaved: DC scans only
+        var mcu = 0
+        val nM = mX * mY
+        while (mcu < nM) {
+          if (!checkRestart()) return -1
+          units += 1
+          val mx = mcu % mX; val my = mcu / mX
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            val isY = c eq comps(0)
+            var bv = 0
+            while (bv < c.v) {
+              var bh2 = 0
+              while (bh2 < c.h) {
+                val bIdx = if (isY) (my * c.v + bv) * pbW + (mx * c.h + bh2)
+                           else -1
+                if (!dcBlock(c, bIdx)) return -1
+                bh2 += 1
+              }
+              bv += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      } else { // non-interleaved: the component's own block raster
+        val c = scanComps(0) // luma (chroma-only scans skipped above)
+        val cw = (w * c.h + hmaxI - 1) / hmaxI
+        val ch = (h * c.v + vmaxI - 1) / vmaxI
+        val nBW = (cw + 7) / 8; val nBH = (ch + 7) / 8
+        var n = 0
+        val nB = nBW * nBH
+        while (n < nB) {
+          if (!checkRestart()) return -1
+          units += 1
+          val bIdx = (n / nBW) * pbW + (n % nBW)
+          if (ss == 0) { if (!dcBlock(c, bIdx)) return -1 }
+          else if (ah == 0) { if (!acFirstBlock(bIdx * 64)) return -1 }
+          else { if (!acRefineBlock(bIdx * 64)) return -1 }
+          n += 1
+        }
+      }
+      progScanSeen = true
+      skipEntropy(r.p)
+    }
+
+    while (sosAt < 0 && !progDone && p + 3 < b.length) {
       if ((b(p) & 0xff) != 0xff) return None
       while (p + 3 < b.length && (b(p + 1) & 0xff) == 0xff) p += 1 // fill bytes
       if (p + 3 >= b.length) return None
       val m = b(p + 1) & 0xff
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { p += 2 }
-      else if (m == 0xd9) return None // EOI before SOS
+      else if (m == 0xd9) { // EOI: ends a progressive stream, else premature
+        if (progressive && progScanSeen) progDone = true
+        else return None
+      }
       else {
         val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
         if (len < 2 || p + 2 + len > b.length) return None
@@ -302,8 +541,9 @@ object Jpeg {
               if (tc == 0) dcTabs(th) = t else acTabs(th) = t
               q += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
             if (comps != null) return None
+            if (m == 0xc2) progressive = true
             val prec = b(d) & 0xff
             if (prec != 8) return None
             h = ((b(d + 1) & 0xff) << 8) | (b(d + 2) & 0xff)
@@ -332,28 +572,81 @@ object Jpeg {
             // so the MCU walk below is the raster walk.
             if (nc == 1 && (comps(0).h != 1 || comps(0).v != 1))
               comps = Array(new Comp(comps(0).id, 1, 1, comps(0).tq))
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic/hierarchical: out of profile
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless/arithmetic/hierarchical: out of profile
           case 0xdd => // DRI
             if (len != 4) return None
             restartInterval = ((b(d) & 0xff) << 8) | (b(d + 1) & 0xff)
           case 0xda => // SOS
             if (comps == null) return None
             val ns = b(d) & 0xff
-            if (ns != comps.length || d + 1 + 2 * ns + 3 > dEnd) return None
+            if (ns < 1 || d + 1 + 2 * ns + 3 > dEnd) return None
+            if (!progressive && ns != comps.length) return None
+            val scanComps = new Array[Comp](ns)
             var i = 0
             while (i < ns) {
               val cs = b(d + 1 + 2 * i) & 0xff
               val tt = b(d + 2 + 2 * i) & 0xff
               val comp = comps.find(_.id == cs).getOrElse(return None)
               comp.td = tt >> 4; comp.ta = tt & 0x0f
+              scanComps(i) = comp
               i += 1
             }
-            sosAt = dEnd // entropy data starts here
+            if (!progressive) sosAt = dEnd // entropy data starts here
+            else {
+              val ss = b(d + 1 + 2 * ns) & 0xff
+              val se = b(d + 2 + 2 * ns) & 0xff
+              val ahal = b(d + 3 + 2 * ns) & 0xff
+              val np = progScan(scanComps, ss, se, ahal >> 4, ahal & 0x0f, dEnd)
+              if (np < 0) return None
+              p = np // jump over the scan's entropy data
+            }
           case _ => () // APPn, COM, others: skip
         }
-        if (sosAt < 0) p += 2 + len
+        // progressive SOS advanced p itself (past the entropy data)
+        if (sosAt < 0 && !(progressive && m == 0xda)) p += 2 + len
       }
+    }
+
+    // ---- progressive render: dequant + IDCT every luma block of the
+    // accreted coefficient buffer (a truncated stream — markers ran out
+    // before EOI — renders whatever scans arrived, the standard
+    // progressive-viewer behavior) ----
+    if (progressive) {
+      if (!progScanSeen) return None
+      val yc = comps(0)
+      if (!qtSeen(yc.tq)) return None
+      val planeW = pbW * 8
+      val luma = new Array[Int](pbW * pbH * 64)
+      val yQt = qt(yc.tq)
+      val coefs = new Array[Int](64)
+      val block = new Array[Int](64)
+      var bi = 0
+      val nB = pbW * pbH
+      while (bi < nB) {
+        var i = 0
+        while (i < 64) { coefs(i) = progCoefs(bi * 64 + i) * yQt(i); i += 1 }
+        idct8x8(coefs, block)
+        val x0 = (bi % pbW) * 8; val y0 = (bi / pbW) * 8
+        var by = 0
+        while (by < 8) {
+          val rowOff = (y0 + by) * planeW + x0
+          var bx = 0
+          while (bx < 8) { luma(rowOff + bx) = block(by * 8 + bx); bx += 1 }
+          by += 1
+        }
+        bi += 1
+      }
+      return (if (planeW == w && pbH * 8 == h) Some((w, h, luma))
+      else {
+        val out = new Array[Int](w * h)
+        var yy = 0
+        while (yy < h) {
+          System.arraycopy(luma, yy * planeW, out, yy * w, w)
+          yy += 1
+        }
+        Some((w, h, out))
+      })
     }
     if (sosAt < 0) return None
 

@@ -109,10 +109,65 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodeLuma(odd).isDefined)
   }
 
+  test("progressive (SOF2): per-pixel agreement with ImageIO on grayscale") {
+    val cases = Seq(
+      (64, 64, (x: Int, y: Int) => x * 3 + y * 2),
+      (65, 41, (x: Int, y: Int) => (x * x + y * 7) % 256),
+      (72, 64, (x: Int, y: Int) => if ((x / 8 + y / 8) % 2 == 0) 40 else 210),
+      (17, 9, (x: Int, y: Int) => x * 15 + y * 11))
+    cases.foreach { case (w, h, f) =>
+      val jpg = encode(gray(w, h, f), progressive = true)
+      val (dw, dh, mine) = Jpeg.decodeLuma(jpg).getOrElse(
+        fail(s"progressive decode failed for ${w}x$h"))
+      assert(dw === w && dh === h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(mine(y * w + x) - ref.getRaster.getSample(x, y, 0))
+        if (d > maxDiff) maxDiff = d
+      }
+      // the multi-scan coefficient accretion must land on the SAME
+      // dequant+IDCT input as a sequential decode of the final image
+      assert(maxDiff <= 1, s"progressive ${w}x$h maxDiff=$maxDiff")
+    }
+  }
+
+  test("progressive color 4:2:0: luma within the RGB-roundtrip tolerance; chroma scans skipped") {
+    val w = 72; val h = 64
+    val jpg = encode(color(w, h, (x, y) =>
+      (((x * 4) % 256) << 16) | (((y * 4) % 256) << 8) | ((x + y) * 2 % 256)),
+      progressive = true)
+    val (dw, dh, mine) = Jpeg.decodeLuma(jpg).getOrElse(
+      fail("progressive color decode failed"))
+    assert(dw === w && dh === h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0; var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val rl = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+        + 114 * (rgb & 0xff)) / 1000
+      val d = math.abs(mine(y * w + x) - rl)
+      if (d > maxDiff) maxDiff = d
+      sumDiff += d
+    }
+    assert(maxDiff <= 16, s"maxDiff=$maxDiff")
+    assert(sumDiff.toDouble / (w * h) <= 1.0,
+      s"meanDiff=${sumDiff.toDouble / (w * h)}")
+    // the dHash spaces agree across the coding modes: a progressive and
+    // a baseline encode of the same image land within dedup distance
+    val base = encode(color(w, h, (x, y) =>
+      (((x * 4) % 256) << 16) | (((y * 4) % 256) << 8) | ((x + y) * 2 % 256)))
+    val d1 = Jpeg.jpegDhash63(jpg).getOrElse(fail("no progressive dhash"))
+    val d2 = Jpeg.jpegDhash63(base).getOrElse(fail("no baseline dhash"))
+    assert(java.lang.Long.bitCount(d1 ^ d2) <= 4)
+  }
+
   test("out-of-profile and garbage are graceful None, never an exception") {
     val img = gray(32, 32, (x, y) => x * y)
-    // progressive (SOF2) is out of profile
-    assert(Jpeg.decodeLuma(encode(img, progressive = true)).isEmpty)
+    // truncated progressive stream: graceful (partial render or None)
+    val prog = encode(img, progressive = true)
+    Jpeg.decodeLuma(prog.take(prog.length / 2)) // must not throw
+    Jpeg.decodeLuma(prog.take(prog.length * 3 / 4))
     // truncated baseline stream
     val full = encode(img)
     assert(Jpeg.decodeLuma(full.take(full.length / 2)).isEmpty)
