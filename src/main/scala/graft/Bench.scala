@@ -344,8 +344,16 @@ object Bench {
         // round-14 tripwires: the 7-stage frontier composition (flags +
         // distinct + robots + bounded per-site cap), the capped anchor
         // aggregation (the bounded-heap collect_set replacement), and
-        // the baseline-JPEG luma decode (Huffman + islow IDCT per row)
-        "frontier_e2e", "anchor_texts_capped", "jpeg_luma_decode")
+        // the baseline-JPEG luma decode (Huffman + islow IDCT per row;
+        // since round 15 the fixture also encodes+decodes a progressive
+        // twin, so this row prices the SOF2 multi-scan path too)
+        "frontier_e2e", "anchor_texts_capped", "jpeg_luma_decode",
+        // round-15 tripwires: the incremental frontier (two waves +
+        // persistent hash store + deferred append), the politeness
+        // scheduler window, and the hash-keyed exchange variants (must
+        // stay within noise of their string-keyed twins above)
+        "frontier_incremental", "frontier_schedule",
+        "anchor_texts_hashkeys", "web_link_graph_hashkeys")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
