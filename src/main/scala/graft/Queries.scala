@@ -745,8 +745,9 @@ object Queries {
     */
   private def dupClusterSql(n: Int, threshold: Double, cluster: Int, limit: Int): String = {
     val span = n - 1
+    // corpus = the gate's fixed 1500-doc window (see the Spark-side
+    // comment) plus the planted clone cluster
     s"""WITH corpus AS (
-       |  -- the gate's fixed 1500-doc window (see the Spark-side comment)
        |  SELECT doc_id, text FROM documents WHERE doc_id < 1500
        |  UNION ALL
        |  SELECT 1000000 + i AS doc_id,
@@ -759,8 +760,6 @@ object Queries {
        |g AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members
        |      FROM s GROUP BY list_sort(sh)),
        |gs AS (SELECT g.rep, g.members, s.sh FROM g JOIN s ON g.rep = s.doc_id),
-       |-- rep-pair space prefix-filtered exactly like pairCandCtes (same
-       |-- lossless generalized pigeonhole + jaccard length filter)
        |gtok AS MATERIALIZED (SELECT rep, len(sh) AS nt, unnest(sh) AS t FROM gs),
        |gdf AS (SELECT t, count(*) AS df FROM gtok GROUP BY t),
        |gord AS (SELECT gtok.rep, gtok.t, gtok.nt,

@@ -966,17 +966,27 @@ object TextAnalysis {
     (length(text) - length(regexp_replace(text, "[\u0001\u0002]", ""))).cast("long")
 
   private def decodeEntities(x: Column): Column = {
-    // fast paths, semantics-preserving: the control-byte strip and the
-    // numeric split/transform are identities on text without those
-    // bytes — and the pipeline's extraction chain calls this per BLOCK,
-    // so the guards (two codegen'd contains scans) reclaim the full
-    // split/transform cost on the overwhelmingly common entity-free
-    // fragment. Oracles replay the unguarded chain: values identical.
+    // fast paths, semantics-preserving — the pipeline's extraction chain
+    // calls this per BLOCK/ANCHOR, and the overwhelmingly common
+    // fragment carries no entity at all:
+    //  1. the whole function is an IDENTITY on text without '&' and
+    //     without the two separator/placeholder control bytes — one
+    //     cheap codegen'd three-scan guard skips every replace, the
+    //     numeric mark/split/transform and the named fold outright;
+    //  2. inside the numeric split, only segments that BEGIN with "&#"
+    //     (exactly the bracketed references, plus the rare unmatched
+    //     "&#garbage" prose) pay the regexp_extract + decode CASE —
+    //     the in-between prose segments take one startsWith;
+    //  3. the control strip and the split/transform keep their own
+    //     contains guards for the mixed case (has '&', no entities).
+    // Oracles replay the UNGUARDED chain: every guard is an identity on
+    // its skipped branch, so values cannot differ.
     val clean = when(x.contains("\u0001") || x.contains("\u0002"),
       regexp_replace(x, "[\u0001\u0002]", "")).otherwise(x)
     val marked = regexp_replace(clean,
       "(&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});)", "\u0001$1\u0001")
-    val numericFull = array_join(transform(split(marked, "\u0001"), s => {
+    val numericFull = array_join(transform(split(marked, "\u0001"), s =>
+      when(!s.startsWith("&#"), s).otherwise {
       val dec = regexp_extract(s, "^&#([0-9]{1,7});$", 1)
       val hx = regexp_extract(s, "^&#[xX]([0-9a-fA-F]{1,6});$", 1)
       val cp = when(dec =!= "", dec.cast("long"))
@@ -995,13 +1005,15 @@ object TextAnalysis {
         }
         .when(gen, decode(unhex(lpad(hex(cp), 4, "0")), "UTF-16BE"))
         .otherwise(s)
-    }), "")
+      }), "")
     val numeric = when(!clean.contains("&#"), clean).otherwise(numericFull)
     val named = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&"
     ).foldLeft(numeric) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    replace(named, lit("\u0002"), lit("&"))
+    val full = replace(named, lit("\u0002"), lit("&"))
+    when(!x.contains("&") && !x.contains("\u0001") && !x.contains("\u0002"), x)
+      .otherwise(full)
   }
 
   /** Entity-decode + inline-tag-strip + whitespace-collapse for ONE block
