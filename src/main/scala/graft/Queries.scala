@@ -3555,6 +3555,15 @@ object Queries {
         "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg,
         sitemaps = Some(frontierSitemaps(s)))),
 
+    // the hash-keyed frontier (FrontierConfig.hashKeys): every keyed
+    // exchange of the composition carries 8-byte xxhash64 keys; gated
+    // against the SAME oracle as the string-keyed run
+    "frontier_e2e_hashkeys" -> ((s, dir) =>
+      graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
+        "page_url", "html", frontierRobots(s), "host", "txt",
+        FrontierCfg.copy(hashKeys = true),
+        sitemaps = Some(frontierSitemaps(s)))),
+
     // the frontier's audited funnel: stage counts from the same decision
     // chain — the `seeded` row (sitemap union) is the one that may
     // exceed its predecessor; `seconds` is wall-time, projected out
@@ -4948,6 +4957,16 @@ object Queries {
        |sel AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY fp, url) AS rn,
        |    count(*) OVER (PARTITION BY domain) AS nd FROM pr)""".stripMargin
   }
+
+  private def frontierE2eSql: String =
+    s"""WITH $frontierCtes
+       |SELECT url, domain AS host, domain,
+       |  CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
+       |       ELSE CAST(NULL AS DOUBLE) END AS crawl_delay,
+       |  nd > 30 AS site_capped,
+       |  CASE WHEN fl AND fs THEN 'both' WHEN fs THEN 'sitemap'
+       |       ELSE 'link' END AS source
+       |FROM sel WHERE rn <= 30""".stripMargin
 
   private def langHitsSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -7446,15 +7465,11 @@ object Queries {
     // the fixture formulas (extraction, resolution, canonicalization,
     // the PSL walk, the robots matcher and the heap never appear); the
     // cap replays the (rolling-hash, url) priority cut
-    "frontier_e2e" ->
-      s"""WITH $frontierCtes
-         |SELECT url, domain AS host, domain,
-         |  CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
-         |       ELSE CAST(NULL AS DOUBLE) END AS crawl_delay,
-         |  nd > 30 AS site_capped,
-         |  CASE WHEN fl AND fs THEN 'both' WHEN fs THEN 'sitemap'
-         |       ELSE 'link' END AS source
-         |FROM sel WHERE rn <= 30""".stripMargin,
+    "frontier_e2e" -> frontierE2eSql,
+
+    // the hash-keyed frontier (FrontierConfig.hashKeys): same oracle —
+    // the exchange-key swap must not change a single row
+    "frontier_e2e_hashkeys" -> frontierE2eSql,
 
     // the frontier funnel: stage counts off the same CTE chain (seeded =
     // links ∪ sitemap leaves, the one count that may exceed its

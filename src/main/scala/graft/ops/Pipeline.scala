@@ -512,13 +512,25 @@ object Pipeline {
     * `sitemapMaxDepth` bounds [[Robots.sitemapFrontier]]'s index-tree
     * walk when sitemap seeding is composed in (see [[buildFrontier]]'s
     * `sitemaps` parameter).
+    *
+    * `hashKeys` = true is the 100 TB exchange-key swap on the
+    * composition's own keyed exchanges (the
+    * [[TextAnalysis.anchorTexts]] mechanism): the distinct fold and the
+    * robots-verdict aggregation key on the URL's 8-byte xxhash64, the
+    * per-site cap on the domain's, and the source join-back on the URL
+    * hash — every partitioning key fixed-width, URL-length skew out of
+    * the exchanges, one representative string riding as `min(...)`
+    * payload per group. Results identical short of a 64-bit collision
+    * (~2⁻⁶⁴ per pair; the exact path has none) — gated against the
+    * SAME oracle as the string-keyed path.
     */
   final case class FrontierConfig(
       domainSuffixes: Seq[String] = Seq("com", "org", "net"),
       blockedDomains: Seq[String] = Nil,
       maxPerSite: Int = 1000,
       fetchedDir: String = "",
-      sitemapMaxDepth: Int = 4)
+      sitemapMaxDepth: Int = 4,
+      hashKeys: Boolean = false)
 
   /** [[buildFrontier]]'s result: the next fetch list and its audited
     * funnel — (stage_idx, stage, n_urls, seconds) per decision stage.
@@ -725,11 +737,17 @@ object Pipeline {
     // F6: distinct URLs with source provenance (bool-or over the
     // discovery tags — 'both' when link graph and sitemap agree), robots
     // verdicts (the URL itself is the verdict key — already distinct),
-    // Crawl-delay per host
-    val dist = materializedF("distinct_url")(screened
-      .groupBy(col("url"), col("host"), col("domain"))
-      .agg(max(when(col("_src") === "link", 1).otherwise(0)).as("_fl"),
-        max(when(col("_src") === "sitemap", 1).otherwise(0)).as("_fs"))
+    // Crawl-delay per host. Under hashKeys every keyed exchange from
+    // here down carries 8-byte xxhash64 keys (see FrontierConfig).
+    val fl = max(when(col("_src") === "link", 1).otherwise(0)).as("_fl")
+    val fs = max(when(col("_src") === "sitemap", 1).otherwise(0)).as("_fs")
+    val folded =
+      if (!cfg.hashKeys)
+        screened.groupBy(col("url"), col("host"), col("domain")).agg(fl, fs)
+      else screened.groupBy(xxhash64(col("url")).as("_uh"))
+        .agg(min(col("url")).as("url"), min(col("host")).as("host"),
+          min(col("domain")).as("domain"), fl, fs)
+    val dist = materializedF("distinct_url")(folded
       .withColumn("source",
         when(col("_fl") === 1 && col("_fs") === 1, "both")
           .when(col("_fs") === 1, "sitemap").otherwise("link"))
@@ -741,13 +759,17 @@ object Pipeline {
         when(regexp_extract(col("url"), "(?i)https?://[^/]+(/.*)$", 1) === "",
           "/").otherwise(
           regexp_extract(col("url"), "(?i)https?://[^/]+(/.*)$", 1))))
+    // the verdict key: the URL itself (already distinct), or its hash —
+    // robotsFilter's longest-match aggregation groups on whatever id
+    // column it is handed, so the swap reaches inside the operator
+    val idKey = if (cfg.hashKeys) "_uh" else "url"
     val rules = Robots.parseRules(robots.select(
       col(robotsHostCol).as("host"), col(robotsTxtCol).as("txt")), "host", "txt")
     val verdicts = Robots.robotsFilter(
-      dist.select(col("url"), col("host"), col("path")),
-      "url", "host", "path", rules, "host")
+      dist.select(col(idKey), col("host"), col("path")),
+      idKey, "host", "path", rules, "host")
     val allowed = materializedF("robots_allowed")(dist
-      .join(verdicts.where(col("allowed")).select("url"), Seq("url")))
+      .join(verdicts.where(col("allowed")).select(idKey), Seq(idKey)))
 
     // F7: the bounded per-site cap, then host re-derivation + the
     // per-host Crawl-delay annotation and the source join-back (the
@@ -756,17 +778,24 @@ object Pipeline {
     val delays = Robots.directives(robots.select(
         col(robotsHostCol).as("host"), col(robotsTxtCol).as("txt")),
       "host", "txt").select(col("host"), col("crawl_delay"))
-    val out = materializedF("site_cap")(allowed
-      .groupBy(col("domain"))
-      .agg(graft.functions.topk_distinct_strings(
-        TextAnalysis.fingerprint(col("url")).cast("double"), col("url"),
-        cfg.maxPerSite).as("_tk"))
+    val tk = graft.functions.topk_distinct_strings(
+      TextAnalysis.fingerprint(col("url")).cast("double"), col("url"),
+      cfg.maxPerSite).as("_tk")
+    val capped =
+      if (!cfg.hashKeys) allowed.groupBy(col("domain")).agg(tk)
+      else allowed.groupBy(xxhash64(col("domain")).as("_dh"))
+        .agg(min(col("domain")).as("domain"), tk)
+    val withDelay = capped
       .select(col("domain"), col("_tk.capped").as("site_capped"),
         explode(col("_tk.kept")).as("url"))
       .withColumn("host",
         lower(regexp_extract(col("url"), "(?i)https?://([^/?#]+)", 1)))
       .join(delays, Seq("host"), "left")
-      .join(allowed.select(col("url"), col("source")), Seq("url"))
+    val out = materializedF("site_cap")(
+      (if (!cfg.hashKeys)
+        withDelay.join(allowed.select(col("url"), col("source")), Seq("url"))
+      else withDelay.withColumn("_uh", xxhash64(col("url")))
+        .join(allowed.select(col("_uh"), col("source")), Seq("_uh")))
       .select(col("url"), col("host"), col("domain"), col("crawl_delay"),
         col("site_capped"), col("source")))
 
