@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * `{"adjudicate":...}` line sized to survive a truncated stdout tail —
   * per-pass loadavgs, per-pass totals and min-merged anchor times, so the
   * preserved artifact itself distinguishes co-tenant contention (one pass
-  * uniformly inflated at high load) from a real regression.
+  * uniformly inflated at high load) from a real regression. Each pass is
+  * LOAD-GATED: it waits (up to `SPARK_GRAFT_LOAD_WAIT_SEC`) for the 1-min
+  * loadavg to decay below `SPARK_GRAFT_LOAD_GATE` (default 3) before
+  * starting, and an artifact whose passes ran hot anyway carries
+  * `"contaminated":true` — a hot artifact adjudicates itself.
   *
   * The vector workload at bench scale comes from a synthetic dim-64
   * embedding table derived from lineitem keys (FIXTURES.md): ~600k vectors
@@ -61,6 +65,21 @@ object Bench {
     // stall (noisy co-tenant, CPU steal burst) can only poison one of
     // them — back-to-back per-query reps would both sit inside the burst.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // Load GATE: a pass that starts under co-tenant contention measures
+    // the neighbors, not the code — so before each pass the 1-min
+    // loadavg must decay below SPARK_GRAFT_LOAD_GATE (default 3; our own
+    // just-finished pass inflates it too, and the identical wait lets it
+    // drain). A pass still above the gate after SPARK_GRAFT_LOAD_WAIT_SEC
+    // runs anyway but stamps the artifact `"contaminated":true` — the
+    // reader never has to adjudicate a hot artifact from narrative.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0").toDouble
+    val loadWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "600").toDouble
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 runs just those timed rows (the
+    // store builds and the dependency-setting param rows still execute) —
+    // the local focused-adjudication path; the driver never sets it
+    val onlyFilter: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val alwaysRun = Set("quantize_params_600k", "xl_quantize_params_1m768")
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Self-adjudicating artifact: besides the min-merged map, the JSON
     // records every pass's per-query times plus a /proc/loadavg sample
@@ -71,16 +90,31 @@ object Bench {
     val passes = scala.collection.mutable.ArrayBuffer
       .empty[(String, scala.collection.mutable.LinkedHashMap[String, Double])]
     var current: scala.collection.mutable.LinkedHashMap[String, Double] = null
-    def time(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      body
-      val sec = (System.nanoTime() - t0) / 1e9
-      current(name) = sec
-      results(name) = results.get(name).fold(sec)(math.min(_, sec))
-    }
+    def time(name: String)(body: => Long): Unit =
+      if (onlyFilter.isEmpty || onlyFilter.contains(name) || alwaysRun.contains(name)) {
+        val t0 = System.nanoTime()
+        body
+        val sec = (System.nanoTime() - t0) / 1e9
+        current(name) = sec
+        results(name) = results.get(name).fold(sec)(math.min(_, sec))
+      }
     def loadavg(): String = scala.util.Try(new String(
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim).getOrElse("")
+    def load1(): Double = scala.util.Try(
+      loadavg().split("\\s+")(0).toDouble).getOrElse(0.0)
+    var contaminated = false
+    val passWaits = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def gateLoad(): Unit = {
+      val t0 = System.nanoTime()
+      var l = load1()
+      while (l > loadGate && (System.nanoTime() - t0) / 1e9 < loadWaitMax) {
+        Thread.sleep(15000)
+        l = load1()
+      }
+      passWaits += math.rint((System.nanoTime() - t0) / 1e9 * 10) / 10
+      if (l > loadGate) contaminated = true
+    }
 
     // Untimed setup: materialize the synthetic vector table to parquet so
     // the timed k-NN queries measure the actual serving path — parquet
@@ -215,6 +249,7 @@ object Bench {
     Seq(benchDir, sfDir).foreach(warmDir)
 
     for (_ <- 1 to reps) {
+      gateLoad()
       current = scala.collection.mutable.LinkedHashMap[String, Double]()
       passes += ((loadavg(), current))
       // 1. exact brute-force k-NN over ~600k dim-64 vectors (K1 at scale)
@@ -484,8 +519,11 @@ object Bench {
       val t = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       s"""{"loadavg":"$load","queries":$t}"""
     }.mkString("[", ",", "]")
+    val waitsJson = passWaits.map(w => f"$w%.1f").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,""" +
+        s""""contaminated":$contaminated,"load_gate":$loadGate,""" +
+        s""""pass_wait_sec":$waitsJson,"sf":"$sfDir"}"""
     println(fullJson)
     // The full JSON above runs tens of KB and any stdout tail capture can
     // cut it mid-line — rounds 11-13 each needed out-of-band evidence to
@@ -511,6 +549,7 @@ object Bench {
     val passTotals = passes.map(p => f"${p._2.values.sum}%.1f").mkString("[", ",", "]")
     println(s"""{"adjudicate":{"loads":$loads,"pass_totals":$passTotals,""" +
       f""""total_min":$total%.3f,"n_queries":${results.size},""" +
+      s""""contaminated":$contaminated,"pass_wait_sec":$waitsJson,""" +
       s""""artifact":"$wrote","anchors":$anchors}}""")
     spark.stop()
   }

@@ -692,9 +692,15 @@ object Queries {
                            corpus: String = "documents",
                            lengthFilter: Boolean = false): String = {
     val k = 32
+    // every ceil/floor bound is epsilon-padded in the LOOSENING
+    // direction: double rounding on t*nt (or nt/t) landing a hair past
+    // an exact integer must never tighten a bound below the pigeonhole
+    // requirement — ceil(x - 1e-9) <= true ceil and floor(x + 1e-9) >=
+    // true floor, so a boundary-case qualifying pair can only gain
+    // candidates, never lose them (losslessness is one-sided)
     val lf = if (!lengthFilter) "" else
-      s"\n       |    AND q.nt >= CAST(ceil($threshold * p.nt) AS BIGINT)" +
-      s" AND q.nt <= CAST(floor(p.nt / $threshold) AS BIGINT)"
+      s"\n       |    AND q.nt >= CAST(ceil($threshold * p.nt - 1e-9) AS BIGINT)" +
+      s" AND q.nt <= CAST(floor(p.nt / $threshold + 1e-9) AS BIGINT)"
     s"""${shingleCte(n, corpus)},
        |tokq AS MATERIALIZED (SELECT doc_id, len(sh) AS nt, unnest(sh) AS t FROM s),
        |dfq AS (SELECT t, count(*) AS df FROM tokq GROUP BY t),
@@ -702,13 +708,13 @@ object Queries {
        |    row_number() OVER (PARTITION BY tokq.doc_id ORDER BY dfq.df, tokq.t) AS rnk
        |  FROM tokq JOIN dfq USING (t)),
        |pref AS MATERIALIZED (SELECT doc_id, t, nt FROM ordq
-       |  WHERE rnk <= nt - CAST(ceil($threshold * nt) AS BIGINT) + $k),
+       |  WHERE rnk <= nt - CAST(ceil($threshold * nt - 1e-9) AS BIGINT) + $k),
        |cand AS MATERIALIZED (SELECT a, b FROM (
        |    SELECT least(p.doc_id, q.doc_id) AS a, greatest(p.doc_id, q.doc_id) AS b,
        |           p.doc_id AS src, count(*) AS c
        |    FROM pref p JOIN tokq q ON p.t = q.t AND p.doc_id <> q.doc_id$lf
        |    GROUP BY 1, 2, 3
-       |    HAVING count(*) >= least($k, CAST(ceil($threshold * min(p.nt)) AS BIGINT)))
+       |    HAVING count(*) >= least($k, CAST(ceil($threshold * min(p.nt) - 1e-9) AS BIGINT)))
        |  GROUP BY a, b),
        |ov AS MATERIALIZED (SELECT c.a, c.b, len(list_intersect(sa.sh, sb.sh)) AS o,
        |    len(sa.sh) AS la, len(sb.sh) AS lb
@@ -766,15 +772,15 @@ object Queries {
        |    row_number() OVER (PARTITION BY gtok.rep ORDER BY gdf.df, gtok.t) AS rnk
        |  FROM gtok JOIN gdf USING (t)),
        |gpref AS MATERIALIZED (SELECT rep, t, nt FROM gord
-       |  WHERE rnk <= nt - CAST(ceil($threshold * nt) AS BIGINT) + 32),
+       |  WHERE rnk <= nt - CAST(ceil($threshold * nt - 1e-9) AS BIGINT) + 32),
        |gcand AS MATERIALIZED (SELECT ra, rb FROM (
        |    SELECT least(p.rep, q.rep) AS ra, greatest(p.rep, q.rep) AS rb,
        |           p.rep AS src, count(*) AS c
        |    FROM gpref p JOIN gtok q ON p.t = q.t AND p.rep <> q.rep
-       |      AND q.nt >= CAST(ceil($threshold * p.nt) AS BIGINT)
-       |      AND q.nt <= CAST(floor(p.nt / $threshold) AS BIGINT)
+       |      AND q.nt >= CAST(ceil($threshold * p.nt - 1e-9) AS BIGINT)
+       |      AND q.nt <= CAST(floor(p.nt / $threshold + 1e-9) AS BIGINT)
        |    GROUP BY 1, 2, 3
-       |    HAVING count(*) >= least(32, CAST(ceil($threshold * min(p.nt)) AS BIGINT)))
+       |    HAVING count(*) >= least(32, CAST(ceil($threshold * min(p.nt) - 1e-9) AS BIGINT)))
        |  GROUP BY ra, rb),
        |rp AS (SELECT a.members AS ma, b.members AS mb,
        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /

@@ -295,10 +295,36 @@ object DistinctTopK {
   val PairOrd: Ordering[(Double, String)] = new Ordering[(Double, String)] {
     def compare(a: (Double, String), b: (Double, String)): Int = {
       val c = java.lang.Double.compare(a._1, b._1)
-      if (c != 0) c
-      else org.apache.spark.unsafe.types.UTF8String.fromString(a._2)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._2))
+      if (c != 0) c else compareUtf8Order(a._2, b._2)
     }
+  }
+
+  /** UTF-8 byte order (= code-point order) over JVM strings WITHOUT
+    * encoding either side — the heap's O(log k) compares per row must
+    * not pay two byte-array materializations each. Chars compare
+    * directly except when BOTH are >= U+D800, where the surrogate
+    * adjustment (surrogates +0x2000, U+E000.. -0x800) swaps the two
+    * ranges so a surrogate pair — i.e. any supplementary code point —
+    * sorts ABOVE every BMP char, exactly as its 4-byte UTF-8 form does.
+    * (When only one side is >= U+D800 the other is < U+D800 and the raw
+    * char compare already agrees with byte order.)
+    */
+  private[graft] def compareUtf8Order(x: String, y: String): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      var cx: Int = x.charAt(i)
+      var cy: Int = y.charAt(i)
+      if (cx != cy) {
+        if (cx >= 0xD800 && cy >= 0xD800) {
+          cx = if (cx >= 0xE000) cx - 0x800 else cx + 0x2000
+          cy = if (cy >= 0xE000) cy - 0x800 else cy + 0x2000
+        }
+        return cx - cy
+      }
+      i += 1
+    }
+    x.length - y.length
   }
 }
 

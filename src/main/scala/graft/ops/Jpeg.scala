@@ -426,6 +426,11 @@ object Jpeg {
                   placed = true
                 } else { r4 -= 1; k += 1 }
               }
+              // a corrupt stream can run out of zero-history slots before
+              // the new coefficient places; dropping it silently would
+              // leave the entropy walk bit-desynced — fail like every
+              // other malformed-data path (→ None)
+              if (!placed && newVal != 0) return false
             }
           }
         }

@@ -506,8 +506,11 @@ object Pipeline {
     * aborted run's rows). The store carries two 8-byte xxhash64 lanes
     * of the canonical URL — never the strings — so at 100 TB the screen
     * join's build side is 16 bytes/URL and the exchange keys are
-    * fixed-width (a false collision needs BOTH independent 64-bit lanes
-    * to collide: ~2⁻¹²⁸ per pair, the [[Dedup.fingerprints]] argument).
+    * fixed-width (a false collision needs BOTH 64-bit lanes to agree;
+    * the lanes are two seedings of the same xxhash64 family —
+    * correlated, not independent, so the bound is weaker than the ideal
+    * 2⁻¹²⁸ but still far beyond practical concern — the
+    * [[Dedup.fingerprints]] construction).
     *
     * `sitemapMaxDepth` bounds [[Robots.sitemapFrontier]]'s index-tree
     * walk when sitemap seeding is composed in (see [[buildFrontier]]'s

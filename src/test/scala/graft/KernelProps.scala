@@ -37,6 +37,23 @@ object KernelProps extends Properties("kernels") {
         merged.set.toSeq.map(_._2) == expectKept && merged.capped == expectCapped
     }
 
+  // valid Unicode strings spanning the three ranges where UTF-16 and
+  // UTF-8 byte order can disagree: BMP below surrogates, BMP above
+  // (U+E000..), and supplementary code points (surrogate pairs)
+  private val uniCodePoint: Gen[Int] = Gen.oneOf(
+    Gen.chooseNum(0x20, 0xD7FF), Gen.chooseNum(0xE000, 0xFFFD),
+    Gen.chooseNum(0x10000, 0x10FFFF))
+  private val uniCpStr: Gen[String] = Gen.listOf(uniCodePoint)
+    .map(_.flatMap(Character.toChars(_)).mkString)
+
+  property("DistinctTopK.compareUtf8Order sign-agrees with UTF8String.compareTo") =
+    forAll(uniCpStr, uniCpStr) { (x, y) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val fast = graft.expressions.DistinctTopK.compareUtf8Order(x, y)
+      val ref = UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+      Integer.signum(fast) == Integer.signum(ref)
+    }
+
   property("sortedIntersectCount == set intersection size") =
     forAll { (a0: List[Long], b0: List[Long]) =>
       val a = a0.distinct.sorted.toArray
