@@ -1151,6 +1151,71 @@ object Queries {
     idx.unionByName(child)
   }
 
+  /** HTTP response captures for the frontier REDIRECT gates: per doc
+    * (k = doc_id % 10) six responses — a 301 with a RELATIVE Location
+    * (`/page-r{i}`, must resolve against its source host; robots-
+    * disallowed for odd k by the /page prefix), a 302→308 two-hop chain
+    * landing on a fresh `x{k}.net/final{i}` (both hops' chains
+    * terminate there — the decision table carries the terminal twice),
+    * a 200 carrying a Location header (the trap: NOT a redirect, must
+    * contribute nothing), a 307 onto the link-discovered
+    * `alt{k}.org/p{i}` (source 'link+redirect'; blocked at eTLD+1 for
+    * k=3), a 301 onto the page's own fetched URL (the wave screen must
+    * drop it), and a 303 onto `h{k}.com/about` (link- AND sitemap-
+    * discovered → source 'both+redirect') — plus, per k, a 301 onto the
+    * sitemap-only `site{k}.com/sm/{k}` ('sitemap+redirect') and a
+    * two-edge relative-Location CYCLE (cycA ↔ cycB, never terminal,
+    * must drop). The oracle restates the terminals from THESE formulas;
+    * the header parser, chain walk and RFC 3986 resolution never appear.
+    */
+  private[graft] def frontierRedirectCaptures(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val d0 = docs(s, dir).select(col("doc_id"))
+    val i = col("doc_id").cast("string")
+    val ks = (col("doc_id") % 10).cast("string")
+    def resp(status: String, loc: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = concat(
+      lit("HTTP/1.1 " + status + "\r\nServer: f\r\nLocation: "), loc,
+      lit("\r\nContent-Type: text/html\r\n\r\nmoved"))
+    def row(url: org.apache.spark.sql.Column, pay: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.DataFrame =
+      d0.select(url.as("url"), pay.as("payload"))
+    val perDoc =
+      row(concat(lit("https://site"), ks, lit(".com/r301/"), i),
+        resp("301 Moved Permanently", concat(lit("/page-r"), i)))
+      .unionByName(row(concat(lit("https://h"), ks, lit(".com/hop1/"), i),
+        resp("302 Found", concat(lit("https://h"), ks, lit(".com/hop2/"), i))))
+      .unionByName(row(concat(lit("https://h"), ks, lit(".com/hop2/"), i),
+        resp("308 Permanent Redirect",
+          concat(lit("https://x"), ks, lit(".net/final"), i))))
+      .unionByName(row(concat(lit("https://h"), ks, lit(".com/trap/"), i),
+        resp("200 OK", concat(lit("https://trap"), ks, lit(".com/t"), i))))
+      .unionByName(row(concat(lit("https://site"), ks, lit(".com/rb/"), i),
+        resp("307 Temporary Redirect",
+          concat(lit("https://alt"), ks, lit(".org/p"), i))))
+      .unionByName(row(concat(lit("https://h"), ks, lit(".com/rf/"), i),
+        resp("301 Moved Permanently",
+          concat(lit("https://h"), ks, lit(".com/a/page"), i, lit(".html")))))
+      // k=7 exempt: h7.com/about keeps the legacy bare-'both' provenance
+      // (link+sitemap, no redirect) asserted in the gate's output
+      .unionByName(d0.where(col("doc_id") % 10 =!= 7)
+        .select(concat(lit("https://h"), ks, lit(".com/rabout/"), i).as("url"),
+          resp("303 See Other",
+            concat(lit("https://h"), ks, lit(".com/about"))).as("payload")))
+    val rk = s.range(10).select(col("id").cast("string").as("ks"))
+    def rowK(url: org.apache.spark.sql.Column, pay: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.DataFrame =
+      rk.select(url.as("url"), pay.as("payload"))
+    perDoc
+      .unionByName(rowK(concat(lit("https://site"), col("ks"), lit(".com/rs")),
+        resp("301 Moved Permanently",
+          concat(lit("https://site"), col("ks"), lit(".com/sm/"), col("ks")))))
+      .unionByName(rowK(concat(lit("https://h"), col("ks"), lit(".com/cycA")),
+        resp("302 Found", lit("/cycB"))))
+      .unionByName(rowK(concat(lit("https://h"), col("ks"), lit(".com/cycB")),
+        resp("302 Found", lit("/cycA"))))
+  }
+
   /** Pages for the INCREMENTAL frontier gates: each doc's html carries
     * two links — the PREVIOUS doc's page URL (doc 0 self-links: its own
     * page, screened by the wave's own fetched set) and a never-fetched
@@ -3559,7 +3624,9 @@ object Queries {
     "frontier_e2e" -> ((s, dir) =>
       graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
         "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg,
-        sitemaps = Some(frontierSitemaps(s)))),
+        sitemaps = Some(frontierSitemaps(s)),
+        redirects = Some(graft.ops.Warc.redirectEdges(
+          frontierRedirectCaptures(s, dir), "url", "payload")))),
 
     // the hash-keyed frontier (FrontierConfig.hashKeys): every keyed
     // exchange of the composition carries 8-byte xxhash64 keys; gated
@@ -3568,7 +3635,9 @@ object Queries {
       graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
         "page_url", "html", frontierRobots(s), "host", "txt",
         FrontierCfg.copy(hashKeys = true),
-        sitemaps = Some(frontierSitemaps(s)))),
+        sitemaps = Some(frontierSitemaps(s)),
+        redirects = Some(graft.ops.Warc.redirectEdges(
+          frontierRedirectCaptures(s, dir), "url", "payload")))),
 
     // the frontier's audited funnel: stage counts from the same decision
     // chain — the `seeded` row (sitemap union) is the one that may
@@ -3577,6 +3646,18 @@ object Queries {
       graft.ops.Pipeline.buildFrontierAudited(frontierPages(s, dir), "doc_id",
         "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg,
         sitemaps = Some(frontierSitemaps(s)))
+        .funnel.select("stage_idx", "stage", "n_urls").orderBy("stage_idx")),
+
+    // the REDIRECT-composed funnel: the `redirected` discovery row lands
+    // between `seeded` and `resolved_http`, the 200-with-Location trap
+    // and the cycle contribute nothing, and every downstream count
+    // absorbs the redirect terminals' survivors
+    "frontier_funnel_redirect" -> ((s, dir) =>
+      graft.ops.Pipeline.buildFrontierAudited(frontierPages(s, dir), "doc_id",
+        "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg,
+        sitemaps = Some(frontierSitemaps(s)),
+        redirects = Some(graft.ops.Warc.redirectEdges(
+          frontierRedirectCaptures(s, dir), "url", "payload")))
         .funnel.select("stage_idx", "stage", "n_urls").orderBy("stage_idx")),
 
     // the INCREMENTAL frontier: wave 1 (doc_id % 4 = 0) fetches and its
@@ -3632,7 +3713,9 @@ object Queries {
     "frontier_schedule" -> ((s, dir) => {
       val f = graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
         "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg,
-        sitemaps = Some(frontierSitemaps(s)))
+        sitemaps = Some(frontierSitemaps(s)),
+        redirects = Some(graft.ops.Warc.redirectEdges(
+          frontierRedirectCaptures(s, dir), "url", "payload")))
       graft.ops.Pipeline.scheduleFrontier(f, "url", "host", "crawl_delay",
           defaultDelaySec = 2.0)
         .select("url", "host", "slot", "start_sec")
@@ -4925,11 +5008,24 @@ object Queries {
     * formulas), `d` = the distinct candidate set, `alw` = post-robots
     * survivors (odd-k site hosts disallow /page), `sel` = the per-domain
     * (rolling-hash, url) priority ranking for the cap.
+    * `withRedirects` adds the redirect-terminal decision rows (the
+    * [[frontierRedirectCaptures]] formulas): the 200-with-Location trap
+    * and the cycA↔cycB cycle contribute NOTHING, the two-hop chain's
+    * terminal appears once per chain source (hop1 and hop2).
     */
-  private def frontierCtes: String = {
+  private def frontierCtes(withRedirects: Boolean = false): String = {
     val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(generate_series(1, length(url)), " +
       "j -> CAST(ascii(url[j]) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    val redirRows = if (!withRedirects) "" else
+      s"""
+       |  UNION ALL SELECT 'https://site' || ks || '.com/page-r' || i, k, FALSE, FALSE, 'redirect' FROM b
+       |  UNION ALL SELECT 'https://x' || ks || '.net/final' || i, k, FALSE, FALSE, 'redirect' FROM b
+       |  UNION ALL SELECT 'https://x' || ks || '.net/final' || i, k, FALSE, FALSE, 'redirect' FROM b
+       |  UNION ALL SELECT 'https://alt' || ks || '.org/p' || i, k, k = 3, FALSE, 'redirect' FROM b
+       |  UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html', k, FALSE, TRUE, 'redirect' FROM b
+       |  UNION ALL SELECT 'https://h' || ks || '.com/about', k, FALSE, FALSE, 'redirect' FROM b WHERE k <> 7
+       |  UNION ALL SELECT 'https://site' || ks || '.com/sm/' || ks, k, FALSE, FALSE, 'redirect' FROM rng""".stripMargin
     s"""b AS (SELECT doc_id, doc_id % 10 AS k, CAST(doc_id % 10 AS VARCHAR) AS ks,
        |    CAST(doc_id AS VARCHAR) AS i FROM documents),
        |rng AS (SELECT CAST(range AS BIGINT) AS k, CAST(range AS VARCHAR) AS ks FROM range(10)),
@@ -4948,15 +5044,17 @@ object Queries {
        |  UNION ALL SELECT 'https://site' || ks || '.com/sm/' || ks, k, FALSE, FALSE, 'sitemap' FROM rng
        |  UNION ALL SELECT 'https://alt' || ks || '.org/sm', k, k = 3, FALSE, 'sitemap' FROM rng
        |  UNION ALL SELECT 'https://h' || ks || '.com/about', k, FALSE, FALSE, 'sitemap' FROM rng
-       |  UNION ALL SELECT 'https://h' || ks || '.com/a/page' || ks || '.html', k, FALSE, TRUE, 'sitemap' FROM rng),
+       |  UNION ALL SELECT 'https://h' || ks || '.com/a/page' || ks || '.html', k, FALSE, TRUE, 'sitemap' FROM rng$redirRows),
        |cand AS (SELECT url, k, src FROM ext WHERE NOT blocked AND NOT fetched),
-       |d AS (SELECT url, k, bool_or(src = 'link') AS fl, bool_or(src = 'sitemap') AS fs
+       |d AS (SELECT url, k, bool_or(src = 'link') AS fl, bool_or(src = 'sitemap') AS fs,
+       |    bool_or(src = 'redirect') AS fr
        |  FROM cand GROUP BY url, k),
-       |alw AS (SELECT url, k, fl, fs FROM d
+       |alw AS (SELECT url, k, fl, fs, fr FROM d
        |  WHERE NOT (k % 2 = 1 AND url LIKE 'https://site' || CAST(k AS VARCHAR) || '.com/page%')),
-       |pr AS (SELECT url, k, fl, fs,
+       |pr AS (SELECT url, k, fl, fs, fr,
        |    CASE WHEN url LIKE 'https://site%' THEN 'site' || CAST(k AS VARCHAR) || '.com'
        |         WHEN url LIKE 'https://alt%' THEN 'alt' || CAST(k AS VARCHAR) || '.org'
+       |         WHEN url LIKE 'https://x%' THEN 'x' || CAST(k AS VARCHAR) || '.net'
        |         ELSE 'h' || CAST(k AS VARCHAR) || '.com' END AS domain,
        |    $fp AS fp
        |  FROM alw),
@@ -4964,14 +5062,24 @@ object Queries {
        |    count(*) OVER (PARTITION BY domain) AS nd FROM pr)""".stripMargin
   }
 
+  /** The provenance restatement: the legacy pair name 'both' for
+    * link+sitemap; combinations with redirect name their members.
+    */
+  private val frontierSourceCase: String =
+    """CASE WHEN fl AND fs AND fr THEN 'both+redirect'
+      |       WHEN fl AND fs THEN 'both'
+      |       WHEN fl AND fr THEN 'link+redirect'
+      |       WHEN fs AND fr THEN 'sitemap+redirect'
+      |       WHEN fr THEN 'redirect'
+      |       WHEN fs THEN 'sitemap' ELSE 'link' END AS source""".stripMargin
+
   private def frontierE2eSql: String =
-    s"""WITH $frontierCtes
+    s"""WITH ${frontierCtes(withRedirects = true)}
        |SELECT url, domain AS host, domain,
        |  CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
        |       ELSE CAST(NULL AS DOUBLE) END AS crawl_delay,
        |  nd > 30 AS site_capped,
-       |  CASE WHEN fl AND fs THEN 'both' WHEN fs THEN 'sitemap'
-       |       ELSE 'link' END AS source
+       |  $frontierSourceCase
        |FROM sel WHERE rn <= 30""".stripMargin
 
   private def langHitsSql(words: Seq[String]): String = {
@@ -7481,7 +7589,7 @@ object Queries {
     // links ∪ sitemap leaves, the one count that may exceed its
     // predecessor)
     "frontier_funnel" ->
-      s"""WITH $frontierCtes
+      s"""WITH ${frontierCtes()}
          |SELECT * FROM (
          |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'extracted' AS stage, CAST(count(*) AS BIGINT) AS n_urls FROM ext WHERE src = 'link'
          |  UNION ALL SELECT 1, 'seeded', count(*) FROM ext
@@ -7491,6 +7599,23 @@ object Queries {
          |  UNION ALL SELECT 5, 'distinct_url', count(*) FROM d
          |  UNION ALL SELECT 6, 'robots_allowed', count(*) FROM alw
          |  UNION ALL SELECT 7, 'site_cap', count(*) FROM sel WHERE rn <= 30)
+         |ORDER BY stage_idx""".stripMargin,
+
+    // the redirect-composed funnel: `redirected` is the second discovery
+    // row (ext gains one terminal per chain source — the trap and the
+    // cycle contribute nothing); downstream counts absorb the survivors
+    "frontier_funnel_redirect" ->
+      s"""WITH ${frontierCtes(withRedirects = true)}
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'extracted' AS stage, CAST(count(*) AS BIGINT) AS n_urls FROM ext WHERE src = 'link'
+         |  UNION ALL SELECT 1, 'seeded', count(*) FROM ext WHERE src <> 'redirect'
+         |  UNION ALL SELECT 2, 'redirected', count(*) FROM ext
+         |  UNION ALL SELECT 3, 'resolved_http', count(*) FROM ext
+         |  UNION ALL SELECT 4, 'blocklist', count(*) FROM ext WHERE NOT blocked
+         |  UNION ALL SELECT 5, 'not_fetched', count(*) FROM ext WHERE NOT blocked AND NOT fetched
+         |  UNION ALL SELECT 6, 'distinct_url', count(*) FROM d
+         |  UNION ALL SELECT 7, 'robots_allowed', count(*) FROM alw
+         |  UNION ALL SELECT 8, 'site_cap', count(*) FROM sel WHERE rn <= 30)
          |ORDER BY stage_idx""".stripMargin,
 
     // the incremental frontier: wave-2 candidates minus the literal
@@ -7537,7 +7662,7 @@ object Queries {
     // HOST in the same (fingerprint, url) priority order; start offsets
     // replay slot × coalesce(Crawl-delay, 2.0)
     "frontier_schedule" ->
-      s"""WITH $frontierCtes,
+      s"""WITH ${frontierCtes(withRedirects = true)},
          |fr AS (SELECT url, domain AS host,
          |    CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
          |         ELSE CAST(NULL AS DOUBLE) END AS crawl_delay, fp

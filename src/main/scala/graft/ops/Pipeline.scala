@@ -516,6 +516,11 @@ object Pipeline {
     * walk when sitemap seeding is composed in (see [[buildFrontier]]'s
     * `sitemaps` parameter).
     *
+    * `redirectMaxHops` bounds [[Warc.resolveRedirects]]' chain walk when
+    * redirect discovery is composed in (see [[buildFrontier]]'s
+    * `redirects` parameter); chains still unresolved after it (cycles,
+    * over-long chains) contribute no candidates.
+    *
     * `hashKeys` = true is the 100 TB exchange-key swap on the
     * composition's own keyed exchanges (the
     * [[TextAnalysis.anchorTexts]] mechanism): the distinct fold and the
@@ -533,7 +538,8 @@ object Pipeline {
       maxPerSite: Int = 1000,
       fetchedDir: String = "",
       sitemapMaxDepth: Int = 4,
-      hashKeys: Boolean = false)
+      hashKeys: Boolean = false,
+      redirectMaxHops: Int = 8)
 
   /** [[buildFrontier]]'s result: the next fetch list and its audited
     * funnel — (stage_idx, stage, n_urls, seconds) per decision stage.
@@ -552,6 +558,17 @@ object Pipeline {
     *     URLs UNION into the candidate set — a real frontier is
     *     link-graph ∪ sitemap, and every seeded URL passes the same
     *     downstream gates as a link-discovered one,
+    *  F0b redirect discovery (when `redirects` is given — (src, dst)
+    *     edges from [[Warc.redirectEdges]], so a 200-with-Location trap
+    *     never contributes): each raw Location value resolves RFC-3986
+    *     against its source URL (relative Locations are legal and
+    *     common), chains follow to their terminal targets
+    *     ([[Warc.resolveRedirects]], ≤ `redirectMaxHops`; cycles and
+    *     over-long chains drop), and the terminals UNION into the
+    *     candidate set with provenance `redirect` — a real crawl
+    *     discovers a meaningful URL share only through 3xx hops that no
+    *     page links to, and every such URL passes the same downstream
+    *     gates as a link-discovered one,
     *  F1 link extraction + RFC 3986 resolution against each page's own
     *     URL ([[TextAnalysis.extractLinks]] / [[TextAnalysis.resolveUrl]]),
     *  F2 http(s)-scheme gate (mailto:/javascript:/ftp: links drop),
@@ -565,7 +582,10 @@ object Pipeline {
     *     (16-byte two-lane anti-join, appended back deferred-commit
     *     after the frontier materializes; see [[FrontierConfig]]),
     *  F6 distinct-URL fold carrying source PROVENANCE (`link` /
-    *     `sitemap` / `both`) + robots verdicts ([[Robots.robotsFilter]],
+    *     `sitemap` / `redirect`, the legacy pair name `both` for
+    *     link+sitemap, and explicit `link+redirect` /
+    *     `sitemap+redirect` / `both+redirect` combinations) + robots
+    *     verdicts ([[Robots.robotsFilter]],
     *     fail-open for rule-less hosts) + Crawl-delay annotation
     *     ([[Robots.directives]], [[scheduleFrontier]]'s politeness
     *     input),
@@ -590,17 +610,22 @@ object Pipeline {
                     cfg: FrontierConfig = FrontierConfig(),
                     sitemaps: Option[DataFrame] = None,
                     sitemapUrlCol: String = "sitemap_url",
-                    sitemapXmlCol: String = "xml"): DataFrame =
+                    sitemapXmlCol: String = "xml",
+                    redirects: Option[DataFrame] = None,
+                    redirectSrcCol: String = "src",
+                    redirectDstCol: String = "dst"): DataFrame =
     frontierRun(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
-      robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol, cfg,
+      robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol,
+      redirects, redirectSrcCol, redirectDstCol, cfg,
       audit = false).urls
 
   /** [[buildFrontier]] plus the audited funnel (the curateCrawlAudited
     * split: the unaudited path pays zero count jobs; the audited one
     * counts FILTERS over the one materialized flag frame, never
     * recomputation). Funnel rows, in order: `extracted` (link-discovered
-    * candidates), `seeded` (∪ sitemap leaves — the one count that can
-    * EXCEED its predecessor, discovery not filtering), `resolved_http`,
+    * candidates), `seeded` (∪ sitemap leaves), `redirected` (∪ redirect
+    * terminals, only when `redirects` is given — the discovery rows can
+    * EXCEED their predecessors, discovery not filtering), `resolved_http`,
     * `blocklist`, `not_fetched`, `seen_store` (only under `fetchedDir`),
     * `distinct_url`, `robots_allowed`, `site_cap`. The `seconds` column
     * carries the wall-clock of the work newly executed at that stage's
@@ -618,9 +643,13 @@ object Pipeline {
                            cfg: FrontierConfig = FrontierConfig(),
                            sitemaps: Option[DataFrame] = None,
                            sitemapUrlCol: String = "sitemap_url",
-                           sitemapXmlCol: String = "xml"): Frontier =
+                           sitemapXmlCol: String = "xml",
+                           redirects: Option[DataFrame] = None,
+                           redirectSrcCol: String = "src",
+                           redirectDstCol: String = "dst"): Frontier =
     frontierRun(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
-      robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol, cfg,
+      robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol,
+      redirects, redirectSrcCol, redirectDstCol, cfg,
       audit = true)
 
   /** Release-on-failure wrapper around [[frontierStages]] — same
@@ -632,10 +661,13 @@ object Pipeline {
                     robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
                     sitemaps: Option[DataFrame], sitemapUrlCol: String,
                     sitemapXmlCol: String,
+                    redirects: Option[DataFrame], redirectSrcCol: String,
+                    redirectDstCol: String,
                     cfg: FrontierConfig, audit: Boolean): Frontier = {
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     try frontierStages(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
-      robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol, cfg, audit, releases)
+      robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol,
+      redirects, redirectSrcCol, redirectDstCol, cfg, audit, releases)
     catch { case t: Throwable =>
       releases.foreach(r => scala.util.Try(r()))
       throw t
@@ -647,6 +679,8 @@ object Pipeline {
                     robots: DataFrame, robotsHostCol: String, robotsTxtCol: String,
                     sitemaps: Option[DataFrame], sitemapUrlCol: String,
                     sitemapXmlCol: String,
+                    redirects: Option[DataFrame], redirectSrcCol: String,
+                    redirectDstCol: String,
                     cfg: FrontierConfig, audit: Boolean,
                     releases: scala.collection.mutable.ArrayBuffer[() => Unit])
       : Frontier = {
@@ -675,7 +709,7 @@ object Pipeline {
       .join(pages.select(col(idCol), col(urlCol).as("_page_url")), Seq(idCol))
       .select(TextAnalysis.resolveUrl(col("_page_url"), col("href")).as("_abs"),
         lit("link").as("_src"))
-    val cand = sitemaps match {
+    val cand0 = sitemaps match {
       case None => abs
       case Some(sm) =>
         val roots = Robots.directives(
@@ -688,6 +722,24 @@ object Pipeline {
             "sitemap_url", "_xml", roots, "sitemap_url", cfg.sitemapMaxDepth)
           .select(col("loc").as("_abs"), lit("sitemap").as("_src")))
         abs.unionByName(leaves)
+    }
+    // F0b: redirect-discovered URLs — raw Location values resolve
+    // RFC-3986 against their source (relative Locations are legal),
+    // chains follow to terminal targets (cycles/over-long chains drop:
+    // terminal = false), and the terminals join the candidate set with
+    // provenance 'redirect'. resolveRedirects is a bounded driver loop
+    // behind its own barriers, so timing it here captures its real work.
+    val cand = redirects match {
+      case None => cand0
+      case Some(re) =>
+        val edges = re.select(col(redirectSrcCol).as("_rs"),
+          TextAnalysis.resolveUrl(col(redirectSrcCol), col(redirectDstCol))
+            .as("_rd"))
+        val terms = timed("redirected")(
+          Warc.resolveRedirects(edges, "_rs", "_rd", cfg.redirectMaxHops)
+            .where(col("terminal"))
+            .select(col("final_url").as("_abs"), lit("redirect").as("_src")))
+        cand0.unionByName(terms)
     }
 
     // F2-F5a as FLAG columns on one frame: the funnel's early counts are
@@ -744,17 +796,25 @@ object Pipeline {
     // here down carries 8-byte xxhash64 keys (see FrontierConfig).
     val fl = max(when(col("_src") === "link", 1).otherwise(0)).as("_fl")
     val fs = max(when(col("_src") === "sitemap", 1).otherwise(0)).as("_fs")
+    val fr = max(when(col("_src") === "redirect", 1).otherwise(0)).as("_fr")
     val folded =
       if (!cfg.hashKeys)
-        screened.groupBy(col("url"), col("host"), col("domain")).agg(fl, fs)
+        screened.groupBy(col("url"), col("host"), col("domain")).agg(fl, fs, fr)
       else screened.groupBy(xxhash64(col("url")).as("_uh"))
         .agg(min(col("url")).as("url"), min(col("host")).as("host"),
-          min(col("domain")).as("domain"), fl, fs)
+          min(col("domain")).as("domain"), fl, fs, fr)
+    // provenance: the legacy pair name 'both' = link+sitemap is kept;
+    // combinations with redirect name their members explicitly
     val dist = materializedF("distinct_url")(folded
       .withColumn("source",
-        when(col("_fl") === 1 && col("_fs") === 1, "both")
+        when(col("_fl") === 1 && col("_fs") === 1 && col("_fr") === 1,
+          "both+redirect")
+          .when(col("_fl") === 1 && col("_fs") === 1, "both")
+          .when(col("_fl") === 1 && col("_fr") === 1, "link+redirect")
+          .when(col("_fs") === 1 && col("_fr") === 1, "sitemap+redirect")
+          .when(col("_fr") === 1, "redirect")
           .when(col("_fs") === 1, "sitemap").otherwise("link"))
-      .drop("_fl", "_fs")
+      .drop("_fl", "_fs", "_fr")
       // the robots path keeps the QUERY (curateCrawl's S2 convention and
       // RFC 9309's: rules like "Disallow: /search?" must match) — only
       // the host splits off
@@ -814,7 +874,11 @@ object Pipeline {
     else {
       val rows = Seq(
         ("extracted", flagged.where(col("_src") === "link").count()),
-        ("seeded", flagged.count()),
+        ("seeded", flagged.where(col("_src") =!= "redirect").count())) ++
+        // the redirect union is the second discovery row (like `seeded`,
+        // it may exceed its predecessor); absent when not composed
+        (if (redirects.isDefined) Seq(("redirected", flagged.count()))
+         else Seq.empty) ++ Seq(
         ("resolved_http", flagged.where(col("_http")).count()),
         ("blocklist",
           flagged.where(col("_http") && !col("_blocked")).count()),
