@@ -81,7 +81,9 @@ object Pipeline {
     * one row per distinct surviving page; the seen side never shuffles
     * corpus text — the anti-join carries fingerprints only. In the
     * audited funnel the screen's drop shows up between the `url_dedup`
-    * and `near_dup` rows.
+    * and `near_dup` rows. Each wave appends its own parquet file set;
+    * a long-running loop runs [[compactSeen]] periodically to keep the
+    * screen's file listing bounded (crash-safe, content-identical).
     *
     * `seenBloom` = true routes the screen through the
     * [[Dedup.dedupAgainstBloom]] shape — the 100 TB swap: the seen
@@ -375,6 +377,11 @@ object Pipeline {
     val screened = if (cfg.seenDir.isEmpty) urld else {
       val hp = new org.apache.hadoop.fs.Path(cfg.seenDir)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // resolve any crash window an interrupted compactSeen left (the
+      // quant readStore convention) before the exists probe: an append
+      // against a stepped-aside store would otherwise fork a fresh store
+      // whose later recovery discards the pre-compaction content
+      StoreSwap.recover(fs, hp, new org.apache.hadoop.fs.Path(cfg.seenDir + ".compact"))
       val withFp = urld
         .withColumn("ck1", xxhash64(col("text")))
         .withColumn("ck2", xxhash64(lit(0x9E3779B97F4A7C15L), col("text")))
@@ -510,7 +517,9 @@ object Pipeline {
     * the lanes are two seedings of the same xxhash64 family —
     * correlated, not independent, so the bound is weaker than the ideal
     * 2⁻¹²⁸ but still far beyond practical concern — the
-    * [[Dedup.fingerprints]] construction).
+    * [[Dedup.fingerprints]] construction). Each wave appends its own
+    * file set; a long-running loop runs [[compactFetched]] periodically
+    * to keep the screen's file listing bounded.
     *
     * `sitemapMaxDepth` bounds [[Robots.sitemapFrontier]]'s index-tree
     * walk when sitemap seeding is composed in (see [[buildFrontier]]'s
@@ -773,6 +782,9 @@ object Pipeline {
     val screened = if (cfg.fetchedDir.isEmpty) pass else {
       val hp = new org.apache.hadoop.fs.Path(cfg.fetchedDir)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // resolve any crash window an interrupted compactFetched left
+      // before the exists probe (see the seenDir screen's note)
+      StoreSwap.recover(fs, hp, new org.apache.hadoop.fs.Path(cfg.fetchedDir + ".compact"))
       val withH = pass
         .withColumn("_uh1", xxhash64(col("url")))
         .withColumn("_uh2", xxhash64(lit(0x9E3779B97F4A7C15L), col("url")))
@@ -931,5 +943,54 @@ object Pipeline {
       .withColumn("slot", (row_number().over(w) - 1).cast("long"))
       .withColumn("start_sec",
         col("slot") * coalesce(col(delayCol), lit(defaultDelaySec)))
+  }
+
+  /** Compact the curation half's persistent seen-fingerprint store
+    * (`CurateConfig.seenDir`) — see [[compactScreenStore]]. */
+  def compactSeen(spark: org.apache.spark.sql.SparkSession,
+                  seenDir: String, targetFileBytes: Long = 128L << 20): Long =
+    compactScreenStore(spark, seenDir, targetFileBytes)
+
+  /** Compact the crawling half's persistent fetched-URL store
+    * (`FrontierConfig.fetchedDir`) — see [[compactScreenStore]]. */
+  def compactFetched(spark: org.apache.spark.sql.SparkSession,
+                     fetchedDir: String, targetFileBytes: Long = 128L << 20): Long =
+    compactScreenStore(spark, fetchedDir, targetFileBytes)
+
+  /** Small-files compaction for the incremental screen stores: every
+    * wave appends its own parquet file set to `seenDir`/`fetchedDir`
+    * forever, so a continuous crawl's screen pays an ever-growing file
+    * listing within weeks — the exact problem [[Quantizer.compact]]
+    * solves for the quant store, solved the same way. Rewrites the
+    * accumulated files into ~`targetFileBytes`-sized ones (sized by the
+    * store's on-disk bytes, so a thousand tiny wave files fold into a
+    * handful regardless of cluster width) and promotes
+    * the rewrite via the crash-safe [[StoreSwap]] rename protocol: a
+    * crash at ANY point leaves a complete store recoverable by name, and
+    * both screen paths (and this method) run the recovery probe before
+    * touching the store. Content is row-identical — compaction never
+    * dedups, reorders semantics, or drops lanes; the screens' anti-joins
+    * read the same multiset. Returns the compacted row count (0 when the
+    * store does not exist yet — nothing accreted, nothing to do).
+    */
+  def compactScreenStore(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String,
+                         targetFileBytes: Long = 128L << 20): Long = {
+    require(storeDir.nonEmpty, "compactScreenStore: empty store path")
+    require(targetFileBytes > 0,
+      s"compactScreenStore: targetFileBytes must be > 0, got $targetFileBytes")
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".compact")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreSwap.recover(fs, store, tmp)
+    if (!fs.exists(store)) return 0L
+    val bytes = fs.getContentSummary(store).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(storeDir)
+      .repartition(nFiles)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    StoreSwap.commit(fs, store, tmp)
+    spark.read.parquet(storeDir).count()
   }
 }

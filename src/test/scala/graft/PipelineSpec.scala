@@ -327,6 +327,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() === 5)
   }
 
+  test("compactFetched: content identical, file count shrinks, the screen reads the same store") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fcomp").toString
+    import spark.implicits._
+    val robots = Seq(("h0.com", "")).toDF("host", "txt")
+    val store = base + "/fetched"
+    val cfg = Pipeline.FrontierConfig(maxPerSite = 10, fetchedDir = store)
+    // three waves accrete three file sets
+    Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L, 5L)).foreach { ids =>
+      Pipeline.buildFrontier(frontierPagesFor(ids), "doc_id",
+        "page_url", "html", robots, "host", "txt", cfg).count()
+    }
+    def files() = new java.io.File(store).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    def content() = spark.read.parquet(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val before = content()
+    val filesBefore = files()
+    assert(filesBefore >= 3, s"expected >= 3 wave file sets, got $filesBefore")
+    val n = Pipeline.compactFetched(spark, store)
+    assert(n === before.size.toLong)
+    // row-identical multiset, fewer files
+    assert(content() === before)
+    assert(files() < filesBefore, s"${files()} !< $filesBefore")
+    // the next wave screens against the compacted store identically:
+    // doc 6's next link p7 is fresh, doc 15's next link p0 was fetched
+    val w = Pipeline.buildFrontier(frontierPagesFor(Seq(15L)), "doc_id",
+      "page_url", "html", robots, "host", "txt", cfg)
+    assert(w.select("url").collect().map(_.getString(0)).toSet ===
+      Set("https://f.net/x15"))
+  }
+
+  test("compactScreenStore: crash states (partial stage, mid-swap) recover to a readable store") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fcrash2").toString
+    import spark.implicits._
+    val store = base + "/fetched"
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("uh1", "uh2")
+      .write.mode("append").parquet(store)
+    def content() = spark.read.parquet(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expect = content()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // (a) crash DURING the stage write: partial tmp without _SUCCESS —
+    // the old files stay readable and the next compact discards the junk
+    val tmp = new java.io.File(store + ".compact"); tmp.mkdirs()
+    java.nio.file.Files.write(tmp.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Pipeline.compactFetched(spark, store) === 3L)
+    assert(content() === expect)
+    assert(!tmp.exists())
+    // (b) crash BETWEEN the two swap renames: store stepped aside whole,
+    // staged copy complete (_SUCCESS present) — recovery rolls FORWARD
+    spark.read.parquet(store).write.parquet(store + ".compact")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "_old")))
+    assert(Pipeline.compactFetched(spark, store) === 3L)
+    assert(content() === expect)
+    assert(!new java.io.File(store + "_old").exists())
+    // (c) crash during the stage write AFTER a previous step-aside: only
+    // store_old is whole — recovery rolls BACK; the incremental screen's
+    // own probe performs it too (an append never forks a fresh store)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "_old")))
+    val robots = Seq(("h0.com", "")).toDF("host", "txt")
+    Pipeline.buildFrontier(frontierPagesFor(Seq(6L)), "doc_id",
+      "page_url", "html", robots, "host", "txt",
+      Pipeline.FrontierConfig(maxPerSite = 10, fetchedDir = store)).count()
+    // rolled back, then the wave appended its own fetched URL (p6)
+    assert(content().size === 4)
+    assert(content().containsSlice(expect))
+  }
+
   test("frontier funnel: seconds on timed boundaries only; seen_store row appears with fetchedDir") {
     val base = java.nio.file.Files.createTempDirectory("graft_ffsec").toString
     import spark.implicits._
