@@ -1151,6 +1151,35 @@ object Queries {
     idx.unionByName(child)
   }
 
+  /** Sitemap store for the PRIORITY frontier gate: per site{k}.com an
+    * index → child whose urlset declares `/sm/{k}` at priority 0.9,
+    * `/pg/{k}` at priority 0.2 and `h{k}.com/about` with NO priority
+    * (the protocol default 0.5 — also link-discovered, so provenance
+    * stays 'both'). With 50 default-0.5 link candidates per even site
+    * domain and a cap of 30, the 0.9 URL must survive and the 0.2 URL
+    * must be cut — the site's own declared priorities decide the cap.
+    */
+  private[graft] def frontierPrioritySitemaps(s: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val ks = col("id").cast("string")
+    val idx = s.range(10).select(
+      concat(lit("https://site"), ks, lit(".com/sm.xml")).as("sitemap_url"),
+      concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        lit("<sitemap><loc>https://site"), ks,
+        lit(".com/sm-child.xml</loc></sitemap>"),
+        lit("</sitemapindex>")).as("xml"))
+    val child = s.range(10).select(
+      concat(lit("https://site"), ks, lit(".com/sm-child.xml")).as("sitemap_url"),
+      concat(lit("<urlset>"),
+        lit("<url><loc>https://site"), ks, lit(".com/sm/"), ks,
+        lit("</loc><priority>0.9</priority></url>"),
+        lit("<url><loc>https://site"), ks, lit(".com/pg/"), ks,
+        lit("</loc><priority>0.2</priority></url>"),
+        lit("<url><loc>https://h"), ks, lit(".com/about</loc></url>"),
+        lit("</urlset>")).as("xml"))
+    idx.unionByName(child)
+  }
+
   /** HTTP response captures for the frontier REDIRECT gates: per doc
     * (k = doc_id % 10) six responses — a 301 with a RELATIVE Location
     * (`/page-r{i}`, must resolve against its source host; robots-
@@ -3719,6 +3748,44 @@ object Queries {
       graft.ops.Pipeline.scheduleFrontier(f, "url", "host", "crawl_delay",
           defaultDelaySec = 2.0)
         .select("url", "host", "slot", "start_sec")
+    }),
+
+    // INTER-WAVE politeness carryover: wave 1's schedule folds to
+    // per-host next-fetch offsets (max start + delay), and the second
+    // wave's start offsets ride on top of them — a host fetched at the
+    // end of wave 1 is not hit at t=0 of wave 2. Oracle = the wave-1
+    // ROW_NUMBER replay, the per-host max+delay fold, and the offset
+    // join, all restated literally
+    "frontier_schedule_carryover" -> ((s, dir) => {
+      val f = graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
+        "page_url", "html", frontierRobots(s), "host", "txt", FrontierCfg,
+        sitemaps = Some(frontierSitemaps(s)),
+        redirects = Some(graft.ops.Warc.redirectEdges(
+          frontierRedirectCaptures(s, dir), "url", "payload")))
+      val w1 = graft.ops.Pipeline.scheduleFrontier(f, "url", "host",
+        "crawl_delay", defaultDelaySec = 2.0)
+      val off = graft.ops.Pipeline.nextStartOffsets(w1, "host",
+        "crawl_delay", defaultDelaySec = 2.0)
+      graft.ops.Pipeline.scheduleFrontier(f, "url", "host", "crawl_delay",
+          defaultDelaySec = 2.0, lastStart = Some(off))
+        .select("url", "host", "slot", "start_sec")
+    }),
+
+    // sitemap PRIORITY threading (FrontierConfig.usePriority): declared
+    // <priority> values decide the per-site cap (0.9 survives a 30-cap
+    // over 50 default-0.5 candidates, 0.2 is cut) and order the
+    // scheduler's slots within each host (hash tie-break within a
+    // priority class). Oracle = the composite-key rank replay — the
+    // quantized (priority, hash) key is exact integer arithmetic in
+    // doubles, so the cut restates literally
+    "frontier_priority" -> ((s, dir) => {
+      val f = graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
+        "page_url", "html", frontierRobots(s), "host", "txt",
+        FrontierCfg.copy(usePriority = true),
+        sitemaps = Some(frontierPrioritySitemaps(s)))
+      graft.ops.Pipeline.scheduleFrontier(f, "url", "host", "crawl_delay",
+          defaultDelaySec = 2.0, priorityCol = "priority")
+        .select("url", "host", "source", "priority", "slot", "start_sec")
     }),
 
     // the http profile's funnel: pins WHERE the three envelope drop
@@ -7673,6 +7740,79 @@ object Queries {
          |SELECT url, host, slot,
          |  slot * coalesce(crawl_delay, 2.0) AS start_sec
          |FROM sch""".stripMargin,
+
+    // inter-wave carryover: wave 1's per-host max(start + delay) becomes
+    // wave 2's per-host base offset; the window replay is identical
+    "frontier_schedule_carryover" ->
+      s"""WITH ${frontierCtes(withRedirects = true)},
+         |fr AS (SELECT url, domain AS host,
+         |    CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
+         |         ELSE CAST(NULL AS DOUBLE) END AS crawl_delay, fp
+         |  FROM sel WHERE rn <= 30),
+         |sch AS (SELECT url, host, crawl_delay,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY fp, url) - 1 AS BIGINT) AS slot
+         |  FROM fr),
+         |off AS (SELECT host,
+         |    max(slot * coalesce(crawl_delay, 2.0) + coalesce(crawl_delay, 2.0)) AS base
+         |  FROM sch GROUP BY host)
+         |SELECT s.url, s.host, s.slot,
+         |  o.base + s.slot * coalesce(s.crawl_delay, 2.0) AS start_sec
+         |FROM sch s JOIN off o ON s.host = o.host""".stripMargin,
+
+    // sitemap priority threading: the decision table carries declared
+    // priorities, the cap replays the quantized composite (priority,
+    // hash) key, the schedule re-windows per host on (priority DESC,
+    // hash, url)
+    "frontier_priority" -> {
+      val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(url)), " +
+        "j -> CAST(ascii(url[j]) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+      s"""WITH b AS (SELECT doc_id, doc_id % 10 AS k,
+         |    CAST(doc_id % 10 AS VARCHAR) AS ks, CAST(doc_id AS VARCHAR) AS i
+         |  FROM documents),
+         |rng AS (SELECT CAST(range AS BIGINT) AS k, CAST(range AS VARCHAR) AS ks FROM range(10)),
+         |ext AS (
+         |  SELECT 'https://h' || ks || '.com' AS url, k, FALSE AS blocked, FALSE AS fetched,
+         |      'link' AS src, CAST(NULL AS DOUBLE) AS prio FROM b
+         |  UNION ALL SELECT 'https://h' || ks || '.com/about', k, FALSE, FALSE, 'link', NULL FROM b
+         |  UNION ALL SELECT 'https://site' || ks || '.com/page' || i || '?x=1', k, FALSE, FALSE, 'link', NULL FROM b
+         |  UNION ALL SELECT 'https://alt' || ks || '.org/p' || i, k, k = 3, FALSE, 'link', NULL FROM b
+         |  UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html', k, FALSE, TRUE, 'link', NULL FROM b
+         |    WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT 'https://site' || ks || '.com/sm/' || ks, k, FALSE, FALSE, 'sitemap', 0.9 FROM rng
+         |  UNION ALL SELECT 'https://site' || ks || '.com/pg/' || ks, k, FALSE, FALSE, 'sitemap', 0.2 FROM rng
+         |  UNION ALL SELECT 'https://h' || ks || '.com/about', k, FALSE, FALSE, 'sitemap', NULL FROM rng),
+         |cand AS (SELECT url, k, src, prio FROM ext WHERE NOT blocked AND NOT fetched),
+         |d AS (SELECT url, k, bool_or(src = 'link') AS fl, bool_or(src = 'sitemap') AS fs,
+         |    max(prio) AS prio
+         |  FROM cand GROUP BY url, k),
+         |alw AS (SELECT * FROM d
+         |  WHERE NOT (k % 2 = 1 AND url LIKE 'https://site' || CAST(k AS VARCHAR) || '.com/page%')),
+         |pr AS (SELECT url, k, fl, fs, prio,
+         |    CASE WHEN url LIKE 'https://site%' THEN 'site' || CAST(k AS VARCHAR) || '.com'
+         |         WHEN url LIKE 'https://alt%' THEN 'alt' || CAST(k AS VARCHAR) || '.org'
+         |         ELSE 'h' || CAST(k AS VARCHAR) || '.com' END AS domain,
+         |    $fp AS fp
+         |  FROM alw),
+         |qk AS (SELECT *,
+         |    (1000 - round(coalesce(prio, 0.5) * 1000)) * 2147483648 + fp AS ck
+         |  FROM pr),
+         |sel AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY ck, url) AS rn FROM qk),
+         |fr2 AS (SELECT url, domain AS host,
+         |    CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
+         |         ELSE CAST(NULL AS DOUBLE) END AS crawl_delay,
+         |    CASE WHEN fl AND fs THEN 'both' WHEN fs THEN 'sitemap'
+         |         ELSE 'link' END AS source,
+         |    coalesce(prio, 0.5) AS priority, fp
+         |  FROM sel WHERE rn <= 30),
+         |sch AS (SELECT url, host, source, priority, crawl_delay,
+         |    CAST(row_number() OVER (PARTITION BY host
+         |      ORDER BY (1000 - round(priority * 1000)) ASC, fp, url) - 1 AS BIGINT) AS slot
+         |  FROM fr2)
+         |SELECT url, host, source, priority, slot,
+         |  slot * coalesce(crawl_delay, 2.0) AS start_sec
+         |FROM sch""".stripMargin
+    },
 
     // http-profile funnel: the ingest row applies all three envelope
     // drop classes (the NULL-body class included), pinning the drops to

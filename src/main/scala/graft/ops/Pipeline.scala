@@ -530,6 +530,20 @@ object Pipeline {
     * `redirects` parameter); chains still unresolved after it (cycles,
     * over-long chains) contribute no candidates.
     *
+    * `usePriority` = true threads the sitemap protocol's per-URL
+    * `<priority>` into the two places that decide WHAT gets fetched
+    * first: the per-site cap heap selects by (priority DESC, hash, url)
+    * instead of (hash, url) — a site's own declared priorities influence
+    * which of its URLs survive the cap — and the output gains a
+    * `priority` column (declared value clamped to [0,1]; 0.5, the
+    * protocol's default, where no discovery route declared one) for
+    * [[scheduleFrontier]]'s `priorityCol` to order fetch slots by. A URL
+    * discovered by several routes takes the max declared priority.
+    * Priorities are quantized to the protocol's 3-decimal grain so the
+    * heap's composite ranking key stays exact in doubles and any SQL
+    * engine replays the cut. Default false: selection is purely
+    * hash-deterministic and the output schema is unchanged.
+    *
     * `hashKeys` = true is the 100 TB exchange-key swap on the
     * composition's own keyed exchanges (the
     * [[TextAnalysis.anchorTexts]] mechanism): the distinct fold and the
@@ -548,7 +562,8 @@ object Pipeline {
       fetchedDir: String = "",
       sitemapMaxDepth: Int = 4,
       hashKeys: Boolean = false,
-      redirectMaxHops: Int = 8)
+      redirectMaxHops: Int = 8,
+      usePriority: Boolean = false)
 
   /** [[buildFrontier]]'s result: the next fetch list and its audited
     * funnel — (stage_idx, stage, n_urls, seconds) per decision stage.
@@ -714,10 +729,15 @@ object Pipeline {
     // their provenance tag. The sitemap walk materializes on its own
     // boundary so the `seeded` funnel row carries ITS wall time, not the
     // extraction chain's.
+    // declared priority rides the candidate rows as `_prio` (NULL where
+    // the discovery route declares none — only sitemap <priority> tags
+    // do); parsed tolerantly (try_cast: garbage → NULL) and clamped to
+    // the protocol's [0,1]
+    val noPrio = lit(null).cast("double").as("_prio")
     val abs = TextAnalysis.extractLinks(pages, idCol, htmlCol)
       .join(pages.select(col(idCol), col(urlCol).as("_page_url")), Seq(idCol))
       .select(TextAnalysis.resolveUrl(col("_page_url"), col("href")).as("_abs"),
-        lit("link").as("_src"))
+        lit("link").as("_src"), noPrio)
     val cand0 = sitemaps match {
       case None => abs
       case Some(sm) =>
@@ -729,7 +749,13 @@ object Pipeline {
             sm.select(col(sitemapUrlCol).as("sitemap_url"),
               col(sitemapXmlCol).as("_xml")),
             "sitemap_url", "_xml", roots, "sitemap_url", cfg.sitemapMaxDepth)
-          .select(col("loc").as("_abs"), lit("sitemap").as("_src")))
+          .select(col("loc").as("_abs"), lit("sitemap").as("_src"),
+            // greatest/least skip NULLs, so guard: an undeclared or
+            // unparseable priority must stay NULL (→ the 0.5 default at
+            // use sites), never clamp to 0.0
+            when(expr("try_cast(priority AS DOUBLE)").isNotNull,
+              least(greatest(expr("try_cast(priority AS DOUBLE)"), lit(0.0)),
+                lit(1.0))).otherwise(lit(null).cast("double")).as("_prio")))
         abs.unionByName(leaves)
     }
     // F0b: redirect-discovered URLs — raw Location values resolve
@@ -747,7 +773,8 @@ object Pipeline {
         val terms = timed("redirected")(
           Warc.resolveRedirects(edges, "_rs", "_rd", cfg.redirectMaxHops)
             .where(col("terminal"))
-            .select(col("final_url").as("_abs"), lit("redirect").as("_src")))
+            .select(col("final_url").as("_abs"), lit("redirect").as("_src"),
+              noPrio))
         cand0.unionByName(terms)
     }
 
@@ -809,12 +836,16 @@ object Pipeline {
     val fl = max(when(col("_src") === "link", 1).otherwise(0)).as("_fl")
     val fs = max(when(col("_src") === "sitemap", 1).otherwise(0)).as("_fs")
     val fr = max(when(col("_src") === "redirect", 1).otherwise(0)).as("_fr")
+    // a URL discovered by several routes takes the max DECLARED priority
+    // (NULLs ignored); the 0.5 protocol default applies only at use sites
+    val fp0 = max(col("_prio")).as("_prio")
     val folded =
       if (!cfg.hashKeys)
-        screened.groupBy(col("url"), col("host"), col("domain")).agg(fl, fs, fr)
+        screened.groupBy(col("url"), col("host"), col("domain"))
+          .agg(fl, fs, fr, fp0)
       else screened.groupBy(xxhash64(col("url")).as("_uh"))
         .agg(min(col("url")).as("url"), min(col("host")).as("host"),
-          min(col("domain")).as("domain"), fl, fs, fr)
+          min(col("domain")).as("domain"), fl, fs, fr, fp0)
     // provenance: the legacy pair name 'both' = link+sitemap is kept;
     // combinations with redirect name their members explicitly
     val dist = materializedF("distinct_url")(folded
@@ -853,13 +884,28 @@ object Pipeline {
     val delays = Robots.directives(robots.select(
         col(robotsHostCol).as("host"), col(robotsTxtCol).as("txt")),
       "host", "txt").select(col("host"), col("crawl_delay"))
+    // the heap's ranking key: purely the url's hash by default; under
+    // usePriority a composite that ranks by (priority DESC, hash) while
+    // staying EXACT in doubles — priorities quantize to the protocol's
+    // 3-decimal grain (integer 0..1000) and scale by 2³¹, which strictly
+    // dominates the hash term (< 2³¹), so the whole key is an integer
+    // < 2⁴² representable exactly and any SQL engine replays the cut
+    val urlHash = TextAnalysis.fingerprint(col("url")).cast("double")
+    val capKey = if (!cfg.usePriority) urlHash else
+      (lit(1000.0) - round(coalesce(col("_prio"), lit(0.5)) * 1000, 0)) *
+        lit(2147483648.0) + urlHash
     val tk = graft.functions.topk_distinct_strings(
-      TextAnalysis.fingerprint(col("url")).cast("double"), col("url"),
-      cfg.maxPerSite).as("_tk")
+      capKey, col("url"), cfg.maxPerSite).as("_tk")
     val capped =
       if (!cfg.hashKeys) allowed.groupBy(col("domain")).agg(tk)
       else allowed.groupBy(xxhash64(col("domain")).as("_dh"))
         .agg(min(col("domain")).as("domain"), tk)
+    val srcCols =
+      if (!cfg.usePriority) Seq(col("source"))
+      else Seq(col("source"), coalesce(col("_prio"), lit(0.5)).as("priority"))
+    val outCols = Seq(col("url"), col("host"), col("domain"),
+      col("crawl_delay"), col("site_capped"), col("source")) ++
+      (if (cfg.usePriority) Seq(col("priority")) else Nil)
     val withDelay = capped
       .select(col("domain"), col("_tk.capped").as("site_capped"),
         explode(col("_tk.kept")).as("url"))
@@ -868,11 +914,10 @@ object Pipeline {
       .join(delays, Seq("host"), "left")
     val out = materializedF("site_cap")(
       (if (!cfg.hashKeys)
-        withDelay.join(allowed.select(col("url"), col("source")), Seq("url"))
+        withDelay.join(allowed.select(col("url") +: srcCols: _*), Seq("url"))
       else withDelay.withColumn("_uh", xxhash64(col("url")))
-        .join(allowed.select(col("_uh"), col("source")), Seq("_uh")))
-      .select(col("url"), col("host"), col("domain"), col("crawl_delay"),
-        col("site_capped"), col("source")))
+        .join(allowed.select(col("_uh") +: srcCols: _*), Seq("_uh")))
+      .select(outCols: _*))
 
     // the frontier is fully materialized — the wave's fetched URLs may
     // now accrete into the persistent store (deferred commit: a crash
@@ -925,24 +970,70 @@ object Pipeline {
     * maps slot r of every host to its r-th request round; hosts with
     * more URLs simply extend further into the wave.
     *
+    * `lastStart` (optional) is the INTER-WAVE politeness carryover: a
+    * per-host frame of earliest next-fetch offsets — typically the
+    * previous wave's [[nextStartOffsets]] — added to every `start_sec`
+    * of that host, so a host fetched at the end of wave N is NOT hit
+    * again at t=0 of wave N+1 regardless of its Crawl-delay. Hosts
+    * absent from the frame (newly discovered) start at 0. Without it,
+    * slots restart at 0 each wave (the single-wave behavior).
+    *
     * Scale shape: ONE narrow keyed exchange on the host (the window's
     * partition key); per-host state is the window sort, bounded by the
-    * upstream `maxPerSite` cap. Output: the input columns + (slot,
-    * start_sec).
+    * upstream `maxPerSite` cap; the carryover is one equi-join against a
+    * one-row-per-host frame (AQE broadcasts it at any realistic host
+    * count). Output: the input columns + (slot, start_sec).
     */
   def scheduleFrontier(frontier: DataFrame, urlCol: String, hostCol: String,
+                       delayCol: String,
+                       defaultDelaySec: Double = 1.0,
+                       lastStart: Option[DataFrame] = None,
+                       lastHostCol: String = "host",
+                       lastStartCol: String = "next_start_sec",
+                       priorityCol: String = ""): DataFrame = {
+    require(defaultDelaySec >= 0.0,
+      s"defaultDelaySec must be >= 0, got $defaultDelaySec")
+    // priorityCol (optional — buildFrontier's `priority` output under
+    // usePriority): higher-priority URLs take earlier slots, quantized
+    // to the protocol's 3-decimal grain; the deterministic (hash, url)
+    // tie-break is preserved within each priority class
+    val order =
+      (if (priorityCol.isEmpty) Nil
+       else Seq(round(coalesce(col(priorityCol), lit(0.5)) * 1000, 0).desc)) ++
+      Seq(TextAnalysis.fingerprint(col(urlCol)).cast("double").asc,
+        col(urlCol).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol))
+      .orderBy(order: _*)
+    val slotted = frontier
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+    lastStart match {
+      case None => slotted.withColumn("start_sec",
+        col("slot") * coalesce(col(delayCol), lit(defaultDelaySec)))
+      case Some(ls) => slotted
+        .join(ls.select(col(lastHostCol).as("_ls_host"),
+            col(lastStartCol).cast("double").as("_ls_off")),
+          col(hostCol) === col("_ls_host"), "left")
+        .withColumn("start_sec",
+          coalesce(col("_ls_off"), lit(0.0)) +
+            col("slot") * coalesce(col(delayCol), lit(defaultDelaySec)))
+        .drop("_ls_host", "_ls_off")
+    }
+  }
+
+  /** The carryover frame for [[scheduleFrontier]]'s next wave: per host,
+    * the earliest politeness-compliant fetch offset AFTER this wave's
+    * schedule — max(start_sec) + the host's delay. One row per host;
+    * feed it back as the next wave's `lastStart`.
+    */
+  def nextStartOffsets(schedule: DataFrame, hostCol: String,
                        delayCol: String,
                        defaultDelaySec: Double = 1.0): DataFrame = {
     require(defaultDelaySec >= 0.0,
       s"defaultDelaySec must be >= 0, got $defaultDelaySec")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(hostCol))
-      .orderBy(TextAnalysis.fingerprint(col(urlCol)).cast("double").asc,
-        col(urlCol).asc)
-    frontier
-      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
-      .withColumn("start_sec",
-        col("slot") * coalesce(col(delayCol), lit(defaultDelaySec)))
+    schedule.groupBy(col(hostCol).as("host"))
+      .agg(max(col("start_sec") +
+        coalesce(col(delayCol), lit(defaultDelaySec))).as("next_start_sec"))
   }
 
   /** Compact the curation half's persistent seen-fingerprint store
