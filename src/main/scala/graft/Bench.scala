@@ -388,7 +388,13 @@ object Bench {
         // scheduler window, and the hash-keyed exchange variants (must
         // stay within noise of their string-keyed twins above)
         "frontier_incremental", "frontier_schedule",
-        "anchor_texts_hashkeys", "web_link_graph_hashkeys")
+        "anchor_texts_hashkeys", "web_link_graph_hashkeys",
+        // round-16 tripwires: the redirect-composed frontier rides the
+        // existing frontier_e2e row (priced: + the chain walk); new rows
+        // for the two-round crawl LOOP (both halves × both persistent
+        // stores — the most expensive composition in the inventory), the
+        // priority-keyed cap + schedule, and the carryover schedule
+        "crawl_loop_e2e", "frontier_priority", "frontier_schedule_carryover")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

@@ -3788,6 +3788,94 @@ object Queries {
         .select("url", "host", "source", "priority", "slot", "start_sec")
     }),
 
+    // the CRAWL LOOP — both halves composed over both persistent stores,
+    // two full rounds: wave-1 frontier (fetchedDir accretes the seed
+    // URLs) and wave-1 curation (seenDir accretes the seed texts), then
+    // the emitted frontier URLs "fetch" into wave-2 pages (every third a
+    // content CLONE of a wave-1 seed), and wave 2 re-runs both halves.
+    // Output: wave-2's frontier (the fresh b/{i} links survive, the
+    // wave-1-fetched s/{i} links die at the STORE screen — the only
+    // cross-wave channel) and wave-2's curated doc ids (the clones die
+    // at the SEEN screen — again the only cross-wave channel). Oracle =
+    // both survivor sets restated from the fixture formulas: the loop's
+    // two stores interoperate iff both sets match
+    "crawl_loop_e2e" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_loop").toString
+      val emptyRobots = s.range(0).select(lit("h").as("host"), lit("").as("txt"))
+      val bench = s.range(1)
+        .select(lit("completely unrelated benchmark sentence").as("text"))
+      val fcfg = graft.ops.Pipeline.FrontierConfig(
+        maxPerSite = 1000000, fetchedDir = base + "/fetched")
+      val ccfg = graft.ops.Pipeline.CurateConfig(
+        capPerDomain = 1000000, seenDir = base + "/seen")
+      def seedText(i: org.apache.spark.sql.Column) = concat(
+        lit("the quick brown fox number "), i.cast("string"),
+        lit(" jumps over one lazy dog. it runs near marker m"), i.cast("string"),
+        lit("a and m"), i.cast("string"), lit("b then m"), i.cast("string"),
+        lit("c every single day with speed."))
+      def waveText(i: org.apache.spark.sql.Column) = when(i % 3 === 1, seedText(i))
+        .otherwise(concat(
+          lit("the second wave story number "), i.cast("string"),
+          lit(" walks across the nine quiet bridges today. it rests near"),
+          lit(" the marker x"), i.cast("string"), lit("a and x"),
+          i.cast("string"), lit("b then x"), i.cast("string"),
+          lit("c in the late evening hours.")))
+      // links ride in <nav> — extractLinks sees them, extractMainContent
+      // strips them, so the curated TEXT is link-free and clone equality
+      // holds across waves despite different out-links
+      def htmlOf(text: org.apache.spark.sql.Column,
+                 links: org.apache.spark.sql.Column) = concat(
+        lit("<html><body><nav>"), links, lit("</nav><article><p>"), text,
+        lit("</p></article></body></html>"))
+      def warcOf(url: org.apache.spark.sql.Column,
+                 html: org.apache.spark.sql.Column) = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        lit("\r\nContent-Length: "), length(html).cast("string"),
+        lit("\r\n\r\n"), html, lit("\r\n\r\n"))
+      def aHref(u: org.apache.spark.sql.Column) =
+        concat(lit("<a href=\""), u, lit("\">t</a> "))
+      val ids = docs(s, dir).select(col("doc_id"))
+      val kS = (col("doc_id") % 10).cast("string")
+      val iS = col("doc_id").cast("string")
+      val seedUrl = concat(lit("https://h"), kS, lit(".com/s/"), iS)
+      val aUrl1 = concat(lit("https://h"), kS, lit(".com/a/"), iS)
+      val seedHtml = htmlOf(seedText(col("doc_id")),
+        concat(aHref(aUrl1), aHref(seedUrl))) // self-link: in-wave screened
+      val pages1 = ids.select(col("doc_id"), seedUrl.as("page_url"),
+        seedHtml.as("html"))
+      // wave 1, both halves — the stores accrete
+      val f1 = graft.ops.Pipeline.buildFrontier(pages1, "doc_id", "page_url",
+        "html", emptyRobots, "host", "txt", fcfg)
+      graft.ops.Pipeline.curateCrawl(
+        ids.select(col("doc_id"), warcOf(seedUrl, seedHtml).as("warc")),
+        "doc_id", "warc", emptyRobots, "host", "txt", bench, "text",
+        base + "/shards1", ccfg).count()
+      // the "fetch": each frontier URL materializes as a page; ids parse
+      // back out of the emitted URLs — the composition point
+      val i2 = col("i")
+      val k2S = (i2 % 10).cast("string")
+      val ids2 = f1.select(
+        regexp_extract(col("url"), "/a/([0-9]+)$", 1).cast("long").as("i"))
+      val aUrl2 = concat(lit("https://h"), k2S, lit(".com/a/"), i2.cast("string"))
+      val html2 = htmlOf(waveText(i2), concat(
+        aHref(concat(lit("https://h"), k2S, lit(".com/b/"), i2.cast("string"))),
+        aHref(concat(lit("https://h"), k2S, lit(".com/s/"), i2.cast("string")))))
+      val pages2 = ids2.select((i2 + 1000000L).as("doc_id"),
+        aUrl2.as("page_url"), html2.as("html"))
+      // wave 2, both halves again
+      val f2 = graft.ops.Pipeline.buildFrontier(pages2, "doc_id", "page_url",
+        "html", emptyRobots, "host", "txt", fcfg)
+      val c2 = graft.ops.Pipeline.curateCrawl(
+        ids2.select((i2 + 1000000L).as("doc_id"),
+          warcOf(aUrl2, html2).as("warc")),
+        "doc_id", "warc", emptyRobots, "host", "txt", bench, "text",
+        base + "/shards2", ccfg)
+      f2.select(lit("f2").as("part"), col("url").as("key"))
+        .unionByName(c2.select(lit("c2").as("part"),
+          col("doc_id").cast("string").as("key")))
+        .orderBy("part", "key")
+    }),
+
     // the http profile's funnel: pins WHERE the three envelope drop
     // classes (404, wrong mime, unterminated-header NULL body) fall —
     // the ingest row must already exclude all three, so a NULL-body
@@ -7813,6 +7901,23 @@ object Queries {
          |  slot * coalesce(crawl_delay, 2.0) AS start_sec
          |FROM sch""".stripMargin
     },
+
+    // the crawl loop: both survivor sets restated from the fixture
+    // formulas — wave 2's frontier keeps exactly the fresh b/{i} links
+    // (the s/{i} links were wave-1-fetched: the store screen), and wave
+    // 2's curation keeps exactly the non-clone ids (i % 3 = 1 pages
+    // carry wave-1 seed TEXT verbatim: the seen screen). Every id flows
+    // wave1-frontier → fetch → wave2, so both sets span all of documents
+    "crawl_loop_e2e" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 10 AS k FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'f2' AS part,
+        |    'https://h' || CAST(k AS VARCHAR) || '.com/b/' || CAST(doc_id AS VARCHAR) AS key
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT 'c2', CAST(doc_id + 1000000 AS VARCHAR) FROM ids
+        |  WHERE doc_id % 3 <> 1)
+        |ORDER BY part, key""".stripMargin,
 
     // http-profile funnel: the ingest row applies all three envelope
     // drop classes (the NULL-body class included), pinning the drops to

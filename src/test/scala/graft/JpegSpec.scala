@@ -109,6 +109,35 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodeLuma(odd).isDefined)
   }
 
+  test("chroma-only twins false-merge: the documented luma-only dedup grain") {
+    // the decoder is LUMA-ONLY by design (chroma scans are skipped), so
+    // two images that differ ONLY in hue must hash identically — the
+    // false-merge this fixture asserts IS the documented boundary of
+    // jpeg_dhash-based dedup, measured here instead of left as prose.
+    // B's per-pixel color (v+51, v-26, v) keeps Y = v - 0.013 ≈ v
+    // (0.299·51 ≈ 0.587·26) while shifting Cb/Cr far off neutral.
+    val w = 72; val h = 64
+    def v(x: Int, y: Int): Int = 30 + ((x * 3 + y * 5) % 170)
+    val a = encode(color(w, h, (x, y) => {
+      val g = v(x, y); (g << 16) | (g << 8) | g
+    }))
+    val b = encode(color(w, h, (x, y) => {
+      val g = v(x, y); ((g + 51) << 16) | ((g - 26) << 8) | g
+    }))
+    val da = Jpeg.jpegDhash63(a).getOrElse(fail("no dhash for gray twin"))
+    val db = Jpeg.jpegDhash63(b).getOrElse(fail("no dhash for hue twin"))
+    val dist = java.lang.Long.bitCount(da ^ db)
+    assert(dist <= 2, s"chroma-only twins should collide (got hamming $dist)")
+    // sanity: the images really do differ in chroma (the JDK decodes
+    // them to visibly different RGB), so the collision is the luma
+    // boundary at work, not two identical files
+    val ra = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    val rb = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val rgbDiff = (0 until w * h).count(i =>
+      ra.getRGB(i % w, i / w) != rb.getRGB(i % w, i / w))
+    assert(rgbDiff > w * h / 2, s"twin fixture degenerate: only $rgbDiff px differ")
+  }
+
   test("progressive (SOF2): per-pixel agreement with ImageIO on grayscale") {
     val cases = Seq(
       (64, 64, (x: Int, y: Int) => x * 3 + y * 2),
