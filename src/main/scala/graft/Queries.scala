@@ -3788,6 +3788,42 @@ object Queries {
         .select("url", "host", "source", "priority", "slot", "start_sec")
     }),
 
+    // sitemap-driven RECRAWL selection: the lastmod consumer — a leaf is
+    // refetched iff it was never fetched ('new') or declares a lastmod
+    // STRICTLY later than its recorded fetch time ('modified'); absent /
+    // garbage / stale lastmods stay out, and duplicate leaf entries fold
+    // to the newest declaration. Oracle = the per-class decision table
+    // from the fixture formulas (the W3C datetime parse never appears)
+    "sitemap_recrawl" -> ((s, dir) => {
+      val i = col("doc_id").cast("string")
+      val m = col("doc_id") % 5
+      val lastmod1 = when(m === 0, lit("2026-03-01"))
+        .when(m === 1, lit("2026-01-01"))
+        .when(m === 2, lit(""))
+        .when(m === 3, lit("2026-02-15T12:30:00Z"))
+        .otherwise(lit("not-a-date"))
+      val xml = concat(lit("<urlset>"),
+        lit("<url><loc>https://s.com/u"), i, lit("</loc>"),
+        when(lastmod1 =!= "",
+          concat(lit("<lastmod>"), lastmod1, lit("</lastmod>")))
+          .otherwise(lit("")),
+        lit("</url>"),
+        lit("<url><loc>https://s.com/n"), i,
+        lit("</loc><lastmod>2026-01-01</lastmod></url>"),
+        // a second sitemap entry for the SAME u{i} with an older lastmod:
+        // the fold must keep the newest declaration
+        lit("<url><loc>https://s.com/u"), i,
+        lit("</loc><lastmod>2026-01-02</lastmod></url>"),
+        lit("</urlset>"))
+      val leaves = graft.ops.Robots.sitemapUrls(
+        docs(s, dir).select(col("doc_id"), xml.as("xml")), "doc_id", "xml")
+      val fetchStore = docs(s, dir).select(
+        concat(lit("https://s.com/u"), col("doc_id").cast("string")).as("url"),
+        lit("2026-02-15 10:00:00").as("fetched_at"))
+      graft.ops.Robots.sitemapRecrawl(leaves, "loc", "lastmod",
+        fetchStore, "url", "fetched_at").orderBy("url")
+    }),
+
     // the CRAWL LOOP — both halves composed over both persistent stores,
     // two full rounds: wave-1 frontier (fetchedDir accretes the seed
     // URLs) and wave-1 curation (seenDir accretes the seed texts), then
@@ -7901,6 +7937,16 @@ object Queries {
          |  slot * coalesce(crawl_delay, 2.0) AS start_sec
          |FROM sch""".stripMargin
     },
+
+    // sitemap recrawl: the decision table per lastmod class — modified
+    // iff the declared (newest-folded) lastmod strictly exceeds the
+    // 2026-02-15 10:00 fetch time; never-fetched n{i} rows are 'new'
+    "sitemap_recrawl" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, doc_id % 5 AS m FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'https://s.com/u' || i AS url, 'modified' AS reason FROM b WHERE m IN (0, 3)
+        |  UNION ALL SELECT 'https://s.com/n' || i, 'new' FROM b)
+        |ORDER BY url""".stripMargin,
 
     // the crawl loop: both survivor sets restated from the fixture
     // formulas — wave 2's frontier keeps exactly the fresh b/{i} links

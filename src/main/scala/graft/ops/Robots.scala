@@ -252,4 +252,40 @@ object Robots {
     }
     out
   }
+
+  /** Sitemap-driven RECRAWL selection — the consumer of the `lastmod`
+    * field [[sitemapUrls]]/[[sitemapFrontier]] extract: given sitemap
+    * leaves and the crawl's per-URL last-fetch times, emit the URLs
+    * worth fetching again. A leaf is selected when it was NEVER fetched
+    * (reason `new`) or when its declared lastmod is STRICTLY LATER than
+    * the recorded fetch time (reason `modified`); a fetched URL whose
+    * lastmod is absent, unparseable (try_cast — garbage is protocol
+    * noise, never an error) or not newer stays out — the site gave no
+    * evidence of change, and refetching it anyway is the politeness
+    * budget's biggest waste at recrawl scale. Duplicate leaf entries
+    * (several sitemaps listing one URL) fold to the NEWEST lastmod
+    * first. Both sides key on the canonical URL.
+    *
+    * Scale shape: one URL-keyed distinct fold over the leaves + ONE
+    * left join against the fetch-time store (at 100 TB both sides carry
+    * (8-byte-hashable url, timestamp) only); the W3C datetime parse is a
+    * per-row cast. Output: (url, reason ∈ 'new' | 'modified').
+    */
+  def sitemapRecrawl(leaves: DataFrame, locCol: String, lastmodCol: String,
+                     fetched: DataFrame, fetchUrlCol: String,
+                     fetchTimeCol: String): DataFrame = {
+    val lm = leaves.select(
+        TextAnalysis.canonicalUrl(col(locCol)).as("url"),
+        expr(s"try_cast(`$lastmodCol` AS TIMESTAMP)").as("_lm"))
+      .groupBy("url").agg(max(col("_lm")).as("_lm"))
+    val ft = fetched.select(
+      TextAnalysis.canonicalUrl(col(fetchUrlCol)).as("url"),
+      col(fetchTimeCol).cast("timestamp").as("_ft"))
+    lm.join(ft, Seq("url"), "left")
+      .withColumn("reason",
+        when(col("_ft").isNull, "new")
+          .when(col("_lm").isNotNull && col("_lm") > col("_ft"), "modified"))
+      .where(col("reason").isNotNull)
+      .select(col("url"), col("reason"))
+  }
 }
