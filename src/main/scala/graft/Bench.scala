@@ -244,6 +244,13 @@ object Bench {
       // size instead of the gate's toy 30
       Queries.frontierPagesFrom(spark.range(250000L).select(col("id").as("doc_id")))
         .write.mode("overwrite").parquet(s"$benchDir/xl_pages")
+      // XL redirect capture store: the gate's fixture formulas over 250k
+      // ids — ~1.5M 3xx responses (6 chains/doc incl. a 2-hop chain, a
+      // 200-with-Location trap, + per-k cycles), so the redirect chain
+      // walk is measured at real edge scale, not gate scale
+      Queries.frontierRedirectCapturesFrom(
+          spark.range(250000L).select(col("id").as("doc_id")))
+        .write.mode("overwrite").parquet(s"$benchDir/xl_redirect_caps")
     }
 
     Seq(benchDir, sfDir).foreach(warmDir)
@@ -516,6 +523,20 @@ object Bench {
             "html", Queries.frontierRobots(spark), "host", "txt",
             ops.Pipeline.FrontierConfig(blockedDomains = Seq("alt3.org"),
               maxPerSite = 10000)).count())
+
+        // the same frontier + REDIRECT DISCOVERY over ~1.5M 3xx captures:
+        // prices redirectEdges (per-row header parse) + resolveRedirects
+        // (the bounded chain walk — 2-hop chains + planted cycles) at
+        // real edge scale on top of the composition above
+        time("xl_frontier_redirects_250k")(
+          ops.Pipeline.buildFrontier(
+            spark.read.parquet(s"$benchDir/xl_pages"), "doc_id", "page_url",
+            "html", Queries.frontierRobots(spark), "host", "txt",
+            ops.Pipeline.FrontierConfig(blockedDomains = Seq("alt3.org"),
+              maxPerSite = 10000),
+            redirects = Some(ops.Warc.redirectEdges(
+              spark.read.parquet(s"$benchDir/xl_redirect_caps"),
+              "url", "payload"))).count())
       }
     }
 

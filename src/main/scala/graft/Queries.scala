@@ -1198,8 +1198,15 @@ object Queries {
     * the header parser, chain walk and RFC 3986 resolution never appear.
     */
   private[graft] def frontierRedirectCaptures(s: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    val d0 = docs(s, dir).select(col("doc_id"))
+      : org.apache.spark.sql.DataFrame =
+    frontierRedirectCapturesFrom(docs(s, dir).select(col("doc_id")))
+
+  /** The redirect-capture fixture over an arbitrary doc_id frame —
+    * shared by the gates (documents table) and the XL bench row
+    * (spark.range). */
+  private[graft] def frontierRedirectCapturesFrom(
+      d0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = d0.sparkSession
     val i = col("doc_id").cast("string")
     val ks = (col("doc_id") % 10).cast("string")
     def resp(status: String, loc: org.apache.spark.sql.Column)
