@@ -3795,6 +3795,35 @@ object Queries {
         .select("url", "host", "source", "priority", "slot", "start_sec")
     }),
 
+    // PERMANENT-redirect ALIAS suppression (redirectPermanentCol): a
+    // candidate that is a known 301/308 source is an alias the crawl
+    // stops paying fetch budget for (its terminal already entered);
+    // temporary 302 sources stay canonical fetch targets. Fixture: each
+    // h{k}.com/about (link-discovered) 301s to /about2, each h{k}.com
+    // (link-discovered) 302s to /tmp — about drops, h{k}.com stays,
+    // both targets enter as 'redirect'. Oracle = the decision table
+    // with the alias flag restated
+    "frontier_redirect_alias" -> ((s, dir) => {
+      val ks = col("id").cast("string")
+      def resp(status: String, loc: org.apache.spark.sql.Column) = concat(
+        lit("HTTP/1.1 " + status + "\r\nLocation: "), loc,
+        lit("\r\nContent-Type: text/html\r\n\r\nmoved"))
+      val caps = s.range(10).select(
+          concat(lit("https://h"), ks, lit(".com/about")).as("url"),
+          resp("301 Moved Permanently",
+            concat(lit("https://h"), ks, lit(".com/about2"))).as("payload"))
+        .unionByName(s.range(10).select(
+          concat(lit("https://h"), ks, lit(".com")).as("url"),
+          resp("302 Found",
+            concat(lit("https://h"), ks, lit(".com/tmp"))).as("payload")))
+      graft.ops.Pipeline.buildFrontier(frontierPages(s, dir), "doc_id",
+        "page_url", "html", frontierRobots(s), "host", "txt",
+        graft.ops.Pipeline.FrontierConfig(maxPerSite = 30),
+        redirects = Some(graft.ops.Warc.redirectEdgesWithStatus(
+          caps, "url", "payload")),
+        redirectPermanentCol = "permanent")
+    }),
+
     // sitemap-driven RECRAWL selection: the lastmod consumer — a leaf is
     // refetched iff it was never fetched ('new') or declares a lastmod
     // STRICTLY later than its recorded fetch time ('modified'); absent /
@@ -7943,6 +7972,46 @@ object Queries {
          |SELECT url, host, source, priority, slot,
          |  slot * coalesce(crawl_delay, 2.0) AS start_sec
          |FROM sch""".stripMargin
+    },
+
+    // alias suppression: the decision table with the alias flag — the
+    // permanent sources (/about per k) drop at the screen, the temporary
+    // source (h{k}.com) stays, both terminals enter as 'redirect'
+    "frontier_redirect_alias" -> {
+      val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(url)), " +
+        "j -> CAST(ascii(url[j]) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+      s"""WITH b AS (SELECT doc_id, doc_id % 10 AS k,
+         |    CAST(doc_id % 10 AS VARCHAR) AS ks, CAST(doc_id AS VARCHAR) AS i
+         |  FROM documents),
+         |rng AS (SELECT CAST(range AS BIGINT) AS k, CAST(range AS VARCHAR) AS ks FROM range(10)),
+         |ext AS (
+         |  SELECT 'https://h' || ks || '.com' AS url, k, FALSE AS fetched, FALSE AS alias, 'link' AS src FROM b
+         |  UNION ALL SELECT 'https://h' || ks || '.com/about', k, FALSE, TRUE, 'link' FROM b
+         |  UNION ALL SELECT 'https://site' || ks || '.com/page' || i || '?x=1', k, FALSE, FALSE, 'link' FROM b
+         |  UNION ALL SELECT 'https://alt' || ks || '.org/p' || i, k, FALSE, FALSE, 'link' FROM b
+         |  UNION ALL SELECT 'https://h' || ks || '.com/a/page' || i || '.html', k, TRUE, FALSE, 'link' FROM b
+         |    WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT 'https://h' || ks || '.com/about2', k, FALSE, FALSE, 'redirect' FROM rng
+         |  UNION ALL SELECT 'https://h' || ks || '.com/tmp', k, FALSE, FALSE, 'redirect' FROM rng),
+         |cand AS (SELECT url, k, src FROM ext WHERE NOT fetched AND NOT alias),
+         |d AS (SELECT url, k, bool_or(src = 'link') AS fl, bool_or(src = 'sitemap') AS fs,
+         |    bool_or(src = 'redirect') AS fr FROM cand GROUP BY url, k),
+         |alw AS (SELECT * FROM d
+         |  WHERE NOT (k % 2 = 1 AND url LIKE 'https://site' || CAST(k AS VARCHAR) || '.com/page%')),
+         |pr AS (SELECT url, k, fl, fs, fr,
+         |    CASE WHEN url LIKE 'https://site%' THEN 'site' || CAST(k AS VARCHAR) || '.com'
+         |         WHEN url LIKE 'https://alt%' THEN 'alt' || CAST(k AS VARCHAR) || '.org'
+         |         ELSE 'h' || CAST(k AS VARCHAR) || '.com' END AS domain,
+         |    $fp AS fp FROM alw),
+         |sel AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY fp, url) AS rn,
+         |    count(*) OVER (PARTITION BY domain) AS nd FROM pr)
+         |SELECT url, domain AS host, domain,
+         |  CASE WHEN url LIKE 'https://site%' THEN CAST(k AS DOUBLE)
+         |       ELSE CAST(NULL AS DOUBLE) END AS crawl_delay,
+         |  nd > 30 AS site_capped,
+         |  $frontierSourceCase
+         |FROM sel WHERE rn <= 30""".stripMargin
     },
 
     // sitemap recrawl: the decision table per lastmod class — modified

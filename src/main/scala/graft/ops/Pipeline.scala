@@ -600,6 +600,12 @@ object Pipeline {
     *     ports, fragments, tracking params),
     *  F4 eTLD+1 blocklist ([[TextAnalysis.registeredDomain]], subdomains
     *     fall with their site),
+    *  F4b permanent-redirect ALIAS screen (when `redirectPermanentCol`
+    *     names a boolean column on the `redirects` frame): a candidate
+    *     whose canonical URL is a known 301/308 source is an alias the
+    *     crawl stops paying fetch budget for — its terminal already
+    *     entered as a candidate; temporary (302/303/307) sources stay
+    *     canonical fetch targets per RFC 9110,
     *  F5 already-fetched screen, two grains: the input wave's own
     *     canonical URLs (a frontier must not refetch what it just got),
     *     and — under `fetchedDir` — the PERSISTENT cross-wave store
@@ -637,10 +643,11 @@ object Pipeline {
                     sitemapXmlCol: String = "xml",
                     redirects: Option[DataFrame] = None,
                     redirectSrcCol: String = "src",
-                    redirectDstCol: String = "dst"): DataFrame =
+                    redirectDstCol: String = "dst",
+                    redirectPermanentCol: String = ""): DataFrame =
     frontierRun(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
       robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol,
-      redirects, redirectSrcCol, redirectDstCol, cfg,
+      redirects, redirectSrcCol, redirectDstCol, redirectPermanentCol, cfg,
       audit = false).urls
 
   /** [[buildFrontier]] plus the audited funnel (the curateCrawlAudited
@@ -670,10 +677,11 @@ object Pipeline {
                            sitemapXmlCol: String = "xml",
                            redirects: Option[DataFrame] = None,
                            redirectSrcCol: String = "src",
-                           redirectDstCol: String = "dst"): Frontier =
+                           redirectDstCol: String = "dst",
+                           redirectPermanentCol: String = ""): Frontier =
     frontierRun(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
       robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol,
-      redirects, redirectSrcCol, redirectDstCol, cfg,
+      redirects, redirectSrcCol, redirectDstCol, redirectPermanentCol, cfg,
       audit = true)
 
   /** Release-on-failure wrapper around [[frontierStages]] — same
@@ -686,12 +694,13 @@ object Pipeline {
                     sitemaps: Option[DataFrame], sitemapUrlCol: String,
                     sitemapXmlCol: String,
                     redirects: Option[DataFrame], redirectSrcCol: String,
-                    redirectDstCol: String,
+                    redirectDstCol: String, redirectPermanentCol: String,
                     cfg: FrontierConfig, audit: Boolean): Frontier = {
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     try frontierStages(pages, idCol, urlCol, htmlCol, robots, robotsHostCol,
       robotsTxtCol, sitemaps, sitemapUrlCol, sitemapXmlCol,
-      redirects, redirectSrcCol, redirectDstCol, cfg, audit, releases)
+      redirects, redirectSrcCol, redirectDstCol, redirectPermanentCol,
+      cfg, audit, releases)
     catch { case t: Throwable =>
       releases.foreach(r => scala.util.Try(r()))
       throw t
@@ -704,7 +713,7 @@ object Pipeline {
                     sitemaps: Option[DataFrame], sitemapUrlCol: String,
                     sitemapXmlCol: String,
                     redirects: Option[DataFrame], redirectSrcCol: String,
-                    redirectDstCol: String,
+                    redirectDstCol: String, redirectPermanentCol: String,
                     cfg: FrontierConfig, audit: Boolean,
                     releases: scala.collection.mutable.ArrayBuffer[() => Unit])
       : Frontier = {
@@ -784,7 +793,18 @@ object Pipeline {
     val fetched = pages
       .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url")).distinct()
       .withColumn("_fetched0", lit(true))
-    val flagged = materializedF("extracted")(cand
+    // F4b (redirectPermanentCol set on a redirects frame): the ALIAS
+    // screen — a candidate whose canonical URL is a known PERMANENT
+    // (301/308) redirect source is an alias the crawl should stop
+    // spending fetch budget on (its terminal already entered as a
+    // candidate); temporary (302/303/307) sources stay canonical fetch
+    // targets per RFC 9110 and are NOT screened. One distinct fold over
+    // the permanent sources + one url-keyed left join.
+    val aliasSrcs = redirects.filter(_ => redirectPermanentCol.nonEmpty)
+      .map(_.where(col(redirectPermanentCol))
+        .select(TextAnalysis.canonicalUrl(col(redirectSrcCol)).as("url"))
+        .distinct().withColumn("_alias0", lit(true)))
+    val flagged0 = cand
       .withColumn("_http", col("_abs").rlike("^(?i)https?://"))
       .withColumn("url", TextAnalysis.canonicalUrl(col("_abs")))
       .withColumn("host",
@@ -797,8 +817,15 @@ object Pipeline {
         else coalesce(col("domain").isin(cfg.blockedDomains: _*), lit(false)))
       .join(fetched, Seq("url"), "left")
       .withColumn("_fetched", coalesce(col("_fetched0"), lit(false)))
-      .drop("_fetched0", "_abs"))
-    val pass = flagged.where(col("_http") && !col("_blocked") && !col("_fetched"))
+      .drop("_fetched0", "_abs")
+    val flagged = materializedF("extracted")(aliasSrcs match {
+      case None => flagged0.withColumn("_alias", lit(false))
+      case Some(a) => flagged0.join(a, Seq("url"), "left")
+        .withColumn("_alias", coalesce(col("_alias0"), lit(false)))
+        .drop("_alias0")
+    })
+    val pass = flagged.where(col("_http") && !col("_blocked") &&
+      !col("_fetched") && !col("_alias"))
 
     // F5b (incremental, fetchedDir non-empty): screen against the
     // persistent cross-wave store — a hash-keyed ANTI-join (the store
@@ -939,7 +966,10 @@ object Pipeline {
         ("resolved_http", flagged.where(col("_http")).count()),
         ("blocklist",
           flagged.where(col("_http") && !col("_blocked")).count()),
-        ("not_fetched", pass.count())) ++
+        ("not_fetched", flagged.where(col("_http") && !col("_blocked") &&
+          !col("_fetched")).count())) ++
+        (if (aliasSrcs.isDefined) Seq(("alias_screen", pass.count()))
+         else Seq.empty) ++
         (if (cfg.fetchedDir.nonEmpty) Seq(("seen_store", screened.count()))
          else Seq.empty) ++ Seq(
         ("distinct_url", dist.count()),

@@ -284,12 +284,25 @@ object Warc {
     */
   def redirectEdges(records: DataFrame, urlCol: String,
                     payloadCol: String): DataFrame =
+    redirectEdgesWithStatus(records, urlCol, payloadCol)
+      .select(col("src"), col("dst"))
+
+  /** [[redirectEdges]] plus the PERMANENCE verdict: `permanent` = true
+    * for 301/308 (RFC 9110: the resource has moved — the source URL is
+    * an alias a crawler should stop spending fetch budget on), false for
+    * 302/303/307 (temporary — the source stays the canonical fetch
+    * target). The input to [[Pipeline.buildFrontier]]'s
+    * `redirectPermanentCol` alias screen. Output: (src, dst, permanent).
+    */
+  def redirectEdgesWithStatus(records: DataFrame, urlCol: String,
+                              payloadCol: String): DataFrame =
     records.withColumn("_h", httpResponse(col(payloadCol)))
       .where(col("_h.status").isin(301, 302, 303, 307, 308))
       .withColumn("dst", regexp_extract(col("_h.headers"),
         "(?i)\r\nlocation:[ \t]*([^\r\n]*)", 1))
       .where(col("dst") =!= "")
-      .select(col(urlCol).as("src"), col("dst"))
+      .select(col(urlCol).as("src"), col("dst"),
+        col("_h.status").isin(301, 308).as("permanent"))
 
   /** Resolve redirect chains to their final targets: for every source
     * URL in `edges`, follow (src → dst) hops until a URL with no
