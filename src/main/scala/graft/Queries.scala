@@ -1273,6 +1273,36 @@ object Queries {
     d0.select(col("doc_id"), pageUrl.as("page_url"), html.as("html"))
   }
 
+  /** Pages for the IN-LINK evidence gates (FrontierConfig.useInlinks):
+    * each doc (k = doc_id % 10, page at h{k}.com) links to the shared
+    * `pop.net/hot{i%3}` (referenced from every h-domain present — the
+    * high-evidence class), its own `pop.net/cold{i}` (exactly one
+    * offsite referrer), its own ONSITE `/local{i}` (zero evidence — a
+    * site cannot vote for itself), and, from EVEN docs only,
+    * `mid.org/m{i%3}` (the even h-domains). With a pop.net cap of 8
+    * over 3 hot + N cold candidates, the hot URLs must survive on
+    * evidence regardless of their hash rank — the OPIC-lite claim.
+    */
+  private[graft] def frontierInlinkPages(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val ks = (col("doc_id") % 10).cast("string")
+    val pageUrl = concat(lit("https://h"), ks,
+      lit(".com/a/page"), idS, lit(".html"))
+    val html = concat(
+      lit("<html><body><a href=\"https://pop.net/hot"),
+      (col("doc_id") % 3).cast("string"), lit("\">hot</a> "),
+      lit("<a href=\"https://pop.net/cold"), idS, lit("\">cold</a> "),
+      lit("<a href=\"/local"), idS, lit("\">self</a>"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" <a href=\"https://mid.org/m"),
+          (col("doc_id") % 3).cast("string"), lit("\">mid</a>")))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    docs(s, dir).select(col("doc_id"), pageUrl.as("page_url"),
+      html.as("html"))
+  }
+
   private val FrontierCfg = graft.ops.Pipeline.FrontierConfig(
     blockedDomains = Seq("alt3.org"), maxPerSite = 30)
 
@@ -3795,6 +3825,34 @@ object Queries {
         .select("url", "host", "source", "priority", "slot", "start_sec")
     }),
 
+    // IN-LINK evidence prioritization (FrontierConfig.useInlinks, the
+    // OPIC-lite frontier): every candidate carries n_ref_domains =
+    // DISTINCT OFFSITE referring registered domains, and the per-site
+    // cap ranks by (evidence DESC, hash, url) — the 3 pop.net/hot URLs
+    // (all h-domains vote) must survive an 8-cap over N one-referrer
+    // cold URLs regardless of hash rank; onsite /local self-links count
+    // zero. Oracle = the count(DISTINCT offsite ref) fold + the
+    // integer-exact composite-key rank replay from the fixture formulas
+    "frontier_inlinks" -> ((s, dir) =>
+      graft.ops.Pipeline.buildFrontier(frontierInlinkPages(s, dir), "doc_id",
+        "page_url", "html",
+        s.range(0).select(lit("h").as("host"), lit("").as("txt")),
+        "host", "txt",
+        graft.ops.Pipeline.FrontierConfig(maxPerSite = 8, useInlinks = true))
+        .orderBy("url")),
+
+    // the hash-keyed twin: the evidence fold's distinct runs on the
+    // referring domain's 8-byte xxhash64 (null-guarded) — gated against
+    // the SAME oracle as the string-keyed run
+    "frontier_inlinks_hashkeys" -> ((s, dir) =>
+      graft.ops.Pipeline.buildFrontier(frontierInlinkPages(s, dir), "doc_id",
+        "page_url", "html",
+        s.range(0).select(lit("h").as("host"), lit("").as("txt")),
+        "host", "txt",
+        graft.ops.Pipeline.FrontierConfig(maxPerSite = 8, useInlinks = true,
+          hashKeys = true))
+        .orderBy("url")),
+
     // PERMANENT-redirect ALIAS suppression (redirectPermanentCol): a
     // candidate that is a known 301/308 source is an alias the crawl
     // stops paying fetch budget for (its terminal already entered);
@@ -5308,6 +5366,40 @@ object Queries {
        |  nd > 30 AS site_capped,
        |  $frontierSourceCase
        |FROM sel WHERE rn <= 30""".stripMargin
+
+  /** The in-link-evidence oracle: candidates restated from the
+    * [[frontierInlinkPages]] formulas, evidence = count(DISTINCT
+    * offsite ref), the cap replayed on the composite integer key.
+    * Shared verbatim by the string- and hash-keyed gates.
+    */
+  private def frontierInlinksSql: String = {
+    val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, length(url)), " +
+      "j -> CAST(ascii(url[j]) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    s"""WITH b AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS ks,
+       |    CAST(doc_id AS VARCHAR) AS i FROM documents),
+       |ext AS (
+       |  SELECT 'https://pop.net/hot' || CAST(doc_id % 3 AS VARCHAR) AS url,
+       |      'pop.net' AS dom, 'h' || ks || '.com' AS ref FROM b
+       |  UNION ALL SELECT 'https://pop.net/cold' || i, 'pop.net',
+       |      'h' || ks || '.com' FROM b
+       |  UNION ALL SELECT 'https://h' || ks || '.com/local' || i,
+       |      'h' || ks || '.com', 'h' || ks || '.com' FROM b
+       |  UNION ALL SELECT 'https://mid.org/m' || CAST(doc_id % 3 AS VARCHAR),
+       |      'mid.org', 'h' || ks || '.com' FROM b WHERE doc_id % 2 = 0),
+       |d AS (SELECT url, dom,
+       |    count(DISTINCT CASE WHEN ref <> dom THEN ref END) AS nref
+       |  FROM ext GROUP BY url, dom),
+       |sel AS (SELECT url, dom, nref,
+       |    row_number() OVER (PARTITION BY dom
+       |      ORDER BY (1023 - least(nref, 1023)) * 2147483648 + $fp, url) AS rn,
+       |    count(*) OVER (PARTITION BY dom) AS nd
+       |  FROM d)
+       |SELECT url, dom AS host, dom AS domain,
+       |  CAST(NULL AS DOUBLE) AS crawl_delay, nd > 8 AS site_capped,
+       |  'link' AS source, nref AS n_ref_domains
+       |FROM sel WHERE rn <= 8""".stripMargin
+  }
 
   private def langHitsSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -7973,6 +8065,14 @@ object Queries {
          |  slot * coalesce(crawl_delay, 2.0) AS start_sec
          |FROM sch""".stripMargin
     },
+
+    // in-link evidence: the decision table from the frontierInlinkPages
+    // formulas — evidence = count(DISTINCT offsite referring domain),
+    // cap rank = the integer-exact (1023 − min(n,1023))·2³¹ + hash
+    // composite (every term an integer < 2⁴¹, bit-identical in DuckDB's
+    // BIGINT and Spark's double)
+    "frontier_inlinks" -> frontierInlinksSql,
+    "frontier_inlinks_hashkeys" -> frontierInlinksSql,
 
     // alias suppression: the decision table with the alias flag — the
     // permanent sources (/about per k) drop at the screen, the temporary

@@ -544,6 +544,25 @@ object Pipeline {
     * engine replays the cut. Default false: selection is purely
     * hash-deterministic and the output schema is unchanged.
     *
+    * `useInlinks` = true is OPIC-lite frontier prioritization by LINK
+    * EVIDENCE (the signal real crawl schedulers order by — see the
+    * Abiteboul OPIC and the BUbiNG/Heritrix frontier designs): every
+    * candidate gains `n_ref_domains` = the number of DISTINCT OFFSITE
+    * referring registered domains whose hyperlinks discovered it
+    * (onsite self-references and the site's own sitemap/redirect
+    * declarations carry no authority — a site cannot vote for itself),
+    * and the per-site cap heap ranks by (n_ref_domains DESC, hash, url)
+    * so the best-evidenced URLs survive the fetch budget. Composes with
+    * `usePriority` as (priority DESC, n_ref_domains DESC, hash, url) —
+    * the site's own declaration first, the web's evidence second. The
+    * composite ranking key stays EXACT in doubles: hash < 2³¹, the
+    * inlink term = (1023 − min(n_ref, 1023))·2³¹ < 2⁴¹, the priority
+    * term scales by 2⁴¹ → total < 2⁵², every term an integer, so any
+    * SQL engine replays the cut. The output gains `n_ref_domains`
+    * (pass it as [[scheduleFrontier]]'s `priorityCol` to also order
+    * fetch slots by evidence — integer counts quantize exactly).
+    * Default false: schema and selection unchanged.
+    *
     * `hashKeys` = true is the 100 TB exchange-key swap on the
     * composition's own keyed exchanges (the
     * [[TextAnalysis.anchorTexts]] mechanism): the distinct fold and the
@@ -563,7 +582,8 @@ object Pipeline {
       sitemapMaxDepth: Int = 4,
       hashKeys: Boolean = false,
       redirectMaxHops: Int = 8,
-      usePriority: Boolean = false)
+      usePriority: Boolean = false,
+      useInlinks: Boolean = false)
 
   /** [[buildFrontier]]'s result: the next fetch list and its audited
     * funnel — (stage_idx, stage, n_urls, seconds) per decision stage.
@@ -743,10 +763,20 @@ object Pipeline {
     // do); parsed tolerantly (try_cast: garbage → NULL) and clamped to
     // the protocol's [0,1]
     val noPrio = lit(null).cast("double").as("_prio")
+    // under useInlinks the link lane carries its REFERRING registered
+    // domain (the page that voted); sitemap/redirect lanes carry NULL —
+    // a site's own declarations are not link evidence
+    val noRef = lit(null).cast("string").as("_ref_dom")
+    val refDom =
+      if (!cfg.useInlinks) noRef
+      else TextAnalysis.registeredDomain(
+          lower(regexp_extract(col("_page_url"), "(?i)https?://([^/?#]+)", 1)),
+          cfg.domainSuffixes)
+        .getField("registered_domain").as("_ref_dom")
     val abs = TextAnalysis.extractLinks(pages, idCol, htmlCol)
       .join(pages.select(col(idCol), col(urlCol).as("_page_url")), Seq(idCol))
       .select(TextAnalysis.resolveUrl(col("_page_url"), col("href")).as("_abs"),
-        lit("link").as("_src"), noPrio)
+        lit("link").as("_src"), noPrio, refDom)
     val cand0 = sitemaps match {
       case None => abs
       case Some(sm) =>
@@ -764,7 +794,8 @@ object Pipeline {
             // use sites), never clamp to 0.0
             when(expr("try_cast(priority AS DOUBLE)").isNotNull,
               least(greatest(expr("try_cast(priority AS DOUBLE)"), lit(0.0)),
-                lit(1.0))).otherwise(lit(null).cast("double")).as("_prio")))
+                lit(1.0))).otherwise(lit(null).cast("double")).as("_prio"),
+            noRef))
         abs.unionByName(leaves)
     }
     // F0b: redirect-discovered URLs — raw Location values resolve
@@ -783,7 +814,7 @@ object Pipeline {
           Warc.resolveRedirects(edges, "_rs", "_rd", cfg.redirectMaxHops)
             .where(col("terminal"))
             .select(col("final_url").as("_abs"), lit("redirect").as("_src"),
-              noPrio))
+              noPrio, noRef))
         cand0.unionByName(terms)
     }
 
@@ -815,6 +846,13 @@ object Pipeline {
       .withColumn("_blocked",
         if (cfg.blockedDomains.isEmpty) lit(false)
         else coalesce(col("domain").isin(cfg.blockedDomains: _*), lit(false)))
+      // offsite link evidence: the referring domain counts only when it
+      // differs from the candidate's own (a site cannot vote for itself)
+      .withColumn("_off_ref",
+        if (!cfg.useInlinks) lit(null).cast("string")
+        else when(col("_ref_dom").isNotNull &&
+          col("_ref_dom") =!= col("domain"), col("_ref_dom")))
+      .drop("_ref_dom")
       .join(fetched, Seq("url"), "left")
       .withColumn("_fetched", coalesce(col("_fetched0"), lit(false)))
       .drop("_fetched0", "_abs")
@@ -866,13 +904,26 @@ object Pipeline {
     // a URL discovered by several routes takes the max DECLARED priority
     // (NULLs ignored); the 0.5 protocol default applies only at use sites
     val fp0 = max(col("_prio")).as("_prio")
+    // link evidence: DISTINCT offsite referring domains (count_distinct
+    // skips NULLs — onsite and non-link discoveries contribute nothing);
+    // under hashKeys the distinct runs on the domain's 8-byte xxhash64
+    // (null-guarded: xxhash64 maps NULL to the seed, not NULL) so no
+    // string enters the expand's grouping key — same ~2⁻⁶⁴ collision
+    // grain as every other hashKeys exchange
+    val nref =
+      if (!cfg.hashKeys) count_distinct(col("_off_ref")).as("_nref")
+      else count_distinct(when(col("_off_ref").isNotNull,
+        xxhash64(col("_off_ref")))).as("_nref")
+    val aggs = Seq(fl, fs, fr, fp0) ++
+      (if (cfg.useInlinks) Seq(nref) else Nil)
     val folded =
       if (!cfg.hashKeys)
         screened.groupBy(col("url"), col("host"), col("domain"))
-          .agg(fl, fs, fr, fp0)
+          .agg(aggs.head, aggs.tail: _*)
       else screened.groupBy(xxhash64(col("url")).as("_uh"))
-        .agg(min(col("url")).as("url"), min(col("host")).as("host"),
-          min(col("domain")).as("domain"), fl, fs, fr, fp0)
+        .agg(min(col("url")).as("url"),
+          (Seq(min(col("host")).as("host"),
+            min(col("domain")).as("domain")) ++ aggs): _*)
     // provenance: the legacy pair name 'both' = link+sitemap is kept;
     // combinations with redirect name their members explicitly
     val dist = materializedF("distinct_url")(folded
@@ -918,21 +969,33 @@ object Pipeline {
     // dominates the hash term (< 2³¹), so the whole key is an integer
     // < 2⁴² representable exactly and any SQL engine replays the cut
     val urlHash = TextAnalysis.fingerprint(col("url")).cast("double")
-    val capKey = if (!cfg.usePriority) urlHash else
-      (lit(1000.0) - round(coalesce(col("_prio"), lit(0.5)) * 1000, 0)) *
+    // under useInlinks the hash term extends to (evidence DESC, hash):
+    // (1023 − min(n_ref, 1023))·2³¹ + hash < 2⁴¹, still integer-exact —
+    // and the priority term's scale widens to 2⁴¹ to keep dominating
+    val evKey =
+      if (!cfg.useInlinks) urlHash
+      else (lit(1023.0) -
+          least(col("_nref"), lit(1023L)).cast("double")) *
         lit(2147483648.0) + urlHash
+    val prioScale = if (cfg.useInlinks) lit(2199023255552.0)
+      else lit(2147483648.0)
+    val capKey = if (!cfg.usePriority) evKey else
+      (lit(1000.0) - round(coalesce(col("_prio"), lit(0.5)) * 1000, 0)) *
+        prioScale + evKey
     val tk = graft.functions.topk_distinct_strings(
       capKey, col("url"), cfg.maxPerSite).as("_tk")
     val capped =
       if (!cfg.hashKeys) allowed.groupBy(col("domain")).agg(tk)
       else allowed.groupBy(xxhash64(col("domain")).as("_dh"))
         .agg(min(col("domain")).as("domain"), tk)
-    val srcCols =
-      if (!cfg.usePriority) Seq(col("source"))
-      else Seq(col("source"), coalesce(col("_prio"), lit(0.5)).as("priority"))
+    val srcCols = Seq(col("source")) ++
+      (if (cfg.usePriority)
+        Seq(coalesce(col("_prio"), lit(0.5)).as("priority")) else Nil) ++
+      (if (cfg.useInlinks) Seq(col("_nref").as("n_ref_domains")) else Nil)
     val outCols = Seq(col("url"), col("host"), col("domain"),
       col("crawl_delay"), col("site_capped"), col("source")) ++
-      (if (cfg.usePriority) Seq(col("priority")) else Nil)
+      (if (cfg.usePriority) Seq(col("priority")) else Nil) ++
+      (if (cfg.useInlinks) Seq(col("n_ref_domains")) else Nil)
     val withDelay = capped
       .select(col("domain"), col("_tk.capped").as("site_capped"),
         explode(col("_tk.kept")).as("url"))

@@ -425,4 +425,39 @@ class PipelineSpec extends AnyFunSuite {
         "blocklist" -> 6L, "not_fetched" -> 4L, "seen_store" -> 4L,
         "distinct_url" -> 4L, "robots_allowed" -> 4L, "site_cap" -> 4L))
   }
+
+  test("frontier useInlinks: offsite-distinct evidence, onsite zero, cap by evidence; hashKeys twin agrees") {
+    import spark.implicits._
+    // 12 pages across 4 hosts: every page links the shared hub.net/top
+    // (4 distinct offsite referrers), its own hub.net/one{i} (exactly
+    // one), and its host's ONSITE /self (zero — no self-voting)
+    val pages = spark.range(12).select(col("id").as("doc_id"),
+      concat(lit("https://h"), (col("id") % 4).cast("string"),
+        lit(".com/p"), col("id").cast("string")).as("page_url"),
+      concat(lit("<a href=\"https://hub.net/top\">t</a> "),
+        lit("<a href=\"https://hub.net/one"), col("id").cast("string"),
+        lit("\">o</a> <a href=\"/self\">s</a>")).as("html"))
+    val robots = Seq.empty[(String, String)].toDF("host", "txt")
+    val cfg = Pipeline.FrontierConfig(maxPerSite = 3, useInlinks = true)
+    val out = Pipeline.buildFrontier(pages, "doc_id", "page_url", "html",
+      robots, "host", "txt", cfg).cache()
+    assert(out.columns.contains("n_ref_domains"))
+    val top = out.where(col("url") === "https://hub.net/top").collect()
+    assert(top.length === 1 && top(0).getAs[Long]("n_ref_domains") === 4L)
+    // hub.net capped at 3 over 13 candidates: the evidence-4 URL MUST
+    // survive over the one-referrer crowd regardless of hash rank
+    assert(out.where(col("domain") === "hub.net").count() === 3L)
+    assert(out.where(col("url").endsWith("/one") === false &&
+      col("domain") === "hub.net" && col("n_ref_domains") === 4L).count() === 1L)
+    // onsite self-links carry zero evidence
+    val selfs = out.where(col("url").endsWith("/self")).collect()
+    assert(selfs.length === 4 &&
+      selfs.forall(_.getAs[Long]("n_ref_domains") === 0L))
+    // the hash-keyed twin returns identical rows
+    val hk = Pipeline.buildFrontier(pages, "doc_id", "page_url", "html",
+      robots, "host", "txt", cfg.copy(hashKeys = true))
+    assert(out.orderBy("url").collect().toSeq ===
+      hk.orderBy("url").collect().toSeq)
+    out.unpersist()
+  }
 }
