@@ -401,7 +401,12 @@ object Bench {
         // for the two-round crawl LOOP (both halves × both persistent
         // stores — the most expensive composition in the inventory), the
         // priority-keyed cap + schedule, and the carryover schedule
-        "crawl_loop_e2e", "frontier_priority", "frontier_schedule_carryover")
+        "crawl_loop_e2e", "frontier_priority", "frontier_schedule_carryover",
+        // the in-link-evidence frontier: prices the count_distinct
+        // evidence fold riding the distinct-URL exchange + the widened
+        // composite cap key (compare against frontier_e2e's shape —
+        // the fixture is lighter but the per-URL fold is the same)
+        "frontier_inlinks")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }
