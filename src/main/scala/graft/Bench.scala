@@ -406,7 +406,11 @@ object Bench {
         // evidence fold riding the distinct-URL exchange + the widened
         // composite cap key (compare against frontier_e2e's shape —
         // the fixture is lighter but the per-URL fold is the same)
-        "frontier_inlinks")
+        "frontier_inlinks",
+        // HITS on the dense synthetic directed graph: two update cycles
+        // = 4 edge joins + 4 aggregations (compare against pagerank's
+        // 3-iteration row for the per-cycle exchange cost)
+        "hits_scores")
       fromQueries.foreach { name =>
         time(name)(Queries.queries(name)(spark, sfDir).count())
       }

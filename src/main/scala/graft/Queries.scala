@@ -845,6 +845,41 @@ object Queries {
        |SELECT node AS doc_id, CAST(pr AS DOUBLE) AS pagerank FROM p$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** HITS replay: the [[pageRankSql]] construction for the directed
+    * (doc_id%17 → doc_id%23) fixture graph — per cycle an exact decimal
+    * in-neighbor-hub sum, a broadcast L1 total, one 9-dp-rounded double
+    * division, then the same for hubs against the NEW authorities.
+    * Final node set = endpoint union, absent scores coalesce to 0.
+    */
+  private def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a${i}s AS (SELECT e.v AS node, SUM(h.hub) AS s
+         |  FROM ed e JOIN h${i - 1} h ON h.node = e.u GROUP BY e.v),
+         |a${i}t AS (SELECT SUM(s) AS t FROM a${i}s),
+         |a$i AS (SELECT node,
+         |  CAST(round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 9) AS DECIMAL(38,9)) AS auth
+         |  FROM a${i}s, a${i}t),
+         |h${i}s AS (SELECT e.u AS node, SUM(a.auth) AS s
+         |  FROM ed e JOIN a$i a ON a.node = e.v GROUP BY e.u),
+         |h${i}t AS (SELECT SUM(s) AS t FROM h${i}s),
+         |h$i AS (SELECT node,
+         |  CAST(round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 9) AS DECIMAL(38,9)) AS hub
+         |  FROM h${i}s, h${i}t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT doc_id % 17 AS u, doc_id % 23 AS v
+       |  FROM documents WHERE doc_id % 17 <> doc_id % 23),
+       |nodes AS (SELECT u AS node FROM ed UNION SELECT v FROM ed),
+       |h0 AS (SELECT node, CAST(1.0 AS DECIMAL(38,9)) AS hub FROM nodes),
+       |$rounds
+       |SELECT n.node,
+       |  CAST(coalesce(h.hub, 0) AS DOUBLE) AS hub,
+       |  CAST(coalesce(a.auth, 0) AS DOUBLE) AS authority
+       |FROM nodes n
+       |LEFT JOIN h$iters h ON h.node = n.node
+       |LEFT JOIN a$iters a ON a.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   /** Logistic-regression training replay ([[graft.ops.Curation.logregTrain]]'s
     * exact arithmetic): feature CTE `f` (binary-grid features + the
     * stopword-density label), count CTE `n`, zero-weights CTE `w0`, then
@@ -5007,6 +5042,17 @@ object Queries {
         .select(col("node").as("doc_id"), col("pagerank"))
         .orderBy("doc_id")),
 
+    // HITS hubs/authorities on a dense synthetic DIRECTED graph
+    // (u = doc_id%17 → v = doc_id%23, self-loops dropped, distinct):
+    // two synchronous update cycles, L1-normalized, 9-dp decimal
+    // arithmetic — the oracle replays both cycles' decimal sums and
+    // double divisions verbatim (the pageRank exactness construction)
+    "hits_scores" -> ((s, dir) =>
+      graft.ops.Graph.hits(
+        docs(s, dir).select((col("doc_id") % 17).as("u"),
+          (col("doc_id") % 23).as("v")),
+        "u", "v", iterations = 2).orderBy("node")),
+
     // Deterministic label propagation (min-label tiebreak) on the same
     // near-dup graph, two synchronous rounds — the oracle replays both
     // rounds' neighbor-label majorities with identical window semantics
@@ -8594,6 +8640,8 @@ object Queries {
          |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
     "pagerank" -> pageRankSql(3),
+
+    "hits_scores" -> hitsSql(2),
 
     // two synchronous LPA rounds over the same simhash graph: neighbor
     // label majorities, row_number tiebreak (count desc, label asc)

@@ -160,4 +160,67 @@ object Graph {
     }
     labels
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) by power iteration over
+    * a DIRECTED edge list — the web-graph companion to [[pageRank]]:
+    * authorities are the pages good hubs point AT, hubs the pages that
+    * point at good authorities. For a crawl corpus this is the classic
+    * seed-quality / link-spam lens (a link farm's members score as
+    * mutual hubs with no outside authority), and the authority score is
+    * a natural input to the frontier's evidence ranking
+    * (`FrontierConfig.useInlinks` counts voters; HITS weighs them).
+    *
+    * Per iteration: auth(v) = Σ_{u→v} hub(u) then L1-normalize;
+    * hub(u) = Σ_{u→v} auth'(v) then L1-normalize (the standard
+    * synchronous update; L1 instead of L2 keeps the arithmetic a
+    * rational tree with no sqrt). Engine-exact by the [[pageRank]]
+    * construction: scores live as 9-dp DECIMAL(38,9), the per-edge sums
+    * are exact order-independent decimal adds, and each normalization is
+    * one double division re-rounded to 9 dp — a fixed iteration count
+    * replays bit-for-bit on any SQL engine. Self-loops drop, duplicate
+    * edges collapse; nodes with no out-edges hold hub 0, no in-edges
+    * auth 0 (they still appear in the output — the node set is the edge
+    * list's endpoint union).
+    *
+    * Scale: the distinct edge list materializes once
+    * (localCheckpoint); each iteration is two edge↔score equi-joins +
+    * two groupBys shuffling 8-byte node keys and one decimal, plus two
+    * broadcast scalar totals — no payload ever enters an exchange.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    def r9(c: Column): Column =
+      graft.functions.fast_round(c, 9).cast("decimal(38,9)")
+    val zero = lit(0.0).cast("decimal(38,9)")
+    val ed = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    val nodes = ed.select(col("u").as("node"))
+      .union(ed.select(col("v").as("node"))).distinct()
+    var sc = nodes.select(col("node"),
+      lit(1.0).cast("decimal(38,9)").as("hub"),
+      lit(1.0).cast("decimal(38,9)").as("auth"))
+    for (_ <- 1 to iterations) {
+      val aSum = ed.join(sc.select(col("node").as("u"), col("hub")), "u")
+        .groupBy(col("v").as("node")).agg(sum(col("hub")).as("s"))
+      val aTot = aSum.agg(sum(col("s")).as("t"))
+      val auth = aSum.crossJoin(broadcast(aTot))
+        .select(col("node"),
+          r9(col("s").cast("double") / col("t").cast("double")).as("auth"))
+      val hSum = ed.join(auth.select(col("node").as("v"),
+          col("auth").as("av")), "v")
+        .groupBy(col("u").as("node")).agg(sum(col("av")).as("s"))
+      val hTot = hSum.agg(sum(col("s")).as("t"))
+      val hub = hSum.crossJoin(broadcast(hTot))
+        .select(col("node"),
+          r9(col("s").cast("double") / col("t").cast("double")).as("hub"))
+      sc = nodes.join(hub, Seq("node"), "left")
+        .join(auth, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), zero).as("hub"),
+          coalesce(col("auth"), zero).as("auth"))
+    }
+    sc.select(col("node"), col("hub").cast("double").as("hub"),
+      col("auth").cast("double").as("authority"))
+  }
 }

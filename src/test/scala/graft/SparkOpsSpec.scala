@@ -1044,7 +1044,10 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // ccnet_buckets composes lm_logprob's scoring chain, so it carries
       // the same one-row corpus-total broadcast cross
       "lm_logprob", "ccnet_buckets", "bigram_logprob", "kneser_ney_logprob", "pmi_pairs",
-      "mixture_temperature", "pagerank", "dsir_scores", "dsir_sample",
+      // hits_scores: two one-row L1-total broadcast crosses per cycle
+      // (the pagerank scalar-total rationale)
+      "mixture_temperature", "pagerank", "hits_scores",
+      "dsir_scores", "dsir_sample",
       "unimax_mixture", "unigram_vocab", "unigram_encode",
       // hard_negatives: the anchor batch broadcasts against one corpus
       // scan — anchor×corpus distances are the workload (the
@@ -3114,6 +3117,43 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == pr)
     // center of the path outranks the leaves; symmetric pair stays uniform
     assert(got(2L) > got(1L) && got(1L) == got(3L) && got(4L) == got(5L))
+  }
+
+  test("hits: driver-math replay on a known directed graph; hub/authority separation") {
+    // 1→{2,3,4}, 5→2 (+ a duplicate and a self edge, both ignored):
+    // 1 is the dominant hub, 2 the dominant authority
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L), (1L, 2L), (3L, 3L))
+      .toDF("a", "b")
+    val got = Graph.hits(edges, "a", "b", iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val ed = Set((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
+    val nodes = Set(1L, 2L, 3L, 4L, 5L)
+    var hub: Map[Long, BigDecimal] = nodes.map(_ -> BigDecimal(1.0)).toMap
+    var auth: Map[Long, BigDecimal] = Map.empty
+    for (_ <- 1 to 2) {
+      val as = ed.groupBy(_._2).map { case (v, es) =>
+        v -> es.toSeq.map(e => hub(e._1)).sum }
+      val at = as.values.sum
+      auth = as.map { case (v, s) =>
+        v -> BigDecimal(r9(s.toDouble / at.toDouble)) }
+      val hs = ed.groupBy(_._1).map { case (u, es) =>
+        u -> es.toSeq.map(e => auth(e._2)).sum }
+      val ht = hs.values.sum
+      hub = hs.map { case (u, s) =>
+        u -> BigDecimal(r9(s.toDouble / ht.toDouble)) }
+    }
+    val want = nodes.map(n => n ->
+      (hub.getOrElse(n, BigDecimal(0)).toDouble,
+        auth.getOrElse(n, BigDecimal(0)).toDouble)).toMap
+    assert(got == want)
+    // structure: 1 out-hubs 5; 2 out-authorities 3 and 4; sinks hold
+    // hub 0, sources authority 0
+    assert(got(1L)._1 > got(5L)._1 && got(2L)._2 > got(3L)._2)
+    assert(got(2L)._1 == 0.0 && got(4L)._1 == 0.0 && got(1L)._2 == 0.0 &&
+      got(5L)._2 == 0.0)
   }
 
   test("pmiPairs: driver-math counts and score on a tiny corpus") {
