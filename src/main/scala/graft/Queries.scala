@@ -1401,7 +1401,7 @@ object Queries {
     d0.select(did, warc.as("warc"))
   }
 
-  private def pipeFixture(s: SparkSession, dir: String)
+  private[graft] def pipeFixture(s: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     (pipeCaptures(docs(s, dir).select(col("doc_id"))), pipeRobots(s),
       s.range(1).select(lit(PipeBench).as("text")))
@@ -1575,7 +1575,7 @@ object Queries {
     (png, bos.toByteArray)
   }
 
-  private val PipeConfig = graft.ops.Pipeline.CurateConfig(
+  private[graft] val PipeConfig = graft.ops.Pipeline.CurateConfig(
     capPerDomain = 25, packBudget = 512, nShards = 4, shardBuckets = 32)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -21,6 +21,19 @@ object functions {
   /** Probe vector as an `array<float>` literal column. */
   def vectorLit(v: Array[Float]): Column = typedlit(v.toSeq)
 
+  /** Task count for a partitioned store write: the session's shuffle
+    * parallelism, pinned EXPLICITLY on the pre-write `repartition` so
+    * AQE's byte-based coalescing cannot fold a many-directory
+    * `partitionBy` write onto one or two tasks (a small store still
+    * opens one parquet writer per partition directory — measured 2
+    * tasks × ~128 sequential file creations each on the 256-bucket LSH
+    * store, the whole cost of its append row). Scale-adaptive: the
+    * value is the deployment's own `spark.sql.shuffle.partitions`, not
+    * a constant.
+    */
+  def writeParallelism(spark: SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
+
   def vector_distance(a: Column, b: Column, metric: String): Column =
     col(VectorDistance(expr(a), expr(b), Metric.parse(metric)))
 

@@ -58,7 +58,7 @@ object Ann {
   def writeBucketed(df: DataFrame, vecCol: String, path: String,
                     nBits: Int, dim: Int, seed: Long = 42L): Unit =
     withBuckets(df, vecCol, nBits, dim, seed)
-      .repartition(col("bucket"))
+      .repartition(graft.functions.writeParallelism(df.sparkSession), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Append an ingest wave to an existing LSH store. Unlike
@@ -72,7 +72,7 @@ object Ann {
   def appendBucketed(wave: DataFrame, vecCol: String, path: String,
                      nBits: Int, dim: Int, seed: Long = 42L): Unit =
     withBuckets(wave, vecCol, nBits, dim, seed)
-      .repartition(col("bucket"))
+      .repartition(graft.functions.writeParallelism(wave.sparkSession), col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
 
   /** ANN top-k over a bucket-partitioned store: the IN-list on the
@@ -238,7 +238,7 @@ object Ann {
     */
   def writeIvf(df: DataFrame, vecCol: String, path: String, centroids: Seq[Seq[Float]]): Unit =
     withClusters(df, vecCol, centroids)
-      .repartition(col("cluster"))
+      .repartition(graft.functions.writeParallelism(df.sparkSession), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** Append an ingest wave to an existing IVF store under its FROZEN
@@ -260,7 +260,7 @@ object Ann {
   def appendIvf(wave: DataFrame, vecCol: String, path: String,
                 centroids: Seq[Seq[Float]]): Unit =
     withClusters(wave.where(col(vecCol).isNotNull), vecCol, centroids)
-      .repartition(col("cluster"))
+      .repartition(graft.functions.writeParallelism(wave.sparkSession), col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
 
   /** Per-cell row counts of an IVF store — the hot-cell health probe

@@ -49,28 +49,38 @@ object Bpe {
     // explicit per-position substrings (NOT split(w, "")): engine-portable
     // char list, and the empty-word degenerate is filtered rather than
     // tripping sequence(1, 0)'s descending surprise
-    var syms = vocab.where(length(col(wordCol)) > 0)
-      .select(col(weightCol).as("n"),
-        transform(sequence(lit(1), length(col(wordCol))),
-          i => col(wordCol).substr(i, lit(1))).as("syms"))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
-    var done = false
-    while (r <= rounds && !done) {
-      val top = syms.select(col("n"), explode(pairsOf(col("syms"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("n")).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, a, b, c))
-        syms = syms.withColumn("syms", graft.functions.bpe_merge(col("syms"), a, b))
-        r += 1
+    // The initial symbol table is MATERIALIZED once: every round's argmax
+    // is its own action, and without a barrier each of the R rounds
+    // replays the caller's corpus scan + word-count aggregation that
+    // produced `vocab` — R full corpus passes where one suffices. The
+    // barrier's blocks release as soon as the merge table is learned.
+    val (syms0, releaseSyms) = Dedup.materialize(
+      vocab.where(length(col(wordCol)) > 0)
+        .select(col(weightCol).as("n"),
+          transform(sequence(lit(1), length(col(wordCol))),
+            i => col(wordCol).substr(i, lit(1))).as("syms")),
+      Dedup.Barrier.LocalCheckpoint, eager = false)
+    try {
+      var syms = syms0
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val top = syms.select(col("n"), explode(pairsOf(col("syms"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, a, b, c))
+          syms = syms.withColumn("syms", graft.functions.bpe_merge(col("syms"), a, b))
+          r += 1
+        }
       }
-    }
-    merges.toSeq
+      merges.toSeq
+    } finally releaseSyms()
   }
 
   /** Size observer for [[learn]]'s per-round pair explode (the repo's

@@ -182,6 +182,20 @@ object Pipeline {
     run(captures, idCol, warcCol, robots, robotsHostCol,
       robotsTxtCol, bench, benchTextCol, shardDir, cfg, audit = true)
 
+  /** Spread a CPU-heavy per-row chain's INPUT to the session's default
+    * parallelism when the incoming plan carries fewer partitions. Small
+    * corpora arrive as one or two file splits (split sizing is
+    * byte-based, and a 5 MB corpus is one split), so the chain's
+    * dominant cost — the per-row WARC parse / extraction regex walk,
+    * seconds of CPU per MB — runs nearly serial on a many-core box; a
+    * round-robin repartition of the raw input is a tiny narrow-row
+    * shuffle there. Scale-adaptive by construction: at real corpus
+    * sizes the scan already carries ≥ parallelism splits and this is a
+    * NO-OP (no exchange added — the condition reads the plan's
+    * partition count, it never reshuffles data that is already wide).
+    */
+  private def spread(df: DataFrame): DataFrame = TextAnalysis.spreadInput(df)
+
   /** Explicit broadcast at or under `maxRows`, planner's choice above —
     * the certifiedTopK count-guard pattern (Quantizer.scala): a small
     * decision frame joined to the corpus must never pull the corpus into
@@ -209,9 +223,14 @@ object Pipeline {
   private[graft] def decisionAndPack(sd: DataFrame, bench: DataFrame,
       benchTextCol: String, idCol: String, cfg: CurateConfig,
       materialize: (String, DataFrame) => DataFrame): (DataFrame, DataFrame) = {
-    val contam = Curation.contaminatedIds(
+    // the two decision frames land behind the run's barrier before their
+    // broadcast count-guard: the guard's count() and the join would
+    // otherwise each compute the aggregation chain once (actions don't
+    // share work) — materialized, the n-gram overlap / cap-threshold
+    // fold runs once and both consumers read blocks
+    val contam = materialize("decontam", Curation.contaminatedIds(
       sd, bench.select(col(benchTextCol).as("text")), idCol, "text",
-      cfg.decontamNgram)
+      cfg.decontamNgram))
     val flagged = materialize("decontam", sd
       .join(guardedBroadcast(contam.withColumn("_contam", lit(true)),
         cfg.maxBroadcastRows), Seq(idCol), "left")
@@ -223,8 +242,8 @@ object Pipeline {
           .getField("registered_domain"))
       .drop("_contam"))
     val dom = flagged.where(col("_keep_dec") && col("_keep_q"))
-    val thr = Curation.capThresholds(
-      dom.select(col("domain"), col(idCol)), "domain", idCol, cfg.capPerDomain)
+    val thr = materialize("domain_cap", Curation.capThresholds(
+      dom.select(col("domain"), col(idCol)), "domain", idCol, cfg.capPerDomain))
     val capped = dom
       .join(guardedBroadcast(thr, cfg.maxBroadcastRows), Seq("domain"))
       .where(Curation.capKeepCol(col(idCol), col("cut_h"), col("cut_id")))
@@ -302,10 +321,14 @@ object Pipeline {
 
     // S1: WARC ingest — response records only. Checkpointed: the robots
     // stage scans its input three times (filter verdicts + two join
-    // sides), and the parse is the chain's heaviest per-row walk.
+    // sides), and the parse is the chain's heaviest per-row walk — which
+    // is why the raw captures are spread to full parallelism first (a
+    // small corpus arrives as one file split and would otherwise parse,
+    // extract and clean on ONE core; see [[spread]]).
+    val capturesIn = spread(captures)
     val allRecs = cfg.warcProfile match {
-      case "gz" => Warc.warcRecordsGz(captures, idCol, warcCol, cfg.warcMaxRecords)
-      case _    => Warc.warcRecords(captures, idCol, warcCol, cfg.warcMaxRecords)
+      case "gz" => Warc.warcRecordsGz(capturesIn, idCol, warcCol, cfg.warcMaxRecords)
+      case _    => Warc.warcRecords(capturesIn, idCol, warcCol, cfg.warcMaxRecords)
     }
     val respRecs = allRecs
       .where(col("warc_type") === "response")
@@ -352,7 +375,12 @@ object Pipeline {
     // rendering + C4 line cleaning — one per-row column chain, ONE scan
     // of the ingest store (extractMainContent joins blocks with single
     // spaces, so line structure is re-derived at sentence boundaries
-    // before the line rules apply).
+    // before the line rules apply). The pre-gate checkpoint is
+    // LOAD-BEARING for the language gate below: filtering on the
+    // projected `text` without a barrier lets the optimizer push the
+    // predicate under the projection, substituting (and re-evaluating)
+    // the whole extraction chain inside the langIdScript condition —
+    // measured ~8× on the composition when tried.
     val t1 = TextAnalysis.fixMojibake(
       TextAnalysis.extractMainContent(col("payload")))
     val c4 = materialized("lang")(allowed.select(col(idCol), col("url"), col("host"),
@@ -753,6 +781,27 @@ object Pipeline {
     }
     def materializedF(label: String)(df: DataFrame): DataFrame =
       timed(label)(materializedRawF(df))
+    // The two NARROW post-extraction stages (the distinct fold and the
+    // robots-verdict join) checkpoint only on the AUDITED path, where
+    // the funnel's count jobs re-read each frame. Unaudited they stay
+    // lazy and fold into the final site_cap barrier: their subtrees are
+    // flat projections over the "extracted" LogicalRDD, so the ≤4
+    // logical copies the downstream double-consumers create are small
+    // plans, the heavy fold/verdict Exchanges below them deduplicate
+    // through Spark's exchange reuse at execution, and two sequential
+    // plan-compile + job + checkpoint cycles per frontier build
+    // disappear. The boundaries AROUND the per-row-heavy work keep
+    // their checkpoints on BOTH paths — extracted (the extraction
+    // chain; its logical subtree must never replicate into downstream
+    // plan copies: an experiment lazifying every intermediate stage
+    // compounded the copies ~2^depth and planned+ran 60× slower),
+    // seeded (a driver-loop lineage), seen_store (the persistent-store
+    // read must run once). The FINAL barrier stays always: the
+    // deferred fetched-store append runs only after it, and with a
+    // lazy output the append would precede the caller's first action —
+    // the store would screen its own wave.
+    def stageF(label: String)(df: DataFrame): DataFrame =
+      if (audit) materializedF(label)(df) else df
 
     // F1: links extracted + resolved; F0: sitemap leaves unioned in with
     // their provenance tag. The sitemap walk materializes on its own
@@ -773,8 +822,15 @@ object Pipeline {
           lower(regexp_extract(col("_page_url"), "(?i)https?://([^/?#]+)", 1)),
           cfg.domainSuffixes)
         .getField("registered_domain").as("_ref_dom")
-    val abs = TextAnalysis.extractLinks(pages, idCol, htmlCol)
-      .join(pages.select(col(idCol), col(urlCol).as("_page_url")), Seq(idCol))
+    // Spread a narrow pages input to full parallelism BEFORE the
+    // extraction chain (see [[spread]]; a no-op at real corpus widths).
+    // This must accompany extractLinksCarry: the join-back this
+    // composition used to pay incidentally re-partitioned the exploded
+    // rows, so without it a one-split input would run the whole
+    // per-row chain (extraction, RFC-3986 resolution, canonicalization,
+    // eTLD+1) on one core up to the distinct fold's exchange.
+    val pagesIn = spread(pages)
+    val abs = TextAnalysis.extractLinksCarry(pagesIn, idCol, urlCol, htmlCol)
       .select(TextAnalysis.resolveUrl(col("_page_url"), col("href")).as("_abs"),
         lit("link").as("_src"), noPrio, refDom)
     val cand0 = sitemaps match {
@@ -807,7 +863,10 @@ object Pipeline {
     val cand = redirects match {
       case None => cand0
       case Some(re) =>
-        val edges = re.select(col(redirectSrcCol).as("_rs"),
+        // the redirect frame's lineage usually carries the per-row HTTP
+        // header parse (redirectEdges) — spread narrow inputs like the
+        // page lane's (no-op at real edge widths)
+        val edges = spread(re).select(col(redirectSrcCol).as("_rs"),
           TextAnalysis.resolveUrl(col(redirectSrcCol), col(redirectDstCol))
             .as("_rd"))
         val terms = timed("redirected")(
@@ -821,7 +880,7 @@ object Pipeline {
     // F2-F5a as FLAG columns on one frame: the funnel's early counts are
     // filters over one materialization, and the surviving candidate set
     // is the same frame filtered — extraction never replays
-    val fetched = pages
+    val fetched = pagesIn
       .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url")).distinct()
       .withColumn("_fetched0", lit(true))
     // F4b (redirectPermanentCol set on a redirects frame): the ALIAS
@@ -885,7 +944,7 @@ object Pipeline {
         else withH.join(spark.read.parquet(cfg.fetchedDir),
           withH("_uh1") === col("uh1") && withH("_uh2") === col("uh2"),
           "left_anti"))
-      fetchedAppend = () => pages
+      fetchedAppend = () => pagesIn
         .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url")).distinct()
         .select(xxhash64(col("url")).as("uh1"),
           xxhash64(lit(0x9E3779B97F4A7C15L), col("url")).as("uh2"))
@@ -926,7 +985,7 @@ object Pipeline {
             min(col("domain")).as("domain")) ++ aggs): _*)
     // provenance: the legacy pair name 'both' = link+sitemap is kept;
     // combinations with redirect name their members explicitly
-    val dist = materializedF("distinct_url")(folded
+    val dist = stageF("distinct_url")(folded
       .withColumn("source",
         when(col("_fl") === 1 && col("_fs") === 1 && col("_fr") === 1,
           "both+redirect")
@@ -952,7 +1011,7 @@ object Pipeline {
     val verdicts = Robots.robotsFilter(
       dist.select(col(idKey), col("host"), col("path")),
       idKey, "host", "path", rules, "host")
-    val allowed = materializedF("robots_allowed")(dist
+    val allowed = stageF("robots_allowed")(dist
       .join(verdicts.where(col("allowed")).select(idKey), Seq(idKey)))
 
     // F7: the bounded per-site cap, then host re-derivation + the

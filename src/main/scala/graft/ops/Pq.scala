@@ -170,7 +170,7 @@ object Pq {
       .select(Seq(col(idCol).as("id"),
         encodeColumn(col(vecCol), cb).cast("array<tinyint>").as("codes"),
         col("cluster")) ++ extraCols.map(col): _*)
-      .repartition(col("cluster"))
+      .repartition(graft.functions.writeParallelism(df.sparkSession), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
     val rows = for (s <- 0 until cb.m; j <- 0 until cb.nCodes)
       yield (s, j, cb.cents(s)(j).toSeq)
@@ -218,7 +218,7 @@ object Pq {
       .select(col(idCol).as("id"),
         encodeColumn(col(vecCol), cb).cast("array<tinyint>").as("codes"),
         col("cluster"))
-      .repartition(col("cluster"))
+      .repartition(graft.functions.writeParallelism(wave.sparkSession), col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
   }
 

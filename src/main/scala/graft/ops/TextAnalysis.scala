@@ -1235,21 +1235,64 @@ object TextAnalysis {
     * get) and collapses whitespace.
     * Documented subset: unquoted href values and (invalid) nested `<a>`
     * elements are out of profile — the non-greedy body stops at the
-    * FIRST `</a>`. One codegen'd per-row pass (two aligned
-    * `regexp_extract_all` over the same pattern — RE2-safe, no
-    * lookaround), zero shuffle. Output: (id, link_idx, href, anchor).
+    * FIRST `</a>`. ONE `regexp_extract_all` scan of the page (group 0 —
+    * the full anchor elements), then the two groups re-extract from each
+    * short match string (a self-contained re-match of the same pattern,
+    * so the groups are identical to the aligned-two-scans form this
+    * replaced at half the page-regex cost). RE2-safe, no lookaround,
+    * zero shuffle. Output: (id, link_idx, href, anchor).
     */
   def extractLinks(df: org.apache.spark.sql.DataFrame, idCol: String,
-                   htmlCol: String): org.apache.spark.sql.DataFrame = {
+                   htmlCol: String): org.apache.spark.sql.DataFrame =
+    extractLinksFrom(df.select(col(idCol), col(htmlCol)), idCol, htmlCol, Nil)
+
+  /** Spread a CPU-heavy per-row chain's INPUT to the session's default
+    * parallelism when the incoming plan carries fewer partitions. Small
+    * corpora arrive as one or two file splits (file-split sizing is
+    * byte-based, and a 5 MB corpus is one split), so a chain whose cost
+    * is per-row CPU — parse/regex walks at seconds per MB — runs nearly
+    * serial on a many-core box; a round-robin repartition of the raw
+    * input is a tiny narrow-row shuffle there. Scale-adaptive by
+    * construction: at real corpus widths the plan already carries
+    * ≥ parallelism partitions and this returns the frame UNCHANGED (the
+    * condition reads the compiled plan's partition count; it never
+    * reshuffles data that is already wide).
+    */
+  private[ops] def spreadInput(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** [[extractLinks]] with the page's own URL carried through the
+    * explode — the frontier / anchor-text / link-graph composition shape.
+    * Skips the exploded-rows-back-to-pages equi-join those callers
+    * otherwise pay (one exchange + a second compute of the page frame):
+    * the url column rides the generator input instead. Output: (id,
+    * _page_url, link_idx, href, anchor) — row-identical to
+    * `extractLinks(pages).join(pages.select(id, url))` when ids are
+    * unique (they are: one row per fetched page).
+    */
+  private[graft] def extractLinksCarry(pages: org.apache.spark.sql.DataFrame,
+                                       idCol: String, urlCol: String,
+                                       htmlCol: String): org.apache.spark.sql.DataFrame =
+    extractLinksFrom(
+      pages.select(col(idCol), col(urlCol).as("_page_url"), col(htmlCol)),
+      idCol, htmlCol, Seq("_page_url"))
+
+  private def extractLinksFrom(df: org.apache.spark.sql.DataFrame,
+                               idCol: String, htmlCol: String,
+                               carryCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val linkRe = "(?is)<a\\s[^>]*href[ \t]*=[ \t]*(\"[^\"]*\"|'[^']*')[^>]*>(.*?)</a>"
-    val hrefs = transform(regexp_extract_all(col(htmlCol), lit(linkRe), lit(1)),
-      h => h.substr(lit(2), length(h) - 2))
-    val anchors = transform(regexp_extract_all(col(htmlCol), lit(linkRe), lit(2)),
-      a => cleanFragment(a))
-    df.select(col(idCol), posexplode(zip_with(hrefs, anchors,
-        (h, a) => struct(h.as("href"), a.as("anchor")))).as(Seq("link_idx", "l")))
-      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
-        col("l.href").as("href"), col("l.anchor").as("anchor"))
+    val matches = regexp_extract_all(col(htmlCol), lit(linkRe), lit(0))
+    val keep = (col(idCol) +: carryCols.map(col)) ++
+      Seq(posexplode(matches).as(Seq("link_idx", "_m")))
+    val h = regexp_extract(col("_m"), linkRe, 1)
+    df.select(keep: _*)
+      .select((col(idCol) +: carryCols.map(col)) ++ Seq(
+        col("link_idx").cast("long").as("link_idx"),
+        h.substr(lit(2), length(h) - 2).as("href"),
+        cleanFragment(regexp_extract(col("_m"), linkRe, 2)).as("anchor")): _*)
   }
 
   /** Anchor-text corpus — the classic weak-supervision signal for
@@ -1288,8 +1331,11 @@ object TextAnalysis {
                   urlCol: String, htmlCol: String,
                   maxAnchorsPerTarget: Int = 64,
                   hashKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val pairs = extractLinks(pages, idCol, htmlCol)
-      .join(pages.select(col(idCol), col(urlCol).as("_page_url")), idCol)
+    // spreadInput must accompany extractLinksCarry: the join-back this
+    // op used to pay incidentally re-partitioned the exploded rows, so
+    // a one-split input would otherwise run extraction + resolution +
+    // the partial aggregation on one core (no-op at real widths)
+    val pairs = extractLinksCarry(spreadInput(pages), idCol, urlCol, htmlCol)
       .select(resolveUrl(col("_page_url"), col("href")).as("dst_url"),
         col("anchor"))
       .where(col("anchor") =!= "")
@@ -1327,8 +1373,7 @@ object TextAnalysis {
                    hashKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
     def hostOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       lower(regexp_extract(c, "(?i)https?://([^/?#]+)", 1))
-    val edges = extractLinks(pages, idCol, htmlCol)
-      .join(pages.select(col(idCol), col(urlCol).as("_page_url")), Seq(idCol))
+    val edges = extractLinksCarry(spreadInput(pages), idCol, urlCol, htmlCol)
       .select(hostOf(col("_page_url")).as("src_host"),
         hostOf(resolveUrl(col("_page_url"), col("href"))).as("dst_host"))
     if (!hashKeys)

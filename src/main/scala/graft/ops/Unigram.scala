@@ -186,10 +186,25 @@ object Unigram {
       s"maxPieceLen must be in [2, 8], got $maxPieceLen")
     require(topKeep >= 1 && topKeep <= 100000, s"topKeep must be in [1, 100000], got $topKeep")
     require(rounds >= 1 && rounds <= 10, s"rounds must be in [1, 10], got $rounds")
-    var toks = initCandidates(words, wordCol, weightCol, maxPieceLen, topKeep)
+    // Two barriers keep the round chain's plan FLAT instead of
+    // geometrically nested: (1) the trainable vocabulary materializes
+    // once — every round's Viterbi join and the candidate init otherwise
+    // each replay the caller's corpus scan + word-count aggregation;
+    // (2) each round's ≤topKeep-row token table materializes before the
+    // next round references it two-to-three times (the broadcast weight
+    // side, the singles floor, the prune), which would otherwise copy
+    // the ENTIRE preceding round's subtree per reference. The LAST
+    // round stays lazy so the returned frame's plan keeps the
+    // broadcast-join shape observable (the plan-shape spec pins it);
+    // its inputs are flat checkpoint scans either way. Blocks are tiny
+    // and reclaimed by the context cleaner with the returned frame.
+    val t = trainable(words, wordCol, weightCol).localCheckpoint(eager = false)
+    var toks = initCandidates(t, "word", "n", maxPieceLen, topKeep)
+      .localCheckpoint(eager = false)
     var r = 0
     while (r < rounds) {
-      toks = emRound(words, wordCol, weightCol, toks, maxPieceLen, topKeep)
+      val round = emRound(t, "word", "n", toks, maxPieceLen, topKeep)
+      toks = if (r < rounds - 1) round.localCheckpoint(eager = false) else round
       r += 1
     }
     toks

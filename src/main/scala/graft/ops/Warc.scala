@@ -313,53 +313,71 @@ object Warc {
     * smallest dst — deterministic; callers wanting the conflict count
     * can `groupBy(src).count()` the edge frame first.
     *
-    * Scale shape (the [[Robots.sitemapFrontier]] / pageRank pattern):
-    * a bounded driver loop — `maxHops` ≤ 16 rounds, each ONE equi-join
-    * of the live chains against the edge table on the 8-byte-hashable
-    * URL key, finished chains dropping out; per-round materialization
-    * barriers truncate the growing lineage and release once the final
-    * frame lands behind its own barrier. Real chains are 1-3 hops, so
-    * the loop exits early when every chain lands. Output:
-    * (src, final_url, hops, terminal).
+    * Scale shape — saturating POINTER DOUBLING (path doubling), not a
+    * hop-at-a-time chase: a jump table J_k maps every source x to the
+    * node min(2^k, dist-to-sink(x)) edges ahead (sinks saturate — a
+    * lookup that misses leaves the row in place), built by joining J_k
+    * with itself, so ⌈log₂ maxHops⌉ rounds cover what the sequential
+    * walk needed maxHops rounds for (3 materialized joins instead of 7
+    * at the default 8, and planted cycles no longer force the full
+    * round count — they just never saturate). The final positions then
+    * decompose maxHops over the built jump tables (lazy — folded into
+    * one last materialization with the terminal verdict, a left join
+    * against the edge sources). Every join keys on the 8-byte-hashable
+    * URL; per-round barriers truncate lineage and release at the end.
+    * Output: (src, final_url, hops, terminal) — hops = edges actually
+    * walked (≤ maxHops), terminal = the final position has no outgoing
+    * edge; identical to the sequential chase by construction.
     */
   def resolveRedirects(edges: DataFrame, srcCol: String, dstCol: String,
                        maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16,
       s"maxHops must be in [1, 16], got $maxHops")
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    // materialize the (deduplicated) edge table once: every round joins it
+    // the (deduplicated) edge table doubles as J_0: follow 1 edge
     val (e, eRel) = Dedup.materialize(
       edges.groupBy(col(srcCol).as("_es")).agg(min(col(dstCol)).as("_ed")),
       Dedup.Barrier.LocalCheckpoint)
     releases += eRel
-    var live = e.select(col("_es").as("src"), col("_ed").as("cur"),
-      lit(1L).as("hops"))
-    var done: DataFrame = null
-    var hop = 1
-    var exhausted = false
-    while (hop < maxHops && !exhausted) {
-      val stepped = live.join(e, live("cur") === e("_es"), "left")
-      val landed = stepped.where(col("_ed").isNull)
-        .select(col("src"), col("cur").as("final_url"), col("hops"),
-          lit(true).as("terminal"))
-      done = if (done == null) landed else done.unionByName(landed)
+    // jump tables J_0..J_k (spans 1, 2, 4, …): (_jx, _jp, _jd) = from
+    // _jx, following min(span, dist-to-sink) edges lands on _jp after
+    // _jd edges
+    var jumps = List(
+      (1L, e.select(col("_es").as("_jx"), col("_ed").as("_jp"), lit(1L).as("_jd"))))
+    while (jumps.head._1 * 2 <= maxHops.toLong) {
+      val (span, j) = jumps.head
+      val b = j.select(col("_jx").as("_bx"), col("_jp").as("_bp"),
+        col("_jd").as("_bd"))
       val (next, rel) = Dedup.materialize(
-        stepped.where(col("_ed").isNotNull)
-          .select(col("src"), col("_ed").as("cur"), (col("hops") + 1L).as("hops")),
+        j.join(b, col("_jp") === col("_bx"), "left")
+          .select(col("_jx"), coalesce(col("_bp"), col("_jp")).as("_jp"),
+            (col("_jd") + coalesce(col("_bd"), lit(0L))).as("_jd")),
         Dedup.Barrier.LocalCheckpoint)
       releases += rel
-      live = next
-      hop += 1
-      exhausted = live.isEmpty
+      jumps = (span * 2, next) :: jumps
     }
-    // chains still live after maxHops-1 steps: one last probe decides
-    // terminal (no outgoing edge at the final position) vs cut-off
-    val tail = live.join(e, live("cur") === e("_es"), "left")
-      .select(col("src"), col("cur").as("final_url"), col("hops"),
-        col("_ed").isNull.as("terminal"))
-    val all = if (done == null) tail else done.unionByName(tail)
-    // land the result behind its own barrier, then free every round's blocks
-    val (result, _) = Dedup.materialize(all, Dedup.Barrier.LocalCheckpoint)
+    // walk maxHops edges from every source, saturating at sinks: apply
+    // each set bit's jump table (largest first; composition of
+    // min(c, dist) segments is order-free). All lookups stay lazy and
+    // fold into the final materialization below.
+    var live = e.select(col("_es").as("src"), col("_es").as("_pos"),
+      lit(0L).as("_d"))
+    var remaining = maxHops.toLong
+    for ((span, j) <- jumps if span <= remaining) {
+      remaining -= span
+      val b = j.select(col("_jx").as("_bx"), col("_jp").as("_bp"),
+        col("_jd").as("_bd"))
+      live = live.join(b, col("_pos") === col("_bx"), "left")
+        .select(col("src"), coalesce(col("_bp"), col("_pos")).as("_pos"),
+          (col("_d") + coalesce(col("_bd"), lit(0L))).as("_d"))
+    }
+    // terminal verdict: the final position has no outgoing edge
+    val (result, _) = Dedup.materialize(
+      live.join(e.select(col("_es"), lit(true).as("_has_out")),
+          live("_pos") === col("_es"), "left")
+        .select(col("src"), col("_pos").as("final_url"), col("_d").as("hops"),
+          col("_has_out").isNull.as("terminal")),
+      Dedup.Barrier.LocalCheckpoint)
     releases.foreach(r => r())
     result
   }
