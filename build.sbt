@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's driver contract is ONE parseable JSON line on stdout, but
+// sbt's default output strategy for a forked `run` routes the child's
+// stdout through the sbt logger, prefixing every line with "[info] " —
+// which is exactly why the driver's bench parse has failed since round 10
+// ("parsed": null in every BENCH_r*.json: the line it scans for starts
+// with "[info] {", not "{"). StdoutOutput hands the forked JVM the real
+// stdout, so the JSON line arrives unframed. Scoped to `run` only — test
+// output keeps its [info] framing for the driver's test-result parse.
+// (covers `runMain` too — sbt resolves runMain's fork options from the
+// `run` task's settings; a runMain-scoped key is unused per sbt's lint)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -704,7 +704,16 @@ object Dedup {
     require(maxHamming >= 1 && maxHamming <= 15, s"maxHamming must be in [1,15], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val hashed = df.select(col(idCol).as("id"), hashCol.as("sh"))
+    // spread a narrow input BEFORE the hash column evaluates: hashCol is
+    // the expensive per-row work here (a perceptual-hash decode of the
+    // image payload, or the simhash token fold), and a small corpus
+    // arrives as one file split — the decode would run serial on a
+    // many-core box. Spreading the RAW rows (not the hashed projection —
+    // that would evaluate the decode map-side, before the exchange)
+    // round-robins the payloads once; a no-op at real corpus widths
+    // (see TextAnalysis.spreadInput).
+    val hashed = TextAnalysis.spreadInput(df)
+      .select(col(idCol).as("id"), hashCol.as("sh"))
       .where(col("sh").isNotNull)
 
     val banded = hashed.select(col("id"), col("sh"),

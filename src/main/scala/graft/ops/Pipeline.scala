@@ -879,10 +879,17 @@ object Pipeline {
 
     // F2-F5a as FLAG columns on one frame: the funnel's early counts are
     // filters over one materialization, and the surviving candidate set
-    // is the same frame filtered — extraction never replays
-    val fetched = pagesIn
+    // is the same frame filtered — extraction never replays.
+    // Under fetchedDir the wave's canonical-URL distinct is materialized:
+    // it feeds BOTH the in-wave screen join and the deferred store append
+    // (two actions — without the barrier the append replays the pages
+    // scan + canonicalization + the distinct's exchange a second time).
+    // Non-incremental runs have one consumer and stay lazy.
+    val fetchedLazy = pagesIn
       .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url")).distinct()
-      .withColumn("_fetched0", lit(true))
+    val fetchedDistinct =
+      if (cfg.fetchedDir.isEmpty) fetchedLazy else materializedRawF(fetchedLazy)
+    val fetched = fetchedDistinct.withColumn("_fetched0", lit(true))
     // F4b (redirectPermanentCol set on a redirects frame): the ALIAS
     // screen — a candidate whose canonical URL is a known PERMANENT
     // (301/308) redirect source is an alias the crawl should stop
@@ -944,8 +951,8 @@ object Pipeline {
         else withH.join(spark.read.parquet(cfg.fetchedDir),
           withH("_uh1") === col("uh1") && withH("_uh2") === col("uh2"),
           "left_anti"))
-      fetchedAppend = () => pagesIn
-        .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url")).distinct()
+      // reads the materialized wave-distinct's blocks — no pages replay
+      fetchedAppend = () => fetchedDistinct
         .select(xxhash64(col("url")).as("uh1"),
           xxhash64(lit(0x9E3779B97F4A7C15L), col("url")).as("uh2"))
         .write.mode("append").parquet(cfg.fetchedDir)

@@ -1260,8 +1260,45 @@ object TextAnalysis {
     */
   private[ops] def spreadInput(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Two fixes over the plain `df.repartition(p)` this replaces:
+    //
+    // (1) The width probe reads df.rdd.getNumPartitions, and under AQE
+    // Dataset.rdd FINALIZES the adaptive plan — for an exchange-bearing
+    // input that would EXECUTE every intermediate shuffle stage just to
+    // read a partition count, work then discarded and recomputed by the
+    // real job. So probe (and spread) only when the analyzed plan is a
+    // narrow chain — projections / filters / generators over leaf scans:
+    // there .rdd is a plan compile, no job. Anything wider skips
+    // spreading entirely — a frame that already crossed an exchange
+    // carries the session's shuffle parallelism by construction.
+    //
+    // (2) The round-robin injects at the LEAVES, not above the frame:
+    // callers hand in frames whose narrow chain already carries the
+    // expensive per-row work (a WARC parse, a fixture-synth UDF + image
+    // decode), and a top-level repartition evaluates that chain map-side
+    // BEFORE the exchange — serializing the exact work the spread is
+    // meant to parallelize. Repartitioning directly above each leaf puts
+    // every projection/filter/generator AFTER the exchange; the column
+    // pruner still narrows the shuffled rows to the columns the chain
+    // reads. Row-multiset identical either way.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val analyzed = df.queryExecution.analyzed
+    val narrow = analyzed.collectFirst {
+      case n if !(n.isInstanceOf[Project] || n.isInstanceOf[Filter] ||
+        n.isInstanceOf[Generate] || n.isInstanceOf[Union] ||
+        n.isInstanceOf[SubqueryAlias] || n.children.isEmpty) => n
+    }.isEmpty
+    if (!narrow) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= p) df
+      else {
+        def inject(n: LogicalPlan): LogicalPlan =
+          if (n.children.isEmpty) Repartition(p, shuffle = true, n)
+          else n.withNewChildren(n.children.map(inject))
+        org.apache.spark.sql.GraftColumnShim.ofRows(df.sparkSession, inject(analyzed))
+      }
+    }
   }
 
   /** [[extractLinks]] with the page's own URL carried through the

@@ -199,12 +199,27 @@ object Unigram {
     // its inputs are flat checkpoint scans either way. Blocks are tiny
     // and reclaimed by the context cleaner with the returned frame.
     val t = trainable(words, wordCol, weightCol).localCheckpoint(eager = false)
-    var toks = initCandidates(t, "word", "n", maxPieceLen, topKeep)
-      .localCheckpoint(eager = false)
+    // Intermediate rounds checkpoint EAGERLY and each predecessor's
+    // blocks release as soon as its successor lands (the Bpe.learn
+    // releaseSyms discipline — blocks no longer wait for the context
+    // cleaner's GC in a long-lived session). The lazy `t` materializes
+    // inside the init round's job; only `t` and the LAST round's input
+    // stay persisted (both referenced by the returned lazy plan, and
+    // reclaimed with it) — the last round stays lazy so the returned
+    // frame's broadcast-join shape stays observable (the plan-shape
+    // spec pins it).
+    var (toks, prevRelease) = Dedup.materialize(
+      initCandidates(t, "word", "n", maxPieceLen, topKeep),
+      Dedup.Barrier.LocalCheckpoint)
     var r = 0
     while (r < rounds) {
       val round = emRound(t, "word", "n", toks, maxPieceLen, topKeep)
-      toks = if (r < rounds - 1) round.localCheckpoint(eager = false) else round
+      if (r < rounds - 1) {
+        val (g, rel) = Dedup.materialize(round, Dedup.Barrier.LocalCheckpoint)
+        prevRelease()
+        prevRelease = rel
+        toks = g
+      } else toks = round
       r += 1
     }
     toks

@@ -334,17 +334,43 @@ object Warc {
     require(maxHops >= 1 && maxHops <= 16,
       s"maxHops must be in [1, 16], got $maxHops")
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    // the (deduplicated) edge table doubles as J_0: follow 1 edge
+    // the (deduplicated) edge table doubles as J_0: follow 1 edge.
+    // Lazy barrier: the first consumer's job materializes it (the
+    // baseline-sum probe below when probing is on, else the first
+    // doubling round / final materialization) — no standalone job.
     val (e, eRel) = Dedup.materialize(
       edges.groupBy(col(srcCol).as("_es")).agg(min(col(dstCol)).as("_ed")),
-      Dedup.Barrier.LocalCheckpoint)
+      Dedup.Barrier.LocalCheckpoint, eager = false)
     releases += eRel
     // jump tables J_0..J_k (spans 1, 2, 4, …): (_jx, _jp, _jd) = from
     // _jx, following min(span, dist-to-sink) edges lands on _jp after
     // _jd edges
     var jumps = List(
       (1L, e.select(col("_es").as("_jx"), col("_ed").as("_jp"), lit(1L).as("_jd"))))
-    while (jumps.head._1 * 2 <= maxHops.toLong) {
+    // Early-exit probe (the shrinking-set exit the sequential chase had):
+    // Σ_jd is strictly monotone while any chain can still extend (every
+    // row's _jd is non-decreasing across doublings), so an unchanged sum
+    // means EVERY row saturated within the current span — the remaining
+    // doublings would rebuild identical tables, and the decomposition
+    // below covers maxHops with the shorter spans (capacity 2·span−1 ≥
+    // span ≥ every true distance, so saturated positions stop moving).
+    // ZERO extra jobs: each round's table is a LAZY barrier and the sum
+    // is its materializing action — the join, the checkpoint and the
+    // probe ride one job (cycle-bearing corpora never saturate and run
+    // all ⌈log₂ maxHops⌉ rounds exactly as before); for the common
+    // all-short-chain corpus the later full-width self-joins are skipped
+    // outright. Probing is on only when ≥2 doubling rounds exist
+    // (maxHops ≥ 4) — with a single round there is nothing to skip.
+    def jdSum(j: DataFrame): Long = {
+      val r = j.agg(sum(col("_jd"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val probing = maxHops >= 4
+    // baseline Σ_jd over J_1 = |E| — this probe doubles as the edge
+    // table's materializing action (the job the eager barrier ran before)
+    var lastSum = if (probing) jdSum(jumps.head._2) else -1L
+    var saturated = false
+    while (!saturated && jumps.head._1 * 2 <= maxHops.toLong) {
       val (span, j) = jumps.head
       val b = j.select(col("_jx").as("_bx"), col("_jp").as("_bp"),
         col("_jd").as("_bd"))
@@ -352,9 +378,16 @@ object Warc {
         j.join(b, col("_jp") === col("_bx"), "left")
           .select(col("_jx"), coalesce(col("_bp"), col("_jp")).as("_jp"),
             (col("_jd") + coalesce(col("_bd"), lit(0L))).as("_jd")),
-        Dedup.Barrier.LocalCheckpoint)
+        Dedup.Barrier.LocalCheckpoint, eager = false)
       releases += rel
       jumps = (span * 2, next) :: jumps
+      // probe only while another doubling round remains to be skipped;
+      // the sum is ALSO this round's materializing action
+      if (probing && jumps.head._1 * 2 <= maxHops.toLong) {
+        val s = jdSum(next)
+        if (s == lastSum) saturated = true
+        lastSum = s
+      }
     }
     // walk maxHops edges from every source, saturating at sinks: apply
     // each set bit's jump table (largest first; composition of

@@ -29,11 +29,86 @@ object Profile {
       r
     }
 
+    // Job-level decomposition listener: counts jobs and sums in-job wall
+    // time between probe marks, so (elapsed - jobs wall) reads as
+    // driver-side planning/scheduling gaps — the §1 instrument for the
+    // composition rows whose cost is not in any task.
+    val jobWall = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+    // per-job records for the optional breakdown print:
+    // (jobId, seconds, nTasks, callSite)
+    val jobLog = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Double, Int, String)]())
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val tasks = j.stageInfos.map(_.numTasks).sum
+        jobStarts.put(j.jobId, (System.nanoTime(), site, tasks))
+        jobCount.incrementAndGet(); ()
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val rec = jobStarts.remove(j.jobId)
+        if (rec != null) {
+          val d = System.nanoTime() - rec._1
+          jobWall.addAndGet(d)
+          jobLog.add((j.jobId, d / 1e9, rec._3, rec._2)); ()
+        }
+      }
+    })
+    val jobsVerbose = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
+    def timeJobs[T](name: String)(body: => T): T = {
+      jobWall.set(0L); jobCount.set(0); jobLog.clear()
+      val t0 = System.nanoTime()
+      val r = body
+      val el = (System.nanoTime() - t0) / 1e9
+      // listener bus is async — give it a beat before reading the counters
+      Thread.sleep(150)
+      println(f"[profile] $name: $el%.3f s, jobs=${jobCount.get}, " +
+        f"jobs_wall=${jobWall.get / 1e9}%.3f s, driver_gap=${el - jobWall.get / 1e9}%.3f s")
+      if (jobsVerbose) {
+        val snap = jobLog.toArray(Array.empty[(Int, Double, Int, String)])
+        snap.sortBy(-_._2).take(25).foreach { case (id, sec, tasks, site) =>
+          println(f"[profile]   job $id%4d $sec%7.3f s $tasks%5d tasks  $site")
+        }
+      }
+      r
+    }
+
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val benchDir = java.nio.file.Files.createTempDirectory("graft_prof").toString
     graft.Bench.syntheticVectors(li).write.mode("overwrite").parquet(s"$benchDir/vectors")
     val vecs = spark.read.parquet(s"$benchDir/vectors")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // Generic named-query modes:
+    //   q:<name>     -> run Queries.queries(<name>).count() twice with job counts
+    //   plan:<name>  -> write .explain(formatted) to $SPARK_GRAFT_PLAN_DIR/<name>_<tag>.txt
+    // (tag from $SPARK_GRAFT_PLAN_TAG, default "plan")
+    val qNames = what.filter(_.startsWith("q:")).map(_.stripPrefix("q:"))
+    val planNames = what.filter(_.startsWith("plan:")).map(_.stripPrefix("plan:"))
+    if (qNames.nonEmpty || planNames.nonEmpty) {
+      // same one-off warm as Bench: JIT the distance + dedup kernels
+      graft.ops.Knn.fullScan(vecs.limit(1000), "id", "vec", graft.Queries.probe, 5, "l2").count()
+      val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt
+      qNames.toSeq.sorted.foreach { n =>
+        for (rep <- 1 to reps)
+          timeJobs(s"$n[$rep]")(graft.Queries.queries(n)(spark, sfDir).count())
+      }
+      val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r17")
+      val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "plan")
+      planNames.toSeq.sorted.foreach { n =>
+        val df = graft.Queries.queries(n)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val p = java.nio.file.Paths.get(planDir, s"${n}_$tag.txt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
+        println(s"[profile] plan -> $p")
+      }
+      spark.stop(); return
+    }
 
     if (on("quant")) {
       // warm

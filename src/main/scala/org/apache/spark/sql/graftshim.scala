@@ -18,4 +18,13 @@ object GraftColumnShim {
     */
   def eagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame from a hand-built logical plan (the classic constructor is
+    * `private[sql]`) — used by TextAnalysis.spreadInput to inject a
+    * round-robin repartition BELOW a narrow chain's per-row projections,
+    * directly above the leaf scan.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
