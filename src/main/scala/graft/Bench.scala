@@ -461,6 +461,58 @@ object Bench {
             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
           .count())
 
+      // SCALING rows (SPARK_GRAFT_BENCH_SCALING=1; the driver's default
+      // bench does not pay for them): compute-heavy bodies sized so an
+      // 8-core vs 32-core run shows near-core-ratio speedup — the probe
+      // that distinguishes "serial operator" from "fixed-overhead floor"
+      // (most per-round rows are sub-second at sf0.1, where per-query
+      // job-scheduling cost floors the 8↔32 ratio at ~1). Inputs are
+      // range-generated like similar_docs_sparse_20k's corpus — parallel
+      // at exactly defaultParallelism by construction, so the measured
+      // ratio is the compute's, not a file-split accident.
+      if (sys.env.get("SPARK_GRAFT_BENCH_SCALING").contains("1")) {
+        // per-row extraction + C4 cleaning over ~7 KB synthetic HTML —
+        // the curate chain's dominant per-row cost (S3-S5), isolated
+        val scalPages = spark.range(25000L).select(col("id").as("doc_id"),
+          concat(lit("<html><body>"),
+            array_join(transform(sequence(lit(0), lit(9)), p =>
+              concat(lit("<p>"), array_join(transform(sequence(lit(0), lit(59)), w =>
+                concat(lit("word"), pmod(hash(col("id"), p, w), lit(5000)))), " "),
+                lit("</p>"))), ""),
+            lit("</body></html>")).as("html"))
+        time("scaling_extract_clean_25k")(
+          scalPages.select(ops.Curation.c4CleanText(
+              ops.TextAnalysis.fixMojibake(
+                ops.TextAnalysis.extractMainContent(col("html")))).as("text"))
+            .agg(sum(length(col("text")))).head().getLong(0))
+        // shingling + 128-hash MinHash signatures — the dedup chain's
+        // per-row kernel cost, isolated (no pair space, no shuffle)
+        val scalDocs = spark.range(50000L).select(col("id").as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(199)), j =>
+            concat(lit("t"), pmod(hash(col("id"), j), lit(30000)))), " ").as("text"))
+        time("scaling_minhash_50k")(
+          scalDocs.select(graft.functions.minhash_signature(
+              ops.Dedup.shingleHashes(col("text"), 3), 128).as("sig"))
+            // pmod keeps the 61-bit minhash values from overflowing the sum
+            .agg(sum(pmod(element_at(col("sig"), 1), lit(1000000L))))
+            .head().getLong(0))
+        // hash-chained projection + two-level aggregation over 32M rows
+        // (100k groups: the partial agg collapses map-side, so the row
+        // measures parallel per-row compute + a small exchange) — the
+        // shuffle+partial-agg path at a size where reduce work is real
+        time("scaling_groupagg_32m")(
+          spark.range(32000000L)
+            .select(pmod(hash(col("id")), lit(100000)).as("k"),
+              // per-row CPU: a 24-deep hash chain, so the map side is
+              // compute- rather than memory-bound and scales with cores
+              pmod((1 to 24).foldLeft(hash(col("id"))){ (h, i) =>
+                  hash(h, lit(i)) },
+                lit(9973)).cast("long").as("v"))
+            .groupBy(col("k"))
+            .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+            .agg(sum(col("s")), sum(col("n"))).head().getLong(0))
+      }
+
       // Reference-scale XL rows (see the store build above): the exact
       // f32 full scan, the one-time quantization build, and the
       // reference's own serving shape — the PRELOADED i8 code scan —

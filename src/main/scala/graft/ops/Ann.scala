@@ -75,6 +75,30 @@ object Ann {
       .repartition(graft.functions.writeParallelism(wave.sparkSession), col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
 
+  /** Read ONLY the probed partition directories of a `partitionBy`
+    * store: `spark.read.parquet(root)` lists EVERY partition directory
+    * before pruning — for a 2^nBits-directory store that listing crosses
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` (32) and
+    * runs as its own Spark JOB (256 tasks for the LSH store, ~0.35 s per
+    * probe at gate scale; at production store sizes the listing grows
+    * with the store while the probe's true working set stays nprobe
+    * directories). Listing the probed values' directories under
+    * `basePath` keeps the partition column and reads the same rows; the
+    * callers keep their IN-list filter on top, so the scan's
+    * PartitionFilters contract is unchanged. Values without a directory
+    * contribute no rows either way; a store with none of the probed
+    * directories falls back to the root read (schema intact).
+    */
+  private[ops] def readProbedDirs(spark: SparkSession, path: String,
+                                  partCol: String, values: Seq[Long]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = values.map(v => new org.apache.hadoop.fs.Path(path, s"$partCol=$v"))
+      .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) spark.read.parquet(path)
+    else spark.read.option("basePath", path).parquet(dirs: _*)
+  }
+
   /** ANN top-k over a bucket-partitioned store: the IN-list on the
     * partition column prunes directories before any row is read —
     * `.explain` shows PartitionFilters and numFiles ≈ nBits+1 buckets.
@@ -82,8 +106,9 @@ object Ann {
   def lshTopKPruned(spark: SparkSession, path: String, idCol: String, vecCol: String,
                     probe: Array[Float], k: Int, metric: String,
                     nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val store = spark.read.parquet(path)
-      .where(col("bucket").isin(probeBuckets(probe, nBits, seed): _*))
+    val buckets = probeBuckets(probe, nBits, seed)
+    val store = readProbedDirs(spark, path, "bucket", buckets)
+      .where(col("bucket").isin(buckets: _*))
     Knn.topK(
       store.select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
       col("distance"), col(idCol), k)
@@ -284,8 +309,9 @@ object Ann {
   def ivfTopK(spark: SparkSession, path: String, idCol: String, vecCol: String,
               probe: Array[Float], k: Int, metric: String,
               centroids: Seq[Seq[Float]], nprobe: Int): DataFrame = {
-    val store = spark.read.parquet(path)
-      .where(col("cluster").isin(probeClusters(probe, centroids, nprobe): _*))
+    val cells = probeClusters(probe, centroids, nprobe)
+    val store = readProbedDirs(spark, path, "cluster", cells.map(_.toLong))
+      .where(col("cluster").isin(cells: _*))
     Knn.topK(
       store.select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),
       col("distance"), col(idCol), k)
@@ -312,8 +338,9 @@ object Ann {
                       probe: Array[Float], k: Int, metric: String,
                       centroids: Seq[Seq[Float]], nprobe: Int,
                       predicate: Column): DataFrame = {
-    val store = spark.read.parquet(path)
-      .where(col("cluster").isin(probeClusters(probe, centroids, nprobe): _*))
+    val cells = probeClusters(probe, centroids, nprobe)
+    val store = readProbedDirs(spark, path, "cluster", cells.map(_.toLong))
+      .where(col("cluster").isin(cells: _*))
       .where(predicate)
     Knn.topK(
       store.select(col(idCol), vector_distance(col(vecCol), vectorLit(probe), metric).as("distance")),

@@ -305,14 +305,27 @@ object Pipeline {
     // label mapping); surfaces in the funnel's `seconds` column
     val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed[T](label: String)(body: => T): T = {
+      // label the stage's jobs (guide §1.5)
+      spark.sparkContext.setJobDescription(s"curate: $label")
       val t0 = System.nanoTime()
-      val r = body
+      val r = try body finally spark.sparkContext.setJobDescription(null)
       stageSecs(label) =
         stageSecs.getOrElse(label, 0.0) + (System.nanoTime() - t0) / 1e9
       r
     }
     def materializedRaw(df: DataFrame): DataFrame = {
-      val (g, rel) = Dedup.materialize(df, barrier)
+      // Unaudited, the chain's barriers are LAZY local checkpoints: the
+      // plan-truncation semantics are identical (the frame is a
+      // LogicalRDD either way — none of the r16 lazification traps, which
+      // removed the barrier NODE), but each barrier's result-stage job
+      // folds into its single sequential consumer's first action instead
+      // of running standalone — ~10 fewer jobs per curate run, pure
+      // driver/scheduling overhead at gate scale and one fewer pass of
+      // block writes everywhere. The AUDITED path keeps eager barriers
+      // (the funnel's per-stage `seconds` attribution stays honest) with
+      // the byte-adaptive compaction.
+      val (g, rel) = Dedup.materialize(df, barrier, eager = audit,
+        compact = true)
       releases += rel
       g
     }
@@ -369,7 +382,21 @@ object Pipeline {
     val verdicts = Robots.robotsFilter(
       withHp.select(col(idCol), col("host"), col("path")),
       idCol, "host", "path", rules, "host")
-    val allowed = withHp.join(verdicts.where(col("allowed")).select(idCol), idCol)
+    // The allowed-id frame rides the decisionAndPack count-guard pattern:
+    // materialized once (narrow — ids only, cheap blocks at any scale),
+    // then count-guarded broadcast. Unguarded, the planner shuffled the
+    // PAYLOAD-bearing side by id to meet the verdict aggregation — and at
+    // gate corpus sizes AQE's byte-based coalescing then folded the
+    // post-join stage to ONE partition, serializing the downstream
+    // extraction+C4 chain (measured 1.8-2.8 s single-task stages in
+    // pipeline_e2e / crawl_loop_e2e). Broadcast keeps extraction map-side
+    // over the ingest barrier's width; past the guard the planner's
+    // shuffle join returns, whose post-shuffle partitions are
+    // advisory-sized (parallel) at that scale.
+    val allowedIds = materializedRaw(
+      verdicts.where(col("allowed")).select(idCol))
+    val allowed = withHp.join(
+      guardedBroadcast(allowedIds, cfg.maxBroadcastRows), idCol)
 
     // S3+S4+S5: main-content extraction, mojibake repair, sentence-line
     // rendering + C4 line cleaning — one per-row column chain, ONE scan
@@ -768,14 +795,35 @@ object Pipeline {
     val spark = pages.sparkSession
     val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed[T](label: String)(body: => T): T = {
+      // label the stage's jobs (guide §1.5) — the UI/listener attribution
+      // for a composition whose cost is spread over ~50 tiny jobs
+      spark.sparkContext.setJobDescription(s"frontier: $label")
       val t0 = System.nanoTime()
-      val r = body
+      val r = try body finally spark.sparkContext.setJobDescription(null)
       stageSecs(label) =
         stageSecs.getOrElse(label, 0.0) + (System.nanoTime() - t0) / 1e9
       r
     }
     def materializedRawF(df: DataFrame): DataFrame = {
-      val (g, rel) = Dedup.materialize(df, Dedup.Barrier.LocalCheckpoint)
+      // compact: the frontier's barrier frames inherit the extraction
+      // lanes' width (3 spread lanes ≈ 100 partitions) while holding a
+      // few thousand candidate URLs at gate scale — every downstream
+      // exchange then re-scanned ~100 block partitions per stage (~10
+      // such stages per build, each dominated by task launch overhead).
+      // Byte-adaptive, self-deactivates at production widths.
+      val (g, rel) = Dedup.materialize(df, Dedup.Barrier.LocalCheckpoint,
+        compact = true)
+      releases += rel
+      g
+    }
+    // Lazy barrier for the single-sequential-consumer stages (see the
+    // curate chain's materializedRaw): same LogicalRDD plan truncation,
+    // one fewer standalone job — the consumer's first action materializes
+    // the blocks and every later reader (deferred store appends, funnel
+    // counts) reads them.
+    def materializedLazyF(df: DataFrame): DataFrame = {
+      val (g, rel) = Dedup.materialize(df, Dedup.Barrier.LocalCheckpoint,
+        eager = false)
       releases += rel
       g
     }
@@ -840,7 +888,12 @@ object Pipeline {
             robots.select(col(robotsHostCol).as("host"),
               col(robotsTxtCol).as("txt")), "host", "txt")
           .select(explode(col("sitemaps")).as("sitemap_url"))
-        val leaves = materializedF("seeded")(Robots.sitemapFrontier(
+        // audited: eager, so the `seeded` funnel row carries the walk's
+        // own wall time; unaudited: lazy — the walk folds into the
+        // extracted barrier's materialization (one consumer)
+        val seededF: DataFrame => DataFrame =
+          if (audit) materializedF("seeded") else materializedLazyF
+        val leaves = seededF(Robots.sitemapFrontier(
             sm.select(col(sitemapUrlCol).as("sitemap_url"),
               col(sitemapXmlCol).as("_xml")),
             "sitemap_url", "_xml", roots, "sitemap_url", cfg.sitemapMaxDepth)
@@ -888,7 +941,8 @@ object Pipeline {
     val fetchedLazy = pagesIn
       .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url")).distinct()
     val fetchedDistinct =
-      if (cfg.fetchedDir.isEmpty) fetchedLazy else materializedRawF(fetchedLazy)
+      if (cfg.fetchedDir.isEmpty) fetchedLazy
+      else materializedLazyF(fetchedLazy)
     val fetched = fetchedDistinct.withColumn("_fetched0", lit(true))
     // F4b (redirectPermanentCol set on a redirects frame): the ALIAS
     // screen — a candidate whose canonical URL is a known PERMANENT
@@ -946,7 +1000,12 @@ object Pipeline {
       val withH = pass
         .withColumn("_uh1", xxhash64(col("url")))
         .withColumn("_uh2", xxhash64(lit(0x9E3779B97F4A7C15L), col("url")))
-      val fresh = materializedF("seen_store")(
+      // audited: eager for the seen_store funnel row's wall time;
+      // unaudited: lazy — the site_cap barrier's materialization is the
+      // single consumer and runs strictly before the deferred append
+      val seenF: DataFrame => DataFrame =
+        if (audit) materializedF("seen_store") else materializedLazyF
+      val fresh = seenF(
         if (!fs.exists(hp)) withH
         else withH.join(spark.read.parquet(cfg.fetchedDir),
           withH("_uh1") === col("uh1") && withH("_uh2") === col("uh2"),

@@ -229,8 +229,12 @@ object Pq {
     */
   def ivfPqTopK(spark: SparkSession, path: String, probe: Array[Float], k: Int,
                 centroids: Seq[Seq[Float]], cb: PqCodebook, nprobe: Int): DataFrame = {
-    val store = spark.read.parquet(s"$path/codes")
-      .where(col("cluster").isin(Ann.probeClusters(probe, centroids, nprobe): _*))
+    val cells = Ann.probeClusters(probe, centroids, nprobe)
+    // probed-directory read (see Ann.readProbedDirs): lists only the
+    // nprobe cell dirs instead of the whole store
+    val store = Ann.readProbedDirs(spark, s"$path/codes", "cluster",
+        cells.map(_.toLong))
+      .where(col("cluster").isin(cells: _*))
     Knn.topK(
       store.select(col("id"),
         adcColumn(col("codes").cast("array<int>"), cb.lut(probe)).as("distance")),
@@ -248,8 +252,10 @@ object Pq {
   def ivfPqTopKFiltered(spark: SparkSession, path: String, probe: Array[Float],
                         k: Int, centroids: Seq[Seq[Float]], cb: PqCodebook,
                         nprobe: Int, predicate: Column): DataFrame = {
-    val store = spark.read.parquet(s"$path/codes")
-      .where(col("cluster").isin(Ann.probeClusters(probe, centroids, nprobe): _*))
+    val cells = Ann.probeClusters(probe, centroids, nprobe)
+    val store = Ann.readProbedDirs(spark, s"$path/codes", "cluster",
+        cells.map(_.toLong))
+      .where(col("cluster").isin(cells: _*))
       .where(predicate)
     Knn.topK(
       store.select(col("id"),

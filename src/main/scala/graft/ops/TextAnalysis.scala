@@ -1282,11 +1282,22 @@ object TextAnalysis {
     // pruner still narrows the shuffled rows to the columns the chain
     // reads. Row-multiset identical either way.
     import org.apache.spark.sql.catalyst.plans.logical._
+    // a COALESCE (Repartition shuffle=false — e.g. the byte-adaptive
+    // post-barrier compaction in Dedup.materialize) is narrow too, and
+    // when the chain spreads it is DROPPED: the injected round-robin is
+    // about to re-widen the rows for the chain's per-row work, and a
+    // surviving coalesce above it would fold everything straight back
+    // to one partition (multiset unchanged either way)
+    def isCoalesce(n: LogicalPlan): Boolean = n match {
+      case r: Repartition => !r.shuffle
+      case _ => false
+    }
     val analyzed = df.queryExecution.analyzed
     val narrow = analyzed.collectFirst {
       case n if !(n.isInstanceOf[Project] || n.isInstanceOf[Filter] ||
         n.isInstanceOf[Generate] || n.isInstanceOf[Union] ||
-        n.isInstanceOf[SubqueryAlias] || n.children.isEmpty) => n
+        n.isInstanceOf[SubqueryAlias] || isCoalesce(n) ||
+        n.children.isEmpty) => n
     }.isEmpty
     if (!narrow) df
     else {
@@ -1295,6 +1306,7 @@ object TextAnalysis {
       else {
         def inject(n: LogicalPlan): LogicalPlan =
           if (n.children.isEmpty) Repartition(p, shuffle = true, n)
+          else if (isCoalesce(n)) inject(n.children.head)
           else n.withNewChildren(n.children.map(inject))
         org.apache.spark.sql.GraftColumnShim.ofRows(df.sparkSession, inject(analyzed))
       }

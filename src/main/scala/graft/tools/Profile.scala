@@ -42,8 +42,10 @@ object Profile {
       new java.util.ArrayList[(Int, Double, Int, String)]())
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        val stage = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+        val site = desc.map(d => s"$d | $stage").getOrElse(stage)
         val tasks = j.stageInfos.map(_.numTasks).sum
         jobStarts.put(j.jobId, (System.nanoTime(), site, tasks))
         jobCount.incrementAndGet(); ()

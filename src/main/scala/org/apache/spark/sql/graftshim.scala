@@ -27,4 +27,16 @@ object GraftColumnShim {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The raw internal RDD behind a checkpointed frame's LogicalRDD leaf,
+    * if that is what the frame is. `Dataset.rdd` would hand back the same
+    * partitioning but pays a codegen'd row deserializer compile per call
+    * — pure driver latency when the caller only wants the partition count
+    * and block-storage identity (Dedup.materialize's compact step).
+    */
+  def leafRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }
