@@ -649,7 +649,12 @@ object Dedup {
     // verify, b-side verify) and the ranked posting table feeds two
     // (prefix and full side of the join) — materialize both once instead
     // of re-hashing the corpus per branch (the minhashLshRun barrier
-    // convention; measured 12.5 s → 7.8 s at sf0.1)
+    // convention; measured 12.5 s → 7.8 s at sf0.1). NO input spread
+    // here, deliberately: the round-robin repartition pays a local sort
+    // of its input split (sortBeforeRepartition — retry determinism),
+    // and for this operator's full-document rows that serial sort+spill
+    // costs MORE than the serial shingling it would parallelize
+    // (measured 6.3 s → 9.2 s at sf0.1 when tried).
     val (base, releaseBase) = materialize(df
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0), barrier, eager = false)

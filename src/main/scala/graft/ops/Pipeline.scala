@@ -848,6 +848,12 @@ object Pipeline {
     // deferred fetched-store append runs only after it, and with a
     // lazy output the append would precede the caller's first action —
     // the store would screen its own wave.
+    // A/B'd AGAIN this round (r17, after the barrier compaction landed):
+    // lazy-CHECKPOINTING these two stages saves their ~2×0.25 s
+    // per-consumer projection recomputes but pays ~1.2 s of extra
+    // driver-side plan finalization per build (each lazy checkpoint
+    // finalizes its adaptive plan at declaration) — net worse; raw lazy
+    // stays.
     def stageF(label: String)(df: DataFrame): DataFrame =
       if (audit) materializedF(label)(df) else df
 
